@@ -1,0 +1,167 @@
+package graft.analytics
+
+import graft.Tables.t
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics surface: scan-heavy aggregation, multi-way joins with
+  * broadcast dims, window top-N, sessionization. These exercise the engine
+  * the way the reference's consumers exercise a topic: full scans, ordered
+  * per-key processing, time-bucketed rollups.
+  *
+  * Scale notes (100 TB): q1 is a single map-side-combinable aggregation (one
+  * shuffle of |groups| rows); q3/q5 broadcast every dimension smaller than
+  * ~10 MB and let AQE pick shuffle-hash vs sort-merge for the fact joins;
+  * windows partition by the natural key (user) so state is bounded per key.
+  */
+object Analytics {
+
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val price = money(col("l_extendedprice"))
+    val disc = rate(col("l_discount"))
+    val tax = rate(col("l_tax"))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(money(col("l_quantity"))).as("sum_qty"),
+        dsum(price).as("sum_base_price"),
+        dsum(price * (one - disc)).as("sum_disc_price"),
+        dsum(price * (one - disc) * (one + tax)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-07-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .as("revenue"),
+        ms(min(col("o_orderdate"))).as("o_orderdate_ms"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .as("revenue"))
+  }
+
+  /** Top-3 events by value per user (rank-per-group; deterministic tiebreak
+    * on event_id so both engines agree on the cut).
+    */
+  def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value").as("val"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap) per user. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").withColumn("tms", nsToMs("ts"))
+    val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    e.withColumn("prev", lag("tms", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("tms").as("start_ms"),
+        max("tms").as("end_ms"),
+        dsum(money(col("value"))).as("sum_val"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1,
+    "q3_topn" -> q3,
+    "q5_join" -> q5,
+    "topn_per_group" -> topnPerGroup,
+    "sessionize" -> sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topn" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  epoch_ms(MIN(o_orderdate)) AS o_orderdate_ms
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND l_shipdate > TIMESTAMP '1995-07-01'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "topn_per_group" ->
+      """SELECT user_id, event_id, "value" AS val, CAST(rn AS BIGINT) AS rn
+        |FROM (
+        |  SELECT user_id, event_id, "value",
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "value" DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, "value", epoch_ms(ts) AS tms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, sid, COUNT(*) AS n_events, MIN(tms) AS start_ms,
+        |  MAX(tms) AS end_ms,
+        |  CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sum_val
+        |FROM s GROUP BY user_id, sid""".stripMargin)
+}
