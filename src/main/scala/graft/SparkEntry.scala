@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (analytics.Analytics.queries, analytics.Analytics.oracles))
+      (analytics.Analytics.queries, analytics.Analytics.oracles),
+      (log.LogOps.queries, log.LogOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

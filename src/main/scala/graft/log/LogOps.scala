@@ -1,0 +1,189 @@
+package graft.log
+
+import graft.Tables.t
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's partitioned-log model, re-expressed declaratively.
+  *
+  * The events table is mapped onto a Kafka-style log (SURVEY.md §3):
+  * topic = event_type, partition = pmod(user_id, 8), key = user_id,
+  * value = props, offset = dense append order per (topic, partition).
+  * Offset assignment is the reference's PartitionLog.appendRecords
+  * (/root/reference/kafka-impl/.../storage/PartitionLog.java) turned into a
+  * single window: one shuffle on (topic, part), and every downstream log
+  * operator reuses that partitioning (no further wide exchanges).
+  *
+  * Scale: at 100 TB the source would be written bucketed/partitioned by
+  * (topic, part); the window then runs partition-local. All operators here
+  * aggregate with map-side-combinable functions (min/max/count/sum).
+  */
+object LogOps {
+
+  /** Canonical log view: offset assignment over the event stream. */
+  def log(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic", "part").orderBy("tms", "event_id")
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        nsToMs("ts").as("tms"),
+        col("event_type").as("topic"),
+        pmod(col("user_id"), lit(8L)).as("part"),
+        col("user_id").cast("string").as("k"),
+        col("props").as("v"),
+        col("value").as("val"))
+      .withColumn("offs", row_number().over(w).cast("long") - 1L)
+  }
+
+  /** DuckDB mirror of [[log]] for every oracle below. */
+  val logSql: String =
+    """WITH log AS (
+      |  SELECT event_id, epoch_ms(ts) AS tms, event_type AS topic,
+      |    user_id % 8 AS part, CAST(user_id AS VARCHAR) AS k, props AS v,
+      |    "value" AS val,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, user_id % 8
+      |                       ORDER BY epoch_ms(ts), event_id) - 1 AS offs
+      |  FROM events)
+      |""".stripMargin
+
+  private val cols = Seq("topic", "part", "offs", "event_id", "tms", "k", "v")
+
+  def logView(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir).select(cols.map(col): _*)
+
+  /** Bounded range read per partition: FetchRequest semantics
+    * (/root/reference/kafka-impl/.../MessageFetchContext.java).
+    */
+  def fetch(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .filter(col("topic") === "click" && col("offs") >= 100L && col("offs") < 200L)
+      .select(cols.map(col): _*)
+
+  /** Earliest / log-end offsets + timestamp bounds per partition
+    * (ListOffsets EARLIEST/LATEST; /root/reference/.../utils/OffsetFinder.java).
+    */
+  def listOffsets(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir).groupBy("topic", "part").agg(
+      min("offs").as("earliest"),
+      (max("offs") + 1L).as("log_end"),
+      count(lit(1)).as("n"),
+      min("tms").as("earliest_ms"),
+      max("tms").as("latest_ms"))
+
+  /** First offset with timestamp >= target per partition (ListOffsets by
+    * time; OffsetFinder's interpolation search becomes min-over-filter —
+    * the declarative form lets Catalyst push the time predicate to the scan).
+    */
+  def offsetsForTimes(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .filter(col("tms") >= lit(1705276800000L)) // 2024-01-15 00:00 UTC
+      .groupBy("topic", "part")
+      .agg(min("offs").as("offs"), min("tms").as("tms"))
+
+  /** Log compaction: latest record per (topic, partition, key). */
+  def compact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic", "part", "k")
+      .orderBy(col("tms").desc, col("event_id").desc)
+    log(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("topic"), col("part"), col("k"), col("offs"), col("v"),
+        col("tms"))
+  }
+
+  /** Combined time + size retention: drop records older than the cutoff or
+    * beyond the newest 500 per partition; report the surviving range.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val fromEnd = Window.partitionBy("topic", "part").orderBy(col("offs").desc)
+    log(spark, dir)
+      .withColumn("rn_end", row_number().over(fromEnd))
+      .filter(col("tms") >= lit(1704672000000L) && col("rn_end") <= 500) // 2024-01-08
+      .groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n_survive"),
+        min("offs").as("new_earliest"),
+        sum(length(col("v")) + length(col("k"))).cast("long").as("bytes"))
+  }
+
+  /** Per-record validation rollup: KopLogValidator semantics
+    * (/root/reference/.../utils/KopLogValidator.java) — null value, value
+    * range, timestamp-in-range checks, counted per topic.
+    */
+  def validateRecords(spark: SparkSession, dir: String): DataFrame = {
+    val tsOk = col("tms") >= lit(1704067200000L) && col("tms") < lit(1706400000000L)
+    val valOk = col("val") >= 0.05 && col("v").isNotNull
+    log(spark, dir).groupBy("topic").agg(
+      count(lit(1)).as("n_total"),
+      sum(when(tsOk && valOk, 1L).otherwise(0L)).as("n_valid"),
+      sum(when(!tsOk, 1L).otherwise(0L)).as("n_invalid_ts"),
+      sum(when(tsOk && !valOk, 1L).otherwise(0L)).as("n_invalid_val"))
+  }
+
+  /** Messages/bytes-in per topic per hour (the reference's RequestStats
+    * throughput counters as a time-bucketed rollup).
+    */
+  def topicThroughput(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .withColumn("hour_ms", expr("(tms div 3600000) * 3600000"))
+      .groupBy("topic", "hour_ms")
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        sum(length(col("v")) + length(col("k")) + lit(16)).cast("long")
+          .as("bytes_in"),
+        dsum(money(col("val"))).as("sum_val"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_view" -> logView,
+    "fetch" -> fetch,
+    "list_offsets" -> listOffsets,
+    "offsets_for_times" -> offsetsForTimes,
+    "compact" -> compact,
+    "retention" -> retention,
+    "validate_records" -> validateRecords,
+    "topic_throughput" -> topicThroughput)
+
+  val oracles: Map[String, String] = Map(
+    "log_view" -> (logSql +
+      "SELECT topic, part, offs, event_id, tms, k, v FROM log"),
+    "fetch" -> (logSql +
+      """SELECT topic, part, offs, event_id, tms, k, v FROM log
+        |WHERE topic = 'click' AND offs >= 100 AND offs < 200""".stripMargin),
+    "list_offsets" -> (logSql +
+      """SELECT topic, part, MIN(offs) AS earliest, MAX(offs) + 1 AS log_end,
+        |  COUNT(*) AS n, MIN(tms) AS earliest_ms, MAX(tms) AS latest_ms
+        |FROM log GROUP BY topic, part""".stripMargin),
+    "offsets_for_times" -> (logSql +
+      """SELECT topic, part, MIN(offs) AS offs, MIN(tms) AS tms
+        |FROM log WHERE tms >= 1705276800000 GROUP BY topic, part""".stripMargin),
+    "compact" -> (logSql +
+      """SELECT topic, part, k, offs, v, tms FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part, k
+        |    ORDER BY tms DESC, event_id DESC) AS rn FROM log)
+        |WHERE rn = 1""".stripMargin),
+    "retention" -> (logSql +
+      """SELECT topic, part, COUNT(*) AS n_survive, MIN(offs) AS new_earliest,
+        |  CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part
+        |    ORDER BY offs DESC) AS rn_end FROM log)
+        |WHERE tms >= 1704672000000 AND rn_end <= 500
+        |GROUP BY topic, part""".stripMargin),
+    "validate_records" -> (logSql +
+      """SELECT topic, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN (tms >= 1704067200000 AND tms < 1706400000000)
+        |        AND (val >= 0.05 AND v IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN NOT (tms >= 1704067200000 AND tms < 1706400000000)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_ts,
+        |  CAST(SUM(CASE WHEN (tms >= 1704067200000 AND tms < 1706400000000)
+        |        AND NOT (val >= 0.05 AND v IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_val
+        |FROM log GROUP BY topic""".stripMargin),
+    "topic_throughput" -> (logSql +
+      """SELECT topic, (tms // 3600000) * 3600000 AS hour_ms,
+        |  COUNT(*) AS n_msgs,
+        |  CAST(SUM(length(v) + length(k) + 16) AS BIGINT) AS bytes_in,
+        |  CAST(SUM(CAST(val AS DECIMAL(10,2))) AS DOUBLE) AS sum_val
+        |FROM log GROUP BY topic, (tms // 3600000) * 3600000""".stripMargin))
+}
