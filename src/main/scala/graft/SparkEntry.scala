@@ -7,7 +7,9 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (analytics.Analytics.queries, analytics.Analytics.oracles),
-      (log.LogOps.queries, log.LogOps.oracles))
+      (log.LogOps.queries, log.LogOps.oracles),
+      (coordinator.Groups.queries, coordinator.Groups.oracles),
+      (txn.Transactions.queries, txn.Transactions.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,155 @@
+package graft.coordinator
+
+import graft.log.LogOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Consumer-group coordination semantics
+  * (/root/reference/kafka-impl/.../coordinator/group/GroupCoordinator.java,
+  * GroupMetadataManager.java) as declarative queries.
+  *
+  * Four synthetic groups g0..g3 subscribe to every topic; group g's
+  * committed offset on a partition is floor(logEnd*(g+1)/5) and its commit
+  * time trails the partition head by g weeks — deterministic functions of
+  * the data so the oracle reproduces them bit-for-bit.
+  *
+  * Scale: group metadata is tiny relative to the log (|groups| x |topic
+  * partitions|); everything downstream of the one log aggregation is a
+  * broadcast-sized frame. Lag joins stay on the (topic, part) key.
+  */
+object Groups {
+
+  /** Per-partition log-end offsets + head timestamp (the input the group
+    * coordinator reads from the log).
+    */
+  private def leo(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir).groupBy("topic", "part").agg(
+      (max("offs") + 1L).as("log_end"),
+      max("tms").as("latest_ms"))
+
+  private val leoSql: String =
+    """leo AS (
+      |  SELECT topic, part, MAX(offs) + 1 AS log_end, MAX(tms) AS latest_ms
+      |  FROM log GROUP BY topic, part),
+      |""".stripMargin
+
+  /** Simulated commit log: latest committed offset per (group, partition). */
+  def commits(spark: SparkSession, dir: String): DataFrame = {
+    val groups = spark.range(0, 4).withColumnRenamed("id", "g")
+    leo(spark, dir).crossJoin(groups)
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        col("topic"), col("part"),
+        expr("(log_end * (g + 1)) div 5").as("committed"),
+        (col("latest_ms") - col("g") * 604800000L).as("commit_ms"),
+        col("log_end"))
+  }
+
+  private val commitsSql: String = leoSql +
+    """commits AS (
+      |  SELECT 'g' || CAST(g AS VARCHAR) AS group_id, topic, part,
+      |    (log_end * (g + 1)) // 5 AS committed,
+      |    latest_ms - g * 604800000 AS commit_ms, log_end
+      |  FROM leo CROSS JOIN (SELECT CAST(g AS BIGINT) AS g
+      |                       FROM generate_series(0, 3) t(g)))
+      |""".stripMargin
+
+  def groupOffsets(spark: SparkSession, dir: String): DataFrame =
+    commits(spark, dir).select("group_id", "topic", "part", "committed")
+
+  /** Log-end minus committed: the lag every Kafka monitoring stack computes. */
+  def consumerLag(spark: SparkSession, dir: String): DataFrame =
+    commits(spark, dir).select(
+      col("group_id"), col("topic"), col("part"), col("committed"),
+      col("log_end"), (col("log_end") - col("committed")).as("lag"))
+
+  private def topicParts(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir).select("topic", "part").distinct()
+
+  /** Kafka RangeAssignor: partitions of each topic split into contiguous
+    * blocks across 3 members (first np%3 members get one extra).
+    */
+  def assignRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic").orderBy("part")
+    topicParts(spark, dir)
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
+      .withColumn("member",
+        concat(lit("m"), expr(
+          """CAST(CASE WHEN idx < ((np div 3) + 1) * (np % 3)
+            |  THEN idx div ((np div 3) + 1)
+            |  ELSE (np % 3) + (idx - ((np div 3) + 1) * (np % 3)) div (np div 3)
+            |END AS STRING)""".stripMargin)))
+      .select("topic", "part", "member")
+  }
+
+  /** Kafka RoundRobinAssignor: all topic-partitions in global order dealt
+    * round-robin across 3 members.
+    */
+  def assignRoundRobin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("topic", "part")
+    topicParts(spark, dir)
+      .withColumn("member",
+        concat(lit("m"), ((row_number().over(w).cast("long") - 1L) % 3).cast("string")))
+      .select("topic", "part", "member")
+  }
+
+  /** DescribeGroups rollup: member count, assigned partitions, lag summary. */
+  def describeGroups(spark: SparkSession, dir: String): DataFrame =
+    consumerLag(spark, dir).groupBy("group_id").agg(
+      lit(3L).as("n_members"),
+      count(lit(1)).as("n_partitions"),
+      sum("lag").cast("long").as("total_lag"),
+      max("lag").as("max_lag"))
+
+  /** Offset retention: commits older than the cutoff are expired
+    * (GroupMetadataManager.cleanupGroupMetadata).
+    */
+  def offsetExpiration(spark: SparkSession, dir: String): DataFrame =
+    commits(spark, dir)
+      .filter(col("commit_ms") >= lit(1705708800000L)) // 2024-01-20 00:00 UTC
+      .select("group_id", "topic", "part", "committed", "commit_ms")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_offsets" -> groupOffsets,
+    "consumer_lag" -> consumerLag,
+    "assign_range" -> assignRange,
+    "assign_roundrobin" -> assignRoundRobin,
+    "describe_groups" -> describeGroups,
+    "offset_expiration" -> offsetExpiration)
+
+  private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
+
+  val oracles: Map[String, String] = Map(
+    "group_offsets" -> (L + commitsSql +
+      "SELECT group_id, topic, part, committed FROM commits"),
+    "consumer_lag" -> (L + commitsSql +
+      """SELECT group_id, topic, part, committed, log_end,
+        |  log_end - committed AS lag FROM commits""".stripMargin),
+    "assign_range" -> (L +
+      """pidx AS (
+        |  SELECT topic, part,
+        |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY part) - 1 AS idx,
+        |    COUNT(*) OVER (PARTITION BY topic) AS np
+        |  FROM (SELECT DISTINCT topic, part FROM log))
+        |SELECT topic, part, 'm' || CAST(CASE WHEN idx < ((np // 3) + 1) * (np % 3)
+        |    THEN idx // ((np // 3) + 1)
+        |    ELSE (np % 3) + (idx - ((np // 3) + 1) * (np % 3)) // (np // 3)
+        |  END AS VARCHAR) AS member
+        |FROM pidx""".stripMargin),
+    "assign_roundrobin" -> (L +
+      """tp AS (SELECT DISTINCT topic, part FROM log)
+        |SELECT topic, part,
+        |  'm' || CAST((ROW_NUMBER() OVER (ORDER BY topic, part) - 1) % 3 AS VARCHAR) AS member
+        |FROM tp""".stripMargin),
+    "describe_groups" -> (L + commitsSql +
+      """SELECT group_id, CAST(3 AS BIGINT) AS n_members,
+        |  COUNT(*) AS n_partitions,
+        |  CAST(SUM(log_end - committed) AS BIGINT) AS total_lag,
+        |  MAX(log_end - committed) AS max_lag
+        |FROM commits GROUP BY group_id""".stripMargin),
+    "offset_expiration" -> (L + commitsSql +
+      """SELECT group_id, topic, part, committed, commit_ms
+        |FROM commits WHERE commit_ms >= 1705708800000""".stripMargin))
+}
