@@ -9,7 +9,9 @@ object SparkEntry {
       (analytics.Analytics.queries, analytics.Analytics.oracles),
       (log.LogOps.queries, log.LogOps.oracles),
       (coordinator.Groups.queries, coordinator.Groups.oracles),
-      (txn.Transactions.queries, txn.Transactions.oracles))
+      (txn.Transactions.queries, txn.Transactions.oracles),
+      (registry.SchemaRegistry.queries, registry.SchemaRegistry.oracles),
+      (admin.Admin.queries, admin.Admin.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,76 @@
+package graft.admin
+
+import graft.coordinator.Groups
+import graft.log.LogOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Admin/metadata surface (/root/reference/kafka-impl/.../AdminManager.java,
+  * TopicAndMetadata.java): topic descriptions and group listings.
+  *
+  * Scale: both are metadata rollups — one partial-aggregatable pass over the
+  * log, then trivially small frames.
+  */
+object Admin {
+
+  /** DescribeTopics: partition count, record counts, offset/size totals. */
+  def topicMetadata(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir)
+      .groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n"),
+        (max("offs") + 1L).as("log_end"),
+        sum(length(col("v")) + length(col("k"))).cast("long").as("bytes"))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_partitions"),
+        sum("n").cast("long").as("n_records"),
+        sum("log_end").cast("long").as("log_end_sum"),
+        sum("bytes").cast("long").as("approx_bytes"))
+
+  /** ListGroups: every group with its subscription breadth and last commit. */
+  def listGroups(spark: SparkSession, dir: String): DataFrame =
+    Groups.commits(spark, dir)
+      .groupBy("group_id")
+      .agg(
+        countDistinct("topic").as("n_topics"),
+        count(lit(1)).as("n_partitions"),
+        sum("committed").cast("long").as("total_committed"),
+        max("commit_ms").as("last_commit_ms"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topic_metadata" -> topicMetadata,
+    "list_groups" -> listGroups)
+
+  private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
+
+  private val commitsSql: String =
+    """leo AS (
+      |  SELECT topic, part, MAX(offs) + 1 AS log_end, MAX(tms) AS latest_ms
+      |  FROM log GROUP BY topic, part),
+      |commits AS (
+      |  SELECT 'g' || CAST(g AS VARCHAR) AS group_id, topic, part,
+      |    (log_end * (g + 1)) // 5 AS committed,
+      |    latest_ms - g * 604800000 AS commit_ms, log_end
+      |  FROM leo CROSS JOIN (SELECT CAST(g AS BIGINT) AS g
+      |                       FROM generate_series(0, 3) t(g)))
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "topic_metadata" -> (L +
+      """pp AS (
+        |  SELECT topic, part, COUNT(*) AS n, MAX(offs) + 1 AS log_end,
+        |    CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes
+        |  FROM log GROUP BY topic, part)
+        |SELECT topic, COUNT(*) AS n_partitions,
+        |  CAST(SUM(n) AS BIGINT) AS n_records,
+        |  CAST(SUM(log_end) AS BIGINT) AS log_end_sum,
+        |  CAST(SUM(bytes) AS BIGINT) AS approx_bytes
+        |FROM pp GROUP BY topic""".stripMargin),
+    "list_groups" -> (L + commitsSql +
+      """SELECT group_id, CAST(COUNT(DISTINCT topic) AS BIGINT) AS n_topics,
+        |  COUNT(*) AS n_partitions,
+        |  CAST(SUM(committed) AS BIGINT) AS total_committed,
+        |  MAX(commit_ms) AS last_commit_ms
+        |FROM commits GROUP BY group_id""".stripMargin))
+}
