@@ -11,7 +11,11 @@ object SparkEntry {
       (coordinator.Groups.queries, coordinator.Groups.oracles),
       (txn.Transactions.queries, txn.Transactions.oracles),
       (registry.SchemaRegistry.queries, registry.SchemaRegistry.oracles),
-      (admin.Admin.queries, admin.Admin.oracles))
+      (admin.Admin.queries, admin.Admin.oracles),
+      (llm.Dedup.queries, llm.Dedup.oracles),
+      (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
+      (llm.Similarity.queries, llm.Similarity.oracles),
+      (llm.Multimodal.queries, llm.Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,217 @@
+package graft.llm
+
+import graft.Tables.t
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication at 100 TB scale.
+  *
+  * Every variant avoids O(n^2): candidate pairs come from equi-joins on
+  * hash-derived blocking keys (LSH bands, simhash chunks, metadata blocks),
+  * so the only shuffle is on a uniform hash key. All hashing is md5-based —
+  * bit-identical in DuckDB — so the oracle reproduces candidates exactly.
+  */
+object Dedup {
+
+  /** Exact dedup: md5(text) as identity; keep the smallest doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct 5-char shingle set per document. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))")
+          .as("sh"))
+
+  /** MinHash(24) + LSH(6 bands x 4 rows): shingle -> 24 md5 minhashes ->
+    * band signatures -> bucket equi-join -> exact-Jaccard verification at
+    * >= 0.5. Banding is lossless for the verified output (false positives
+    * are filtered by the exact check; band join only prunes).
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sigs = sh.select(col("doc_id"),
+      expr("""transform(sequence(0, 23),
+             |  j -> array_min(transform(sh, s -> md5(concat(cast(j as string), '|', s)))))"""
+        .stripMargin).as("sig"))
+    val bands = sigs.select(col("doc_id"), explode(
+      expr("""transform(sequence(0, 5),
+             |  b -> struct(b as band, md5(concat_ws('', slice(sig, b * 4 + 1, 4))) as bsig))"""
+        .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bsig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+      .withColumn("jac",
+        size(array_intersect(col("s1"), col("s2"))) /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("jac") >= 0.5)
+      .select("d1", "d2", "jac")
+  }
+
+  /** 48-bit SimHash over distinct tokens; near-dup at hamming <= 6.
+    * Candidates via 8 chunks of 6 bits: any pair within hamming 7 shares at
+    * least one identical chunk (pigeonhole), so the block join loses nothing
+    * at the <= 6 threshold.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val th = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+      .select(col("doc_id"), md5Long(col("tok")).as("h"))
+    val bits = th
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(expr("CASE WHEN (h div CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"))
+        .as("s"))
+    val simhash = bits.groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .cast("long").as("simhash"))
+    val chunks = simhash
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 7)")).as("c"))
+      .withColumn("ck", expr("(simhash div CAST(pow(2, c * 6) AS BIGINT)) % 64"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
+  /** Char-4-gram Jaccard across (lang, source)-blocked pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))")
+          .as("g"))
+    g.as("a").join(g.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (size(array_intersect(col("a.g"), col("b.g"))) /
+          size(array_union(col("a.g"), col("b.g")))).as("jac"))
+  }
+
+  /** Embedding near-dup: cosine >= 0.3 within label blocks. The fold
+    * order of the dot product is fixed left-to-right so both engines produce
+    * bit-identical doubles.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "ngram_jaccard" -> ngramJaccard,
+    "dedup_embedding" -> dedupEmbedding)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE length(text) >= 5),
+        |sig AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 23),
+        |    j -> list_min(list_transform(s, x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS g
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(g[b*4+1] || g[b*4+2] || g[b*4+3] || g[b*4+4]) AS bsig
+        |  FROM sig, generate_series(0, 5) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a, bands b
+        |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  len(list_intersect(s1.s, s2.s)) /
+        |    len(list_distinct(list_concat(s1.s, s2.s))) AS jac
+        |FROM cand
+        |JOIN sh s1 ON s1.doc_id = d1
+        |JOIN sh s2 ON s2.doc_id = d2
+        |WHERE len(list_intersect(s1.s, s2.s)) /
+        |  len(list_distinct(list_concat(s1.s, s2.s))) >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 14))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |        FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS s
+        |  FROM th, generate_series(0, 47) t(bit)
+        |  GROUP BY doc_id, bit),
+        |sim AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+        |    THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c,
+        |    (simhash // CAST(pow(2, c * 6) AS BIGINT)) % 64 AS ck
+        |  FROM sim, generate_series(0, 7) t(c))
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM chunks a, chunks b
+        |WHERE a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, source, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 3), i -> substring(text, i, 4))) AS g
+        |  FROM documents WHERE length(text) >= 4)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  len(list_intersect(a.g, b.g)) /
+        |    len(list_distinct(list_concat(a.g, b.g))) AS jac
+        |FROM g a, g b
+        |WHERE a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM e)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+        |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+        |FROM n a, n b
+        |WHERE a.label = b.label AND a.vec_id < b.vec_id
+        |  AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+        |    (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""".stripMargin)
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column.
+  *
+  * `ann_bruteforce` is the exactness baseline: broadcast the (tiny) query
+  * set against a single scan of the vectors — at 100 TB this is one pass,
+  * no shuffle on the big side. `ann_lsh` is the scale path: 6 random
+  * hyperplanes (md5-derived, so both engines build the identical matrix)
+  * bucket the vectors; search touches only the query's bucket.
+  *
+  * Every dot product is an ordered left-to-right fold (`aggregate` over
+  * `zip_with`) — bit-identical across engines, which also makes the
+  * top-k cut deterministic.
+  */
+object Similarity {
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
+
+  private val cosExpr =
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (q.nrm * c.nrm)"
+
+  /** Exact top-5 cosine neighbors for the 8 query vectors (vec_id < 8). */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val q = vecs.filter(col("vec_id") < 8)
+    val pairs = broadcast(q.as("q"))
+      .join(vecs.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  /** Random-hyperplane LSH: 6 planes -> 6-bit bucket per vector; top-3
+    * neighbors within the query's bucket. Plane p component d is derived
+    * from md5("p_<p>_<d>") so the matrix is identical on both engines.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val buckets = vecs
+      .select(col("vec_id"), col("v"), col("nrm"), explode(expr("sequence(0, 5)")).as("p"))
+      .withColumn("pw", expr(
+        """transform(sequence(0, 63), d ->
+          |  CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT)
+          |    / 72057594037927936.0 - 0.5)""".stripMargin))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, pw, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .groupBy("vec_id")
+      .agg(sum(expr("CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .cast("long").as("bucket"))
+      .join(vecs, "vec_id")
+    val q = buckets.filter(col("vec_id") < 8)
+    val pairs = broadcast(q.as("q"))
+      .join(buckets.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> annBruteforce,
+    "ann_lsh" -> annLsh)
+
+  private val vecSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |vecs AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+      |  FROM e)
+      |""".stripMargin
+
+  private val cosSql =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])),
+      |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> (vecSql +
+      s""", pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q, vecs c
+         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
+         |WHERE rank <= 5""".stripMargin),
+    "ann_lsh" -> (vecSql +
+      s""", dots AS (
+         |  SELECT vec_id, p,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(v)), i -> v[i] *
+         |        (('0x' || substring(md5('p_' || p || '_' || (i - 1)), 1, 14))::BIGINT
+         |          / 72057594037927936.0 - 0.5))),
+         |      (a, x) -> a + x) AS dot
+         |  FROM vecs, generate_series(0, 5) t(p)),
+         |buckets AS (
+         |  SELECT d.vec_id,
+         |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket,
+         |    ANY_VALUE(vecs.v) AS v, ANY_VALUE(vecs.nrm) AS nrm
+         |  FROM dots d JOIN vecs ON vecs.vec_id = d.vec_id
+         |  GROUP BY d.vec_id),
+         |pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM buckets q, buckets c
+         |  WHERE q.vec_id < 8 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
+         |WHERE rank <= 3""".stripMargin))
+}

@@ -1,0 +1,134 @@
+package graft.llm
+
+import graft.Tables.t
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All are narrow per-row transforms (codegen'd builtins, no UDFs, no
+  * shuffle except the fingerprint's per-doc top-k) — they stream through
+  * 100 TB at scan speed.
+  */
+object TextAnalysis {
+
+  /** Marker-token sets per language, over the corpus vocabulary. */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("query", "join", "merge"))
+
+  private def hitExpr(words: Seq[String]): String =
+    s"size(filter(toks, x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** N-gram/marker-hit language ID: argmax of marker-token hits with a
+    * fixed priority order on ties.
+    */
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("h_en", expr(hitExpr(markers("en"))).cast("long"))
+      .withColumn("h_es", expr(hitExpr(markers("es"))).cast("long"))
+      .withColumn("h_fr", expr(hitExpr(markers("fr"))).cast("long"))
+      .select(col("doc_id"),
+        when(col("h_en") >= col("h_es") && col("h_en") >= col("h_fr"), "en")
+          .when(col("h_es") >= col("h_fr"), "es")
+          .otherwise("fr").as("pred_lang"),
+        col("h_en"), col("h_es"), col("h_fr"))
+
+  /** Heuristic quality score from length / punctuation / stopword ratios.
+    * The arithmetic is written in the same order on both engines so the
+    * double is bit-identical.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_c", length(col("text")).cast("long"))
+      .withColumn("n_t", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(hitExpr(markers("en"))).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("long"))
+      .select(col("doc_id"), col("n_c"), col("n_t"),
+        (col("n_stop") / col("n_t")).as("stop_ratio"),
+        (col("n_punct") / col("n_c")).as("punct_ratio"),
+        ((col("n_c") - (col("n_t") - 1)) / col("n_t")).as("avg_tok_len"))
+
+  /** Whitespace + BPE-ish regex token counts per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe"))
+
+  /** Bottom-8 sketch of 8-gram hashes: a compact, order-independent document
+    * fingerprint (MOD-sketch flavor of winnowing).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(
+        expr("array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)))"))
+        .as("g"))
+      .select(col("doc_id"), col("g"), md5Long(col("g")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("h", "g")
+    grams.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 8)
+      .select("doc_id", "rank", "h")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "langid" -> langid,
+    "quality_score" -> qualityScore,
+    "token_count" -> tokenCount,
+    "fingerprint" -> fingerprint)
+
+  private def hitSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = Map(
+    "langid" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(${hitSql(markers("en"))} AS BIGINT) AS h_en,
+         |    CAST(${hitSql(markers("es"))} AS BIGINT) AS h_es,
+         |    CAST(${hitSql(markers("fr"))} AS BIGINT) AS h_fr
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+         |  h_en, h_es, h_fr
+         |FROM h""".stripMargin,
+    "quality_score" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_c,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t,
+         |    CAST(${hitSql(markers("en"))} AS BIGINT) AS n_stop,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+         |  FROM documents)
+         |SELECT doc_id, n_c, n_t,
+         |  n_stop / n_t AS stop_ratio,
+         |  n_punct / n_c AS punct_ratio,
+         |  (n_c - (n_t - 1)) / n_t AS avg_tok_len
+         |FROM q""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, g, ('0x' || substring(md5(g), 1, 14))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          generate_series(1, length(text) - 7), i -> substring(text, i, 8)))) AS g
+        |        FROM documents WHERE length(text) >= 8))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, h FROM (
+        |  SELECT doc_id, g, h,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h, g) AS rank
+        |  FROM g)
+        |WHERE rank <= 8""".stripMargin)
+}
