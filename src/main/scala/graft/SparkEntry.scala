@@ -15,7 +15,8 @@ object SparkEntry {
       (llm.Dedup.queries, llm.Dedup.oracles),
       (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
       (llm.Similarity.queries, llm.Similarity.oracles),
-      (llm.Multimodal.queries, llm.Multimodal.oracles))
+      (llm.Multimodal.queries, llm.Multimodal.oracles),
+      (streaming.Streams.queries, streaming.Streams.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

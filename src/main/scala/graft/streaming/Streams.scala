@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.Tables.t
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface: the reference is a streaming system end-to-end, so the
+  * engine exposes the same semantics through Structured Streaming —
+  * windowed throughput aggregation (the continuous form of
+  * topic_throughput) and compaction-as-state (the continuous form of
+  * compact).
+  *
+  * The batch entries below are the exact batch-equivalents (same arithmetic
+  * on the same data), which is what makes them oracle-checkable; the
+  * streaming execution path itself is exercised in StreamingSpec via
+  * readStream + memory sink, asserting stream == batch.
+  *
+  * Scale: windows are keyed by (window, topic) — bounded state with
+  * watermark eviction; compaction state is one record per key, the same
+  * cardinality a compacted topic would hold.
+  */
+object Streams {
+
+  /** Batch-equivalent of the 15-minute windowed throughput aggregation. */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("win_ms", expr("((ts div 1000000) div 900000) * 900000"))
+      .groupBy("win_ms", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(money(col("value"))).as("sum_val"))
+
+  /** The same aggregation as a streaming transform (15-minute tumbling
+    * windows on event time with a 1-hour watermark).
+    */
+  def windowedAgg(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("event_type"), col("n"), col("sum_val"))
+
+  final case class Ev(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class Latest(topic: String, k: String, event_id: Long,
+      tms: Long, v: String)
+
+  /** Streaming log compaction: keep the latest record per (topic, key) via
+    * explicit state (the continuous analog of LogOps.compact).
+    */
+  def latestPerKey(spark: SparkSession, events: Dataset[Ev]): Dataset[Latest] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.user_id.toString))
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout) {
+        case ((topic, k), evs, state: GroupState[Latest]) =>
+          val incoming = evs.map(e =>
+            Latest(topic, k, e.event_id, e.ts / 1000000L, e.props))
+          val all = state.getOption.iterator ++ incoming
+          val latest = all.maxBy(l => (l.tms, l.event_id))
+          state.update(latest)
+          latest
+      }
+  }
+
+  /** The file stream source wants a directory; stage a symlink to the
+    * single-file table in a temp dir.
+    */
+  def stageStreamDir(dir: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory(s"graft_stream_$table")
+    Files.createSymbolicLink(d.resolve(s"$table.parquet"),
+      Paths.get(s"$dir/$table.parquet"))
+    d.toString
+  }
+
+  /** Convenience: run [[latestPerKey]] as a real streaming query over a
+    * parquet file source and return the final compacted table.
+    */
+  def runCompactionStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "events")).as[Ev]
+    val q = latestPerKey(spark, stream).writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("graft_compact_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // Update-mode memory sink may hold several versions per key; the final
+    // state is the max per key.
+    spark.table("graft_compact_stream")
+      .groupBy("topic", "k")
+      .agg(max(struct(col("tms"), col("event_id"), col("v"))).as("m"))
+      .select(col("topic"), col("k"), col("m.event_id"), col("m.tms"), col("m.v"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> streamWindowAgg)
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT (epoch_ms(ts) // 900000) * 900000 AS win_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}

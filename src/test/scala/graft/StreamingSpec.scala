@@ -1,0 +1,43 @@
+package graft
+
+import graft.log.LogOps
+import graft.streaming.Streams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming paths produce the same results as their batch equivalents. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.build("local[4]", "4")
+  val dir = "/root/testdata/sf0.001"
+
+  test("windowed agg: stream == batch") {
+    val schema = Tables.t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Streams.stageStreamDir(dir, "events"))
+    val q = Streams.windowedAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("graft_win_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_win_stream")
+      .select(col("win_ms"), col("event_type"), col("n"))
+    val want = Streams.streamWindowAgg(spark, dir)
+      .select(col("win_ms"), col("event_type"), col("n"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("stateful compaction stream == batch compact") {
+    val got = Streams.runCompactionStream(spark, dir)
+      .select(col("topic"), col("k"), col("event_id"))
+    val want = LogOps.compact(spark, dir)
+      // batch compact is per (topic, part, key); part is a function of key,
+      // so (topic, key) identifies the same record.
+      .join(LogOps.log(spark, dir).select(col("topic"), col("part"),
+        col("k"), col("offs"), col("event_id")),
+        Seq("topic", "part", "k", "offs"))
+      .select(col("topic"), col("k"), col("event_id"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+}
