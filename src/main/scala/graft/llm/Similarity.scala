@@ -19,15 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecDot.register(spark)
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+  }
 
-  private val cosExpr =
-    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (q.nrm * c.nrm)"
+  private val cosExpr = "vec_dot(q.v, c.v) / (q.nrm * c.nrm)"
 
   /** Exact top-5 cosine neighbors for the 8 query vectors (vec_id < 8). */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
@@ -48,14 +48,17 @@ object Similarity {
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
+    // The 6 plane vectors depend only on p — build them once and broadcast,
+    // instead of re-deriving 64 md5s per (vector, plane) pair.
+    // Note the D suffixes: a bare 7.2e16 literal parses as DECIMAL and
+    // silently turns the whole plane into array<decimal>.
+    val planes = spark.range(0, 6).select(col("id").as("p"), expr(
+      """transform(sequence(0, 63), d ->
+        |  CAST(CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) AS DOUBLE)
+        |    / 72057594037927936.0D - 0.5D)""".stripMargin).as("pw"))
     val buckets = vecs
-      .select(col("vec_id"), col("v"), col("nrm"), explode(expr("sequence(0, 5)")).as("p"))
-      .withColumn("pw", expr(
-        """transform(sequence(0, 63), d ->
-          |  CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT)
-          |    / 72057594037927936.0 - 0.5)""".stripMargin))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(v, pw, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .crossJoin(broadcast(planes))
+      .withColumn("dot", expr("vec_dot(v, pw)"))
       .groupBy("vec_id")
       .agg(sum(expr("CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
         .cast("long").as("bucket"))
@@ -106,8 +109,8 @@ object Similarity {
          |  SELECT vec_id, p,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(generate_series(1, len(v)), i -> v[i] *
-         |        (('0x' || substring(md5('p_' || p || '_' || (i - 1)), 1, 14))::BIGINT
-         |          / 72057594037927936.0 - 0.5))),
+         |        (('0x' || substring(md5('p_' || p || '_' || (i - 1)), 1, 14))::BIGINT::DOUBLE
+         |          / CAST(72057594037927936 AS DOUBLE) - 0.5))),
          |      (a, x) -> a + x) AS dot
          |  FROM vecs, generate_series(0, 5) t(p)),
          |buckets AS (

@@ -66,20 +66,21 @@ object TextAnalysis {
           .cast("long").as("n_bpe"))
 
   /** Bottom-8 sketch of 8-gram hashes: a compact, order-independent document
-    * fingerprint (MOD-sketch flavor of winnowing).
+    * fingerprint (MOD-sketch flavor of winnowing). Computed entirely within
+    * the row (sort the hash array, take the head) — no explode, no window
+    * shuffle; 56-bit hashes over distinct grams make in-doc collisions (the
+    * only case where a tiebreak could matter) negligible.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val grams = t(spark, dir, "documents")
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), explode(
-        expr("array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)))"))
-        .as("g"))
-      .select(col("doc_id"), col("g"), md5Long(col("g")).as("h"))
-    val w = Window.partitionBy("doc_id").orderBy("h", "g")
-    grams.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 8)
-      .select("doc_id", "rank", "h")
-  }
+      .select(col("doc_id"), expr(
+        """slice(array_sort(transform(
+          |  array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))),
+          |  g -> CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT))), 1, 8)"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"), col("h"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "langid" -> langid,
