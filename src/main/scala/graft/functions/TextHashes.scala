@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5-prefix hash: value of the first 14 hex chars of md5(s) —
+  * identical to `conv(substring(md5(s),1,14),16,10)` in Spark SQL and
+  * `('0x' || substring(md5(s),1,14))::BIGINT` in DuckDB (first 7 digest
+  * bytes, big-endian).
+  */
+private[functions] object Md5Prefix {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def hash(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 48) | ((h(1) & 0xffL) << 40) | ((h(2) & 0xffL) << 32) |
+      ((h(3) & 0xffL) << 24) | ((h(4) & 0xffL) << 16) | ((h(5) & 0xffL) << 8) |
+      (h(6) & 0xffL)
+  }
+}
+
+/** Distinct character n-grams of a string, md5-prefix-hashed (optionally
+  * mod `m`), in first-occurrence order. Equivalent to
+  * `array_distinct(transform(transform(sequence(1, length(s)-n+1),
+  * i -> substring(s, i, n)), g -> conv-md5 [% m]))` but one pass, no
+  * per-gram lambda machinery. ASCII-equivalent to SQL substring semantics
+  * (the corpus is ASCII; SQL counts code points, this counts UTF-16 units).
+  */
+case class GramHashes(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val count = s.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seenGrams = new java.util.HashSet[String](count * 2)
+    val seenVals = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long](count)
+    var i = 0
+    while (i < count) {
+      val g = s.substring(i, i + n)
+      if (seenGrams.add(g)) {
+        var h = Md5Prefix.hash(g.getBytes("UTF-8"))
+        if (mod > 0) h = h % mod
+        if (mod <= 0 || seenVals.add(h)) out.add(h)
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+/** 48-bit SimHash over the distinct elements of a string array: token ->
+  * md5-prefix hash; bit b contributes +1/-1 by (h div 2^b) % 2; result sets
+  * bit b iff the sum is positive. Matches the declarative 48-aggregate
+  * formulation the DuckDB oracle runs.
+  */
+case class SimHash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[String](n * 2)
+    val sums = new Array[Int](48)
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      if (tok != null && seen.add(tok.toString)) {
+        val h = Md5Prefix.hash(tok.getBytes)
+        var b = 0
+        while (b < 48) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) { if (sums(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}
+
+object TextHashes {
+  /** Idempotently register gram_hashes(s, n, mod) and simhash48(arr). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_hashes",
+      exprs => GramHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l }),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash48", exprs => SimHash48(exprs.head), "scala_udf")
+  }
+}

@@ -43,9 +43,11 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.MinHashSig.register(spark)
-    val hs = shingles(spark, dir).select(col("doc_id"),
-      expr("array_distinct(transform(sh, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 2147483647))")
-        .as("hs")).cache()
+    graft.functions.TextHashes.register(spark)
+    val hs = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))
+      .cache()
     val sigs = hs.select(col("doc_id"), expr("minhash_sig(hs)").as("sig"))
     val bands = sigs.select(col("doc_id"), explode(
       expr("""transform(sequence(0, 5),
@@ -77,22 +79,13 @@ object Dedup {
     * least one identical chunk (pigeonhole), so the block join loses nothing
     * at the <= 2 threshold.
     *
-    * The 48 bit-sums are 48 map-side-combinable aggregates over the token
-    * rows (no token x bit row explosion, no extra shuffle).
+    * The signature is computed by a native expression in one pass over the
+    * tokens (no row explosion, no aggregation shuffle at all).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val th = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("tok"))
-      .select(col("doc_id"), md5Long(col("tok")).as("h"))
-    val bitSums = (0 until 48).map { b =>
-      sum(expr(s"CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b")
-    }
-    val combine = (0 until 48)
-      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
-    val simhash = th.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(combine).cast("long").as("simhash"))
+    graft.functions.TextHashes.register(spark)
+    val simhash = t(spark, dir, "documents")
+      .select(col("doc_id"), expr("simhash48(split(text, ' '))").as("simhash"))
     val chunks = simhash
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 7)")).as("c"))
       .withColumn("ck", expr("(simhash div CAST(pow(2, c * 6) AS BIGINT)) % 64"))

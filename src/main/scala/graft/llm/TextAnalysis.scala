@@ -71,16 +71,15 @@ object TextAnalysis {
     * shuffle; 56-bit hashes over distinct grams make in-doc collisions (the
     * only case where a tiebreak could matter) negligible.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
     t(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), expr(
-        """slice(array_sort(transform(
-          |  array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))),
-          |  g -> CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT))), 1, 8)"""
-          .stripMargin).as("hs"))
+      .select(col("doc_id"),
+        expr("slice(array_sort(gram_hashes(text, 8, 0)), 1, 8)").as("hs"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"), col("h"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "langid" -> langid,

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{MinHashSig, TextHashes, VecDot}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must be value-identical to the declarative
+  * formulations the DuckDB oracle runs — these tests pin that equivalence
+  * on real data so a refactor can't silently break oracle parity.
+  */
+class NativeExprSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.build("local[4]", "4")
+    MinHashSig.register(s)
+    VecDot.register(s)
+    TextHashes.register(s)
+    s
+  }
+  val dir = "/root/testdata/sf0.001"
+
+  private def mismatches(leftRight: org.apache.spark.sql.DataFrame): Long =
+    leftRight.filter(col("a") =!= col("b") ||
+      (col("a").isNull !== col("b").isNull)).count()
+
+  test("gram_hashes == declarative shingle hashing") {
+    val d = Tables.t(spark, dir, "documents").filter(length(col("text")) >= 5)
+      .select(
+        expr("gram_hashes(text, 5, 2147483647)").as("a"),
+        expr("array_distinct(transform(array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))), s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 2147483647))")
+          .as("b"))
+    assert(mismatches(d) == 0)
+  }
+
+  test("minhash_sig == declarative universal-hash minima") {
+    val d = Tables.t(spark, dir, "documents").filter(length(col("text")) >= 5)
+      .select(expr("gram_hashes(text, 5, 2147483647)").as("hs"))
+      .select(
+        expr("minhash_sig(hs)").as("a"),
+        expr("""transform(sequence(0, 23), j -> array_min(transform(hs,
+               |  h -> ((((j + 1) * 2654435761) % 2147483647) * h
+               |        + ((j + 7) * 40503) % 2147483647) % 2147483647)))""".stripMargin)
+          .as("b"))
+    assert(mismatches(d) == 0)
+  }
+
+  test("simhash48 == declarative bit-sum formulation") {
+    val decl = (0 until 48)
+      .map(b => s"CASE WHEN aggregate(ths, 0, (acc, h) -> acc + (CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val d = Tables.t(spark, dir, "documents")
+      .select(col("text"),
+        expr("transform(array_distinct(split(text, ' ')), tok -> CAST(conv(substring(md5(tok), 1, 14), 16, 10) AS BIGINT))")
+          .as("ths"))
+      .select(
+        expr("simhash48(split(text, ' '))").as("a"),
+        expr(s"CAST($decl AS BIGINT)").as("b"))
+    assert(mismatches(d) == 0)
+  }
+
+  test("vec_dot == declarative left-to-right fold, bit for bit") {
+    val d = Tables.t(spark, dir, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(
+        expr("vec_dot(v, v)").as("a"),
+        expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("b"))
+    assert(mismatches(d) == 0)
+  }
+}
