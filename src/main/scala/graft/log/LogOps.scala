@@ -122,6 +122,49 @@ object LogOps {
       sum(when(tsOk && !valOk, 1L).otherwise(0L)).as("n_invalid_val"))
   }
 
+  /** Kafka offset <-> Pulsar MessageId translation
+    * (/root/reference/kafka-impl/.../utils/MessageMetadataUtils.java): the
+    * reference maps continuous offsets onto (ledger, entry) coordinates;
+    * modeled as 1000-entry ledgers with a batch index.
+    */
+  def offsetTranslate(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .filter(col("topic") === "purchase")
+      .select(col("topic"), col("part"), col("offs"),
+        expr("offs div 1000").as("ledger_id"),
+        (col("offs") % 100L).as("entry_id"),
+        expr("(offs div 100) % 10").as("batch_idx"))
+
+  /** DeleteRecords (/root/reference/kafka-impl/.../AdminManager.java):
+    * truncate each partition before a requested offset; report the new
+    * earliest offset and surviving count.
+    */
+  def deleteRecords(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .filter(col("offs") >= 50L)
+      .groupBy("topic", "part")
+      .agg(
+        min("offs").as("new_earliest"),
+        count(lit(1)).as("n_remaining"),
+        (max("offs") + 1L).as("log_end"))
+
+  /** Byte-bounded fetch: records from a start offset until the cumulative
+    * response size exceeds maxBytes (FetchRequest max_bytes semantics —
+    * the running sum is the declarative form of the reference's
+    * DelayedFetch accumulation loop).
+    */
+  def fetchMaxBytes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic", "part").orderBy("offs")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    log(spark, dir)
+      .filter(col("offs") >= 10L)
+      .withColumn("rec_bytes", length(col("v")) + length(col("k")) + lit(16))
+      .withColumn("cum_bytes", sum("rec_bytes").over(w).cast("long"))
+      .filter(col("cum_bytes") <= 4096L)
+      .select(col("topic"), col("part"), col("offs"), col("event_id"),
+        col("rec_bytes").cast("long").as("rec_bytes"), col("cum_bytes"))
+  }
+
   /** Messages/bytes-in per topic per hour (the reference's RequestStats
     * throughput counters as a time-bucketed rollup).
     */
@@ -143,7 +186,10 @@ object LogOps {
     "compact" -> compact,
     "retention" -> retention,
     "validate_records" -> validateRecords,
-    "topic_throughput" -> topicThroughput)
+    "topic_throughput" -> topicThroughput,
+    "offset_translate" -> offsetTranslate,
+    "delete_records" -> deleteRecords,
+    "fetch_max_bytes" -> fetchMaxBytes)
 
   val oracles: Map[String, String] = Map(
     "log_view" -> (logSql +
@@ -180,6 +226,24 @@ object LogOps {
         |  CAST(SUM(CASE WHEN (tms >= 1704067200000 AND tms < 1706400000000)
         |        AND NOT (val >= 0.05 AND v IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_val
         |FROM log GROUP BY topic""".stripMargin),
+    "offset_translate" -> (logSql +
+      """SELECT topic, part, offs, offs // 1000 AS ledger_id,
+        |  offs % 100 AS entry_id, (offs // 100) % 10 AS batch_idx
+        |FROM log WHERE topic = 'purchase'""".stripMargin),
+    "delete_records" -> (logSql +
+      """SELECT topic, part, MIN(offs) AS new_earliest, COUNT(*) AS n_remaining,
+        |  MAX(offs) + 1 AS log_end
+        |FROM log WHERE offs >= 50 GROUP BY topic, part""".stripMargin),
+    "fetch_max_bytes" -> (logSql +
+      """SELECT topic, part, offs, event_id,
+        |  CAST(rec_bytes AS BIGINT) AS rec_bytes, CAST(cum_bytes AS BIGINT) AS cum_bytes
+        |FROM (
+        |  SELECT topic, part, offs, event_id,
+        |    length(v) + length(k) + 16 AS rec_bytes,
+        |    SUM(length(v) + length(k) + 16) OVER (PARTITION BY topic, part
+        |      ORDER BY offs ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+        |  FROM log WHERE offs >= 10)
+        |WHERE cum_bytes <= 4096""".stripMargin),
     "topic_throughput" -> (logSql +
       """SELECT topic, (tms // 3600000) * 3600000 AS hour_ms,
         |  COUNT(*) AS n_msgs,
