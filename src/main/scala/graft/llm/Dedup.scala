@@ -74,10 +74,51 @@ object Dedup {
       .select("d1", "d2", "jac")
   }
 
+  /** Sketch-quality operator: for every LSH candidate pair, the MinHash
+    * similarity estimate (fraction of agreeing signature positions) next to
+    * the true Jaccard — the estimator a 100 TB pipeline would use to skip
+    * exact verification entirely.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.MinHashSig.register(spark)
+    graft.functions.TextHashes.register(spark)
+    val hs = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))
+      .cache()
+    val sigs = hs.select(col("doc_id"), col("hs"), expr("minhash_sig(hs)").as("sig"))
+    val bands = sigs.select(col("doc_id"), explode(
+      expr("""transform(sequence(0, 5),
+             |  b -> struct(b as band,
+             |    concat_ws('_', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as bsig))"""
+        .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bsig"))
+    val sized = bands
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bsig")))
+      .filter(col("bn") <= 50)
+    val cand = sized.as("a")
+      .join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("hs").as("s1"), col("sig").as("g1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("hs").as("s2"), col("sig").as("g2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(expr("filter(zip_with(g1, g2, (x, y) -> x = y), b -> b)"))
+          / lit(24).cast("double")).as("est"),
+        (size(array_intersect(col("s1"), col("s2"))) /
+          size(array_union(col("s1"), col("s2")))).as("jac"))
+  }
+
   /** 48-bit SimHash over distinct tokens; near-dup at hamming <= 2.
-    * Candidates via 8 chunks of 6 bits: any pair within hamming 7 shares at
-    * least one identical chunk (pigeonhole), so the block join loses nothing
-    * at the <= 2 threshold.
+    * Candidates via 3 chunks of 16 bits: two bit-errors across 3 chunks
+    * leave at least one chunk identical (pigeonhole), so the block join is
+    * lossless at the <= 2 threshold — and 16-bit chunks are selective
+    * enough to keep the pair join far from quadratic (6-bit chunks produced
+    * 27.7M candidates at sf0.1; 16-bit produce 2.1M).
     *
     * The signature is computed by a native expression in one pass over the
     * tokens (no row explosion, no aggregation shuffle at all).
@@ -87,8 +128,8 @@ object Dedup {
     val simhash = t(spark, dir, "documents")
       .select(col("doc_id"), expr("simhash48(split(text, ' '))").as("simhash"))
     val chunks = simhash
-      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 7)")).as("c"))
-      .withColumn("ck", expr("(simhash div CAST(pow(2, c * 6) AS BIGINT)) % 64"))
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 2)")).as("c"))
+      .withColumn("ck", expr("(simhash div CAST(pow(2, c * 16) AS BIGINT)) % 65536"))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
@@ -135,6 +176,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "minhash_estimate" -> minhashEstimate,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> dedupEmbedding)
@@ -178,6 +220,43 @@ object Dedup {
         |JOIN hss s2 ON s2.doc_id = d2
         |WHERE len(list_intersect(s1.hs, s2.hs)) /
         |  len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5""".stripMargin,
+    "minhash_estimate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE length(text) >= 5),
+        |hss AS (
+        |  SELECT doc_id, list_distinct(list_transform(s,
+        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 23),
+        |    j -> list_min(list_transform(hs,
+        |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
+        |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
+        |  FROM hss),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
+        |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
+        |  FROM sig, generate_series(0, 5) t(b)),
+        |sized AS (
+        |  SELECT * FROM bands
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sized a, sized b
+        |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  CAST(len(list_filter(list_transform(generate_series(1, 24),
+        |    i -> g1.g[i] = g2.g[i]), b -> b)) AS DOUBLE) / CAST(24 AS DOUBLE) AS est,
+        |  len(list_intersect(s1.hs, s2.hs)) /
+        |    len(list_distinct(list_concat(s1.hs, s2.hs))) AS jac
+        |FROM cand
+        |JOIN hss s1 ON s1.doc_id = d1
+        |JOIN hss s2 ON s2.doc_id = d2
+        |JOIN sig g1 ON g1.doc_id = d1
+        |JOIN sig g2 ON g2.doc_id = d2""".stripMargin,
     "dedup_simhash" ->
       """WITH th AS (
         |  SELECT doc_id,
@@ -196,8 +275,8 @@ object Dedup {
         |  FROM bits GROUP BY doc_id),
         |chunks AS (
         |  SELECT doc_id, simhash, c,
-        |    (simhash // CAST(pow(2, c * 6) AS BIGINT)) % 64 AS ck
-        |  FROM sim, generate_series(0, 7) t(c))
+        |    (simhash // CAST(pow(2, c * 16) AS BIGINT)) % 65536 AS ck
+        |  FROM sim, generate_series(0, 2) t(c))
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM chunks a, chunks b

@@ -28,6 +28,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming exact dedup == batch distinct") {
+    val schema = Tables.t(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Streams.stageStreamDir(dir, "documents"))
+    val q = stream.select(col("doc_id"), md5(col("text")).as("h"))
+      .dropDuplicates("h")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_dedup_stream").count()
+    val want = Tables.t(spark, dir, "documents")
+      .select(md5(col("text"))).distinct().count()
+    assert(got == want)
+  }
+
   test("stateful compaction stream == batch compact") {
     val got = Streams.runCompactionStream(spark, dir)
       .select(col("topic"), col("k"), col("event_id"))
