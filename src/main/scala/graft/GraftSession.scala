@@ -18,6 +18,7 @@ object GraftSession {
   def build(master: String, cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -101,7 +101,27 @@ object Analytics {
         dsum(money(col("value"))).as("sum_val"))
   }
 
+  /** As-of join: attach to every non-signup event the user's most recent
+    * signup at or before it (event-time state enrichment — the batch analog
+    * of a stream-table join). Expressed as a carry-forward window rather
+    * than a custom physical operator: one shuffle on the natural key, and
+    * Catalyst/Tungsten keep it codegen'd — preferred over a bespoke
+    * SparkPlan when composition expresses the semantics exactly.
+    */
+  def asofUserState(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").withColumn("tms", nsToMs("ts"))
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("last_signup_ms",
+        max(when(col("event_type") === "signup", col("tms"))).over(w))
+      .filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("tms"),
+        col("last_signup_ms"),
+        (col("tms") - col("last_signup_ms")).as("ms_since_signup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_user_state" -> asofUserState,
     "q1_agg" -> q1,
     "q3_topn" -> q3,
     "q5_join" -> q5,
@@ -109,6 +129,16 @@ object Analytics {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "asof_user_state" ->
+      """SELECT event_id, user_id, tms, last_signup_ms,
+        |  tms - last_signup_ms AS ms_since_signup
+        |FROM (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms,
+        |    MAX(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ms
+        |  FROM events)
+        |WHERE event_type <> 'signup'""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,

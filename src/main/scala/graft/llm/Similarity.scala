@@ -74,9 +74,38 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
+  /** IVF-style ANN: the 16 lowest-id vectors act as the (deterministic)
+    * coarse quantizer; every vector is assigned to its nearest centroid by
+    * cosine, and a query searches only its own cell (nprobe=1). At 100 TB
+    * the cell assignment is one broadcast pass and search touches ~1/16 of
+    * the data.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val cents = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cellW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val cells = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .withColumn("crn", row_number().over(cellW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"))
+    val q = cells.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+    val pairs = broadcast(q.as("q"))
+      .join(cells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
 
   private val vecSql =
     """WITH e AS (
@@ -95,6 +124,30 @@ object Similarity {
       |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_ivf" -> (vecSql +
+      s""", cents AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |cells AS (
+         |  SELECT a.vec_id, a.cid AS cell, vecs.v, vecs.nrm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
+         |  JOIN vecs ON vecs.vec_id = a.vec_id
+         |  WHERE a.crn = 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM cells q, cells c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 108
+         |    AND q.cell = c.cell AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
+         |WHERE rank <= 3""".stripMargin),
     "ann_bruteforce" -> (vecSql +
       s""", pairs AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos

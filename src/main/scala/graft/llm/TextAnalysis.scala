@@ -81,7 +81,34 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"), col("h"))
   }
 
+  /** End-to-end corpus filter: the keep/drop decision a training-data
+    * pipeline actually ships — exact-dup drop composed with quality gates,
+    * with the first failing rule as the audit reason.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val byText = Window.partitionBy(md5(col("text")))
+    t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_c", length(col("text")).cast("long"))
+      .withColumn("n_t", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(hitExpr(markers("en"))).cast("long"))
+      .withColumn("keep_id", min("doc_id").over(byText))
+      .withColumn("avg_tok_len",
+        (col("n_c") - (col("n_t") - 1)) / col("n_t"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_t"))
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keep_id"), "dup")
+          .when(col("n_t") < 20, "too_short")
+          .when(col("avg_tok_len") < 3.0 || col("avg_tok_len") > 8.0, "tok_len")
+          .when(col("stop_ratio") > 0.2, "stopwords")
+          .otherwise("keep"))
+      .select(col("doc_id"),
+        when(col("reason") === "keep", 1L).otherwise(0L).as("keep"),
+        col("reason"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_filter" -> corpusFilter,
     "langid" -> langid,
     "quality_score" -> qualityScore,
     "token_count" -> tokenCount,
@@ -91,6 +118,26 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "corpus_filter" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_c,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t,
+         |    CAST(${hitSql(markers("en"))} AS BIGINT) AS n_stop,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id <> keep_id THEN 'dup'
+         |         WHEN n_t < 20 THEN 'too_short'
+         |         WHEN (n_c - (n_t - 1)) / n_t < 3.0
+         |           OR (n_c - (n_t - 1)) / n_t > 8.0 THEN 'tok_len'
+         |         WHEN n_stop / n_t > 0.2 THEN 'stopwords'
+         |         ELSE 'keep' END AS reason
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  reason
+         |FROM r""".stripMargin,
     "langid" ->
       s"""WITH h AS (
          |  SELECT doc_id,

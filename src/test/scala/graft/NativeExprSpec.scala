@@ -58,6 +58,13 @@ class NativeExprSpec extends AnyFunSuite {
     assert(mismatches(d) == 0)
   }
 
+  test("extensions expose the native functions to plain SQL") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "simhash48(array('a', 'b')) AS s").head()
+    assert(r.getDouble(0) == 11.0 && r.getLong(1) > 0)
+  }
+
   test("vec_dot == declarative left-to-right fold, bit for bit") {
     val d = Tables.t(spark, dir, "embeddings")
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
