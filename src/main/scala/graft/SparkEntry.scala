@@ -15,6 +15,7 @@ object SparkEntry {
       (llm.Dedup.queries, llm.Dedup.oracles),
       (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
       (llm.Similarity.queries, llm.Similarity.oracles),
+      (llm.Sampling.queries, llm.Sampling.oracles),
       (llm.Multimodal.queries, llm.Multimodal.oracles),
       (streaming.Streams.queries, streaming.Streams.oracles))
 

@@ -1,0 +1,61 @@
+package graft.llm
+
+import graft.Tables.t
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset mixing for training-data curation.
+  *
+  * Sampling keys on a hash of the stable id — reproducible across runs,
+  * engines, and cluster sizes (no RNG state), and embarrassingly parallel:
+  * the keep-decision is a scan-side predicate at 100 TB.
+  */
+object Sampling {
+
+  /** Stratified sampling: per-language keep rates (en 50%, others 20%)
+    * applied via md5(doc_id) mod 100 — a deterministic coin.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("bucket", md5Long(col("doc_id").cast("string")) % 100L)
+      .withColumn("rate", when(col("lang") === "en", 50L).otherwise(20L))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+
+  /** Dataset mixing: a 200-doc budget allocated across sources
+    * proportionally to source size, taking each source's lowest doc_ids —
+    * the deterministic form of ratio-controlled corpus interleaving.
+    */
+  def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val bySource = Window.partitionBy("source").orderBy("doc_id")
+    d.withColumn("n_total", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("alloc", expr("(200 * n_src) div n_total"))
+      .withColumn("rn", row_number().over(bySource).cast("long"))
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("rn"), col("alloc"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> sampleStratified,
+    "mix_sources" -> mixSources)
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS bucket
+        |FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100
+        |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
+    "mix_sources" ->
+      """SELECT doc_id, source, rn, alloc FROM (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn,
+        |    (200 * COUNT(*) OVER (PARTITION BY source))
+        |      // COUNT(*) OVER () AS alloc
+        |  FROM documents)
+        |WHERE rn <= alloc""".stripMargin)
+}
