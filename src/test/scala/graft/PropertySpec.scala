@@ -1,0 +1,99 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.functions.{GramHashes, MinHashSig, SimHash48, VecDot}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: the native expressions equal independent reference
+  * implementations on arbitrary generated inputs (not just the corpus),
+  * including empties and extremes. Samples are drawn deterministically
+  * from ScalaCheck generators (fixed seeds).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 200).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 200).foreach { i =>
+      f(g1.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        g2.pureApply(Gen.Parameters.default, Seed(i.toLong + 10000)))
+    }
+
+  private val P = 2147483647L
+
+  private def md5Prefix(s: String): Long = {
+    val h = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    ((h(0) & 0xffL) << 48) | ((h(1) & 0xffL) << 40) | ((h(2) & 0xffL) << 32) |
+      ((h(3) & 0xffL) << 24) | ((h(4) & 0xffL) << 16) | ((h(5) & 0xffL) << 8) |
+      (h(6) & 0xffL)
+  }
+
+  test("MinHashSig equals brute-force minima for arbitrary hash arrays") {
+    val gen = Gen.listOf(Gen.chooseNum(0L, P - 1))
+    forAll(gen) { hs =>
+      val got = MinHashSig(Literal(new GenericArrayData(hs.toArray),
+        ArrayType(LongType)), 24)
+        .nullSafeEval(new GenericArrayData(hs.toArray))
+        .asInstanceOf[ArrayData].toLongArray()
+      val want = (0 until 24).map { j =>
+        val a = ((j + 1) * 2654435761L) % P
+        val b = ((j + 7) * 40503L) % P
+        if (hs.isEmpty) Long.MaxValue
+        else hs.map(h => (a * h + b) % P).min
+      }
+      assert(got.toSeq == want)
+    }
+  }
+
+  test("VecDot equals sequential fold for arbitrary double arrays") {
+    val gen = Gen.listOf(Gen.chooseNum(-1e6, 1e6))
+    forAll(gen, gen) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val got = VecDot(
+        Literal(new GenericArrayData(a.toArray), ArrayType(DoubleType)),
+        Literal(new GenericArrayData(b.toArray), ArrayType(DoubleType)))
+        .nullSafeEval(new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+        .asInstanceOf[Double]
+      var want = 0.0
+      (0 until n).foreach(i => want += a(i) * b(i))
+      assert(java.lang.Double.compare(got, want) == 0)
+    }
+  }
+
+  test("GramHashes equals reference impl for arbitrary ascii strings") {
+    val gen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    forAll(gen) { s =>
+      val got = GramHashes(Literal(UTF8String.fromString(s), StringType), 3, P)
+        .nullSafeEval(UTF8String.fromString(s))
+        .asInstanceOf[ArrayData].toLongArray()
+      val grams = (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
+      val want = grams.map(g => md5Prefix(g) % P).distinct
+      assert(got.toSeq == want)
+    }
+  }
+
+  test("SimHash48 equals brute-force bit sums for arbitrary token lists") {
+    val gen = Gen.listOf(Gen.listOf(Gen.alphaChar).map(_.mkString))
+    forAll(gen) { toks =>
+      val in = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = SimHash48(Literal(in, ArrayType(StringType)))
+        .nullSafeEval(in).asInstanceOf[Long]
+      val hs = toks.distinct.map(md5Prefix)
+      val want = (0 until 48).map { b =>
+        val s = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << b else 0L
+      }.sum
+      assert(got == want)
+    }
+  }
+}
