@@ -120,8 +120,25 @@ object Analytics {
         (col("tms") - col("last_signup_ms")).as("ms_since_signup"))
   }
 
+  /** TPC-H Q6-flavor selective scan: every predicate should reach the
+    * parquet scan (PushedFilters) so the aggregation touches a fraction of
+    * the rows.
+    */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(
+        dsum(money(col("l_extendedprice")) * rate(col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_user_state" -> asofUserState,
+    "q6_filter" -> q6,
     "q1_agg" -> q1,
     "q3_topn" -> q3,
     "q5_join" -> q5,
@@ -139,6 +156,15 @@ object Analytics {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ms
         |  FROM events)
         |WHERE event_type <> 'signup'""".stripMargin,
+    "q6_filter" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,

@@ -178,7 +178,39 @@ object LogOps {
           .as("bytes_in"),
         dsum(money(col("val"))).as("sum_val"))
 
+  /** Per-topic value percentiles via the nearest-rank method (integer rank
+    * selection, so results are exact and engine-identical — interpolating
+    * percentile implementations differ in floating-point order). Models the
+    * reference's latency histograms (stats/DataSketchesOpStatsLogger.java).
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic").orderBy("val", "event_id")
+    val ranked = log(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("topic")))
+    def pick(p: Double) =
+      max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("val")))
+    ranked.groupBy("topic").agg(
+      pick(0.5).as("p50"), pick(0.95).as("p95"), pick(0.99).as("p99"),
+      max("val").as("p100"))
+  }
+
+  /** Encoded-size accounting under the reference's entry formats
+    * (format/KafkaV1EntryFormatter.java vs format/PulsarEntryFormatter.java):
+    * v1 pays per-record overhead, v2/pulsar amortizes a batch header.
+    */
+  def formatSizes(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .withColumn("payload", length(col("v")) + length(col("k")))
+      .groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("payload") + lit(34))).cast("long").as("bytes_v1"),
+        (lit(61L) + sum(col("payload") + lit(12))).cast("long").as("bytes_v2"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_percentiles" -> valuePercentiles,
+    "format_sizes" -> formatSizes,
     "log_view" -> logView,
     "fetch" -> fetch,
     "list_offsets" -> listOffsets,
@@ -192,6 +224,23 @@ object LogOps {
     "fetch_max_bytes" -> fetchMaxBytes)
 
   val oracles: Map[String, String] = Map(
+    "value_percentiles" -> (logSql +
+      """, ranked AS (
+        |  SELECT topic, val,
+        |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY val, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY topic) AS n
+        |  FROM log)
+        |SELECT topic,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN val END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN val END) AS p95,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN val END) AS p99,
+        |  MAX(val) AS p100
+        |FROM ranked GROUP BY topic""".stripMargin),
+    "format_sizes" -> (logSql +
+      """SELECT topic, part, COUNT(*) AS n,
+        |  CAST(SUM(length(v) + length(k) + 34) AS BIGINT) AS bytes_v1,
+        |  CAST(61 + SUM(length(v) + length(k) + 12) AS BIGINT) AS bytes_v2
+        |FROM log GROUP BY topic, part""".stripMargin),
     "log_view" -> (logSql +
       "SELECT topic, part, offs, event_id, tms, k, v FROM log"),
     "fetch" -> (logSql +
