@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{GramHashes, MinHashSig, SimHash48, VecDot}
+import graft.functions.{GramHashes, JaccardSorted, MinHashSig, SimHash48, VecDot}
 
 /** Session extensions registering graft's native functions, so a user can
   * enable the whole library with
@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash48"),
       info("simhash48", "simhash48(arr) - 48-bit simhash of string array"),
       (exprs: Seq[Expression]) => SimHash48(exprs.head)))
+    e.injectFunction((FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted", "jaccard_sorted(a, b) - merge-walk Jaccard of sorted long arrays"),
+      (exprs: Seq[Expression]) => JaccardSorted(exprs(0), exprs(1))))
   }
 }

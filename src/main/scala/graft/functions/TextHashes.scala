@@ -3,10 +3,10 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared md5-prefix hash: value of the first 14 hex chars of md5(s) —
@@ -30,11 +30,13 @@ private[functions] object Md5Prefix {
 }
 
 /** Distinct character n-grams of a string, md5-prefix-hashed (optionally
-  * mod `m`), in first-occurrence order. Equivalent to
+  * mod `m`), sorted ascending. Set-equivalent to
   * `array_distinct(transform(transform(sequence(1, length(s)-n+1),
   * i -> substring(s, i, n)), g -> conv-md5 [% m]))` but one pass, no
-  * per-gram lambda machinery. ASCII-equivalent to SQL substring semantics
-  * (the corpus is ASCII; SQL counts code points, this counts UTF-16 units).
+  * per-gram lambda machinery; the sort lets downstream set operations
+  * (JaccardSorted) run as merge walks. ASCII-equivalent to SQL substring
+  * semantics (the corpus is ASCII; SQL counts code points, this counts
+  * UTF-16 units).
   */
 case class GramHashes(child: Expression, n: Int, mod: Long)
     extends UnaryExpression with CodegenFallback {
@@ -62,11 +64,48 @@ case class GramHashes(child: Expression, n: Int, mod: Long)
     val arr = new Array[Long](out.size)
     var j = 0
     while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    java.util.Arrays.sort(arr)
     new GenericArrayData(arr)
   }
 
   override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)
+}
+
+/** Jaccard similarity of two SORTED long arrays (as produced by
+  * [[GramHashes]]) via a merge walk — value-identical to
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` on distinct sets,
+  * without per-pair hash-set construction. Returns null on an empty union
+  * (matching Spark's divide-by-zero semantics).
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) null else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 48-bit SimHash over the distinct elements of a string array: token ->
@@ -119,5 +158,7 @@ object TextHashes {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash48", exprs => SimHash48(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "scala_udf")
   }
 }

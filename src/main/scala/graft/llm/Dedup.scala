@@ -67,9 +67,7 @@ object Dedup {
     cand
       .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
       .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
-      .withColumn("jac",
-        size(array_intersect(col("s1"), col("s2"))) /
-          size(array_union(col("s1"), col("s2"))))
+      .withColumn("jac", expr("jaccard_sorted(s1, s2)"))
       .filter(col("jac") >= 0.5)
       .select("d1", "d2", "jac")
   }
@@ -109,8 +107,7 @@ object Dedup {
       .select(col("d1"), col("d2"),
         (size(expr("filter(zip_with(g1, g2, (x, y) -> x = y), b -> b)"))
           / lit(24).cast("double")).as("est"),
-        (size(array_intersect(col("s1"), col("s2"))) /
-          size(array_union(col("s1"), col("s2")))).as("jac"))
+        expr("jaccard_sorted(s1, s2)").as("jac"))
   }
 
   /** 48-bit SimHash over distinct tokens; near-dup at hamming <= 2.

@@ -76,7 +76,7 @@ object TextAnalysis {
     t(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"),
-        expr("slice(array_sort(gram_hashes(text, 8, 0)), 1, 8)").as("hs"))
+        expr("slice(gram_hashes(text, 8, 0), 1, 8)").as("hs"))  // gram_hashes returns sorted
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"), col("h"))
   }

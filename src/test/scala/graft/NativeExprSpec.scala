@@ -27,7 +27,7 @@ class NativeExprSpec extends AnyFunSuite {
     val d = Tables.t(spark, dir, "documents").filter(length(col("text")) >= 5)
       .select(
         expr("gram_hashes(text, 5, 2147483647)").as("a"),
-        expr("array_distinct(transform(array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))), s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 2147483647))")
+        expr("array_sort(array_distinct(transform(array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))), s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % 2147483647)))")
           .as("b"))
     assert(mismatches(d) == 0)
   }
