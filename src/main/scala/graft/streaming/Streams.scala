@@ -44,6 +44,18 @@ object Streams {
       .select(unix_millis(col("window.start")).as("win_ms"),
         col("event_type"), col("n"), col("sum_val"))
 
+  /** Session-window aggregation (30-minute gap) — works identically over a
+    * batch or streaming frame; the streaming test runs it both ways.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("session_window.start")).as("start_ms"),
+        col("n_events"))
+
   final case class Ev(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double, props: String)
   final case class Latest(topic: String, k: String, event_id: Long,

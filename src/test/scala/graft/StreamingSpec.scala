@@ -28,6 +28,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("session windows: stream == batch") {
+    val schema = Tables.t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Streams.stageStreamDir(dir, "events"))
+    val q = Streams.sessionAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("graft_session_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_session_stream")
+    val want = Streams.sessionAgg(Tables.t(spark, dir, "events"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming exact dedup == batch distinct") {
     val schema = Tables.t(spark, dir, "documents").schema
     val stream = spark.readStream.schema(schema)
