@@ -9,16 +9,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     // Warm the JVM/codegen once so measured times reflect steady state.
-    SparkEntry.entry(spark).count()
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Failed queries are reported as -1 so a broken query can never be
+    // mistaken for a fast one, and excluded from the total.
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val nFail = results.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,7 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("gram_hashes"),
       info("gram_hashes", "gram_hashes(s, n, mod) - distinct md5-prefix n-gram hashes"),
       (exprs: Seq[Expression]) => GramHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
+        exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt },
         exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l })))
     e.injectFunction((FunctionIdentifier("simhash48"),
       info("simhash48", "simhash48(arr) - 48-bit simhash of string array"),

@@ -44,17 +44,8 @@ object Admin {
 
   private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
 
-  private val commitsSql: String =
-    """leo AS (
-      |  SELECT topic, part, MAX(offs) + 1 AS log_end, MAX(tms) AS latest_ms
-      |  FROM log GROUP BY topic, part),
-      |commits AS (
-      |  SELECT 'g' || CAST(g AS VARCHAR) AS group_id, topic, part,
-      |    (log_end * (g + 1)) // 5 AS committed,
-      |    latest_ms - g * 604800000 AS commit_ms, log_end
-      |  FROM leo CROSS JOIN (SELECT CAST(g AS BIGINT) AS g
-      |                       FROM generate_series(0, 3) t(g)))
-      |""".stripMargin
+  // One source of truth for the commit-log model: Groups owns the SQL.
+  private val commitsSql: String = Groups.commitsSql
 
   val oracles: Map[String, String] = Map(
     "topic_metadata" -> (L +

@@ -46,7 +46,7 @@ object Groups {
         col("log_end"))
   }
 
-  private val commitsSql: String = leoSql +
+  private[graft] val commitsSql: String = leoSql +
     """commits AS (
       |  SELECT 'g' || CAST(g AS VARCHAR) AS group_id, topic, part,
       |    (log_end * (g + 1)) // 5 AS committed,

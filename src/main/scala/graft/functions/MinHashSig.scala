@@ -27,6 +27,9 @@ case class MinHashSig(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // Empty set -> null (array_min of an empty array is null); a sentinel
+    // signature would make all empty documents "near-duplicates".
+    if (n == 0) return null
     val out = new Array[Long](k)
     var j = 0
     while (j < k) {

@@ -153,7 +153,7 @@ object TextHashes {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_hashes",
       exprs => GramHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
+        exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt },
         exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l }),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

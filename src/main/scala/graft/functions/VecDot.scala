@@ -20,7 +20,11 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // Length mismatch -> null, matching zip_with's null padding (and the
+    // oracle's out-of-bounds list indexing): a malformed vector surfaces
+    // instead of yielding a plausible partial dot product.
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -40,44 +40,13 @@ object Dedup {
     * join quadratic (the standard guard in production LSH dedup — at sf0.1
     * six such buckets held 83% of all candidate pairs).
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.MinHashSig.register(spark)
-    graft.functions.TextHashes.register(spark)
-    val hs = t(spark, dir, "documents")
-      .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))
-      .cache()
-    val sigs = hs.select(col("doc_id"), expr("minhash_sig(hs)").as("sig"))
-    val bands = sigs.select(col("doc_id"), explode(
-      expr("""transform(sequence(0, 5),
-             |  b -> struct(b as band,
-             |    concat_ws('_', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as bsig))"""
-        .stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.band"), col("x.bsig"))
-    val sized = bands
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bsig")))
-      .filter(col("bn") <= 50)
-    val cand = sized.as("a")
-      .join(sized.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    cand
-      .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
-      .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
-      .withColumn("jac", expr("jaccard_sorted(s1, s2)"))
-      .filter(col("jac") >= 0.5)
-      .select("d1", "d2", "jac")
-  }
-
-  /** Sketch-quality operator: for every LSH candidate pair, the MinHash
-    * similarity estimate (fraction of agreeing signature positions) next to
-    * the true Jaccard — the estimator a 100 TB pipeline would use to skip
-    * exact verification entirely.
+  /** Shared LSH candidate pipeline: hashed shingle sets, 24-hash
+    * signatures, 6x4 banding with the 50-doc bucket cap, and the distinct
+    * candidate pairs — one definition for both the verifier and the
+    * estimator so the LSH parameters cannot drift apart.
     */
-  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+  private def lshCandidates(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.MinHashSig.register(spark)
     graft.functions.TextHashes.register(spark)
@@ -101,6 +70,26 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    (hs, sigs, cand)
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (hs, _, cand) = lshCandidates(spark, dir)
+    cand
+      .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
+      .withColumn("jac", expr("jaccard_sorted(s1, s2)"))
+      .filter(col("jac") >= 0.5)
+      .select("d1", "d2", "jac")
+  }
+
+  /** Sketch-quality operator: for every LSH candidate pair, the MinHash
+    * similarity estimate (fraction of agreeing signature positions) next to
+    * the true Jaccard — the estimator a 100 TB pipeline would use to skip
+    * exact verification entirely.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sigs, cand) = lshCandidates(spark, dir)
     cand
       .join(sigs.select(col("doc_id").as("d1"), col("hs").as("s1"), col("sig").as("g1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("hs").as("s2"), col("sig").as("g2")), "d2")

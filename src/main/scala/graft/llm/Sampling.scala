@@ -31,7 +31,10 @@ object Sampling {
   def mixSources(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     val bySource = Window.partitionBy("source").orderBy("doc_id")
-    d.withColumn("n_total", count(lit(1)).over(Window.partitionBy(lit(1))))
+    // Corpus total via a broadcast 1-row aggregate — a global window would
+    // funnel the whole table through one task at scale.
+    val total = d.agg(count(lit(1)).as("n_total"))
+    d.crossJoin(broadcast(total))
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
       .withColumn("alloc", expr("(200 * n_src) div n_total"))
       .withColumn("rn", row_number().over(bySource).cast("long"))

@@ -86,7 +86,7 @@ object Streams {
     import java.nio.file.{Files, Paths}
     val d = Files.createTempDirectory(s"graft_stream_$table")
     Files.createSymbolicLink(d.resolve(s"$table.parquet"),
-      Paths.get(s"$dir/$table.parquet"))
+      Paths.get(s"$dir/$table.parquet").toAbsolutePath)
     d.toString
   }
 

@@ -41,32 +41,35 @@ class PropertySpec extends AnyFunSuite {
   test("MinHashSig equals brute-force minima for arbitrary hash arrays") {
     val gen = Gen.listOf(Gen.chooseNum(0L, P - 1))
     forAll(gen) { hs =>
-      val got = MinHashSig(Literal(new GenericArrayData(hs.toArray),
+      val raw = MinHashSig(Literal(new GenericArrayData(hs.toArray),
         ArrayType(LongType)), 24)
         .nullSafeEval(new GenericArrayData(hs.toArray))
-        .asInstanceOf[ArrayData].toLongArray()
-      val want = (0 until 24).map { j =>
-        val a = ((j + 1) * 2654435761L) % P
-        val b = ((j + 7) * 40503L) % P
-        if (hs.isEmpty) Long.MaxValue
-        else hs.map(h => (a * h + b) % P).min
+      if (hs.isEmpty) assert(raw == null)
+      else {
+        val got = raw.asInstanceOf[ArrayData].toLongArray()
+        val want = (0 until 24).map { j =>
+          val a = ((j + 1) * 2654435761L) % P
+          val b = ((j + 7) * 40503L) % P
+          hs.map(h => (a * h + b) % P).min
+        }
+        assert(got.toSeq == want)
       }
-      assert(got.toSeq == want)
     }
   }
 
   test("VecDot equals sequential fold for arbitrary double arrays") {
     val gen = Gen.listOf(Gen.chooseNum(-1e6, 1e6))
     forAll(gen, gen) { (a, b) =>
-      val n = math.min(a.length, b.length)
-      val got = VecDot(
+      val raw = VecDot(
         Literal(new GenericArrayData(a.toArray), ArrayType(DoubleType)),
         Literal(new GenericArrayData(b.toArray), ArrayType(DoubleType)))
         .nullSafeEval(new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
-        .asInstanceOf[Double]
-      var want = 0.0
-      (0 until n).foreach(i => want += a(i) * b(i))
-      assert(java.lang.Double.compare(got, want) == 0)
+      if (a.length != b.length) assert(raw == null)
+      else {
+        var want = 0.0
+        a.indices.foreach(i => want += a(i) * b(i))
+        assert(java.lang.Double.compare(raw.asInstanceOf[Double], want) == 0)
+      }
     }
   }
 
