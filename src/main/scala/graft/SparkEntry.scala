@@ -19,9 +19,19 @@ object SparkEntry {
       (llm.Multimodal.queries, llm.Multimodal.oracles),
       (streaming.Streams.queries, streaming.Streams.oracles))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    analytics.Analytics.q1(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Deliberately timestamp-free so it runs under a stock session (without
+    * GraftSession's parquet-timestamp configs); the full Q1 with its
+    * pushdown-friendly timestamp predicate runs under Verify/Bench.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(functions.Parity.dec10x2)).cast("double")
+          .as("sum_qty"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

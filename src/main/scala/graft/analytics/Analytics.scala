@@ -23,11 +23,7 @@ object Analytics {
     val price = money(col("l_extendedprice"))
     val disc = rate(col("l_discount"))
     val tax = rate(col("l_tax"))
-    // Date-typed comparison so the flagship entry also runs under a stock
-    // session (where parquet ms-timestamps surface as TIMESTAMP_NTZ and a
-    // mixed NTZ-vs-TIMESTAMP comparison may not coerce). Ship dates are
-    // midnight-aligned, so this equals the oracle's timestamp predicate.
-    li.filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(money(col("l_quantity"))).as("sum_qty"),
