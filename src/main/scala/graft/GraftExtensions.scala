@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(arr) - 24 universal-hash minima"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head, 24)))

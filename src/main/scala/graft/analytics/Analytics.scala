@@ -136,7 +136,26 @@ object Analytics {
           .as("revenue"),
         count(lit(1)).as("n"))
 
+  /** Two-table as-of join through the custom physical operator
+    * (graft.plans.AsOfJoinExec): every non-signup event joined to the
+    * user's latest signup at-or-before it. The time coordinate folds the
+    * event id into the low bits so ordering is total and both engines agree
+    * on ties.
+    */
+  def asofJoinSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("et", expr("(ts div 1000000) * 16384 + event_id % 16384"))
+    val left = ev.filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("et"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+        col("et").as("st"))
+    graft.plans.AsOf.join(left, right, "user_id", "su", "et", "st")
+      .select("event_id", "user_id", "et", "signup_id", "st")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_signup" -> asofJoinSignup,
     "asof_user_state" -> asofUserState,
     "q6_filter" -> q6,
     "q1_agg" -> q1,
@@ -146,6 +165,22 @@ object Analytics {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "asof_join_signup" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) * 16384 + event_id % 16384 AS et
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, et, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY et
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_id,
+        |    last_value(CASE WHEN event_type = 'signup' THEN et END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY et
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+        |  FROM ev)
+        |SELECT event_id, user_id, et, signup_id, st
+        |FROM w WHERE event_type <> 'signup'""".stripMargin,
     "asof_user_state" ->
       """SELECT event_id, user_id, tms, last_signup_ms,
         |  tms - last_signup_ms AS ms_since_signup
