@@ -154,7 +154,49 @@ object Analytics {
       .select("event_id", "user_id", "et", "signup_id", "st")
   }
 
+  /** Range (interval) join: every event within one hour after the same
+    * user's signup. The user key makes this an equi-join with a residual
+    * range predicate — the plan Catalyst picks (hash join + filter) is the
+    * right one at scale because the band is blocked by a selective key; a
+    * time-bucket blocking join would only be needed for keyless bands.
+    */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").withColumn("tms", nsToMs("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("tms").as("signup_ms"))
+    ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("event_id"), col("tms"))
+      .join(signups, "user_id")
+      .filter(col("tms") >= col("signup_ms") &&
+        col("tms") < col("signup_ms") + 3600000L)
+      .select(col("user_id"), col("signup_id"), col("event_id"),
+        (col("tms") - col("signup_ms")).as("ms_after_signup"))
+  }
+
+  /** Fixed-bucket value histogram per topic (the declarative form of the
+    * reference's stats histograms): bucket = floor(value / 50).
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type").as("topic"),
+        expr("CAST(floor(`value` / 50.0) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Exact distinct users per topic; the sketch-based estimate the
+    * reference's DataSketches stats would produce is covered by a test
+    * asserting approx_count_distinct lands within 5% of this.
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type").as("topic"))
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join_events" -> rangeJoinEvents,
+    "value_histogram" -> valueHistogram,
+    "distinct_users" -> distinctUsers,
     "asof_join_signup" -> asofJoinSignup,
     "asof_user_state" -> asofUserState,
     "q6_filter" -> q6,
@@ -165,6 +207,23 @@ object Analytics {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "range_join_events" ->
+      """SELECT e.user_id, s.event_id AS signup_id, e.event_id,
+        |  epoch_ms(e.ts) - epoch_ms(s.ts) AS ms_after_signup
+        |FROM events e JOIN events s
+        |  ON e.user_id = s.user_id AND s.event_type = 'signup'
+        |WHERE e.event_type <> 'signup'
+        |  AND epoch_ms(e.ts) >= epoch_ms(s.ts)
+        |  AND epoch_ms(e.ts) < epoch_ms(s.ts) + 3600000""".stripMargin,
+    "value_histogram" ->
+      """SELECT event_type AS topic,
+        |  CAST(floor("value" / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type AS topic,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     "asof_join_signup" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

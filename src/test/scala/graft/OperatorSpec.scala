@@ -73,6 +73,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.filter(col("cos") > 1.0000001 || col("cos") < -1.0000001).count() == 0)
   }
 
+  test("HLL sketch estimate within 5% of exact distinct counts") {
+    val e = Tables.t(spark, dir, "events")
+    val both = e.groupBy("event_type").agg(
+      countDistinct("user_id").as("exact"),
+      approx_count_distinct("user_id", 0.02).as("est"))
+    assert(both.filter(
+      org.apache.spark.sql.functions.abs(col("est") - col("exact")) >
+        col("exact") * 0.05).count() == 0)
+  }
+
   test("multimodal pipeline preserves rows and types") {
     val m = llm.Multimodal.multimodalPipeline(spark, dir)
     val docs = Tables.t(spark, dir, "documents").count()
