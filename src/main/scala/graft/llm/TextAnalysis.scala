@@ -107,7 +107,57 @@ object TextAnalysis {
         col("reason"))
   }
 
+  /** TF-IDF-style term weighting, log-free for cross-engine exactness:
+    * weight = tf * (N / df) — integer-derived double arithmetic (libm log
+    * differs between engines by ulps, so the classic formula cannot be
+    * hash-verified). Top-10 terms per document by weight.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count() // corpus size: one tiny driver-side scalar
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("weight").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("weight", col("tf") * (lit(n).cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("doc_id", "term", "tf", "df", "weight", "rnk")
+  }
+
+  /** Corpus-level top-20 char-trigrams (vocabulary profiling). */
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(explode(
+        expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g"))
+      .limit(20)
+
+  /** Document-length distribution per source: nearest-rank quartiles. */
+  def docLengthStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val ranked = t(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    def pick(p: Double) =
+      max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("n_chars")))
+    ranked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      min("n_chars").as("min_c"),
+      pick(0.25).as("q1"), pick(0.5).as("median"), pick(0.75).as("q3"),
+      max("n_chars").as("max_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf" -> tfidf,
+    "ngram_counts" -> ngramCounts,
+    "doc_length_stats" -> docLengthStats,
     "corpus_filter" -> corpusFilter,
     "langid" -> langid,
     "quality_score" -> qualityScore,
@@ -118,6 +168,39 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |wtd AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS weight
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, weight, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY weight DESC, term) AS rnk FROM wtd)
+        |WHERE rnk <= 10""".stripMargin,
+    "ngram_counts" ->
+      """SELECT g, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 2),
+        |    i -> substring(text, i, 3))) AS g
+        |  FROM documents WHERE length(text) >= 3)
+        |GROUP BY g ORDER BY n DESC, g LIMIT 20""".stripMargin,
+    "doc_length_stats" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, MIN(n_chars) AS min_c,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN n_chars END) AS q1,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS median,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN n_chars END) AS q3,
+        |  MAX(n_chars) AS max_c
+        |FROM ranked GROUP BY source""".stripMargin,
     "corpus_filter" ->
       s"""WITH m AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_c,
