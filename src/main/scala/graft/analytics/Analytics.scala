@@ -193,7 +193,45 @@ object Analytics {
       .agg(countDistinct("user_id").as("n_users"),
         count(lit(1)).as("n_events"))
 
+  /** Ordered funnel: per user, did signup -> view -> purchase happen in
+    * that temporal order? Stage reach counts over the whole population.
+    * One aggregation per user (min event time per stage), then a single
+    * rollup — no joins, fully map-side-combinable.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").withColumn("tms", nsToMs("ts"))
+    val perUser = e.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("tms"))).as("t_signup"),
+      min(when(col("event_type") === "view", col("tms"))).as("t_view"),
+      min(when(col("event_type") === "purchase", col("tms"))).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("reached_signup"),
+      sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup"), 1L)
+        .otherwise(0L)).as("reached_view"),
+      sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup") &&
+        col("t_purchase") > col("t_view"), 1L).otherwise(0L)).as("reached_purchase"))
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen week, counted in
+    * each subsequent week they return. The cohort matrix every
+    * event-stream product ships.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("week", expr("(ts div 1000000) div 604800000"))
+    val firstWeek = e.groupBy("user_id").agg(min("week").as("cohort"))
+    e.select("user_id", "week").distinct()
+      .join(firstWeek, "user_id")
+      .groupBy("cohort", "week")
+      .agg(countDistinct("user_id").as("n_active"))
+      .withColumn("weeks_since", col("week") - col("cohort"))
+      .select("cohort", "weeks_since", "n_active")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> funnel,
+    "cohort_retention" -> cohortRetention,
     "range_join_events" -> rangeJoinEvents,
     "value_histogram" -> valueHistogram,
     "distinct_users" -> distinctUsers,
@@ -207,6 +245,30 @@ object Analytics {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "funnel" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t_signup,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS reached_signup,
+        |  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+        |  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |    AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+        |FROM pu""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |fw AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY user_id)
+        |SELECT cohort, week - cohort AS weeks_since,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM (SELECT DISTINCT user_id, week FROM e) e
+        |JOIN fw ON fw.user_id = e.user_id
+        |GROUP BY cohort, week""".stripMargin,
     "range_join_events" ->
       """SELECT e.user_id, s.event_id AS signup_id, e.event_id,
         |  epoch_ms(e.ts) - epoch_ms(s.ts) AS ms_after_signup
