@@ -36,11 +36,16 @@ object BatchCodec {
     out.writeInt(recs.size)
     out.writeLong(first)
     recs.foreach { r =>
-      out.writeInt((r.offs - first).toInt)
-      val kb = r.k.getBytes(StandardCharsets.UTF_8)
-      val vb = r.v.getBytes(StandardCharsets.UTF_8)
-      out.writeInt(kb.length); out.write(kb)
-      out.writeInt(vb.length); out.write(vb)
+      val delta = r.offs - first
+      require(delta >= 0 && delta <= Int.MaxValue,
+        s"offset delta $delta exceeds batch frame range")
+      out.writeInt(delta.toInt)
+      // Length -1 encodes a null key/value (tombstones are legal records).
+      def frame(s: String): Unit =
+        if (s == null) out.writeInt(-1)
+        else { val b = s.getBytes(StandardCharsets.UTF_8); out.writeInt(b.length); out.write(b) }
+      frame(r.k)
+      frame(r.v)
     }
     out.flush()
     Batch(recs.head.topic, recs.head.part, first, recs.size.toLong, bos.toByteArray)
@@ -51,12 +56,14 @@ object BatchCodec {
     require(buf.get() == Magic, "bad magic")
     val n = buf.getInt()
     val first = buf.getLong()
+    def unframe(): String = {
+      val len = buf.getInt()
+      if (len < 0) null
+      else { val bs = new Array[Byte](len); buf.get(bs); new String(bs, StandardCharsets.UTF_8) }
+    }
     (0 until n).map { _ =>
       val delta = buf.getInt()
-      val kb = new Array[Byte](buf.getInt()); buf.get(kb)
-      val vb = new Array[Byte](buf.getInt()); buf.get(vb)
-      LogRec(b.topic, b.part, first + delta,
-        new String(kb, StandardCharsets.UTF_8), new String(vb, StandardCharsets.UTF_8))
+      LogRec(b.topic, b.part, first + delta, unframe(), unframe())
     }
   }
 

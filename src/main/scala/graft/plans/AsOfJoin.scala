@@ -73,7 +73,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightOut = right.output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val resultProj = UnsafeProjection.create(schema, leftOut ++ rightOut)
+      // Bind against nullable right attributes: an unmatched left row emits
+      // a null-filled right side, so the projection must null-check those
+      // ordinals even when the right child declared them non-nullable.
+      val resultProj = UnsafeProjection.create(schema,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
@@ -81,23 +85,50 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchKey = 0L
       var hasMatch = false
       var matchRow: InternalRow = null
+      // Cached evaluation of the parked right head (invalidated on advance)
+      // so a long run of left rows doesn't re-run interpreted eval on the
+      // same head row.
+      var headValid = false
+      var headSkip = false
+      var headKey = 0L
+      var headTime = 0L
+
+      def evalHead(): Unit = {
+        val head = rBuf.head
+        val hk = rKey.eval(head)
+        val ht = rTime.eval(head)
+        // SQL join semantics: null keys/times never match — skip the row
+        // rather than silently unboxing null to 0.
+        headSkip = hk == null || ht == null
+        if (!headSkip) {
+          headKey = hk.asInstanceOf[Long]
+          headTime = ht.asInstanceOf[Long]
+        }
+        headValid = true
+      }
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        // Advance the right side while it is still at-or-before (k, t).
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          val ht = rTime.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && ht <= t)) {
-            val r = rBuf.next()
-            if (hk == k) { matchKey = k; hasMatch = true; matchRow = r.copy() }
-          } else advancing = false
+        val lk = lKey.eval(lRow)
+        val lt = lTime.eval(lRow)
+        if (lk == null || lt == null) {
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val k = lk.asInstanceOf[Long]
+          val t = lt.asInstanceOf[Long]
+          // Advance the right side while it is still at-or-before (k, t).
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            if (!headValid) evalHead()
+            if (headSkip) { rBuf.next(); headValid = false }
+            else if (headKey < k || (headKey == k && headTime <= t)) {
+              val r = rBuf.next()
+              headValid = false
+              if (headKey == k) { matchKey = k; hasMatch = true; matchRow = r.copy() }
+            } else advancing = false
+          }
+          if (hasMatch && matchKey == k) resultProj(joined(lRow, matchRow))
+          else resultProj(joined(lRow, nullRight))
         }
-        if (hasMatch && matchKey == k) resultProj(joined(lRow, matchRow))
-        else resultProj(joined(lRow, nullRight))
       }
     }
   }
@@ -117,8 +148,11 @@ object AsOf {
     val spark = left.sparkSession
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    // Resolve with the session's resolver so case sensitivity matches
+    // spark.sql.caseSensitive, like every other column lookup.
+    val resolver = spark.sessionState.conf.resolver
     def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name)
+      p.output.find(a => resolver(a.name, name))
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     val plan = AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),

@@ -22,9 +22,14 @@ object LogStore {
     */
   def materialize(spark: SparkSession, dir: String, outPath: String): Unit =
     LogOps.log(spark, dir)
-      .withColumn("day", expr("CAST(tms div 86400000 AS STRING)"))
+      // 'd'-prefixed day token so partition-column type inference reads it
+      // back as a string, keeping the schema stable across the round trip.
+      .withColumn("day", concat(lit("d"), expr("CAST(tms div 86400000 AS STRING)")))
       .repartition(col("topic"), col("day"))
-      .sortWithinPartitions("part", "offs")
+      // Leading partition columns satisfy the parquet writer's required
+      // ordering, so it does not insert a second sort that would void the
+      // (part, offs) file order.
+      .sortWithinPartitions("topic", "day", "part", "offs")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("topic", "day")
       .parquet(outPath)
