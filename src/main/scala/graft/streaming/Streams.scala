@@ -112,6 +112,31 @@ object Streams {
       .select(col("topic"), col("k"), col("m.event_id"), col("m.tms"), col("m.v"))
   }
 
+  /** Streaming ingest sink: consume the event stream and append it to the
+    * partitioned log store layout via foreachBatch — the continuous form of
+    * LogStore.materialize (produce-side persistence). Returns the number of
+    * micro-batches processed.
+    */
+  def runIngestStream(spark: SparkSession, dir: String, outPath: String): Long = {
+    val schema = t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "events"))
+    var batches = 0L
+    val q = stream
+      .withColumn("tms", graft.functions.Parity.nsToMs("ts"))
+      .withColumn("topic", col("event_type"))
+      .withColumn("day", concat(lit("d"), expr("CAST(tms div 86400000 AS STRING)")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        batch.write.mode("append").partitionBy("topic", "day").parquet(outPath)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg)
 

@@ -21,6 +21,21 @@ class BatchCodecSpec extends AnyFunSuite {
       original.exceptAll(decoded).count() == 0)
   }
 
+  test("tombstones (null key/value) round-trip losslessly") {
+    val recs = Seq(
+      BatchCodec.LogRec("t", 0L, 10L, "k1", null),
+      BatchCodec.LogRec("t", 0L, 11L, null, "v2"),
+      BatchCodec.LogRec("t", 0L, 12L, "k3", "v3"))
+    assert(BatchCodec.decodeBatch(BatchCodec.encodeGroup(recs)) == recs)
+  }
+
+  test("oversized offset delta is rejected, not truncated") {
+    val recs = Seq(
+      BatchCodec.LogRec("t", 0L, 0L, "a", "b"),
+      BatchCodec.LogRec("t", 0L, Int.MaxValue.toLong + 1L, "c", "d"))
+    assertThrows[IllegalArgumentException](BatchCodec.encodeGroup(recs))
+  }
+
   test("batches are bounded and offset-contiguous per partition") {
     val b = BatchCodec.encodeBatches(spark, dir)
     assert(b.filter(col("n") > BatchCodec.MaxBatch).count() == 0)

@@ -60,6 +60,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming ingest sink lands every event in the partitioned store") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val batches = Streams.runIngestStream(spark, dir, out)
+    assert(batches >= 1)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == Tables.t(spark, dir, "events").count())
+    assert(landed.select("topic").distinct().count() == 5)
+  }
+
   test("stateful compaction stream == batch compact") {
     val got = Streams.runCompactionStream(spark, dir)
       .select(col("topic"), col("k"), col("event_id"))
