@@ -229,7 +229,28 @@ object Analytics {
       .select("cohort", "weeks_since", "n_active")
   }
 
+  /** Two-phase salted aggregation: the 5 event types are a pathologically
+    * skewed grouping key (one reducer per key at cluster scale), so phase 1
+    * aggregates on (key, salt=event_id mod 16) spreading each hot key over
+    * 16 reducers, and phase 2 combines the 80 partials. Result is exactly
+    * the direct groupBy (the oracle computes the direct form), cost is two
+    * tiny shuffles instead of one skewed one.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16L)).as("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(money(col("value"))).as("psum"),
+        max(col("value")).as("pmax"))
+      .groupBy("event_type")
+      .agg(
+        sum("pn").cast("long").as("n"),
+        sum("psum").cast("double").as("sum_val"),
+        max("pmax").as("max_val"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_agg" -> saltedAgg,
     "funnel" -> funnel,
     "cohort_retention" -> cohortRetention,
     "range_join_events" -> rangeJoinEvents,
@@ -245,6 +266,11 @@ object Analytics {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sum_val,
+        |  MAX("value") AS max_val
+        |FROM events GROUP BY event_type""".stripMargin,
     "funnel" ->
       """WITH pu AS (
         |  SELECT user_id,
