@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * processed in batches the way a Pandas-UDF / mapInPandas pipeline would.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * deterministic fake (byte statistics), but the Spark-side shape is real:
-  * binary column, per-batch iteration in `mapPartitions` (the JVM analog of
-  * a mapInPandas batch), metadata projection, and partition-friendly
-  * layout. Swap `fakeDecode` for a real codec and nothing else changes.
+  * The container has no image/audio codecs, so decode / resize /
+  * frame-sample are deterministic fakes over the payload bytes, but the
+  * Spark-side shape is real: binary column, per-batch iteration in
+  * `mapPartitions` (the JVM analog of a mapInPandas arrow batch), typed
+  * metadata projection, and partition-friendly layout. Swap the `fake*`
+  * functions for real codecs and nothing else changes.
   *
   * Rows-only check (no SQL oracle): binary batch processing is not
   * SQL-expressible.
@@ -21,16 +22,31 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class MediaFeature(
       doc_id: Long, media_type: String, payload_bytes: Long,
-      feat_mean: Double, n_frames: Long, batch_size: Long)
+      width: Long, height: Long, resized_w: Long, resized_h: Long,
+      n_frames: Long, sampled_frames: Long, feat_mean: Double, batch_size: Long)
 
-  /** Deterministic stand-in for a codec: byte-level statistics. */
-  private def fakeDecode(payload: Array[Byte]): (Double, Long) = {
+  /** Deterministic stand-in for a codec: byte statistics -> "dimensions". */
+  private def fakeDecode(payload: Array[Byte]): (Long, Long, Double) = {
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
     val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    val frames = 1L + (sum % 16) // "frame-sample": pick a stable frame count
-    (mean, frames)
+    val w = 160L + (sum % 8) * 80L       // "decoded" width 160..720
+    val h = (w * 9L) / 16L               // 16:9
+    (w, h, mean)
+  }
+
+  /** Resize preserving aspect: cap the long edge at 256. */
+  private def fakeResize(w: Long, h: Long): (Long, Long) = {
+    val long = math.max(w, h)
+    if (long <= 256) (w, h)
+    else ((w * 256) / long, (h * 256) / long)
+  }
+
+  /** Sample every 4th frame ("video" has one frame per 2KB of payload). */
+  private def fakeFrameSample(payloadLen: Int): (Long, Long) = {
+    val frames = 1L + payloadLen / 2048
+    (frames, (frames + 3) / 4)
   }
 
   def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -46,9 +62,13 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch =>
         batch.map { r =>
-          val (mean, frames) = fakeDecode(r.payload)
+          val (w, h, mean) = fakeDecode(r.payload)
+          val (rw, rh) = fakeResize(w, h)
+          val (frames, sampled) =
+            if (r.media_type == "video") fakeFrameSample(r.payload.length)
+            else (1L, 1L)
           MediaFeature(r.doc_id, r.media_type, r.payload.length.toLong,
-            mean, if (r.media_type == "video") frames else 1L, batch.size.toLong)
+            w, h, rw, rh, frames, sampled, mean, batch.size.toLong)
         }
       }
     }.toDF()

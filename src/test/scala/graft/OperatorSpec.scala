@@ -83,11 +83,16 @@ class OperatorSpec extends AnyFunSuite {
         col("exact") * 0.05).count() == 0)
   }
 
-  test("multimodal pipeline preserves rows and types") {
+  test("multimodal pipeline preserves rows and decode invariants") {
     val m = llm.Multimodal.multimodalPipeline(spark, dir)
     val docs = Tables.t(spark, dir, "documents").count()
     assert(m.count() == docs)
     assert(m.select("media_type").distinct().count() == 3)
     assert(m.filter(col("batch_size") > 64).count() == 0)
+    // resize caps the long edge at 256 and preserves which edge is longer
+    assert(m.filter(greatest(col("resized_w"), col("resized_h")) > 256).count() == 0)
+    // frame sampling only applies to video and keeps ~1/4 of frames
+    assert(m.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() == 0)
+    assert(m.filter(col("sampled_frames") > col("n_frames")).count() == 0)
   }
 }
