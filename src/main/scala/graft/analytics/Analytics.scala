@@ -249,7 +249,24 @@ object Analytics {
         sum("psum").cast("double").as("sum_val"),
         max("pmax").as("max_val"))
 
+  /** Last-touch attribution: every purchase attributed to the user's most
+    * recent view at-or-before it — a second consumer of the custom as-of
+    * operator (purchases are the left stream, views the dimension).
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("et", expr("(ts div 1000000) * 16384 + event_id % 16384"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("et"), col("value").as("amount"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+        col("et").as("vt"))
+    graft.plans.AsOf.join(purchases, views, "user_id", "vu", "et", "vt")
+      .select("event_id", "user_id", "et", "amount", "view_id", "vt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "purchase_attribution" -> purchaseAttribution,
     "salted_agg" -> saltedAgg,
     "funnel" -> funnel,
     "cohort_retention" -> cohortRetention,
@@ -266,6 +283,22 @@ object Analytics {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "purchase_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, "value",
+        |    epoch_ms(ts) * 16384 + event_id % 16384 AS et
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, et, event_type, "value",
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY et
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN et END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY et
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vt
+        |  FROM ev)
+        |SELECT event_id, user_id, et, "value" AS amount, view_id, vt
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
     "salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sum_val,
