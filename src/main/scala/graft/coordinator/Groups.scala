@@ -111,7 +111,32 @@ object Groups {
       .filter(col("commit_ms") >= lit(1705708800000L)) // 2024-01-20 00:00 UTC
       .select("group_id", "topic", "part", "committed", "commit_ms")
 
+  /** Member index under the range assignor with `nc` consumers (the
+    * arithmetic form of Kafka's RangeAssignor partition split).
+    */
+  private def rangeMemberExpr(nc: Int): String =
+    s"""CASE WHEN idx < ((np div $nc) + 1) * (np % $nc)
+       |  THEN idx div ((np div $nc) + 1)
+       |  ELSE (np % $nc) + (idx - ((np div $nc) + 1) * (np % $nc)) div (np div $nc)
+       |END""".stripMargin
+
+  /** Rebalance impact analysis: which partitions move when the group grows
+    * from 3 to 4 members (GroupCoordinator rebalance; the moved set is what
+    * an incremental/sticky protocol tries to minimize).
+    */
+  def rebalanceDiff(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic").orderBy("part")
+    topicParts(spark, dir)
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
+      .withColumn("member_3", concat(lit("m"), expr(s"CAST(${rangeMemberExpr(3)} AS STRING)")))
+      .withColumn("member_4", concat(lit("m"), expr(s"CAST(${rangeMemberExpr(4)} AS STRING)")))
+      .withColumn("moved", when(col("member_3") =!= col("member_4"), 1L).otherwise(0L))
+      .select("topic", "part", "member_3", "member_4", "moved")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rebalance_diff" -> rebalanceDiff,
     "group_offsets" -> groupOffsets,
     "consumer_lag" -> consumerLag,
     "assign_range" -> assignRange,
@@ -121,7 +146,25 @@ object Groups {
 
   private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
 
+  private def rangeMemberSql(nc: Int): String =
+    s"""CASE WHEN idx < ((np // $nc) + 1) * (np % $nc)
+       |    THEN idx // ((np // $nc) + 1)
+       |    ELSE (np % $nc) + (idx - ((np // $nc) + 1) * (np % $nc)) // (np // $nc)
+       |  END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "rebalance_diff" -> (L +
+      s"""pidx AS (
+         |  SELECT topic, part,
+         |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY part) - 1 AS idx,
+         |    COUNT(*) OVER (PARTITION BY topic) AS np
+         |  FROM (SELECT DISTINCT topic, part FROM log))
+         |SELECT topic, part,
+         |  'm' || CAST(${rangeMemberSql(3)} AS VARCHAR) AS member_3,
+         |  'm' || CAST(${rangeMemberSql(4)} AS VARCHAR) AS member_4,
+         |  CAST(CASE WHEN CAST(${rangeMemberSql(3)} AS VARCHAR)
+         |    <> CAST(${rangeMemberSql(4)} AS VARCHAR) THEN 1 ELSE 0 END AS BIGINT) AS moved
+         |FROM pidx""".stripMargin),
     "group_offsets" -> (L + commitsSql +
       "SELECT group_id, topic, part, committed FROM commits"),
     "consumer_lag" -> (L + commitsSql +

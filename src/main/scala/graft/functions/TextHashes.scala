@@ -79,10 +79,38 @@ case class GramHashes(child: Expression, n: Int, mod: Long)
   * (matching Spark's divide-by-zero semantics).
   */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Can return null from non-null inputs (empty union).
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long x = $a.getLong($i); long y = $b.getLong($j);
+         |  if (x == y) { $inter++; $i++; $j++; }
+         |  else if (x < y) { $i++; } else { $j++; }
+         |}
+         |int $union = $na + $nb - $inter;
+         |if ($union == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (double) $inter / (double) $union; }
+       """.stripMargin
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -208,7 +208,39 @@ object LogOps {
         (sum(col("payload") + lit(34))).cast("long").as("bytes_v1"),
         (lit(61L) + sum(col("payload") + lit(12))).cast("long").as("bytes_v2"))
 
+  /** Event-time out-of-orderness per topic: lateness of each record vs the
+    * running event-time maximum in arrival order — the statistic that
+    * justifies a streaming watermark delay (withWatermark("ets", X) is safe
+    * iff X covers the observed lateness tail).
+    */
+  def watermarkLateness(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.partitionBy("topic").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val late = log(spark, dir)
+      .withColumn("late_ms", max("tms").over(arrival) - col("tms"))
+    val rank = Window.partitionBy("topic").orderBy("late_ms", "event_id")
+    val ranked = late
+      .withColumn("rn", row_number().over(rank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("topic")))
+    ranked.groupBy("topic").agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("late_ms") > 0L, 1L).otherwise(0L)).as("n_late"),
+      max("late_ms").as("max_late_ms"),
+      max(when(col("rn") === expr("CAST(ceil(n * 0.95) AS BIGINT)"), col("late_ms")))
+        .as("p95_late_ms"))
+  }
+
+  /** Heavy-hitter keys: top-5 keys by record count per topic. */
+  def topKeysPerTopic(spark: SparkSession, dir: String): DataFrame = {
+    val counts = log(spark, dir).groupBy("topic", "k").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("topic").orderBy(col("n").desc, col("k"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "watermark_lateness" -> watermarkLateness,
+    "top_keys_per_topic" -> topKeysPerTopic,
     "value_percentiles" -> valuePercentiles,
     "format_sizes" -> formatSizes,
     "log_view" -> logView,
@@ -224,6 +256,30 @@ object LogOps {
     "fetch_max_bytes" -> fetchMaxBytes)
 
   val oracles: Map[String, String] = Map(
+    "watermark_lateness" -> (logSql +
+      """, late AS (
+        |  SELECT topic, event_id,
+        |    MAX(tms) OVER (PARTITION BY topic ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tms AS late_ms
+        |  FROM log),
+        |ranked AS (
+        |  SELECT topic, late_ms,
+        |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY late_ms, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY topic) AS n
+        |  FROM late)
+        |SELECT topic, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  MAX(late_ms) AS max_late_ms,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN late_ms END)
+        |    AS p95_late_ms
+        |FROM ranked GROUP BY topic""".stripMargin),
+    "top_keys_per_topic" -> (logSql +
+      """, counts AS (
+        |  SELECT topic, k, COUNT(*) AS n FROM log GROUP BY topic, k)
+        |SELECT topic, k, n, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY topic
+        |    ORDER BY n DESC, k) AS rnk FROM counts)
+        |WHERE rnk <= 5""".stripMargin),
     "value_percentiles" -> (logSql +
       """, ranked AS (
         |  SELECT topic, val,
