@@ -159,7 +159,42 @@ object Dedup {
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos"))
   }
 
+  /** Near-duplicate clusters: connected components over the verified
+    * MinHash-LSH pair graph via min-label propagation, iterated to a
+    * fixpoint (the standard large-scale connected-components loop — each
+    * round is one broadcast join, and rounds are logarithmic in component
+    * diameter). cluster_id = smallest doc_id in the component, i.e. the
+    * document a "keep one per cluster" pass retains.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select("d1", "d2").cache()
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
+    var labels = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id")))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
+        .groupBy(col("d1").as("doc_id"))
+        .agg(min("cluster_id").as("nbr_min"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_estimate" -> minhashEstimate,
@@ -206,6 +241,48 @@ object Dedup {
         |JOIN hss s2 ON s2.doc_id = d2
         |WHERE len(list_intersect(s1.hs, s2.hs)) /
         |  len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE length(text) >= 5),
+        |hss AS (
+        |  SELECT doc_id, list_distinct(list_transform(s,
+        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 23),
+        |    j -> list_min(list_transform(hs,
+        |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
+        |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
+        |  FROM hss),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
+        |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
+        |  FROM sig, generate_series(0, 5) t(b)),
+        |sized AS (
+        |  SELECT * FROM bands
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sized a, sized b
+        |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |vpairs AS (
+        |  SELECT d1, d2 FROM cand
+        |  JOIN hss s1 ON s1.doc_id = d1
+        |  JOIN hss s2 ON s2.doc_id = d2
+        |  WHERE len(list_intersect(s1.hs, s2.hs)) /
+        |    len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5),
+        |edges AS (
+        |  SELECT d1, d2 FROM vpairs
+        |  UNION SELECT d2 AS d1, d1 AS d2 FROM vpairs),
+        |reach(src, dst) AS (
+        |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
+        |  UNION
+        |  SELECT r.src, e.d2 FROM reach r JOIN edges e ON e.d1 = r.dst)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
     "minhash_estimate" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -71,7 +71,32 @@ object Transactions {
         min("tms").as("first_ms"),
         max("tms").as("last_ms"))
 
+  /** Producer-epoch fencing (storage/ProducerStateEntry.java): a producer's
+    * epoch bumps every 500 events; once a higher epoch has appended,
+    * records still arriving with an older epoch are fenced. Arrival order
+    * is event_id; rollup of fenced counts per producer.
+    */
+  def producerFencing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recs = LogOps.log(spark, dir)
+      .select(
+        pmod(col("k").cast("long"), lit(16L)).as("producer_id"),
+        col("event_id"),
+        expr("(event_id div 500) % 8").as("epoch"))
+    val arrival = Window.partitionBy("producer_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    recs
+      .withColumn("max_epoch_so_far", max("epoch").over(arrival))
+      .withColumn("fenced", when(col("epoch") < col("max_epoch_so_far"), 1L).otherwise(0L))
+      .groupBy("producer_id")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum("fenced").cast("long").as("n_fenced"),
+        max("epoch").as("last_epoch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "producer_fencing" -> producerFencing,
     "producer_dedup" -> producerDedup,
     "read_committed" -> readCommitted,
     "txn_state" -> txnState)
@@ -79,6 +104,21 @@ object Transactions {
   private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
 
   val oracles: Map[String, String] = Map(
+    "producer_fencing" -> (L +
+      """recs AS (
+        |  SELECT CAST(k AS BIGINT) % 16 AS producer_id, event_id,
+        |    (event_id // 500) % 8 AS epoch
+        |  FROM log),
+        |flagged AS (
+        |  SELECT producer_id, epoch,
+        |    CASE WHEN epoch < MAX(epoch) OVER (PARTITION BY producer_id
+        |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    THEN 1 ELSE 0 END AS fenced
+        |  FROM recs)
+        |SELECT producer_id, COUNT(*) AS n_records,
+        |  CAST(SUM(fenced) AS BIGINT) AS n_fenced,
+        |  MAX(epoch) AS last_epoch
+        |FROM flagged GROUP BY producer_id""".stripMargin),
     "producer_dedup" -> (L +
       """pseq AS (
         |  SELECT CAST(k AS BIGINT) % 16 AS producer_id, event_id // 20 AS seq
