@@ -167,25 +167,40 @@ object Dedup {
     * document a "keep one per cluster" pass retains.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(spark, dir).select("d1", "d2").cache()
+    // localCheckpoint (not cache) everywhere the loop feeds on itself:
+    // caching alone leaves the logical plan growing — each round nests two
+    // copies of the previous round's plan, and Catalyst re-analysis goes
+    // exponential. Checkpointing truncates lineage to the materialized
+    // partitions, keeping every round's plan constant-size.
+    val pairs = dedupMinhashLsh(spark, dir).select("d1", "d2").localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .cache()
+      .localCheckpoint()
     var labels = pairs.select(col("d1").as("doc_id"))
       .union(pairs.select(col("d2").as("doc_id")))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .cache()
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val next = edges
+      val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
         .groupBy(col("d1").as("doc_id"))
         .agg(min("cluster_id").as("nbr_min"))
         .join(labels, "doc_id")
         .select(col("doc_id"),
           least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
-        .cache()
+      // Pointer jumping: also adopt the label of the current label, which
+      // halves the remaining component diameter every round (O(log D)
+      // rounds instead of O(D) on chain-shaped components).
+      val asMap = viaNeighbors
+        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump"))
+      val next = viaNeighbors
+        .join(asMap, Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("jump"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
       labels = next
