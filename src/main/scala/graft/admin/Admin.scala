@@ -38,9 +38,20 @@ object Admin {
         sum("committed").cast("long").as("total_committed"),
         max("commit_ms").as("last_commit_ms"))
 
+  /** DescribeCluster-style single-row totals. */
+  def clusterSummary(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir).agg(
+      countDistinct("topic").as("n_topics"),
+      countDistinct(concat(col("topic"), lit("#"), col("part").cast("string")))
+        .as("n_partitions"),
+      count(lit(1)).as("n_records"),
+      sum(length(col("v")) + length(col("k"))).cast("long").as("approx_bytes"),
+      countDistinct("k").as("n_producers"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topic_metadata" -> topicMetadata,
-    "list_groups" -> listGroups)
+    "list_groups" -> listGroups,
+    "cluster_summary" -> clusterSummary)
 
   private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
 
@@ -58,6 +69,14 @@ object Admin {
         |  CAST(SUM(log_end) AS BIGINT) AS log_end_sum,
         |  CAST(SUM(bytes) AS BIGINT) AS approx_bytes
         |FROM pp GROUP BY topic""".stripMargin),
+    "cluster_summary" -> (LogOps.logSql +
+      """SELECT CAST(COUNT(DISTINCT topic) AS BIGINT) AS n_topics,
+        |  CAST(COUNT(DISTINCT topic || '#' || CAST(part AS VARCHAR)) AS BIGINT)
+        |    AS n_partitions,
+        |  COUNT(*) AS n_records,
+        |  CAST(SUM(length(v) + length(k)) AS BIGINT) AS approx_bytes,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_producers
+        |FROM log""".stripMargin),
     "list_groups" -> (L + commitsSql +
       """SELECT group_id, CAST(COUNT(DISTINCT topic) AS BIGINT) AS n_topics,
         |  COUNT(*) AS n_partitions,

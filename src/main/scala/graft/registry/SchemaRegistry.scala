@@ -50,9 +50,24 @@ object SchemaRegistry {
         min(when(col("has_v1") === 1L && col("has_v2") === 0L, 0L).otherwise(1L))
           .as("backward_compatible"))
 
+  /** Version registry: per (subject, version) the canonical schema
+    * fingerprint — md5 of the sorted field list — and its field count
+    * (SchemaStorage's subject -> versions -> schema-id mapping).
+    */
+  def schemaVersions(spark: SparkSession, dir: String): DataFrame =
+    fields(spark, dir)
+      .withColumn("version", pmod(col("event_id"), lit(2L)) + 1L)
+      .select("topic", "version", "field")
+      .distinct()
+      .groupBy("topic", "version")
+      .agg(
+        count(lit(1)).as("n_fields"),
+        md5(concat_ws(",", sort_array(collect_list("field")))).as("fingerprint"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schema_infer" -> schemaInfer,
-    "schema_compat" -> schemaCompat)
+    "schema_compat" -> schemaCompat,
+    "schema_versions" -> schemaVersions)
 
   private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
 
@@ -69,6 +84,12 @@ object SchemaRegistry {
         |  CASE WHEN MIN(CASE WHEN regexp_matches(fval, '^-?[0-9]+$')
         |    THEN 1 ELSE 0 END) = 1 THEN 'long' ELSE 'string' END AS inferred
         |FROM fv GROUP BY topic, field""".stripMargin),
+    "schema_versions" -> (L + fieldsSql +
+      """, vf AS (
+        |  SELECT DISTINCT topic, event_id % 2 + 1 AS version, field FROM fv)
+        |SELECT topic, version, COUNT(*) AS n_fields,
+        |  md5(string_agg(field, ',' ORDER BY field)) AS fingerprint
+        |FROM vf GROUP BY topic, version""".stripMargin),
     "schema_compat" -> (L + fieldsSql +
       """, vers AS (
         |  SELECT topic, field,
