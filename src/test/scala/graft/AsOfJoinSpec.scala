@@ -35,6 +35,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("empty right side yields all-null matches, not an error") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("id", "key", "t")
+    val right = Seq.empty[(Long, Long, Long)].toDF("rid", "rkey", "rt")
+    val out = plans.AsOf.join(left, right, "key", "rkey", "t", "rt")
+    assert(out.count() == 2)
+    assert(out.filter(col("rid").isNotNull).count() == 0)
+  }
+
+  test("column resolution is case-insensitive under default config") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("id", "key", "t")
+    val right = Seq((9L, 10L, 50L)).toDF("rid", "rkey", "rt")
+    val out = plans.AsOf.join(left, right, "KEY", "RKEY", "T", "RT")
+    assert(out.count() == 1)
+    assert(out.head().getLong(3) == 9L)
+  }
+
   test("events before any signup get a null match") {
     val r = result
     val withNull = r.filter(col("signup_id").isNull)

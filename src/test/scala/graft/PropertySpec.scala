@@ -85,6 +85,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JaccardSorted equals set Jaccard for arbitrary sorted long arrays") {
+    val gen = Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.distinct.sorted)
+    forAll(gen, gen) { (a, b) =>
+      val raw = graft.functions.JaccardSorted(
+        Literal(new GenericArrayData(a.toArray), ArrayType(LongType)),
+        Literal(new GenericArrayData(b.toArray), ArrayType(LongType)))
+        .nullSafeEval(new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      if (union == 0) assert(raw == null)
+      else assert(raw.asInstanceOf[Double] == inter.toDouble / union.toDouble)
+    }
+  }
+
   test("SimHash48 equals brute-force bit sums for arbitrary token lists") {
     val gen = Gen.listOf(Gen.listOf(Gen.alphaChar).map(_.mkString))
     forAll(gen) { toks =>

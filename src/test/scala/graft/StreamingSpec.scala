@@ -60,6 +60,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming READ_COMMITTED filter == batch aborted-txn filter") {
+    val schema = Tables.t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Streams.stageStreamDir(dir, "events"))
+    // Stateless scan-side predicate — identical in batch and streaming.
+    def committed(df: org.apache.spark.sql.DataFrame) = df.filter(
+      !substring(md5(pmod(col("event_id"), lit(64L)).cast("string")), 1, 1)
+        .isin("0", "1", "2"))
+    val q = committed(stream).select("event_id").writeStream
+      .outputMode("append").format("memory").queryName("graft_rc_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_rc_stream").count()
+    val want = committed(Tables.t(spark, dir, "events")).count()
+    assert(got == want && got > 0)
+  }
+
   test("streaming ingest sink lands every event in the partitioned store") {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val batches = Streams.runIngestStream(spark, dir, out)
