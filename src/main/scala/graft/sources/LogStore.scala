@@ -40,6 +40,32 @@ object LogStore {
   def read(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
 
+  /** Materialize the log as a bucketed table: 8 buckets on `part`, sorted
+    * by (part, offs) within each bucket. Joins and aggregations keyed on
+    * `part` between co-bucketed tables then plan with NO shuffle exchange —
+    * the co-located-join layout the brief's 100 TB design calls for
+    * (verified by LogStoreSpec asserting an Exchange-free join plan).
+    */
+  def materializeBucketed(spark: SparkSession, dir: String,
+      table: String, path: String): Unit =
+    LogOps.log(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(8, "part")
+      .sortBy("part", "offs")
+      .saveAsTable(table)
+
+  /** Per-partition aggregation joined against per-partition extremes, both
+    * sides reading the bucketed table — a shuffle-free co-located join.
+    */
+  def bucketedLagJoin(spark: SparkSession, table: String): DataFrame = {
+    val a = spark.table(table).groupBy("part")
+      .agg(count(lit(1)).as("n"), max("offs").as("max_offs"))
+    val b = spark.table(table).groupBy("part").agg(min("tms").as("first_ms"))
+    a.join(b, "part")
+  }
+
   /** Fetch against the materialized layout — the partition-pruned analog of
     * LogOps.fetch: the topic predicate eliminates directories instead of
     * rows.

@@ -24,6 +24,21 @@ class LogStoreSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("bucketed table joins without a shuffle exchange") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    LogStore.materializeBucketed(spark, dir, "graft_log_bucketed", path)
+    val q = LogStore.bucketedLagJoin(spark, "graft_log_bucketed")
+    val rows = q.count()
+    assert(rows == LogOps.log(spark, dir).select("part").distinct().count())
+    val plan = q.queryExecution.executedPlan.toString
+    // Bucketing must eliminate every SHUFFLE exchange (the broadcast
+    // exchange for the small join side is expected and desirable).
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in bucketed join:\n$plan")
+    assert(plan.contains("Bucketed: true"))
+    spark.sql("DROP TABLE IF EXISTS graft_log_bucketed")
+  }
+
   test("topic predicate prunes partitions at the scan") {
     val q = LogStore.fetchFromStore(spark, store, "click", 0L, 100L)
     val scan = q.queryExecution.executedPlan.toString
