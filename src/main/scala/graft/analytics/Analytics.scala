@@ -265,7 +265,33 @@ object Analytics {
       .select("event_id", "user_id", "et", "amount", "view_id", "vt")
   }
 
+  /** TPC-H Q7-flavor: shipping volume between supplier and customer
+    * nations for a nation pair, by year — two broadcast dimension chains
+    * hanging off the fact join.
+    */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val pairFilter =
+      (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3")
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(pairFilter)
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume" -> q7,
     "purchase_attribution" -> purchaseAttribution,
     "salted_agg" -> saltedAgg,
     "funnel" -> funnel,
@@ -283,6 +309,17 @@ object Analytics {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
     "purchase_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, "value",
