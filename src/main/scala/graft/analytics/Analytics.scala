@@ -290,7 +290,45 @@ object Analytics {
         .as("revenue"))
   }
 
+  /** TPC-H Q4-flavor: orders with at least one late line item, counted by
+    * priority — the left-semi (EXISTS) join shape.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val late = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Parts with no shipment since 2001 — the left-anti (NOT EXISTS) join
+    * shape (dormant-inventory report).
+    */
+  def partsUnordered(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("l_partkey")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"))
+
+  /** Throughput with ROLLUP subtotals: per (topic, partition), per topic,
+    * and grand total in one pass.
+    */
+  def throughputRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.log.LogOps.log(spark, dir)
+      .rollup("topic", "part")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("v"))).cast("long").as("bytes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_semi" -> q4,
+    "parts_unordered" -> partsUnordered,
+    "throughput_rollup" -> throughputRollup,
     "q7_volume" -> q7,
     "purchase_attribution" -> purchaseAttribution,
     "salted_agg" -> saltedAgg,
@@ -309,6 +347,24 @@ object Analytics {
     "sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "q4_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > TIMESTAMP '1997-01-01')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "parts_unordered" ->
+      """SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "throughput_rollup" -> (graft.log.LogOps.logSql +
+      """SELECT topic, part, COUNT(*) AS n,
+        |  CAST(SUM(length(v)) AS BIGINT) AS bytes
+        |FROM log GROUP BY ROLLUP(topic, part)""".stripMargin),
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
