@@ -154,7 +154,22 @@ object TextAnalysis {
       max("n_chars").as("max_c"))
   }
 
+  /** Canonical text normalization: lowercase, strip punctuation, collapse
+    * whitespace — the first stage of every text pipeline, reported with
+    * before/after sizes and the normalized md5 identity.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("norm",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_len"),
+        length(col("norm")).cast("long").as("norm_len"),
+        md5(col("norm")).as("norm_hash"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "normalize_text" -> normalizeText,
     "tfidf" -> tfidf,
     "ngram_counts" -> ngramCounts,
     "doc_length_stats" -> docLengthStats,
@@ -168,6 +183,14 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "normalize_text" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+        |  CAST(length(norm) AS BIGINT) AS norm_len, md5(norm) AS norm_hash
+        |FROM (
+        |  SELECT doc_id, text, trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm
+        |  FROM documents)""".stripMargin,
     "tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

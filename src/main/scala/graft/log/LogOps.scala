@@ -82,6 +82,20 @@ object LogOps {
       .groupBy("topic", "part")
       .agg(min("offs").as("offs"), min("tms").as("tms"))
 
+  /** ListOffsets MAX_TIMESTAMP (-3): the offset holding each partition's
+    * maximum event time — distinct from the log-end offset because the log
+    * is not time-ordered (watermark_lateness quantifies exactly that).
+    * Kafka returns the earliest offset among max-timestamp records.
+    */
+  def offsetsForMaxTs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic", "part")
+      .orderBy(col("tms").desc, col("offs").asc)
+    log(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("topic"), col("part"), col("offs"), col("tms").as("max_tms"))
+  }
+
   /** Log compaction: latest record per (topic, partition, key). */
   def compact(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("topic", "part", "k")
@@ -247,6 +261,7 @@ object LogOps {
     "fetch" -> fetch,
     "list_offsets" -> listOffsets,
     "offsets_for_times" -> offsetsForTimes,
+    "offsets_for_max_ts" -> offsetsForMaxTs,
     "compact" -> compact,
     "retention" -> retention,
     "validate_records" -> validateRecords,
@@ -309,6 +324,11 @@ object LogOps {
     "offsets_for_times" -> (logSql +
       """SELECT topic, part, MIN(offs) AS offs, MIN(tms) AS tms
         |FROM log WHERE tms >= 1705276800000 GROUP BY topic, part""".stripMargin),
+    "offsets_for_max_ts" -> (logSql +
+      """SELECT topic, part, offs, tms AS max_tms FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part
+        |    ORDER BY tms DESC, offs ASC) AS rn FROM log)
+        |WHERE rn = 1""".stripMargin),
     "compact" -> (logSql +
       """SELECT topic, part, k, offs, v, tms FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part, k
