@@ -53,7 +53,7 @@ object Admin {
     "list_groups" -> listGroups,
     "cluster_summary" -> clusterSummary)
 
-  private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
+  private val L = LogOps.logSqlCte
 
   // One source of truth for the commit-log model: Groups owns the SQL.
   private val commitsSql: String = Groups.commitsSql

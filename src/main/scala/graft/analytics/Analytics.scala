@@ -59,9 +59,12 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val l = t(spark, dir, "lineitem")
+    // Only genuinely tiny dims carry a broadcast hint (nation/region);
+    // customer/supplier are left to AQE, which broadcasts at test scale
+    // and shuffles at the multi-GB cluster scale.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -139,12 +142,13 @@ object Analytics {
   /** Two-table as-of join through the custom physical operator
     * (graft.plans.AsOfJoinExec): every non-signup event joined to the
     * user's latest signup at-or-before it. The time coordinate folds the
-    * event id into the low bits so ordering is total and both engines agree
-    * on ties.
+    * event id mod 2^20 into the low bits — total order unless two same-user
+    * events share a millisecond AND ids differ by a multiple of 2^20, which
+    * needs a million events in one millisecond.
     */
   def asofJoinSignup(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-      .withColumn("et", expr("(ts div 1000000) * 16384 + event_id % 16384"))
+      .withColumn("et", expr("(ts div 1000000) * 1048576 + event_id % 1048576"))
     val left = ev.filter(col("event_type") =!= "signup")
       .select(col("event_id"), col("user_id"), col("et"))
     val right = ev.filter(col("event_type") === "signup")
@@ -194,23 +198,35 @@ object Analytics {
         count(lit(1)).as("n_events"))
 
   /** Ordered funnel: per user, did signup -> view -> purchase happen in
-    * that temporal order? Stage reach counts over the whole population.
-    * One aggregation per user (min event time per stage), then a single
-    * rollup — no joins, fully map-side-combinable.
+    * that temporal order? Each stage time is the EARLIEST occurrence after
+    * the previous stage (not the global first occurrence, which would
+    * wrongly fail users whose first view predates their signup). Three
+    * per-user aggregations, each joined back through a broadcast of the
+    * tiny per-user frame.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
+    // Time-boxed to the first two days so the stages actually differentiate
+    // (over the full month every user completes the funnel).
     val e = t(spark, dir, "events").withColumn("tms", nsToMs("ts"))
-    val perUser = e.groupBy("user_id").agg(
-      min(when(col("event_type") === "signup", col("tms"))).as("t_signup"),
-      min(when(col("event_type") === "view", col("tms"))).as("t_view"),
-      min(when(col("event_type") === "purchase", col("tms"))).as("t_purchase"))
-    perUser.agg(
+      .filter(col("tms") < lit(1704240000000L)) // 2024-01-03 00:00 UTC
+    val s1 = e.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("tms"))).as("t_signup"))
+    val s2 = e.join(broadcast(s1), "user_id")
+      .groupBy("user_id").agg(
+        min(when(col("event_type") === "view" && col("tms") > col("t_signup"),
+          col("tms"))).as("t_view"),
+        min("t_signup").as("t_signup"))
+    val s3 = e.join(broadcast(s2), "user_id")
+      .groupBy("user_id").agg(
+        min(when(col("event_type") === "purchase" && col("tms") > col("t_view"),
+          col("tms"))).as("t_purchase"),
+        min("t_signup").as("t_signup"),
+        min("t_view").as("t_view"))
+    s3.agg(
       count(lit(1)).as("n_users"),
       sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("reached_signup"),
-      sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup"), 1L)
-        .otherwise(0L)).as("reached_view"),
-      sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup") &&
-        col("t_purchase") > col("t_view"), 1L).otherwise(0L)).as("reached_purchase"))
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("reached_view"),
+      sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("reached_purchase"))
   }
 
   /** Weekly cohort retention: users grouped by first-seen week, counted in
@@ -255,7 +271,7 @@ object Analytics {
     */
   def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-      .withColumn("et", expr("(ts div 1000000) * 16384 + event_id % 16384"))
+      .withColumn("et", expr("(ts div 1000000) * 1048576 + event_id % 1048576"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("et"), col("value").as("amount"))
     val views = ev.filter(col("event_type") === "view")
@@ -279,8 +295,8 @@ object Analytics {
         (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3")
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(pairFilter)
@@ -379,7 +395,7 @@ object Analytics {
     "purchase_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, "value",
-        |    epoch_ms(ts) * 16384 + event_id % 16384 AS et
+        |    epoch_ms(ts) * 1048576 + event_id % 1048576 AS et
         |  FROM events),
         |w AS (
         |  SELECT event_id, user_id, et, event_type, "value",
@@ -398,20 +414,30 @@ object Analytics {
         |  MAX("value") AS max_val
         |FROM events GROUP BY event_type""".stripMargin,
     "funnel" ->
-      """WITH pu AS (
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events
+        |  WHERE epoch_ms(ts) < 1704240000000),
+        |s1 AS (
         |  SELECT user_id,
-        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t_signup,
-        |    MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
-        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
-        |  FROM events GROUP BY user_id)
+        |    MIN(CASE WHEN event_type = 'signup' THEN tms END) AS t_signup
+        |  FROM e GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id,
+        |    MIN(CASE WHEN event_type = 'view' AND tms > t_signup THEN tms END) AS t_view,
+        |    MIN(t_signup) AS t_signup
+        |  FROM e JOIN s1 ON s1.user_id = e.user_id GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id,
+        |    MIN(CASE WHEN event_type = 'purchase' AND tms > t_view THEN tms END) AS t_purchase,
+        |    MIN(t_signup) AS t_signup, MIN(t_view) AS t_view
+        |  FROM e JOIN s2 ON s2.user_id = e.user_id GROUP BY e.user_id)
         |SELECT COUNT(*) AS n_users,
         |  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS reached_signup,
-        |  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
-        |  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-        |    AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
-        |FROM pu""".stripMargin,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS reached_view,
+        |  CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS reached_purchase
+        |FROM s3""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
@@ -441,7 +467,7 @@ object Analytics {
     "asof_join_signup" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,
-        |    epoch_ms(ts) * 16384 + event_id % 16384 AS et
+        |    epoch_ms(ts) * 1048576 + event_id % 1048576 AS et
         |  FROM events),
         |w AS (
         |  SELECT event_id, user_id, et, event_type,

@@ -144,7 +144,7 @@ object Groups {
     "describe_groups" -> describeGroups,
     "offset_expiration" -> offsetExpiration)
 
-  private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
+  private val L = LogOps.logSqlCte
 
   private def rangeMemberSql(nc: Int): String =
     s"""CASE WHEN idx < ((np // $nc) + 1) * (np % $nc)

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object LogOps {
 
-  /** Canonical log view: offset assignment over the event stream. */
+  /** Canonical log view: offset assignment over the event stream. Offsets
+    * follow ARRIVAL order (event_id — the broker assigns offsets as records
+    * append, not by event time), which is why event time inside a partition
+    * is out of order (watermark_lateness / offsets_for_max_ts measure it).
+    */
   def log(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("topic", "part").orderBy("tms", "event_id")
+    val w = Window.partitionBy("topic", "part").orderBy("event_id")
     t(spark, dir, "events")
       .select(
         col("event_id"),
@@ -44,9 +48,15 @@ object LogOps {
       |    user_id % 8 AS part, CAST(user_id AS VARCHAR) AS k, props AS v,
       |    "value" AS val,
       |    ROW_NUMBER() OVER (PARTITION BY event_type, user_id % 8
-      |                       ORDER BY epoch_ms(ts), event_id) - 1 AS offs
+      |                       ORDER BY event_id) - 1 AS offs
       |  FROM events)
       |""".stripMargin
+
+  /** [[logSql]] as a continuable CTE prefix (trailing comma) for oracles
+    * that chain more CTEs — single definition so the concatenation shape
+    * can't drift between modules.
+    */
+  val logSqlCte: String = logSql.stripSuffix("\n") + ",\n"
 
   private val cols = Seq("topic", "part", "offs", "event_id", "tms", "k", "v")
 
@@ -73,8 +83,10 @@ object LogOps {
       max("tms").as("latest_ms"))
 
   /** First offset with timestamp >= target per partition (ListOffsets by
-    * time; OffsetFinder's interpolation search becomes min-over-filter —
-    * the declarative form lets Catalyst push the time predicate to the scan).
+    * time; OffsetFinder's interpolation search becomes min-over-filter).
+    * The time predicate cannot push below the offset window (offsets depend
+    * on every row); at scale the trim comes from the store's (topic, day)
+    * partition pruning, not this filter.
     */
   def offsetsForTimes(spark: SparkSession, dir: String): DataFrame =
     log(spark, dir)
@@ -139,15 +151,15 @@ object LogOps {
   /** Kafka offset <-> Pulsar MessageId translation
     * (/root/reference/kafka-impl/.../utils/MessageMetadataUtils.java): the
     * reference maps continuous offsets onto (ledger, entry) coordinates;
-    * modeled as 1000-entry ledgers with a batch index.
+    * modeled as 1000-record ledgers of 10 batch-entries x 100 records.
     */
   def offsetTranslate(spark: SparkSession, dir: String): DataFrame =
     log(spark, dir)
       .filter(col("topic") === "purchase")
       .select(col("topic"), col("part"), col("offs"),
         expr("offs div 1000").as("ledger_id"),
-        (col("offs") % 100L).as("entry_id"),
-        expr("(offs div 100) % 10").as("batch_idx"))
+        expr("(offs div 100) % 10").as("entry_id"),
+        (col("offs") % 100L).as("batch_idx"))
 
   /** DeleteRecords (/root/reference/kafka-impl/.../AdminManager.java):
     * truncate each partition before a requested offset; report the new
@@ -174,7 +186,9 @@ object LogOps {
       .filter(col("offs") >= 10L)
       .withColumn("rec_bytes", length(col("v")) + length(col("k")) + lit(16))
       .withColumn("cum_bytes", sum("rec_bytes").over(w).cast("long"))
-      .filter(col("cum_bytes") <= 4096L)
+      // Kafka always returns at least the first record past the start
+      // offset so consumers can make progress even past the byte cap.
+      .filter(col("cum_bytes") <= 4096L || col("cum_bytes") === col("rec_bytes"))
       .select(col("topic"), col("part"), col("offs"), col("event_id"),
         col("rec_bytes").cast("long").as("rec_bytes"), col("cum_bytes"))
   }
@@ -353,7 +367,7 @@ object LogOps {
         |FROM log GROUP BY topic""".stripMargin),
     "offset_translate" -> (logSql +
       """SELECT topic, part, offs, offs // 1000 AS ledger_id,
-        |  offs % 100 AS entry_id, (offs // 100) % 10 AS batch_idx
+        |  (offs // 100) % 10 AS entry_id, offs % 100 AS batch_idx
         |FROM log WHERE topic = 'purchase'""".stripMargin),
     "delete_records" -> (logSql +
       """SELECT topic, part, MIN(offs) AS new_earliest, COUNT(*) AS n_remaining,
@@ -368,7 +382,7 @@ object LogOps {
         |    SUM(length(v) + length(k) + 16) OVER (PARTITION BY topic, part
         |      ORDER BY offs ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
         |  FROM log WHERE offs >= 10)
-        |WHERE cum_bytes <= 4096""".stripMargin),
+        |WHERE cum_bytes <= 4096 OR cum_bytes = rec_bytes""".stripMargin),
     "topic_throughput" -> (logSql +
       """SELECT topic, (tms // 3600000) * 3600000 AS hour_ms,
         |  COUNT(*) AS n_msgs,

@@ -69,7 +69,7 @@ object SchemaRegistry {
     "schema_compat" -> schemaCompat,
     "schema_versions" -> schemaVersions)
 
-  private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
+  private val L = LogOps.logSqlCte
 
   private val fieldsSql: String =
     """f AS (SELECT topic, event_id, v, unnest(json_keys(v)) AS field FROM log),

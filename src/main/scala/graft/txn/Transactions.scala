@@ -101,7 +101,7 @@ object Transactions {
     "read_committed" -> readCommitted,
     "txn_state" -> txnState)
 
-  private val L = LogOps.logSql.stripSuffix("\n") + ",\n"
+  private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
     "producer_fencing" -> (L +

@@ -20,7 +20,7 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("matches the single-table window formulation") {
     val ev = Tables.t(spark, dir, "events")
-      .withColumn("et", expr("(ts div 1000000) * 16384 + event_id % 16384"))
+      .withColumn("et", expr("(ts div 1000000) * 1048576 + event_id % 1048576"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("et")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -59,7 +59,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     // every null-match event precedes its user's first signup time
     val firstSignup = Tables.t(spark, dir, "events")
       .filter(col("event_type") === "signup")
-      .withColumn("et", expr("(ts div 1000000) * 16384 + event_id % 16384"))
+      .withColumn("et", expr("(ts div 1000000) * 1048576 + event_id % 1048576"))
       .groupBy("user_id").agg(min("et").as("first_st"))
     assert(withNull.join(firstSignup, Seq("user_id"), "left")
       .filter(col("first_st").isNotNull && col("et") >= col("first_st"))
