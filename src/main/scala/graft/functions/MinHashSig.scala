@@ -23,6 +23,8 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // Can return null from non-null input (empty array).
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

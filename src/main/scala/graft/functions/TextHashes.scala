@@ -97,14 +97,16 @@ case class JaccardSorted(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val inter = ctx.freshName("inter")
       val union = ctx.freshName("union")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $inter = 0;
          |while ($i < $na && $j < $nb) {
-         |  long x = $a.getLong($i); long y = $b.getLong($j);
-         |  if (x == y) { $inter++; $i++; $j++; }
-         |  else if (x < y) { $i++; } else { $j++; }
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
          |}
          |int $union = $na + $nb - $inter;
          |if ($union == 0) { ${ev.isNull} = true; }

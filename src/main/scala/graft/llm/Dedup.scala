@@ -20,40 +20,31 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct 5-char shingle set per document. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .filter(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))")
-          .as("sh"))
+  /** Shared LSH candidate pipeline: hashed shingle sets (one md5 per
+    * shingle + 24 universal hashes h_j(x) = (a_j*x + b_j) mod p), 6x4
+    * banding, a 50-doc bucket cap (a band signature shared by hundreds of
+    * docs has no selectivity and would turn the pair join quadratic — at
+    * sf0.1 six such buckets held 83% of all candidate pairs), and the
+    * distinct candidate pairs — one definition for verifier, estimator,
+    * and clusterer so the LSH parameters cannot drift apart.
+    */
+  /** One cached hashed-shingle frame per (session, dir), shared by the
+    * three minhash-family queries — repeated invocations reuse it instead
+    * of pinning a fresh copy each (Spark evicts it LRU under pressure).
+    */
+  private val hsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** MinHash(24) + LSH(6 bands x 4 rows) -> bucket equi-join -> exact
-    * Jaccard verification (over the hashed shingle sets) at >= 0.5.
-    *
-    * One md5 per shingle; the 24 hash functions are universal hashes
-    * h_j(x) = (a_j*x + b_j) mod p over the md5-derived integer — 24x fewer
-    * digest computations than hashing every shingle 24 times.
-    *
-    * Buckets larger than 50 docs are skipped: a band signature shared by
-    * hundreds of documents carries no selectivity and would turn the pair
-    * join quadratic (the standard guard in production LSH dedup — at sf0.1
-    * six such buckets held 83% of all candidate pairs).
-    */
-  /** Shared LSH candidate pipeline: hashed shingle sets, 24-hash
-    * signatures, 6x4 banding with the 50-doc bucket cap, and the distinct
-    * candidate pairs — one definition for both the verifier and the
-    * estimator so the LSH parameters cannot drift apart.
-    */
   private def lshCandidates(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.MinHashSig.register(spark)
     graft.functions.TextHashes.register(spark)
-    val hs = t(spark, dir, "documents")
-      .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))
-      .cache()
+    val hs = hsCache.getOrElseUpdate((spark, dir),
+      t(spark, dir, "documents")
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))
+        .cache())
     val sigs = hs.select(col("doc_id"), col("hs"), expr("minhash_sig(hs)").as("sig"))
     val bands = sigs.select(col("doc_id"), explode(
       expr("""transform(sequence(0, 5),
@@ -146,11 +137,7 @@ object Dedup {
     * bit-identical doubles.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecDot.register(spark)
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val e = Embeddings.withNorm(spark, dir)
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",

@@ -52,6 +52,9 @@ object Multimodal {
   def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = t(spark, dir, "documents")
+      // Null payloads (nullable text column) are skipped rather than
+      // crashing the batch decode.
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3L)) + 1L).cast("int")).as("media_type"),

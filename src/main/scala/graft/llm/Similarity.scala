@@ -19,13 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecDot.register(spark)
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-  }
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.withNorm(spark, dir)
 
   private val cosExpr = "vec_dot(q.v, c.v) / (q.nrm * c.nrm)"
 

@@ -40,7 +40,10 @@ object Streams {
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+      // Decimal sum, exactly like the batch equivalent and the oracle —
+      // raw double sums are order-dependent and would make stream != batch.
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("sum_val"))
       .select(unix_millis(col("window.start")).as("win_ms"),
         col("event_type"), col("n"), col("sum_val"))
 
@@ -85,8 +88,11 @@ object Streams {
   def stageStreamDir(dir: String, table: String): String = {
     import java.nio.file.{Files, Paths}
     val d = Files.createTempDirectory(s"graft_stream_$table")
-    Files.createSymbolicLink(d.resolve(s"$table.parquet"),
+    val link = Files.createSymbolicLink(d.resolve(s"$table.parquet"),
       Paths.get(s"$dir/$table.parquet").toAbsolutePath)
+    // Best-effort cleanup so repeated runs don't accumulate temp dirs.
+    link.toFile.deleteOnExit()
+    d.toFile.deleteOnExit()
     d.toString
   }
 

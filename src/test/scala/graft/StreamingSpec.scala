@@ -22,9 +22,9 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val got = spark.table("graft_win_stream")
-      .select(col("win_ms"), col("event_type"), col("n"))
+      .select(col("win_ms"), col("event_type"), col("n"), col("sum_val"))
     val want = Streams.streamWindowAgg(spark, dir)
-      .select(col("win_ms"), col("event_type"), col("n"))
+      .select(col("win_ms"), col("event_type"), col("n"), col("sum_val"))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
