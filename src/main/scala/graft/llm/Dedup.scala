@@ -90,6 +90,22 @@ object Dedup {
         expr("jaccard_sorted(s1, s2)").as("jac"))
   }
 
+  /** Asymmetric containment |A∩B| / |A| for every LSH candidate pair, both
+    * directions — catches quotes/subsets that symmetric Jaccard misses
+    * (a short doc fully contained in a long one has low Jaccard but
+    * containment 1.0).
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val (hs, _, cand) = lshCandidates(spark, dir)
+    cand
+      .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .select(col("d1"), col("d2"),
+        (col("inter") / size(col("s1"))).as("containment_1"),
+        (col("inter") / size(col("s2"))).as("containment_2"))
+  }
+
   /** 48-bit SimHash over distinct tokens; near-dup at hamming <= 2.
     * Candidates via 3 chunks of 16 bits: two bit-errors across 3 chunks
     * leave at least one chunk identical (pigeonhole), so the block join is
@@ -199,12 +215,46 @@ object Dedup {
     "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "containment" -> containment,
     "minhash_estimate" -> minhashEstimate,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE length(text) >= 5),
+        |hss AS (
+        |  SELECT doc_id, list_distinct(list_transform(s,
+        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 23),
+        |    j -> list_min(list_transform(hs,
+        |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
+        |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
+        |  FROM hss),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
+        |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
+        |  FROM sig, generate_series(0, 5) t(b)),
+        |sized AS (
+        |  SELECT * FROM bands
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sized a, sized b
+        |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  len(list_intersect(s1.hs, s2.hs)) / len(s1.hs) AS containment_1,
+        |  len(list_intersect(s1.hs, s2.hs)) / len(s2.hs) AS containment_2
+        |FROM cand
+        |JOIN hss s1 ON s1.doc_id = d1
+        |JOIN hss s2 ON s2.doc_id = d2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
