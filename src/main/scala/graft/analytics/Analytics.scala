@@ -341,7 +341,26 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum(length(col("v"))).cast("long").as("bytes"))
 
+  private val topics = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user activity matrix: one column per topic (pivot). */
+  def pivotTopics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", topics)
+      .count()
+      .na.fill(0L, topics)
+
+  /** The inverse reshape (unpivot/melt) back to (user_id, topic, n) — the
+    * round trip a reporting layer needs in both directions.
+    */
+  def unpivotTopics(spark: SparkSession, dir: String): DataFrame =
+    pivotTopics(spark, dir)
+      .unpivot(Array(col("user_id")), topics.map(col).toArray, "topic", "n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_topics" -> pivotTopics,
+    "unpivot_topics" -> unpivotTopics,
     "q4_semi" -> q4,
     "parts_unordered" -> partsUnordered,
     "throughput_rollup" -> throughputRollup,
@@ -362,7 +381,23 @@ object Analytics {
     "topn_per_group" -> topnPerGroup,
     "sessionize" -> sessionize)
 
+  private val pivotSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pivot_topics" -> pivotSql,
+    "unpivot_topics" ->
+      (s"""WITH p AS (\n${pivotSql.replace("\n", "\n  ")})\n""" +
+        """SELECT user_id, t.topic, t.n FROM p,
+          |LATERAL (VALUES ('click', p.click), ('error', p.error),
+          |  ('purchase', p.purchase), ('signup', p.signup),
+          |  ('view', p.view)) AS t(topic, n)""".stripMargin),
     "q4_semi" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
