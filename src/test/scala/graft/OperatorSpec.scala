@@ -73,6 +73,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.filter(col("cos") > 1.0000001 || col("cos") < -1.0000001).count() == 0)
   }
 
+  test("unpivot(pivot) round-trips to the plain group counts") {
+    val melted = analytics.Analytics.unpivotTopics(spark, dir)
+      .filter(col("n") > 0)
+      .withColumnRenamed("topic", "event_type")
+    val direct = Tables.t(spark, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    assert(melted.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(melted).count() == 0)
+  }
+
   test("HLL sketch estimate within 5% of exact distinct counts") {
     val e = Tables.t(spark, dir, "events")
     val both = e.groupBy("event_type").agg(
