@@ -358,7 +358,35 @@ object Analytics {
     pivotTopics(spark, dir)
       .unpivot(Array(col("user_id")), topics.map(col).toArray, "topic", "n")
 
+  /** Daily active users with the day's share of the monthly actives
+    * (DAU and DAU/MAU stickiness — the engagement rollup every event
+    * product reports).
+    */
+  def dauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    val dau = e.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val mau = e.agg(countDistinct("user_id").as("mau"))
+    dau.crossJoin(broadcast(mau))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau") / col("mau")).as("stickiness"))
+  }
+
+  /** Per-topic daily error rate: the error-events share of all events that
+    * day (operational health rollup).
+    */
+  def errorRate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("error_rate", col("n_errors") / col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dau_stickiness" -> dauStickiness,
+    "error_rate" -> errorRate,
     "pivot_topics" -> pivotTopics,
     "unpivot_topics" -> unpivotTopics,
     "q4_semi" -> q4,
@@ -391,6 +419,21 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dau_stickiness" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM e GROUP BY day),
+        |mau AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM e)
+        |SELECT day, dau, mau, dau / mau AS stickiness
+        |FROM dau CROSS JOIN mau""".stripMargin,
+    "error_rate" ->
+      """SELECT day, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_errors,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    / COUNT(*) AS error_rate
+        |FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events)
+        |GROUP BY day""".stripMargin,
     "pivot_topics" -> pivotSql,
     "unpivot_topics" ->
       (s"""WITH p AS (\n${pivotSql.replace("\n", "\n  ")})\n""" +
