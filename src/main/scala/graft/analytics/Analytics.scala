@@ -384,7 +384,35 @@ object Analytics {
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
       .withColumn("error_rate", col("n_errors") / col("n_events"))
 
+  /** TPC-H Q15-flavor: the top-revenue supplier(s) for a quarter — the
+    * "equal to a scalar aggregate" pattern (rank-free, ties kept).
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .as("total_revenue"))
+    val best = rev.agg(max("total_revenue").as("best"))
+    rev.crossJoin(broadcast(best))
+      .filter(col("total_revenue") === col("best"))
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** Order-size distribution: how many orders have k line items. */
+  def orderSizeDistribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"))
+      .groupBy("n_items")
+      .agg(count(lit(1)).as("n_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_supplier" -> topSupplier,
+    "order_size_distribution" -> orderSizeDistribution,
     "dau_stickiness" -> dauStickiness,
     "error_rate" -> errorRate,
     "pivot_topics" -> pivotTopics,
@@ -419,6 +447,21 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "order_size_distribution" ->
+      """SELECT n_items, COUNT(*) AS n_orders FROM (
+        |  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey)
+        |GROUP BY n_items""".stripMargin,
     "dau_stickiness" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
         |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
