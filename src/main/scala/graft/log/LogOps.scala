@@ -266,7 +266,36 @@ object LogOps {
       .filter(col("rnk") <= 5)
   }
 
+  /** Partition skew report: per-topic record-count imbalance across
+    * partitions (max/avg skew factor) — the signal that triggers salting or
+    * key redesign before a hot partition melts an executor at scale.
+    */
+  def partitionSkew(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .groupBy("topic", "part").agg(count(lit(1)).as("n"))
+      .groupBy("topic")
+      .agg(
+        min("n").as("min_n"),
+        max("n").as("max_n"),
+        sum("n").cast("long").as("total"),
+        count(lit(1)).as("n_parts"))
+      .withColumn("skew",
+        col("max_n") / (col("total") / col("n_parts")))
+
+  /** Peak-rate minute per topic (ties kept via scalar-max equality). */
+  def peakMinute(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = log(spark, dir)
+      .withColumn("minute_ms", expr("(tms div 60000) * 60000"))
+      .groupBy("topic", "minute_ms").agg(count(lit(1)).as("n"))
+    val best = perMin.groupBy("topic").agg(max("n").as("best"))
+    perMin.join(best, "topic")
+      .filter(col("n") === col("best"))
+      .select("topic", "minute_ms", "n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "partition_skew" -> partitionSkew,
+    "peak_minute" -> peakMinute,
     "watermark_lateness" -> watermarkLateness,
     "top_keys_per_topic" -> topKeysPerTopic,
     "value_percentiles" -> valuePercentiles,
@@ -285,6 +314,21 @@ object LogOps {
     "fetch_max_bytes" -> fetchMaxBytes)
 
   val oracles: Map[String, String] = Map(
+    "partition_skew" -> (logSql +
+      """SELECT topic, min_n, max_n, total, n_parts,
+        |  max_n / (total / n_parts) AS skew
+        |FROM (
+        |  SELECT topic, MIN(n) AS min_n, MAX(n) AS max_n,
+        |    CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_parts
+        |  FROM (SELECT topic, part, COUNT(*) AS n FROM log GROUP BY topic, part)
+        |  GROUP BY topic)""".stripMargin),
+    "peak_minute" -> (logSql +
+      """, pm AS (
+        |  SELECT topic, (tms // 60000) * 60000 AS minute_ms, COUNT(*) AS n
+        |  FROM log GROUP BY topic, (tms // 60000) * 60000),
+        |best AS (SELECT topic, MAX(n) AS best FROM pm GROUP BY topic)
+        |SELECT pm.topic, minute_ms, n
+        |FROM pm JOIN best ON pm.topic = best.topic AND pm.n = best.best""".stripMargin),
     "watermark_lateness" -> (logSql +
       """, late AS (
         |  SELECT topic, event_id,
