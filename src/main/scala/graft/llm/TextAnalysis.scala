@@ -168,7 +168,21 @@ object TextAnalysis {
         length(col("norm")).cast("long").as("norm_len"),
         md5(col("norm")).as("norm_hash"))
 
+  /** Per-source vocabulary statistics: token volume, distinct vocabulary,
+    * and type-token ratio — the corpus-diversity profile used to weight
+    * sources in a training mix.
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_vocab"))
+      .withColumn("ttr", col("n_vocab") / col("n_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_stats" -> vocabStats,
     "normalize_text" -> normalizeText,
     "tfidf" -> tfidf,
     "ngram_counts" -> ngramCounts,
@@ -183,6 +197,13 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "vocab_stats" ->
+      """SELECT source, COUNT(*) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) / COUNT(*) AS ttr
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
         |  CAST(length(norm) AS BIGINT) AS norm_len, md5(norm) AS norm_hash
