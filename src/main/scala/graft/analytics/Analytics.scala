@@ -671,7 +671,7 @@ object Analytics {
         |      OVER (PARTITION BY user_id ORDER BY tms, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
-        |SELECT user_id, sid, COUNT(*) AS n_events, MIN(tms) AS start_ms,
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events, MIN(tms) AS start_ms,
         |  MAX(tms) AS end_ms,
         |  CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sum_val
         |FROM s GROUP BY user_id, sid""".stripMargin)

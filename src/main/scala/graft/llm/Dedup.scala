@@ -35,11 +35,22 @@ object Dedup {
   private val hsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop cache entries whose session has been stopped (and any caller can
+    * force a full clear from test teardown) so recycled sessions don't pin
+    * DataFrames for the JVM lifetime.
+    */
+  def clearHsCache(): Unit = hsCache.clear()
+  private def purgeStopped(): Unit =
+    hsCache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) hsCache.remove(k)
+    }
+
   private def lshCandidates(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.MinHashSig.register(spark)
     graft.functions.TextHashes.register(spark)
+    purgeStopped()
     val hs = hsCache.getOrElseUpdate((spark, dir),
       t(spark, dir, "documents")
         .filter(length(col("text")) >= 5)
