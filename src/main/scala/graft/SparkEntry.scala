@@ -8,6 +8,7 @@ object SparkEntry {
     Seq(
       (analytics.Analytics.queries, analytics.Analytics.oracles),
       (log.LogOps.queries, log.LogOps.oracles),
+      (log.BrokerOps.queries, log.BrokerOps.oracles),
       (log.BatchCodec.queries, log.BatchCodec.oracles),
       (coordinator.Groups.queries, coordinator.Groups.oracles),
       (txn.Transactions.queries, txn.Transactions.oracles),

@@ -410,7 +410,45 @@ object Analytics {
       .groupBy("n_items")
       .agg(count(lit(1)).as("n_orders"))
 
+  /** Native session windows: the same gap-based sessions as [[sessionize]]
+    * but through Spark's `session_window` operator — the streaming-capable
+    * form (the identical groupBy runs under readStream with a watermark).
+    * Boundary semantics differ from the window-function form on one edge:
+    * windows merge only when the next event lands strictly inside
+    * [start, last + gap), so a gap of exactly 30 min starts a new session;
+    * the oracle mirrors that split rule.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("tms", nsToMs("ts"))
+      .withColumn("ets", timestamp_millis(col("tms")))
+    e.groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(money(col("value"))).as("sum_val"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"), col("sum_val"))
+  }
+
+  /** CUBE over (topic, day-of-week): all four grouping combinations in one
+    * pass (per cell, per topic, per dow, grand total) with grouping_id
+    * disambiguating the subtotal rows — the reference's stats counters
+    * (RequestStats.java) generalized to multi-dimensional rollups.
+    */
+  def cubeTopicDow(spark: SparkSession, dir: String): DataFrame =
+    graft.log.LogOps.log(spark, dir)
+      .withColumn("dow", expr("(tms div 86400000) % 7"))
+      .cube("topic", "dow")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(money(col("val"))).as("sum_val"),
+        grouping_id().as("gid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_window_agg" -> sessionWindowAgg,
+    "cube_topic_dow" -> cubeTopicDow,
     "top_supplier" -> topSupplier,
     "order_size_distribution" -> orderSizeDistribution,
     "dau_stickiness" -> dauStickiness,
@@ -447,6 +485,28 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "session_window_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tms, "value",
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN prev IS NULL OR tms - prev >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(tms) AS start_ms, MAX(tms) + 1800000 AS end_ms,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST("value" AS DECIMAL(10,2))) AS DOUBLE) AS sum_val
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "cube_topic_dow" -> (graft.log.LogOps.logSql +
+      """SELECT topic, dow, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(10,2))) AS DOUBLE) AS sum_val,
+        |  CAST(GROUPING(topic, dow) AS BIGINT) AS gid
+        |FROM (SELECT topic, (tms // 86400000) % 7 AS dow, val FROM log)
+        |GROUP BY CUBE(topic, dow)""".stripMargin),
     "top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

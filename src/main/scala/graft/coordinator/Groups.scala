@@ -135,7 +135,35 @@ object Groups {
       .select("topic", "part", "member_3", "member_4", "moved")
   }
 
+  /** Sticky (cooperative) assignor: when the group grows from 3 round-robin
+    * members to 4, each old member keeps its lowest (topic, part) partitions
+    * up to the balanced target and releases only the excess to the new
+    * member — the minimal moved set (compare rebalance_diff, where the
+    * range assignor reshuffles far more). Kafka CooperativeStickyAssignor
+    * semantics over the reference's rebalance path
+    * (/root/reference/kafka-impl/.../coordinator/group/GroupCoordinator.java).
+    */
+  def assignSticky(spark: SparkSession, dir: String): DataFrame = {
+    val rrW = Window.orderBy("topic", "part")
+    val withOld = topicParts(spark, dir)
+      .withColumn("gidx", row_number().over(rrW).cast("long") - 1L)
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("m", col("gidx") % 3L)
+    val keepW = Window.partitionBy("m").orderBy("topic", "part")
+    withOld
+      .withColumn("r", row_number().over(keepW).cast("long"))
+      .withColumn("target",
+        expr("n_total div 4 + (CASE WHEN m < n_total % 4 THEN 1 ELSE 0 END)"))
+      .withColumn("member_old", concat(lit("m"), col("m").cast("string")))
+      .withColumn("member_new",
+        when(col("r") <= col("target"), col("member_old")).otherwise(lit("m3")))
+      .withColumn("moved",
+        when(col("member_new") =!= col("member_old"), 1L).otherwise(0L))
+      .select("topic", "part", "member_old", "member_new", "moved")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assign_sticky" -> assignSticky,
     "rebalance_diff" -> rebalanceDiff,
     "group_offsets" -> groupOffsets,
     "consumer_lag" -> consumerLag,
@@ -153,6 +181,22 @@ object Groups {
        |  END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "assign_sticky" -> (L +
+      """tp AS (SELECT DISTINCT topic, part FROM log),
+        |rr AS (
+        |  SELECT topic, part,
+        |    (ROW_NUMBER() OVER (ORDER BY topic, part) - 1) % 3 AS m,
+        |    COUNT(*) OVER () AS n_total
+        |  FROM tp),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY m ORDER BY topic, part) AS r,
+        |    n_total // 4 + (CASE WHEN m < n_total % 4 THEN 1 ELSE 0 END) AS target
+        |  FROM rr)
+        |SELECT topic, part, 'm' || CAST(m AS VARCHAR) AS member_old,
+        |  CASE WHEN r <= target THEN 'm' || CAST(m AS VARCHAR) ELSE 'm3' END
+        |    AS member_new,
+        |  CAST(CASE WHEN r > target THEN 1 ELSE 0 END AS BIGINT) AS moved
+        |FROM ranked""".stripMargin),
     "rebalance_diff" -> (L +
       s"""pidx AS (
          |  SELECT topic, part,

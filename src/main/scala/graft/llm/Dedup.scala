@@ -222,7 +222,35 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: every 50th document acts as the held-out
+    * eval set; a training document is contaminated if it shares any word
+    * 5-gram with a benchmark document (the n-gram-collision
+    * decontamination check run before LLM training). The benchmark gram
+    * set is tiny (2% of the corpus, distinct grams only) so the overlap
+    * join broadcasts it — at 100 TB the train side streams through one
+    * scan + explode with no wide shuffle; the per-doc rollup shuffles on
+    * doc_id only for the hit subset.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+        .as("gram"))
+    val docs = t(spark, dir, "documents")
+    val bench = grams(docs.filter(col("doc_id") % 50L === 0L))
+      .select("gram").distinct()
+    val train = grams(docs.filter(col("doc_id") % 50L =!= 0L))
+    train.join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct("gram").as("n_unique_hits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -233,6 +261,20 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 4),
+        |    i -> array_to_string(string_split(text, ' ')[i + 1:i + 5], ' ')))
+        |    AS gram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |bench AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |train AS (SELECT * FROM g WHERE doc_id % 50 <> 0)
+        |SELECT train.doc_id, COUNT(*) AS n_hits,
+        |  CAST(COUNT(DISTINCT train.gram) AS BIGINT) AS n_unique_hits
+        |FROM train JOIN bench ON train.gram = bench.gram
+        |GROUP BY train.doc_id""".stripMargin,
     "containment" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

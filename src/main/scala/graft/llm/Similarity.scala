@@ -75,17 +75,25 @@ object Similarity {
     * the cell assignment is one broadcast pass and search touches ~1/16 of
     * the data.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** IVF cell assignment shared by [[annIvf]] and [[semDedup]]: the 16
+    * lowest-id vectors are the coarse quantizer; each vector joins its
+    * nearest centroid by cosine (ties to the lower centroid id).
+    */
+  private def ivfCells(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
     val cents = vecs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val cellW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
-    val cells = vecs.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
       .withColumn("crn", row_number().over(cellW))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
     val q = cells.filter(col("vec_id") >= 100 && col("vec_id") < 108)
     val pairs = broadcast(q.as("q"))
       .join(cells.as("c"),
@@ -97,10 +105,30 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning inside
+    * IVF cells — a vector is dropped when a lower-id vector in the same
+    * cell sits above the cosine threshold, so pair comparison is
+    * cell-local (~1/16 of the quadratic work; at 100 TB the cells are the
+    * shuffle key and each cell dedups independently).
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
+    cells.as("q").join(cells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") < col("c.vec_id"))
+      .withColumn("cos", expr(cosExpr))
+      .filter(col("cos") >= 0.25)
+      .groupBy(col("c.vec_id").as("drop_id"))
+      .agg(
+        min(col("c.cell")).as("cell"),
+        count(lit(1)).as("n_dups"),
+        min(col("q.vec_id")).as("keep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "semdedup" -> semDedup)
 
   private val vecSql =
     """WITH e AS (
@@ -119,6 +147,30 @@ object Similarity {
       |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "semdedup" -> (vecSql +
+      s""", cents AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |cells AS (
+         |  SELECT a.vec_id, a.cid AS cell, vecs.v, vecs.nrm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
+         |  JOIN vecs ON vecs.vec_id = a.vec_id
+         |  WHERE a.crn = 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, c.cell AS cell,
+         |    $cosSql AS cos
+         |  FROM cells q, cells c
+         |  WHERE q.cell = c.cell AND q.vec_id < c.vec_id)
+         |SELECT b_id AS drop_id, MIN(cell) AS cell, COUNT(*) AS n_dups,
+         |  MIN(a_id) AS keep_id
+         |FROM pairs WHERE cos >= 0.25
+         |GROUP BY b_id""".stripMargin),
     "ann_ivf" -> (vecSql +
       s""", cents AS (
          |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16),

@@ -181,7 +181,56 @@ object TextAnalysis {
         countDistinct("tok").as("n_vocab"))
       .withColumn("ttr", col("n_vocab") / col("n_tokens"))
 
+  /** Gopher-style per-document quality signals (Rae et al. 2021 §A1.1):
+    * word count, mean word length, type-token ratio, and the top-word
+    * mass fraction, folded into a keep/drop gate. One explode + one
+    * two-level aggregation (word counts per doc, then doc rollup) — the
+    * per-word frame partial-aggregates before the shuffle, so at 100 TB
+    * the wide exchange carries (doc, word) counts, not occurrences.
+    */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("n"))
+    words.groupBy("doc_id")
+      .agg(
+        sum("n").cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("n").as("top_n"),
+        sum(col("n") * length(col("w"))).cast("long").as("sum_len"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct"), col("top_n"),
+        (col("sum_len") / col("n_words")).as("mean_word_len"),
+        (col("n_distinct") / col("n_words")).as("ttr"),
+        (col("top_n") / col("n_words")).as("top_frac"))
+      .withColumn("keep",
+        when(col("n_words") >= 10L && col("n_words") <= 1000L
+          && col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0
+          && col("top_frac") <= 0.2, 1L).otherwise(0L))
+  }
+
+  /** Duplicate word-3-gram fraction per document (the Gopher repetition
+    * signal): computed entirely in-row (gram array vs its distinct form) —
+    * no explode, no shuffle; streams at scan speed.
+    */
+  def repetitionNgrams(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("grams",
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("dup_frac",
+        (col("n_grams") - col("n_distinct")) / col("n_grams"))
+      .withColumn("repetitive", when(col("dup_frac") > 0.1, 1L).otherwise(0L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_gopher" -> qualityGopher,
+    "repetition_ngrams" -> repetitionNgrams,
     "vocab_stats" -> vocabStats,
     "normalize_text" -> normalizeText,
     "tfidf" -> tfidf,
@@ -197,6 +246,44 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "quality_gopher" ->
+      """WITH words AS (
+        |  SELECT doc_id, w, COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |rolled AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct, MAX(n) AS top_n,
+        |    CAST(SUM(n * length(w)) AS BIGINT) AS sum_len
+        |  FROM words GROUP BY doc_id),
+        |sel AS (
+        |  SELECT doc_id, n_words, n_distinct, top_n,
+        |    sum_len / n_words AS mean_word_len,
+        |    n_distinct / n_words AS ttr,
+        |    top_n / n_words AS top_frac
+        |  FROM rolled)
+        |SELECT *, CAST(CASE WHEN n_words >= 10 AND n_words <= 1000
+        |    AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+        |    AND top_frac <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sel""".stripMargin,
+    "repetition_ngrams" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' '))
+        |      AS grams
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sized AS (
+        |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |    CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+        |  FROM g)
+        |SELECT doc_id, n_grams, n_distinct,
+        |  (n_grams - n_distinct) / n_grams AS dup_frac,
+        |  CAST(CASE WHEN (n_grams - n_distinct) / n_grams > 0.1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM sized""".stripMargin,
     "vocab_stats" ->
       """SELECT source, COUNT(*) AS n_tokens,
         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,

@@ -59,6 +59,20 @@ object Streams {
       .select(col("user_id"), unix_millis(col("session_window.start")).as("start_ms"),
         col("n_events"))
 
+  /** Streaming idempotent-producer dedup: drop duplicate (producer, seq)
+    * pairs with watermark-bounded state (dropDuplicatesWithinWatermark) —
+    * the continuous analog of Transactions.producerDedup; the reference's
+    * per-partition producer-state map (storage/ProducerAppendInfo.java) is
+    * exactly this bounded keyed state.
+    */
+  def producerDedupStream(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .withColumn("producer_id", pmod(col("user_id"), lit(16L)))
+      .withColumn("seq", expr("event_id div 20"))
+      .dropDuplicatesWithinWatermark("producer_id", "seq")
+
   final case class Ev(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double, props: String)
   final case class Latest(topic: String, k: String, event_id: Long,

@@ -95,11 +95,64 @@ object Transactions {
         max("epoch").as("last_epoch"))
   }
 
+  /** Transaction-timeout sweep (TransactionCoordinator.abortTimedOutTransactions,
+    * /root/reference/kafka-impl/.../coordinator/transaction/TransactionCoordinator.java:983):
+    * each (txn_id, day) is a transaction instance; instances still open
+    * longer than the 4-hour transaction.timeout.ms would be aborted by the
+    * coordinator's periodic sweep. Per-txn rollup of instances vs timeouts.
+    */
+  def txnExpire(spark: SparkSession, dir: String): DataFrame =
+    txnLog(spark, dir)
+      .withColumn("day_ms", expr("(tms div 86400000) * 86400000"))
+      .groupBy("txn_id", "day_ms")
+      .agg(
+        min("tms").as("first_ms"),
+        max("tms").as("last_ms"),
+        count(lit(1)).as("n_records"))
+      .withColumn("timed_out",
+        when(col("last_ms") - col("first_ms") > 14400000L, 1L).otherwise(0L))
+      .groupBy("txn_id")
+      .agg(
+        count(lit(1)).as("n_instances"),
+        sum("timed_out").cast("long").as("n_timed_out"),
+        max(col("last_ms") - col("first_ms")).as("max_duration_ms"))
+
+  /** Out-of-order-sequence detection (storage/ProducerAppendInfo.java:83 —
+    * the broker validates each batch's baseSequence against the producer's
+    * last appended sequence). Records are sequenced per producer in arrival
+    * order; ~1/16 are "lost in transit" (md5 coin on event_id), and the
+    * detector reports the sequence gaps the broker would reject.
+    */
+  def producerGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqd = LogOps.log(spark, dir)
+      .select(
+        pmod(col("k").cast("long"), lit(16L)).as("producer_id"),
+        col("event_id"))
+      .withColumn("seq",
+        row_number().over(Window.partitionBy("producer_id").orderBy("event_id"))
+          .cast("long") - 1L)
+    val delivered = seqd
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) =!= "f")
+    val w = Window.partitionBy("producer_id").orderBy("seq")
+    delivered
+      .withColumn("prev", coalesce(lag(col("seq"), 1).over(w), lit(-1L)))
+      .withColumn("gap", col("seq") - col("prev") - 1L)
+      .groupBy("producer_id")
+      .agg(
+        count(lit(1)).as("n_delivered"),
+        sum(when(col("gap") > 0L, 1L).otherwise(0L)).as("n_gaps"),
+        sum("gap").cast("long").as("n_missing"),
+        max("gap").as("max_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "producer_fencing" -> producerFencing,
     "producer_dedup" -> producerDedup,
     "read_committed" -> readCommitted,
-    "txn_state" -> txnState)
+    "txn_state" -> txnState,
+    "txn_expire" -> txnExpire,
+    "producer_gaps" -> producerGaps)
 
   private val L = LogOps.logSqlCte
 
@@ -133,6 +186,37 @@ object Transactions {
         |  MAX(CASE WHEN aborted = 0 THEN offs END) AS max_committed_offs,
         |  CAST(SUM(aborted) AS BIGINT) AS n_aborted_filtered
         |FROM txn GROUP BY topic, part""".stripMargin),
+    "txn_expire" -> (L + txnSql +
+      """, inst AS (
+        |  SELECT txn_id, (tms // 86400000) * 86400000 AS day_ms,
+        |    MIN(tms) AS first_ms, MAX(tms) AS last_ms, COUNT(*) AS n_records
+        |  FROM txn GROUP BY txn_id, (tms // 86400000) * 86400000),
+        |flagged AS (
+        |  SELECT *, CASE WHEN last_ms - first_ms > 14400000 THEN 1 ELSE 0 END
+        |    AS timed_out
+        |  FROM inst)
+        |SELECT txn_id, COUNT(*) AS n_instances,
+        |  CAST(SUM(timed_out) AS BIGINT) AS n_timed_out,
+        |  MAX(last_ms - first_ms) AS max_duration_ms
+        |FROM flagged GROUP BY txn_id""".stripMargin),
+    "producer_gaps" -> (L +
+      """seqd AS (
+        |  SELECT CAST(k AS BIGINT) % 16 AS producer_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY CAST(k AS BIGINT) % 16
+        |      ORDER BY event_id) - 1 AS seq
+        |  FROM log),
+        |delivered AS (
+        |  SELECT * FROM seqd
+        |  WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <> 'f'),
+        |gaps AS (
+        |  SELECT producer_id, seq,
+        |    seq - COALESCE(LAG(seq) OVER (PARTITION BY producer_id
+        |      ORDER BY seq), -1) - 1 AS gap
+        |  FROM delivered)
+        |SELECT producer_id, COUNT(*) AS n_delivered,
+        |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(gap) AS BIGINT) AS n_missing, MAX(gap) AS max_gap
+        |FROM gaps GROUP BY producer_id""".stripMargin),
     "txn_state" -> (L + txnSql +
       """SELECT txn_id,
         |  MAX(CASE WHEN aborted = 1 THEN 'ABORTED' ELSE 'COMMITTED' END) AS state,

@@ -105,4 +105,100 @@ class OperatorSpec extends AnyFunSuite {
     assert(m.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() == 0)
     assert(m.filter(col("sampled_frames") > col("n_frames")).count() == 0)
   }
+
+  test("log segments tile each partition contiguously and respect the cap") {
+    import org.apache.spark.sql.expressions.Window
+    val segs = graft.log.BrokerOps.logSegments(spark, dir)
+    val w = Window.partitionBy("topic", "part").orderBy("seg_id")
+    val gaps = segs.withColumn("prev_end", lag("end_offset", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("base_offset") =!= col("prev_end"))
+    assert(gaps.count() == 0)
+    // a segment overshoots 16 KiB by at most one record
+    val maxRec = LogOps.log(spark, dir)
+      .agg(max(length(col("v")) + length(col("k")) + lit(16))).head().getInt(0)
+    assert(segs.filter(col("seg_bytes") > 16384L + maxRec).count() == 0)
+  }
+
+  test("leader epochs tile offsets in order") {
+    val e = graft.log.BrokerOps.leaderEpoch(spark, dir)
+    assert(e.filter(col("epoch_start") =!= col("epoch") * 100L).count() == 0)
+    assert(e.filter(col("epoch_end") > (col("epoch") + 1L) * 100L).count() == 0)
+  }
+
+  test("sticky assignor moves only the minimal set to the new member") {
+    val a = coordinator.Groups.assignSticky(spark, dir)
+    val moved = a.filter(col("moved") === 1L)
+    // everything that moved went to the new member, nothing else did
+    assert(moved.filter(col("member_new") =!= "m3").count() == 0)
+    assert(a.filter(col("moved") === 0L && col("member_new") =!= col("member_old")).count() == 0)
+    // post-rebalance balance: member sizes differ by at most 1
+    val sizes = a.groupBy("member_new").count().agg(
+      max("count").as("mx"), min("count").as("mn")).head()
+    assert(sizes.getLong(0) - sizes.getLong(1) <= 1)
+    // strictly fewer moves than the range assignor's reshuffle
+    val rangeMoved = coordinator.Groups.rebalanceDiff(spark, dir)
+      .agg(sum("moved")).head().getLong(0)
+    assert(moved.count() <= rangeMoved)
+  }
+
+  test("producer gap accounting is consistent with the simulated losses") {
+    val g = txn.Transactions.producerGaps(spark, dir)
+      .agg(sum("n_missing").as("miss"), sum("n_delivered").as("del")).head()
+    val total = LogOps.log(spark, dir).count()
+    val dropped = total - g.getLong(1)
+    assert(dropped > 0)                 // the md5 coin actually drops records
+    assert(g.getLong(0) <= dropped)     // trailing losses are undetectable
+    assert(g.getLong(0) > 0)            // but in-stream losses are detected
+  }
+
+  test("txn expiry and client quota rollups stay in range") {
+    val e = txn.Transactions.txnExpire(spark, dir)
+    assert(e.filter(col("n_timed_out") > col("n_instances")).count() == 0)
+    assert(e.count() == 64)
+    val q = graft.log.BrokerOps.clientQuota(spark, dir)
+    val producers = LogOps.log(spark, dir)
+      .select(pmod(col("k").cast("long"), lit(16L))).distinct().count()
+    assert(q.count() == producers)
+    assert(q.filter(col("n_throttled") > col("n_days")).count() == 0)
+    assert(q.filter(col("n_throttled") === 0L && col("total_throttle_ms") > 0L).count() == 0)
+  }
+
+  test("session_window_agg preserves every event and nests in sessionize") {
+    val sw = analytics.Analytics.sessionWindowAgg(spark, dir)
+    val events = Tables.t(spark, dir, "events").count()
+    assert(sw.agg(sum("n_events")).head().getLong(0) == events)
+    // gap-exclusive windows can only split (never merge) the >-gap sessions
+    assert(sw.count() >= analytics.Analytics.sessionize(spark, dir).count())
+    assert(sw.filter(col("end_ms") - lit(1800000L) < col("start_ms")).count() == 0)
+  }
+
+  test("cube emits all four grouping sets consistently") {
+    val c = analytics.Analytics.cubeTopicDow(spark, dir)
+    val gids = c.select("gid").distinct().collect().map(_.getLong(0)).sorted
+    assert(gids.sameElements(Array(0L, 1L, 2L, 3L)))
+    val total = LogOps.log(spark, dir).count()
+    assert(c.filter(col("gid") === 3L).head().getAs[Long]("n") == total)
+  }
+
+  test("gopher quality and repetition signals stay in range") {
+    val g = llm.TextAnalysis.qualityGopher(spark, dir)
+    assert(g.filter(col("ttr") > 1.0 || col("ttr") <= 0.0).count() == 0)
+    assert(g.filter(col("top_frac") > 1.0).count() == 0)
+    assert(g.filter(col("n_distinct") > col("n_words")).count() == 0)
+    val r = llm.TextAnalysis.repetitionNgrams(spark, dir)
+    assert(r.filter(col("dup_frac") < 0.0 || col("dup_frac") >= 1.0).count() == 0)
+  }
+
+  test("decontaminate flags only training docs") {
+    val d = llm.Dedup.decontaminate(spark, dir)
+    assert(d.filter(col("doc_id") % 50 === 0).count() == 0)
+    assert(d.filter(col("n_unique_hits") > col("n_hits")).count() == 0)
+    assert(d.count() > 0)
+  }
+
+  test("semdedup keeps the lowest id of every duplicate set") {
+    val s = llm.Similarity.semDedup(spark, dir)
+    assert(s.filter(col("keep_id") >= col("drop_id")).count() == 0)
+    assert(s.filter(col("n_dups") < 1).count() == 0)
+  }
 }

@@ -60,6 +60,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("watermarked producer-seq dedup == batch distinct (producer, seq)") {
+    val schema = Tables.t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Streams.stageStreamDir(dir, "events"))
+    val q = Streams.producerDedupStream(stream)
+      .select("producer_id", "seq").writeStream
+      .outputMode("append").format("memory").queryName("graft_pdedup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_pdedup_stream").count()
+    val want = Tables.t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(16L)), expr("event_id div 20"))
+      .distinct().count()
+    assert(got == want && got > 0)
+  }
+
   test("stream-stream interval join == batch range join") {
     val schema = Tables.t(spark, dir, "events").schema
     def src() = spark.readStream.schema(schema)
