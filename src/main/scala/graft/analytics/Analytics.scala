@@ -410,6 +410,76 @@ object Analytics {
       .groupBy("n_items")
       .agg(count(lit(1)).as("n_orders"))
 
+  /** TPC-H Q10 flavor: top-20 customers by revenue lost to returns
+    * (l_returnflag = 'R'), with the customer's nation broadcast in.
+    */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .as("revenue"),
+        min("c_acctbal").as("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 flavor: high- vs low-priority order counts per ship year
+    * (the reference schema has no ship mode; priority plays its role).
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("ship_year")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_count"))
+
+  /** TPC-H Q14: promotion revenue share over a month — conditional
+    * aggregation with a broadcast part join; the share is a division of
+    * two exact decimal sums, so it is bit-identical across engines.
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val rev = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(money(lit(0))))
+          .as("promo_revenue"),
+        dsum(rev).as("total_revenue"))
+      .withColumn("promo_share",
+        col("promo_revenue") / col("total_revenue"))
+  }
+
+  /** TPC-H Q18: large-volume orders — orders whose total quantity exceeds
+    * 300 (HAVING over a fact-side aggregate), then customer attribution.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(dsum(money(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    big.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        ms(col("o_orderdate")).as("o_orderdate_ms"),
+        money(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("total_qty"))
+  }
+
   /** Native session windows: the same gap-based sessions as [[sessionize]]
     * but through Spark's `session_window` operator — the streaming-capable
     * form (the identical groupBy runs under readStream with a watermark).
@@ -447,6 +517,10 @@ object Analytics {
         grouping_id().as("gid"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returns" -> q10,
+    "q12_priority" -> q12,
+    "q14_promo" -> q14,
+    "q18_large_orders" -> q18,
     "session_window_agg" -> sessionWindowAgg,
     "cube_topic_dow" -> cubeTopicDow,
     "top_supplier" -> topSupplier,
@@ -485,6 +559,50 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  MIN(c_acctbal) AS c_acctbal
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q12_priority" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY year(l_shipdate)""".stripMargin,
+    "q14_promo" ->
+      """WITH agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |      ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT promo_revenue, total_revenue,
+        |  promo_revenue / total_revenue AS promo_share
+        |FROM agg""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE) AS o_totalprice,
+        |  total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "session_window_agg" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS tms, "value",
