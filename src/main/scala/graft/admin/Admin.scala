@@ -48,10 +48,43 @@ object Admin {
       sum(length(col("v")) + length(col("k"))).cast("long").as("approx_bytes"),
       countDistinct("k").as("n_producers"))
 
+  /** CreatePartitions impact analysis (AdminManager.java:127,
+    * handleCreatePartitions): when a topic grows 8 -> 12 partitions,
+    * records keyed by pmod(key) land elsewhere; per topic, how many keys
+    * and records move — mod-placement's reshuffle cost, the number a
+    * consistent-hashing layout would shrink.
+    */
+  def repartitionMap(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir)
+      .withColumn("part_12", pmod(col("k").cast("long"), lit(12L)))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("part") =!= col("part_12"), 1L).otherwise(0L))
+          .as("n_moved"),
+        countDistinct(when(col("part") =!= col("part_12"), col("k")))
+          .as("n_keys_moved"))
+
+  /** Kafka <-> Pulsar topic-name mapping
+    * (/root/reference/kafka-impl/.../utils/KopTopic.java: a Kafka topic is
+    * persistent://tenant/namespace/topic-partition-N on the Pulsar side).
+    */
+  def topicNameMap(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir)
+      .select("topic", "part").distinct()
+      .select(
+        col("topic"), col("part"),
+        concat(lit("persistent://public/default/"), col("topic"),
+          lit("-partition-"), col("part").cast("string")).as("pulsar_name"))
+      .withColumn("kafka_name",
+        regexp_extract(col("pulsar_name"), "^persistent://[^/]+/[^/]+/(.+)-partition-[0-9]+$", 1))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topic_metadata" -> topicMetadata,
     "list_groups" -> listGroups,
-    "cluster_summary" -> clusterSummary)
+    "cluster_summary" -> clusterSummary,
+    "repartition_map" -> repartitionMap,
+    "topic_name_map" -> topicNameMap)
 
   private val L = LogOps.logSqlCte
 
@@ -82,5 +115,20 @@ object Admin {
         |  COUNT(*) AS n_partitions,
         |  CAST(SUM(committed) AS BIGINT) AS total_committed,
         |  MAX(commit_ms) AS last_commit_ms
-        |FROM commits GROUP BY group_id""".stripMargin))
+        |FROM commits GROUP BY group_id""".stripMargin),
+    "repartition_map" -> (LogOps.logSql +
+      """SELECT topic, COUNT(*) AS n_records,
+        |  CAST(SUM(CASE WHEN part <> CAST(k AS BIGINT) % 12 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  CAST(COUNT(DISTINCT CASE WHEN part <> CAST(k AS BIGINT) % 12
+        |    THEN k END) AS BIGINT) AS n_keys_moved
+        |FROM log GROUP BY topic""".stripMargin),
+    "topic_name_map" -> (LogOps.logSql +
+      """SELECT topic, part,
+        |  'persistent://public/default/' || topic || '-partition-'
+        |    || CAST(part AS VARCHAR) AS pulsar_name,
+        |  regexp_extract('persistent://public/default/' || topic
+        |      || '-partition-' || CAST(part AS VARCHAR),
+        |    '^persistent://[^/]+/[^/]+/(.+)-partition-[0-9]+$', 1) AS kafka_name
+        |FROM (SELECT DISTINCT topic, part FROM log)""".stripMargin))
 }

@@ -138,6 +138,110 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays (as produced by
+  * [[GramHashes]]) via the same merge walk as [[JaccardSorted]] —
+  * value-identical to `size(array_intersect(a, b))` on distinct sorted
+  * sets, without per-pair hash-set construction.
+  */
+case class IntersectSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val inter = ctx.freshName("inter")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Character n-gram occurrence counts of a string as a gram -> count map —
+  * the in-row combiner for corpus n-gram profiles: exploding the map emits
+  * one row per DISTINCT gram per document instead of one per occurrence
+  * (3-4x fewer generator rows on this corpus), and the global rollup
+  * becomes a SUM of partial counts. Count-equivalent to exploding
+  * `transform(sequence(1, length(s)-n+1), i -> substring(s, i, n))`.
+  */
+case class GramCounts(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, LongType, valueContainsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val count = s.length - n + 1
+    val m = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < math.max(count, 0)) {
+      val g = s.substring(i, i + n)
+      val prev = m.get(g)
+      m.put(g, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramCounts =
+    copy(child = newChild)
+}
+
 /** 48-bit SimHash over the distinct elements of a string array: token ->
   * md5-prefix hash; bit b contributes +1/-1 by (h div 2^b) % 2; result sets
   * bit b iff the sum is positive. Matches the declarative 48-aggregate
@@ -190,5 +294,12 @@ object TextHashes {
       "simhash48", exprs => SimHash48(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_sorted", exprs => IntersectSorted(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_counts",
+      exprs => GramCounts(exprs.head,
+        exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt }),
+      "scala_udf")
   }
 }

@@ -28,51 +28,63 @@ object Dedup {
     * distinct candidate pairs — one definition for verifier, estimator,
     * and clusterer so the LSH parameters cannot drift apart.
     */
-  /** One cached hashed-shingle frame per (session, dir), shared by the
-    * three minhash-family queries — repeated invocations reuse it instead
-    * of pinning a fresh copy each (Spark evicts it LRU under pressure).
+  /** One cached (shingles+signatures, candidate pairs) pipeline per
+    * (session, dir), shared by the four minhash-family queries
+    * (verifier, estimator, containment, clusterer) — the banding window +
+    * self-join + distinct is the expensive stage and is identical for all
+    * of them, so repeated invocations reuse one materialization (Spark
+    * evicts it LRU under pressure).
     */
-  private val hsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val lshCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   /** Drop cache entries whose session has been stopped (and any caller can
     * force a full clear from test teardown) so recycled sessions don't pin
     * DataFrames for the JVM lifetime.
     */
-  def clearHsCache(): Unit = hsCache.clear()
+  def clearHsCache(): Unit = lshCache.clear()
   private def purgeStopped(): Unit =
-    hsCache.keys.foreach { case k @ (s, _) =>
-      if (s.sparkContext.isStopped) hsCache.remove(k)
+    lshCache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) lshCache.remove(k)
     }
 
   private def lshCandidates(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.MinHashSig.register(spark)
     graft.functions.TextHashes.register(spark)
     purgeStopped()
-    val hs = hsCache.getOrElseUpdate((spark, dir),
-      t(spark, dir, "documents")
+    val (sigs, cand) = lshCache.getOrElseUpdate((spark, dir), {
+      val s = t(spark, dir, "documents")
         .filter(length(col("text")) >= 5)
         .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))
-        .cache())
-    val sigs = hs.select(col("doc_id"), col("hs"), expr("minhash_sig(hs)").as("sig"))
+        .withColumn("sig", expr("minhash_sig(hs)"))
+        .cache()
+      (s, bandPairs(s).cache())
+    })
+    (sigs.select("doc_id", "hs"), sigs, cand)
+  }
+
+  private def bandPairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"), explode(
       expr("""transform(sequence(0, 5),
              |  b -> struct(b as band,
              |    concat_ws('_', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as bsig))"""
         .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bsig"))
-    val sized = bands
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bsig")))
-      .filter(col("bn") <= 50)
-    val cand = sized.as("a")
-      .join(sized.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // One shuffle on the bucket key, then pairs are generated in-row from
+    // the bucket's member list (i < j over the sorted members) — same pair
+    // set as the windowed self-join form the oracle runs, one exchange and
+    // no join. The 50-doc cap bounds the in-row pair fan-out at 1225.
+    bands
+      .groupBy("band", "bsig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 50))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(sequence(i + 1, size(ds) - 1),
+          |    j -> struct(ds[i] as d1, ds[j] as d2))))""".stripMargin)).as("p"))
+      .select(col("p.d1"), col("p.d2"))
       .distinct()
-    (hs, sigs, cand)
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -111,7 +123,7 @@ object Dedup {
     cand
       .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
       .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("inter", expr("intersect_sorted(s1, s2)"))
       .select(col("d1"), col("d2"),
         (col("inter") / size(col("s1"))).as("containment_1"),
         (col("inter") / size(col("s2"))).as("containment_2"))

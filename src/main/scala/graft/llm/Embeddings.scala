@@ -7,13 +7,28 @@ import org.apache.spark.sql.functions._
 /** Single definition of the vector + norm projection used by every cosine
   * path (Similarity, Dedup) — the fold-order contract with the DuckDB
   * oracle lives here and nowhere else.
+  *
+  * The projection (float->double transform + norm) is cached per
+  * (session, dir): five queries consume it, and re-reading the parquet +
+  * re-allocating the arrays dominated their runtime. Entries for stopped
+  * sessions are purged on access.
   */
 object Embeddings {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def clearCache(): Unit = cache.clear()
+
   def withNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecDot.register(spark)
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    cache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) cache.remove(k)
+    }
+    cache.getOrElseUpdate((spark, dir),
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+        .cache())
   }
 }

@@ -129,15 +129,19 @@ object TextAnalysis {
   }
 
   /** Corpus-level top-20 char-trigrams (vocabulary profiling). */
-  def ngramCounts(spark: SparkSession, dir: String): DataFrame =
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
+    // In-row combiner: one (gram, count) row per DISTINCT gram per doc
+    // (gram_counts native expression) instead of one per occurrence —
+    // 3-4x fewer generator rows, and the rollup SUMs partial counts
+    // (NativeExprSpec pins count-equivalence to the explode form).
+    graft.functions.TextHashes.register(spark)
     t(spark, dir, "documents")
       .filter(length(col("text")) >= 3)
-      .select(explode(
-        expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-        .as("g"))
-      .groupBy("g").agg(count(lit(1)).as("n"))
+      .select(explode(expr("gram_counts(text, 3)")).as(Seq("g", "c")))
+      .groupBy("g").agg(sum("c").cast("long").as("n"))
       .orderBy(col("n").desc, col("g"))
       .limit(20)
+  }
 
   /** Document-length distribution per source: nearest-rank quartiles. */
   def docLengthStats(spark: SparkSession, dir: String): DataFrame = {

@@ -65,6 +65,30 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0 && r.getLong(1) > 0)
   }
 
+  test("intersect_sorted == size(array_intersect) on shingle sets") {
+    val g = Tables.t(spark, dir, "documents").filter(length(col("text")) >= 5)
+      .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))
+      .limit(80)
+    val d = g.as("x").crossJoin(g.as("y"))
+      .select(
+        expr("intersect_sorted(x.hs, y.hs)").as("a"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).cast("long").as("b"))
+    assert(mismatches(d) == 0)
+  }
+
+  test("gram_counts == declarative per-occurrence explode counts") {
+    val docs = Tables.t(spark, dir, "documents").filter(length(col("text")) >= 3)
+    val a = docs
+      .select(explode(expr("gram_counts(text, 3)")).as(Seq("g", "c")))
+      .groupBy("g").agg(sum("c").cast("long").as("n"))
+    val b = docs
+      .select(explode(
+        expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("vec_dot == declarative left-to-right fold, bit for bit") {
     val d = Tables.t(spark, dir, "embeddings")
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
