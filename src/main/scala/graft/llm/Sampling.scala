@@ -42,11 +42,36 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("rn"), col("alloc"))
   }
 
+  /** Deterministic 90/10 train/test split on an md5 coin over doc_id —
+    * reproducible across runs, cluster sizes, and engines — with a
+    * per-source assignment audit (split skew per source is the first thing
+    * a leakage review checks).
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("split",
+        when(md5Long(col("doc_id").cast("string")) % 10L < 9L, "train")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        min("doc_id").as("min_doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
-    "mix_sources" -> mixSources)
+    "mix_sources" -> mixSources,
+    "train_test_split" -> trainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "train_test_split" ->
+      """SELECT source,
+        |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 10 < 9
+        |    THEN 'train' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS bucket
