@@ -242,6 +242,53 @@ case class GramCounts(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Occurrence counts of the elements of a string array as an
+  * element -> count map (first-appearance order) — the in-row combiner for
+  * term frequencies: exploding the map yields (term, tf) directly, so
+  * per-document TF needs no aggregation shuffle at all. Count-equivalent
+  * to exploding the array and grouping.
+  */
+case class ArrayCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, LongType, valueContainsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < n) {
+      val e = arr.getUTF8String(i)
+      if (e != null) {
+        val k = e.toString
+        val prev = m.get(k)
+        m.put(k, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayCounts =
+    copy(child = newChild)
+}
+
 /** 48-bit SimHash over the distinct elements of a string array: token ->
   * md5-prefix hash; bit b contributes +1/-1 by (h div 2^b) % 2; result sets
   * bit b iff the sum is positive. Matches the declarative 48-aggregate
@@ -301,5 +348,7 @@ object TextHashes {
       exprs => GramCounts(exprs.head,
         exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt }),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_counts", exprs => ArrayCounts(exprs.head), "scala_udf")
   }
 }

@@ -83,13 +83,17 @@ object Similarity {
     val vecs = vectors(spark, dir)
     val cents = vecs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val cellW = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid"))
-    vecs.crossJoin(broadcast(cents))
+    // Argmax by (cosine, lowest centroid id) via max_by partial aggregation:
+    // the map side reduces each vector's 16 candidate rows to one before
+    // the exchange, so the shuffle carries (vec_id, cell), not 16 copies of
+    // every 64-dim vector (the windowed row_number form moved ~16x the
+    // data). Tie-break matches the oracle's (ccos DESC, cid ASC) ordering.
+    val assigned = vecs.crossJoin(broadcast(cents))
       .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      .withColumn("crn", row_number().over(cellW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"))
+      .groupBy("vec_id")
+      .agg(expr("max_by(cid, struct(ccos, -cid))").as("cell"))
+    assigned.join(vecs, "vec_id")
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {

@@ -113,11 +113,14 @@ object TextAnalysis {
     * hash-verified). Top-10 terms per document by weight.
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
     val docs = t(spark, dir, "documents")
-    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // In-row TF (array_counts combiner): one (doc, term, tf) row per
+    // DISTINCT term per doc, no per-occurrence explode and no (doc, term)
+    // aggregation shuffle; DF then counts rows per term on the same frame.
+    val tf = docs.select(col("doc_id"),
+      explode(expr("array_counts(split(text, ' '))")).as(Seq("term", "tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.count() // corpus size: one tiny driver-side scalar
     val w = Window.partitionBy("doc_id")
       .orderBy(col("weight").desc, col("term"))

@@ -89,6 +89,16 @@ class NativeExprSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("array_counts == declarative explode-and-group term counts") {
+    val docs = Tables.t(spark, dir, "documents")
+    val a = docs.select(col("doc_id"),
+      explode(expr("array_counts(split(text, ' '))")).as(Seq("term", "tf")))
+    val b = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("vec_dot == declarative left-to-right fold, bit for bit") {
     val d = Tables.t(spark, dir, "embeddings")
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
