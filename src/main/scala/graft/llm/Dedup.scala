@@ -113,6 +113,33 @@ object Dedup {
         expr("jaccard_sorted(s1, s2)").as("jac"))
   }
 
+  /** Sketch calibration: micro-averaged true Jaccard per signature
+    * agreement count (0..24) — the curve a pipeline reads to pick the
+    * verification-free estimator threshold. Averages are ratios of exact
+    * integer sums (intersection / union sizes), so the doubles are
+    * engine-identical; no floating-point accumulation anywhere.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sigs, cand) = lshCandidates(spark, dir)
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("hs").as("s1"),
+        col("sig").as("g1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("hs").as("s2"),
+        col("sig").as("g2")), "d2")
+      .withColumn("agree",
+        size(expr("filter(zip_with(g1, g2, (x, y) -> x = y), b -> b)")).cast("long"))
+      .withColumn("inter", expr("intersect_sorted(s1, s2)"))
+      .withColumn("uni",
+        size(col("s1")).cast("long") + size(col("s2")).cast("long") - col("inter"))
+      .groupBy("agree")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("inter").cast("long").as("sum_inter"),
+        sum("uni").cast("long").as("sum_union"))
+      .withColumn("micro_jac", col("sum_inter") / col("sum_union"))
+      .withColumn("est", col("agree") / lit(24.0))
+  }
+
   /** Asymmetric containment |A∩B| / |A| for every LSH candidate pair, both
     * directions — catches quotes/subsets that symmetric Jaccard misses
     * (a short doc fully contained in a long one has low Jaccard but
@@ -268,6 +295,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "containment" -> containment,
     "minhash_estimate" -> minhashEstimate,
+    "minhash_calibration" -> minhashCalibration,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> dedupEmbedding)
@@ -400,6 +428,51 @@ object Dedup {
         |  SELECT r.src, e.d2 FROM reach r JOIN edges e ON e.d1 = r.dst)
         |SELECT src AS doc_id, MIN(dst) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
+    "minhash_calibration" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE length(text) >= 5),
+        |hss AS (
+        |  SELECT doc_id, list_distinct(list_transform(s,
+        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 23),
+        |    j -> list_min(list_transform(hs,
+        |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
+        |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
+        |  FROM hss),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
+        |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
+        |  FROM sig, generate_series(0, 5) t(b)),
+        |sized AS (
+        |  SELECT * FROM bands
+        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sized a, sized b
+        |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |pairstats AS (
+        |  SELECT
+        |    CAST(len(list_filter(list_transform(generate_series(1, 24),
+        |      i -> g1.g[i] = g2.g[i]), b -> b)) AS BIGINT) AS agree,
+        |    CAST(len(list_intersect(s1.hs, s2.hs)) AS BIGINT) AS inter,
+        |    CAST(len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))
+        |      AS BIGINT) AS uni
+        |  FROM cand
+        |  JOIN hss s1 ON s1.doc_id = d1
+        |  JOIN hss s2 ON s2.doc_id = d2
+        |  JOIN sig g1 ON g1.doc_id = d1
+        |  JOIN sig g2 ON g2.doc_id = d2)
+        |SELECT agree, COUNT(*) AS n_pairs,
+        |  CAST(SUM(inter) AS BIGINT) AS sum_inter,
+        |  CAST(SUM(uni) AS BIGINT) AS sum_union,
+        |  CAST(SUM(inter) AS BIGINT) / CAST(SUM(uni) AS BIGINT) AS micro_jac,
+        |  agree / CAST(24 AS DOUBLE) AS est
+        |FROM pairstats GROUP BY agree""".stripMargin,
     "minhash_estimate" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
