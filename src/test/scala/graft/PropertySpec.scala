@@ -99,6 +99,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("IntersectSorted equals set intersection size for arbitrary sorted arrays") {
+    val gen = Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.distinct.sorted)
+    forAll(gen, gen) { (a, b) =>
+      val raw = graft.functions.IntersectSorted(
+        Literal(new GenericArrayData(a.toArray), ArrayType(LongType)),
+        Literal(new GenericArrayData(b.toArray), ArrayType(LongType)))
+        .nullSafeEval(new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      assert(raw.asInstanceOf[Long] == a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
+  test("GramCounts equals brute-force substring counting") {
+    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    forAll(gen) { s =>
+      val raw = graft.functions.GramCounts(Literal(UTF8String.fromString(s),
+        StringType), 3).nullSafeEval(UTF8String.fromString(s))
+      val m = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray().getUTF8String(i).toString -> m.valueArray().getLong(i)).toMap
+      val want = (0 to s.length - 3).map(i => s.substring(i, i + 3))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want)
+    }
+  }
+
+  test("ArrayCounts equals brute-force element counting") {
+    val gen = Gen.listOf(Gen.oneOf("x", "y", "zz", ""))
+    forAll(gen) { toks =>
+      val in = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val raw = graft.functions.ArrayCounts(Literal(in, ArrayType(StringType)))
+        .nullSafeEval(in)
+      val m = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray().getUTF8String(i).toString -> m.valueArray().getLong(i)).toMap
+      val want = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want)
+    }
+  }
+
   test("SimHash48 equals brute-force bit sums for arbitrary token lists") {
     val gen = Gen.listOf(Gen.listOf(Gen.alphaChar).map(_.mkString))
     forAll(gen) { toks =>
