@@ -9,6 +9,7 @@ object SparkEntry {
       (analytics.Analytics.queries, analytics.Analytics.oracles),
       (log.LogOps.queries, log.LogOps.oracles),
       (log.BrokerOps.queries, log.BrokerOps.oracles),
+      (sources.GlogOps.queries, sources.GlogOps.oracles),
       (log.BatchCodec.queries, log.BatchCodec.oracles),
       (coordinator.Groups.queries, coordinator.Groups.oracles),
       (txn.Transactions.queries, txn.Transactions.oracles),

@@ -1,0 +1,257 @@
+package graft.sources
+
+import java.io.DataInputStream
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 connector for the [[Glog]] segment format:
+  * `spark.read.format("glog").load(path)`.
+  *
+  * Planning prunes (topic, part) directories from pushed equality filters
+  * and threads an `offs` lower bound down to the batch-header skip in the
+  * reader — the reference's fetch path (seek by offset inside one
+  * topic-partition; /root/reference/kafka-impl/.../MessageFetchContext.java)
+  * expressed as a Spark source. Column pruning drops unread fields before
+  * row materialization. All pushed filters are still re-applied by Spark
+  * above the scan (pushFilters returns them as residuals), so pruning can
+  * only ever skip data the filters exclude — never change results.
+  */
+class GlogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "glog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GlogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GlogTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GlogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("part", LongType),
+    StructField("offs", LongType),
+    StructField("event_id", LongType),
+    StructField("tms", LongType),
+    StructField("k", StringType),
+    StructField("v", StringType)))
+
+  /** Files planned by the most recent scan (single-JVM test hook). */
+  val lastPlannedFiles = new AtomicLong(-1)
+}
+
+class GlogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"glog:$path"
+  override def schema(): StructType = GlogSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GlogScanBuilder(path)
+}
+
+class GlogScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GlogSource.schema
+  private var used: Array[Filter] = Array.empty
+  private var topicEq: Option[String] = None
+  private var partEq: Option[Long] = None
+  private var fromOffs: Long = Long.MinValue
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case f @ EqualTo("topic", t: String) => topicEq = Some(t); used :+= f
+      case f @ EqualTo("part", p) if p.isInstanceOf[Number] =>
+        partEq = Some(p.asInstanceOf[Number].longValue()); used :+= f
+      case f @ GreaterThanOrEqual("offs", o) if o.isInstanceOf[Number] =>
+        fromOffs = math.max(fromOffs, o.asInstanceOf[Number].longValue()); used :+= f
+      case f @ GreaterThan("offs", o) if o.isInstanceOf[Number] =>
+        fromOffs = math.max(fromOffs, o.asInstanceOf[Number].longValue() + 1); used :+= f
+      case _ =>
+    }
+    // Everything remains a residual: Spark re-evaluates the full predicate
+    // above the scan, so pruning is a pure skip optimization.
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = used
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GlogScan(path, required, topicEq, partEq, fromOffs)
+}
+
+final case class GlogPartition(file: String, topic: String, part: Long,
+    fromOffs: Long, untilOffs: Long = Long.MaxValue) extends InputPartition
+
+class GlogScan(path: String, required: StructType, topicEq: Option[String],
+    partEq: Option[Long], fromOffs: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GlogMicroBatchStream(path, required, fromOffs)
+  override def description(): String = {
+    val t = topicEq.getOrElse("*")
+    val p = partEq.map(_.toString).getOrElse("*")
+    s"GlogScan path=$path topic=$t part=$p fromOffs=" +
+      (if (fromOffs == Long.MinValue) "-inf" else fromOffs.toString)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(path)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val parts = for {
+      tDir <- fs.listStatus(root).toSeq
+      if tDir.isDirectory && tDir.getPath.getName.startsWith("topic=")
+      topic = tDir.getPath.getName.stripPrefix("topic=")
+      if topicEq.forall(_ == topic)
+      pDir <- fs.listStatus(tDir.getPath).toSeq
+      if pDir.isDirectory && pDir.getPath.getName.startsWith("part=")
+      part = pDir.getPath.getName.stripPrefix("part=").toLong
+      if partEq.forall(_ == part)
+      seg <- fs.listStatus(pDir.getPath).toSeq
+      if seg.getPath.getName.endsWith(".glog")
+    } yield GlogPartition(seg.getPath.toString, topic, part, fromOffs)
+    GlogSource.lastPlannedFiles.set(parts.size.toLong)
+    parts.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GlogReaderFactory(required, new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+/** Stream offset: the end offset (exclusive) per "topic/part" directory. */
+final case class GlogOffset(ends: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+}
+
+object GlogOffset {
+  def parse(json: String): GlogOffset = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}")
+    if (body.isEmpty) GlogOffset(Map.empty)
+    else GlogOffset(body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+    }.toMap)
+  }
+}
+
+/** Micro-batch tail of a glog store — the engine's Kafka-source analog:
+  * each trigger lists (topic, part) directories, computes their end
+  * offsets from batch headers (a log-end-offset lookup, no payload read),
+  * and plans one [start, end) slice per partition directory; readers skip
+  * batches outside the window from their headers. New segment files and
+  * new partitions appearing between triggers are picked up naturally
+  * (their previous end offset defaults to 0).
+  */
+class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def conf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
+  private def listEnds(): Map[String, Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    (for {
+      tDir <- fs.listStatus(root).toSeq
+      if tDir.isDirectory && tDir.getPath.getName.startsWith("topic=")
+      pDir <- fs.listStatus(tDir.getPath).toSeq
+      if pDir.isDirectory && pDir.getPath.getName.startsWith("part=")
+    } yield {
+      val topic = tDir.getPath.getName.stripPrefix("topic=")
+      val part = pDir.getPath.getName.stripPrefix("part=")
+      s"$topic/$part" -> Glog.endOffset(fs, pDir.getPath)
+    }).toMap
+  }
+
+  override def latestOffset(): Offset = GlogOffset(listEnds())
+  override def initialOffset(): Offset = GlogOffset(Map.empty)
+  override def deserializeOffset(json: String): Offset = GlogOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GlogOffset].ends
+    val until = end.asInstanceOf[GlogOffset].ends
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    until.toSeq.flatMap { case (key, endOffs) =>
+      val startOffs = math.max(from.getOrElse(key, 0L), minOffs)
+      if (endOffs <= startOffs) Seq.empty
+      else {
+        val Array(topic, part) = key.split("/", 2)
+        val dir = new Path(root, s"topic=$topic/part=$part")
+        fs.listStatus(dir).toSeq
+          .filter(_.getPath.getName.endsWith(".glog"))
+          .map(seg => GlogPartition(seg.getPath.toString, topic, part.toLong,
+            startOffs, endOffs))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GlogReaderFactory(required, new SerializableConfiguration(conf))
+}
+
+class GlogReaderFactory(required: StructType, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GlogPartition]
+    new PartitionReader[InternalRow] {
+      private val in = {
+        val fp = new Path(p.file)
+        new DataInputStream(fp.getFileSystem(conf.value).open(fp))
+      }
+      private val it = Glog.readSegment(in, p.topic, p.part, p.fromOffs,
+        p.untilOffs)
+      // Column pruning: precompute the projection from field name to the
+      // record accessor once per partition.
+      private val getters: Array[Glog.Rec => Any] = required.fields.map { f =>
+        f.name match {
+          case "topic" => (r: Glog.Rec) => UTF8String.fromString(r.topic)
+          case "part" => (r: Glog.Rec) => r.part
+          case "offs" => (r: Glog.Rec) => r.offs
+          case "event_id" => (r: Glog.Rec) => r.event_id
+          case "tms" => (r: Glog.Rec) => r.tms
+          case "k" => (r: Glog.Rec) =>
+            if (r.k == null) null else UTF8String.fromString(r.k)
+          case "v" => (r: Glog.Rec) =>
+            if (r.v == null) null else UTF8String.fromString(r.v)
+        }
+      }
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val r = it.next()
+          row = new GenericInternalRow(getters.map(_(r)))
+          true
+        } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.log.LogOps
+import graft.sources.{Glog, GlogSource}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The glog segment store + DataSource V2 connector: lossless round trip,
+  * directory pruning from pushed filters, and batch-header offset skipping.
+  */
+class GlogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.build("local[4]", "4")
+  val dir = "/root/testdata/sf0.001"
+  lazy val store: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_glog_spec").toString
+    Glog.materialize(spark, dir, p)
+    p
+  }
+
+  private def glog = spark.read.format("glog").load(store)
+
+  test("glog round trip is lossless against the log view") {
+    val got = glog.select("topic", "part", "offs", "event_id", "tms", "k", "v")
+    val want = LogOps.log(spark, dir)
+      .select("topic", "part", "offs", "event_id", "tms", "k", "v")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
+  test("topic + part equality filters prune to a single segment file") {
+    GlogSource.lastPlannedFiles.set(-1)
+    val n = glog.filter(col("topic") === "click" && col("part") === 3L).count()
+    assert(GlogSource.lastPlannedFiles.get() == 1)
+    val want = LogOps.log(spark, dir)
+      .filter(col("topic") === "click" && col("part") === 3L).count()
+    assert(n == want)
+  }
+
+  test("offset lower bound skips whole batches from their headers") {
+    Glog.batchesRead.set(0)
+    Glog.batchesSkipped.set(0)
+    val got = glog.filter(col("topic") === "click" && col("offs") >= 150L)
+    val want = LogOps.log(spark, dir)
+      .filter(col("topic") === "click" && col("offs") >= 150L)
+      .select("topic", "part", "offs", "event_id", "tms", "k", "v")
+    assert(got.select("topic", "part", "offs", "event_id", "tms", "k", "v")
+      .exceptAll(want).count() == 0 && want.exceptAll(
+      got.select("topic", "part", "offs", "event_id", "tms", "k", "v")).count() == 0)
+    assert(Glog.batchesSkipped.get() > 0)
+  }
+
+  test("micro-batch stream tails the store: initial load + appended segment") {
+    val streamStore = java.nio.file.Files.createTempDirectory("graft_glog_stream").toString
+    Glog.materialize(spark, dir, streamStore)
+    val base = spark.read.format("glog").load(streamStore).count()
+    val q = spark.readStream.format("glog").load(streamStore)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_glog_tail")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("graft_glog_tail").count() == base)
+    // Append a fresh segment beyond the current end offset of one
+    // partition — the next trigger must pick up exactly the new records.
+    val dirPath = new java.io.File(s"$streamStore/topic=click/part=3")
+    val end = Glog.endOffset(
+      new org.apache.hadoop.fs.Path(dirPath.toString).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(dirPath.toString))
+    val fresh = (0 until 5).map(i =>
+      Glog.Rec("click", 3L, end + i, 900000L + i, 1706000000000L + i, "42", "{}"))
+    val bytes = Glog.encodeBatch(fresh)
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dirPath, "segment-1.glog")))
+    out.writeInt(bytes.length); out.write(bytes); out.close()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_glog_tail").count() == base + 5)
+    val tail = spark.table("graft_glog_tail")
+      .filter(col("topic") === "click" && col("part") === 3L && col("offs") >= end)
+    assert(tail.count() == 5)
+  }
+
+  test("column pruning reaches the reader") {
+    val ks = glog.select("k").distinct().count()
+    val want = LogOps.log(spark, dir).select("k").distinct().count()
+    assert(ks == want)
+  }
+}
