@@ -64,9 +64,29 @@ object SchemaRegistry {
         count(lit(1)).as("n_fields"),
         md5(concat_ws(",", sort_array(collect_list("field")))).as("fingerprint"))
 
+  /** Full compatibility-mode matrix per subject
+    * (CompatibilityChecker.java's BACKWARD / FORWARD / FULL modes):
+    * backward = no v1 field dropped in v2, forward = no v2 field absent
+    * from v1, full = both. One pass over the same field inventory.
+    */
+  def schemaCompatModes(spark: SparkSession, dir: String): DataFrame =
+    fields(spark, dir)
+      .groupBy("topic", "field")
+      .agg(
+        max(when(pmod(col("event_id"), lit(2L)) === 0L, 1L).otherwise(0L)).as("has_v1"),
+        max(when(pmod(col("event_id"), lit(2L)) === 1L, 1L).otherwise(0L)).as("has_v2"))
+      .groupBy("topic")
+      .agg(
+        min(when(col("has_v1") === 1L && col("has_v2") === 0L, 0L).otherwise(1L))
+          .as("backward"),
+        min(when(col("has_v2") === 1L && col("has_v1") === 0L, 0L).otherwise(1L))
+          .as("forward"))
+      .withColumn("full_compat", col("backward") * col("forward"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schema_infer" -> schemaInfer,
     "schema_compat" -> schemaCompat,
+    "schema_compat_modes" -> schemaCompatModes,
     "schema_versions" -> schemaVersions)
 
   private val L = LogOps.logSqlCte
@@ -90,6 +110,21 @@ object SchemaRegistry {
         |SELECT topic, version, COUNT(*) AS n_fields,
         |  md5(string_agg(field, ',' ORDER BY field)) AS fingerprint
         |FROM vf GROUP BY topic, version""".stripMargin),
+    "schema_compat_modes" -> (L + fieldsSql +
+      """, vers AS (
+        |  SELECT topic, field,
+        |    MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS has_v1,
+        |    MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS has_v2
+        |  FROM fv GROUP BY topic, field),
+        |modes AS (
+        |  SELECT topic,
+        |    CAST(MIN(CASE WHEN has_v1 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS backward,
+        |    CAST(MIN(CASE WHEN has_v2 = 1 AND has_v1 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS forward
+        |  FROM vers GROUP BY topic)
+        |SELECT topic, backward, forward, backward * forward AS full_compat
+        |FROM modes""".stripMargin),
     "schema_compat" -> (L + fieldsSql +
       """, vers AS (
         |  SELECT topic, field,
