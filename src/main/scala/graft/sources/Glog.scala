@@ -144,22 +144,16 @@ object Glog {
     end
   }
 
-  /** Write the canonical log view as a glog store: one shuffle onto
-    * (topic, part), offset-sorted batching, executor-side segment writes
-    * through the Hadoop FileSystem API (works on any FS; no driver
-    * involvement; `_SUCCESS` marker makes materialization idempotent).
+  /** Executor-side segment writer: one shuffle onto (topic, part),
+    * offset-sorted batching, segments written through the Hadoop
+    * FileSystem API (works on any FS; no driver involvement).
     */
-  def materialize(spark: SparkSession, dir: String, outPath: String): Unit = {
-    import spark.implicits._
-    val success = new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")
-    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(success)) return
+  def writeSegments(ds: org.apache.spark.sql.Dataset[Rec], outPath: String,
+      segName: String): Unit = {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    LogOps.log(spark, dir)
-      .select(col("topic"), col("part"), col("offs"), col("event_id"),
-        col("tms"), col("k"), col("v")).as[Rec]
-      .repartition(col("topic"), col("part"))
+      ds.sparkSession.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.col
+    ds.repartition(col("topic"), col("part"))
       .sortWithinPartitions("topic", "part", "offs")
       .foreachPartition { (it: Iterator[Rec]) =>
         val conf = hconf.value
@@ -167,7 +161,7 @@ object Glog {
         while (in.hasNext) {
           val head = in.head
           val segPath = new org.apache.hadoop.fs.Path(
-            s"$outPath/topic=${head.topic}/part=${head.part}/segment-0.glog")
+            s"$outPath/topic=${head.topic}/part=${head.part}/$segName.glog")
           val pfs = segPath.getFileSystem(conf)
           val out = new DataOutputStream(pfs.create(segPath, true))
           try {
@@ -184,6 +178,42 @@ object Glog {
           } finally out.close()
         }
       }
+  }
+
+  /** Materialize the canonical log view as a glog store (`_SUCCESS`
+    * marker makes it idempotent).
+    */
+  def materialize(spark: SparkSession, dir: String, outPath: String): Unit = {
+    import spark.implicits._
+    val success = new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(success)) return
+    writeSegments(
+      LogOps.log(spark, dir)
+        .select(col("topic"), col("part"), col("offs"), col("event_id"),
+          col("tms"), col("k"), col("v")).as[Rec],
+      outPath, "segment-0")
     fs.create(success, true).close()
+  }
+
+  /** Current end offsets per "topic/part" directory of a store (empty map
+    * for a store that does not exist yet) — shared by the streaming
+    * source (latestOffset) and the streaming sink (offset assignment).
+    */
+  def listEnds(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Map.empty
+    (for {
+      tDir <- fs.listStatus(root).toSeq
+      if tDir.isDirectory && tDir.getPath.getName.startsWith("topic=")
+      pDir <- fs.listStatus(tDir.getPath).toSeq
+      if pDir.isDirectory && pDir.getPath.getName.startsWith("part=")
+    } yield {
+      val topic = tDir.getPath.getName.stripPrefix("topic=")
+      val part = pDir.getPath.getName.stripPrefix("part=")
+      s"$topic/$part" -> endOffset(fs, pDir.getPath)
+    }).toMap
   }
 }

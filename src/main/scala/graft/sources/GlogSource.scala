@@ -173,22 +173,7 @@ class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long)
   private def conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
 
-  private def listEnds(): Map[String, Long] = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    (for {
-      tDir <- fs.listStatus(root).toSeq
-      if tDir.isDirectory && tDir.getPath.getName.startsWith("topic=")
-      pDir <- fs.listStatus(tDir.getPath).toSeq
-      if pDir.isDirectory && pDir.getPath.getName.startsWith("part=")
-    } yield {
-      val topic = tDir.getPath.getName.stripPrefix("topic=")
-      val part = pDir.getPath.getName.stripPrefix("part=")
-      s"$topic/$part" -> Glog.endOffset(fs, pDir.getPath)
-    }).toMap
-  }
-
-  override def latestOffset(): Offset = GlogOffset(listEnds())
+  override def latestOffset(): Offset = GlogOffset(Glog.listEnds(path, conf))
   override def initialOffset(): Offset = GlogOffset(Map.empty)
   override def deserializeOffset(json: String): Offset = GlogOffset.parse(json)
   override def commit(end: Offset): Unit = ()

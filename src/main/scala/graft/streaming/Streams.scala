@@ -157,6 +157,51 @@ object Streams {
     batches
   }
 
+  /** Streaming glog sink: append each micro-batch to a glog store as new
+    * segments, continuing every partition's offset sequence from the
+    * store's current end offsets — the broker's produce-side append
+    * (storage/PartitionLog.appendRecords) as a streaming sink. Together
+    * with the glog MicroBatchStream source this closes the Kafka
+    * source/sink loop over the engine's own storage. Returns the number
+    * of micro-batches written.
+    */
+  def runGlogIngest(spark: SparkSession, dir: String, outPath: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "events"))
+    var batches = 0L
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batches += 1
+        val spk = batch.sparkSession
+        import spk.implicits._
+        val ends = graft.sources.Glog.listEnds(outPath,
+          spk.sparkContext.hadoopConfiguration)
+        val endsDf = ends.toSeq.map { case (key, e) =>
+          val Array(t, p) = key.split("/", 2)
+          (t, p.toLong, e)
+        }.toDF("topic", "part", "prev_end")
+        val w = Window.partitionBy("topic", "part").orderBy("event_id")
+        val recs = batch
+          .select(col("event_type").as("topic"),
+            pmod(col("user_id"), lit(8L)).as("part"),
+            expr("ts div 1000000").as("tms"), col("event_id"),
+            col("user_id").cast("string").as("k"), col("props").as("v"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .join(broadcast(endsDf), Seq("topic", "part"), "left")
+          .withColumn("offs",
+            coalesce(col("prev_end"), lit(0L)) + col("rank") - 1L)
+          .select("topic", "part", "offs", "event_id", "tms", "k", "v")
+          .as[graft.sources.Glog.Rec]
+        graft.sources.Glog.writeSegments(recs, outPath, s"segment-b$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg)
 

@@ -81,6 +81,25 @@ class GlogSpec extends AnyFunSuite {
     assert(tail.count() == 5)
   }
 
+  test("streaming glog sink lands a dense per-partition log") {
+    val out = java.nio.file.Files.createTempDirectory("graft_glog_sink").toString
+    val batches = graft.streaming.Streams.runGlogIngest(spark, dir, out)
+    assert(batches >= 1)
+    val got = spark.read.format("glog").load(out)
+    assert(got.count() == Tables.t(spark, dir, "events").count())
+    // every (topic, part) has dense offsets 0..n-1 regardless of batching
+    val dense = got.groupBy("topic", "part")
+      .agg(min("offs").as("mn"), max("offs").as("mx"), count(lit(1)).as("n"))
+    assert(dense.filter(col("mn") =!= 0L || col("mx") =!= col("n") - 1).count() == 0)
+    // the sink's store replays identically through the streaming source
+    val q = spark.readStream.format("glog").load(out)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_glog_sink_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_glog_sink_replay").count() == got.count())
+  }
+
   test("column pruning reaches the reader") {
     val ks = glog.select("k").distinct().count()
     val want = LogOps.log(spark, dir).select("k").distinct().count()
