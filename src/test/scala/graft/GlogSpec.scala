@@ -100,6 +100,21 @@ class GlogSpec extends AnyFunSuite {
     assert(spark.table("graft_glog_sink_replay").count() == got.count())
   }
 
+  test("store compaction keeps the latest record per key at its original offset") {
+    val out = java.nio.file.Files.createTempDirectory("graft_glog_compact").toString
+    graft.sources.GlogOps.compactStore(spark, store, out)
+    val got = spark.read.format("glog").load(out)
+      .select("topic", "part", "k", "offs", "v", "tms")
+    val want = LogOps.compact(spark, dir)
+      .select("topic", "part", "k", "offs", "v", "tms")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // offset seeks still work across the compaction gaps
+    val seek = spark.read.format("glog").load(out)
+      .filter(col("topic") === "click" && col("offs") >= 100L).count()
+    val seekWant = want.filter(col("topic") === "click" && col("offs") >= 100L).count()
+    assert(seek == seekWant)
+  }
+
   test("column pruning reaches the reader") {
     val ks = glog.select("k").distinct().count()
     val want = LogOps.log(spark, dir).select("k").distinct().count()
