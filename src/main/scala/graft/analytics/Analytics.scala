@@ -480,6 +480,58 @@ object Analytics {
         col("total_qty"))
   }
 
+  /** TPC-H Q8 flavor: a supplier nation's revenue share of the ASIA
+    * market per order year — the share is a division of two exact decimal
+    * sums over the same joined frame (one pass, conditional numerator).
+    */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val rev = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    val nS = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val nC = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val asiaC = nC.join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaC), col("c_nationkey") === col("c_nk"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nS), col("s_nationkey") === col("s_nk"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy("o_year")
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(money(lit(0)))).as("nation_revenue"),
+        dsum(rev).as("total_revenue"))
+      .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+  }
+
+  /** TPC-H Q19 flavor: OR-of-ANDs bracket predicate over a broadcast part
+    * join (brand x size-range x quantity-range brackets) — the disjunctive
+    * pushdown shape.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val bracket =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+        col("l_quantity").between(20, 50))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   /** Native session windows: the same gap-based sessions as [[sessionize]]
     * but through Spark's `session_window` operator — the streaming-capable
     * form (the identical groupBy runs under readStream with a watermark).
@@ -517,6 +569,8 @@ object Analytics {
         grouping_id().as("gid"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> q8,
+    "q19_brackets" -> q19,
     "q10_returns" -> q10,
     "q12_priority" -> q12,
     "q14_promo" -> q14,
@@ -559,6 +613,37 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" ->
+      """WITH agg AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |      ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) AS nation_revenue,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY year(o_orderdate))
+        |SELECT o_year, nation_revenue, total_revenue,
+        |  nation_revenue / total_revenue AS mkt_share
+        |FROM agg""".stripMargin,
+    "q19_brackets" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+        |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
