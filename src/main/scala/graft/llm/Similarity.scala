@@ -128,10 +128,29 @@ object Similarity {
         min(col("q.vec_id")).as("keep_id"))
   }
 
+  /** ANN quality evaluation: recall of the LSH index against the exact
+    * top-3 (brute-force restricted to each query's true 3 nearest) — the
+    * metric that decides whether the approximate path is usable at scale.
+    * Counts are exact integers; recall is an int/int division.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact3 = annBruteforce(spark, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val approx = annLsh(spark, dir).select(col("q_id"), col("n_id").as("a_id"))
+    exact3.join(approx,
+        exact3("q_id") === approx("q_id") && col("n_id") === col("a_id"), "left")
+      .groupBy(exact3("q_id").as("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("recall", col("n_matched") / col("n_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_recall" -> annRecall,
     "semdedup" -> semDedup)
 
   private val vecSql =
@@ -151,6 +170,46 @@ object Similarity {
       |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_recall" -> (vecSql +
+      s""", bfp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q, vecs c
+         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |bf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM bfp)
+         |  WHERE rank <= 3),
+         |dots AS (
+         |  SELECT vec_id, p,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(v)), i -> v[i] *
+         |        (('0x' || substring(md5('p_' || p || '_' || (i - 1)), 1, 14))::BIGINT::DOUBLE
+         |          / CAST(72057594037927936 AS DOUBLE) - 0.5))),
+         |      (a, x) -> a + x) AS dot
+         |  FROM vecs, generate_series(0, 5) t(p)),
+         |buckets AS (
+         |  SELECT d.vec_id,
+         |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket,
+         |    ANY_VALUE(vecs.v) AS v, ANY_VALUE(vecs.nrm) AS nrm
+         |  FROM dots d JOIN vecs ON vecs.vec_id = d.vec_id
+         |  GROUP BY d.vec_id),
+         |lpairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM buckets q, buckets c
+         |  WHERE q.vec_id < 8 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |lsh AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM lpairs)
+         |  WHERE rank <= 3)
+         |SELECT bf.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN lsh.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched,
+         |  CAST(SUM(CASE WHEN lsh.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*) AS recall
+         |FROM bf LEFT JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
+         |GROUP BY bf.q_id""".stripMargin),
     "semdedup" -> (vecSql +
       s""", cents AS (
          |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16),
