@@ -202,6 +202,23 @@ object Streams {
     batches
   }
 
+  /** Live log-end offsets over the glog tail source: a complete-mode
+    * streaming aggregation keeps per-(topic, part) end offsets and record
+    * counts current as segments append — the continuous form of
+    * ListOffsets / the input side of a lag monitor.
+    */
+  def runLogEndStream(spark: SparkSession, storePath: String): DataFrame = {
+    val q = spark.readStream.format("glog").load(storePath)
+      .groupBy("topic", "part")
+      .agg((max("offs") + 1L).as("log_end"), count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_log_end")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_log_end")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg)
 

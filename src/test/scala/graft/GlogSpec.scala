@@ -115,6 +115,14 @@ class GlogSpec extends AnyFunSuite {
     assert(seek == seekWant)
   }
 
+  test("streaming log-end monitor over the glog tail matches batch list_offsets") {
+    val got = graft.streaming.Streams.runLogEndStream(spark, store)
+      .select("topic", "part", "log_end", "n")
+    val want = LogOps.listOffsets(spark, dir)
+      .select("topic", "part", "log_end", "n")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("column pruning reaches the reader") {
     val ks = glog.select("k").distinct().count()
     val want = LogOps.log(spark, dir).select("k").distinct().count()
