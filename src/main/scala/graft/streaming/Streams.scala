@@ -96,6 +96,59 @@ object Streams {
       }
   }
 
+  final case class SessState(start: Long, last: Long, n: Long)
+  final case class Sess(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Sessionization with explicit timeout-driven closing: sessions that
+    * end inside a micro-batch are emitted immediately; each user's open
+    * tail session is held in state with an event-time timeout at
+    * last + gap, so the watermark closes it — the state-eviction pattern
+    * every long-running streaming sessionizer needs (bounded state, no
+    * per-key leak). Emitted sessions are exactly rows of the batch
+    * [[graft.analytics.Analytics.sessionize]] (StreamingSpec asserts the
+    * subset match); only tail sessions the watermark has not passed stay
+    * pending.
+    */
+  def sessionTimeoutStream(spark: SparkSession, events: DataFrame)
+      : Dataset[Sess] = {
+    import spark.implicits._
+    val gap = 1800000L
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      // The watermark column itself must reach the stateful operator —
+      // projecting it into a long would drop the event-time tag.
+      .select(col("user_id"), col("ets"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, Sess](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Sess(uid, s.start, s.last, s.n))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer[Sess]()
+            ts.foreach { t =>
+              st match {
+                case null => st = SessState(t, t, 1L)
+                case s if t - s.last > gap =>
+                  closed += Sess(uid, s.start, s.last, s.n)
+                  st = SessState(t, t, 1L)
+                case s => st = SessState(s.start, t, s.n + 1L)
+              }
+            }
+            state.update(st)
+            // Close the tail session once event time passes last + gap.
+            state.setTimeoutTimestamp(st.last + gap)
+            closed.iterator
+          }
+      }
+  }
+
   /** The file stream source wants a directory; stage a symlink to the
     * single-file table in a temp dir.
     */

@@ -129,6 +129,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got > 0)
   }
 
+  test("timeout-closed streaming sessions match batch sessionize") {
+    val schema = Tables.t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Streams.stageStreamDir(dir, "events"))
+    val q = Streams.sessionTimeoutStream(spark, stream).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sess_timeout").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_sess_timeout")
+      .select("user_id", "start_ms", "end_ms", "n_events")
+    val batch = analytics.Analytics.sessionize(spark, dir)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+    // every emitted session is exactly a batch session...
+    assert(got.exceptAll(batch).count() == 0)
+    // ...and only each user's watermark-pending tail can be missing
+    assert(got.count() >= batch.count() - batch.select("user_id").distinct().count())
+    assert(got.count() > 0)
+  }
+
   test("streaming ingest sink lands every event in the partitioned store") {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val batches = Streams.runIngestStream(spark, dir, out)
