@@ -215,11 +215,15 @@ case class GramCounts(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val count = s.length - n + 1
+    // Iterate by code points, not UTF-16 units: Spark's substring() and the
+    // DuckDB oracle both slice by code point, so grams over supplementary
+    // characters (emoji etc.) must match that boundary rule.
+    val cp = s.codePoints().toArray
+    val count = cp.length - n + 1
     val m = new java.util.LinkedHashMap[String, Long]()
     var i = 0
     while (i < math.max(count, 0)) {
-      val g = s.substring(i, i + n)
+      val g = new String(cp, i, n)
       val prev = m.get(g)
       m.put(g, if (prev == null) 1L else prev + 1L)
       i += 1

@@ -97,9 +97,10 @@ object BrokerOps {
       """sized AS (
         |  SELECT topic, part, offs, tms,
         |    length(v) + length(k) + 16 AS rec_bytes,
-        |    COALESCE(SUM(length(v) + length(k) + 16) OVER (
+        |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
         |      PARTITION BY topic, part ORDER BY offs
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384 AS seg_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384
+        |      AS BIGINT) AS seg_id
         |  FROM log)
         |SELECT topic, part, seg_id, MIN(offs) AS base_offset,
         |  MAX(offs) + 1 AS end_offset, COUNT(*) AS n_records,

@@ -139,22 +139,28 @@ class GlogScan(path: String, required: StructType, topicEq: Option[String],
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-/** Stream offset: the end offset (exclusive) per "topic/part" directory. */
+/** Stream offset: the end offset (exclusive) per "topic/part" directory.
+  * Serialized with json4s (already on the Spark classpath) so topic names
+  * containing JSON-hostile characters round-trip through the checkpoint
+  * intact; [[Glog.validateTopic]] separately rejects names that cannot be
+  * directory names at all.
+  */
 final case class GlogOffset(ends: Map[String, Long])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
   override def json(): String =
-    ends.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
+    JsonMethods.compact(JsonMethods.render(
+      ends.toSeq.sorted.foldLeft(org.json4s.JObject()) {
+        case (o, (k, v)) => o ~ (k -> v)
+      }))
 }
 
 object GlogOffset {
   def parse(json: String): GlogOffset = {
-    val body = json.trim.stripPrefix("{").stripSuffix("}")
-    if (body.isEmpty) GlogOffset(Map.empty)
-    else GlogOffset(body.split(",").map { kv =>
-      val Array(k, v) = kv.split(":", 2)
-      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
-    }.toMap)
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    GlogOffset(org.json4s.jackson.JsonMethods.parse(json)
+      .extract[Map[String, Long]])
   }
 }
 

@@ -229,6 +229,12 @@ object Streams {
         batches += 1
         val spk = batch.sparkSession
         import spk.implicits._
+        // Idempotence: a retried/re-delivered micro-batch first removes
+        // anything a previous attempt of this (or a later) batch wrote, so
+        // the end offsets below count only fully committed earlier batches
+        // — the sink analog of the broker's producer-state dedup.
+        graft.sources.Glog.dropBatchSegments(outPath,
+          spk.sparkContext.hadoopConfiguration, batchId)
         val ends = graft.sources.Glog.listEnds(outPath,
           spk.sparkContext.hadoopConfiguration)
         val endsDf = ends.toSeq.map { case (key, e) =>

@@ -100,6 +100,40 @@ class GlogSpec extends AnyFunSuite {
     assert(spark.table("graft_glog_sink_replay").count() == got.count())
   }
 
+  test("retried micro-batch write is idempotent via dropBatchSegments") {
+    val out = java.nio.file.Files.createTempDirectory("graft_glog_retry").toString
+    graft.streaming.Streams.runGlogIngest(spark, dir, out)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val before = Glog.listEnds(out, conf)
+    // Simulate a partial retry leftover: a bogus segment for a later batch
+    // id plus a stale temp file in one partition directory.
+    val pDir = new org.apache.hadoop.fs.Path(s"$out/topic=click/part=0")
+    val fs = pDir.getFileSystem(conf)
+    val junk = Glog.encodeBatch(Seq(Glog.Rec("click", 0L, before("click/0"),
+      999999L, 0L, "k", "v")))
+    for (name <- Seq("segment-b9999.glog", ".segment-b9999.glog.tmp-zombie")) {
+      val o = new java.io.DataOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(pDir, name), true))
+      o.writeInt(junk.length); o.write(junk); o.close()
+    }
+    assert(Glog.listEnds(out, conf)("click/0") == before("click/0") + 1)
+    // The recovery step a re-delivered batch 9999 would run first restores
+    // the committed state exactly.
+    Glog.dropBatchSegments(out, conf, 9999L)
+    assert(Glog.listEnds(out, conf) == before)
+  }
+
+  test("stream offset JSON round-trips hostile topic names") {
+    val o = graft.sources.GlogOffset(Map(
+      "a,b/0" -> 5L, "c:d\"e/1" -> 7L, "plain/2" -> 0L))
+    assert(graft.sources.GlogOffset.parse(o.json()) == o)
+    assert(graft.sources.GlogOffset.parse(
+      graft.sources.GlogOffset(Map.empty).json()).ends.isEmpty)
+    // names that cannot be a directory are rejected at write time
+    intercept[IllegalArgumentException](Glog.validateTopic("a/b"))
+    intercept[IllegalArgumentException](Glog.validateTopic(""))
+  }
+
   test("store compaction keeps the latest record per key at its original offset") {
     val out = java.nio.file.Files.createTempDirectory("graft_glog_compact").toString
     graft.sources.GlogOps.compactStore(spark, store, out)

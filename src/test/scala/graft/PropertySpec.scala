@@ -110,15 +110,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("GramCounts equals brute-force substring counting") {
-    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+  test("GramCounts equals brute-force code-point gram counting " +
+      "(incl. supplementary characters)") {
+    // "😀" (emoji) is one code point but two UTF-16 units: gram
+    // boundaries must follow code points to match Spark substring() and the
+    // DuckDB oracle.
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", " ", "😀", "é"))
+      .map(_.mkString)
     forAll(gen) { s =>
       val raw = graft.functions.GramCounts(Literal(UTF8String.fromString(s),
         StringType), 3).nullSafeEval(UTF8String.fromString(s))
       val m = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
       val got = (0 until m.numElements()).map(i =>
         m.keyArray().getUTF8String(i).toString -> m.valueArray().getLong(i)).toMap
-      val want = (0 to s.length - 3).map(i => s.substring(i, i + 3))
+      val cps = s.codePoints().toArray
+      val want = (0 to cps.length - 3).map(i => new String(cps, i, 3))
         .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
       assert(got == want)
     }

@@ -54,6 +54,16 @@ def main():
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             n_bad += 1
             continue
+        # The driver's hasher sees DuckDB types the fetchall() path hides:
+        # a HUGEINT output column (e.g. an uncast window SUM) hash-mismatches
+        # a Spark BIGINT even when the values are numerically equal.
+        huge = [c for c, t in zip(exp.columns, exp.types)
+                if "HUGEINT" in str(t).upper()]
+        if huge:
+            print(f"FAIL {name}: oracle outputs HUGEINT cols {huge} "
+                  f"(CAST ... AS BIGINT in the oracle SQL)")
+            n_bad += 1
+            continue
         g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
         if g == e:
             print(f"ok   {name}: {len(g)} rows")
