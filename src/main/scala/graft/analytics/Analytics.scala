@@ -568,7 +568,97 @@ object Analytics {
         dsum(money(col("val"))).as("sum_val"),
         grouping_id().as("gid"))
 
+  /** TPC-H Q13 flavor: distribution of per-customer order counts through a
+    * LEFT join (customers with zero orders must appear in the 0 bucket),
+    * with non-urgent priority as the "special orders excluded" predicate.
+    * Two aggregations; the first is on the join key so it reuses the join
+    * shuffle, the second is on a handful of distinct counts.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q17 flavor: lineitems of one brand below a fifth of their part's
+    * average quantity. The correlated scalar average becomes a broadcast of
+    * per-part (sum, count), and the `qty < 0.2 * avg` comparison is
+    * cross-multiplied to `5 * qty * cnt < sum` so it stays in exact decimal
+    * / integer arithmetic on both engines (no float division anywhere).
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val bp = t(spark, dir, "part").filter(col("p_brand") === "Brand#2")
+      .select("p_partkey")
+    val li = t(spark, dir, "lineitem")
+      .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy("l_partkey")
+      .agg(sum(money(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    li.join(broadcast(stats.withColumnRenamed("l_partkey", "sp")),
+        col("l_partkey") === col("sp"))
+      .filter(money(col("l_quantity")) * lit(5L) * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        dsum(money(col("l_extendedprice"))).as("total_price"))
+  }
+
+  /** TPC-H Q21 flavor: suppliers who were the ONLY late supplier on a
+    * finished multi-supplier order (late = shipped more than 60 days after
+    * the order date). The exists / not-exists pair is rewritten as one
+    * per-(order, supplier) aggregation plus a per-order rollup — two
+    * narrow shuffles on the natural keys instead of three self-joins.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+        .as("late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supps"), sum("late").cast("long").as("n_late"))
+    val waits = perSupp.filter(col("late") === 1L)
+      .join(perOrder, "l_orderkey")
+      .filter(col("n_supps") > 1L && col("n_late") === 1L)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+    val w = Window.orderBy(col("numwait").desc, col("s_name"))
+    waits
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("s_name", "numwait", "rnk")
+  }
+
+  /** TPC-H Q22 flavor: idle customers (no orders at all) holding an
+    * above-average positive balance, rolled up per country code. The
+    * global scalar average broadcasts as exact (sum, count) and the
+    * comparison cross-multiplies (`bal * n > sum`) to stay in decimal.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(money(col("c_acctbal"))).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    cust.join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(money(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+      .withColumn("cntrycode", (col("c_nationkey") % 5).cast("long"))
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        dsum(money(col("c_acctbal"))).as("totacctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> q13,
+    "q17_small_qty" -> q17,
+    "q21_waiting" -> q21,
+    "q22_idle_balance" -> q22,
     "q8_market_share" -> q8,
     "q19_brackets" -> q19,
     "q10_returns" -> q10,
@@ -613,6 +703,62 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#2'),
+        |st AS (
+        |  SELECT l_partkey AS sp,
+        |    SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty,
+        |    COUNT(*) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM li JOIN st ON l_partkey = sp
+        |WHERE CAST(l_quantity AS DECIMAL(10,2)) * 5 * cnt < sum_qty""".stripMargin,
+    "q21_waiting" ->
+      """WITH per_supp AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |per_order AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_supps,
+        |    CAST(SUM(late) AS BIGINT) AS n_late
+        |  FROM per_supp GROUP BY l_orderkey),
+        |waits AS (
+        |  SELECT l_suppkey, COUNT(*) AS numwait
+        |  FROM per_supp JOIN per_order USING (l_orderkey)
+        |  WHERE late = 1 AND n_supps > 1 AND n_late = 1
+        |  GROUP BY l_suppkey)
+        |SELECT s_name, numwait, rnk FROM (
+        |  SELECT s_name, numwait,
+        |    ROW_NUMBER() OVER (ORDER BY numwait DESC, s_name) AS rnk
+        |  FROM waits JOIN supplier ON l_suppkey = s_suppkey)
+        |WHERE rnk <= 10""".stripMargin,
+    "q22_idle_balance" ->
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS sum_pos,
+        |    COUNT(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey % 5 AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND CAST(c_acctbal AS DECIMAL(10,2)) * n_pos > sum_pos
+        |GROUP BY c_nationkey % 5""".stripMargin,
     "q8_market_share" ->
       """WITH agg AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -162,7 +162,31 @@ object Groups {
       .select("topic", "part", "member_old", "member_new", "moved")
   }
 
+  /** Cursor-cache hit accounting, modeling the reference's
+    * KafkaTopicConsumerManager (/root/reference/kafka-impl/.../
+    * KafkaTopicConsumerManager.java:54 — cursors keyed by offset; a fetch
+    * continues a cached cursor iff it starts exactly where the previous
+    * fetch ended, otherwise it pays a seek): each group consumes from its
+    * committed offset to the log end in 64-record fetches, so per
+    * partition the first fetch is a seek and every subsequent fetch is a
+    * cache hit. Closed-form per-partition arithmetic on the leo frame —
+    * no per-record work at all.
+    */
+  def cursorCache(spark: SparkSession, dir: String): DataFrame =
+    commits(spark, dir)
+      .withColumn("n_fetches",
+        expr("(log_end - committed + 63) div 64"))
+      .groupBy("group_id", "topic")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum("n_fetches").cast("long").as("n_fetches"),
+        count(lit(1)).as("n_seeks"),
+        (sum("n_fetches") - count(lit(1))).cast("long").as("n_hits"))
+      .withColumn("hit_ratio",
+        col("n_hits").cast("double") / col("n_fetches").cast("double"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cursor_cache" -> cursorCache,
     "assign_sticky" -> assignSticky,
     "rebalance_diff" -> rebalanceDiff,
     "group_offsets" -> groupOffsets,
@@ -181,6 +205,18 @@ object Groups {
        |  END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cursor_cache" -> (L + commitsSql +
+      """, fetches AS (
+        |  SELECT group_id, topic, part,
+        |    (log_end - committed + 63) // 64 AS n_fetches
+        |  FROM commits)
+        |SELECT group_id, topic, COUNT(*) AS n_parts,
+        |  CAST(SUM(n_fetches) AS BIGINT) AS n_fetches,
+        |  COUNT(*) AS n_seeks,
+        |  CAST(SUM(n_fetches) - COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(CAST(SUM(n_fetches) - COUNT(*) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(n_fetches) AS BIGINT) AS DOUBLE) AS hit_ratio
+        |FROM fetches GROUP BY group_id, topic""".stripMargin),
     "assign_sticky" -> (L +
       """tp AS (SELECT DISTINCT topic, part FROM log),
         |rr AS (

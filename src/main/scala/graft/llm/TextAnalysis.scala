@@ -235,7 +235,51 @@ object TextAnalysis {
         (col("n_grams") - col("n_distinct")) / col("n_grams"))
       .withColumn("repetitive", when(col("dup_frac") > 0.1, 1L).otherwise(0L))
 
+  /** Corpus-frequency likelihood: a language-model-quality proxy with no
+    * floats in the model — each document is scored by the mean corpus
+    * document-frequency of its tokens (occurrence-weighted). Common-word
+    * documents score high, rare-token noise scores low — the integer-exact
+    * stand-in for a perplexity bucket (logs and float products would
+    * drift between engines; a ratio of two exact integer sums cannot).
+    * The df table is vocabulary-sized, so the join broadcasts; per-doc
+    * term frequencies come from the in-row array_counts combiner (one
+    * generator row per DISTINCT token per doc).
+    */
+  def gramLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("array_counts(split(text, ' '))")).as(Seq("tok", "tf")))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        sum(col("tf") * col("df")).cast("long").as("sum_df"))
+      .withColumn("score",
+        col("sum_df").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Exact-substring duplicate candidates: documents sharing at least 3 of
+    * their bottom-8 winnowed 8-gram fingerprints (the [[fingerprint]]
+    * sketch turned into a pair generator) — the scalable alternative to a
+    * suffix-array exact-substring dedup: the join key is a 56-bit hash, so
+    * buckets are tiny and the shuffle carries 8 rows per document, never
+    * the text.
+    */
+  def substringDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprint(spark, dir).select("doc_id", "h")
+    fp.toDF("d1", "h")
+      .join(fp.toDF("d2", "h"), "h")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gram_likelihood" -> gramLikelihood,
+    "substring_dup_pairs" -> substringDupPairs,
     "quality_gopher" -> qualityGopher,
     "repetition_ngrams" -> repetitionNgrams,
     "vocab_stats" -> vocabStats,
@@ -253,6 +297,34 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "gram_likelihood" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf * df) AS BIGINT) AS sum_df,
+        |  CAST(CAST(SUM(tf * df) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS score
+        |FROM tk JOIN df USING (tok) GROUP BY doc_id""".stripMargin,
+    "substring_dup_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, g, ('0x' || substring(md5(g), 1, 14))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          generate_series(1, length(text) - 7), i -> substring(text, i, 8)))) AS g
+        |        FROM documents WHERE length(text) >= 8)),
+        |fp AS (
+        |  SELECT doc_id, h FROM (
+        |    SELECT doc_id, h,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h, g) AS rank
+        |    FROM g)
+        |  WHERE rank <= 8)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING COUNT(*) >= 3""".stripMargin,
     "quality_gopher" ->
       """WITH words AS (
         |  SELECT doc_id, w, COUNT(*) AS n

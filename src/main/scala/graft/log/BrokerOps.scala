@@ -85,10 +85,81 @@ object BrokerOps {
         max("bytes").as("max_day_bytes"),
         sum("throttle_ms").cast("long").as("total_throttle_ms"))
 
+  /** Broker/bundle ownership routing, modeling the reference's topic
+    * lookup (/root/reference/kafka-impl/.../KopBrokerLookupManager.java,
+    * NamespaceBundleOwnershipListenerImpl.java): each (topic, part) hashes
+    * onto one of 4 brokers (md5 — engine-identical), and when the most
+    * loaded broker fails its partitions re-hash onto the 3 survivors —
+    * the moved set a metadata refresh would observe. Per-partition record
+    * counts come from one aggregation; everything after is broadcast-sized.
+    */
+  def brokerRouting(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val perPart = LogOps.log(spark, dir)
+      .groupBy("topic", "part")
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("broker",
+        pmod(md5Long(concat_ws("#", col("topic"), col("part"))), lit(4L)))
+    val loads = perPart.groupBy("broker")
+      .agg(sum("n_records").cast("long").as("total"))
+    val failed = loads
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("total").desc, col("broker"))).cast("long"))
+      .filter(col("rnk") === 1L)
+      .select(col("broker").as("failed_broker"))
+    perPart.crossJoin(broadcast(failed))
+      .withColumn("alt",
+        pmod(md5Long(concat_ws("#", col("topic"), col("part"), lit("f"))),
+          lit(3L)))
+      .withColumn("new_broker",
+        when(col("broker") =!= col("failed_broker"), col("broker"))
+          .otherwise(
+            when(col("alt") >= col("failed_broker"), col("alt") + 1L)
+              .otherwise(col("alt"))))
+      .withColumn("moved",
+        when(col("broker") === col("failed_broker"), 1L).otherwise(0L))
+      .select("topic", "part", "n_records", "broker", "new_broker", "moved")
+  }
+
+  /** Format down-conversion accounting, modeling the reference's
+    * per-client-version entry re-encode
+    * (/root/reference/kafka-impl/.../format/AbstractEntryFormatter.java,
+    * utils/ByteBufUtils.java — magic < 2 clients get v2 batches re-framed
+    * as v1 records; the kafka-0-9/0-10/1-0 compat modules are exactly
+    * those clients): per (consumer group, topic) the records that must
+    * down-convert and the extra bytes the v1 framing costs vs the batched
+    * v2 encoding.
+    */
+  def downConvert(spark: SparkSession, dir: String): DataFrame = {
+    val perTopic = LogOps.log(spark, dir)
+      .withColumn("payload", length(col("v")) + length(col("k")))
+      .groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("payload") + lit(34)).cast("long").as("bytes_v1"),
+        (lit(61L) + sum(col("payload") + lit(12))).cast("long").as("bytes_v2"))
+      .groupBy("topic")
+      .agg(
+        sum("n").cast("long").as("n_records"),
+        sum("bytes_v1").cast("long").as("bytes_v1"),
+        sum("bytes_v2").cast("long").as("bytes_v2"))
+    val clients = spark.range(0, 4).select(
+      concat(lit("g"), col("id").cast("string")).as("group_id"),
+      when(col("id") === 0L, 0L).when(col("id") <= 2L, 1L).otherwise(2L)
+        .as("magic"))
+    perTopic.crossJoin(broadcast(clients))
+      .select(col("group_id"), col("magic"), col("topic"), col("n_records"),
+        when(col("magic") < 2L, col("n_records")).otherwise(0L).as("n_down"),
+        when(col("magic") < 2L, col("bytes_v1") - col("bytes_v2"))
+          .otherwise(0L).as("extra_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "log_segments" -> logSegments,
     "leader_epoch" -> leaderEpoch,
-    "client_quota" -> clientQuota)
+    "client_quota" -> clientQuota,
+    "broker_routing" -> brokerRouting,
+    "down_convert" -> downConvert)
 
   private val L = LogOps.logSqlCte
 
@@ -111,6 +182,48 @@ object BrokerOps {
       """SELECT topic, part, offs // 100 AS epoch, MIN(offs) AS epoch_start,
         |  MAX(offs) + 1 AS epoch_end, COUNT(*) AS n_records
         |FROM log GROUP BY topic, part, offs // 100""".stripMargin),
+    "broker_routing" -> (L +
+      """pp AS (
+        |  SELECT topic, part, COUNT(*) AS n_records,
+        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+        |      AS broker
+        |  FROM log GROUP BY topic, part),
+        |failed AS (
+        |  SELECT broker AS failed_broker FROM (
+        |    SELECT broker, ROW_NUMBER() OVER (
+        |      ORDER BY SUM(n_records) DESC, broker) AS rnk
+        |    FROM pp GROUP BY broker)
+        |  WHERE rnk = 1),
+        |alt AS (
+        |  SELECT pp.*, failed_broker,
+        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR) || '#f'), 1, 14))::BIGINT % 3
+        |      AS a
+        |  FROM pp, failed)
+        |SELECT topic, part, n_records, CAST(broker AS BIGINT) AS broker,
+        |  CAST(CASE WHEN broker <> failed_broker THEN broker
+        |    WHEN a >= failed_broker THEN a + 1 ELSE a END AS BIGINT) AS new_broker,
+        |  CAST(CASE WHEN broker = failed_broker THEN 1 ELSE 0 END AS BIGINT) AS moved
+        |FROM alt""".stripMargin),
+    "down_convert" -> (L +
+      """pt AS (
+        |  SELECT topic, CAST(SUM(n) AS BIGINT) AS n_records,
+        |    CAST(SUM(bytes_v1) AS BIGINT) AS bytes_v1,
+        |    CAST(SUM(bytes_v2) AS BIGINT) AS bytes_v2
+        |  FROM (
+        |    SELECT topic, part, COUNT(*) AS n,
+        |      SUM(length(v) + length(k) + 34) AS bytes_v1,
+        |      61 + SUM(length(v) + length(k) + 12) AS bytes_v2
+        |    FROM log GROUP BY topic, part)
+        |  GROUP BY topic),
+        |clients AS (
+        |  SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
+        |    CAST(CASE WHEN g = 0 THEN 0 WHEN g <= 2 THEN 1 ELSE 2 END AS BIGINT)
+        |      AS magic
+        |  FROM generate_series(0, 3) t(g))
+        |SELECT group_id, magic, topic, n_records,
+        |  CASE WHEN magic < 2 THEN n_records ELSE 0 END AS n_down,
+        |  CASE WHEN magic < 2 THEN bytes_v1 - bytes_v2 ELSE 0 END AS extra_bytes
+        |FROM pt CROSS JOIN clients""".stripMargin),
     "client_quota" -> (L +
       """days AS (
         |  SELECT CAST(k AS BIGINT) % 16 AS producer_id,

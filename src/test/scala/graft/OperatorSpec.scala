@@ -201,4 +201,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.filter(col("keep_id") >= col("drop_id")).count() == 0)
     assert(s.filter(col("n_dups") < 1).count() == 0)
   }
+
+  test("q21 waiting suppliers: top-10 window with deterministic ranks") {
+    val w = analytics.Analytics.q21(spark, dir)
+    assert(w.count() <= 10)
+    assert(w.select("rnk").distinct().count() == w.count())
+    assert(w.filter(col("numwait") < 1).count() == 0)
+  }
+
+  test("broker routing moves exactly the failed broker's partitions") {
+    val r = graft.log.BrokerOps.brokerRouting(spark, dir)
+    assert(r.filter(col("moved") === 1 && col("new_broker") === col("broker"))
+      .count() == 0)
+    assert(r.filter(col("moved") === 0 && col("new_broker") =!= col("broker"))
+      .count() == 0)
+    // exactly one broker id disappears after failover
+    val before = r.select("broker").distinct().count()
+    val after = r.select("new_broker").distinct().count()
+    assert(before >= after)
+    assert(r.filter(col("new_broker") > 3 || col("new_broker") < 0).count() == 0)
+  }
+
+  test("cursor cache: every partition pays exactly one seek") {
+    val c = coordinator.Groups.cursorCache(spark, dir)
+    assert(c.filter(col("n_seeks") =!= col("n_parts")).count() == 0)
+    assert(c.filter(col("n_hits") + col("n_seeks") =!= col("n_fetches"))
+      .count() == 0)
+    assert(c.filter(col("hit_ratio") < 0.0 || col("hit_ratio") >= 1.0)
+      .count() == 0)
+  }
+
+  test("substring dup pairs share at least 3 of 8 fingerprints") {
+    val p = llm.TextAnalysis.substringDupPairs(spark, dir)
+    assert(p.filter(col("n_shared") < 3 || col("n_shared") > 8).count() == 0)
+    assert(p.filter(col("d1") >= col("d2")).count() == 0)
+  }
+
+  test("gram likelihood score is the mean df of a doc's tokens") {
+    val g = llm.TextAnalysis.gramLikelihood(spark, dir)
+    // df of any token is at least 1 and at most the doc count
+    val nDocs = Tables.t(spark, dir, "documents").count()
+    assert(g.filter(col("score") < 1.0 || col("score") > nDocs).count() == 0)
+    assert(g.filter(col("sum_df") < col("n_tokens")).count() == 0)
+  }
 }
