@@ -146,6 +146,27 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** The BPE-merge selection step (tokenizer training, iteration 0): the
+    * most frequent ADJACENT symbol pairs at the character level, counted
+    * only within words — a char bigram containing the space separator is a
+    * cross-word pair and never merges. Same in-row gram_counts combiner as
+    * [[ngramCounts]]; the top-20 by count is the merge queue a BPE trainer
+    * would pop from. A full trainer iterates this query, re-tokenizing
+    * with the merged symbol each round — each iteration stays this same
+    * one-aggregation shape.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    t(spark, dir, "documents")
+      .filter(length(col("text")) >= 2)
+      .select(explode(expr("gram_counts(text, 2)")).as(Seq("pair", "c")))
+      .filter(!col("pair").contains(" "))
+      .groupBy("pair").agg(sum("c").cast("long").as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+      .filter(col("rnk") <= 20)
+  }
+
   /** Document-length distribution per source: nearest-rank quartiles. */
   def docLengthStats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -267,17 +288,28 @@ object TextAnalysis {
     * buckets are tiny and the shuffle carries 8 rows per document, never
     * the text.
     */
-  def substringDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = fingerprint(spark, dir).select("doc_id", "h")
-    fp.toDF("d1", "h")
-      .join(fp.toDF("d2", "h"), "h")
-      .filter(col("d1") < col("d2"))
+  def substringDupPairs(spark: SparkSession, dir: String): DataFrame =
+    // One pass over the text (a self-join would evaluate the gram hashing
+    // twice): group the 8-per-doc fingerprint rows by hash and emit each
+    // bucket's (d1 < d2) pairs in-row from the sorted member list.
+    fingerprint(spark, dir)
+      .groupBy("h").agg(sort_array(collect_list("doc_id")).as("ds"))
+      // A fingerprint shared by more than 32 documents is a stop-gram (a
+      // globally common 8-gram whose hash happens to be small), not a
+      // duplication signal; the cap also bounds the per-bucket pair
+      // blowup at scale, exactly like the LSH band cap.
+      .filter(size(col("ds")).between(2, 32))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+      .select(col("p.d1"), col("p.d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3L)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pair_counts" -> bpePairCounts,
     "gram_likelihood" -> gramLikelihood,
     "substring_dup_pairs" -> substringDupPairs,
     "quality_gopher" -> qualityGopher,
@@ -297,6 +329,18 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "bpe_pair_counts" ->
+      """SELECT pair, n, rnk FROM (
+        |  SELECT pair, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+        |  FROM (
+        |    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |      SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+        |        i -> substring(text, i, 2))) AS pair
+        |      FROM documents WHERE length(text) >= 2)
+        |    WHERE NOT contains(pair, ' ')
+        |    GROUP BY pair))
+        |WHERE rnk <= 20""".stripMargin,
     "gram_likelihood" ->
       """WITH tk AS (
         |  SELECT doc_id, tok, COUNT(*) AS tf
@@ -320,9 +364,12 @@ object TextAnalysis {
         |    SELECT doc_id, h,
         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h, g) AS rank
         |    FROM g)
-        |  WHERE rank <= 8)
+        |  WHERE rank <= 8),
+        |small AS (
+        |  SELECT h FROM fp GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 32)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |JOIN small s ON a.h = s.h
         |GROUP BY a.doc_id, b.doc_id
         |HAVING COUNT(*) >= 3""".stripMargin,
     "quality_gopher" ->

@@ -185,6 +185,33 @@ object Streams {
       .select(col("topic"), col("k"), col("m.event_id"), col("m.tms"), col("m.v"))
   }
 
+  /** Stream-static enrichment join: the event stream joined per
+    * micro-batch against a static dimension (customers keyed by user id) —
+    * the canonical Kafka-consumer enrichment topology. The static side is
+    * broadcast into every micro-batch, so the streaming side never
+    * shuffles: at scale this is the difference between an enrichment that
+    * keeps up and one that falls behind its source. Returns the final
+    * enriched table (asserted equal to the batch join in StreamingSpec).
+    */
+  def runStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "events"))
+    val dim = broadcast(t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val q = stream
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy("event_type", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_static")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_stream_static")
+  }
+
   /** Streaming ingest sink: consume the event stream and append it to the
     * partitioned log store layout via foreachBatch — the continuous form of
     * LogStore.materialize (produce-side persistence). Returns the number of

@@ -158,6 +158,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.select("topic").distinct().count() == 5)
   }
 
+  test("stream-static enrichment join == batch join") {
+    val got = Streams.runStreamStaticJoin(spark, dir)
+    val want = Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(Tables.t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy("event_type", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("stateful compaction stream == batch compact") {
     val got = Streams.runCompactionStream(spark, dir)
       .select(col("topic"), col("k"), col("event_id"))
