@@ -193,6 +193,29 @@ object LogOps {
         col("rec_bytes").cast("long").as("rec_bytes"), col("cum_bytes"))
   }
 
+  /** DelayedFetch purgatory accounting
+    * (/root/reference/kafka-impl/.../DelayedFetch.java,
+    * DelayedProduceAndFetch.java): a consumer polling each partition once
+    * per second completes immediately when the interval delivered at least
+    * fetch.min.bytes (1024), otherwise the request parks in the purgatory
+    * and times out at fetch.max.wait. Per partition: poll intervals,
+    * immediate completions, parked fetches, and the byte backlog profile.
+    */
+  def fetchWait(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .withColumn("sec", expr("tms div 1000"))
+      .withColumn("rec_bytes",
+        (length(col("v")) + length(col("k")) + lit(16)).cast("long"))
+      .groupBy("topic", "part", "sec")
+      .agg(sum("rec_bytes").cast("long").as("bytes"))
+      .groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n_polls"),
+        sum(when(col("bytes") >= 1024L, 1L).otherwise(0L)).as("n_immediate"),
+        sum(when(col("bytes") < 1024L, 1L).otherwise(0L)).as("n_parked"),
+        max("bytes").as("max_interval_bytes"),
+        sum("bytes").cast("long").as("total_bytes"))
+
   /** Messages/bytes-in per topic per hour (the reference's RequestStats
     * throughput counters as a time-bucketed rollup).
     */
@@ -311,7 +334,8 @@ object LogOps {
     "topic_throughput" -> topicThroughput,
     "offset_translate" -> offsetTranslate,
     "delete_records" -> deleteRecords,
-    "fetch_max_bytes" -> fetchMaxBytes)
+    "fetch_max_bytes" -> fetchMaxBytes,
+    "fetch_wait" -> fetchWait)
 
   val oracles: Map[String, String] = Map(
     "partition_skew" -> (logSql +
@@ -427,6 +451,19 @@ object LogOps {
         |      ORDER BY offs ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
         |  FROM log WHERE offs >= 10)
         |WHERE cum_bytes <= 4096 OR cum_bytes = rec_bytes""".stripMargin),
+    "fetch_wait" -> (logSql +
+      """SELECT topic, part, COUNT(*) AS n_polls,
+        |  CAST(SUM(CASE WHEN bytes >= 1024 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_immediate,
+        |  CAST(SUM(CASE WHEN bytes < 1024 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_parked,
+        |  MAX(bytes) AS max_interval_bytes,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes
+        |FROM (
+        |  SELECT topic, part, tms // 1000 AS sec,
+        |    CAST(SUM(length(v) + length(k) + 16) AS BIGINT) AS bytes
+        |  FROM log GROUP BY topic, part, tms // 1000)
+        |GROUP BY topic, part""".stripMargin),
     "topic_throughput" -> (logSql +
       """SELECT topic, (tms // 3600000) * 3600000 AS hour_ms,
         |  COUNT(*) AS n_msgs,

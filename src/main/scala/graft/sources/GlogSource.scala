@@ -70,6 +70,7 @@ class GlogScanBuilder(path: String) extends ScanBuilder
   private var topicEq: Option[String] = None
   private var partEq: Option[Long] = None
   private var fromOffs: Long = Long.MinValue
+  private var minTms: Long = Long.MinValue
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
@@ -80,6 +81,10 @@ class GlogScanBuilder(path: String) extends ScanBuilder
         fromOffs = math.max(fromOffs, o.asInstanceOf[Number].longValue()); used :+= f
       case f @ GreaterThan("offs", o) if o.isInstanceOf[Number] =>
         fromOffs = math.max(fromOffs, o.asInstanceOf[Number].longValue() + 1); used :+= f
+      case f @ GreaterThanOrEqual("tms", t) if t.isInstanceOf[Number] =>
+        minTms = math.max(minTms, t.asInstanceOf[Number].longValue()); used :+= f
+      case f @ GreaterThan("tms", t) if t.isInstanceOf[Number] =>
+        minTms = math.max(minTms, t.asInstanceOf[Number].longValue() + 1); used :+= f
       case _ =>
     }
     // Everything remains a residual: Spark re-evaluates the full predicate
@@ -92,14 +97,16 @@ class GlogScanBuilder(path: String) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    new GlogScan(path, required, topicEq, partEq, fromOffs)
+    new GlogScan(path, required, topicEq, partEq, fromOffs, minTms)
 }
 
 final case class GlogPartition(file: String, topic: String, part: Long,
-    fromOffs: Long, untilOffs: Long = Long.MaxValue) extends InputPartition
+    fromOffs: Long, untilOffs: Long = Long.MaxValue,
+    minTms: Long = Long.MinValue) extends InputPartition
 
 class GlogScan(path: String, required: StructType, topicEq: Option[String],
-    partEq: Option[Long], fromOffs: Long) extends Scan with Batch {
+    partEq: Option[Long], fromOffs: Long,
+    minTms: Long = Long.MinValue) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -110,7 +117,8 @@ class GlogScan(path: String, required: StructType, topicEq: Option[String],
     val t = topicEq.getOrElse("*")
     val p = partEq.map(_.toString).getOrElse("*")
     s"GlogScan path=$path topic=$t part=$p fromOffs=" +
-      (if (fromOffs == Long.MinValue) "-inf" else fromOffs.toString)
+      (if (fromOffs == Long.MinValue) "-inf" else fromOffs.toString) +
+      " minTms=" + (if (minTms == Long.MinValue) "-inf" else minTms.toString)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -129,7 +137,8 @@ class GlogScan(path: String, required: StructType, topicEq: Option[String],
       if partEq.forall(_ == part)
       seg <- fs.listStatus(pDir.getPath).toSeq
       if seg.getPath.getName.endsWith(".glog")
-    } yield GlogPartition(seg.getPath.toString, topic, part, fromOffs)
+    } yield GlogPartition(seg.getPath.toString, topic, part, fromOffs,
+      Long.MaxValue, minTms)
     GlogSource.lastPlannedFiles.set(parts.size.toLong)
     parts.toArray[InputPartition]
   }
@@ -218,7 +227,7 @@ class GlogReaderFactory(required: StructType, conf: SerializableConfiguration)
         new DataInputStream(fp.getFileSystem(conf.value).open(fp))
       }
       private val it = Glog.readSegment(in, p.topic, p.part, p.fromOffs,
-        p.untilOffs)
+        p.untilOffs, p.minTms)
       // Column pruning: precompute the projection from field name to the
       // record accessor once per partition.
       private val getters: Array[Glog.Rec => Any] = required.fields.map { f =>

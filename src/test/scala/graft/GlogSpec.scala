@@ -50,6 +50,36 @@ class GlogSpec extends AnyFunSuite {
     assert(Glog.batchesSkipped.get() > 0)
   }
 
+  test("timestamp lower bound skips whole batches via the v4 time index") {
+    // The time index pays off when append order tracks event time (the
+    // production Kafka case); build a time-ordered store to exercise it.
+    // The synthetic corpus's arrival order is uncorrelated with event
+    // time, so the regular store would read every batch.
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // sf0.001 holds ~25 records per partition — a single batch that spans
+    // the whole month can never be time-skipped; sf0.01's ~250 gives each
+    // partition several time-local batches.
+    val tdir = "/root/testdata/sf0.01"
+    val w = Window.partitionBy("topic", "part").orderBy("tms", "event_id")
+    val timeOrdered = LogOps.log(spark, tdir)
+      .withColumn("offs", row_number().over(w).cast("long") - 1L)
+      .select("topic", "part", "offs", "event_id", "tms", "k", "v")
+      .as[Glog.Rec]
+    val out = java.nio.file.Files.createTempDirectory("graft_glog_time").toString
+    Glog.writeSegments(timeOrdered, out, "segment-0")
+    Glog.batchesSkipped.set(0)
+    Glog.batchesRead.set(0)
+    val cutoff = 1705276800000L // 2024-01-15, mid-corpus
+    val got = spark.read.format("glog").load(out)
+      .filter(col("tms") >= cutoff).count()
+    val want = LogOps.log(spark, tdir).filter(col("tms") >= cutoff).count()
+    assert(got == want)
+    // pre-cutoff batches' header max timestamp triggers a payload-free skip
+    assert(Glog.batchesSkipped.get() > 0)
+    assert(Glog.batchesRead.get() > 0)
+  }
+
   test("micro-batch stream tails the store: initial load + appended segment") {
     val streamStore = java.nio.file.Files.createTempDirectory("graft_glog_stream").toString
     Glog.materialize(spark, dir, streamStore)
