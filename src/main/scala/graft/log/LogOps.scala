@@ -281,6 +281,21 @@ object LogOps {
         .as("p95_late_ms"))
   }
 
+  /** Bounded-size heavy-hitter summary per topic via the Misra-Gries
+    * aggregator (graft.functions.HeavyHitters): at most k-1 counters per
+    * topic cross the shuffle regardless of key cardinality — the sketch
+    * form of [[topKeysPerTopic]] for when the exact per-key groupBy is
+    * itself the skew hazard. Rows-only check (summary contents depend on
+    * merge order below the guarantee threshold); HeavyHitterSpec pins the
+    * epsilon guarantee against exact counts.
+    */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    val mg = graft.functions.HeavyHitters.mgSketch(64)
+    log(spark, dir)
+      .groupBy("topic").agg(mg(col("k")).as("sketch"))
+      .select(col("topic"), explode(col("sketch")).as(Seq("k", "est")))
+  }
+
   /** Heavy-hitter keys: top-5 keys by record count per topic. */
   def topKeysPerTopic(spark: SparkSession, dir: String): DataFrame = {
     val counts = log(spark, dir).groupBy("topic", "k").agg(count(lit(1)).as("n"))
@@ -335,7 +350,8 @@ object LogOps {
     "offset_translate" -> offsetTranslate,
     "delete_records" -> deleteRecords,
     "fetch_max_bytes" -> fetchMaxBytes,
-    "fetch_wait" -> fetchWait)
+    "fetch_wait" -> fetchWait,
+    "heavy_hitters_sketch" -> heavyHittersSketch)
 
   val oracles: Map[String, String] = Map(
     "partition_skew" -> (logSql +
