@@ -288,7 +288,32 @@ object Dedup {
         countDistinct("gram").as("n_unique_hits"))
   }
 
+  /** Per-source dedup report — the rollup a pipeline run actually ships:
+    * document counts, exact-duplicate counts (keep = min doc_id over the
+    * text hash, consistent with dedup_exact), characters dropped, and the
+    * duplicate rate as a ratio of exact integers. One window on the text
+    * hash plus one aggregation; at scale the window is a (hash)-keyed
+    * shuffle identical to the dedup itself.
+    */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byText = Window.partitionBy(md5(col("text")))
+    t(spark, dir, "documents")
+      .withColumn("keep_id", min("doc_id").over(byText))
+      .withColumn("dup", when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("dup").cast("long").as("n_dups"),
+        sum(when(col("dup") === 1L, col("n_chars")).otherwise(0L)).cast("long")
+          .as("chars_dropped"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_docs").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_report" -> dedupReport,
     "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
@@ -301,6 +326,20 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "dedup_report" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars, md5(text) AS h,
+        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
+        |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_dropped,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+        |  CAST(CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        |FROM d GROUP BY source""".stripMargin,
     "decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(

@@ -20,6 +20,21 @@ object GlogOps {
       .select("topic", "part", "offs", "event_id", "tms", "k", "v")
   }
 
+  /** Time-bounded fetch through the store: the same DSv2 read with a
+    * pushed `tms` lower bound, so v4 batch headers skip whole batches
+    * payload-free (the ListOffsets-by-time -> fetch path end to end over
+    * the engine's own storage; Kafka's .timeindex seek). Hash-exact
+    * against DuckDB filtering the log view the store was built from.
+    */
+  def glogFetchTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val p = storePath(dir)
+    Glog.materialize(spark, dir, p)
+    spark.read.format("glog").load(p)
+      .filter(col("tms") >= 1705276800000L) // 2024-01-15 00:00 UTC
+      .select("topic", "part", "offs", "event_id", "tms", "k", "v")
+  }
+
   /** Store-level compaction (Kafka's LogCleaner as a batch rewrite): read
     * a glog store, keep the latest record per (topic, part, key) with its
     * ORIGINAL offset (compaction never renumbers), and write a compacted
@@ -41,9 +56,13 @@ object GlogOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "glog_read" -> glogRead)
+    "glog_read" -> glogRead,
+    "glog_fetch_time" -> glogFetchTime)
 
   val oracles: Map[String, String] = Map(
     "glog_read" -> (LogOps.logSql +
-      "SELECT topic, part, offs, event_id, tms, k, v FROM log"))
+      "SELECT topic, part, offs, event_id, tms, k, v FROM log"),
+    "glog_fetch_time" -> (LogOps.logSql +
+      """SELECT topic, part, offs, event_id, tms, k, v FROM log
+        |WHERE tms >= 1705276800000""".stripMargin))
 }
