@@ -109,6 +109,36 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
+  /** IVF with nprobe=2 — the recall/cost knob made concrete: each query
+    * probes its TWO nearest coarse cells instead of one (data vectors
+    * still live in exactly one cell, so probed candidate sets are
+    * disjoint). Together with [[annIvf]] and [[annRecall]] this gives the
+    * two operating points a capacity plan interpolates between; at scale
+    * nprobe multiplies only the query-side fan-out, never the index.
+    */
+  def annIvfNprobe2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
+    val vecs = vectors(spark, dir)
+    val cents = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val qw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val probes = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .withColumn("pr", row_number().over(qw))
+      .filter(col("pr") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("pcell"))
+    val pairs = broadcast(probes)
+      .join(cells.as("c"),
+        col("pcell") === col("c.cell") && col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        (expr("vec_dot(qv, c.v)") / (col("qnrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning inside
     * IVF cells — a vector is dropped when a lower-id vector in the same
     * cell sits above the cosine threshold, so pair comparison is
@@ -150,6 +180,7 @@ object Similarity {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_nprobe2" -> annIvfNprobe2,
     "ann_recall" -> annRecall,
     "semdedup" -> semDedup)
 
@@ -254,6 +285,33 @@ object Similarity {
          |  FROM cells q, cells c
          |  WHERE q.vec_id >= 100 AND q.vec_id < 108
          |    AND q.cell = c.cell AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
+         |WHERE rank <= 3""".stripMargin),
+    "ann_ivf_nprobe2" -> (vecSql +
+      s""", cents AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid) AS crn FROM assign),
+         |cells AS (
+         |  SELECT r.vec_id, r.cid AS cell, vecs.v, vecs.nrm FROM ranked r
+         |  JOIN vecs ON vecs.vec_id = r.vec_id WHERE r.crn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid AS pcell FROM ranked
+         |  WHERE vec_id >= 100 AND vec_id < 108 AND crn <= 2),
+         |pairs AS (
+         |  SELECT p.q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM probes p
+         |  JOIN vecs q ON q.vec_id = p.q_id
+         |  JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.q_id)
          |SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM pairs)

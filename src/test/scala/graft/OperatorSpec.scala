@@ -237,6 +237,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.filter(col("d1") >= col("d2")).count() == 0)
   }
 
+  test("ivf nprobe=2 neighbors are never worse than nprobe=1") {
+    val p1 = llm.Similarity.annIvf(spark, dir)
+      .select(col("q_id"), col("rank"), col("cos").as("cos1"))
+    val p2 = llm.Similarity.annIvfNprobe2(spark, dir)
+      .select(col("q_id"), col("rank"), col("cos").as("cos2"))
+    // probing a superset of cells can only improve the rank-r neighbor
+    assert(p1.join(p2, Seq("q_id", "rank"))
+      .filter(col("cos2") < col("cos1")).count() == 0)
+  }
+
   test("gram likelihood score is the mean df of a doc's tokens") {
     val g = llm.TextAnalysis.gramLikelihood(spark, dir)
     // df of any token is at least 1 and at most the doc count
