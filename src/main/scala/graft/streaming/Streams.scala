@@ -185,6 +185,52 @@ object Streams {
       .select(col("topic"), col("k"), col("m.event_id"), col("m.tms"), col("m.v"))
   }
 
+  /** Continuous hot-key monitoring: the Misra-Gries summary maintained per
+    * topic in mapGroupsWithState — bounded state (<= k-1 counters per
+    * topic) no matter how many distinct keys the stream carries, where a
+    * streaming groupBy(key).count would grow without limit. Each trigger
+    * emits the refreshed summary; the caller reads the latest version per
+    * topic. The state carries the same MG structure the batch aggregator
+    * uses, so the stream result obeys the identical epsilon guarantees
+    * (asserted against exact batch counts in StreamingSpec).
+    */
+  def runStreamHeavyHitters(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val agg = graft.functions.HeavyHitters.mgAggregator(k)
+    val schema = t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "events"))
+      .select(col("event_type").as("topic"),
+        col("user_id").cast("string").as("k"))
+      .as[(String, String)]
+    val q = stream.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Map[String, Long]), (String, Long, Map[String, Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (topic, it, state: GroupState[(Long, Map[String, Long])]) =>
+          val (ver, prev) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val buf = scala.collection.mutable.HashMap(prev.toSeq: _*)
+          val merged = it.foldLeft(buf)((b, kv) => agg.reduce(b, kv._2))
+          val out = agg.finish(merged)
+          state.update((ver + 1, out))
+          (topic, ver + 1, out)
+      }
+      .toDF("topic", "ver", "sketch")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_stream_hh")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink keeps one row per trigger; the freshest
+    // version per topic is the live summary.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("topic").orderBy(col("ver").desc)
+    spark.table("graft_stream_hh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("topic"), explode(col("sketch")).as(Seq("k", "est")))
+  }
+
   /** Stream-static enrichment join: the event stream joined per
     * micro-batch against a static dimension (customers keyed by user id) —
     * the canonical Kafka-consumer enrichment topology. The static side is

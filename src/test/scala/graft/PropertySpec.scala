@@ -130,6 +130,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries aggregator guarantees hold on arbitrary streams " +
+      "under arbitrary merge splits") {
+    val k = 8
+    val keyGen = Gen.frequency(
+      (5, Gen.const("hot")), (3, Gen.const("warm")),
+      (1, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h", "i")))
+    val streamGen = Gen.listOfN(300, keyGen)
+    val splitGen = Gen.chooseNum(0, 300)
+    forAll(streamGen, splitGen) { (keys, split) =>
+      val agg = graft.functions.HeavyHitters.mgAggregator(k)
+      // build two partial summaries (simulating two partitions) and merge
+      val (s1, s2) = keys.splitAt(split)
+      val m = agg.merge(
+        s1.foldLeft(agg.zero)(agg.reduce),
+        s2.foldLeft(agg.zero)(agg.reduce))
+      val sketch = agg.finish(m)
+      val exact = keys.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+      val n = keys.size.toLong
+      assert(sketch.size <= k - 1)
+      sketch.foreach { case (key, est) =>
+        val truth = exact.getOrElse(key, 0L)
+        assert(est <= truth, s"overcount for $key")
+        assert(truth - est <= n / k, s"undercount beyond n/k for $key")
+      }
+      exact.foreach { case (key, truth) =>
+        if (truth > n / k) assert(sketch.contains(key), s"missing heavy $key")
+      }
+    }
+  }
+
   test("ArrayCounts equals brute-force element counting") {
     val gen = Gen.listOf(Gen.oneOf("x", "y", "zz", ""))
     forAll(gen) { toks =>

@@ -158,6 +158,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.select("topic").distinct().count() == 5)
   }
 
+  test("streaming MG summary keeps the epsilon guarantee vs exact counts") {
+    val k = 64
+    val sketch = Streams.runStreamHeavyHitters(spark, dir, k)
+    val exact = LogOps.log(spark, dir).groupBy("topic", "k")
+      .agg(count(lit(1)).as("n"))
+    val totals = exact.groupBy("topic").agg(sum("n").cast("long").as("total"))
+    val joined = sketch.join(exact, Seq("topic", "k")).join(totals, "topic")
+    assert(joined.count() == sketch.count()) // every sketched key is real
+    assert(joined.filter(col("est") > col("n")).count() == 0)
+    assert(joined.filter(col("n") - col("est") > col("total") / k).count() == 0)
+    val missing = exact.join(totals, "topic")
+      .filter(col("n") > col("total") / k)
+      .join(sketch, Seq("topic", "k"), "left_anti")
+    assert(missing.count() == 0)
+  }
+
   test("stream-static enrichment join == batch join") {
     val got = Streams.runStreamStaticJoin(spark, dir)
     val want = Tables.t(spark, dir, "events")
