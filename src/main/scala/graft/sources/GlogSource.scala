@@ -112,7 +112,7 @@ class GlogScan(path: String, required: StructType, topicEq: Option[String],
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GlogMicroBatchStream(path, required, fromOffs)
+    new GlogMicroBatchStream(path, required, fromOffs, minTms)
   override def description(): String = {
     val t = topicEq.getOrElse("*")
     val p = partEq.map(_.toString).getOrElse("*")
@@ -181,7 +181,8 @@ object GlogOffset {
   * new partitions appearing between triggers are picked up naturally
   * (their previous end offset defaults to 0).
   */
-class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long)
+class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long,
+    minTms: Long = Long.MinValue)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -208,7 +209,7 @@ class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long)
         fs.listStatus(dir).toSeq
           .filter(_.getPath.getName.endsWith(".glog"))
           .map(seg => GlogPartition(seg.getPath.toString, topic, part.toLong,
-            startOffs, endOffs))
+            startOffs, endOffs, minTms))
       }
     }.toArray
   }
