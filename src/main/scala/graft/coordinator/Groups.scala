@@ -185,7 +185,30 @@ object Groups {
       .withColumn("hit_ratio",
         col("n_hits").cast("double") / col("n_fetches").cast("double"))
 
+  /** auto.offset.reset impact: after retention truncates each partition
+    * (the `retention` op's surviving range), a group whose committed
+    * offset fell off the log must reset — resume at the new earliest,
+    * count the records it lost, or (reset=none) fail. The operational
+    * query every Kafka on-call runs after a retention misconfiguration.
+    * Ref: GroupMetadataManager + Kafka auto.offset.reset semantics;
+    * retention cutoffs from KafkaLogConfig (retention.ms).
+    */
+  def offsetReset(spark: SparkSession, dir: String): DataFrame = {
+    val survived = LogOps.retention(spark, dir)
+      .select(col("topic"), col("part"), col("new_earliest"))
+    commits(spark, dir)
+      .join(survived, Seq("topic", "part"))
+      .select(
+        col("group_id"), col("topic"), col("part"),
+        col("committed"), col("new_earliest"),
+        greatest(col("committed"), col("new_earliest")).as("resume_at"),
+        greatest(col("new_earliest") - col("committed"), lit(0L)).as("n_lost"),
+        when(col("committed") < col("new_earliest"), 1L).otherwise(0L)
+          .as("reset_needed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "offset_reset" -> offsetReset,
     "cursor_cache" -> cursorCache,
     "assign_sticky" -> assignSticky,
     "rebalance_diff" -> rebalanceDiff,
@@ -205,6 +228,19 @@ object Groups {
        |  END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "offset_reset" -> (L + commitsSql +
+      """, surv AS (
+        |  SELECT topic, part, MIN(offs) AS new_earliest FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part
+        |      ORDER BY offs DESC) AS rn_end FROM log)
+        |  WHERE tms >= 1704672000000 AND rn_end <= 500
+        |  GROUP BY topic, part)
+        |SELECT group_id, topic, part, committed, new_earliest,
+        |  GREATEST(committed, new_earliest) AS resume_at,
+        |  GREATEST(new_earliest - committed, 0) AS n_lost,
+        |  CAST(CASE WHEN committed < new_earliest THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reset_needed
+        |FROM commits JOIN surv USING (topic, part)""".stripMargin),
     "cursor_cache" -> (L + commitsSql +
       """, fetches AS (
         |  SELECT group_id, topic, part,
