@@ -77,9 +77,53 @@ object Multimodal {
     }.toDF()
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_pipeline" -> multimodalPipeline)
+  /** Cross-modal alignment: pair each media document with its embedding
+    * row (doc_id <-> vec_id — the caption/image pairing step of a
+    * multimodal training set) and roll up per (media_type, label):
+    * pair counts, text volume, and the embedding-norm range. Aggregates
+    * are integers plus order-free float min/max, so the oracle is exact;
+    * the join is a plain equi-join that co-partitions on the id at scale.
+    */
+  def mediaEmbedAlign(spark: SparkSession, dir: String): DataFrame = {
+    val media = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3L)) + 1L).cast("int")).as("media_type"),
+        col("n_chars"))
+    val vecs = Embeddings.withNorm(spark, dir)
+      .select(col("vec_id"), col("nrm"), col("label"))
+    media.join(vecs, col("doc_id") === col("vec_id"))
+      .groupBy("media_type", "label")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("n_chars").cast("long").as("sum_chars"),
+        min("nrm").as("min_nrm"),
+        max("nrm").as("max_nrm"))
+  }
 
-  /** Not SQL-expressible (binary batch processing) — rows-only check. */
-  val oracles: Map[String, String] = Map.empty
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_pipeline" -> multimodalPipeline,
+    "media_embed_align" -> mediaEmbedAlign)
+
+  /** multimodal_pipeline is not SQL-expressible (binary batch processing)
+    * — rows-only check. The alignment rollup is exact SQL.
+    */
+  val oracles: Map[String, String] = Map(
+    "media_embed_align" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |        x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+        |      AS media_type
+        |  FROM documents)
+        |SELECT media_type, label, COUNT(*) AS n_pairs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm
+        |FROM m JOIN e ON doc_id = vec_id
+        |GROUP BY media_type, label""".stripMargin)
 }
