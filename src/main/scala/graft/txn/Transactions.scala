@@ -146,7 +146,29 @@ object Transactions {
         max("gap").as("max_gap"))
   }
 
+  /** Last-stable-offset lag, the READ_COMMITTED staleness metric
+    * (storage/PartitionLog.java firstUndecidedOffset + AbortedTxn.java):
+    * per partition, the first offset belonging to a still-open
+    * transaction (txns whose md5 tag marks them undecided), the LSO a
+    * READ_COMMITTED consumer is capped at (log end when nothing is open),
+    * and how far that cap trails the log end.
+    */
+  def lsoLag(spark: SparkSession, dir: String): DataFrame =
+    txnLog(spark, dir)
+      .withColumn("open",
+        when(substring(md5(col("txn_id").cast("string")), 1, 1)
+          .isin("3", "4"), 1L).otherwise(0L))
+      .groupBy("topic", "part")
+      .agg(
+        (max("offs") + 1L).as("log_end"),
+        min(when(col("open") === 1L, col("offs"))).as("first_undecided"),
+        countDistinct(when(col("open") === 1L, col("txn_id")))
+          .as("n_open_txns"))
+      .withColumn("lso", coalesce(col("first_undecided"), col("log_end")))
+      .withColumn("lso_lag", col("log_end") - col("lso"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lso_lag" -> lsoLag,
     "producer_fencing" -> producerFencing,
     "producer_dedup" -> producerDedup,
     "read_committed" -> readCommitted,
@@ -157,6 +179,18 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "lso_lag" -> (L + txnSql +
+      """SELECT topic, part, log_end,
+        |  first_undecided, n_open_txns,
+        |  COALESCE(first_undecided, log_end) AS lso,
+        |  log_end - COALESCE(first_undecided, log_end) AS lso_lag
+        |FROM (
+        |  SELECT topic, part, MAX(offs) + 1 AS log_end,
+        |    MIN(CASE WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
+        |      IN ('3','4') THEN offs END) AS first_undecided,
+        |    CAST(COUNT(DISTINCT CASE WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
+        |      IN ('3','4') THEN txn_id END) AS BIGINT) AS n_open_txns
+        |  FROM txn GROUP BY topic, part)""".stripMargin),
     "producer_fencing" -> (L +
       """recs AS (
         |  SELECT CAST(k AS BIGINT) % 16 AS producer_id, event_id,
