@@ -154,7 +154,52 @@ object BrokerOps {
           .otherwise(0L).as("extra_bytes"))
   }
 
+  /** Compaction effectiveness per topic: raw record/byte volume vs what a
+    * compacted topic retains (latest record per key), and the reclaim
+    * ratio as an exact-integer division — what LogCleaner reports after a
+    * clean and what decides whether a topic is worth compacting.
+    * Ref: Kafka LogCleaner stats surfaced via KopLogValidator's
+    * compact-topic key requirement.
+    */
+  def compactionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic", "part", "k")
+      .orderBy(col("tms").desc, col("event_id").desc)
+    LogOps.log(spark, dir)
+      .withColumn("rec_bytes", (length(col("v")) + length(col("k")) + lit(16)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum("rec_bytes").cast("long").as("bytes_raw"),
+        sum(when(col("rn") === 1, col("rec_bytes")).otherwise(0L)).cast("long")
+          .as("bytes_kept"))
+      .withColumn("reclaim_ratio",
+        (col("n_raw") - col("n_kept")).cast("double") / col("n_raw").cast("double"))
+  }
+
+  /** Retention cleanup plan over the rolled segments: a segment is deleted
+    * when every record in it is older than the retention cutoff AND it is
+    * not the active (last) segment — exactly LogManager's
+    * deleteOldSegments walk; reports the per-segment decision and bytes
+    * reclaimed. Ref: KafkaLogConfig retention.ms + Kafka
+    * LogManager.cleanupLogs semantics.
+    */
+  def segmentCleanupPlan(spark: SparkSession, dir: String): DataFrame = {
+    val segs = logSegments(spark, dir)
+    val lastSeg = Window.partitionBy("topic", "part")
+    segs
+      .withColumn("max_seg", max("seg_id").over(lastSeg))
+      .withColumn("deletable",
+        when(col("last_ms") < lit(1704672000000L) && // 2024-01-08 cutoff
+          col("seg_id") =!= col("max_seg"), 1L).otherwise(0L))
+      .select(col("topic"), col("part"), col("seg_id"), col("base_offset"),
+        col("end_offset"), col("seg_bytes"), col("last_ms"), col("deletable"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compaction_ratio" -> compactionRatio,
+    "segment_cleanup_plan" -> segmentCleanupPlan,
     "log_segments" -> logSegments,
     "leader_epoch" -> leaderEpoch,
     "client_quota" -> clientQuota,
@@ -182,6 +227,40 @@ object BrokerOps {
       """SELECT topic, part, offs // 100 AS epoch, MIN(offs) AS epoch_start,
         |  MAX(offs) + 1 AS epoch_end, COUNT(*) AS n_records
         |FROM log GROUP BY topic, part, offs // 100""".stripMargin),
+    "compaction_ratio" -> (L +
+      """r AS (
+        |  SELECT topic, length(v) + length(k) + 16 AS rec_bytes,
+        |    ROW_NUMBER() OVER (PARTITION BY topic, part, k
+        |      ORDER BY tms DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT topic, COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(rec_bytes) AS BIGINT) AS bytes_raw,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN rec_bytes ELSE 0 END) AS BIGINT)
+        |    AS bytes_kept,
+        |  CAST(COUNT(*) - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS reclaim_ratio
+        |FROM r GROUP BY topic""".stripMargin),
+    "segment_cleanup_plan" -> (L +
+      """sized AS (
+        |  SELECT topic, part, offs, tms,
+        |    length(v) + length(k) + 16 AS rec_bytes,
+        |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
+        |      PARTITION BY topic, part ORDER BY offs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384
+        |      AS BIGINT) AS seg_id
+        |  FROM log),
+        |segs AS (
+        |  SELECT topic, part, seg_id, MIN(offs) AS base_offset,
+        |    MAX(offs) + 1 AS end_offset,
+        |    CAST(SUM(rec_bytes) AS BIGINT) AS seg_bytes, MAX(tms) AS last_ms
+        |  FROM sized GROUP BY topic, part, seg_id)
+        |SELECT topic, part, seg_id, base_offset, end_offset, seg_bytes,
+        |  last_ms,
+        |  CAST(CASE WHEN last_ms < 1704672000000
+        |    AND seg_id <> MAX(seg_id) OVER (PARTITION BY topic, part)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS deletable
+        |FROM segs""".stripMargin),
     "broker_routing" -> (L +
       """pp AS (
         |  SELECT topic, part, COUNT(*) AS n_records,
