@@ -312,7 +312,25 @@ object Dedup {
         col("n_dups").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Cross-source contamination matrix: where near-duplicates come FROM —
+    * verified LSH pairs rolled up by unordered source pair. A diagonal-
+    * heavy matrix means in-source boilerplate; off-diagonal mass means one
+    * source is republishing another (the thing a training-mix owner has
+    * to know before weighting sources).
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    dedupMinhashLsh(spark, dir)
+      .join(src.toDF("d1", "src1"), "d1")
+      .join(src.toDF("d2", "src2"), "d2")
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cross_source_dups" -> crossSourceDups,
     "dedup_report" -> dedupReport,
     "decontaminate" -> decontaminate,
     "dedup_clusters" -> dedupClusters,
@@ -324,6 +342,48 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> dedupEmbedding)
+
+  /** The MinHash-LSH verified-pair pipeline as a reusable CTE chain
+    * (`pairs(d1, d2, jac)`), shared by the dedup query and every
+    * consumer of its pair set.
+    */
+  private val lshPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
+      |  FROM documents WHERE length(text) >= 5),
+      |hss AS (
+      |  SELECT doc_id, list_distinct(list_transform(s,
+      |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 23),
+      |    j -> list_min(list_transform(hs,
+      |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
+      |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
+      |  FROM hss),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
+      |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
+      |  FROM sig, generate_series(0, 5) t(b)),
+      |sized AS (
+      |  SELECT * FROM bands
+      |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sized a, sized b
+      |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT d1, d2,
+      |    len(list_intersect(s1.hs, s2.hs)) /
+      |      len(list_distinct(list_concat(s1.hs, s2.hs))) AS jac
+      |  FROM cand
+      |  JOIN hss s1 ON s1.doc_id = d1
+      |  JOIN hss s2 ON s2.doc_id = d2
+      |  WHERE len(list_intersect(s1.hs, s2.hs)) /
+      |    len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5)
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_report" ->
@@ -390,41 +450,15 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "dedup_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
-        |  FROM documents WHERE length(text) >= 5),
-        |hss AS (
-        |  SELECT doc_id, list_distinct(list_transform(s,
-        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, list_transform(generate_series(0, 23),
-        |    j -> list_min(list_transform(hs,
-        |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
-        |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
-        |  FROM hss),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
-        |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
-        |  FROM sig, generate_series(0, 5) t(b)),
-        |sized AS (
-        |  SELECT * FROM bands
-        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sized a, sized b
-        |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-        |SELECT d1, d2,
-        |  len(list_intersect(s1.hs, s2.hs)) /
-        |    len(list_distinct(list_concat(s1.hs, s2.hs))) AS jac
-        |FROM cand
-        |JOIN hss s1 ON s1.doc_id = d1
-        |JOIN hss s2 ON s2.doc_id = d2
-        |WHERE len(list_intersect(s1.hs, s2.hs)) /
-        |  len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5""".stripMargin,
+    "dedup_minhash_lsh" -> (lshPairsSql +
+      "SELECT d1, d2, jac FROM pairs"),
+    "cross_source_dups" -> (lshPairsSql +
+      """, src AS (SELECT doc_id, source FROM documents)
+        |SELECT LEAST(a.source, b.source) AS source_a,
+        |  GREATEST(a.source, b.source) AS source_b,
+        |  COUNT(*) AS n_pairs
+        |FROM pairs JOIN src a ON a.doc_id = d1 JOIN src b ON b.doc_id = d2
+        |GROUP BY 1, 2""".stripMargin),
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
