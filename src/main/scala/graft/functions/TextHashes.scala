@@ -224,8 +224,8 @@ case class GramCounts(child: Expression, n: Int)
     var i = 0
     while (i < math.max(count, 0)) {
       val g = new String(cp, i, n)
-      val prev = m.get(g)
-      m.put(g, if (prev == null) 1L else prev + 1L)
+      // missing keys unbox to 0L, so this is a plain counter bump
+      m.put(g, m.getOrDefault(g, 0L) + 1L)
       i += 1
     }
     val keys = new Array[Any](m.size)
@@ -270,8 +270,7 @@ case class ArrayCounts(child: Expression)
       val e = arr.getUTF8String(i)
       if (e != null) {
         val k = e.toString
-        val prev = m.get(k)
-        m.put(k, if (prev == null) 1L else prev + 1L)
+        m.put(k, m.getOrDefault(k, 0L) + 1L)
       }
       i += 1
     }
