@@ -111,6 +111,45 @@ class GlogSpec extends AnyFunSuite {
     assert(tail.count() == 5)
   }
 
+  test("stream restart from checkpoint resumes exactly once") {
+    val store = java.nio.file.Files.createTempDirectory("graft_glog_ckpt_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_glog_ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_glog_ckpt_sink").toString
+    Glog.materialize(spark, dir, store)
+    val base = spark.read.format("glog").load(store).count()
+    def run(): Unit = {
+      val q = spark.readStream.format("glog").load(store)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    assert(spark.read.parquet(sink).count() == base)
+    // Append after the query is STOPPED, then restart against the same
+    // checkpoint: the recovered GlogOffset must resume at the old ends —
+    // the 5 new records land exactly once and nothing replays.
+    val dirPath = new java.io.File(s"$store/topic=view/part=1")
+    val fs = new org.apache.hadoop.fs.Path(dirPath.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val end = Glog.endOffset(fs, new org.apache.hadoop.fs.Path(dirPath.toString))
+    val fresh = (0 until 5).map(i =>
+      Glog.Rec("view", 1L, end + i, 950000L + i, 1706100000000L + i, "7", "{}"))
+    val bytes = Glog.encodeBatch(fresh)
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dirPath, "segment-1.glog")))
+    out.writeInt(bytes.length); out.write(bytes); out.close()
+    run()
+    val result = spark.read.parquet(sink)
+    assert(result.count() == base + 5)
+    // dense, duplicate-free offsets in the appended partition
+    val p = result.filter(col("topic") === "view" && col("part") === 1L)
+    assert(p.select("offs").distinct().count() == p.count())
+    assert(p.count() == end + 5)
+  }
+
   test("streaming glog sink lands a dense per-partition log") {
     val out = java.nio.file.Files.createTempDirectory("graft_glog_sink").toString
     val batches = graft.streaming.Streams.runGlogIngest(spark, dir, out)
