@@ -59,10 +59,13 @@ class GlogTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GlogScanBuilder(path)
+    new GlogScanBuilder(path,
+      options.getOrDefault("startingoffsets", "earliest")
+        .equalsIgnoreCase("latest"))
 }
 
-class GlogScanBuilder(path: String) extends ScanBuilder
+class GlogScanBuilder(path: String, startLatest: Boolean = false)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = GlogSource.schema
@@ -97,7 +100,8 @@ class GlogScanBuilder(path: String) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    new GlogScan(path, required, topicEq, partEq, fromOffs, minTms)
+    new GlogScan(path, required, topicEq, partEq, fromOffs, minTms,
+      startLatest)
 }
 
 final case class GlogPartition(file: String, topic: String, part: Long,
@@ -106,13 +110,14 @@ final case class GlogPartition(file: String, topic: String, part: Long,
 
 class GlogScan(path: String, required: StructType, topicEq: Option[String],
     partEq: Option[Long], fromOffs: Long,
-    minTms: Long = Long.MinValue) extends Scan with Batch {
+    minTms: Long = Long.MinValue,
+    startLatest: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GlogMicroBatchStream(path, required, fromOffs, minTms)
+    new GlogMicroBatchStream(path, required, fromOffs, minTms, startLatest)
   override def description(): String = {
     val t = topicEq.getOrElse("*")
     val p = partEq.map(_.toString).getOrElse("*")
@@ -182,7 +187,7 @@ object GlogOffset {
   * (their previous end offset defaults to 0).
   */
 class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long,
-    minTms: Long = Long.MinValue)
+    minTms: Long = Long.MinValue, startLatest: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -190,7 +195,14 @@ class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long,
     .sparkContext.hadoopConfiguration
 
   override def latestOffset(): Offset = GlogOffset(Glog.listEnds(path, conf))
-  override def initialOffset(): Offset = GlogOffset(Map.empty)
+  /** Kafka's startingOffsets semantics: `earliest` (default) replays the
+    * store from offset 0; `latest` begins at the current end offsets, so
+    * only records appended after the query starts are delivered. Only the
+    * FIRST run consults this — a restart resumes from the checkpoint.
+    */
+  override def initialOffset(): Offset =
+    if (startLatest) GlogOffset(Glog.listEnds(path, conf))
+    else GlogOffset(Map.empty)
   override def deserializeOffset(json: String): Offset = GlogOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

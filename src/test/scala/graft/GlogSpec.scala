@@ -111,6 +111,33 @@ class GlogSpec extends AnyFunSuite {
     assert(tail.count() == 5)
   }
 
+  test("startingOffsets=latest delivers only post-start appends") {
+    val store = java.nio.file.Files.createTempDirectory("graft_glog_latest").toString
+    Glog.materialize(spark, dir, store)
+    val q = spark.readStream.format("glog")
+      .option("startingOffsets", "latest").load(store)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_glog_latest")
+      .start()
+    q.processAllAvailable()
+    // the pre-existing store is skipped entirely
+    assert(spark.table("graft_glog_latest").count() == 0)
+    val dirPath = new java.io.File(s"$store/topic=error/part=2")
+    val fs = new org.apache.hadoop.fs.Path(dirPath.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val end = Glog.endOffset(fs, new org.apache.hadoop.fs.Path(dirPath.toString))
+    val fresh = (0 until 3).map(i =>
+      Glog.Rec("error", 2L, end + i, 970000L + i, 1706200000000L + i, "9", "{}"))
+    val bytes = Glog.encodeBatch(fresh)
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dirPath, "segment-1.glog")))
+    out.writeInt(bytes.length); out.write(bytes); out.close()
+    q.processAllAvailable()
+    q.stop()
+    // exactly the appended records arrive
+    assert(spark.table("graft_glog_latest").count() == 3)
+  }
+
   test("stream restart from checkpoint resumes exactly once") {
     val store = java.nio.file.Files.createTempDirectory("graft_glog_ckpt_store").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_glog_ckpt").toString
