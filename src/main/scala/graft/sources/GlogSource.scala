@@ -61,10 +61,12 @@ class GlogTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlogScanBuilder(path,
       options.getOrDefault("startingoffsets", "earliest")
-        .equalsIgnoreCase("latest"))
+        .equalsIgnoreCase("latest"),
+      Option(options.get("maxrecordspertrigger")).map(_.toLong))
 }
 
-class GlogScanBuilder(path: String, startLatest: Boolean = false)
+class GlogScanBuilder(path: String, startLatest: Boolean = false,
+    maxPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -101,7 +103,7 @@ class GlogScanBuilder(path: String, startLatest: Boolean = false)
 
   override def build(): Scan =
     new GlogScan(path, required, topicEq, partEq, fromOffs, minTms,
-      startLatest)
+      startLatest, maxPerTrigger)
 }
 
 final case class GlogPartition(file: String, topic: String, part: Long,
@@ -111,13 +113,15 @@ final case class GlogPartition(file: String, topic: String, part: Long,
 class GlogScan(path: String, required: StructType, topicEq: Option[String],
     partEq: Option[Long], fromOffs: Long,
     minTms: Long = Long.MinValue,
-    startLatest: Boolean = false) extends Scan with Batch {
+    startLatest: Boolean = false,
+    maxPerTrigger: Option[Long] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GlogMicroBatchStream(path, required, fromOffs, minTms, startLatest)
+    new GlogMicroBatchStream(path, required, fromOffs, minTms, startLatest,
+      maxPerTrigger)
   override def description(): String = {
     val t = topicEq.getOrElse("*")
     val p = partEq.map(_.toString).getOrElse("*")
@@ -187,14 +191,45 @@ object GlogOffset {
   * (their previous end offset defaults to 0).
   */
 class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long,
-    minTms: Long = Long.MinValue, startLatest: Boolean = false)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    minTms: Long = Long.MinValue, startLatest: Boolean = false,
+    maxPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
 
   override def latestOffset(): Offset = GlogOffset(Glog.listEnds(path, conf))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control — Kafka's maxOffsetsPerTrigger semantics: when the
+    * backlog exceeds the per-trigger cap, each partition advances
+    * proportionally to its share of the total lag (plus one record so
+    * small laggards always progress), so a backfill drains evenly instead
+    * of partition by partition.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ends = Glog.listEnds(path, conf)
+    val from = start.asInstanceOf[GlogOffset].ends
+    val cap = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        m.maxRows()
+      case _ => return GlogOffset(ends)
+    }
+    val lags = ends.map { case (key, e) =>
+      key -> math.max(0L, e - from.getOrElse(key, 0L))
+    }
+    val total = lags.values.sum
+    if (total <= cap) GlogOffset(ends)
+    else GlogOffset(ends.map { case (key, e) =>
+      val lag = lags(key)
+      val grant = math.min(lag, lag * cap / total + 1L)
+      key -> (from.getOrElse(key, 0L) + grant)
+    })
+  }
   /** Kafka's startingOffsets semantics: `earliest` (default) replays the
     * store from offset 0; `latest` begins at the current end offsets, so
     * only records appended after the query starts are delivered. Only the

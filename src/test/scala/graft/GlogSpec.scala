@@ -138,6 +138,32 @@ class GlogSpec extends AnyFunSuite {
     assert(spark.table("graft_glog_latest").count() == 3)
   }
 
+  test("maxRecordsPerTrigger rate-limits the backfill into many batches") {
+    val store = java.nio.file.Files.createTempDirectory("graft_glog_rate").toString
+    Glog.materialize(spark, dir, store)
+    val base = spark.read.format("glog").load(store).count()
+    var batches = 0L
+    var maxBatch = 0L
+    var total = 0L
+    val q = spark.readStream.format("glog")
+      .option("maxRecordsPerTrigger", "200").load(store)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count()
+        total += n
+        if (n > 0) { batches += 1; maxBatch = math.max(maxBatch, n) }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the whole store drains, but in capped slices (40 partitions get a
+    // +1 progress floor each, so a trigger can carry up to cap + nParts)
+    assert(total == base)
+    assert(batches >= base / 250)
+    assert(maxBatch <= 200 + 40)
+    assert(batches > 1)
+  }
+
   test("stream restart from checkpoint resumes exactly once") {
     val store = java.nio.file.Files.createTempDirectory("graft_glog_ckpt_store").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_glog_ckpt").toString
