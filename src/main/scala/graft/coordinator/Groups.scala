@@ -207,7 +207,36 @@ object Groups {
           .as("reset_needed"))
   }
 
+  /** Static membership (KIP-345) bounce impact: when member m0 bounces,
+    * a DYNAMIC group rebalances onto the 2 survivors — every partition
+    * whose owner changes pays a revoke/reassign — while a STATIC group
+    * (group.instance.id) keeps the assignment and merely pauses m0's
+    * partitions until it returns. Per topic: partitions reassigned
+    * dynamically vs merely paused statically. Survivor ids shift up
+    * (2-member member j is original member j+1).
+    * Ref: coordinator/group/GroupCoordinator.java rebalance path; Kafka
+    * 2.8-client static membership the reference serves.
+    */
+  def staticMembershipBounce(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic").orderBy("part")
+    topicParts(spark, dir)
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
+      .withColumn("member_before",
+        concat(lit("m"), expr(s"CAST(${rangeMemberExpr(3)} AS STRING)")))
+      .withColumn("member_dynamic",
+        concat(lit("m"), expr(s"CAST((${rangeMemberExpr(2)}) + 1 AS STRING)")))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(col("member_before") =!= col("member_dynamic"), 1L)
+          .otherwise(0L)).as("moved_dynamic"),
+        sum(when(col("member_before") === "m0", 1L).otherwise(0L))
+          .as("paused_static"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "static_membership" -> staticMembershipBounce,
     "offset_reset" -> offsetReset,
     "cursor_cache" -> cursorCache,
     "assign_sticky" -> assignSticky,
@@ -228,6 +257,20 @@ object Groups {
        |  END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "static_membership" -> (L +
+      s"""tp AS (SELECT DISTINCT topic, part FROM log),
+         |ix AS (
+         |  SELECT topic, part,
+         |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY part) - 1 AS idx,
+         |    COUNT(*) OVER (PARTITION BY topic) AS np
+         |  FROM tp)
+         |SELECT topic, COUNT(*) AS n_parts,
+         |  CAST(SUM(CASE WHEN (${rangeMemberSql(3)})
+         |    <> (${rangeMemberSql(2)}) + 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS moved_dynamic,
+         |  CAST(SUM(CASE WHEN (${rangeMemberSql(3)}) = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS paused_static
+         |FROM ix GROUP BY topic""".stripMargin),
     "offset_reset" -> (L + commitsSql +
       """, surv AS (
         |  SELECT topic, part, MIN(offs) AS new_earliest FROM (
