@@ -178,6 +178,35 @@ object Analytics {
         (col("tms") - col("signup_ms")).as("ms_after_signup"))
   }
 
+  /** Keyless interval join via time-binning — the scale pattern for range
+    * joins with NO equi-key: every error event opens a 10-minute incident
+    * window, and we count ALL events (any user) landing inside it. A
+    * naive plan is a broadcast nested loop over every (event, window)
+    * pair; binning both sides to 10-minute grid cells turns it into an
+    * equi-join on the cell (each window spans at most 2 cells, so the
+    * join fan-out is bounded), with the exact range predicate as the
+    * residual and a post-join distinct killing the double-counted
+    * cell-boundary pairs. At 100 TB the cell key is the shuffle key —
+    * no executor ever sees more than two cells' worth of one window.
+    */
+  def incidentBlast(spark: SparkSession, dir: String): DataFrame = {
+    val binMs = 600000L // cell size == window length: max 2 cells/window
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), nsToMs("ts").as("tms"))
+      .withColumn("cell", expr(s"tms div $binMs"))
+    val incidents = t(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), nsToMs("ts").as("start_ms"))
+      .withColumn("cell", explode(array(
+        expr(s"start_ms div $binMs"), expr(s"start_ms div $binMs") + 1L)))
+    incidents.join(ev, "cell")
+      .filter(col("tms") >= col("start_ms") &&
+        col("tms") < col("start_ms") + binMs)
+      .select("incident_id", "start_ms", "event_id").distinct()
+      .groupBy("incident_id", "start_ms")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Fixed-bucket value histogram per topic (the declarative form of the
     * reference's stats histograms): bucket = floor(value / 50).
     */
@@ -655,6 +684,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incident_blast" -> incidentBlast,
     "q13_custdist" -> q13,
     "q17_small_qty" -> q17,
     "q21_waiting" -> q21,
@@ -703,6 +733,16 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "incident_blast" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_ms(ts) AS tms FROM events),
+        |inc AS (
+        |  SELECT event_id AS incident_id, epoch_ms(ts) AS start_ms
+        |  FROM events WHERE event_type = 'error')
+        |SELECT incident_id, start_ms, COUNT(*) AS n_events
+        |FROM inc JOIN ev
+        |  ON tms >= start_ms AND tms < start_ms + 600000
+        |GROUP BY incident_id, start_ms""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -296,6 +296,26 @@ object LogOps {
       .select(col("topic"), explode(col("sketch")).as(Seq("k", "est")))
   }
 
+  /** Change-data-capture view of the log: each record paired with the
+    * key's previous value in offset order — the materialization a
+    * Kafka-Connect CDC consumer builds from a compacted topic (op = I for
+    * a key's first record, U after). One window on the same (topic, part)
+    * partitioning the log view already has; the per-key ordering is a
+    * sort within it, no extra exchange.
+    * Ref: Kafka compacted-topic CDC semantics; storage/PartitionLog.java
+    * append path (compact's ordering rule reused).
+    */
+  def cdcView(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic", "part", "k").orderBy("offs")
+    log(spark, dir)
+      .withColumn("prev_v", lag("v", 1).over(w))
+      // op from the version rank, not prev_v nullability — a NULL value
+      // (tombstone) must not make its successor look like an insert.
+      .withColumn("op",
+        when(row_number().over(w) === 1, "I").otherwise("U"))
+      .select("topic", "part", "k", "offs", "v", "prev_v", "op")
+  }
+
   /** Heavy-hitter keys: top-5 keys by record count per topic. */
   def topKeysPerTopic(spark: SparkSession, dir: String): DataFrame = {
     val counts = log(spark, dir).groupBy("topic", "k").agg(count(lit(1)).as("n"))
@@ -351,6 +371,7 @@ object LogOps {
     "delete_records" -> deleteRecords,
     "fetch_max_bytes" -> fetchMaxBytes,
     "fetch_wait" -> fetchWait,
+    "cdc_view" -> cdcView,
     "heavy_hitters_sketch" -> heavyHittersSketch)
 
   val oracles: Map[String, String] = Map(
@@ -467,6 +488,12 @@ object LogOps {
         |      ORDER BY offs ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
         |  FROM log WHERE offs >= 10)
         |WHERE cum_bytes <= 4096 OR cum_bytes = rec_bytes""".stripMargin),
+    "cdc_view" -> (logSql +
+      """SELECT topic, part, k, offs, v,
+        |  LAG(v) OVER (PARTITION BY topic, part, k ORDER BY offs) AS prev_v,
+        |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY topic, part, k
+        |    ORDER BY offs) = 1 THEN 'I' ELSE 'U' END AS op
+        |FROM log""".stripMargin),
     "fetch_wait" -> (logSql +
       """SELECT topic, part, COUNT(*) AS n_polls,
         |  CAST(SUM(CASE WHEN bytes >= 1024 THEN 1 ELSE 0 END) AS BIGINT)
