@@ -329,7 +329,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Threshold sweep over the verified pair set: how many near-dup pairs
+    * (and docs dropped, keeping the min id) survive at each candidate
+    * Jaccard threshold — the curve that picks the dedup aggressiveness
+    * before a full run. Reuses the cached LSH pipeline; the sweep itself
+    * is four conditional sums.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir)
+    val sweep = Seq(0.5, 0.6, 0.7, 0.8)
+    sweep.map { th =>
+      pairs.filter(col("jac") >= th)
+        .agg(
+          lit(th).as("threshold"),
+          count(lit(1)).as("n_pairs"),
+          countDistinct(when(col("d2") > col("d1"), col("d2"))).as("n_dropped"))
+        .select("threshold", "n_pairs", "n_dropped")
+    }.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
     "cross_source_dups" -> crossSourceDups,
     "dedup_report" -> dedupReport,
     "decontaminate" -> decontaminate,
@@ -452,6 +472,14 @@ object Dedup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> (lshPairsSql +
       "SELECT d1, d2, jac FROM pairs"),
+    "dedup_threshold_sweep" -> (lshPairsSql +
+      """, th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS t)
+        |SELECT CAST(t AS DOUBLE) AS threshold,
+        |  CAST(COUNT(CASE WHEN jac >= CAST(t AS DOUBLE) THEN 1 END) AS BIGINT)
+        |    AS n_pairs,
+        |  CAST(COUNT(DISTINCT CASE WHEN jac >= CAST(t AS DOUBLE) THEN d2 END)
+        |    AS BIGINT) AS n_dropped
+        |FROM pairs CROSS JOIN th GROUP BY t""".stripMargin),
     "cross_source_dups" -> (lshPairsSql +
       """, src AS (SELECT doc_id, source FROM documents)
         |SELECT LEAST(a.source, b.source) AS source_a,

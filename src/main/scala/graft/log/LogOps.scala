@@ -316,6 +316,29 @@ object LogOps {
       .select("topic", "part", "k", "offs", "v", "prev_v", "op")
   }
 
+  /** Watermark policy simulation: for candidate watermark delays, the
+    * records a streaming job would drop as too-late (lateness vs the
+    * running event-time maximum in arrival order — the same statistic
+    * watermark_lateness reports a tail for). The table that picks
+    * `withWatermark`'s delay: the smallest delay whose drop count is
+    * acceptable. One pass, three conditional sums.
+    */
+  def watermarkPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.partitionBy("topic").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    log(spark, dir)
+      .withColumn("late_ms", max("tms").over(arrival) - col("tms"))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_ms") > 300000L, 1L).otherwise(0L))
+          .as("dropped_5m"),
+        sum(when(col("late_ms") > 900000L, 1L).otherwise(0L))
+          .as("dropped_15m"),
+        sum(when(col("late_ms") > 3600000L, 1L).otherwise(0L))
+          .as("dropped_1h"))
+  }
+
   /** Heavy-hitter keys: top-5 keys by record count per topic. */
   def topKeysPerTopic(spark: SparkSession, dir: String): DataFrame = {
     val counts = log(spark, dir).groupBy("topic", "k").agg(count(lit(1)).as("n"))
@@ -372,6 +395,7 @@ object LogOps {
     "fetch_max_bytes" -> fetchMaxBytes,
     "fetch_wait" -> fetchWait,
     "cdc_view" -> cdcView,
+    "watermark_policy" -> watermarkPolicy,
     "heavy_hitters_sketch" -> heavyHittersSketch)
 
   val oracles: Map[String, String] = Map(
@@ -488,6 +512,20 @@ object LogOps {
         |      ORDER BY offs ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
         |  FROM log WHERE offs >= 10)
         |WHERE cum_bytes <= 4096 OR cum_bytes = rec_bytes""".stripMargin),
+    "watermark_policy" -> (logSql +
+      """, late AS (
+        |  SELECT topic,
+        |    MAX(tms) OVER (PARTITION BY topic ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tms AS late_ms
+        |  FROM log)
+        |SELECT topic, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_ms > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped_5m,
+        |  CAST(SUM(CASE WHEN late_ms > 900000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped_15m,
+        |  CAST(SUM(CASE WHEN late_ms > 3600000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped_1h
+        |FROM late GROUP BY topic""".stripMargin),
     "cdc_view" -> (logSql +
       """SELECT topic, part, k, offs, v,
         |  LAG(v) OVER (PARTITION BY topic, part, k ORDER BY offs) AS prev_v,
