@@ -96,6 +96,52 @@ object Streams {
       }
   }
 
+  final case class CdcState(lastV: Option[String], n: Long)
+  final case class Cdc(topic: String, k: String, event_id: Long, v: String,
+      prev_v: Option[String], op: String)
+
+  /** Streaming change-data-capture: each key's record chain emitted with
+    * its previous value and an I/U op — the continuous analog of
+    * LogOps.cdcView (state = last value per key, the same cardinality a
+    * compacted topic holds). Records inside a micro-batch are applied in
+    * event-id order so replays match the batch view exactly.
+    */
+  def cdcPerKey(spark: SparkSession, events: Dataset[Ev]): Dataset[Cdc] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.user_id.toString))
+      .flatMapGroupsWithState[CdcState, Cdc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((topic, k), evs, state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(CdcState(None, 0L))
+          val out = evs.toSeq.sortBy(_.event_id).map { e =>
+            val row = Cdc(topic, k, e.event_id, e.props, st.lastV,
+              if (st.n == 0L) "I" else "U")
+            st = CdcState(Option(e.props), st.n + 1L)
+            row
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run [[cdcPerKey]] as a real streaming query and return the emitted
+    * change rows.
+    */
+  def runCdcStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "events")).as[Ev]
+    val q = cdcPerKey(spark, stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_cdc_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_cdc_stream")
+  }
+
   final case class SessState(start: Long, last: Long, n: Long)
   final case class Sess(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 

@@ -187,6 +187,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming CDC == batch cdc_view") {
+    val got = Streams.runCdcStream(spark, dir)
+      .select("topic", "k", "event_id", "v", "prev_v", "op")
+    val want = LogOps.cdcView(spark, dir)
+      // offs is a per-(topic, part) coordinate the per-key stream does not
+      // carry; everything else must match exactly.
+      .join(LogOps.log(spark, dir)
+        .select(col("topic"), col("part"), col("offs"), col("event_id")),
+        Seq("topic", "part", "offs"))
+      .select("topic", "k", "event_id", "v", "prev_v", "op")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("stateful compaction stream == batch compact") {
     val got = Streams.runCompactionStream(spark, dir)
       .select(col("topic"), col("k"), col("event_id"))
