@@ -247,6 +247,38 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("cos2") < col("cos1")).count() == 0)
   }
 
+  test("dedup threshold sweep is monotone in the threshold") {
+    val s = llm.Dedup.dedupThresholdSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    s.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1)
+    }
+  }
+
+  test("watermark policy drops are monotone in the delay") {
+    val w = graft.log.LogOps.watermarkPolicy(spark, dir)
+    assert(w.filter(col("dropped_5m") < col("dropped_15m")).count() == 0)
+    assert(w.filter(col("dropped_15m") < col("dropped_1h")).count() == 0)
+    assert(w.filter(col("dropped_5m") > col("n_events")).count() == 0)
+  }
+
+  test("cdc view: one insert per key, inserts carry no previous value") {
+    val c = graft.log.LogOps.cdcView(spark, dir)
+    val inserts = c.filter(col("op") === "I")
+    assert(inserts.count() ==
+      c.select("topic", "part", "k").distinct().count())
+    assert(inserts.filter(col("prev_v").isNotNull).count() == 0)
+    assert(c.filter(col("op") === "U" && col("prev_v").isNull).count() == 0)
+  }
+
+  test("incident blast: every incident window contains at least itself") {
+    val b = analytics.Analytics.incidentBlast(spark, dir)
+    assert(b.filter(col("n_events") < 1).count() == 0)
+    val nIncidents = Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "error").count()
+    assert(b.count() == nIncidents)
+  }
+
   test("gram likelihood score is the mean df of a doc's tokens") {
     val g = llm.TextAnalysis.gramLikelihood(spark, dir)
     // df of any token is at least 1 and at most the doc count
