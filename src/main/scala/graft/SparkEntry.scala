@@ -19,6 +19,7 @@ object SparkEntry {
       (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
       (llm.Similarity.queries, llm.Similarity.oracles),
       (llm.Sampling.queries, llm.Sampling.oracles),
+      (llm.Curation.queries, llm.Curation.oracles),
       (llm.Multimodal.queries, llm.Multimodal.oracles),
       (streaming.Streams.queries, streaming.Streams.oracles))
 

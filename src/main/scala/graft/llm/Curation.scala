@@ -1,0 +1,131 @@
+package graft.llm
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between dedup
+  * and tokenization: CCNet-style boilerplate removal and GPT-style
+  * sequence packing.
+  *
+  * Scale notes:
+  *  - Chunking is an in-row transform (one generator per doc, no join);
+  *    the boilerplate table is tiny (repeated chunks only) and broadcast
+  *    back against the chunk stream — at 100 TB this is one scan + one
+  *    broadcast hash join, no big-side shuffle.
+  *  - Packing's running offset is windowed per source, so each source
+  *    packs independently and in parallel; a single global ordering would
+  *    serialize the cumsum through one partition.
+  */
+object Curation {
+
+  private val ChunkToks = 10
+  private val MinDocs = 2
+  private val SeqLen = 512
+
+  /** One row per 10-token chunk: (doc_id, source, chunk_idx, chash,
+    * chunk_toks). The md5 chunk hash is the cross-engine identity.
+    */
+  private def chunked(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("nch", expr("CAST(ceil(size(tk) / 10.0) AS BIGINT)"))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          s"""transform(sequence(0L, nch - 1), i -> named_struct(
+             |  'h', md5(array_join(slice(tk, CAST(i * $ChunkToks + 1 AS INT), $ChunkToks), ' ')),
+             |  'tc', CAST(size(slice(tk, CAST(i * $ChunkToks + 1 AS INT), $ChunkToks)) AS BIGINT)))"""
+            .stripMargin)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("source"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.h").as("chash"), col("c.tc").as("chunk_toks"))
+
+  /** Boilerplate chunk table: 10-token chunks repeated across >= 2
+    * distinct documents of the same source (headers, footers, injected
+    * templates). CCNet does this at paragraph level with a hash table;
+    * here it is one groupBy over the chunk stream.
+    */
+  def boilerplateChunks(spark: SparkSession, dir: String): DataFrame =
+    chunked(spark, dir)
+      .groupBy("source", "chash")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= MinDocs)
+
+  /** Boilerplate removal audit per document: chunks kept/dropped and the
+    * residual token count after stripping repeated chunks.
+    */
+  def stripBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunked(spark, dir)
+    val bp = boilerplateChunks(spark, dir)
+      .select(col("source").as("bs"), col("chash").as("bh"))
+    ch.join(broadcast(bp), col("source") === col("bs") && col("chash") === col("bh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("bh").isNotNull, 1L).otherwise(0L)).cast("long").as("n_bp"),
+        sum(when(col("bh").isNull, col("chunk_toks")).otherwise(0L)).cast("long")
+          .as("kept_toks"))
+  }
+
+  /** GPT-style sequence packing: concatenate documents (in doc_id order,
+    * per source, + 1 EOS token each) and cut every 512 tokens. Emits each
+    * doc's start offset, owning sequence, and whether it straddles a
+    * sequence boundary — the packer's manifest.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .withColumn("n_tok", (size(split(col("text"), " ")) + 1).cast("long"))
+      .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("start_off"),
+        expr(s"start_off div $SeqLen").as("seq_id"),
+        when(expr(s"(start_off + n_tok - 1) div $SeqLen") =!= expr(s"start_off div $SeqLen"),
+          1L).otherwise(0L).as("spans_boundary"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "boilerplate_chunks" -> boilerplateChunks,
+    "strip_boilerplate" -> stripBoilerplate,
+    "seq_pack" -> seqPack)
+
+  /** Shared chunking CTE — unnest-in-select (DuckDB's generate_series
+    * table function cannot be lateral).
+    */
+  private val chunkSql =
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+       |ch AS (SELECT doc_id, source,
+       |  unnest(generate_series(0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1)) AS chunk_idx,
+       |  unnest(list_transform(generate_series(0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1),
+       |    i -> md5(array_to_string(tk[(i * $ChunkToks + 1):(i * $ChunkToks + $ChunkToks)], ' ')))) AS chash,
+       |  unnest(list_transform(generate_series(0, CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1),
+       |    i -> CAST(len(tk[(i * $ChunkToks + 1):(i * $ChunkToks + $ChunkToks)]) AS BIGINT))) AS chunk_toks
+       |  FROM tk),
+       |""".stripMargin
+
+  private val bpSql =
+    s"""bp AS (SELECT source, chash, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_occ FROM ch GROUP BY 1, 2
+       |  HAVING COUNT(DISTINCT doc_id) >= $MinDocs)
+       |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "boilerplate_chunks" -> (chunkSql + bpSql + "SELECT * FROM bp"),
+    "strip_boilerplate" -> (chunkSql + bpSql +
+      """SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN bp.chash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bp,
+        |  CAST(SUM(CASE WHEN bp.chash IS NULL THEN ch.chunk_toks ELSE 0 END) AS BIGINT) AS kept_toks
+        |FROM ch LEFT JOIN bp ON ch.source = bp.source AND ch.chash = bp.chash
+        |GROUP BY 1""".stripMargin),
+    "seq_pack" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM d)
+         |SELECT doc_id, source, n_tok, start_off, start_off // $SeqLen AS seq_id,
+         |  CAST(CASE WHEN (start_off + n_tok - 1) // $SeqLen <> start_off // $SeqLen
+         |    THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+         |FROM c""".stripMargin)
+}

@@ -286,4 +286,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(g.filter(col("score") < 1.0 || col("score") > nDocs).count() == 0)
     assert(g.filter(col("sum_df") < col("n_tokens")).count() == 0)
   }
+
+  test("boilerplate strip: chunk and token accounting are conserved") {
+    val bp = llm.Curation.boilerplateChunks(spark, dir)
+    assert(bp.filter(col("n_occ") < col("n_docs")).count() == 0)
+    val s = llm.Curation.stripBoilerplate(spark, dir)
+    // every document appears, and dropped chunks never exceed the total
+    assert(s.count() == Tables.t(spark, dir, "documents").count())
+    assert(s.filter(col("n_bp") > col("n_chunks")).count() == 0)
+    // a doc with no boilerplate keeps every token: kept_toks == ws tokens
+    val full = s.filter(col("n_bp") === 0).join(
+      Tables.t(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt")),
+      "doc_id")
+    assert(full.filter(col("kept_toks") =!= col("nt")).count() == 0)
+  }
+
+  test("seq_pack tiles each source contiguously from offset 0") {
+    val p = llm.Curation.seqPack(spark, dir).cache()
+    // offsets are a prefix-sum tiling: next start = prev start + n_tok
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val bad = p.withColumn("nxt", lead("start_off", 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("start_off") + col("n_tok"))
+    assert(bad.count() == 0)
+    assert(p.groupBy("source").agg(min("start_off").as("m"))
+      .filter(col("m") =!= 0L).count() == 0)
+    // spans_boundary is exact: flagged iff the doc crosses a 512 cut
+    val wrong = p.filter(
+      (expr("(start_off + n_tok - 1) div 512") =!= col("seq_id")).cast("int")
+        =!= col("spans_boundary").cast("int"))
+    assert(wrong.count() == 0)
+    p.unpersist()
+  }
 }
