@@ -184,7 +184,7 @@ object Similarity {
     "ann_recall" -> annRecall,
     "semdedup" -> semDedup)
 
-  private val vecSql =
+  private[llm] val vecSql =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
@@ -195,7 +195,7 @@ object Similarity {
       |  FROM e)
       |""".stripMargin
 
-  private val cosSql =
+  private[llm] val cosSql =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])),
       |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin

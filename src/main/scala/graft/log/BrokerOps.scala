@@ -31,13 +31,15 @@ object BrokerOps {
     * base/end offsets, record count, bytes, and time span (the inputs to
     * retention and compaction scheduling).
     */
-  def logSegments(spark: SparkSession, dir: String): DataFrame = {
-    val before = Window.partitionBy("topic", "part").orderBy("offs")
-      .rowsBetween(Window.unboundedPreceding, -1)
+  def logSegments(spark: SparkSession, dir: String): DataFrame =
+    rolledSegments(spark, dir, 16384L)
+
+  private def rolledSegments(spark: SparkSession, dir: String,
+      roll: Long): DataFrame =
     LogOps.log(spark, dir)
       .withColumn("rec_bytes", (length(col("v")) + length(col("k")) + lit(16)).cast("long"))
       .withColumn("seg_id",
-        expr("coalesce(sum(rec_bytes) over (partition by topic, part order by offs rows between unbounded preceding and 1 preceding), 0) div 16384"))
+        expr(s"coalesce(sum(rec_bytes) over (partition by topic, part order by offs rows between unbounded preceding and 1 preceding), 0) div $roll"))
       .groupBy("topic", "part", "seg_id")
       .agg(
         min("offs").as("base_offset"),
@@ -46,6 +48,30 @@ object BrokerOps {
         sum("rec_bytes").cast("long").as("seg_bytes"),
         min("tms").as("first_ms"),
         max("tms").as("last_ms"))
+
+  /** Tiered-storage offload plan (the reference brokers sit on Pulsar
+    * managed ledgers whose closed segments offload to object storage once
+    * the local backlog passes a size threshold — README.md:11 "Infinite
+    * event stream retention with Apache BookKeeper and tiered storage").
+    * Modeled over 2 KiB-rolled segments: per partition, keep the newest
+    * segments whose running size fits the 4 KiB local threshold plus the
+    * active segment; everything older is an offload candidate. `local_
+    * bytes` is the suffix size from this segment to the log head — the
+    * bytes that stay local if offload cuts just below this segment.
+    */
+  def tieredOffloadPlan(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = Window.partitionBy("topic", "part")
+      .orderBy(col("seg_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rolledSegments(spark, dir, 2048L)
+      .withColumn("local_bytes", sum("seg_bytes").over(suffix).cast("long"))
+      .withColumn("max_seg",
+        max("seg_id").over(Window.partitionBy("topic", "part")))
+      .withColumn("offload",
+        when(col("local_bytes") > 4096L && col("seg_id") =!= col("max_seg"),
+          1L).otherwise(0L))
+      .select(col("topic"), col("part"), col("seg_id"), col("base_offset"),
+        col("end_offset"), col("seg_bytes"), col("local_bytes"), col("offload"))
   }
 
   /** Leader-epoch table: the leader changes every 100 offsets (a
@@ -200,6 +226,7 @@ object BrokerOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compaction_ratio" -> compactionRatio,
     "segment_cleanup_plan" -> segmentCleanupPlan,
+    "tiered_offload_plan" -> tieredOffloadPlan,
     "log_segments" -> logSegments,
     "leader_epoch" -> leaderEpoch,
     "client_quota" -> clientQuota,
@@ -260,6 +287,31 @@ object BrokerOps {
         |  CAST(CASE WHEN last_ms < 1704672000000
         |    AND seg_id <> MAX(seg_id) OVER (PARTITION BY topic, part)
         |    THEN 1 ELSE 0 END AS BIGINT) AS deletable
+        |FROM segs""".stripMargin),
+    "tiered_offload_plan" -> (L +
+      """sized AS (
+        |  SELECT topic, part, offs,
+        |    length(v) + length(k) + 16 AS rec_bytes,
+        |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
+        |      PARTITION BY topic, part ORDER BY offs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+        |      AS BIGINT) AS seg_id
+        |  FROM log),
+        |segs AS (
+        |  SELECT topic, part, seg_id, MIN(offs) AS base_offset,
+        |    MAX(offs) + 1 AS end_offset,
+        |    CAST(SUM(rec_bytes) AS BIGINT) AS seg_bytes
+        |  FROM sized GROUP BY topic, part, seg_id)
+        |SELECT topic, part, seg_id, base_offset, end_offset, seg_bytes,
+        |  CAST(SUM(seg_bytes) OVER (PARTITION BY topic, part
+        |    ORDER BY seg_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS local_bytes,
+        |  CAST(CASE WHEN SUM(seg_bytes) OVER (PARTITION BY topic, part
+        |      ORDER BY seg_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 4096
+        |    AND seg_id <> MAX(seg_id) OVER (PARTITION BY topic, part)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS offload
         |FROM segs""".stripMargin),
     "broker_routing" -> (L +
       """pp AS (
