@@ -235,7 +235,110 @@ object Groups {
           .as("paused_static"))
   }
 
+  /** Per-member heartbeat simulation: each of the 3 range-assigned members
+    * last heartbeat at the head of its freshest assigned partition, trailed
+    * by g*(m+1)*4h — a deterministic function of the data, so group g0 is
+    * fully live, g1 has a partial failure, and g2/g3 have fully timed out.
+    */
+  private def memberHeartbeats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic").orderBy("part")
+    val groups = spark.range(0, 4).withColumnRenamed("id", "g")
+    leo(spark, dir)
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
+      .withColumn("m", expr(rangeMemberExpr(3)))
+      .crossJoin(groups)
+      .groupBy("g", "m")
+      .agg(count(lit(1)).as("n_parts"), max("latest_ms").as("hb_base"))
+      .withColumn("last_hb_ms",
+        col("hb_base") - col("g") * (col("m") + 1L) * lit(14400000L))
+  }
+
+  private def nowMs(spark: SparkSession, dir: String): DataFrame =
+    leo(spark, dir).agg(max("latest_ms").as("now_ms"))
+
+  private val memberHbSql: String =
+    s"""pidx AS (
+       |  SELECT topic, part, latest_ms,
+       |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY part) - 1 AS idx,
+       |    COUNT(*) OVER (PARTITION BY topic) AS np
+       |  FROM leo),
+       |mh AS (
+       |  SELECT g, m, COUNT(*) AS n_parts,
+       |    MAX(latest_ms) - g * (m + 1) * 14400000 AS last_hb_ms
+       |  FROM (SELECT *, ${rangeMemberSql(3)} AS m FROM pidx)
+       |  CROSS JOIN (SELECT CAST(g AS BIGINT) AS g FROM generate_series(0, 3) t(g))
+       |  GROUP BY g, m),
+       |nw AS (SELECT MAX(latest_ms) AS now_ms FROM leo),
+       |""".stripMargin
+
+  /** session.timeout.ms member-eviction sweep: the group coordinator's
+    * heartbeat purgatory (DelayedHeartbeat.java:23 `onExpiration` ->
+    * GroupCoordinator.onExpireHeartbeat) evaluated as a point-in-time
+    * query — a member is evicted iff its last heartbeat is older than the
+    * 8h session timeout at the log head. The txn_expire analog for groups.
+    * Ref: /root/reference/kafka-impl/.../coordinator/group/DelayedHeartbeat.java:23,
+    * GroupCoordinator.java (completeAndScheduleNextHeartbeatExpiration).
+    */
+  def memberEviction(spark: SparkSession, dir: String): DataFrame =
+    memberHeartbeats(spark, dir)
+      .crossJoin(broadcast(nowMs(spark, dir)))
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        concat(lit("m"), col("m").cast("string")).as("member"),
+        col("n_parts"),
+        col("last_hb_ms"),
+        (col("now_ms") - col("last_hb_ms")).as("age_ms"),
+        when(col("now_ms") - col("last_hb_ms") > 28800000L, 1L).otherwise(0L)
+          .as("evicted"))
+
+  /** GroupState-machine rollup (GroupState.java:21 — Empty /
+    * PreparingRebalance / CompletingRebalance / Stable / Dead, transitions
+    * documented at :36-47): the point-in-time state of each group after the
+    * heartbeat sweep. All members alive => Stable; a detected member
+    * failure => PreparingRebalance ("member failure detected via heartbeat");
+    * no members but unexpired offsets => Empty ("lingers until all offsets
+    * have expired"); no members and no live offsets => Dead.
+    * CompletingRebalance is the transient sync-barrier phase between a join
+    * round and the leader's assignment — it has no extent in a point-in-time
+    * rollup, so it cannot appear here (documented, not missing).
+    * Generation bumps once per completed rebalance, i.e. per detected
+    * failure: generation = 1 + n_evicted.
+    * Ref: /root/reference/kafka-impl/.../coordinator/group/GroupState.java:21,
+    * GroupMetadata.java (currentState / generationId).
+    */
+  def groupState(spark: SparkSession, dir: String): DataFrame = {
+    val now = broadcast(nowMs(spark, dir))
+    val members = memberHeartbeats(spark, dir)
+      .crossJoin(now)
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("now_ms") - col("last_hb_ms") <= 28800000L, 1L)
+          .otherwise(0L)).cast("long").as("n_alive"),
+        sum(when(col("now_ms") - col("last_hb_ms") > 28800000L, 1L)
+          .otherwise(0L)).cast("long").as("n_evicted"))
+    val offsets = commits(spark, dir)
+      .withColumn("g", substring(col("group_id"), 2, 1).cast("long"))
+      .crossJoin(now)
+      .groupBy("g")
+      .agg(sum(when(col("commit_ms") >= col("now_ms") - 1512000000L, 1L)
+        .otherwise(0L)).cast("long").as("n_live_offsets"))
+    members.join(offsets, Seq("g"))
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        (lit(1L) + col("n_evicted")).as("generation"),
+        col("n_members"), col("n_alive"), col("n_evicted"),
+        col("n_live_offsets"),
+        when(col("n_alive") === col("n_members"), "Stable")
+          .when(col("n_alive") > 0L, "PreparingRebalance")
+          .when(col("n_live_offsets") > 0L, "Empty")
+          .otherwise("Dead").as("state"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "member_eviction" -> memberEviction,
+    "group_state" -> groupState,
     "static_membership" -> staticMembershipBounce,
     "offset_reset" -> offsetReset,
     "cursor_cache" -> cursorCache,
@@ -257,6 +360,40 @@ object Groups {
        |  END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "member_eviction" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
+      """sel AS (SELECT * FROM mh CROSS JOIN nw)
+        |SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
+        |  'm' || CAST(m AS VARCHAR) AS member,
+        |  n_parts, last_hb_ms,
+        |  now_ms - last_hb_ms AS age_ms,
+        |  CAST(CASE WHEN now_ms - last_hb_ms > 28800000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS evicted
+        |FROM sel""".stripMargin),
+    "group_state" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
+      s"""members AS (
+         |  SELECT g, COUNT(*) AS n_members,
+         |    CAST(SUM(CASE WHEN now_ms - last_hb_ms <= 28800000 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_alive,
+         |    CAST(SUM(CASE WHEN now_ms - last_hb_ms > 28800000 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_evicted
+         |  FROM mh CROSS JOIN nw GROUP BY g),
+         |commits AS (
+         |  SELECT g, topic, part,
+         |    latest_ms - g * 604800000 AS commit_ms
+         |  FROM leo CROSS JOIN (SELECT CAST(g AS BIGINT) AS g
+         |                       FROM generate_series(0, 3) t(g))),
+         |offs AS (
+         |  SELECT g, CAST(SUM(CASE WHEN commit_ms >= now_ms - 1512000000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_live_offsets
+         |  FROM commits CROSS JOIN nw GROUP BY g)
+         |SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
+         |  1 + n_evicted AS generation,
+         |  n_members, n_alive, n_evicted, n_live_offsets,
+         |  CASE WHEN n_alive = n_members THEN 'Stable'
+         |       WHEN n_alive > 0 THEN 'PreparingRebalance'
+         |       WHEN n_live_offsets > 0 THEN 'Empty'
+         |       ELSE 'Dead' END AS state
+         |FROM members JOIN offs USING (g)""".stripMargin),
     "static_membership" -> (L +
       s"""tp AS (SELECT DISTINCT topic, part FROM log),
          |ix AS (

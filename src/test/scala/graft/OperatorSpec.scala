@@ -42,6 +42,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(lag.filter(col("lag") < 0 || col("lag") > col("log_end")).count() == 0)
   }
 
+  test("member eviction: age grows with group trail, evicted iff past timeout") {
+    val ev = coordinator.Groups.memberEviction(spark, dir).collect()
+    assert(ev.length == 12)
+    ev.foreach { r =>
+      val (age, evicted) = (r.getAs[Long]("age_ms"), r.getAs[Long]("evicted"))
+      assert(age >= 0)
+      assert(evicted == (if (age > 28800000L) 1L else 0L))
+    }
+    // g0 members carry no trail: all alive at the log head.
+    assert(ev.filter(_.getAs[String]("group_id") == "g0")
+      .forall(_.getAs[Long]("evicted") == 0L))
+  }
+
+  test("group state follows the GroupState machine from the eviction sweep") {
+    val st = coordinator.Groups.groupState(spark, dir).collect()
+    assert(st.length == 4)
+    st.foreach { r =>
+      val (alive, n, live) = (r.getAs[Long]("n_alive"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("n_live_offsets"))
+      val expected =
+        if (alive == n) "Stable"
+        else if (alive > 0) "PreparingRebalance"
+        else if (live > 0) "Empty"
+        else "Dead"
+      assert(r.getAs[String]("state") == expected)
+      assert(r.getAs[Long]("generation") ==
+        1L + r.getAs[Long]("n_evicted"))
+    }
+    // The deterministic trails g*(m+1)*4h are built to exercise both ends
+    // of the machine: the untrailed group is Stable, the 3-week one Dead.
+    val byId = st.map(r => r.getAs[String]("group_id") -> r.getAs[String]("state")).toMap
+    assert(byId("g0") == "Stable")
+    assert(byId("g3") == "Dead")
+  }
+
   test("range assignor covers every partition exactly once") {
     val a = coordinator.Groups.assignRange(spark, dir)
     val parts = LogOps.log(spark, dir).select("topic", "part").distinct().count()
