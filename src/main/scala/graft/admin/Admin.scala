@@ -79,7 +79,75 @@ object Admin {
       .withColumn("kafka_name",
         regexp_extract(col("pulsar_name"), "^persistent://[^/]+/[^/]+/(.+)-partition-[0-9]+$", 1))
 
+  /** Per-topic Kafka->KoP migration status with the offset fence
+    * (/root/reference/kafka-impl/.../migration/metadata/MigrationMetadata.java:29,
+    * migrationStatus at :42; phases from MigrationStatus.java —
+    * NOT_STARTED / STARTED / DONE). Each topic's phase is an md5 hash coin;
+    * the cutover fence for an in-flight migration sits at the midpoint of
+    * the topic's time range, and per partition the fence offset is the
+    * count of records at or before it (offsets below the fence live in the
+    * source cluster, the rest are KoP-native). NOT_STARTED topics fence at
+    * 0, DONE topics at the log end — the per-phase request-routing view the
+    * MigrationMetadataManager keeps.
+    *
+    * Scale: the fence count is one map-side-combinable conditional
+    * aggregate over the (topic, part) partitioning every log op reuses.
+    */
+  def migrationStatus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val statused = LogOps.log(spark, dir)
+      .withColumn("phase_id", pmod(md5Long(concat(col("topic"), lit("#mig"))), lit(3L)))
+      .withColumn("mid_ts",
+        (min("tms").over(Window.partitionBy("topic")) +
+          expr("(MAX(tms) OVER (PARTITION BY topic) " +
+            "- MIN(tms) OVER (PARTITION BY topic)) div 2")))
+    statused
+      .groupBy("topic", "part", "phase_id")
+      .agg(
+        (max("offs") + 1L).as("log_end"),
+        sum(when(col("tms") <= col("mid_ts"), 1L).otherwise(0L)).cast("long")
+          .as("n_before_mid"))
+      .select(
+        col("topic"), col("part"),
+        when(col("phase_id") === 0L, "NOT_STARTED")
+          .when(col("phase_id") === 1L, "STARTED")
+          .otherwise("DONE").as("migration_status"),
+        concat(lit("kafka-src-"), col("phase_id").cast("string"))
+          .as("kafka_cluster_address"),
+        col("log_end"),
+        when(col("phase_id") === 0L, 0L)
+          .when(col("phase_id") === 1L, col("n_before_mid"))
+          .otherwise(col("log_end")).as("fence_offset"))
+      .withColumn("n_pending", col("log_end") - col("fence_offset"))
+  }
+
+  /** Delayed topic/partition-creation purgatory accounting
+    * (/root/reference/kafka-impl/.../DelayedCreateTopics.java — tryComplete
+    * fires when numTopics hits 0, onExpiration after delayMs;
+    * DelayedCreatePartitions.java is the per-partition twin). A topic's
+    * create request is submitted at its first record; the operation
+    * completes when the last of its partitions sees ITS first record.
+    * Per topic: partitions awaited, submit/complete times, and whether the
+    * purgatory entry completed within the 1h delay or timed out.
+    * Fetch_wait's mold applied to the creation purgatory.
+    */
+  def delayedCreate(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir)
+      .groupBy("topic", "part")
+      .agg(min("tms").as("part_create_ms"))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_partitions"),
+        min("part_create_ms").as("request_ms"),
+        max("part_create_ms").as("complete_ms"))
+      .withColumn("wait_ms", col("complete_ms") - col("request_ms"))
+      .withColumn("outcome",
+        when(col("wait_ms") <= 3600000L, "Completed").otherwise("TimedOut"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "migration_status" -> migrationStatus,
+    "delayed_create" -> delayedCreate,
     "topic_metadata" -> topicMetadata,
     "list_groups" -> listGroups,
     "cluster_summary" -> clusterSummary,
@@ -92,6 +160,39 @@ object Admin {
   private val commitsSql: String = Groups.commitsSql
 
   val oracles: Map[String, String] = Map(
+    "migration_status" -> (L +
+      """st AS (
+        |  SELECT *, ('0x' || substring(md5(topic || '#mig'), 1, 14))::BIGINT % 3 AS phase_id,
+        |    MIN(tms) OVER (PARTITION BY topic) +
+        |      (MAX(tms) OVER (PARTITION BY topic)
+        |       - MIN(tms) OVER (PARTITION BY topic)) // 2 AS mid_ts
+        |  FROM log),
+        |pp AS (
+        |  SELECT topic, part, phase_id, MAX(offs) + 1 AS log_end,
+        |    CAST(SUM(CASE WHEN tms <= mid_ts THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_before_mid
+        |  FROM st GROUP BY topic, part, phase_id)
+        |SELECT topic, part,
+        |  CASE phase_id WHEN 0 THEN 'NOT_STARTED' WHEN 1 THEN 'STARTED'
+        |    ELSE 'DONE' END AS migration_status,
+        |  'kafka-src-' || CAST(phase_id AS VARCHAR) AS kafka_cluster_address,
+        |  log_end,
+        |  CASE phase_id WHEN 0 THEN 0 WHEN 1 THEN n_before_mid
+        |    ELSE log_end END AS fence_offset,
+        |  log_end - (CASE phase_id WHEN 0 THEN 0 WHEN 1 THEN n_before_mid
+        |    ELSE log_end END) AS n_pending
+        |FROM pp""".stripMargin),
+    "delayed_create" -> (L +
+      """pc AS (
+        |  SELECT topic, part, MIN(tms) AS part_create_ms
+        |  FROM log GROUP BY topic, part)
+        |SELECT topic, COUNT(*) AS n_partitions,
+        |  MIN(part_create_ms) AS request_ms,
+        |  MAX(part_create_ms) AS complete_ms,
+        |  MAX(part_create_ms) - MIN(part_create_ms) AS wait_ms,
+        |  CASE WHEN MAX(part_create_ms) - MIN(part_create_ms) <= 3600000
+        |    THEN 'Completed' ELSE 'TimedOut' END AS outcome
+        |FROM pc GROUP BY topic""".stripMargin),
     "topic_metadata" -> (L +
       """pp AS (
         |  SELECT topic, part, COUNT(*) AS n, MAX(offs) + 1 AS log_end,

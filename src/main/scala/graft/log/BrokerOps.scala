@@ -223,7 +223,54 @@ object BrokerOps {
         col("end_offset"), col("seg_bytes"), col("last_ms"), col("deletable"))
   }
 
+  /** Per-API request-latency stats table
+    * (/root/reference/kafka-impl/.../RequestStats.java:111,141 — the
+    * PRODUCE_ENCODE / MESSAGE_PUBLISH / FETCH_DECODE / MESSAGE_READ
+    * OpStatsLoggers; stat names from KopServerStats.java:57-81). Every log
+    * record is one request sample of the API it hits (event_id mod 4) with
+    * a deterministic handle time: encode/decode scale with record bytes,
+    * publish/read with a modular jitter — so the percentile table is
+    * reproducible bit-for-bit. Percentiles use the nearest-rank method
+    * (integer rank selection, engine-identical; same discipline as
+    * value_percentiles).
+    *
+    * Scale: one window keyed by api (4 partitions of n/4 rows each — at
+    * 100 TB this would be the one rollup computed from pre-bucketed
+    * per-minute digests, like the reference's interval stats snapshots;
+    * the nearest-rank form is what that digest materializes).
+    */
+  def requestLatency(spark: SparkSession, dir: String): DataFrame = {
+    val samples = LogOps.log(spark, dir)
+      .withColumn("api",
+        when(pmod(col("event_id"), lit(4L)) === 0L, "PRODUCE_ENCODE")
+          .when(pmod(col("event_id"), lit(4L)) === 1L, "MESSAGE_PUBLISH")
+          .when(pmod(col("event_id"), lit(4L)) === 2L, "FETCH_DECODE")
+          .otherwise("MESSAGE_READ"))
+      .withColumn("lat_us",
+        when(col("api") === "PRODUCE_ENCODE",
+          lit(20L) + length(col("v")).cast("long"))
+          .when(col("api") === "MESSAGE_PUBLISH",
+            lit(50L) + pmod(col("event_id"), lit(211L)))
+          .when(col("api") === "FETCH_DECODE",
+            lit(10L) + expr("CAST(length(v) AS BIGINT) div 2"))
+          .otherwise(lit(5L) + pmod(col("event_id"), lit(53L))))
+    val w = Window.partitionBy("api").orderBy("lat_us", "event_id")
+    val ranked = samples
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("api")))
+    def pick(p: Double) =
+      max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("lat_us")))
+    ranked.groupBy("api").agg(
+      count(lit(1)).as("n_requests"),
+      pick(0.5).as("p50_us"),
+      pick(0.95).as("p95_us"),
+      pick(0.99).as("p99_us"),
+      max("lat_us").as("max_us"),
+      sum("lat_us").cast("long").as("total_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "request_latency" -> requestLatency,
     "compaction_ratio" -> compactionRatio,
     "segment_cleanup_plan" -> segmentCleanupPlan,
     "tiered_offload_plan" -> tieredOffloadPlan,
@@ -236,6 +283,29 @@ object BrokerOps {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "request_latency" -> (L +
+      """samples AS (
+        |  SELECT event_id,
+        |    CASE event_id % 4
+        |      WHEN 0 THEN 'PRODUCE_ENCODE' WHEN 1 THEN 'MESSAGE_PUBLISH'
+        |      WHEN 2 THEN 'FETCH_DECODE' ELSE 'MESSAGE_READ' END AS api,
+        |    CASE event_id % 4
+        |      WHEN 0 THEN 20 + length(v)
+        |      WHEN 1 THEN 50 + event_id % 211
+        |      WHEN 2 THEN 10 + length(v) // 2
+        |      ELSE 5 + event_id % 53 END AS lat_us
+        |  FROM log),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY api ORDER BY lat_us, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY api) AS n
+        |  FROM samples)
+        |SELECT api, COUNT(*) AS n_requests,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN lat_us END) AS p50_us,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN lat_us END) AS p95_us,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN lat_us END) AS p99_us,
+        |  MAX(lat_us) AS max_us,
+        |  CAST(SUM(lat_us) AS BIGINT) AS total_us
+        |FROM ranked GROUP BY api""".stripMargin),
     "log_segments" -> (L +
       """sized AS (
         |  SELECT topic, part, offs, tms,

@@ -167,7 +167,46 @@ object Transactions {
       .withColumn("lso", coalesce(col("first_undecided"), col("log_end")))
       .withColumn("lso_lag", col("log_end") - col("lso"))
 
+  /** Producer-id block allocation ledger
+    * (coordinator/transaction/ProducerIdManagerImpl.java:44 —
+    * PID_BLOCK_SIZE=1000; getNewProducerIdBlock at :83 claims the next
+    * contiguous [prev_end+1, prev_end+1000] block from the shared counter;
+    * the Long.MAX_VALUE exhaustion guard at :98). Each (user, topic)
+    * connection to the broker that owns its partition is a producer
+    * session needing one PID; brokers claim ceil(sessions/1000) blocks
+    * from the global sequence in broker order. Per broker: sessions
+    * served, blocks claimed, the id range held, ids left unused in the
+    * last block, and the exhaustion headroom the :98 guard checks.
+    *
+    * Scale: distinct-user counting is the only wide stage (partial
+    * aggregation on (topic, part)); everything after is a 4-row frame.
+    */
+  def producerIdBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    import org.apache.spark.sql.expressions.Window
+    LogOps.log(spark, dir)
+      .groupBy("topic", "part")
+      .agg(countDistinct("k").as("n_producers"))
+      .withColumn("broker",
+        pmod(md5Long(concat_ws("#", col("topic"), col("part"))), lit(4L)))
+      .groupBy("broker")
+      .agg(sum("n_producers").cast("long").as("n_sessions"))
+      .withColumn("n_blocks", expr("(n_sessions + 999) div 1000"))
+      .withColumn("blocks_before",
+        (sum("n_blocks").over(Window.orderBy("broker")) - col("n_blocks"))
+          .cast("long"))
+      .select(
+        col("broker"), col("n_sessions"), col("n_blocks"),
+        (col("blocks_before") * 1000L).as("block_start"),
+        ((col("blocks_before") + col("n_blocks")) * 1000L - 1L)
+          .as("block_end"),
+        (col("n_blocks") * 1000L - col("n_sessions")).as("ids_unused"),
+        expr(s"(${Long.MaxValue}L - ((blocks_before + n_blocks) * 1000 - 1))" +
+          " div 1000").as("headroom_blocks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "producer_id_blocks" -> producerIdBlocks,
     "lso_lag" -> lsoLag,
     "producer_fencing" -> producerFencing,
     "producer_dedup" -> producerDedup,
@@ -179,6 +218,27 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "producer_id_blocks" -> (L +
+      s"""pp AS (
+         |  SELECT topic, part, COUNT(DISTINCT k) AS n_producers,
+         |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+         |      AS broker
+         |  FROM log GROUP BY topic, part),
+         |pb AS (
+         |  SELECT broker, CAST(SUM(n_producers) AS BIGINT) AS n_sessions,
+         |    CAST((SUM(n_producers) + 999) // 1000 AS BIGINT) AS n_blocks
+         |  FROM pp GROUP BY broker),
+         |seq AS (
+         |  SELECT *, CAST(SUM(n_blocks) OVER (ORDER BY broker) - n_blocks
+         |    AS BIGINT) AS blocks_before
+         |  FROM pb)
+         |SELECT broker, n_sessions, n_blocks,
+         |  blocks_before * 1000 AS block_start,
+         |  (blocks_before + n_blocks) * 1000 - 1 AS block_end,
+         |  n_blocks * 1000 - n_sessions AS ids_unused,
+         |  (${Long.MaxValue} - ((blocks_before + n_blocks) * 1000 - 1)) // 1000
+         |    AS headroom_blocks
+         |FROM seq""".stripMargin),
     "lso_lag" -> (L + txnSql +
       """SELECT topic, part, log_end,
         |  first_undecided, n_open_txns,

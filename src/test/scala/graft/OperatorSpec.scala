@@ -77,6 +77,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(byId("g3") == "Dead")
   }
 
+  test("producer id blocks are contiguous, disjoint, and sized to sessions") {
+    val rows = txn.Transactions.producerIdBlocks(spark, dir)
+      .orderBy("broker").collect()
+    var nextStart = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("block_start") == nextStart)
+      val width = r.getAs[Long]("block_end") - r.getAs[Long]("block_start") + 1
+      assert(width == r.getAs[Long]("n_blocks") * 1000)
+      assert(r.getAs[Long]("n_blocks") * 1000 >= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Long]("ids_unused") < 1000)
+      nextStart = r.getAs[Long]("block_end") + 1
+    }
+  }
+
+  test("request latency percentiles are ordered and bounded by max") {
+    val rl = graft.log.BrokerOps.requestLatency(spark, dir).collect()
+    assert(rl.length == 4)
+    rl.foreach { r =>
+      assert(r.getAs[Long]("p50_us") <= r.getAs[Long]("p95_us"))
+      assert(r.getAs[Long]("p95_us") <= r.getAs[Long]("p99_us"))
+      assert(r.getAs[Long]("p99_us") <= r.getAs[Long]("max_us"))
+    }
+  }
+
+  test("migration fence: NOT_STARTED fences 0, DONE fences log end") {
+    val m = admin.Admin.migrationStatus(spark, dir).collect()
+    m.foreach { r =>
+      val (st, fence, end) = (r.getAs[String]("migration_status"),
+        r.getAs[Long]("fence_offset"), r.getAs[Long]("log_end"))
+      st match {
+        case "NOT_STARTED" => assert(fence == 0L)
+        case "DONE"        => assert(fence == end)
+        case "STARTED"     => assert(fence >= 0L && fence <= end)
+      }
+      assert(r.getAs[Long]("n_pending") == end - fence)
+    }
+  }
+
+  test("delayed create completes iff all partitions arrive within the delay") {
+    val d = admin.Admin.delayedCreate(spark, dir).collect()
+    d.foreach { r =>
+      val want = if (r.getAs[Long]("wait_ms") <= 3600000L) "Completed" else "TimedOut"
+      assert(r.getAs[String]("outcome") == want)
+    }
+  }
+
   test("range assignor covers every partition exactly once") {
     val a = coordinator.Groups.assignRange(spark, dir)
     val parts = LogOps.log(spark, dir).select("topic", "part").distinct().count()
