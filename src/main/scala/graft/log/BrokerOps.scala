@@ -234,10 +234,12 @@ object BrokerOps {
     * (integer rank selection, engine-identical; same discipline as
     * value_percentiles).
     *
-    * Scale: one window keyed by api (4 partitions of n/4 rows each — at
-    * 100 TB this would be the one rollup computed from pre-bucketed
-    * per-minute digests, like the reference's interval stats snapshots;
-    * the nearest-rank form is what that digest materializes).
+    * Scale: count-compressed — the latency domain is bounded (fixed base +
+    * bounded record length / modular jitter), so the samples collapse to a
+    * map-side-combinable `(api, lat_us) → count` aggregate; the nearest-rank
+    * pick is then a running-sum window over that compressed distribution
+    * (the digest rollup the reference's interval stats snapshots
+    * materialize). No full-data sort, no 4-task parallelism floor.
     */
   def requestLatency(spark: SparkSession, dir: String): DataFrame = {
     val samples = LogOps.log(spark, dir)
@@ -254,19 +256,21 @@ object BrokerOps {
           .when(col("api") === "FETCH_DECODE",
             lit(10L) + expr("CAST(length(v) AS BIGINT) div 2"))
           .otherwise(lit(5L) + pmod(col("event_id"), lit(53L))))
-    val w = Window.partitionBy("api").orderBy("lat_us", "event_id")
-    val ranked = samples
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("api")))
+    val dist = samples.groupBy("api", "lat_us").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("api").orderBy("lat_us")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = dist
+      .withColumn("cum", sum("cnt").over(cw))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("api")))
     def pick(p: Double) =
-      max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("lat_us")))
+      min(when(col("cum") >= expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("lat_us")))
     ranked.groupBy("api").agg(
-      count(lit(1)).as("n_requests"),
+      sum("cnt").cast("long").as("n_requests"),
       pick(0.5).as("p50_us"),
       pick(0.95).as("p95_us"),
       pick(0.99).as("p99_us"),
       max("lat_us").as("max_us"),
-      sum("lat_us").cast("long").as("total_us"))
+      sum(col("lat_us") * col("cnt")).cast("long").as("total_us"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -233,14 +233,26 @@ object LogOps {
     * selection, so results are exact and engine-identical — interpolating
     * percentile implementations differ in floating-point order). Models the
     * reference's latency histograms (stats/DataSketchesOpStatsLogger.java).
+    *
+    * Scale: count-compressed. The value at rank ceil(n*p) in value order is
+    * the smallest value whose cumulative count reaches that rank, so the
+    * full-data sort window is replaced by (a) a map-side-combinable
+    * `(topic, val) → count` aggregate — the shuffle carries the compressed
+    * distribution, not records — and (b) a running-sum rank over that tiny
+    * frame. Identical output, but the per-topic sort now touches distinct
+    * values only (parallelism no longer collapses to |topics| tasks each
+    * sorting the full log at 100 TB).
     */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("topic").orderBy("val", "event_id")
-    val ranked = log(spark, dir)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("topic")))
+    val dist = log(spark, dir)
+      .groupBy("topic", "val").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("topic").orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = dist
+      .withColumn("cum", sum("cnt").over(cw))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("topic")))
     def pick(p: Double) =
-      max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("val")))
+      min(when(col("cum") >= expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("val")))
     ranked.groupBy("topic").agg(
       pick(0.5).as("p50"), pick(0.95).as("p95"), pick(0.99).as("p99"),
       max("val").as("p100"))
@@ -264,20 +276,43 @@ object LogOps {
     * justifies a streaming watermark delay (withWatermark("ets", X) is safe
     * iff X covers the observed lateness tail).
     */
+  /* Scale notes for [[watermarkLateness]]:
+   * - The arrival-order running max is a parallel prefix scan: running max
+   *   within fixed event_id chunks (parallelism topics × chunks), then an
+   *   exclusive running max over the tiny per-chunk maxima frame, broadcast
+   *   back. Exact — max(in-chunk running max, max of all prior chunks) IS
+   *   the global running max.
+   * - The p95 is count-compressed nearest-rank (same discipline as
+   *   [[valuePercentiles]]): aggregate `(topic, late_ms) → count` map-side,
+   *   rank over running sums of the compressed lateness distribution.
+   */
   def watermarkLateness(spark: SparkSession, dir: String): DataFrame = {
-    val arrival = Window.partitionBy("topic").orderBy("event_id")
+    val chunkSize = 8192L
+    val base = log(spark, dir)
+      .withColumn("chunk", expr(s"event_id div $chunkSize"))
+    val inChunk = Window.partitionBy("topic", "chunk").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val late = log(spark, dir)
-      .withColumn("late_ms", max("tms").over(arrival) - col("tms"))
-    val rank = Window.partitionBy("topic").orderBy("late_ms", "event_id")
-    val ranked = late
-      .withColumn("rn", row_number().over(rank).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("topic")))
+    val chunkPrefix = Window.partitionBy("topic").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = base.groupBy("topic", "chunk").agg(max("tms").as("cmax"))
+      .withColumn("prev_max", max("cmax").over(chunkPrefix))
+      .select("topic", "chunk", "prev_max")
+    val late = base
+      .withColumn("local_max", max("tms").over(inChunk))
+      .join(broadcast(prefix), Seq("topic", "chunk"))
+      // greatest() ignores NULL (first chunk has no predecessor).
+      .withColumn("late_ms", greatest(col("local_max"), col("prev_max")) - col("tms"))
+    val dist = late.groupBy("topic", "late_ms").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("topic").orderBy("late_ms")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = dist
+      .withColumn("cum", sum("cnt").over(cw))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("topic")))
     ranked.groupBy("topic").agg(
-      count(lit(1)).as("n_events"),
-      sum(when(col("late_ms") > 0L, 1L).otherwise(0L)).as("n_late"),
+      sum("cnt").cast("long").as("n_events"),
+      sum(when(col("late_ms") > 0L, col("cnt")).otherwise(0L)).cast("long").as("n_late"),
       max("late_ms").as("max_late_ms"),
-      max(when(col("rn") === expr("CAST(ceil(n * 0.95) AS BIGINT)"), col("late_ms")))
+      min(when(col("cum") >= expr("CAST(ceil(n * 0.95) AS BIGINT)"), col("late_ms")))
         .as("p95_late_ms"))
   }
 

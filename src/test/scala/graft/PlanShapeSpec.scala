@@ -1,0 +1,48 @@
+package graft
+
+import graft.log.{BrokerOps, LogOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the count-compressed percentile plans (the 100 TB shape): the
+  * distribution must be compressed by a partial-aggregate exchange on
+  * (key, value) BEFORE any sort window runs — never a full-data sort
+  * partitioned by the 4-5-cardinality key alone, which would collapse
+  * parallelism to 4-5 tasks each sorting ~20 TB at scale.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.build("local[4]", "4")
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertCompressed(plan: String, key: String, value: String): Unit = {
+    assert(s"hashpartitioning\\($key#\\d+[^)]*, $value#\\d+".r.findFirstIn(plan).isDefined,
+      s"no ($key, $value) partial-agg exchange in plan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"no map-side partial aggregation in plan:\n$plan")
+  }
+
+  test("value_percentiles compresses to (topic, val) counts before ranking") {
+    assertCompressed(planOf(LogOps.valuePercentiles(spark, dir)), "topic", "val")
+  }
+
+  test("request_latency compresses to (api, lat_us) counts before ranking") {
+    assertCompressed(planOf(BrokerOps.requestLatency(spark, dir)), "api", "lat_us")
+  }
+
+  test("watermark_lateness compresses to (topic, late_ms) counts before ranking") {
+    assertCompressed(planOf(LogOps.watermarkLateness(spark, dir)), "topic", "late_ms")
+  }
+
+  test("watermark_lateness prefix-max runs chunk-parallel, prefix side broadcast") {
+    val plan = planOf(LogOps.watermarkLateness(spark, dir))
+    // The arrival-order running max must be windowed per (topic, chunk) —
+    // parallelism topics × chunks — with the chunk-maxima prefix broadcast.
+    assert("hashpartitioning\\(topic#\\d+[^)]*, chunk#\\d+".r.findFirstIn(plan).isDefined,
+      s"no (topic, chunk) window partitioning in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"chunk-prefix join is not broadcast:\n$plan")
+  }
+}
