@@ -336,7 +336,128 @@ object Groups {
           .otherwise("Dead").as("state"))
   }
 
+  /** Rebalance join-barrier accounting (DelayedJoin purgatory:
+    * coordinator/group/DelayedJoin.java:29-49 — `tryComplete` fires when
+    * every known member has re-joined, `onExpiration` marks the members
+    * that never re-joined as failed and proceeds with the rest; the wait
+    * is bounded by rebalance.timeout.ms). One join round per group: each
+    * member's join request arrives with its heartbeat age as latency, the
+    * barrier completes early (`onComplete`) iff every member re-joins
+    * within the 6h rebalance timeout, else waits out the full timeout and
+    * evicts the stragglers. This is the extent of [[groupState]]'s
+    * transient CompletingRebalance phase: barrier_wait_ms is how long the
+    * group sits between PreparingRebalance and Stable.
+    *
+    * Scale: the member frame is |groups| x |members| — broadcast-sized;
+    * only the leo aggregate underneath touches the log.
+    */
+  def rebalanceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val timeoutMs = 21600000L // 6h rebalance.timeout.ms
+    memberHeartbeats(spark, dir)
+      .crossJoin(broadcast(nowMs(spark, dir)))
+      .withColumn("join_delay_ms", col("now_ms") - col("last_hb_ms"))
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("join_delay_ms") <= timeoutMs, 1L).otherwise(0L))
+          .cast("long").as("n_joined"),
+        sum(when(col("join_delay_ms") > timeoutMs, 1L).otherwise(0L))
+          .cast("long").as("n_stragglers"),
+        max("join_delay_ms").as("max_join_delay_ms"))
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        lit(timeoutMs).as("rebalance_timeout_ms"),
+        col("n_members"), col("n_joined"), col("n_stragglers"),
+        least(col("max_join_delay_ms"), lit(timeoutMs)).as("barrier_wait_ms"),
+        when(col("n_stragglers") === 0L, "OnComplete").otherwise("OnExpiration")
+          .as("completed_via"))
+  }
+
+  /** Rebalance protocol election (GroupMetadata.java:361 `selectProtocol`:
+    * candidates = protocols supported by every member; each member votes
+    * for the candidate it prefers most; the protocol with the most votes
+    * wins). Members advertise subsets of {range, roundrobin, sticky}:
+    * range always (the guaranteed common candidate), the others by a
+    * deterministic md5 coin on (group, member, protocol); member m's
+    * preference order is the universe rotated by m (m0 prefers range,
+    * m1 roundrobin, m2 sticky). Vote-count ties break to the
+    * lexicographically smallest protocol — a documented modeling choice
+    * (the reference's stream-max tie order is JVM-map iteration order,
+    * which no engine-independent oracle can reproduce).
+    */
+  def protocolSelect(spark: SparkSession, dir: String): DataFrame = {
+    val protos = spark.range(0, 3).select(
+      col("id").cast("long").as("pidx"),
+      element_at(
+        array(lit("range"), lit("roundrobin"), lit("sticky")),
+        (col("id") + 1).cast("int")).as("p"))
+    val members = spark.range(0, 4).withColumnRenamed("id", "g")
+      .crossJoin(spark.range(0, 3).withColumnRenamed("id", "m"))
+    val support = members.crossJoin(broadcast(protos))
+      .withColumn("supported",
+        when(col("p") === "range", 1L)
+          .when(substring(md5(concat_ws("#",
+            col("g").cast("string"), col("m").cast("string"), col("p"))), 1, 1)
+            .isin("0", "1", "2", "3"), 0L)
+          .otherwise(1L))
+    val candW = Window.partitionBy("g", "p")
+    val votes = support
+      .withColumn("candidate", min("supported").over(candW))
+      .filter(col("candidate") === 1L)
+      // preference rank of protocol pidx for member m under rotation-by-m
+      .withColumn("pref", pmod(col("pidx") - col("m"), lit(3L)))
+      .groupBy("g", "m")
+      .agg(min(struct(col("pref"), col("p"))).as("best"))
+      .select(col("g"), col("m"), col("best.p").as("vote"))
+    val counted = votes.groupBy("g", "vote").agg(count(lit(1)).as("n_votes"))
+    val sel = Window.partitionBy("g").orderBy(col("n_votes").desc, col("vote"))
+    counted
+      .withColumn("rn", row_number().over(sel))
+      .filter(col("rn") === 1)
+      .join(
+        votes.groupBy("g").agg(countDistinct("vote").as("n_distinct_votes")),
+        Seq("g"))
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        col("vote").as("selected_protocol"),
+        col("n_votes"),
+        col("n_distinct_votes"),
+        when(col("n_votes") === 3L, 1L).otherwise(0L).as("unanimous"))
+  }
+
+  /** Coordinator metadata placement (GroupMetadataManager.java:299
+    * `partitionFor(groupId)` = hash(groupId) % offsets-topic partitions;
+    * TransactionStateManager.java:376 likewise for transactional ids):
+    * each group id maps to a partition of __consumer_offsets and each
+    * transactional id to a partition of __transaction_state (50 partitions
+    * each, the Kafka default); the broker owning that metadata partition
+    * coordinates the entity. Hashing is the engine-portable md5 map (the
+    * same discipline as [[graft.txn.Transactions.producerIdBlocks]]'s
+    * broker placement, documented in SURVEY §3 parity rules).
+    */
+  def coordinatorPlacement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val groups = spark.range(0, 4).select(
+      lit("group").as("entity_type"),
+      concat(lit("g"), col("id").cast("string")).as("entity_id"),
+      lit("__consumer_offsets").as("meta_topic"))
+    val txns = LogOps.log(spark, dir)
+      .select(pmod(col("event_id"), lit(64L)).as("txn_id")).distinct()
+      .select(
+        lit("txn").as("entity_type"),
+        concat(lit("t"), col("txn_id").cast("string")).as("entity_id"),
+        lit("__transaction_state").as("meta_topic"))
+    groups.unionByName(txns)
+      .withColumn("meta_partition", pmod(md5Long(col("entity_id")), lit(50L)))
+      .withColumn("broker",
+        pmod(md5Long(concat(col("meta_topic"), lit("#"),
+          col("meta_partition").cast("string"))), lit(4L)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rebalance_join" -> rebalanceJoin,
+    "protocol_select" -> protocolSelect,
+    "coordinator_placement" -> coordinatorPlacement,
     "member_eviction" -> memberEviction,
     "group_state" -> groupState,
     "static_membership" -> staticMembershipBounce,
@@ -360,6 +481,75 @@ object Groups {
        |  END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rebalance_join" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
+      """jd AS (
+        |  SELECT g, m, now_ms - last_hb_ms AS join_delay_ms
+        |  FROM mh CROSS JOIN nw)
+        |SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
+        |  CAST(21600000 AS BIGINT) AS rebalance_timeout_ms,
+        |  COUNT(*) AS n_members,
+        |  CAST(SUM(CASE WHEN join_delay_ms <= 21600000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_joined,
+        |  CAST(SUM(CASE WHEN join_delay_ms > 21600000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stragglers,
+        |  LEAST(MAX(join_delay_ms), CAST(21600000 AS BIGINT)) AS barrier_wait_ms,
+        |  CASE WHEN SUM(CASE WHEN join_delay_ms > 21600000 THEN 1 ELSE 0 END) = 0
+        |    THEN 'OnComplete' ELSE 'OnExpiration' END AS completed_via
+        |FROM jd GROUP BY g""".stripMargin),
+    "protocol_select" ->
+      """WITH members AS (
+        |  SELECT CAST(g AS BIGINT) AS g, CAST(m AS BIGINT) AS m
+        |  FROM generate_series(0, 3) tg(g)
+        |  CROSS JOIN generate_series(0, 2) tm(m)),
+        |protos AS (
+        |  SELECT * FROM (VALUES ('range', 0), ('roundrobin', 1), ('sticky', 2))
+        |    pr(p, pidx)),
+        |support AS (
+        |  SELECT g, m, p, pidx,
+        |    CASE WHEN p = 'range' THEN 1
+        |         WHEN substring(md5(CAST(g AS VARCHAR) || '#' ||
+        |           CAST(m AS VARCHAR) || '#' || p), 1, 1)
+        |           IN ('0','1','2','3') THEN 0 ELSE 1 END AS supported
+        |  FROM members CROSS JOIN protos),
+        |cand AS (
+        |  SELECT *, MIN(supported) OVER (PARTITION BY g, p) AS candidate
+        |  FROM support),
+        |votes AS (
+        |  SELECT g, m, p AS vote FROM (
+        |    SELECT g, m, p, ROW_NUMBER() OVER (PARTITION BY g, m
+        |      ORDER BY ((pidx - m) % 3 + 3) % 3) AS rn
+        |    FROM cand WHERE candidate = 1)
+        |  WHERE rn = 1),
+        |counted AS (
+        |  SELECT g, vote, COUNT(*) AS n_votes FROM votes GROUP BY g, vote),
+        |sel AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY n_votes DESC, vote) AS rn
+        |  FROM counted),
+        |nd AS (
+        |  SELECT g, CAST(COUNT(DISTINCT vote) AS BIGINT) AS n_distinct_votes
+        |  FROM votes GROUP BY g)
+        |SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
+        |  vote AS selected_protocol, n_votes, n_distinct_votes,
+        |  CAST(CASE WHEN n_votes = 3 THEN 1 ELSE 0 END AS BIGINT) AS unanimous
+        |FROM sel JOIN nd USING (g) WHERE rn = 1""".stripMargin,
+    "coordinator_placement" -> (L +
+      """ent AS (
+        |  SELECT 'group' AS entity_type, 'g' || CAST(g AS VARCHAR) AS entity_id,
+        |    '__consumer_offsets' AS meta_topic
+        |  FROM generate_series(0, 3) t(g)
+        |  UNION ALL
+        |  SELECT DISTINCT 'txn', 't' || CAST(event_id % 64 AS VARCHAR),
+        |    '__transaction_state'
+        |  FROM log),
+        |placed AS (
+        |  SELECT *, ('0x' || substring(md5(entity_id), 1, 14))::BIGINT % 50
+        |    AS meta_partition
+        |  FROM ent)
+        |SELECT entity_type, entity_id, meta_topic, meta_partition,
+        |  ('0x' || substring(md5(meta_topic || '#' ||
+        |    CAST(meta_partition AS VARCHAR)), 1, 14))::BIGINT % 4 AS broker
+        |FROM placed""".stripMargin),
     "member_eviction" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
       """sel AS (SELECT * FROM mh CROSS JOIN nw)
         |SELECT 'g' || CAST(g AS VARCHAR) AS group_id,

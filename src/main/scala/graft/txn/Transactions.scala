@@ -205,7 +205,35 @@ object Transactions {
           " div 1000").as("headroom_blocks"))
   }
 
+  /** Transaction-marker fan-out
+    * (coordinator/transaction/TransactionMarkerChannelManager.java:245
+    * `addTxnMarkersToSend` -> addTxnMarkersToBrokerQueue, :400
+    * `writeTxnCompletion`): when a transaction completes, the coordinator
+    * writes one COMMIT/ABORT control marker to EVERY partition the txn
+    * touched, batching markers per destination broker (one TxnMarkerEntry
+    * per broker queue). Per txn: the marker verb, partitions to mark,
+    * broker batches the queue drain sends, and records covered. Broker
+    * placement reuses [[producerIdBlocks]]'s md5 partition->broker map.
+    *
+    * Scale: one partial-aggregated shuffle on txn_id (64 groups of
+    * distinct-counted small sets); no per-record state.
+    */
+  def txnMarkers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    txnLog(spark, dir)
+      .withColumn("tp", concat(col("topic"), lit("#"), col("part").cast("string")))
+      .withColumn("broker", pmod(md5Long(col("tp")), lit(4L)))
+      .groupBy("txn_id")
+      .agg(
+        max(when(col("aborted") === 1L, lit("ABORT")).otherwise(lit("COMMIT")))
+          .as("marker"),
+        countDistinct("tp").as("n_markers"),
+        countDistinct("broker").as("n_broker_batches"),
+        count(lit(1)).as("n_records"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txn_markers" -> txnMarkers,
     "producer_id_blocks" -> producerIdBlocks,
     "lso_lag" -> lsoLag,
     "producer_fencing" -> producerFencing,
@@ -218,6 +246,19 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "txn_markers" -> (L + txnSql +
+      """, tpb AS (
+        |  SELECT txn_id, aborted,
+        |    topic || '#' || CAST(part AS VARCHAR) AS tp,
+        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+        |      AS broker
+        |  FROM txn)
+        |SELECT txn_id,
+        |  MAX(CASE WHEN aborted = 1 THEN 'ABORT' ELSE 'COMMIT' END) AS marker,
+        |  CAST(COUNT(DISTINCT tp) AS BIGINT) AS n_markers,
+        |  CAST(COUNT(DISTINCT broker) AS BIGINT) AS n_broker_batches,
+        |  COUNT(*) AS n_records
+        |FROM tpb GROUP BY txn_id""".stripMargin),
     "producer_id_blocks" -> (L +
       s"""pp AS (
          |  SELECT topic, part, COUNT(DISTINCT k) AS n_producers,
