@@ -26,6 +26,78 @@ object Clustering {
   private val K = 8
   private val Q = 1000000L
 
+  /** Fit parameters for [[fittedCentroids]]: 16 cells (the IVF coarse
+    * quantizer width) refined for at most 4 Lloyd rounds. MaxRounds is a
+    * COMPUTE budget, not a semantic knob: the driver loop exits early at
+    * the fixpoint (round r output == round r-1 output), and the oracle
+    * unrolls exactly MaxRounds rounds — at a fixpoint the extra unrolled
+    * rounds are no-ops (same centroids => same assignment => same means),
+    * so early exit stays hash-identical either way.
+    */
+  private[llm] val FitK = 16
+  private[llm] val MaxRounds = 4
+
+  private val fitCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** K-means fitted to fixpoint (bounded by [[MaxRounds]]) over the
+    * embedding table, seeded from the [[FitK]] lowest-id vectors — the
+    * centroids [[kmeansFit]] publishes and Similarity's IVF family
+    * (`ann_ivf`, `ann_ivf_nprobe2`, `semdedup`) consumes as its coarse
+    * quantizer. Returns (cid, cv, cnrm, n_members).
+    *
+    * Scale: per round, assignment is one broadcast pass over the vectors
+    * with map-side max_by reduction, and the mean is a partial-aggregated
+    * (cid, dim) shuffle — the dedup_clusters loop discipline: the only
+    * iterated frame is the k x dim centroid table, localCheckpoint'ed each
+    * round so lineage stays flat; the convergence probe collects k rows,
+    * never data.
+    */
+  private[llm] def fittedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    fitCache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) fitCache.remove(k)
+    }
+    fitCache.getOrElseUpdate((spark, dir), {
+      val vecs = Embeddings.withNorm(spark, dir)
+      var cents = vecs.filter(col("vec_id") < FitK)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cnrm"), lit(1L).as("n_members"))
+        .localCheckpoint()
+      var prevSig: Seq[(Long, Seq[Double])] = null
+      var round = 0
+      var converged = false
+      while (round < MaxRounds && !converged) {
+        val assigned = vecs
+          .crossJoin(broadcast(cents.select("cid", "cv", "cnrm")))
+          .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+          .groupBy("vec_id")
+          .agg(expr("max_by(cid, struct(ccos, -cid))").as("cid"))
+        val next = assigned.join(vecs, "vec_id")
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .select(col("cid"), col("dim"), expr(s"floor(x * $Q)").as("xq"))
+          .groupBy("cid", "dim")
+          .agg(count(lit(1)).as("n"), sum("xq").cast("long").as("sq"))
+          .withColumn("c", col("sq").cast("double") / (col("n") * Q).cast("double"))
+          .groupBy("cid")
+          .agg(
+            expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+              .as("cv"),
+            max("n").as("n_members"))
+          .withColumn("cnrm", expr("sqrt(vec_dot(cv, cv))"))
+          .select("cid", "cv", "cnrm", "n_members")
+          .localCheckpoint()
+        val sig = next.select("cid", "cv").collect()
+          .map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1).toSeq))
+          .sortBy(_._1).toSeq
+        converged = sig == prevSig
+        prevSig = sig
+        cents = next
+        round += 1
+      }
+      cents
+    })
+  }
+
   /** Each vector with its nearest seed centroid (vec_id < 8) and the
     * cosine to it.
     */
@@ -68,9 +140,66 @@ object Clustering {
         col("sum_q").cast("double") / (col("n_members") * Q).cast("double"))
       .drop("sum_q")
 
+  /** The fitted centroids, long-form (cid, dim, c_fit, n_members) — the
+    * published view of [[fittedCentroids]] the correctness gate checks
+    * against the unrolled-Lloyd oracle.
+    */
+  def kmeansFit(spark: SparkSession, dir: String): DataFrame =
+    fittedCentroids(spark, dir)
+      .select(col("cid"), col("n_members"), posexplode(col("cv")).as(Seq("dim", "c_fit")))
+      .select(col("cid"), col("dim").cast("long").as("dim"),
+        col("c_fit"), col("n_members"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_fit" -> kmeansFit,
     "kmeans_step" -> kmeansStep,
     "kmeans_clusters" -> kmeansClusters)
+
+  /** DuckDB mirror of [[fittedCentroids]]: [[MaxRounds]] Lloyd rounds
+    * unrolled as CTEs (a fixpoint makes trailing rounds no-ops, matching
+    * the driver loop's early exit). Ends with `fcent(cid, cv, cnrm)` plus
+    * `fm(cid, dim, n, sq)` (the final round's long-form means). Shared by
+    * kmeans_fit and Similarity's IVF-family oracles.
+    */
+  private[llm] def fitSql: String = {
+    val dot =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * c.cv[i])),
+        |      (acc, x) -> acc + x)""".stripMargin
+    val rounds = (1 to MaxRounds).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      s"""a$r AS (
+         |  SELECT vecs.vec_id, vecs.v, c.cid,
+         |    $dot / (vecs.nrm * c.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN $prev c),
+         |b$r AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM a$r)
+         |  WHERE rn = 1),
+         |d$r AS (
+         |  SELECT cid, unnest(generate_series(0, len(v) - 1)) AS dim,
+         |    unnest(list_transform(v, x -> CAST(floor(x * $Q) AS BIGINT))) AS xq
+         |  FROM b$r),
+         |m$r AS (
+         |  SELECT cid, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sq
+         |  FROM d$r GROUP BY cid, dim),
+         |c$r AS (
+         |  SELECT cid, cv,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(cv, x -> x * x)), (a, x) -> a + x)) AS cnrm
+         |  FROM (SELECT cid,
+         |          list(CAST(sq AS DOUBLE) / CAST(n * $Q AS DOUBLE) ORDER BY dim) AS cv
+         |        FROM m$r GROUP BY cid))""".stripMargin
+    }.mkString(",\n")
+    s""", c0 AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs
+       |  WHERE vec_id < $FitK),
+       |$rounds,
+       |fm AS (SELECT cid, dim, n, sq FROM m$MaxRounds),
+       |fcent AS (SELECT cid, cv, cnrm FROM c$MaxRounds)
+       |""".stripMargin
+  }
 
   private val assignSql = Similarity.vecSql +
     s""", cents AS (
@@ -89,6 +218,11 @@ object Clustering {
        |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "kmeans_fit" -> (Similarity.vecSql + fitSql +
+      s"""SELECT cid, dim,
+         |  CAST(sq AS DOUBLE) / CAST(n * $Q AS DOUBLE) AS c_fit,
+         |  n AS n_members
+         |FROM fm""".stripMargin),
     "kmeans_step" -> (assignSql +
       s""", dims AS (
          |  SELECT cid,

@@ -69,20 +69,18 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
-  /** IVF-style ANN: the 16 lowest-id vectors act as the (deterministic)
-    * coarse quantizer; every vector is assigned to its nearest centroid by
-    * cosine, and a query searches only its own cell (nprobe=1). At 100 TB
-    * the cell assignment is one broadcast pass and search touches ~1/16 of
-    * the data.
-    */
-  /** IVF cell assignment shared by [[annIvf]] and [[semDedup]]: the 16
-    * lowest-id vectors are the coarse quantizer; each vector joins its
-    * nearest centroid by cosine (ties to the lower centroid id).
+  /** IVF cell assignment shared by [[annIvf]], [[annIvfNprobe2]] and
+    * [[semDedup]]: the coarse quantizer is the K-MEANS-FITTED centroid set
+    * ([[Clustering.fittedCentroids]] — Lloyd iterated to fixpoint, bounded
+    * by its MaxRounds budget), not raw seed vectors; each vector joins its
+    * nearest centroid by cosine (ties to the lower centroid id). At 100 TB
+    * the fit touches only k x dim state per round, the cell assignment is
+    * one broadcast pass, and search touches ~1/16 of the data.
     */
   private def ivfCells(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
-    val cents = vecs.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cents = Clustering.fittedCentroids(spark, dir)
+      .select(col("cid"), col("cv"), col("cnrm"))
     // Argmax by (cosine, lowest centroid id) via max_by partial aggregation:
     // the map side reduces each vector's 16 candidate rows to one before
     // the exchange, so the shuffle carries (vec_id, cell), not 16 copies of
@@ -119,8 +117,8 @@ object Similarity {
   def annIvfNprobe2(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir)
     val vecs = vectors(spark, dir)
-    val cents = vecs.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cents = Clustering.fittedCentroids(spark, dir)
+      .select(col("cid"), col("cv"), col("cnrm"))
     val qw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     val probes = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .crossJoin(broadcast(cents))
@@ -241,9 +239,9 @@ object Similarity {
          |    / COUNT(*) AS recall
          |FROM bf LEFT JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
          |GROUP BY bf.q_id""".stripMargin),
-    "semdedup" -> (vecSql +
+    "semdedup" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
-         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16),
+         |  SELECT cid, cv, cnrm FROM fcent),
          |assign AS (
          |  SELECT vecs.vec_id, cents.cid,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -265,9 +263,9 @@ object Similarity {
          |  MIN(a_id) AS keep_id
          |FROM pairs WHERE cos >= 0.25
          |GROUP BY b_id""".stripMargin),
-    "ann_ivf" -> (vecSql +
+    "ann_ivf" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
-         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16),
+         |  SELECT cid, cv, cnrm FROM fcent),
          |assign AS (
          |  SELECT vecs.vec_id, cents.cid,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -289,9 +287,9 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
          |WHERE rank <= 3""".stripMargin),
-    "ann_ivf_nprobe2" -> (vecSql +
+    "ann_ivf_nprobe2" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
-         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16),
+         |  SELECT cid, cv, cnrm FROM fcent),
          |assign AS (
          |  SELECT vecs.vec_id, cents.cid,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
