@@ -131,6 +131,13 @@ object Admin {
     * Per topic: partitions awaited, submit/complete times, and whether the
     * purgatory entry completed within the 1h delay or timed out.
     * Fetch_wait's mold applied to the creation purgatory.
+    *
+    * The 1h purgatory delay is a MODELING choice, not the reference's
+    * default (its request-level timeout is the client's, typically 30s):
+    * the synthetic log spreads first-records over hours, so a
+    * realistically short delay would mark every topic TimedOut and the
+    * Completed branch would be dead code. 1h keeps both outcomes
+    * populated at every SF.
     */
   def delayedCreate(spark: SparkSession, dir: String): DataFrame =
     LogOps.log(spark, dir)

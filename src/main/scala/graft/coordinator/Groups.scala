@@ -34,11 +34,16 @@ object Groups {
       |  FROM log GROUP BY topic, part),
       |""".stripMargin
 
-  /** Simulated commit log: latest committed offset per (group, partition). */
+  /** Simulated commit log: latest committed offset per (group, partition).
+    * Carries both the rendered `group_id` and the numeric `g` so consumers
+    * never re-parse the id out of the string (a substring parse would
+    * silently break past g9).
+    */
   def commits(spark: SparkSession, dir: String): DataFrame = {
     val groups = spark.range(0, 4).withColumnRenamed("id", "g")
     leo(spark, dir).crossJoin(groups)
       .select(
+        col("g"),
         concat(lit("g"), col("g").cast("string")).as("group_id"),
         col("topic"), col("part"),
         expr("(log_end * (g + 1)) div 5").as("committed"),
@@ -48,7 +53,7 @@ object Groups {
 
   private[graft] val commitsSql: String = leoSql +
     """commits AS (
-      |  SELECT 'g' || CAST(g AS VARCHAR) AS group_id, topic, part,
+      |  SELECT g, 'g' || CAST(g AS VARCHAR) AS group_id, topic, part,
       |    (log_end * (g + 1)) // 5 AS committed,
       |    latest_ms - g * 604800000 AS commit_ms, log_end
       |  FROM leo CROSS JOIN (SELECT CAST(g AS BIGINT) AS g
@@ -319,7 +324,6 @@ object Groups {
         sum(when(col("now_ms") - col("last_hb_ms") > 28800000L, 1L)
           .otherwise(0L)).cast("long").as("n_evicted"))
     val offsets = commits(spark, dir)
-      .withColumn("g", substring(col("group_id"), 2, 1).cast("long"))
       .crossJoin(now)
       .groupBy("g")
       .agg(sum(when(col("commit_ms") >= col("now_ms") - 1512000000L, 1L)
@@ -559,7 +563,9 @@ object Groups {
         |  CAST(CASE WHEN now_ms - last_hb_ms > 28800000 THEN 1 ELSE 0 END
         |    AS BIGINT) AS evicted
         |FROM sel""".stripMargin),
-    "group_state" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
+    // Composes commitsSql (the one commit-simulation definition) rather
+    // than re-implementing it inline — the two cannot drift.
+    "group_state" -> (L + commitsSql.stripSuffix("\n") + ",\n" + memberHbSql +
       s"""members AS (
          |  SELECT g, COUNT(*) AS n_members,
          |    CAST(SUM(CASE WHEN now_ms - last_hb_ms <= 28800000 THEN 1 ELSE 0
@@ -567,11 +573,6 @@ object Groups {
          |    CAST(SUM(CASE WHEN now_ms - last_hb_ms > 28800000 THEN 1 ELSE 0
          |      END) AS BIGINT) AS n_evicted
          |  FROM mh CROSS JOIN nw GROUP BY g),
-         |commits AS (
-         |  SELECT g, topic, part,
-         |    latest_ms - g * 604800000 AS commit_ms
-         |  FROM leo CROSS JOIN (SELECT CAST(g AS BIGINT) AS g
-         |                       FROM generate_series(0, 3) t(g))),
          |offs AS (
          |  SELECT g, CAST(SUM(CASE WHEN commit_ms >= now_ms - 1512000000
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_live_offsets

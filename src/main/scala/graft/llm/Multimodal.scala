@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * processed in batches the way a Pandas-UDF / mapInPandas pipeline would.
   *
-  * The container has no image/audio codecs, so decode / resize /
-  * frame-sample are deterministic fakes over the payload bytes, but the
-  * Spark-side shape is real: binary column, per-batch iteration in
+  * The IMAGE path is a genuine codec round-trip: a deterministic PNG is
+  * synthesized from each document's bytes (the testdata carries text, not
+  * stored media — the encode step stands in for reading a blob store),
+  * then parsed with `javax.imageio.ImageIO`, measured from the decoded
+  * raster, and resized through a real AWT `Graphics2D` scale. Audio and
+  * video keep deterministic byte-stat stand-ins (the JVM standard library
+  * has no audio/video codecs), clearly marked below. The Spark-side shape
+  * is real throughout: binary column, per-batch iteration in
   * `mapPartitions` (the JVM analog of a mapInPandas arrow batch), typed
-  * metadata projection, and partition-friendly layout. Swap the `fake*`
-  * functions for real codecs and nothing else changes.
+  * metadata projection, and partition-friendly layout.
   *
   * Rows-only check (no SQL oracle): binary batch processing is not
-  * SQL-expressible.
+  * SQL-expressible; MultimodalSpec pins the PNG round-trip instead.
   */
 object Multimodal {
 
@@ -25,18 +29,90 @@ object Multimodal {
       width: Long, height: Long, resized_w: Long, resized_h: Long,
       n_frames: Long, sampled_frames: Long, feat_mean: Double, batch_size: Long)
 
-  /** Deterministic stand-in for a codec: byte statistics -> "dimensions". */
+  /** Deterministic 16:9 image from the document bytes, encoded as a REAL
+    * PNG (javax.imageio): width 32..80 from the byte sum, pixels from the
+    * payload byte stream. Everything downstream of this stand-in-for-a-
+    * blob-store step is the genuine JVM image path.
+    */
+  private[graft] def encodePng(payload: Array[Byte]): Array[Byte] = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    val w = (32 + (sum % 4) * 16).toInt
+    val h = math.max(1, (w * 9) / 16)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b =
+          if (payload.isEmpty) 0 else payload((x + y * w) % payload.length) & 0xff
+        img.setRGB(x, y, (b << 16) | (((x * 7 + y * 13) & 0xff) << 8) | ((b ^ 0x5a) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** GENUINE decode: parse PNG bytes with ImageIO, return the decoded
+    * raster's dimensions and its luma mean ((r+g+b)/3 averaged over
+    * pixels).
+    */
+  private def decodePng(png: Array[Byte]): (java.awt.image.BufferedImage, Long, Long, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    var sum = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    (img, img.getWidth.toLong, img.getHeight.toLong,
+      sum / (img.getWidth.toLong * img.getHeight))
+  }
+
+  /** GENUINE resize: draw through Graphics2D into a new raster with the
+    * long edge capped at 32, preserving aspect; returns the resized
+    * image's actual dimensions.
+    */
+  private def resizePng(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val cap = 32L
+    val long = math.max(img.getWidth, img.getHeight).toLong
+    if (long <= cap) (img.getWidth.toLong, img.getHeight.toLong)
+    else {
+      val rw = math.max(1L, (img.getWidth * cap) / long).toInt
+      val rh = math.max(1L, (img.getHeight * cap) / long).toInt
+      val out = new java.awt.image.BufferedImage(
+        rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, rw, rh, null)
+      finally g.dispose()
+      (out.getWidth.toLong, out.getHeight.toLong)
+    }
+  }
+
+  /** FAKE (documented): byte statistics as "dimensions" for audio/video —
+    * the JVM standard library has no codec for these.
+    */
   private def fakeDecode(payload: Array[Byte]): (Long, Long, Double) = {
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
     val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    val w = 160L + (sum % 8) * 80L       // "decoded" width 160..720
-    val h = (w * 9L) / 16L               // 16:9
+    val w = 160L + (sum % 8) * 80L
+    val h = (w * 9L) / 16L
     (w, h, mean)
   }
 
-  /** Resize preserving aspect: cap the long edge at 256. */
+  /** Resize arithmetic for the fake modalities: cap the long edge at 256. */
   private def fakeResize(w: Long, h: Long): (Long, Long) = {
     val long = math.max(w, h)
     if (long <= 256) (w, h)
@@ -60,18 +136,29 @@ object Multimodal {
           (pmod(col("doc_id"), lit(3L)) + 1L).cast("int")).as("media_type"),
         encode(col("text"), "utf-8").as("payload"))
       .as[MediaRow]
-    // Batched "decode": iterate each partition in fixed-size batches, the
-    // same shape a mapInPandas arrow-batch pipeline has.
+    // Batched decode: iterate each partition in fixed-size batches, the
+    // same shape a mapInPandas arrow-batch pipeline has. Image rows go
+    // through the real PNG codec; audio/video through the documented
+    // stand-ins.
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.grouped(64).flatMap { batch =>
         batch.map { r =>
-          val (w, h, mean) = fakeDecode(r.payload)
-          val (rw, rh) = fakeResize(w, h)
-          val (frames, sampled) =
-            if (r.media_type == "video") fakeFrameSample(r.payload.length)
-            else (1L, 1L)
-          MediaFeature(r.doc_id, r.media_type, r.payload.length.toLong,
-            w, h, rw, rh, frames, sampled, mean, batch.size.toLong)
+          if (r.media_type == "image") {
+            val png = encodePng(r.payload)
+            val (img, w, h, mean) = decodePng(png)
+            val (rw, rh) = resizePng(img)
+            MediaFeature(r.doc_id, r.media_type, png.length.toLong,
+              w, h, rw, rh, 1L, 1L, mean, batch.size.toLong)
+          } else {
+            val (w, h, mean) = fakeDecode(r.payload)
+            val (rw, rh) = fakeResize(w, h)
+            val (frames, sampled) =
+              if (r.media_type == "video") fakeFrameSample(r.payload.length)
+              else (1L, 1L)
+            MediaFeature(r.doc_id, r.media_type, r.payload.length.toLong,
+              w, h, rw, rh, frames, sampled, mean, batch.size.toLong)
+          }
         }
       }
     }.toDF()

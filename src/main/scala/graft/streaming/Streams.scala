@@ -73,6 +73,37 @@ object Streams {
       .withColumn("seq", expr("event_id div 20"))
       .dropDuplicatesWithinWatermark("producer_id", "seq")
 
+  /** Stream-stream interval join — the continuous analog of
+    * [[graft.analytics.Analytics.rangeJoinEvents]]: every non-signup event
+    * joins the same user's signup it follows within one hour. Both sides
+    * carry a 1-hour watermark, so the join state is bounded: a buffered
+    * signup is evicted once the event-side watermark passes signup + 1h,
+    * and inner-join matches emit eagerly (no watermark wait). Takes the
+    * two sides as separate streaming frames (callers typically pass two
+    * readers over the same staged source).
+    * Ref: continuous form of the reference's time-bounded fetch/replay
+    * semantics (MessageFetchContext.java); StreamingSpec pins
+    * stream == batch range_join_events.
+    */
+  def intervalJoinStream(events: DataFrame, signups: DataFrame): DataFrame = {
+    def withEts(df: DataFrame) =
+      df.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val s = withEts(signups).filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("event_id").as("signup_id"),
+        col("ets").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val e = withEts(events).filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("event_id"), col("ets").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    e.join(s,
+      col("user_id") === col("su") &&
+        col("e_ts") >= col("s_ts") &&
+        col("e_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("event_id"),
+        (unix_millis(col("e_ts")) - unix_millis(col("s_ts")))
+          .as("ms_after_signup"))
+  }
+
   final case class Ev(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double, props: String)
   final case class Latest(topic: String, k: String, event_id: Long,

@@ -1,0 +1,44 @@
+package graft
+
+import graft.llm.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The image path of multimodal_pipeline must be a GENUINE codec
+  * round-trip: payloads are well-formed PNGs, reported dimensions come
+  * from the decoded raster, and the resize respects the 32-pixel cap.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.build("local[4]", "4")
+  val dir = "/root/testdata/sf0.001"
+
+  test("encodePng emits bytes ImageIO parses back at the synthesized dims") {
+    val payload = "the quick brown fox".getBytes("UTF-8")
+    val png = Multimodal.encodePng(payload)
+    // PNG magic: 0x89 'P' 'N' 'G'
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth >= 32 && img.getWidth <= 80)
+    assert(img.getHeight == math.max(1, (img.getWidth * 9) / 16))
+  }
+
+  test("pipeline image rows carry decoded-raster dims and capped resize") {
+    val out = Multimodal.multimodalPipeline(spark, dir)
+      .filter(col("media_type") === "image")
+    val rows = out.limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("width"); val h = r.getAs[Long]("height")
+      val rw = r.getAs[Long]("resized_w"); val rh = r.getAs[Long]("resized_h")
+      assert(w >= 32 && w <= 80 && h == math.max(1, (w * 9) / 16))
+      assert(math.max(rw, rh) <= 32, s"resize cap violated: ${rw}x$rh")
+      // aspect preserved within integer truncation
+      assert(rw == w || rw == math.max(1L, (w * 32) / math.max(w, h)))
+      val mean = r.getAs[Double]("feat_mean")
+      assert(mean >= 0.0 && mean <= 255.0)
+      // payload_bytes is the PNG size, which is never the raw text length
+      assert(r.getAs[Long]("payload_bytes") > 8)
+    }
+  }
+}

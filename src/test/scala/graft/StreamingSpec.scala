@@ -77,37 +77,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got > 0)
   }
 
-  test("stream-stream interval join == batch range join") {
+  test("stream-stream interval join == batch range_join_events") {
     val schema = Tables.t(spark, dir, "events").schema
     def src() = spark.readStream.schema(schema)
       .parquet(Streams.stageStreamDir(dir, "events"))
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-    val purchases = src().filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ets").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val views = src().filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("vu"),
-        col("ets").as("v_ts"))
-      .withWatermark("v_ts", "1 hour")
-    val joined = purchases.join(views,
-      col("user_id") === col("vu") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("v_ts") <= col("p_ts"))
-    val q = joined.select("p_id", "v_id").writeStream
+    val q = Streams.intervalJoinStream(src(), src()).writeStream
       .outputMode("append").format("memory").queryName("graft_ss_join").start()
     q.processAllAvailable()
     q.stop()
     val got = spark.table("graft_ss_join")
-    val ev = Tables.t(spark, dir, "events")
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-    val want = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ets").as("p_ts"))
-      .join(ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("v_id"), col("user_id").as("vu"), col("ets").as("v_ts")),
-        col("user_id") === col("vu") &&
-          col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-          col("v_ts") <= col("p_ts"))
-      .select("p_id", "v_id")
+    val want = graft.analytics.Analytics.rangeJoinEvents(spark, dir)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
     assert(got.count() > 0)
   }
