@@ -15,8 +15,13 @@ object Bench {
     // (cgroup throttle, page-cache miss) in one pass can inflate a 0.7 s
     // query to 10 s; the min of two runs is the steady-state number the
     // baseline comparison is about.
+    // Optional comma-separated query filter (local stress runs only; the
+    // driver sets no filter and times everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def pass(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Generate a ~sf1 stress dataset (10x sf0.1) in /tmp/sfx1.
+
+Replicates every sf0.1 table 10x with consistent key shifts (orderkey
+shifts identically in orders+lineitem, custkey in customer+orders, etc.)
+so joins stay referentially intact. Documents get a per-replica text tag
+(a pure 10x-duplicate corpus would make dedup degenerate); events go
+through pyarrow to preserve the TIMESTAMP(NANOS) physical type the Spark
+session's nanosAsLong config expects.
+
+Usage: python3 tools/gen_stress.py   (writes /tmp/sfx1; ~3 s)
+Then:  SPARK_GRAFT_SF_DIR=/tmp/sfx1 SPARK_GRAFT_ONLY=q21_waiting,... \
+         sbt "runMain graft.Bench"
+"""
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/sfx1"
+R = 10
+
+con = duckdb.connect()
+con.execute("PRAGMA threads=16")
+
+for t in ["region", "nation"]:
+    con.execute(f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+                f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+
+
+def mx(table, col):
+    return con.execute(
+        f"SELECT MAX({col})+1 FROM read_parquet('{SRC}/{table}.parquet')"
+    ).fetchone()[0]
+
+
+C, S, P, O = mx("customer", "c_custkey"), mx("supplier", "s_suppkey"), \
+    mx("part", "p_partkey"), mx("orders", "o_orderkey")
+D, V = mx("documents", "doc_id"), mx("embeddings", "vec_id")
+
+rep = f"(SELECT CAST(i AS BIGINT) AS i FROM generate_series(0, {R-1}) t(i))"
+jobs = {
+    "customer": f"SELECT c_custkey + i*{C} AS c_custkey, c_name, c_nationkey,"
+                f" c_acctbal, c_mktsegment FROM read_parquet('{SRC}/customer.parquet') CROSS JOIN {rep}",
+    "supplier": f"SELECT s_suppkey + i*{S} AS s_suppkey, s_name, s_nationkey,"
+                f" s_acctbal FROM read_parquet('{SRC}/supplier.parquet') CROSS JOIN {rep}",
+    "part": f"SELECT p_partkey + i*{P} AS p_partkey, p_name, p_brand, p_type,"
+            f" p_size, p_retailprice FROM read_parquet('{SRC}/part.parquet') CROSS JOIN {rep}",
+    "orders": f"SELECT o_orderkey + i*{O} AS o_orderkey, o_custkey + i*{C} AS o_custkey,"
+              f" o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+              f" FROM read_parquet('{SRC}/orders.parquet') CROSS JOIN {rep}",
+    "lineitem": f"SELECT l_orderkey + i*{O} AS l_orderkey, l_partkey + i*{P} AS l_partkey,"
+                f" l_suppkey + i*{S} AS l_suppkey, l_linenumber, l_quantity,"
+                f" l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+                f" l_shipdate FROM read_parquet('{SRC}/lineitem.parquet') CROSS JOIN {rep}",
+    "documents": f"SELECT doc_id + i*{D} AS doc_id,"
+                 f" CASE WHEN i = 0 THEN text ELSE text || ' r' || i END AS text,"
+                 f" lang, source, n_chars FROM read_parquet('{SRC}/documents.parquet') CROSS JOIN {rep}",
+    "embeddings": f"SELECT vec_id + i*{V} AS vec_id, embedding, label"
+                  f" FROM read_parquet('{SRC}/embeddings.parquet') CROSS JOIN {rep}",
+}
+for t, q in jobs.items():
+    con.execute(f"COPY ({q}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+
+# events via pyarrow: COPY would downcast ts to timestamp[us].
+src = pq.read_table(f"{SRC}/events.parquet")
+E = pc.max(src["event_id"]).as_py() + 1
+U = pc.max(src["user_id"]).as_py() + 1
+parts = []
+for i in range(R):
+    t = src
+    t = t.set_column(t.schema.get_field_index("event_id"), "event_id",
+                     pc.add(t["event_id"], i * E))
+    t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
+                     pc.add(t["user_id"], i * U))
+    parts.append(t)
+pq.write_table(pa.concat_tables(parts), f"{OUT}/events.parquet")
+print("wrote", OUT)
