@@ -156,6 +156,57 @@ object Similarity {
         min(col("q.vec_id")).as("keep_id"))
   }
 
+  /** Scalar-quantized (int8) brute-force ANN — the memory-bandwidth scale
+    * path: each vector is quantized to 64 signed bytes with a per-vector
+    * symmetric scale (q = floor(x * 127 / max|x|)), shrinking the scanned
+    * index 4x (at 100 TB: 4x fewer bytes off storage per scan, and the
+    * candidate dot products are integer arithmetic). The quantized dot is
+    * an EXACT integer sum, so ranking is engine-identical by construction;
+    * the de-quantized cosine estimate is a fixed-shape scalar expression.
+    * Top-3 per query under the quantized metric.
+    */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val quant = vecs
+      .withColumn("mx",
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("qv",
+        expr("transform(v, x -> CAST(floor(x * 127.0D / mx) AS INT))"))
+      .select(col("vec_id"), col("qv"), col("mx"), col("nrm"))
+    val q = quant.filter(col("vec_id") < 8)
+    val pairs = broadcast(q.as("q"))
+      .join(quant.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("qdot",
+        expr("""aggregate(zip_with(q.qv, c.qv, (a, b) -> CAST(a AS BIGINT) * b),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        col("qdot"),
+        (col("qdot").cast("double") * col("q.mx") * col("c.mx") /
+          (lit(16129.0d) * col("q.nrm") * col("c.nrm"))).as("cos8"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos8").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "n_id", "qdot", "cos8", "rank")
+  }
+
+  /** Quantization-loss evaluation: recall@3 of the int8 index against the
+    * exact full-precision top-3 — the number that decides whether the 4x
+    * cheaper scan is usable. Counts are exact integers; recall is an
+    * int/int division (same discipline as [[annRecall]]).
+    */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val exact3 = annBruteforce(spark, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val approx = annSq8(spark, dir).select(col("q_id"), col("n_id").as("a_id"))
+    exact3.join(approx,
+        exact3("q_id") === approx("q_id") && col("n_id") === col("a_id"), "left")
+      .groupBy(exact3("q_id").as("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("recall", col("n_matched") / col("n_exact"))
+  }
+
   /** ANN quality evaluation: recall of the LSH index against the exact
     * top-3 (brute-force restricted to each query's true 3 nearest) — the
     * metric that decides whether the approximate path is usable at scale.
@@ -175,6 +226,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sq8" -> annSq8,
+    "sq8_recall" -> sq8Recall,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -199,6 +252,73 @@ object Similarity {
       |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_sq8" -> (vecSql +
+      """, quant AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS INTEGER)) AS qv,
+        |    mx, nrm
+        |  FROM (
+        |    SELECT vec_id, v, nrm,
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS mx
+        |    FROM vecs)),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(q.qv)),
+        |        i -> CAST(q.qv[i] AS BIGINT) * c.qv[i])),
+        |      (acc, x) -> acc + x) AS qdot,
+        |    q.mx AS qmx, c.mx AS cmx, q.nrm AS qnrm, c.nrm AS cnrm
+        |  FROM quant q, quant c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT q_id, n_id, qdot,
+        |    CAST(qdot AS DOUBLE) * qmx * cmx / (16129.0 * qnrm * cnrm) AS cos8
+        |  FROM pairs)
+        |SELECT q_id, n_id, qdot, cos8, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos8 DESC, n_id) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin),
+    "sq8_recall" -> (vecSql +
+      s""", bfp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q, vecs c
+         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |bf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM bfp)
+         |  WHERE rank <= 3),
+         |quant AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS INTEGER)) AS qv,
+         |    mx, nrm
+         |  FROM (
+         |    SELECT vec_id, v, nrm,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS mx
+         |    FROM vecs)),
+         |spairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, len(q.qv)),
+         |        i -> CAST(q.qv[i] AS BIGINT) * c.qv[i])),
+         |      (acc, x) -> acc + x) AS DOUBLE)
+         |      * q.mx * c.mx / (16129.0 * q.nrm * c.nrm) AS cos8
+         |  FROM quant q, quant c
+         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |sq8 AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos8 DESC, n_id) AS rank FROM spairs)
+         |  WHERE rank <= 3)
+         |SELECT bf.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN sq8.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched,
+         |  CAST(SUM(CASE WHEN sq8.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*) AS recall
+         |FROM bf LEFT JOIN sq8 ON bf.q_id = sq8.q_id AND bf.n_id = sq8.n_id
+         |GROUP BY bf.q_id""".stripMargin),
     "ann_recall" -> (vecSql +
       s""", bfp AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
