@@ -38,6 +38,28 @@ class PropertySpec extends AnyFunSuite {
       (h(6) & 0xffL)
   }
 
+  test("count-compressed nearest-rank equals naive rank selection") {
+    // The r6 percentile restructure's invariant: the value at row rank
+    // ceil(n*p) in value order equals the smallest value whose cumulative
+    // count reaches that rank — for ANY multiset and any p.
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))
+    val ps = Seq(0.5, 0.95, 0.99, 1.0)
+    forAll(gen) { vs =>
+      val sorted = vs.sorted
+      val n = sorted.size
+      for (p <- ps) {
+        val rank = math.ceil(n * p).toLong.toInt
+        val naive = sorted(rank - 1)
+        val dist = sorted.groupBy(identity).view.mapValues(_.size)
+          .toSeq.sortBy(_._1)
+        val cums = dist.scanLeft(0L) { case (acc, (_, c)) => acc + c }.tail
+        val compressed = dist.zip(cums)
+          .collectFirst { case ((v, _), cum) if cum >= rank => v }.get
+        assert(compressed == naive, s"p=$p vs=$vs")
+      }
+    }
+  }
+
   test("MinHashSig equals brute-force minima for arbitrary hash arrays") {
     val gen = Gen.listOf(Gen.chooseNum(0L, P - 1))
     forAll(gen) { hs =>
