@@ -36,6 +36,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assertCompressed(planOf(LogOps.watermarkLateness(spark, dir)), "topic", "late_ms")
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // Global guard: every join in the engine must be equi-keyed or a
+    // broadcast of a deliberately tiny frame (BroadcastNestedLoopJoin).
+    // An unkeyed shuffled cartesian product is always a planning bug.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct")) Some(name) else None
+        } catch { case e: Throwable => Some(s"$name (plan failed: ${e.getMessage})") }
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("watermark_lateness prefix-max runs chunk-parallel, prefix side broadcast") {
     val plan = planOf(LogOps.watermarkLateness(spark, dir))
     // The arrival-order running max must be windowed per (topic, chunk) —
