@@ -273,7 +273,52 @@ object BrokerOps {
       sum(col("lat_us") * col("cnt")).cast("long").as("total_us"))
   }
 
+  /** Hierarchical timing-wheel occupancy
+    * (utils/timer/TimingWheel.java: tickMs=1, wheelSize=20, each overflow
+    * wheel multiplies the interval by 20 — SystemTimer.java:54-55; add()
+    * places a delay d in the first wheel whose interval exceeds it, at
+    * bucket (d div tick) mod 20, and runs d < tick immediately). Every
+    * record schedules one retry timer with a deterministic pseudo-delay
+    * (prime-multiplied event_id mod 1h — the same modeling discipline as
+    * request_latency's jitter); the view reports, per (topic, wheel
+    * level): tick, timers held, distinct buckets occupied, and the delay
+    * range — the purgatory's memory/efficiency profile.
+    *
+    * Scale: pure per-record arithmetic + one partial-aggregated rollup on
+    * (topic, level); nothing holds state.
+    */
+  def timingWheel(spark: SparkSession, dir: String): DataFrame = {
+    val ticks = Seq(0L -> 1L, 1L -> 20L, 2L -> 400L, 3L -> 8000L,
+      4L -> 160000L, 5L -> 3200000L)
+    val tickExpr = ticks.foldLeft(lit(1L)) { case (acc, (l, t)) =>
+      when(col("level") === l, t).otherwise(acc)
+    }
+    LogOps.log(spark, dir)
+      .select(col("topic"),
+        pmod(col("event_id") * 7919L, lit(3600000L)).as("delay_ms"))
+      .withColumn("level",
+        when(col("delay_ms") < 1L, -1L)
+          .when(col("delay_ms") < 20L, 0L)
+          .when(col("delay_ms") < 400L, 1L)
+          .when(col("delay_ms") < 8000L, 2L)
+          .when(col("delay_ms") < 160000L, 3L)
+          .when(col("delay_ms") < 3200000L, 4L)
+          .otherwise(5L))
+      .withColumn("tick_ms", tickExpr)
+      .withColumn("bucket",
+        when(col("level") === -1L, -1L)
+          .otherwise(pmod(expr("delay_ms div tick_ms"), lit(20L))))
+      .groupBy("topic", "level")
+      .agg(
+        max("tick_ms").as("tick_ms"),
+        count(lit(1)).as("n_timers"),
+        countDistinct("bucket").as("n_buckets"),
+        min("delay_ms").as("min_delay_ms"),
+        max("delay_ms").as("max_delay_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "timing_wheel" -> timingWheel,
     "request_latency" -> requestLatency,
     "compaction_ratio" -> compactionRatio,
     "segment_cleanup_plan" -> segmentCleanupPlan,
@@ -287,6 +332,33 @@ object BrokerOps {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "timing_wheel" -> (L +
+      """timers AS (
+        |  SELECT topic, (event_id * 7919) % 3600000 AS delay_ms FROM log),
+        |leveled AS (
+        |  SELECT topic, delay_ms,
+        |    CAST(CASE WHEN delay_ms < 1 THEN -1
+        |         WHEN delay_ms < 20 THEN 0
+        |         WHEN delay_ms < 400 THEN 1
+        |         WHEN delay_ms < 8000 THEN 2
+        |         WHEN delay_ms < 160000 THEN 3
+        |         WHEN delay_ms < 3200000 THEN 4
+        |         ELSE 5 END AS BIGINT) AS level
+        |  FROM timers),
+        |placed AS (
+        |  SELECT topic, delay_ms, level,
+        |    CAST(CASE level WHEN 0 THEN 1 WHEN 1 THEN 20 WHEN 2 THEN 400
+        |      WHEN 3 THEN 8000 WHEN 4 THEN 160000 WHEN 5 THEN 3200000
+        |      ELSE 1 END AS BIGINT) AS tick_ms
+        |  FROM leveled),
+        |bucketed AS (
+        |  SELECT *, CASE WHEN level = -1 THEN -1
+        |    ELSE (delay_ms // tick_ms) % 20 END AS bucket
+        |  FROM placed)
+        |SELECT topic, level, MAX(tick_ms) AS tick_ms, COUNT(*) AS n_timers,
+        |  CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+        |  MIN(delay_ms) AS min_delay_ms, MAX(delay_ms) AS max_delay_ms
+        |FROM bucketed GROUP BY topic, level""".stripMargin),
     "request_latency" -> (L +
       """samples AS (
         |  SELECT event_id,
