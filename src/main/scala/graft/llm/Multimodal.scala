@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * synthesized from each document's bytes (the testdata carries text, not
   * stored media — the encode step stands in for reading a blob store),
   * then parsed with `javax.imageio.ImageIO`, measured from the decoded
-  * raster, and resized through a real AWT `Graphics2D` scale. Audio and
-  * video keep deterministic byte-stat stand-ins (the JVM standard library
-  * has no audio/video codecs), clearly marked below. The Spark-side shape
-  * is real throughout: binary column, per-batch iteration in
+  * raster, and resized through a real AWT `Graphics2D` scale. The AUDIO
+  * path likewise round-trips a genuine WAV through
+  * `javax.sound.sampled.AudioSystem` (encode PCM, parse format/frames,
+  * measure RMS). Video keeps a deterministic byte-stat stand-in (the JVM
+  * standard library has no video codec), clearly marked below. The
+  * Spark-side shape is real throughout: binary column, per-batch iteration in
   * `mapPartitions` (the JVM analog of a mapInPandas arrow batch), typed
   * metadata projection, and partition-friendly layout.
   *
@@ -99,8 +101,55 @@ object Multimodal {
     }
   }
 
-  /** FAKE (documented): byte statistics as "dimensions" for audio/video —
-    * the JVM standard library has no codec for these.
+  /** Deterministic 16-bit mono PCM WAV from the document bytes, encoded
+    * through the REAL javax.sound.sampled writer (8 kHz; one sample per
+    * payload byte, centered and scaled). Like [[encodePng]], this stands
+    * in for reading stored media; everything after it is the genuine JVM
+    * audio path.
+    */
+  private[graft] def encodeWav(payload: Array[Byte]): Array[Byte] = {
+    val n = math.max(1, payload.length)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val sample = (((if (payload.isEmpty) 0 else payload(i) & 0xff) - 128) * 256).toShort
+      pcm(2 * i) = (sample & 0xff).toByte        // little-endian
+      pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** GENUINE decode: parse WAV bytes with AudioSystem, return
+    * (sample_rate, channels, frame_count, rms) measured from the decoded
+    * stream.
+    */
+  private def decodeWav(wav: Array[Byte]): (Long, Long, Long, Double) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val frames = ais.getFrameLength
+    val data = ais.readAllBytes()
+    var sumSq = 0.0
+    var i = 0
+    while (i + 1 < data.length) {
+      val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toDouble
+      sumSq += s * s
+      i += 2
+    }
+    val nSamples = math.max(1L, data.length / 2L)
+    (fmt.getSampleRate.toLong, fmt.getChannels.toLong, frames,
+      math.sqrt(sumSq / nSamples))
+  }
+
+  /** FAKE (documented): byte statistics as "dimensions" for video — the
+    * JVM standard library has no video codec.
     */
   private def fakeDecode(payload: Array[Byte]): (Long, Long, Double) = {
     var sum = 0L
@@ -150,6 +199,15 @@ object Multimodal {
             val (rw, rh) = resizePng(img)
             MediaFeature(r.doc_id, r.media_type, png.length.toLong,
               w, h, rw, rh, 1L, 1L, mean, batch.size.toLong)
+          } else if (r.media_type == "audio") {
+            // Genuine WAV round-trip: width carries the sample rate,
+            // height the channel count; frames = PCM frames, sampling
+            // keeps every 4th; feat_mean is the measured RMS amplitude.
+            val wav = encodeWav(r.payload)
+            val (rate, channels, frames, rms) = decodeWav(wav)
+            MediaFeature(r.doc_id, r.media_type, wav.length.toLong,
+              rate, channels, rate, channels, frames, (frames + 3) / 4,
+              rms, batch.size.toLong)
           } else {
             val (w, h, mean) = fakeDecode(r.payload)
             val (rw, rh) = fakeResize(w, h)

@@ -23,6 +23,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.getHeight == math.max(1, (img.getWidth * 9) / 16))
   }
 
+  test("encodeWav emits bytes AudioSystem parses back at 8kHz mono 16-bit") {
+    val payload = "jackdaws love my big sphinx of quartz".getBytes("UTF-8")
+    val wav = Multimodal.encodeWav(payload)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 8000f)
+    assert(ais.getFormat.getChannels == 1)
+    assert(ais.getFormat.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == payload.length.toLong)
+  }
+
+  test("pipeline audio rows carry parsed WAV format and measured RMS") {
+    val out = Multimodal.multimodalPipeline(spark, dir)
+      .filter(col("media_type") === "audio")
+    val rows = out.limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("width") == 8000L)   // sample rate
+      assert(r.getAs[Long]("height") == 1L)     // channels
+      assert(r.getAs[Long]("n_frames") > 0)
+      val rms = r.getAs[Double]("feat_mean")
+      assert(rms >= 0.0 && rms <= 32768.0)
+    }
+  }
+
   test("pipeline image rows carry decoded-raster dims and capped resize") {
     val out = Multimodal.multimodalPipeline(spark, dir)
       .filter(col("media_type") === "image")

@@ -180,10 +180,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(m.count() == docs)
     assert(m.select("media_type").distinct().count() == 3)
     assert(m.filter(col("batch_size") > 64).count() == 0)
-    // resize caps the long edge at 256 and preserves which edge is longer
-    assert(m.filter(greatest(col("resized_w"), col("resized_h")) > 256).count() == 0)
-    // frame sampling only applies to video and keeps ~1/4 of frames
-    assert(m.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() == 0)
+    // resize caps the long edge: 32 for real-decoded images, 256 for the
+    // video stand-in; audio reuses the columns for (sample_rate, channels)
+    assert(m.filter(col("media_type") === "image" &&
+      greatest(col("resized_w"), col("resized_h")) > 32).count() == 0)
+    assert(m.filter(col("media_type") === "video" &&
+      greatest(col("resized_w"), col("resized_h")) > 256).count() == 0)
+    assert(m.filter(col("media_type") === "audio" &&
+      (col("width") =!= 8000L || col("height") =!= 1L)).count() == 0)
+    // images are single-frame; audio frames = PCM frame count (> 0);
+    // video sampling keeps ~1/4 of frames
+    assert(m.filter(col("media_type") === "image" && col("n_frames") =!= 1).count() == 0)
+    assert(m.filter(col("media_type") === "audio" && col("n_frames") <= 0).count() == 0)
     assert(m.filter(col("sampled_frames") > col("n_frames")).count() == 0)
   }
 
