@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   * raster, and resized through a real AWT `Graphics2D` scale. The AUDIO
   * path likewise round-trips a genuine WAV through
   * `javax.sound.sampled.AudioSystem` (encode PCM, parse format/frames,
-  * measure RMS). Video keeps a deterministic byte-stat stand-in (the JVM
-  * standard library has no video codec), clearly marked below. The
-  * Spark-side shape is real throughout: binary column, per-batch iteration in
-  * `mapPartitions` (the JVM analog of a mapInPandas arrow batch), typed
-  * metadata projection, and partition-friendly layout.
+  * measure RMS). The VIDEO path round-trips a genuine multi-frame
+  * animated GIF (the one video container the JVM can natively codec):
+  * real frame count from the container, every 4th frame actually decoded
+  * and measured. In each case the encode step stands in for reading a
+  * blob store (the testdata carries text, not media); every decode is a
+  * real parser. The Spark-side shape is real throughout: binary column,
+  * per-batch iteration in `mapPartitions` (the JVM analog of a
+  * mapInPandas arrow batch), typed metadata projection, and
+  * partition-friendly layout.
   *
   * Rows-only check (no SQL oracle): binary batch processing is not
-  * SQL-expressible; MultimodalSpec pins the PNG round-trip instead.
+  * SQL-expressible; MultimodalSpec pins all three round-trips instead.
   */
 object Multimodal {
 
@@ -148,30 +152,82 @@ object Multimodal {
       math.sqrt(sumSq / nSamples))
   }
 
-  /** FAKE (documented): byte statistics as "dimensions" for video — the
-    * JVM standard library has no video codec.
+  /** Deterministic multi-frame animated GIF from the document bytes (one
+    * 32x18 frame per 2 KiB of payload), written through the REAL
+    * javax.imageio GIF sequence writer. The animated GIF is the "video"
+    * container the JVM can genuinely encode and decode frame-by-frame.
     */
-  private def fakeDecode(payload: Array[Byte]): (Long, Long, Double) = {
-    var sum = 0L
+  private[graft] def encodeGif(payload: Array[Byte]): Array[Byte] = {
+    val nFrames = (1 + payload.length / 2048).toInt
+    val (w, h) = (32, 18)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val idx = f * 2048 + (x + y * w)
+          val b = if (payload.isEmpty) 0 else payload(idx % payload.length) & 0xff
+          img.setRGB(x, y, (b << 16) | (((x * 5 + y * 11 + f * 29) & 0xff) << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** GENUINE frame-sampled decode: open the GIF with an ImageIO reader,
+    * count the real frames, decode every 4th one, and average the decoded
+    * rasters' luma. Returns (width, height, n_frames, n_sampled, mean).
+    */
+  private def decodeGifSampled(gif: Array[Byte]): (Long, Long, Long, Long, Double) = {
+    val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    var sum = 0.0
+    var pixels = 0L
+    var sampled = 0L
+    var w = 0L
+    var h = 0L
     var i = 0
-    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    val w = 160L + (sum % 8) * 80L
-    val h = (w * 9L) / 16L
-    (w, h, mean)
-  }
-
-  /** Resize arithmetic for the fake modalities: cap the long edge at 256. */
-  private def fakeResize(w: Long, h: Long): (Long, Long) = {
-    val long = math.max(w, h)
-    if (long <= 256) (w, h)
-    else ((w * 256) / long, (h * 256) / long)
-  }
-
-  /** Sample every 4th frame ("video" has one frame per 2KB of payload). */
-  private def fakeFrameSample(payloadLen: Int): (Long, Long) = {
-    val frames = 1L + payloadLen / 2048
-    (frames, (frames + 3) / 4)
+    while (i < n) {
+      if (i % 4 == 0) {
+        val img = reader.read(i)
+        w = img.getWidth.toLong
+        h = img.getHeight.toLong
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        pixels += img.getWidth.toLong * img.getHeight
+        sampled += 1
+      }
+      i += 1
+    }
+    reader.dispose()
+    iis.close()
+    (w, h, n.toLong, sampled, if (pixels == 0) 0.0 else sum / pixels)
   }
 
   def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -209,13 +265,12 @@ object Multimodal {
               rate, channels, rate, channels, frames, (frames + 3) / 4,
               rms, batch.size.toLong)
           } else {
-            val (w, h, mean) = fakeDecode(r.payload)
-            val (rw, rh) = fakeResize(w, h)
-            val (frames, sampled) =
-              if (r.media_type == "video") fakeFrameSample(r.payload.length)
-              else (1L, 1L)
-            MediaFeature(r.doc_id, r.media_type, r.payload.length.toLong,
-              w, h, rw, rh, frames, sampled, mean, batch.size.toLong)
+            // Genuine animated-GIF round-trip: real frame count from the
+            // container, every 4th frame actually decoded and measured.
+            val gif = encodeGif(r.payload)
+            val (w, h, frames, sampled, mean) = decodeGifSampled(gif)
+            MediaFeature(r.doc_id, r.media_type, gif.length.toLong,
+              w, h, w, h, frames, sampled, mean, batch.size.toLong)
           }
         }
       }

@@ -50,6 +50,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeGif emits a multi-frame GIF ImageIO reads frame-by-frame") {
+    val payload = Array.fill(5000)(42.toByte)  // 5000/2048 -> 3 frames
+    val gif = Multimodal.encodeGif(payload)
+    assert(new String(gif.slice(0, 6), "US-ASCII").startsWith("GIF8"))
+    val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 3)
+    val f0 = reader.read(0)
+    assert(f0.getWidth == 32 && f0.getHeight == 18)
+    reader.dispose()
+  }
+
+  test("pipeline video rows carry real GIF frame counts and 1/4 sampling") {
+    val out = Multimodal.multimodalPipeline(spark, dir)
+      .filter(col("media_type") === "video")
+    val rows = out.limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("width") == 32L && r.getAs[Long]("height") == 18L)
+      val n = r.getAs[Long]("n_frames"); val s = r.getAs[Long]("sampled_frames")
+      assert(n >= 1 && s == (n + 3) / 4, s"frames=$n sampled=$s")
+      val mean = r.getAs[Double]("feat_mean")
+      assert(mean >= 0.0 && mean <= 255.0)
+    }
+  }
+
   test("pipeline image rows carry decoded-raster dims and capped resize") {
     val out = Multimodal.multimodalPipeline(spark, dir)
       .filter(col("media_type") === "image")
