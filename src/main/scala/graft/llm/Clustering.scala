@@ -50,8 +50,8 @@ object Clustering {
     * with map-side max_by reduction, and the mean is a partial-aggregated
     * (cid, dim) shuffle — the dedup_clusters loop discipline: the only
     * iterated frame is the k x dim centroid table, localCheckpoint'ed each
-    * round so lineage stays flat; the convergence probe collects k rows,
-    * never data.
+    * round so lineage stays flat; the convergence probe is a
+    * set-difference over the k-row centroid frames, never over the data.
     */
   private[llm] def fittedCentroids(spark: SparkSession, dir: String): DataFrame = {
     fitCache.keys.foreach { case k @ (s, _) =>
@@ -63,7 +63,6 @@ object Clustering {
         .select(col("vec_id").as("cid"), col("v").as("cv"),
           col("nrm").as("cnrm"), lit(1L).as("n_members"))
         .localCheckpoint()
-      var prevSig: Seq[(Long, Seq[Double])] = null
       var round = 0
       var converged = false
       while (round < MaxRounds && !converged) {
@@ -86,11 +85,12 @@ object Clustering {
           .withColumn("cnrm", expr("sqrt(vec_dot(cv, cv))"))
           .select("cid", "cv", "cnrm", "n_members")
           .localCheckpoint()
-        val sig = next.select("cid", "cv").collect()
-          .map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1).toSeq))
-          .sortBy(_._1).toSeq
-        converged = sig == prevSig
-        prevSig = sig
+        // Fixpoint probe: this round's output vs its input, both
+        // directions over the two checkpointed k-row frames — a driver
+        // action over k rows, never over the data.
+        converged =
+          next.select("cid", "cv").exceptAll(cents.select("cid", "cv")).isEmpty &&
+          cents.select("cid", "cv").exceptAll(next.select("cid", "cv")).isEmpty
         cents = next
         round += 1
       }
