@@ -48,17 +48,16 @@ object Multimodal {
     val h = math.max(1, (w * 9) / 16)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val b =
-          if (payload.isEmpty) 0 else payload((x + y * w) % payload.length) & 0xff
-        img.setRGB(x, y, (b << 16) | (((x * 7 + y * 13) & 0xff) << 8) | ((b ^ 0x5a) & 0xff))
-        x += 1
-      }
-      y += 1
+    val px = new Array[Int](w * h)
+    var i2 = 0
+    while (i2 < px.length) {
+      val x = i2 % w
+      val y = i2 / w
+      val b = if (payload.isEmpty) 0 else payload(i2 % payload.length) & 0xff
+      px(i2) = (b << 16) | (((x * 7 + y * 13) & 0xff) << 8) | ((b ^ 0x5a) & 0xff)
+      i2 += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -70,16 +69,13 @@ object Multimodal {
     */
   private def decodePng(png: Array[Byte]): (java.awt.image.BufferedImage, Long, Long, Double) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
     var sum = 0.0
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+      i += 1
     }
     (img, img.getWidth.toLong, img.getHeight.toLong,
       sum / (img.getWidth.toLong * img.getHeight))
@@ -169,17 +165,17 @@ object Multimodal {
     while (f < nFrames) {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val idx = f * 2048 + (x + y * w)
-          val b = if (payload.isEmpty) 0 else payload(idx % payload.length) & 0xff
-          img.setRGB(x, y, (b << 16) | (((x * 5 + y * 11 + f * 29) & 0xff) << 8) | b)
-          x += 1
-        }
-        y += 1
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        val x = i % w
+        val y = i / w
+        val idx = f * 2048 + i
+        val b = if (payload.isEmpty) 0 else payload(idx % payload.length) & 0xff
+        px(i) = (b << 16) | (((x * 5 + y * 11 + f * 29) & 0xff) << 8) | b
+        i += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w)
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       f += 1
     }
@@ -210,15 +206,12 @@ object Multimodal {
         val img = reader.read(i)
         w = img.getWidth.toLong
         h = img.getHeight.toLong
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-            x += 1
-          }
-          y += 1
+        val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+        var j = 0
+        while (j < px.length) {
+          val rgb = px(j)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          j += 1
         }
         pixels += img.getWidth.toLong * img.getHeight
         sampled += 1
