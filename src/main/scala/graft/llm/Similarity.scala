@@ -189,6 +189,53 @@ object Similarity {
       .select("q_id", "n_id", "qdot", "cos8", "rank")
   }
 
+  /** Product-quantization ANN — the codebook compression real vector
+    * stores run at 100 TB: normalized vectors split into 8 subspaces of 8
+    * dims; each subspace quantizes to its nearest of 16 sub-centroids
+    * (the 16 lowest-id vectors' slices), so a 512-byte vector becomes 8
+    * code bytes. A query precomputes its 8 x 16 distance table
+    * (broadcast), and candidate distance is a pure table-lookup sum over
+    * the codes — the scan touches codes, never raw vectors.
+    *
+    * Parity: each per-subspace squared distance is an ordered fold
+    * quantized to a long (floor(d2 * 1e9)); the cross-subspace sum is
+    * then exact integer arithmetic, so ranking is engine-identical (the
+    * same discipline as [[annSq8]]'s integer dots). Top-3 per query by
+    * ADC distance.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val subs = vecs
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("vn"))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), s -> slice(vn, s * 8 + 1, 8))"))
+        .as(Seq("s", "sv")))
+    val cents = subs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("s"), col("sv").as("cv"))
+    val d2q =
+      """CAST(floor(aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000000000.0D) AS BIGINT)""".stripMargin
+    val dists = subs.join(broadcast(cents), "s").withColumn("d2q", expr(d2q))
+    val codes = dists
+      .groupBy("vec_id", "s")
+      .agg(expr("min_by(cid, struct(d2q, cid))").as("code"))
+    val dtable = dists
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"), col("d2q"))
+    val cand = codes
+      .join(broadcast(dtable),
+        codes("s") === dtable("s") && col("code") === col("cid") &&
+          codes("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), codes("vec_id").as("n_id"))
+      .agg(sum("d2q").cast("long").as("distq"))
+    val w = Window.partitionBy("q_id").orderBy(col("distq"), col("n_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"),
+        (col("distq").cast("double") / lit(1000000000.0d)).as("dist"),
+        col("rank"))
+  }
+
   /** Quantization-loss evaluation: recall@3 of the int8 index against the
     * exact full-precision top-3 — the number that decides whether the 4x
     * cheaper scan is usable. Counts are exact integers; recall is an
@@ -226,6 +273,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> annPq,
     "ann_sq8" -> annSq8,
     "sq8_recall" -> sq8Recall,
     "ann_bruteforce" -> annBruteforce,
@@ -252,6 +300,43 @@ object Similarity {
       |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_pq" -> (vecSql +
+      """, nv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM vecs),
+        |subs AS (
+        |  SELECT vec_id, CAST(s AS BIGINT) AS s,
+        |    list_slice(vn, s * 8 + 1, s * 8 + 8) AS sv
+        |  FROM nv, generate_series(0, 7) t(s)),
+        |cents AS (
+        |  SELECT vec_id AS cid, s, sv AS cv FROM subs WHERE vec_id < 16),
+        |d AS (
+        |  SELECT sub.vec_id, sub.s, c.cid,
+        |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 8),
+        |        i -> (sub.sv[i] - c.cv[i]) * (sub.sv[i] - c.cv[i]))),
+        |      (acc, x) -> acc + x) * 1000000000.0) AS BIGINT) AS d2q
+        |  FROM subs sub JOIN cents c USING (s)),
+        |codes AS (
+        |  SELECT vec_id, s, cid AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d2q, cid) AS rn FROM d)
+        |  WHERE rn = 1),
+        |dtable AS (
+        |  SELECT vec_id AS q_id, s, cid, d2q FROM d
+        |  WHERE vec_id >= 100 AND vec_id < 108),
+        |cand AS (
+        |  SELECT dt.q_id, c.vec_id AS n_id,
+        |    CAST(SUM(dt.d2q) AS BIGINT) AS distq
+        |  FROM codes c JOIN dtable dt ON c.s = dt.s AND c.code = dt.cid
+        |  WHERE c.vec_id <> dt.q_id
+        |  GROUP BY dt.q_id, c.vec_id)
+        |SELECT q_id, n_id,
+        |  CAST(distq AS DOUBLE) / 1000000000.0 AS dist,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY distq, n_id) AS rank FROM cand)
+        |WHERE rank <= 3""".stripMargin),
     "ann_sq8" -> (vecSql +
       """, quant AS (
         |  SELECT vec_id,
