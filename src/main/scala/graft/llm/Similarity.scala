@@ -236,6 +236,33 @@ object Similarity {
         col("rank"))
   }
 
+  /** PQ-loss evaluation: recall@3 of the product-quantized index against
+    * the exact top-3 — with [[annRecall]] (LSH) and [[sq8Recall]] (int8)
+    * this completes the recall gate for every approximate path, the
+    * three operating points a capacity plan chooses between.
+    * NOTE: ann_pq queries vec_id 100-108 while exact top-3 uses the same
+    * query ids, so the comparison restricts brute force to those ids.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val q = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+    val pairs = broadcast(q.as("q"))
+      .join(vecs.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val exact3 = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select("q_id", "n_id")
+    val approx = annPq(spark, dir).select(col("q_id"), col("n_id").as("a_id"))
+    exact3.join(approx,
+        exact3("q_id") === approx("q_id") && col("n_id") === col("a_id"), "left")
+      .groupBy(exact3("q_id").as("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("recall", col("n_matched") / col("n_exact"))
+  }
+
   /** Quantization-loss evaluation: recall@3 of the int8 index against the
     * exact full-precision top-3 — the number that decides whether the 4x
     * cheaper scan is usable. Counts are exact integers; recall is an
@@ -274,6 +301,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> annPq,
+    "pq_recall" -> pqRecall,
     "ann_sq8" -> annSq8,
     "sq8_recall" -> sq8Recall,
     "ann_bruteforce" -> annBruteforce,
@@ -299,44 +327,72 @@ object Similarity {
       |    list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])),
       |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
 
+  /** The PQ codebook/encode/ADC CTE chain (continues vecSql; ends with
+    * `cand(q_id, n_id, distq)`) — shared by ann_pq and pq_recall.
+    */
+  private val pqChainSql: String =
+    """, nv AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM vecs),
+      |subs AS (
+      |  SELECT vec_id, CAST(s AS BIGINT) AS s,
+      |    list_slice(vn, s * 8 + 1, s * 8 + 8) AS sv
+      |  FROM nv, generate_series(0, 7) t(s)),
+      |pcents AS (
+      |  SELECT vec_id AS cid, s, sv AS cv FROM subs WHERE vec_id < 16),
+      |d AS (
+      |  SELECT sub.vec_id, sub.s, c.cid,
+      |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, 8),
+      |        i -> (sub.sv[i] - c.cv[i]) * (sub.sv[i] - c.cv[i]))),
+      |      (acc, x) -> acc + x) * 1000000000.0) AS BIGINT) AS d2q
+      |  FROM subs sub JOIN pcents c USING (s)),
+      |codes AS (
+      |  SELECT vec_id, s, cid AS code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |      ORDER BY d2q, cid) AS rn FROM d)
+      |  WHERE rn = 1),
+      |dtable AS (
+      |  SELECT vec_id AS q_id, s, cid, d2q FROM d
+      |  WHERE vec_id >= 100 AND vec_id < 108),
+      |cand AS (
+      |  SELECT dt.q_id, c.vec_id AS n_id,
+      |    CAST(SUM(dt.d2q) AS BIGINT) AS distq
+      |  FROM codes c JOIN dtable dt ON c.s = dt.s AND c.code = dt.cid
+      |  WHERE c.vec_id <> dt.q_id
+      |  GROUP BY dt.q_id, c.vec_id)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_pq" -> (vecSql +
-      """, nv AS (
-        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM vecs),
-        |subs AS (
-        |  SELECT vec_id, CAST(s AS BIGINT) AS s,
-        |    list_slice(vn, s * 8 + 1, s * 8 + 8) AS sv
-        |  FROM nv, generate_series(0, 7) t(s)),
-        |cents AS (
-        |  SELECT vec_id AS cid, s, sv AS cv FROM subs WHERE vec_id < 16),
-        |d AS (
-        |  SELECT sub.vec_id, sub.s, c.cid,
-        |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(generate_series(1, 8),
-        |        i -> (sub.sv[i] - c.cv[i]) * (sub.sv[i] - c.cv[i]))),
-        |      (acc, x) -> acc + x) * 1000000000.0) AS BIGINT) AS d2q
-        |  FROM subs sub JOIN cents c USING (s)),
-        |codes AS (
-        |  SELECT vec_id, s, cid AS code FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-        |      ORDER BY d2q, cid) AS rn FROM d)
-        |  WHERE rn = 1),
-        |dtable AS (
-        |  SELECT vec_id AS q_id, s, cid, d2q FROM d
-        |  WHERE vec_id >= 100 AND vec_id < 108),
-        |cand AS (
-        |  SELECT dt.q_id, c.vec_id AS n_id,
-        |    CAST(SUM(dt.d2q) AS BIGINT) AS distq
-        |  FROM codes c JOIN dtable dt ON c.s = dt.s AND c.code = dt.cid
-        |  WHERE c.vec_id <> dt.q_id
-        |  GROUP BY dt.q_id, c.vec_id)
-        |SELECT q_id, n_id,
+    "ann_pq" -> (vecSql + pqChainSql +
+      """SELECT q_id, n_id,
         |  CAST(distq AS DOUBLE) / 1000000000.0 AS dist,
         |  CAST(rank AS BIGINT) AS rank
         |FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY distq, n_id) AS rank FROM cand)
         |WHERE rank <= 3""".stripMargin),
+    "pq_recall" -> (vecSql + pqChainSql +
+      s""", bfp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q, vecs c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 108 AND q.vec_id <> c.vec_id),
+         |bf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM bfp)
+         |  WHERE rank <= 3),
+         |pq AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY distq, n_id) AS rank FROM cand)
+         |  WHERE rank <= 3)
+         |SELECT bf.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN pq.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched,
+         |  CAST(SUM(CASE WHEN pq.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*) AS recall
+         |FROM bf LEFT JOIN pq ON bf.q_id = pq.q_id AND bf.n_id = pq.n_id
+         |GROUP BY bf.q_id""".stripMargin),
     "ann_sq8" -> (vecSql +
       """, quant AS (
         |  SELECT vec_id,

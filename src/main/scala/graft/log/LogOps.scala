@@ -216,6 +216,40 @@ object LogOps {
         max("bytes").as("max_interval_bytes"),
         sum("bytes").cast("long").as("total_bytes"))
 
+  /** Produce-ack purgatory (DelayedProduceAndFetch.java — the produce
+    * twin of [[fetchWait]]'s DelayedFetch): with acks=all, each produce
+    * batch (the records of one (topic, part, second)) parks until both
+    * followers ack; follower ack latency is a deterministic md5 draw
+    * under 250 ms, the batch completes at the slower follower, and the
+    * 200 ms request timeout expires stragglers (`onExpiration`). Per
+    * partition: batches completed vs expired, the wait tail, and the
+    * total parked time (waits capped at the timeout, as the purgatory
+    * caps them).
+    *
+    * Scale: same shape as fetch_wait — one (topic, part, sec) partial
+    * aggregate, then closed-form per-batch arithmetic.
+    */
+  def delayedProduce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    def ack(f: String) = pmod(md5Long(concat_ws("#",
+      col("topic"), col("part"), col("sec"), lit(f))), lit(250L))
+    log(spark, dir)
+      .withColumn("sec", expr("tms div 1000"))
+      .groupBy("topic", "part", "sec")
+      .agg(count(lit(1)).as("n_recs"))
+      .withColumn("wait_ms", greatest(ack("1"), ack("2")))
+      .groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n_batches"),
+        sum("n_recs").cast("long").as("n_records"),
+        sum(when(col("wait_ms") <= 200L, 1L).otherwise(0L)).cast("long")
+          .as("n_completed"),
+        sum(when(col("wait_ms") > 200L, 1L).otherwise(0L)).cast("long")
+          .as("n_expired"),
+        max("wait_ms").as("max_wait_ms"),
+        sum(least(col("wait_ms"), lit(200L))).cast("long").as("sum_wait_ms"))
+  }
+
   /** Messages/bytes-in per topic per hour (the reference's RequestStats
     * throughput counters as a time-bucketed rollup).
     */
@@ -429,6 +463,7 @@ object LogOps {
     "delete_records" -> deleteRecords,
     "fetch_max_bytes" -> fetchMaxBytes,
     "fetch_wait" -> fetchWait,
+    "delayed_produce" -> delayedProduce,
     "cdc_view" -> cdcView,
     "watermark_policy" -> watermarkPolicy,
     "heavy_hitters_sketch" -> heavyHittersSketch)
@@ -537,6 +572,28 @@ object LogOps {
       """SELECT topic, part, MIN(offs) AS new_earliest, COUNT(*) AS n_remaining,
         |  MAX(offs) + 1 AS log_end
         |FROM log WHERE offs >= 50 GROUP BY topic, part""".stripMargin),
+    "delayed_produce" -> (logSqlCte +
+      """batches AS (
+        |  SELECT topic, part, tms // 1000 AS sec, COUNT(*) AS n_recs
+        |  FROM log GROUP BY topic, part, tms // 1000),
+        |waits AS (
+        |  SELECT topic, part, n_recs,
+        |    GREATEST(
+        |      ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)
+        |        || '#' || CAST(sec AS VARCHAR) || '#1'), 1, 14))::BIGINT % 250,
+        |      ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)
+        |        || '#' || CAST(sec AS VARCHAR) || '#2'), 1, 14))::BIGINT % 250)
+        |      AS wait_ms
+        |  FROM batches)
+        |SELECT topic, part, COUNT(*) AS n_batches,
+        |  CAST(SUM(n_recs) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN wait_ms <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_completed,
+        |  CAST(SUM(CASE WHEN wait_ms > 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_expired,
+        |  MAX(wait_ms) AS max_wait_ms,
+        |  CAST(SUM(LEAST(wait_ms, 200)) AS BIGINT) AS sum_wait_ms
+        |FROM waits GROUP BY topic, part""".stripMargin),
     "fetch_max_bytes" -> (logSql +
       """SELECT topic, part, offs, event_id,
         |  CAST(rec_bytes AS BIGINT) AS rec_bytes, CAST(cum_bytes AS BIGINT) AS cum_bytes
