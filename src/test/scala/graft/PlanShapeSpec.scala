@@ -36,6 +36,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assertCompressed(planOf(LogOps.watermarkLateness(spark, dir)), "topic", "late_ms")
   }
 
+  test("quantized ANN scans broadcast the query side, never shuffle it") {
+    // ann_pq: the ADC distance table joins the codes via broadcast hash
+    // (equi keys on subspace + code) — the big side streams.
+    val pq = graft.llm.Similarity.queries("ann_pq")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pq.contains("BroadcastHashJoin"), s"ann_pq not broadcast:\n$pq")
+    assert(!pq.contains("SortMergeJoin"), s"ann_pq shuffles a join side:\n$pq")
+    // ann_sq8: tiny query set broadcast over one scan (non-equi condition
+    // => broadcast nested loop, by design).
+    val sq8 = graft.llm.Similarity.queries("ann_sq8")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(sq8.contains("BroadcastNestedLoopJoin") || sq8.contains("BroadcastHashJoin"),
+      s"ann_sq8 query side not broadcast:\n$sq8")
+    assert(!sq8.contains("SortMergeJoin"), s"ann_sq8 shuffles a join side:\n$sq8")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Global guard: every join in the engine must be equi-keyed or a
     // broadcast of a deliberately tiny frame (BroadcastNestedLoopJoin).
