@@ -198,14 +198,24 @@ object Dedup {
           size(array_union(col("a.g"), col("b.g")))).as("jac"))
   }
 
-  /** Embedding near-dup: cosine >= 0.3 within label blocks. The fold
-    * order of the dot product is fixed left-to-right so both engines produce
-    * bit-identical doubles.
+  /** Embedding near-dup: cosine >= 0.3 within label blocks, bounded by
+    * [[Similarity.PairSubCap]] sub-bucketing (label population grows with
+    * the corpus, so blocks are split into ceil(n / cap) vec_id-congruence
+    * sub-buckets and pairs generated only within one — O(n * cap) total
+    * pair work, same discipline as every other pair generator). The fold
+    * order of the dot product is fixed left-to-right so both engines
+    * produce bit-identical doubles.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val cap = Similarity.PairSubCap
     val e = Embeddings.withNorm(spark, dir)
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val nsub = e.groupBy("label")
+      .agg(expr(s"(count(1) + ${cap - 1}) div $cap").as("nsub"))
+    val sub = e.join(broadcast(nsub), "label")
+      .withColumn("sub", pmod(col("vec_id"), col("nsub")))
+    sub.as("a").join(sub.as("b"),
+        col("a.label") === col("b.label") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         expr("vec_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= 0.3)
@@ -647,22 +657,29 @@ object Dedup {
         |FROM g a, g b
         |WHERE a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, label, v,
-        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
-        |  FROM e)
-        |SELECT a.vec_id AS d1, b.vec_id AS d2,
-        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
-        |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
-        |FROM n a, n b
-        |WHERE a.label = b.label AND a.vec_id < b.vec_id
-        |  AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
-        |    (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""".stripMargin)
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, v,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+         |  FROM e),
+         |lc AS (
+         |  SELECT label,
+         |    (COUNT(*) + ${Similarity.PairSubCap - 1}) // ${Similarity.PairSubCap}
+         |      AS nsub
+         |  FROM n GROUP BY label),
+         |sb AS (
+         |  SELECT n.*, n.vec_id % lc.nsub AS sub FROM n JOIN lc USING (label))
+         |SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+         |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+         |FROM sb a, sb b
+         |WHERE a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |  AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+         |    (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""".stripMargin)
 }

@@ -22,6 +22,21 @@ object Similarity {
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Embeddings.withNorm(spark, dir)
 
+  /** Sub-bucket cap for the within-block pair generators ([[semDedup]] and
+    * Dedup.dedupEmbedding): a block (IVF cell / label) of n members is
+    * split into nsub = ceil(n / PairSubCap) sub-buckets by vec_id
+    * congruence, and pairs are generated only within a sub-bucket. Block
+    * population grows linearly with the corpus, so uncapped within-block
+    * comparison is O(block^2) — the all-pairs hazard the LSH 50-doc and
+    * winnowing 32-doc caps exist to kill; with the cap, total pair work is
+    * O(n * PairSubCap) regardless of corpus size. This is a documented
+    * stop-signal (SURVEY §5): past ~PairSubCap members per block the
+    * generator trades recall (~1/nsub of within-block pairs) for
+    * boundedness, exactly like the other capped pair generators. Integer
+    * arithmetic only, so the oracle mirrors it exactly.
+    */
+  private[graft] val PairSubCap = 40L
+
   private val cosExpr = "vec_dot(q.v, c.v) / (q.nrm * c.nrm)"
 
   /** Exact top-5 cosine neighbors for the 8 query vectors (vec_id < 8). */
@@ -139,14 +154,22 @@ object Similarity {
 
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning inside
     * IVF cells — a vector is dropped when a lower-id vector in the same
-    * cell sits above the cosine threshold, so pair comparison is
-    * cell-local (~1/16 of the quadratic work; at 100 TB the cells are the
-    * shuffle key and each cell dedups independently).
+    * (cell, sub-bucket) sits above the cosine threshold. Cell population
+    * grows linearly with the corpus (FitK is fixed), so the within-cell
+    * comparison is additionally bounded by [[PairSubCap]] sub-bucketing:
+    * the join key is (cell, sub), blocks stay ~PairSubCap-sized, and total
+    * pair work is O(n * PairSubCap) — at 100 TB the (cell, sub) key is the
+    * only shuffle and no block ever goes quadratic.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir)
-    cells.as("q").join(cells.as("c"),
-        col("q.cell") === col("c.cell") && col("q.vec_id") < col("c.vec_id"))
+    val nsub = cells.groupBy("cell")
+      .agg(expr(s"(count(1) + ${PairSubCap - 1}) div $PairSubCap").as("nsub"))
+    val sub = cells.join(broadcast(nsub), "cell")
+      .withColumn("sub", pmod(col("vec_id"), col("nsub")))
+    sub.as("q").join(sub.as("c"),
+        col("q.cell") === col("c.cell") && col("q.sub") === col("c.sub") &&
+          col("q.vec_id") < col("c.vec_id"))
       .withColumn("cos", expr(cosExpr))
       .filter(col("cos") >= 0.25)
       .groupBy(col("c.vec_id").as("drop_id"))
@@ -515,11 +538,17 @@ object Similarity {
          |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
          |  JOIN vecs ON vecs.vec_id = a.vec_id
          |  WHERE a.crn = 1),
+         |cc AS (
+         |  SELECT cell, (COUNT(*) + ${PairSubCap - 1}) // $PairSubCap AS nsub
+         |  FROM cells GROUP BY cell),
+         |subc AS (
+         |  SELECT cells.*, cells.vec_id % cc.nsub AS sub
+         |  FROM cells JOIN cc USING (cell)),
          |pairs AS (
          |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, c.cell AS cell,
          |    $cosSql AS cos
-         |  FROM cells q, cells c
-         |  WHERE q.cell = c.cell AND q.vec_id < c.vec_id)
+         |  FROM subc q, subc c
+         |  WHERE q.cell = c.cell AND q.sub = c.sub AND q.vec_id < c.vec_id)
          |SELECT b_id AS drop_id, MIN(cell) AS cell, COUNT(*) AS n_dups,
          |  MIN(a_id) AS keep_id
          |FROM pairs WHERE cos >= 0.25

@@ -291,6 +291,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.filter(col("n_dups") < 1).count() == 0)
   }
 
+  test("embedding pair generators are sub-bucket capped") {
+    // Pin the cap value: SURVEY §5 documents 40 as the stop-signal for the
+    // within-block pair generators; changing it must be a deliberate edit.
+    val cap = 40L
+    assert(llm.Similarity.PairSubCap == cap)
+    // Every dedup_embedding pair must share its label's vec_id-congruence
+    // sub-bucket (nsub = ceil(block / cap)) — the bound that keeps pair
+    // work O(n * cap) instead of O(block^2).
+    val lbl = llm.Embeddings.withNorm(spark, dir).select("vec_id", "label")
+    val nsub = lbl.groupBy("label")
+      .agg(expr(s"(count(1) + ${cap - 1}) div $cap").as("nsub"))
+    val bad = llm.Dedup.dedupEmbedding(spark, dir)
+      .join(lbl.toDF("d1", "label"), "d1")
+      .join(nsub, "label")
+      .filter(pmod(col("d1"), col("nsub")) =!= pmod(col("d2"), col("nsub")))
+    assert(bad.count() == 0)
+  }
+
   test("q21 waiting suppliers: top-10 window with deterministic ranks") {
     val w = analytics.Analytics.q21(spark, dir)
     assert(w.count() <= 10)
