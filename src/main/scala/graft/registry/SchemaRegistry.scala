@@ -10,10 +10,14 @@ import org.apache.spark.sql.types.{MapType, StringType}
   * CompatibilityChecker.java) over the message payloads.
   *
   * Subjects are topics; a "schema version" is the field-set observed in the
-  * JSON payloads. `schema_infer` builds the per-subject field inventory with
-  * type inference; `schema_compat` runs a BACKWARD check between two
-  * versions (v1 = even event_ids, v2 = odd): compatible iff no v1 field
-  * disappeared in v2.
+  * JSON payloads, with THREE versions per subject (version = event_id mod 3
+  * + 1 — ≥3 versions so the transitive compatibility modes are a real
+  * check, not degenerate to the non-transitive ones). `schema_infer` builds
+  * the per-subject field inventory with type inference; `schema_compat`
+  * runs the non-transitive BACKWARD check of the newest version (v3)
+  * against the latest prior (v2); `schema_compat_transitive` checks v3
+  * against ALL prior versions (CompatibilityChecker.java:141-146
+  * BACKWARD_TRANSITIVE / FORWARD_TRANSITIVE / FULL_TRANSITIVE).
   *
   * Scale: field explosion is a narrow map-side op (from_json is codegen'd);
   * the aggregation key (topic, field) has tiny cardinality so the shuffle
@@ -27,6 +31,45 @@ object SchemaRegistry {
         explode(from_json(col("v"), MapType(StringType, StringType)))
           .as(Seq("field", "fval")))
 
+  /** The versioned field inventory (topic, version, field) — the one
+    * version-model definition every compat/versions operator derives from.
+    *
+    * The payloads themselves carry a single field everywhere, so a purely
+    * observed version model is degenerate (every version identical — no
+    * compat check would ever fire). Each version's field set is therefore
+    * the observed payload fields (present in every version) UNION a
+    * deterministic evolution universe {ts, user, val, src, tag, geo}:
+    * field f is in version v of subject t iff the first md5 hex digit of
+    * "t#f#v" is 0-9 (~62% — the same engine-portable md5-coin modeling
+    * discipline as Groups.protocolSelect's support matrix). Fields appear
+    * AND disappear across versions, so transitive vs non-transitive modes
+    * genuinely diverge.
+    */
+  private def versionedFields(spark: SparkSession, dir: String): DataFrame = {
+    val observed = fields(spark, dir)
+      .withColumn("version", pmod(col("event_id"), lit(3L)) + 1L)
+      .select("topic", "version", "field")
+    val universe = spark.createDataFrame(
+      Seq("ts", "user", "val", "src", "tag", "geo").map(Tuple1(_))).toDF("field")
+    val synth = LogOps.log(spark, dir).select("topic").distinct()
+      .crossJoin(broadcast(
+        spark.range(1, 4).select(col("id").as("version")).crossJoin(universe)))
+      .filter(substring(md5(concat_ws("#",
+        col("topic"), col("field"), col("version").cast("string"))), 1, 1)
+        .rlike("^[0-9]$"))
+      .select("topic", "version", "field")
+    observed.union(synth).distinct()
+  }
+
+  /** Per-(topic, field) presence flags for the three schema versions. */
+  private def versionFlags(spark: SparkSession, dir: String): DataFrame =
+    versionedFields(spark, dir)
+      .groupBy("topic", "field")
+      .agg(
+        max(when(col("version") === 1L, 1L).otherwise(0L)).as("has_v1"),
+        max(when(col("version") === 2L, 1L).otherwise(0L)).as("has_v2"),
+        max(when(col("version") === 3L, 1L).otherwise(0L)).as("has_v3"))
+
   def schemaInfer(spark: SparkSession, dir: String): DataFrame =
     fields(spark, dir)
       .groupBy("topic", "field")
@@ -36,18 +79,18 @@ object SchemaRegistry {
         when(min(when(col("fval").rlike("^-?[0-9]+$"), 1).otherwise(0)) === 1,
           "long").otherwise("string").as("inferred"))
 
+  /** Non-transitive BACKWARD: the new version (v3) must retain every field
+    * of the LATEST prior version (v2) — earlier versions are not consulted
+    * (that is [[schemaCompatTransitive]]'s job).
+    */
   def schemaCompat(spark: SparkSession, dir: String): DataFrame =
-    fields(spark, dir)
-      .groupBy("topic", "field")
-      .agg(
-        max(when(pmod(col("event_id"), lit(2L)) === 0L, 1L).otherwise(0L)).as("has_v1"),
-        max(when(pmod(col("event_id"), lit(2L)) === 1L, 1L).otherwise(0L)).as("has_v2"))
+    versionFlags(spark, dir)
       .groupBy("topic")
       .agg(
-        sum("has_v1").cast("long").as("n_v1_fields"),
-        sum("has_v2").cast("long").as("n_v2_fields"),
-        sum(col("has_v1") * col("has_v2")).cast("long").as("n_common"),
-        min(when(col("has_v1") === 1L && col("has_v2") === 0L, 0L).otherwise(1L))
+        sum("has_v2").cast("long").as("n_prev_fields"),
+        sum("has_v3").cast("long").as("n_new_fields"),
+        sum(col("has_v2") * col("has_v3")).cast("long").as("n_common"),
+        min(when(col("has_v2") === 1L && col("has_v3") === 0L, 0L).otherwise(1L))
           .as("backward_compatible"))
 
   /** Version registry: per (subject, version) the canonical schema
@@ -55,38 +98,58 @@ object SchemaRegistry {
     * (SchemaStorage's subject -> versions -> schema-id mapping).
     */
   def schemaVersions(spark: SparkSession, dir: String): DataFrame =
-    fields(spark, dir)
-      .withColumn("version", pmod(col("event_id"), lit(2L)) + 1L)
-      .select("topic", "version", "field")
-      .distinct()
+    versionedFields(spark, dir)
       .groupBy("topic", "version")
       .agg(
         count(lit(1)).as("n_fields"),
         md5(concat_ws(",", sort_array(collect_list("field")))).as("fingerprint"))
 
-  /** Full compatibility-mode matrix per subject
-    * (CompatibilityChecker.java's BACKWARD / FORWARD / FULL modes):
-    * backward = no v1 field dropped in v2, forward = no v2 field absent
-    * from v1, full = both. One pass over the same field inventory.
+  /** Non-transitive compatibility-mode matrix per subject
+    * (CompatibilityChecker.java's BACKWARD / FORWARD / FULL modes), v3
+    * checked against v2 only: backward = no v2 field dropped in v3,
+    * forward = no v3 field absent from v2, full = both. One pass over the
+    * same field inventory.
     */
   def schemaCompatModes(spark: SparkSession, dir: String): DataFrame =
-    fields(spark, dir)
-      .groupBy("topic", "field")
-      .agg(
-        max(when(pmod(col("event_id"), lit(2L)) === 0L, 1L).otherwise(0L)).as("has_v1"),
-        max(when(pmod(col("event_id"), lit(2L)) === 1L, 1L).otherwise(0L)).as("has_v2"))
+    versionFlags(spark, dir)
       .groupBy("topic")
       .agg(
-        min(when(col("has_v1") === 1L && col("has_v2") === 0L, 0L).otherwise(1L))
+        min(when(col("has_v2") === 1L && col("has_v3") === 0L, 0L).otherwise(1L))
           .as("backward"),
-        min(when(col("has_v2") === 1L && col("has_v1") === 0L, 0L).otherwise(1L))
+        min(when(col("has_v3") === 1L && col("has_v2") === 0L, 0L).otherwise(1L))
           .as("forward"))
       .withColumn("full_compat", col("backward") * col("forward"))
+
+  /** Transitive compatibility modes (CompatibilityChecker.java:141-146):
+    * the new version (v3) checked against ALL prior versions, not just the
+    * latest — BACKWARD_TRANSITIVE = no field of v1 OR v2 dropped in v3,
+    * FORWARD_TRANSITIVE = no v3 field absent from v1 OR v2,
+    * FULL_TRANSITIVE = both. Reported next to the non-transitive pair so
+    * the matrix shows exactly which subjects pass the weak check but fail
+    * the transitive one (a field dropped in v2 then re-added is the classic
+    * case).
+    */
+  def schemaCompatTransitive(spark: SparkSession, dir: String): DataFrame =
+    versionFlags(spark, dir)
+      .groupBy("topic")
+      .agg(
+        min(when(col("has_v2") === 1L && col("has_v3") === 0L, 0L).otherwise(1L))
+          .as("backward"),
+        min(when((col("has_v1") === 1L || col("has_v2") === 1L) &&
+          col("has_v3") === 0L, 0L).otherwise(1L)).as("backward_transitive"),
+        min(when(col("has_v3") === 1L && col("has_v2") === 0L, 0L).otherwise(1L))
+          .as("forward"),
+        min(when(col("has_v3") === 1L &&
+          (col("has_v1") === 0L || col("has_v2") === 0L), 0L).otherwise(1L))
+          .as("forward_transitive"))
+      .withColumn("full_transitive",
+        col("backward_transitive") * col("forward_transitive"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schema_infer" -> schemaInfer,
     "schema_compat" -> schemaCompat,
     "schema_compat_modes" -> schemaCompatModes,
+    "schema_compat_transitive" -> schemaCompatTransitive,
     "schema_versions" -> schemaVersions)
 
   private val L = LogOps.logSqlCte
@@ -97,6 +160,34 @@ object SchemaRegistry {
       |       json_extract_string(v, '$.' || field) AS fval FROM f)
       |""".stripMargin
 
+  /** DuckDB mirror of [[versionedFields]] (continues fieldsSql; ends with
+    * `vfields(topic, version, field)`).
+    */
+  private val vfieldsSql: String =
+    """, uni AS (
+      |  SELECT * FROM (VALUES ('ts'),('user'),('val'),('src'),('tag'),('geo'))
+      |    u(field)),
+      |synth AS (
+      |  SELECT topic, CAST(v AS BIGINT) AS version, field
+      |  FROM (SELECT DISTINCT topic FROM log)
+      |  CROSS JOIN generate_series(1, 3) t(v) CROSS JOIN uni
+      |  WHERE substring(md5(topic || '#' || field || '#' || CAST(v AS VARCHAR)),
+      |      1, 1) BETWEEN '0' AND '9'),
+      |vfields AS (
+      |  SELECT DISTINCT topic, version, field FROM (
+      |    SELECT topic, event_id % 3 + 1 AS version, field FROM fv
+      |    UNION ALL SELECT * FROM synth))
+      |""".stripMargin
+
+  private val versSql: String = vfieldsSql +
+    """, vers AS (
+      |  SELECT topic, field,
+      |    MAX(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS has_v1,
+      |    MAX(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS has_v2,
+      |    MAX(CASE WHEN version = 3 THEN 1 ELSE 0 END) AS has_v3
+      |  FROM vfields GROUP BY topic, field)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "schema_infer" -> (L + fieldsSql +
       """SELECT topic, field, COUNT(*) AS n,
@@ -104,37 +195,40 @@ object SchemaRegistry {
         |  CASE WHEN MIN(CASE WHEN regexp_matches(fval, '^-?[0-9]+$')
         |    THEN 1 ELSE 0 END) = 1 THEN 'long' ELSE 'string' END AS inferred
         |FROM fv GROUP BY topic, field""".stripMargin),
-    "schema_versions" -> (L + fieldsSql +
-      """, vf AS (
-        |  SELECT DISTINCT topic, event_id % 2 + 1 AS version, field FROM fv)
-        |SELECT topic, version, COUNT(*) AS n_fields,
+    "schema_versions" -> (L + fieldsSql + vfieldsSql +
+      """SELECT topic, version, COUNT(*) AS n_fields,
         |  md5(string_agg(field, ',' ORDER BY field)) AS fingerprint
-        |FROM vf GROUP BY topic, version""".stripMargin),
-    "schema_compat_modes" -> (L + fieldsSql +
-      """, vers AS (
-        |  SELECT topic, field,
-        |    MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS has_v1,
-        |    MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS has_v2
-        |  FROM fv GROUP BY topic, field),
-        |modes AS (
-        |  SELECT topic,
-        |    CAST(MIN(CASE WHEN has_v1 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS backward,
-        |    CAST(MIN(CASE WHEN has_v2 = 1 AND has_v1 = 0 THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS forward
-        |  FROM vers GROUP BY topic)
-        |SELECT topic, backward, forward, backward * forward AS full_compat
-        |FROM modes""".stripMargin),
-    "schema_compat" -> (L + fieldsSql +
-      """, vers AS (
-        |  SELECT topic, field,
-        |    MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS has_v1,
-        |    MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS has_v2
-        |  FROM fv GROUP BY topic, field)
-        |SELECT topic, CAST(SUM(has_v1) AS BIGINT) AS n_v1_fields,
-        |  CAST(SUM(has_v2) AS BIGINT) AS n_v2_fields,
-        |  CAST(SUM(has_v1 * has_v2) AS BIGINT) AS n_common,
-        |  CAST(MIN(CASE WHEN has_v1 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM vfields GROUP BY topic, version""".stripMargin),
+    "schema_compat_modes" -> (L + fieldsSql + versSql +
+      """SELECT topic,
+        |  CAST(MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS backward,
+        |  CAST(MIN(CASE WHEN has_v3 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS forward,
+        |  CAST(MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END)
+        |    * MIN(CASE WHEN has_v3 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS full_compat
+        |FROM vers GROUP BY topic""".stripMargin),
+    "schema_compat_transitive" -> (L + fieldsSql + versSql +
+      """SELECT topic,
+        |  CAST(MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS backward,
+        |  CAST(MIN(CASE WHEN (has_v1 = 1 OR has_v2 = 1) AND has_v3 = 0
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS backward_transitive,
+        |  CAST(MIN(CASE WHEN has_v3 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS forward,
+        |  CAST(MIN(CASE WHEN has_v3 = 1 AND (has_v1 = 0 OR has_v2 = 0)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS forward_transitive,
+        |  CAST(MIN(CASE WHEN (has_v1 = 1 OR has_v2 = 1) AND has_v3 = 0
+        |    THEN 0 ELSE 1 END)
+        |    * MIN(CASE WHEN has_v3 = 1 AND (has_v1 = 0 OR has_v2 = 0)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS full_transitive
+        |FROM vers GROUP BY topic""".stripMargin),
+    "schema_compat" -> (L + fieldsSql + versSql +
+      """SELECT topic, CAST(SUM(has_v2) AS BIGINT) AS n_prev_fields,
+        |  CAST(SUM(has_v3) AS BIGINT) AS n_new_fields,
+        |  CAST(SUM(has_v2 * has_v3) AS BIGINT) AS n_common,
+        |  CAST(MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
         |    AS backward_compatible
         |FROM vers GROUP BY topic""".stripMargin))
 }
