@@ -458,7 +458,36 @@ object Groups {
           col("meta_partition").cast("string"))), lit(4L)))
   }
 
+  /** DeleteGroups impact (KafkaRequestHandler.java:2161,
+    * GroupCoordinator.handleDeleteGroups) — the destructive sibling of
+    * [[offsetExpiration]]: a DeleteGroups call succeeds only against an
+    * Empty group (offsets purged, state -> Dead); a Dead group answers
+    * GROUP_ID_NOT_FOUND; a group with live members answers
+    * NON_EMPTY_GROUP and nothing is purged. Composes [[groupState]]'s
+    * point-in-time state with the commit ledger to report, per group, the
+    * request outcome and exactly how many committed offsets deletion
+    * would purge.
+    */
+  def deleteGroups(spark: SparkSession, dir: String): DataFrame = {
+    val st = groupState(spark, dir)
+      .select(col("group_id"), col("state").as("state_before"))
+    val offs = commits(spark, dir).groupBy("group_id")
+      .agg(count(lit(1)).as("n_offsets"))
+    st.join(offs, Seq("group_id"))
+      .withColumn("result",
+        when(col("state_before") === "Empty", "DELETED")
+          .when(col("state_before") === "Dead", "GROUP_ID_NOT_FOUND")
+          .otherwise("NON_EMPTY_GROUP"))
+      .select(
+        col("group_id"), col("state_before"), col("n_offsets"), col("result"),
+        when(col("result") === "DELETED", col("n_offsets")).otherwise(0L)
+          .as("n_offsets_purged"),
+        when(col("result") === "DELETED", lit("Dead"))
+          .otherwise(col("state_before")).as("state_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delete_groups" -> deleteGroups,
     "rebalance_join" -> rebalanceJoin,
     "protocol_select" -> protocolSelect,
     "coordinator_placement" -> coordinatorPlacement,
@@ -483,6 +512,34 @@ object Groups {
        |    THEN idx // ((np // $nc) + 1)
        |    ELSE (np % $nc) + (idx - ((np // $nc) + 1) * (np % $nc)) // (np // $nc)
        |  END""".stripMargin
+
+  /** The [[groupState]] state machine as a CTE chain (continues
+    * memberHbSql; ends with `gs(group_id, generation, n_members, n_alive,
+    * n_evicted, n_live_offsets, state)`) — one definition shared by the
+    * group_state and delete_groups oracles so the two cannot drift.
+    */
+  private val gstateSql: String =
+    """members AS (
+      |  SELECT g, COUNT(*) AS n_members,
+      |    CAST(SUM(CASE WHEN now_ms - last_hb_ms <= 28800000 THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_alive,
+      |    CAST(SUM(CASE WHEN now_ms - last_hb_ms > 28800000 THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_evicted
+      |  FROM mh CROSS JOIN nw GROUP BY g),
+      |offs AS (
+      |  SELECT g, CAST(SUM(CASE WHEN commit_ms >= now_ms - 1512000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_live_offsets
+      |  FROM commits CROSS JOIN nw GROUP BY g),
+      |gs AS (
+      |  SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
+      |    1 + n_evicted AS generation,
+      |    n_members, n_alive, n_evicted, n_live_offsets,
+      |    CASE WHEN n_alive = n_members THEN 'Stable'
+      |         WHEN n_alive > 0 THEN 'PreparingRebalance'
+      |         WHEN n_live_offsets > 0 THEN 'Empty'
+      |         ELSE 'Dead' END AS state
+      |  FROM members JOIN offs USING (g))
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "rebalance_join" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
@@ -566,25 +623,29 @@ object Groups {
     // Composes commitsSql (the one commit-simulation definition) rather
     // than re-implementing it inline — the two cannot drift.
     "group_state" -> (L + commitsSql.stripSuffix("\n") + ",\n" + memberHbSql +
-      s"""members AS (
-         |  SELECT g, COUNT(*) AS n_members,
-         |    CAST(SUM(CASE WHEN now_ms - last_hb_ms <= 28800000 THEN 1 ELSE 0
-         |      END) AS BIGINT) AS n_alive,
-         |    CAST(SUM(CASE WHEN now_ms - last_hb_ms > 28800000 THEN 1 ELSE 0
-         |      END) AS BIGINT) AS n_evicted
-         |  FROM mh CROSS JOIN nw GROUP BY g),
-         |offs AS (
-         |  SELECT g, CAST(SUM(CASE WHEN commit_ms >= now_ms - 1512000000
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_live_offsets
-         |  FROM commits CROSS JOIN nw GROUP BY g)
-         |SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
-         |  1 + n_evicted AS generation,
-         |  n_members, n_alive, n_evicted, n_live_offsets,
-         |  CASE WHEN n_alive = n_members THEN 'Stable'
-         |       WHEN n_alive > 0 THEN 'PreparingRebalance'
-         |       WHEN n_live_offsets > 0 THEN 'Empty'
-         |       ELSE 'Dead' END AS state
-         |FROM members JOIN offs USING (g)""".stripMargin),
+      gstateSql +
+      """SELECT group_id, generation, n_members, n_alive, n_evicted,
+        |  n_live_offsets, state
+        |FROM gs""".stripMargin),
+    // Same gs CTE as group_state — the deletion outcome derives from the
+    // identical state machine, then joins the commit ledger for the purge
+    // count.
+    "delete_groups" -> (L + commitsSql.stripSuffix("\n") + ",\n" + memberHbSql +
+      gstateSql +
+      """, oc AS (
+        |  SELECT group_id, COUNT(*) AS n_offsets FROM commits GROUP BY group_id),
+        |res AS (
+        |  SELECT gs.group_id, gs.state AS state_before, oc.n_offsets,
+        |    CASE WHEN gs.state = 'Empty' THEN 'DELETED'
+        |         WHEN gs.state = 'Dead' THEN 'GROUP_ID_NOT_FOUND'
+        |         ELSE 'NON_EMPTY_GROUP' END AS result
+        |  FROM gs JOIN oc ON oc.group_id = gs.group_id)
+        |SELECT group_id, state_before, n_offsets, result,
+        |  CAST(CASE WHEN result = 'DELETED' THEN n_offsets ELSE 0 END AS BIGINT)
+        |    AS n_offsets_purged,
+        |  CASE WHEN result = 'DELETED' THEN 'Dead' ELSE state_before END
+        |    AS state_after
+        |FROM res""".stripMargin),
     "static_membership" -> (L +
       s"""tp AS (SELECT DISTINCT topic, part FROM log),
          |ix AS (

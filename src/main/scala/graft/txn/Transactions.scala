@@ -232,7 +232,114 @@ object Transactions {
         count(lit(1)).as("n_records"))
   }
 
+  /** Transactional offset commits (GroupMetadata.java:197
+    * `pendingTransactionalOffsetCommits`, :470 `prepareTxnOffsetCommit`,
+    * :512 `onTxnOffsetCommitAppend`; KafkaRequestHandler
+    * .handleTxnOffsetCommit): the exactly-once consume-transform-produce
+    * loop commits its group offsets INSIDE the producer's transaction, so
+    * per (group, partition) there are two offsets — the last plain commit
+    * and an in-flight transactional one. The transactional commit
+    * materializes only once its COMMIT marker lands; an abort rolls it
+    * back as if never written; while the txn is open the commit is
+    * pending, and an OffsetFetch with `require_stable` must refuse to
+    * answer (stable_offset NULL) instead of serving a value that may roll
+    * back.
+    *
+    * Model: each (group, partition) carries one transactional commit at
+    * the midpoint between the plain committed offset and the log end,
+    * owned by txn_id = md5(group#topic#part) mod 64; the txn's fate reuses
+    * the engine-wide md5 state tag (0-2 aborted, 3-4 ongoing, else
+    * committed — the same draw as [[lsoLag]]'s undecided set).
+    *
+    * Scale: one broadcast-sized frame (|groups| x |partitions|) derived
+    * from the leo aggregate; no per-record state.
+    */
+  def txnOffsetCommits(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    graft.coordinator.Groups.commits(spark, dir)
+      .withColumn("txn_id",
+        pmod(md5Long(concat_ws("#", col("group_id"), col("topic"),
+          col("part").cast("string"))), lit(64L)))
+      .withColumn("tag", substring(md5(col("txn_id").cast("string")), 1, 1))
+      .withColumn("txn_state",
+        when(col("tag").isin("0", "1", "2"), "ABORTED")
+          .when(col("tag").isin("3", "4"), "ONGOING")
+          .otherwise("COMMITTED"))
+      .withColumn("txn_offset",
+        col("committed") + expr("(log_end - committed) div 2"))
+      .withColumn("materialized",
+        when(col("txn_state") === "COMMITTED",
+          greatest(col("txn_offset"), col("committed")))
+          .otherwise(col("committed")))
+      .select(
+        col("group_id"), col("topic"), col("part"),
+        col("committed").as("base_committed"),
+        col("txn_id"), col("txn_state"), col("txn_offset"),
+        col("materialized"),
+        when(col("txn_state") === "ONGOING", 1L).otherwise(0L).as("pending"),
+        when(col("txn_state") === "ABORTED", 1L).otherwise(0L).as("rolled_back"),
+        when(col("txn_state") === "ONGOING", lit(null).cast("long"))
+          .otherwise(col("materialized")).as("stable_offset"))
+  }
+
+  /** DescribeProducers response (KafkaRequestHandler.java:2032
+    * `handleDescribeProducersRequest`; ProducerStateManager's per-partition
+    * producer map): per (topic, partition, producer) the active state the
+    * admin API reports — producer epoch, last partition-local sequence,
+    * last append timestamp, and whether the producer currently holds an
+    * open transaction on the partition (with its start offset, the LSO
+    * blocker lsoLag measures). Sequences are per (producer, partition) —
+    * the partition's record count for that producer minus one — matching
+    * the broker's per-partition ProducerStateEntry.
+    *
+    * Scale: one partial-aggregated shuffle on (topic, part, producer);
+    * every aggregate is map-side combinable.
+    */
+  def describeProducers(spark: SparkSession, dir: String): DataFrame =
+    txnLog(spark, dir)
+      .withColumn("producer_id", pmod(col("k").cast("long"), lit(16L)))
+      .withColumn("epoch", expr("(event_id div 500) % 8"))
+      .withColumn("open",
+        when(substring(md5(col("txn_id").cast("string")), 1, 1)
+          .isin("3", "4"), 1L).otherwise(0L))
+      .groupBy("topic", "part", "producer_id")
+      .agg(
+        count(lit(1)).as("n_records"),
+        (count(lit(1)) - 1L).as("last_seq"),
+        max("epoch").as("producer_epoch"),
+        max("tms").as("last_ms"),
+        max("open").as("open_txn"),
+        min(when(col("open") === 1L, col("offs"))).as("txn_start_offs"))
+
+  /** ListTransactions with a state filter (KafkaRequestHandler.java:2133
+    * `handleListTransactionsRequest`, :2151
+    * `handleDescribeTransactionsRequest`): the transaction listing at txn
+    * grain — coordinator state (Ongoing / CompleteAbort / CompleteCommit
+    * from the engine-wide md5 tag), producers and partitions involved,
+    * start time and span — filtered to the non-completed-commit states
+    * (the `filteredStates` a "what is stuck or rolling back" operator call
+    * passes). One partial-aggregated shuffle on txn_id.
+    */
+  def listTransactions(spark: SparkSession, dir: String): DataFrame =
+    txnLog(spark, dir)
+      .withColumn("tag", substring(md5(col("txn_id").cast("string")), 1, 1))
+      .withColumn("state",
+        when(col("tag").isin("0", "1", "2"), "CompleteAbort")
+          .when(col("tag").isin("3", "4"), "Ongoing")
+          .otherwise("CompleteCommit"))
+      .groupBy("txn_id", "state")
+      .agg(
+        countDistinct(pmod(col("k").cast("long"), lit(16L))).as("n_producers"),
+        countDistinct(concat(col("topic"), lit("#"), col("part").cast("string")))
+          .as("n_partitions"),
+        min("tms").as("start_ms"),
+        (max("tms") - min("tms")).as("duration_ms"))
+      .filter(col("state") =!= "CompleteCommit")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txn_offset_commits" -> txnOffsetCommits,
+    "describe_producers" -> describeProducers,
+    "list_transactions" -> listTransactions,
     "txn_markers" -> txnMarkers,
     "producer_id_blocks" -> producerIdBlocks,
     "lso_lag" -> lsoLag,
@@ -246,6 +353,71 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "txn_offset_commits" -> (L + graft.coordinator.Groups.commitsSql +
+      """, toc AS (
+        |  SELECT group_id, topic, part, committed, log_end,
+        |    ('0x' || substring(md5(group_id || '#' || topic || '#' ||
+        |      CAST(part AS VARCHAR)), 1, 14))::BIGINT % 64 AS txn_id
+        |  FROM commits),
+        |st AS (
+        |  SELECT *, substring(md5(CAST(txn_id AS VARCHAR)), 1, 1) AS tag,
+        |    committed + (log_end - committed) // 2 AS txn_offset
+        |  FROM toc),
+        |fin AS (
+        |  SELECT group_id, topic, part, committed AS base_committed, txn_id,
+        |    CASE WHEN tag IN ('0','1','2') THEN 'ABORTED'
+        |         WHEN tag IN ('3','4') THEN 'ONGOING'
+        |         ELSE 'COMMITTED' END AS txn_state,
+        |    txn_offset
+        |  FROM st),
+        |mat AS (
+        |  SELECT *, CASE WHEN txn_state = 'COMMITTED'
+        |      THEN GREATEST(txn_offset, base_committed)
+        |      ELSE base_committed END AS materialized
+        |  FROM fin)
+        |SELECT group_id, topic, part, base_committed, txn_id, txn_state,
+        |  txn_offset, materialized,
+        |  CAST(CASE WHEN txn_state = 'ONGOING' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS pending,
+        |  CAST(CASE WHEN txn_state = 'ABORTED' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS rolled_back,
+        |  CASE WHEN txn_state = 'ONGOING' THEN NULL ELSE materialized END
+        |    AS stable_offset
+        |FROM mat""".stripMargin),
+    "describe_producers" -> (L + txnSql +
+      """, pr AS (
+        |  SELECT topic, part, CAST(k AS BIGINT) % 16 AS producer_id,
+        |    (event_id // 500) % 8 AS epoch, tms, offs,
+        |    CASE WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
+        |      IN ('3','4') THEN 1 ELSE 0 END AS open
+        |  FROM txn)
+        |SELECT topic, part, producer_id,
+        |  COUNT(*) AS n_records,
+        |  COUNT(*) - 1 AS last_seq,
+        |  MAX(epoch) AS producer_epoch,
+        |  MAX(tms) AS last_ms,
+        |  CAST(MAX(open) AS BIGINT) AS open_txn,
+        |  MIN(CASE WHEN open = 1 THEN offs END) AS txn_start_offs
+        |FROM pr GROUP BY topic, part, producer_id""".stripMargin),
+    "list_transactions" -> (L + txnSql +
+      """, lt AS (
+        |  SELECT txn_id,
+        |    CASE WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
+        |           IN ('0','1','2') THEN 'CompleteAbort'
+        |         WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
+        |           IN ('3','4') THEN 'Ongoing'
+        |         ELSE 'CompleteCommit' END AS state,
+        |    CAST(k AS BIGINT) % 16 AS producer_id,
+        |    topic || '#' || CAST(part AS VARCHAR) AS tp, tms
+        |  FROM txn)
+        |SELECT txn_id, state,
+        |  CAST(COUNT(DISTINCT producer_id) AS BIGINT) AS n_producers,
+        |  CAST(COUNT(DISTINCT tp) AS BIGINT) AS n_partitions,
+        |  MIN(tms) AS start_ms,
+        |  MAX(tms) - MIN(tms) AS duration_ms
+        |FROM lt
+        |WHERE state <> 'CompleteCommit'
+        |GROUP BY txn_id, state""".stripMargin),
     "txn_markers" -> (L + txnSql +
       """, tpb AS (
         |  SELECT txn_id, aborted,
