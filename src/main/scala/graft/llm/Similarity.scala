@@ -212,13 +212,85 @@ object Similarity {
       .select("q_id", "n_id", "qdot", "cos8", "rank")
   }
 
+  /** Normalized 8-dim subspace slices (vec_id, s, sv) — the shared input
+    * of the PQ codebook fit and the PQ encode/search path.
+    */
+  private def subSlices(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("vn"))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), s -> slice(vn, s * 8 + 1, 8))"))
+        .as(Seq("s", "sv")))
+
+  /** Per-subspace squared distance, quantized to a long (floor(d2 * 1e9))
+    * by an ordered fold — exact integer arithmetic downstream, so both the
+    * codebook fit and the ADC ranking are engine-identical.
+    */
+  private val pqD2q =
+    """CAST(floor(aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),
+      |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000000000.0D) AS BIGINT)""".stripMargin
+
+  private val PqQ = 1000000L
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** PQ sub-codebooks fitted per subspace with the kmeans_fit discipline
+    * (Lloyd to fixpoint under the same MaxRounds budget, quantized means,
+    * localCheckpoint lineage, collect-free set-difference convergence
+    * probe): 16 sub-centroids per subspace, seeded from the 16 lowest-id
+    * vectors' slices and refined on the slice population — trained
+    * codebooks instead of arbitrary seed slices, the same fix kmeans_fit
+    * brought to the IVF coarse quantizer. All 8 subspaces fit in ONE
+    * iterated (s, cid)-keyed frame (8 x 16 = 128 rows), so the loop costs
+    * the same number of passes as a single k-means. Returns (s, cid, cv).
+    */
+  private[llm] def pqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    pqCache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) pqCache.remove(k)
+    }
+    pqCache.getOrElseUpdate((spark, dir), {
+      val subs = subSlices(spark, dir)
+      var cents = subs.filter(col("vec_id") < 16)
+        .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+        .localCheckpoint()
+      var round = 0
+      var converged = false
+      while (round < Clustering.MaxRounds && !converged) {
+        val assigned = subs.join(broadcast(cents), "s")
+          .withColumn("d2q", expr(pqD2q))
+          .groupBy("vec_id", "s")
+          .agg(expr("min_by(cid, struct(d2q, cid))").as("cid"))
+        val next = assigned.join(subs, Seq("vec_id", "s"))
+          .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .select(col("s"), col("cid"), col("dim"),
+            expr(s"floor(x * $PqQ)").as("xq"))
+          .groupBy("s", "cid", "dim")
+          .agg(count(lit(1)).as("n"), sum("xq").cast("long").as("sq"))
+          .withColumn("c",
+            col("sq").cast("double") / (col("n") * PqQ).cast("double"))
+          .groupBy("s", "cid")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), t -> t.c)")
+            .as("cv"))
+          .select("s", "cid", "cv")
+          .localCheckpoint()
+        converged =
+          next.exceptAll(cents).isEmpty && cents.exceptAll(next).isEmpty
+        cents = next
+        round += 1
+      }
+      cents
+    })
+  }
+
   /** Product-quantization ANN — the codebook compression real vector
     * stores run at 100 TB: normalized vectors split into 8 subspaces of 8
-    * dims; each subspace quantizes to its nearest of 16 sub-centroids
-    * (the 16 lowest-id vectors' slices), so a 512-byte vector becomes 8
-    * code bytes. A query precomputes its 8 x 16 distance table
-    * (broadcast), and candidate distance is a pure table-lookup sum over
-    * the codes — the scan touches codes, never raw vectors.
+    * dims; each subspace quantizes to its nearest of 16 TRAINED
+    * sub-centroids ([[pqCodebook]] — per-subspace Lloyd to fixpoint), so a
+    * 512-byte vector becomes 8 code bytes. A query precomputes its 8 x 16
+    * distance table (broadcast), and candidate distance is a pure
+    * table-lookup sum over the codes — the scan touches codes, never raw
+    * vectors.
     *
     * Parity: each per-subspace squared distance is an ordered fold
     * quantized to a long (floor(d2 * 1e9)); the cross-subspace sum is
@@ -227,18 +299,9 @@ object Similarity {
     * ADC distance.
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(spark, dir)
-    val subs = vecs
-      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("vn"))
-      .select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 7), s -> slice(vn, s * 8 + 1, 8))"))
-        .as(Seq("s", "sv")))
-    val cents = subs.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("s"), col("sv").as("cv"))
-    val d2q =
-      """CAST(floor(aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),
-        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000000000.0D) AS BIGINT)""".stripMargin
-    val dists = subs.join(broadcast(cents), "s").withColumn("d2q", expr(d2q))
+    val subs = subSlices(spark, dir)
+    val cents = pqCodebook(spark, dir)
+    val dists = subs.join(broadcast(cents), "s").withColumn("d2q", expr(pqD2q))
     val codes = dists
       .groupBy("vec_id", "s")
       .agg(expr("min_by(cid, struct(d2q, cid))").as("code"))
@@ -350,18 +413,62 @@ object Similarity {
       |    list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])),
       |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
 
+  /** DuckDB mirror of [[pqCodebook]]: MaxRounds Lloyd rounds per subspace
+    * unrolled as CTEs over the one (s, cid)-keyed codebook (a fixpoint
+    * makes trailing rounds no-ops, matching the driver loop's early
+    * exit). Continues `subs`; ends with `pcent(s, cid, cv)`.
+    */
+  private def pqFitSql: String = {
+    val d2 =
+      """CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 8),
+        |        i -> (subs.sv[i] - c.cv[i]) * (subs.sv[i] - c.cv[i]))),
+        |      (acc, x) -> acc + x) * 1000000000.0) AS BIGINT)""".stripMargin
+    val rounds = (1 to Clustering.MaxRounds).map { r =>
+      val prev = if (r == 1) "p0" else s"p${r - 1}"
+      s"""pa$r AS (
+         |  SELECT subs.vec_id, subs.s, c.cid, $d2 AS d2q
+         |  FROM subs JOIN $prev c USING (s)),
+         |pb$r AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+         |      ORDER BY d2q, cid) AS rn FROM pa$r)
+         |  WHERE rn = 1),
+         |pd$r AS (
+         |  SELECT b.s, b.cid,
+         |    unnest(generate_series(0, 7)) AS dim,
+         |    unnest(list_transform(subs.sv,
+         |      x -> CAST(floor(x * $PqQ) AS BIGINT))) AS xq
+         |  FROM pb$r b JOIN subs ON subs.vec_id = b.vec_id AND subs.s = b.s),
+         |pm$r AS (
+         |  SELECT s, cid, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sq
+         |  FROM pd$r GROUP BY s, cid, dim),
+         |p$r AS (
+         |  SELECT s, cid,
+         |    list(CAST(sq AS DOUBLE) / CAST(n * $PqQ AS DOUBLE) ORDER BY dim)
+         |      AS cv
+         |  FROM pm$r GROUP BY s, cid)""".stripMargin
+    }.mkString(",\n")
+    s""", p0 AS (
+       |  SELECT s, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 16),
+       |$rounds,
+       |pcent AS (SELECT s, cid, cv FROM p${Clustering.MaxRounds})
+       |""".stripMargin
+  }
+
   /** The PQ codebook/encode/ADC CTE chain (continues vecSql; ends with
     * `cand(q_id, n_id, distq)`) — shared by ann_pq and pq_recall.
     */
-  private val pqChainSql: String =
+  private def pqChainSql: String =
     """, nv AS (
       |  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM vecs),
       |subs AS (
       |  SELECT vec_id, CAST(s AS BIGINT) AS s,
       |    list_slice(vn, s * 8 + 1, s * 8 + 8) AS sv
-      |  FROM nv, generate_series(0, 7) t(s)),
-      |pcents AS (
-      |  SELECT vec_id AS cid, s, sv AS cv FROM subs WHERE vec_id < 16),
+      |  FROM nv, generate_series(0, 7) t(s))""".stripMargin +
+    pqFitSql.stripSuffix("\n") + ",\n" +
+    """pcents AS (
+      |  SELECT cid, s, cv FROM pcent),
       |d AS (
       |  SELECT sub.vec_id, sub.s, c.cid,
       |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
