@@ -16,8 +16,12 @@ object Bench {
     // query to 10 s; the min of two runs is the steady-state number the
     // baseline comparison is about.
     // Optional comma-separated query filter (local stress runs only; the
-    // driver sets no filter and times everything).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // driver sets no filter and times everything). An empty/blank value is
+    // NO filter — a bare `SPARK_GRAFT_ONLY=` export must not silently
+    // produce an empty benchmark pass.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     def pass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -41,7 +45,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val nFail = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"sf":"$sfDir"}""")
+    // Both raw pass times per query (ms precision), so a reader can tell a
+    // transient host stall in one pass (t1 >> t2 or vice versa) from a
+    // genuine regression (both passes slow) without re-running.
+    def ms(v: Double): String = f"$v%.3f"
+    val passes = p1.map { case (name, v1, ok1) =>
+      val (v2, ok2) = p2.getOrElse(name, (-1.0, false))
+      "\"" + name + "\":[" + (if (ok1) ms(v1) else "-1") + "," +
+        (if (ok2) ms(v2) else "-1") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

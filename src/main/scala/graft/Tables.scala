@@ -13,4 +13,45 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Content fingerprint of one table's files under `dir` — (path, size,
+    * mtime) of every file, hashed. Session-lifetime caches key on this so
+    * data regenerated in-place mid-session (the gen_stress workflow reuses
+    * one /tmp path) invalidates naturally instead of serving stale frames.
+    * One driver-side directory listing per cache miss — no data read.
+    */
+  def fingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      if (!fs.exists(p)) Seq(s"absent:$p")
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          buf += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+        }
+        buf.sorted.toSeq
+      }
+    java.util.UUID.nameUUIDFromBytes(
+      entries.mkString("\n").getBytes("UTF-8")).toString
+  }
+
+  /** Fingerprinted cache key for session-lifetime frame caches, plus the
+    * stale-entry purge: removes entries of the same (session, dir) whose
+    * fingerprint no longer matches (their cached partitions age out LRU).
+    */
+  def freshCacheKey[V](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+      spark: SparkSession, dir: String, table: String): (SparkSession, String) = {
+    cache.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) cache.remove(k)
+    }
+    val key = s"$dir@${fingerprint(spark, dir, table)}"
+    cache.keys.foreach { case k @ (s, d) =>
+      if (s == spark && d != key && d.startsWith(dir + "@")) cache.remove(k)
+    }
+    (spark, key)
+  }
 }

@@ -54,10 +54,11 @@ object Clustering {
     * set-difference over the k-row centroid frames, never over the data.
     */
   private[llm] def fittedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    fitCache.keys.foreach { case k @ (s, _) =>
-      if (s.sparkContext.isStopped) fitCache.remove(k)
-    }
-    fitCache.getOrElseUpdate((spark, dir), {
+    // Keyed on a content fingerprint of the embeddings table, not the path
+    // alone: data regenerated in-place mid-session (the gen_stress
+    // workflow) re-fits instead of serving stale centroids.
+    fitCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(fitCache, spark, dir, "embeddings"), {
       val vecs = Embeddings.withNorm(spark, dir)
       var cents = vecs.filter(col("vec_id") < FitK)
         .select(col("vec_id").as("cid"), col("v").as("cv"),

@@ -53,7 +53,8 @@ object Dedup {
     graft.functions.MinHashSig.register(spark)
     graft.functions.TextHashes.register(spark)
     purgeStopped()
-    val (sigs, cand) = lshCache.getOrElseUpdate((spark, dir), {
+    val (sigs, cand) = lshCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(lshCache, spark, dir, "documents"), {
       val s = t(spark, dir, "documents")
         .filter(length(col("text")) >= 5)
         .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))

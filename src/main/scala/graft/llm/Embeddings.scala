@@ -21,10 +21,8 @@ object Embeddings {
 
   def withNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecDot.register(spark)
-    cache.keys.foreach { case k @ (s, _) =>
-      if (s.sparkContext.isStopped) cache.remove(k)
-    }
-    cache.getOrElseUpdate((spark, dir),
+    cache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(cache, spark, dir, "embeddings"),
       t(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

@@ -246,10 +246,8 @@ object Similarity {
     * the same number of passes as a single k-means. Returns (s, cid, cv).
     */
   private[llm] def pqCodebook(spark: SparkSession, dir: String): DataFrame = {
-    pqCache.keys.foreach { case k @ (s, _) =>
-      if (s.sparkContext.isStopped) pqCache.remove(k)
-    }
-    pqCache.getOrElseUpdate((spark, dir), {
+    pqCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(pqCache, spark, dir, "embeddings"), {
       val subs = subSlices(spark, dir)
       var cents = subs.filter(col("vec_id") < 16)
         .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))

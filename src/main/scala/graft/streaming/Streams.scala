@@ -86,8 +86,13 @@ object Streams {
     * stream == batch range_join_events.
     */
   def intervalJoinStream(events: DataFrame, signups: DataFrame): DataFrame = {
+    // ms-truncated event time (ts div 1e6, the batch twin's tms) — NOT the
+    // microsecond ts div 1000: the [s_ts, s_ts + 1h) bounds must be
+    // bit-identical to rangeJoinEvents' millisecond comparison, or a pair
+    // landing in the same millisecond / exactly on the 1h boundary would
+    // disagree between stream and batch.
     def withEts(df: DataFrame) =
-      df.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ets", timestamp_millis(expr("ts div 1000000")))
     val s = withEts(signups).filter(col("event_type") === "signup")
       .select(col("user_id").as("su"), col("event_id").as("signup_id"),
         col("ets").as("s_ts"))

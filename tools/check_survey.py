@@ -23,10 +23,19 @@ def registered_queries():
     for src in (ROOT / "src/main/scala").rglob("*.scala"):
         text = src.read_text()
         # Each module declares: val queries: Map[...] = Map("name" -> fn, ...)
-        for m in re.finditer(
-                r"val queries\s*:\s*Map\[[^\]]+\]\s*=\s*Map\((.*?)\)\s*\n",
-                text, re.S):
-            names.update(re.findall(r'"([a-z0-9_]+)"\s*->', m.group(1)))
+        # Scan to the matching close paren by depth (a non-greedy regex to
+        # the first ")\n" truncates on any entry line ending with ')').
+        for m in re.finditer(r"val queries\s*:\s*Map\[[^\]]+\]\s*=\s*Map\(",
+                             text):
+            depth, i = 1, m.end()
+            while i < len(text) and depth > 0:
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+                i += 1
+            names.update(
+                re.findall(r'"([a-z0-9_]+)"\s*->', text[m.end():i - 1]))
     return names
 
 
