@@ -320,6 +320,42 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF + PQ composition — the canonical capacity-scale vector-index
+    * layout (FAISS-style IVFADC): candidate generation from the query's
+    * IVF cell (the k-means-fitted coarse quantizer, [[ivfCells]]) and
+    * ranking from the trained PQ codes ([[pqCodebook]]) via broadcast ADC
+    * table lookups. At 100 TB the scan touches ONE cell's code bytes —
+    * ~1/16 of an index already 64x smaller than the vectors; neither the
+    * raw vectors nor other cells are read. Top-3 per query by ADC
+    * distance within the probed cell.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir).select(col("vec_id"), col("cell"))
+    val subs = subSlices(spark, dir)
+    val cents = pqCodebook(spark, dir)
+    val dists = subs.join(broadcast(cents), "s").withColumn("d2q", expr(pqD2q))
+    val codes = dists.groupBy("vec_id", "s")
+      .agg(expr("min_by(cid, struct(d2q, cid))").as("code"))
+      .join(cells, "vec_id")
+    val dtable = dists.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("cid"),
+        col("d2q"))
+    val qcells = cells.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("q_id"), col("cell").as("qcell"))
+    val cand = codes
+      .join(broadcast(dtable.join(qcells, "q_id")),
+        col("s") === col("qs") && col("code") === col("cid") &&
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum("d2q").cast("long").as("distq"))
+    val w = Window.partitionBy("q_id").orderBy(col("distq"), col("n_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"),
+        (col("distq").cast("double") / lit(1000000000.0d)).as("dist"),
+        col("rank"))
+  }
+
   /** PQ-loss evaluation: recall@3 of the product-quantized index against
     * the exact top-3 — with [[annRecall]] (LSH) and [[sq8Recall]] (int8)
     * this completes the recall gate for every approximate path, the
@@ -384,6 +420,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfpq" -> annIvfPq,
     "ann_pq" -> annPq,
     "pq_recall" -> pqRecall,
     "ann_sq8" -> annSq8,
@@ -454,10 +491,12 @@ object Similarity {
        |""".stripMargin
   }
 
-  /** The PQ codebook/encode/ADC CTE chain (continues vecSql; ends with
-    * `cand(q_id, n_id, distq)`) — shared by ann_pq and pq_recall.
+  /** The PQ codebook/encode/distance-table CTE chain (continues vecSql;
+    * ends with `codes(vec_id, s, code)` + `dtable(q_id, s, cid, d2q)`) —
+    * the common prefix of every PQ consumer; each op defines its own
+    * candidate set on top.
     */
-  private def pqChainSql: String =
+  private def pqCodeSql: String =
     """, nv AS (
       |  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM vecs),
       |subs AS (
@@ -481,8 +520,14 @@ object Similarity {
       |  WHERE rn = 1),
       |dtable AS (
       |  SELECT vec_id AS q_id, s, cid, d2q FROM d
-      |  WHERE vec_id >= 100 AND vec_id < 108),
-      |cand AS (
+      |  WHERE vec_id >= 100 AND vec_id < 108)
+      |""".stripMargin
+
+  /** [[pqCodeSql]] + the unrestricted candidate set (`cand(q_id, n_id,
+    * distq)`) — shared by ann_pq and pq_recall.
+    */
+  private def pqChainSql: String = pqCodeSql.stripSuffix("\n") + ",\n" +
+    """cand AS (
       |  SELECT dt.q_id, c.vec_id AS n_id,
       |    CAST(SUM(dt.d2q) AS BIGINT) AS distq
       |  FROM codes c JOIN dtable dt ON c.s = dt.s AND c.code = dt.cid
@@ -491,6 +536,40 @@ object Similarity {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_ivfpq" -> (vecSql + pqCodeSql.stripSuffix("\n") +
+      Clustering.fitSql.stripSuffix("\n") + ",\n" +
+      s"""cents AS (
+         |  SELECT cid, cv, cnrm FROM fcent),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |cells AS (
+         |  SELECT a.vec_id, a.cid AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
+         |  WHERE a.crn = 1),
+         |qc AS (
+         |  SELECT vec_id AS q_id, cell FROM cells
+         |  WHERE vec_id >= 100 AND vec_id < 108),
+         |cand AS (
+         |  SELECT dt.q_id, c.vec_id AS n_id,
+         |    CAST(SUM(dt.d2q) AS BIGINT) AS distq
+         |  FROM codes c
+         |  JOIN cells cc ON cc.vec_id = c.vec_id
+         |  JOIN dtable dt ON c.s = dt.s AND c.code = dt.cid
+         |    AND c.vec_id <> dt.q_id
+         |  JOIN qc ON qc.q_id = dt.q_id AND qc.cell = cc.cell
+         |  GROUP BY dt.q_id, c.vec_id)
+         |SELECT q_id, n_id,
+         |  CAST(distq AS DOUBLE) / 1000000000.0 AS dist,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY distq, n_id) AS rank FROM cand)
+         |WHERE rank <= 3""".stripMargin),
     "ann_pq" -> (vecSql + pqChainSql +
       """SELECT q_id, n_id,
         |  CAST(distq AS DOUBLE) / 1000000000.0 AS dist,

@@ -167,6 +167,55 @@ object TextAnalysis {
       .filter(col("rnk") <= 20)
   }
 
+  /** BPE merge training — the iterative loop behind every tokenizer build
+    * (Sennrich et al. 2016), not just the first pair table
+    * ([[bpePairCounts]]): words become space-separated symbol sequences,
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * merges the single most frequent pair (ties to the lexicographically
+    * smallest) everywhere, and repeats. Three rounds; output is the merge
+    * table (round, pair, merged symbol, pair count at merge time) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale: the iterated frame is the word-frequency vocabulary (not the
+    * corpus — pair counting is weighted by freq), the winning pair is a
+    * broadcast 1-row frame, and the merge is a codegen'd string replace.
+    * Left-to-right non-overlapping replace semantics are identical in
+    * Spark and DuckDB, so sequences stay bit-identical; the winner pick is
+    * a global (n DESC, pair ASC) top-1 (TakeOrderedAndProject — no full
+    * sort materialized).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 3
+    val words = t(spark, dir, "documents")
+      .select(explode(split(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+    var seqs = words.withColumn("seq",
+      concat(lit(" "),
+        concat_ws(" ", expr("regexp_extract_all(word, '.', 0)")), lit(" ")))
+    val merges = (1 to rounds).map { r =>
+      val pairs = seqs
+        .withColumn("el", split(trim(col("seq")), " "))
+        // size guard: Spark's sequence(0, -1) DESCENDS (it is not empty),
+        // so a 1-symbol word would emit a null pair without this filter.
+        .filter(size(col("el")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(el) - 2), i -> concat(el[i], ' ', el[i + 1]))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").cast("long").as("n_pair"))
+      val top = pairs.orderBy(col("n_pair").desc, col("pair")).limit(1)
+      seqs = seqs.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        .withColumn("seq", expr(
+          "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
+        .drop("mp")
+      top.select(
+        lit(r.toLong).as("round"), col("pair"),
+        regexp_replace(col("pair"), " ", "").as("merged"), col("n_pair"))
+    }
+    merges.reduce(_ unionAll _)
+  }
+
   /** Document-length distribution per source: nearest-rank quartiles. */
   def docLengthStats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -309,6 +358,7 @@ object TextAnalysis {
       .filter(col("n_shared") >= 3L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> bpeMerges,
     "bpe_pair_counts" -> bpePairCounts,
     "gram_likelihood" -> gramLikelihood,
     "substring_dup_pairs" -> substringDupPairs,
@@ -328,7 +378,49 @@ object TextAnalysis {
   private def hitSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** DuckDB mirror of [[bpeMerges]]: the 3 merge rounds unrolled as CTEs
+    * (pair count -> top-1 winner -> replace), same left-to-right
+    * non-overlapping replace semantics.
+    */
+  private def bpeMergesSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_pair FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(el) - 1),
+         |      i -> el[i] || ' ' || el[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(seq), ' ') AS el FROM $prev))
+         |  GROUP BY pair),
+         |t$r AS (SELECT pair, n_pair FROM p$r ORDER BY n_pair DESC, pair LIMIT 1),
+         |s$r AS (
+         |  SELECT word, freq,
+         |    replace(seq, ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' ')
+         |      AS seq
+         |  FROM $prev CROSS JOIN t$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH norm AS (
+       |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |    ' +', ' ', 'g')) AS t
+       |  FROM documents),
+       |words AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(t, ' ')) AS word FROM norm)
+       |  WHERE length(word) >= 1 GROUP BY word),
+       |s0 AS (
+       |  SELECT word, freq,
+       |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seq
+       |  FROM words),
+       |$rounds
+       |SELECT CAST(round AS BIGINT) AS round, pair,
+       |  replace(pair, ' ', '') AS merged, n_pair
+       |FROM (
+       |  SELECT 1 AS round, pair, n_pair FROM t1
+       |  UNION ALL SELECT 2, pair, n_pair FROM t2
+       |  UNION ALL SELECT 3, pair, n_pair FROM t3)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesSql,
     "bpe_pair_counts" ->
       """SELECT pair, n, rnk FROM (
         |  SELECT pair, n,

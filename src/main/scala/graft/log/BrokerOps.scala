@@ -317,12 +317,44 @@ object BrokerOps {
         max("delay_ms").as("max_delay_ms"))
   }
 
+  /** Tiered-storage READ path — the flip side of [[tieredOffloadPlan]]:
+    * where each consumer group's next fetch actually reads from. Joins
+    * every group's committed offset (the resume position) to the segment
+    * containing it; a fetch landing in an offloaded segment pays the
+    * object-storage read path, one landing in the local suffix reads from
+    * the broker — the lag-vs-offload interaction every tiered-retention
+    * operator watches (a group lagging past the local threshold silently
+    * moves to the slow path).
+    * Ref: README.md:11 (tiered storage retention); Pulsar managed-ledger
+    * offloaded-read semantics behind storage/PartitionLog.java reads.
+    *
+    * Scale: the commit frame is broadcast-sized (|groups| x |partitions|);
+    * the join is an equi-join on (topic, part) with the offset-range
+    * predicate applied post-match — no shuffle on the segment side beyond
+    * the rolled-segment window it already pays.
+    */
+  def tieredReadPath(spark: SparkSession, dir: String): DataFrame = {
+    val commits = graft.coordinator.Groups.commits(spark, dir)
+      .select(col("group_id"), col("topic"), col("part"), col("committed"))
+    val plan = tieredOffloadPlan(spark, dir)
+      .withColumnRenamed("topic", "ptopic").withColumnRenamed("part", "ppart")
+    broadcast(commits).join(plan,
+        col("topic") === col("ptopic") && col("part") === col("ppart") &&
+          col("committed") >= col("base_offset") &&
+          col("committed") < col("end_offset"))
+      .select(col("group_id"), col("topic"), col("part"), col("committed"),
+        col("seg_id"), col("base_offset"), col("end_offset"), col("offload"),
+        when(col("offload") === 1L, "tiered").otherwise("local")
+          .as("read_source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "timing_wheel" -> timingWheel,
     "request_latency" -> requestLatency,
     "compaction_ratio" -> compactionRatio,
     "segment_cleanup_plan" -> segmentCleanupPlan,
     "tiered_offload_plan" -> tieredOffloadPlan,
+    "tiered_read_path" -> tieredReadPath,
     "log_segments" -> logSegments,
     "leader_epoch" -> leaderEpoch,
     "client_quota" -> clientQuota,
@@ -330,6 +362,39 @@ object BrokerOps {
     "down_convert" -> downConvert)
 
   private val L = LogOps.logSqlCte
+
+  /** 2 KiB-rolled segments + offload flag as a reusable CTE chain (ends
+    * with `plan(topic, part, seg_id, base_offset, end_offset, seg_bytes,
+    * local_bytes, offload)`) — one definition for the offload plan and the
+    * read path so the threshold cannot drift.
+    */
+  private val tieredPlanSql: String =
+    """sized AS (
+      |  SELECT topic, part, offs,
+      |    length(v) + length(k) + 16 AS rec_bytes,
+      |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
+      |      PARTITION BY topic, part ORDER BY offs
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      |      AS BIGINT) AS seg_id
+      |  FROM log),
+      |segs AS (
+      |  SELECT topic, part, seg_id, MIN(offs) AS base_offset,
+      |    MAX(offs) + 1 AS end_offset,
+      |    CAST(SUM(rec_bytes) AS BIGINT) AS seg_bytes
+      |  FROM sized GROUP BY topic, part, seg_id),
+      |plan AS (
+      |  SELECT topic, part, seg_id, base_offset, end_offset, seg_bytes,
+      |    CAST(SUM(seg_bytes) OVER (PARTITION BY topic, part
+      |      ORDER BY seg_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS local_bytes,
+      |    CAST(CASE WHEN SUM(seg_bytes) OVER (PARTITION BY topic, part
+      |        ORDER BY seg_id DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 4096
+      |      AND seg_id <> MAX(seg_id) OVER (PARTITION BY topic, part)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS offload
+      |  FROM segs)
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "timing_wheel" -> (L +
@@ -434,31 +499,18 @@ object BrokerOps {
         |    AND seg_id <> MAX(seg_id) OVER (PARTITION BY topic, part)
         |    THEN 1 ELSE 0 END AS BIGINT) AS deletable
         |FROM segs""".stripMargin),
-    "tiered_offload_plan" -> (L +
-      """sized AS (
-        |  SELECT topic, part, offs,
-        |    length(v) + length(k) + 16 AS rec_bytes,
-        |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
-        |      PARTITION BY topic, part ORDER BY offs
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
-        |      AS BIGINT) AS seg_id
-        |  FROM log),
-        |segs AS (
-        |  SELECT topic, part, seg_id, MIN(offs) AS base_offset,
-        |    MAX(offs) + 1 AS end_offset,
-        |    CAST(SUM(rec_bytes) AS BIGINT) AS seg_bytes
-        |  FROM sized GROUP BY topic, part, seg_id)
-        |SELECT topic, part, seg_id, base_offset, end_offset, seg_bytes,
-        |  CAST(SUM(seg_bytes) OVER (PARTITION BY topic, part
-        |    ORDER BY seg_id DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS local_bytes,
-        |  CAST(CASE WHEN SUM(seg_bytes) OVER (PARTITION BY topic, part
-        |      ORDER BY seg_id DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 4096
-        |    AND seg_id <> MAX(seg_id) OVER (PARTITION BY topic, part)
-        |    THEN 1 ELSE 0 END AS BIGINT) AS offload
-        |FROM segs""".stripMargin),
+    "tiered_offload_plan" -> (L + tieredPlanSql +
+      """SELECT topic, part, seg_id, base_offset, end_offset, seg_bytes,
+        |  local_bytes, offload
+        |FROM plan""".stripMargin),
+    "tiered_read_path" -> (L + graft.coordinator.Groups.commitsSql
+      .stripSuffix("\n") + ",\n" + tieredPlanSql +
+      """SELECT c.group_id, c.topic, c.part, c.committed, p.seg_id,
+        |  p.base_offset, p.end_offset, p.offload,
+        |  CASE WHEN p.offload = 1 THEN 'tiered' ELSE 'local' END AS read_source
+        |FROM commits c JOIN plan p ON p.topic = c.topic AND p.part = c.part
+        |  AND c.committed >= p.base_offset AND c.committed < p.end_offset"""
+        .stripMargin),
     "broker_routing" -> (L +
       """pp AS (
         |  SELECT topic, part, COUNT(*) AS n_records,
