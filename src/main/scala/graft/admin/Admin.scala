@@ -152,7 +152,29 @@ object Admin {
       .withColumn("outcome",
         when(col("wait_ms") <= 3600000L, "Completed").otherwise("TimedOut"))
 
+  /** DeleteTopics impact (KafkaRequestHandler.handleDeleteTopics;
+    * AdminManager's topic deletion): per topic, everything deletion
+    * destroys — partitions, records, bytes, rolled segments, and the
+    * consumer groups whose committed offsets are orphaned (purged with
+    * the topic). [[graft.coordinator.Groups.deleteGroups]]'s destructive
+    * sibling at topic grain; a what-if view over every topic, the row an
+    * operator reads before confirming the request.
+    */
+  def deleteTopics(spark: SparkSession, dir: String): DataFrame = {
+    val segs = graft.log.BrokerOps.logSegments(spark, dir)
+      .groupBy("topic").agg(count(lit(1)).as("n_segments"))
+    val offs = Groups.commits(spark, dir).groupBy("topic")
+      .agg(
+        countDistinct("group_id").as("n_groups_affected"),
+        count(lit(1)).as("n_offsets_purged"))
+    topicMetadata(spark, dir)
+      .join(segs, Seq("topic")).join(offs, Seq("topic"))
+      .select("topic", "n_partitions", "n_records", "approx_bytes",
+        "n_segments", "n_groups_affected", "n_offsets_purged")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delete_topics" -> deleteTopics,
     "migration_status" -> migrationStatus,
     "delayed_create" -> delayedCreate,
     "topic_metadata" -> topicMetadata,
@@ -167,6 +189,35 @@ object Admin {
   private val commitsSql: String = Groups.commitsSql
 
   val oracles: Map[String, String] = Map(
+    "delete_topics" -> (L + commitsSql +
+      """, tm AS (
+        |  SELECT topic, COUNT(*) AS n_partitions,
+        |    CAST(SUM(n) AS BIGINT) AS n_records,
+        |    CAST(SUM(bytes) AS BIGINT) AS approx_bytes
+        |  FROM (
+        |    SELECT topic, part, COUNT(*) AS n,
+        |      CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes
+        |    FROM log GROUP BY topic, part)
+        |  GROUP BY topic),
+        |sized AS (
+        |  SELECT topic, part,
+        |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
+        |      PARTITION BY topic, part ORDER BY offs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384
+        |      AS BIGINT) AS seg_id
+        |  FROM log),
+        |segn AS (
+        |  SELECT topic, COUNT(*) AS n_segments FROM (
+        |    SELECT DISTINCT topic, part, seg_id FROM sized)
+        |  GROUP BY topic),
+        |og AS (
+        |  SELECT topic,
+        |    CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups_affected,
+        |    COUNT(*) AS n_offsets_purged
+        |  FROM commits GROUP BY topic)
+        |SELECT topic, n_partitions, n_records, approx_bytes, n_segments,
+        |  n_groups_affected, n_offsets_purged
+        |FROM tm JOIN segn USING (topic) JOIN og USING (topic)""".stripMargin),
     "migration_status" -> (L +
       """st AS (
         |  SELECT *, ('0x' || substring(md5(topic || '#mig'), 1, 14))::BIGINT % 3 AS phase_id,

@@ -336,7 +336,32 @@ object Transactions {
         (max("tms") - min("tms")).as("duration_ms"))
       .filter(col("state") =!= "CompleteCommit")
 
+  /** AddPartitionsToTxn registry (KafkaRequestHandler
+    * .handleAddPartitionsToTxn -> TransactionCoordinator
+    * .handleAddPartitionsToTransaction): before a producer writes a
+    * partition inside a transaction, the coordinator registers it in the
+    * txn's partition set — the set EndTxn later fans markers out to
+    * ([[txnMarkers]]). The registry view: per (txn, partition) the
+    * registration order (first-touch order of the partition within the
+    * txn), the first record that triggered the add, and the records that
+    * followed. One partial-aggregated shuffle on (txn_id, topic, part) +
+    * a 64-group window for the order.
+    */
+  def addPartitionsToTxn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("txn_id").orderBy("first_event_id")
+    txnLog(spark, dir)
+      .groupBy("txn_id", "topic", "part")
+      .agg(
+        min("event_id").as("first_event_id"),
+        min("tms").as("first_ms"),
+        min("offs").as("first_offs"),
+        count(lit(1)).as("n_records"))
+      .withColumn("add_seq", row_number().over(w).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "add_partitions_to_txn" -> addPartitionsToTxn,
     "txn_offset_commits" -> txnOffsetCommits,
     "describe_producers" -> describeProducers,
     "list_transactions" -> listTransactions,
@@ -353,6 +378,17 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "add_partitions_to_txn" -> (L + txnSql +
+      """, reg AS (
+        |  SELECT txn_id, topic, part,
+        |    MIN(event_id) AS first_event_id, MIN(tms) AS first_ms,
+        |    MIN(offs) AS first_offs, COUNT(*) AS n_records
+        |  FROM txn GROUP BY txn_id, topic, part)
+        |SELECT txn_id, topic, part, first_event_id, first_ms, first_offs,
+        |  n_records,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY txn_id
+        |    ORDER BY first_event_id) AS BIGINT) AS add_seq
+        |FROM reg""".stripMargin),
     "txn_offset_commits" -> (L + graft.coordinator.Groups.commitsSql +
       """, toc AS (
         |  SELECT group_id, topic, part, committed, log_end,
