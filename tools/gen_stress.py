@@ -8,7 +8,7 @@ so joins stay referentially intact. Documents get a per-replica text tag
 through pyarrow to preserve the TIMESTAMP(NANOS) physical type the Spark
 session's nanosAsLong config expects.
 
-Usage: python3 tools/gen_stress.py   (writes /tmp/sfx1; ~3 s)
+Usage: python3 tools/gen_stress.py [outdir] [R]   (default /tmp/sfx1, 10x; ~3 s)
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sfx1 SPARK_GRAFT_ONLY=q21_waiting,... \
          sbt "runMain graft.Bench"
 """
@@ -17,9 +17,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import os
+import sys
+
 SRC = "/root/testdata/sf0.1"
-OUT = "/tmp/sfx1"
-R = 10
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+os.makedirs(OUT, exist_ok=True)
 
 con = duckdb.connect()
 con.execute("PRAGMA threads=16")
