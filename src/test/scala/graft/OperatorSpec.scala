@@ -291,6 +291,88 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.filter(col("n_dups") < 1).count() == 0)
   }
 
+  test("txn offset commits: pending iff stable NULL, aborts roll back") {
+    val toc = txn.Transactions.txnOffsetCommits(spark, dir)
+    assert(toc.filter(col("pending") === 1 && col("stable_offset").isNotNull)
+      .count() == 0)
+    assert(toc.filter(col("pending") === 0 && col("stable_offset").isNull)
+      .count() == 0)
+    assert(toc.filter(col("materialized") < col("base_committed")).count() == 0)
+    // an aborted txn's commit must be rolled back: materialized == base
+    assert(toc.filter(col("rolled_back") === 1 &&
+      col("materialized") =!= col("base_committed")).count() == 0)
+  }
+
+  test("describe_producers: partition-local sequences and open-txn flags") {
+    val dp = txn.Transactions.describeProducers(spark, dir)
+    assert(dp.filter(col("last_seq") =!= col("n_records") - 1).count() == 0)
+    assert(dp.filter(col("open_txn") === 0 && col("txn_start_offs").isNotNull)
+      .count() == 0)
+    assert(dp.filter(col("open_txn") === 1 && col("txn_start_offs").isNull)
+      .count() == 0)
+  }
+
+  test("list_transactions filters completed commits; add_seq is dense") {
+    val lt = txn.Transactions.listTransactions(spark, dir)
+    assert(lt.filter(col("state") === "CompleteCommit").count() == 0)
+    assert(lt.filter(col("duration_ms") < 0).count() == 0)
+    val ap = txn.Transactions.addPartitionsToTxn(spark, dir)
+      .groupBy("txn_id").agg(
+        count(lit(1)).as("n"), max("add_seq").as("mx"), min("add_seq").as("mn"))
+    assert(ap.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
+  }
+
+  test("delete_groups / delete_topics outcomes are consistent") {
+    val dg = coordinator.Groups.deleteGroups(spark, dir)
+    assert(dg.filter(col("result") === "DELETED" &&
+      (col("state_after") =!= "Dead" ||
+        col("n_offsets_purged") =!= col("n_offsets"))).count() == 0)
+    assert(dg.filter(col("result") =!= "DELETED" &&
+      (col("n_offsets_purged") =!= 0L ||
+        col("state_after") =!= col("state_before"))).count() == 0)
+    // every group commits one offset per partition => purge count is exact
+    val dt = admin.Admin.deleteTopics(spark, dir)
+    assert(dt.filter(col("n_offsets_purged") =!=
+      col("n_groups_affected") * col("n_partitions")).count() == 0)
+  }
+
+  test("tiered_read_path: fetch position inside its segment, source matches") {
+    val rp = graft.log.BrokerOps.tieredReadPath(spark, dir)
+    assert(rp.filter(col("committed") < col("base_offset") ||
+      col("committed") >= col("end_offset")).count() == 0)
+    assert(rp.filter((col("offload") === 1L) =!= (col("read_source") === "tiered"))
+      .count() == 0)
+    // exactly one segment per (group, topic, part)
+    assert(rp.groupBy("group_id", "topic", "part").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("bpe_merges: well-formed merge table") {
+    val m = llm.TextAnalysis.bpeMerges(spark, dir).collect()
+    assert(m.length == 3)
+    assert(m.map(_.getAs[Long]("round")).sorted.toSeq == Seq(1L, 2L, 3L))
+    m.foreach { r =>
+      assert(r.getAs[String]("merged") == r.getAs[String]("pair").replace(" ", ""))
+      assert(r.getAs[Long]("n_pair") > 0L)
+    }
+  }
+
+  test("ann_ivfpq: dense top-3 per query, non-negative ADC distances") {
+    val r = llm.Similarity.annIvfPq(spark, dir)
+    assert(r.filter(col("dist") < 0.0).count() == 0)
+    val perQ = r.groupBy("q_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
+  }
+
+  test("transitive schema compat is at most the non-transitive verdict") {
+    val t = registry.SchemaRegistry.schemaCompatTransitive(spark, dir)
+    assert(t.filter(col("backward_transitive") === 1L && col("backward") === 0L)
+      .count() == 0)
+    assert(t.filter(col("forward_transitive") === 1L && col("forward") === 0L)
+      .count() == 0)
+  }
+
   test("embedding pair generators are sub-bucket capped") {
     // Pin the cap value: SURVEY §5 documents 40 as the stop-signal for the
     // within-block pair generators; changing it must be a deliberate edit.

@@ -52,6 +52,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!sq8.contains("SortMergeJoin"), s"ann_sq8 shuffles a join side:\n$sq8")
   }
 
+  test("round-7 compositions broadcast the small side") {
+    // ann_ivfpq: the ADC table + probed-cell frame is broadcast; the codes
+    // scan streams (codes x cells joins on vec_id may legitimately
+    // shuffle — both sides are index-sized, 64x smaller than vectors).
+    val ivfpq = planOf(graft.llm.Similarity.annIvfPq(spark, dir))
+    assert(ivfpq.contains("BroadcastHashJoin"),
+      s"ann_ivfpq ADC side not broadcast:\n$ivfpq")
+    // tiered_read_path: the commit frame (|groups| x |partitions|) is the
+    // broadcast side; segments never shuffle for the join.
+    val rp = planOf(graft.log.BrokerOps.tieredReadPath(spark, dir))
+    assert(rp.contains("BroadcastHashJoin"),
+      s"tiered_read_path commits not broadcast:\n$rp")
+    assert(!rp.contains("SortMergeJoin"),
+      s"tiered_read_path shuffles a join side:\n$rp")
+    // bpe_merges: each round's winning pair is a broadcast 1-row frame —
+    // the vocabulary must never shuffle for the merge.
+    val bpe = planOf(graft.llm.TextAnalysis.bpeMerges(spark, dir))
+    assert(!bpe.contains("SortMergeJoin"),
+      s"bpe_merges shuffles the vocabulary for a merge:\n$bpe")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Global guard: every join in the engine must be equi-keyed or a
     // broadcast of a deliberately tiny frame (BroadcastNestedLoopJoin).
