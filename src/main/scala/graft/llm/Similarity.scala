@@ -356,14 +356,12 @@ object Similarity {
         col("rank"))
   }
 
-  /** PQ-loss evaluation: recall@3 of the product-quantized index against
-    * the exact top-3 — with [[annRecall]] (LSH) and [[sq8Recall]] (int8)
-    * this completes the recall gate for every approximate path, the
-    * three operating points a capacity plan chooses between.
-    * NOTE: ann_pq queries vec_id 100-108 while exact top-3 uses the same
-    * query ids, so the comparison restricts brute force to those ids.
+  /** Recall@3 of an approximate result (columns q_id, a_id) against the
+    * exact top-3 for the vec_id 100-108 query set — the shared evaluator
+    * behind [[pqRecall]] and [[ivfpqRecall]].
     */
-  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+  private def recall3For(spark: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
     val vecs = vectors(spark, dir)
     val q = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
     val pairs = broadcast(q.as("q"))
@@ -373,15 +371,34 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     val exact3 = pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3).select("q_id", "n_id")
-    val approx = annPq(spark, dir).select(col("q_id"), col("n_id").as("a_id"))
     exact3.join(approx,
-        exact3("q_id") === approx("q_id") && col("n_id") === col("a_id"), "left")
+        exact3("q_id") === approx("q_id") && exact3("n_id") === approx("a_id"),
+        "left")
       .groupBy(exact3("q_id").as("q_id"))
       .agg(
         count(lit(1)).as("n_exact"),
         sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
       .withColumn("recall", col("n_matched") / col("n_exact"))
   }
+
+  /** PQ-loss evaluation: recall@3 of the product-quantized index against
+    * the exact top-3 — with [[annRecall]] (LSH) and [[sq8Recall]] (int8)
+    * this completes the recall gate for every approximate path, the
+    * three operating points a capacity plan chooses between.
+    * NOTE: ann_pq queries vec_id 100-108 while exact top-3 uses the same
+    * query ids, so the comparison restricts brute force to those ids.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    recall3For(spark, dir,
+      annPq(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
+
+  /** The recall gate for the composed IVF + PQ path: both losses stack
+    * (coarse cell miss + code quantization), so this is the number that
+    * prices the full capacity-scale layout against the exact scan.
+    */
+  def ivfpqRecall(spark: SparkSession, dir: String): DataFrame =
+    recall3For(spark, dir,
+      annIvfPq(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
 
   /** Quantization-loss evaluation: recall@3 of the int8 index against the
     * exact full-precision top-3 — the number that decides whether the 4x
@@ -421,6 +438,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq" -> annIvfPq,
+    "ivfpq_recall" -> ivfpqRecall,
     "ann_pq" -> annPq,
     "pq_recall" -> pqRecall,
     "ann_sq8" -> annSq8,
@@ -535,41 +553,70 @@ object Similarity {
       |  GROUP BY dt.q_id, c.vec_id)
       |""".stripMargin
 
+  /** The IVF + PQ candidate chain (continues vecSql; ends with
+    * `cand(q_id, n_id, distq)` restricted to the query's cell) — shared
+    * by ann_ivfpq and ivfpq_recall.
+    */
+  private def ivfpqChainSql: String = pqCodeSql.stripSuffix("\n") +
+    Clustering.fitSql.stripSuffix("\n") + ",\n" +
+    """cents AS (
+      |  SELECT cid, cv, cnrm FROM fcent),
+      |assign AS (
+      |  SELECT vecs.vec_id, cents.cid,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+      |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+      |  FROM vecs CROSS JOIN cents),
+      |cells AS (
+      |  SELECT a.vec_id, a.cid AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
+      |  WHERE a.crn = 1),
+      |qc AS (
+      |  SELECT vec_id AS q_id, cell FROM cells
+      |  WHERE vec_id >= 100 AND vec_id < 108),
+      |cand AS (
+      |  SELECT dt.q_id, c.vec_id AS n_id,
+      |    CAST(SUM(dt.d2q) AS BIGINT) AS distq
+      |  FROM codes c
+      |  JOIN cells cc ON cc.vec_id = c.vec_id
+      |  JOIN dtable dt ON c.s = dt.s AND c.code = dt.cid
+      |    AND c.vec_id <> dt.q_id
+      |  JOIN qc ON qc.q_id = dt.q_id AND qc.cell = cc.cell
+      |  GROUP BY dt.q_id, c.vec_id)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_ivfpq" -> (vecSql + pqCodeSql.stripSuffix("\n") +
-      Clustering.fitSql.stripSuffix("\n") + ",\n" +
-      s"""cents AS (
-         |  SELECT cid, cv, cnrm FROM fcent),
-         |assign AS (
-         |  SELECT vecs.vec_id, cents.cid,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
-         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
-         |  FROM vecs CROSS JOIN cents),
-         |cells AS (
-         |  SELECT a.vec_id, a.cid AS cell FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
-         |  WHERE a.crn = 1),
-         |qc AS (
-         |  SELECT vec_id AS q_id, cell FROM cells
-         |  WHERE vec_id >= 100 AND vec_id < 108),
-         |cand AS (
-         |  SELECT dt.q_id, c.vec_id AS n_id,
-         |    CAST(SUM(dt.d2q) AS BIGINT) AS distq
-         |  FROM codes c
-         |  JOIN cells cc ON cc.vec_id = c.vec_id
-         |  JOIN dtable dt ON c.s = dt.s AND c.code = dt.cid
-         |    AND c.vec_id <> dt.q_id
-         |  JOIN qc ON qc.q_id = dt.q_id AND qc.cell = cc.cell
-         |  GROUP BY dt.q_id, c.vec_id)
-         |SELECT q_id, n_id,
-         |  CAST(distq AS DOUBLE) / 1000000000.0 AS dist,
-         |  CAST(rank AS BIGINT) AS rank
-         |FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-         |    ORDER BY distq, n_id) AS rank FROM cand)
-         |WHERE rank <= 3""".stripMargin),
+    "ann_ivfpq" -> (vecSql + ivfpqChainSql +
+      """SELECT q_id, n_id,
+        |  CAST(distq AS DOUBLE) / 1000000000.0 AS dist,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY distq, n_id) AS rank FROM cand)
+        |WHERE rank <= 3""".stripMargin),
+    "ivfpq_recall" -> (vecSql + ivfpqChainSql.stripSuffix("\n") + ",\n" +
+      s"""bfp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q, vecs c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 108 AND q.vec_id <> c.vec_id),
+         |bf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM bfp)
+         |  WHERE rank <= 3),
+         |ap AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY distq, n_id) AS rank FROM cand)
+         |  WHERE rank <= 3)
+         |SELECT bf.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched,
+         |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*) AS recall
+         |FROM bf LEFT JOIN ap ON bf.q_id = ap.q_id AND bf.n_id = ap.n_id
+         |GROUP BY bf.q_id""".stripMargin),
     "ann_pq" -> (vecSql + pqChainSql +
       """SELECT q_id, n_id,
         |  CAST(distq AS DOUBLE) / 1000000000.0 AS dist,

@@ -191,9 +191,13 @@ object TextAnalysis {
         lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+    // localCheckpoint per round (the dedup_clusters loop discipline):
+    // without it, round r's plan replays rounds 1..r-1's replaces AND
+    // re-reads the corpus — 2x the passes for a vocabulary-sized frame.
     var seqs = words.withColumn("seq",
       concat(lit(" "),
         concat_ws(" ", expr("regexp_extract_all(word, '.', 0)")), lit(" ")))
+      .localCheckpoint()
     val merges = (1 to rounds).map { r =>
       val pairs = seqs
         .withColumn("el", split(trim(col("seq")), " "))
@@ -205,10 +209,12 @@ object TextAnalysis {
           .as("pair"))
         .groupBy("pair").agg(sum("freq").cast("long").as("n_pair"))
       val top = pairs.orderBy(col("n_pair").desc, col("pair")).limit(1)
-      seqs = seqs.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-        .withColumn("seq", expr(
-          "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
-        .drop("mp")
+      if (r < rounds)
+        seqs = seqs.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+          .withColumn("seq", expr(
+            "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
+          .drop("mp")
+          .localCheckpoint()
       top.select(
         lit(r.toLong).as("round"), col("pair"),
         regexp_replace(col("pair"), " ", "").as("merged"), col("n_pair"))
