@@ -73,6 +73,20 @@ object Streams {
       .withColumn("seq", expr("event_id div 20"))
       .dropDuplicatesWithinWatermark("producer_id", "seq")
 
+  /** Streaming READ_COMMITTED isolation — the continuous analog of
+    * [[graft.txn.Transactions.readCommitted]]: records of aborted
+    * transactions are filtered as they arrive. The aborted-txn "index"
+    * the reference keeps per partition (storage/AbortedTxn.java) is the
+    * same broadcast-sized txn_id -> fate map the batch path uses, folded
+    * into a stateless codegen'd md5 predicate — no streaming state at
+    * all, so the filter scales to any stream rate.
+    */
+  def readCommittedStream(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("txn_id", pmod(col("event_id"), lit(64L)))
+      .filter(!substring(md5(col("txn_id").cast("string")), 1, 1)
+        .isin("0", "1", "2"))
+
   /** Stream-stream interval join — the continuous analog of
     * [[graft.analytics.Analytics.rangeJoinEvents]]: every non-signup event
     * joins the same user's signup it follows within one hour. Both sides

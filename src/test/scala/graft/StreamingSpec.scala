@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming read_committed filter == batch aborted-txn predicate") {
+    val schema = Tables.t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Streams.stageStreamDir(dir, "events"))
+    val q = Streams.readCommittedStream(stream)
+      .select("event_id", "txn_id").writeStream
+      .outputMode("append").format("memory").queryName("graft_rc_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_rc_stream")
+    val want = Tables.t(spark, dir, "events")
+      .withColumn("txn_id", pmod(col("event_id"), lit(64L)))
+      .filter(!substring(md5(col("txn_id").cast("string")), 1, 1)
+        .isin("0", "1", "2"))
+      .select("event_id", "txn_id")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // and the kept count matches the batch readCommitted rollup
+    val batchTotal = txn.Transactions.readCommitted(spark, dir)
+      .agg(sum("n_committed")).head.getLong(0)
+    assert(got.count() == batchTotal)
+  }
+
   test("streaming exact dedup == batch distinct") {
     val schema = Tables.t(spark, dir, "documents").schema
     val stream = spark.readStream.schema(schema)
