@@ -160,40 +160,67 @@ object Dedup {
   /** 48-bit SimHash over distinct tokens; near-dup at hamming <= 2.
     * Candidates via 3 chunks of 16 bits: two bit-errors across 3 chunks
     * leave at least one chunk identical (pigeonhole), so the block join is
-    * lossless at the <= 2 threshold — and 16-bit chunks are selective
-    * enough to keep the pair join far from quadratic (6-bit chunks produced
-    * 27.7M candidates at sf0.1; 16-bit produce 2.1M).
+    * lossless at the <= 2 threshold for modest buckets — and 16-bit chunks
+    * are selective enough to keep the pair join far from quadratic on a
+    * healthy corpus (6-bit chunks produced 27.7M candidates at sf0.1;
+    * 16-bit produce 2.1M).
+    *
+    * A chunk bucket with hundreds of members means MASS near-duplication
+    * (every member shares 16 signature bits), and the within-bucket join
+    * is O(bucket^2) — measured 33x at 10x data on the replica stress
+    * corpus before capping. Buckets are therefore sub-bucketed by doc_id
+    * congruence at [[Similarity.PairSubCap]], the same bounded-pair
+    * discipline as every other generator: total pair work O(n * cap),
+    * with the documented recall trade only inside oversized (stop-signal)
+    * buckets.
     *
     * The signature is computed by a native expression in one pass over the
     * tokens (no row explosion, no aggregation shuffle at all).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashes.register(spark)
+    val cap = Similarity.PairSubCap
     val simhash = t(spark, dir, "documents")
       .select(col("doc_id"), expr("simhash48(split(text, ' '))").as("simhash"))
     val chunks = simhash
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 2)")).as("c"))
       .withColumn("ck", expr("(simhash div CAST(pow(2, c * 16) AS BIGINT)) % 65536"))
-    chunks.as("a")
-      .join(chunks.as("b"),
+    // The bucket-count frame scales with the corpus (up to 3 buckets/doc),
+    // so it joins back on the (c, ck) shuffle key — NOT broadcast.
+    val nsub = chunks.groupBy("c", "ck")
+      .agg(expr(s"(count(1) + ${cap - 1}) div $cap").as("nsub"))
+    val sub = chunks.join(nsub, Seq("c", "ck"))
+      .withColumn("sub", pmod(col("doc_id"), col("nsub")))
+    sub.as("a")
+      .join(sub.as("b"),
         col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.sub") === col("b.sub") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= 2)
       .distinct()
   }
 
-  /** Char-4-gram Jaccard across (lang, source)-blocked pairs. */
+  /** Char-4-gram Jaccard across (lang, source)-blocked pairs, bounded by
+    * [[Similarity.PairSubCap]] sub-bucketing — block population grows
+    * linearly with the corpus (the block universe is fixed), so the
+    * uncapped self-join was O(block^2): measured 12x at 10x data before
+    * the cap, O(n * cap) after.
+    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cap = Similarity.PairSubCap
     val g = t(spark, dir, "documents")
       .filter(length(col("text")) >= 4)
       .select(col("doc_id"), col("lang"), col("source"),
         expr("array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))")
           .as("g"))
-    g.as("a").join(g.as("b"),
+    val nsub = g.groupBy("lang", "source")
+      .agg(expr(s"(count(1) + ${cap - 1}) div $cap").as("nsub"))
+    val sub = g.join(broadcast(nsub), Seq("lang", "source"))
+      .withColumn("sub", pmod(col("doc_id"), col("nsub")))
+    sub.as("a").join(sub.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.sub") === col("b.sub") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         (size(array_intersect(col("a.g"), col("b.g"))) /
           size(array_union(col("a.g"), col("b.g")))).as("jac"))
@@ -641,22 +668,35 @@ object Dedup {
         |chunks AS (
         |  SELECT doc_id, simhash, c,
         |    (simhash // CAST(pow(2, c * 16) AS BIGINT)) % 65536 AS ck
-        |  FROM sim, generate_series(0, 2) t(c))
+        |  FROM sim, generate_series(0, 2) t(c)),
+        |cc AS (
+        |  SELECT c, ck, (COUNT(*) + 39) // 40 AS nsub
+        |  FROM chunks GROUP BY c, ck),
+        |sc AS (
+        |  SELECT chunks.*, chunks.doc_id % cc.nsub AS sub
+        |  FROM chunks JOIN cc USING (c, ck))
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM chunks a, chunks b
-        |WHERE a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+        |FROM sc a, sc b
+        |WHERE a.c = b.c AND a.ck = b.ck AND a.sub = b.sub AND a.doc_id < b.doc_id
         |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang, source, list_distinct(list_transform(
         |    generate_series(1, length(text) - 3), i -> substring(text, i, 4))) AS g
-        |  FROM documents WHERE length(text) >= 4)
+        |  FROM documents WHERE length(text) >= 4),
+        |lc AS (
+        |  SELECT lang, source, (COUNT(*) + 39) // 40 AS nsub
+        |  FROM g GROUP BY lang, source),
+        |sb AS (
+        |  SELECT g.*, g.doc_id % lc.nsub AS sub
+        |  FROM g JOIN lc USING (lang, source))
         |SELECT a.doc_id AS d1, b.doc_id AS d2,
         |  len(list_intersect(a.g, b.g)) /
         |    len(list_distinct(list_concat(a.g, b.g))) AS jac
-        |FROM g a, g b
-        |WHERE a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+        |FROM sb a, sb b
+        |WHERE a.lang = b.lang AND a.source = b.source AND a.sub = b.sub
+        |  AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,
