@@ -48,7 +48,10 @@ object Bench {
     // Both raw pass times per query (ms precision), so a reader can tell a
     // transient host stall in one pass (t1 >> t2 or vice versa) from a
     // genuine regression (both passes slow) without re-running.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale interpolator would emit comma
+    // decimals on e.g. de_DE JVMs and break the JSON parse.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     val passes = p1.map { case (name, v1, ok1) =>
       val (v2, ok2) = p2.getOrElse(name, (-1.0, false))
       "\"" + name + "\":[" + (if (ok1) ms(v1) else "-1") + "," +

@@ -38,19 +38,34 @@ object Tables {
       entries.mkString("\n").getBytes("UTF-8")).toString
   }
 
+  /** Best-effort release of a purged cache value's persisted data (the
+    * values are DataFrames or tuples of them).
+    */
+  private def release(v: Any): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      try ds.unpersist() catch { case _: Throwable => () }
+    case p: Product => p.productIterator.foreach(release)
+    case _ => ()
+  }
+
   /** Fingerprinted cache key for session-lifetime frame caches, plus the
-    * stale-entry purge: removes entries of the same (session, dir) whose
-    * fingerprint no longer matches (their cached partitions age out LRU).
+    * stale-entry purge: removes (and unpersists) entries of the same
+    * (session, dir) whose fingerprint no longer matches, so in-place data
+    * regeneration does not strand the superseded frames in storage memory.
+    * The fingerprint listing runs on every ACCESS (that is what detects
+    * staleness) — a driver-side directory walk, no data read.
     */
   def freshCacheKey[V](
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
       spark: SparkSession, dir: String, table: String): (SparkSession, String) = {
     cache.keys.foreach { case k @ (s, _) =>
+      // Stopped context: the persisted blocks died with it; just drop.
       if (s.sparkContext.isStopped) cache.remove(k)
     }
     val key = s"$dir@${fingerprint(spark, dir, table)}"
     cache.keys.foreach { case k @ (s, d) =>
-      if (s == spark && d != key && d.startsWith(dir + "@")) cache.remove(k)
+      if (s == spark && d != key && d.startsWith(dir + "@"))
+        cache.remove(k).foreach(release)
     }
     (spark, key)
   }

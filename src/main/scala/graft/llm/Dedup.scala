@@ -38,21 +38,16 @@ object Dedup {
   private val lshCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  /** Drop cache entries whose session has been stopped (and any caller can
-    * force a full clear from test teardown) so recycled sessions don't pin
-    * DataFrames for the JVM lifetime.
+  /** Force a full clear from test teardown so recycled sessions don't pin
+    * DataFrames for the JVM lifetime (stopped-session and stale-fingerprint
+    * purging happens in Tables.freshCacheKey on every access).
     */
   def clearHsCache(): Unit = lshCache.clear()
-  private def purgeStopped(): Unit =
-    lshCache.keys.foreach { case k @ (s, _) =>
-      if (s.sparkContext.isStopped) lshCache.remove(k)
-    }
 
   private def lshCandidates(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.MinHashSig.register(spark)
     graft.functions.TextHashes.register(spark)
-    purgeStopped()
     val (sigs, cand) = lshCache.getOrElseUpdate(
       graft.Tables.freshCacheKey(lshCache, spark, dir, "documents"), {
       val s = t(spark, dir, "documents")
@@ -443,6 +438,12 @@ object Dedup {
       |    len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5)
       |""".stripMargin
 
+  /** The shared sub-bucket formula in oracle SQL — derives from
+    * [[Similarity.PairSubCap]] so the cap cannot drift between the Spark
+    * side and any capped oracle. */
+  private val capSql: String =
+    s"(COUNT(*) + ${Similarity.PairSubCap - 1}) // ${Similarity.PairSubCap}"
+
   val oracles: Map[String, String] = Map(
     "dedup_report" ->
       """WITH d AS (
@@ -650,7 +651,7 @@ object Dedup {
         |JOIN sig g1 ON g1.doc_id = d1
         |JOIN sig g2 ON g2.doc_id = d2""".stripMargin,
     "dedup_simhash" ->
-      """WITH th AS (
+      s"""WITH th AS (
         |  SELECT doc_id,
         |    ('0x' || substring(md5(tok), 1, 14))::BIGINT AS h
         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -670,7 +671,7 @@ object Dedup {
         |    (simhash // CAST(pow(2, c * 16) AS BIGINT)) % 65536 AS ck
         |  FROM sim, generate_series(0, 2) t(c)),
         |cc AS (
-        |  SELECT c, ck, (COUNT(*) + 39) // 40 AS nsub
+        |  SELECT c, ck, $capSql AS nsub
         |  FROM chunks GROUP BY c, ck),
         |sc AS (
         |  SELECT chunks.*, chunks.doc_id % cc.nsub AS sub
@@ -681,12 +682,12 @@ object Dedup {
         |WHERE a.c = b.c AND a.ck = b.ck AND a.sub = b.sub AND a.doc_id < b.doc_id
         |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
     "ngram_jaccard" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT doc_id, lang, source, list_distinct(list_transform(
         |    generate_series(1, length(text) - 3), i -> substring(text, i, 4))) AS g
         |  FROM documents WHERE length(text) >= 4),
         |lc AS (
-        |  SELECT lang, source, (COUNT(*) + 39) // 40 AS nsub
+        |  SELECT lang, source, $capSql AS nsub
         |  FROM g GROUP BY lang, source),
         |sb AS (
         |  SELECT g.*, g.doc_id % lc.nsub AS sub

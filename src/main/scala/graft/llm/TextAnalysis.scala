@@ -208,7 +208,10 @@ object TextAnalysis {
           "transform(sequence(0, size(el) - 2), i -> concat(el[i], ' ', el[i + 1]))"))
           .as("pair"))
         .groupBy("pair").agg(sum("freq").cast("long").as("n_pair"))
+      // Checkpoint the 1-row winner too: without it the merge table's
+      // final union re-runs each round's vocabulary-scale pair count.
       val top = pairs.orderBy(col("n_pair").desc, col("pair")).limit(1)
+        .localCheckpoint()
       if (r < rounds)
         seqs = seqs.crossJoin(broadcast(top.select(col("pair").as("mp"))))
           .withColumn("seq", expr(

@@ -84,8 +84,7 @@ object Streams {
   def readCommittedStream(stream: DataFrame): DataFrame =
     stream
       .withColumn("txn_id", pmod(col("event_id"), lit(64L)))
-      .filter(!substring(md5(col("txn_id").cast("string")), 1, 1)
-        .isin("0", "1", "2"))
+      .filter(graft.txn.Transactions.txnFate(col("txn_id")) =!= "ABORTED")
 
   /** Stream-stream interval join — the continuous analog of
     * [[graft.analytics.Analytics.rangeJoinEvents]]: every non-signup event

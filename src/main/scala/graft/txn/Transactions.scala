@@ -1,7 +1,7 @@
 package graft.txn
 
 import graft.log.LogOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Transactional-log semantics
@@ -34,6 +34,27 @@ object Transactions {
       |      IN ('0','1','2') THEN 1 ELSE 0 END AS aborted
       |  FROM log)
       |""".stripMargin
+
+  /** The engine-wide md5 transaction-fate draw, ONE definition (first hex
+    * digit of md5(txn_id): 0-2 aborted, 3-4 still open, else committed) —
+    * the same draw [[txnLog]]'s `aborted` flag and [[lsoLag]]'s undecided
+    * set sample from. Returns ABORTED / ONGOING / COMMITTED; consumers
+    * needing Kafka response vocabulary (CompleteAbort etc.) map on top.
+    */
+  private[graft] def txnFate(txnId: Column): Column = {
+    val tag = substring(md5(txnId.cast("string")), 1, 1)
+    when(tag.isin("0", "1", "2"), "ABORTED")
+      .when(tag.isin("3", "4"), "ONGOING")
+      .otherwise("COMMITTED")
+  }
+
+  /** [[txnFate]] as a DuckDB SQL expression over `e`. */
+  private def fateSql(e: String): String =
+    s"""CASE WHEN substring(md5(CAST($e AS VARCHAR)), 1, 1) IN ('0','1','2')
+       |      THEN 'ABORTED'
+       |    WHEN substring(md5(CAST($e AS VARCHAR)), 1, 1) IN ('3','4')
+       |      THEN 'ONGOING'
+       |    ELSE 'COMMITTED' END""".stripMargin
 
   /** Idempotent-producer dedup: duplicate (producer, sequence) appends are
     * dropped; rollup of kept vs duplicate counts per producer.
@@ -260,11 +281,7 @@ object Transactions {
       .withColumn("txn_id",
         pmod(md5Long(concat_ws("#", col("group_id"), col("topic"),
           col("part").cast("string"))), lit(64L)))
-      .withColumn("tag", substring(md5(col("txn_id").cast("string")), 1, 1))
-      .withColumn("txn_state",
-        when(col("tag").isin("0", "1", "2"), "ABORTED")
-          .when(col("tag").isin("3", "4"), "ONGOING")
-          .otherwise("COMMITTED"))
+      .withColumn("txn_state", txnFate(col("txn_id")))
       .withColumn("txn_offset",
         col("committed") + expr("(log_end - committed) div 2"))
       .withColumn("materialized",
@@ -300,8 +317,7 @@ object Transactions {
       .withColumn("producer_id", pmod(col("k").cast("long"), lit(16L)))
       .withColumn("epoch", expr("(event_id div 500) % 8"))
       .withColumn("open",
-        when(substring(md5(col("txn_id").cast("string")), 1, 1)
-          .isin("3", "4"), 1L).otherwise(0L))
+        when(txnFate(col("txn_id")) === "ONGOING", 1L).otherwise(0L))
       .groupBy("topic", "part", "producer_id")
       .agg(
         count(lit(1)).as("n_records"),
@@ -322,10 +338,10 @@ object Transactions {
     */
   def listTransactions(spark: SparkSession, dir: String): DataFrame =
     txnLog(spark, dir)
-      .withColumn("tag", substring(md5(col("txn_id").cast("string")), 1, 1))
+      .withColumn("fate", txnFate(col("txn_id")))
       .withColumn("state",
-        when(col("tag").isin("0", "1", "2"), "CompleteAbort")
-          .when(col("tag").isin("3", "4"), "Ongoing")
+        when(col("fate") === "ABORTED", "CompleteAbort")
+          .when(col("fate") === "ONGOING", "Ongoing")
           .otherwise("CompleteCommit"))
       .groupBy("txn_id", "state")
       .agg(
@@ -390,22 +406,20 @@ object Transactions {
         |    ORDER BY first_event_id) AS BIGINT) AS add_seq
         |FROM reg""".stripMargin),
     "txn_offset_commits" -> (L + graft.coordinator.Groups.commitsSql +
-      """, toc AS (
-        |  SELECT group_id, topic, part, committed, log_end,
-        |    ('0x' || substring(md5(group_id || '#' || topic || '#' ||
-        |      CAST(part AS VARCHAR)), 1, 14))::BIGINT % 64 AS txn_id
-        |  FROM commits),
-        |st AS (
-        |  SELECT *, substring(md5(CAST(txn_id AS VARCHAR)), 1, 1) AS tag,
-        |    committed + (log_end - committed) // 2 AS txn_offset
-        |  FROM toc),
-        |fin AS (
-        |  SELECT group_id, topic, part, committed AS base_committed, txn_id,
-        |    CASE WHEN tag IN ('0','1','2') THEN 'ABORTED'
-        |         WHEN tag IN ('3','4') THEN 'ONGOING'
-        |         ELSE 'COMMITTED' END AS txn_state,
-        |    txn_offset
-        |  FROM st),
+      s""", toc AS (
+         |  SELECT group_id, topic, part, committed, log_end,
+         |    ('0x' || substring(md5(group_id || '#' || topic || '#' ||
+         |      CAST(part AS VARCHAR)), 1, 14))::BIGINT % 64 AS txn_id
+         |  FROM commits),
+         |st AS (
+         |  SELECT *,
+         |    committed + (log_end - committed) // 2 AS txn_offset
+         |  FROM toc),
+         |fin AS (
+         |  SELECT group_id, topic, part, committed AS base_committed, txn_id,
+         |    ${fateSql("txn_id")} AS txn_state,
+         |    txn_offset
+         |  FROM st),
         |mat AS (
         |  SELECT *, CASE WHEN txn_state = 'COMMITTED'
         |      THEN GREATEST(txn_offset, base_committed)
@@ -421,12 +435,12 @@ object Transactions {
         |    AS stable_offset
         |FROM mat""".stripMargin),
     "describe_producers" -> (L + txnSql +
-      """, pr AS (
-        |  SELECT topic, part, CAST(k AS BIGINT) % 16 AS producer_id,
-        |    (event_id // 500) % 8 AS epoch, tms, offs,
-        |    CASE WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
-        |      IN ('3','4') THEN 1 ELSE 0 END AS open
-        |  FROM txn)
+      s""", pr AS (
+         |  SELECT topic, part, CAST(k AS BIGINT) % 16 AS producer_id,
+         |    (event_id // 500) % 8 AS epoch, tms, offs,
+         |    CASE WHEN (${fateSql("txn_id")}) = 'ONGOING'
+         |      THEN 1 ELSE 0 END AS open
+         |  FROM txn)
         |SELECT topic, part, producer_id,
         |  COUNT(*) AS n_records,
         |  COUNT(*) - 1 AS last_seq,
@@ -436,16 +450,15 @@ object Transactions {
         |  MIN(CASE WHEN open = 1 THEN offs END) AS txn_start_offs
         |FROM pr GROUP BY topic, part, producer_id""".stripMargin),
     "list_transactions" -> (L + txnSql +
-      """, lt AS (
-        |  SELECT txn_id,
-        |    CASE WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
-        |           IN ('0','1','2') THEN 'CompleteAbort'
-        |         WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
-        |           IN ('3','4') THEN 'Ongoing'
-        |         ELSE 'CompleteCommit' END AS state,
-        |    CAST(k AS BIGINT) % 16 AS producer_id,
-        |    topic || '#' || CAST(part AS VARCHAR) AS tp, tms
-        |  FROM txn)
+      s""", lt AS (
+         |  SELECT txn_id,
+         |    CASE (${fateSql("txn_id")})
+         |      WHEN 'ABORTED' THEN 'CompleteAbort'
+         |      WHEN 'ONGOING' THEN 'Ongoing'
+         |      ELSE 'CompleteCommit' END AS state,
+         |    CAST(k AS BIGINT) % 16 AS producer_id,
+         |    topic || '#' || CAST(part AS VARCHAR) AS tp, tms
+         |  FROM txn)
         |SELECT txn_id, state,
         |  CAST(COUNT(DISTINCT producer_id) AS BIGINT) AS n_producers,
         |  CAST(COUNT(DISTINCT tp) AS BIGINT) AS n_partitions,
