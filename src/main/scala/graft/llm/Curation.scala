@@ -84,9 +84,30 @@ object Curation {
           1L).otherwise(0L).as("spans_boundary"))
   }
 
+  /** Packing-quality rollup over [[seqPack]]: per source the sequences
+    * produced, the partial tail (the only waste contiguous concatenation
+    * leaves), and — the number that matters for training — how many
+    * documents SPAN a sequence boundary and therefore need cross-document
+    * attention masking (or get truncated by boundary-respecting packers).
+    * Pure aggregation over the pack layout; one shuffle on source.
+    */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    seqPack(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("total_toks"),
+        sum("spans_boundary").cast("long").as("n_spanning"))
+      .withColumn("n_seqs",
+        expr(s"(total_toks + ${SeqLen - 1}) div $SeqLen"))
+      .withColumn("tail_waste", col("n_seqs") * SeqLen - col("total_toks"))
+      .withColumn("span_rate",
+        col("n_spanning").cast("double") / col("n_docs").cast("double"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "boilerplate_chunks" -> boilerplateChunks,
     "strip_boilerplate" -> stripBoilerplate,
+    "pack_efficiency" -> packEfficiency,
     "seq_pack" -> seqPack)
 
   /** Shared chunking CTE — unnest-in-select (DuckDB's generate_series
@@ -117,6 +138,27 @@ object Curation {
         |  CAST(SUM(CASE WHEN bp.chash IS NULL THEN ch.chunk_toks ELSE 0 END) AS BIGINT) AS kept_toks
         |FROM ch LEFT JOIN bp ON ch.source = bp.source AND ch.chash = bp.chash
         |GROUP BY 1""".stripMargin),
+    "pack_efficiency" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM d),
+         |p AS (SELECT source, n_tok,
+         |  CAST(CASE WHEN (start_off + n_tok - 1) // $SeqLen <> start_off // $SeqLen
+         |    THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+         |  FROM c),
+         |agg AS (SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_toks,
+         |  CAST(SUM(spans_boundary) AS BIGINT) AS n_spanning
+         |  FROM p GROUP BY source)
+         |SELECT source, n_docs, total_toks, n_spanning,
+         |  (total_toks + ${SeqLen - 1}) // $SeqLen AS n_seqs,
+         |  ((total_toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen - total_toks
+         |    AS tail_waste,
+         |  CAST(n_spanning AS DOUBLE) / n_docs AS span_rate
+         |FROM agg""".stripMargin,
     "seq_pack" ->
       s"""WITH d AS (SELECT doc_id, source,
          |  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok FROM documents),

@@ -58,12 +58,55 @@ object Sampling {
         sum("n_chars").cast("long").as("n_chars"),
         min("doc_id").as("min_doc_id"))
 
+  /** Temperature-weighted source mixing at tau = 0.5 — the rebalancing
+    * knob multilingual/multi-source training mixes use (small sources
+    * up-weighted, large ones dampened: weight = n^tau). tau = 0.5 is the
+    * sqrt point, chosen deliberately: IEEE sqrt is exactly rounded in
+    * both engines (pow is not), and the weight is quantized to a long
+    * before any sum, so shares and allocations are engine-exact. Per
+    * source: natural vs temperature share and the 200-doc budget each
+    * allocation grants.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wq",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0D) AS BIGINT)"))
+    val tot = src.agg(
+      sum("wq").cast("long").as("wq_total"),
+      sum("n_docs").cast("long").as("n_total"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total")).as("natural_share"),
+        (col("wq").cast("double") / col("wq_total")).as("temp_share"),
+        expr("(200 * n_docs) div n_total").as("alloc_natural"),
+        expr("(200 * wq) div wq_total").as("alloc_temp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> sampleStratified,
     "mix_sources" -> mixSources,
+    "mix_temperature" -> mixTemperature,
     "train_test_split" -> trainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "mix_temperature" ->
+      """WITH src AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+        |  FROM src),
+        |tot AS (
+        |  SELECT CAST(SUM(wq) AS BIGINT) AS wq_total,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_total
+        |  FROM w)
+        |SELECT source, n_docs,
+        |  CAST(n_docs AS DOUBLE) / n_total AS natural_share,
+        |  CAST(wq AS DOUBLE) / wq_total AS temp_share,
+        |  (200 * n_docs) // n_total AS alloc_natural,
+        |  (200 * wq) // wq_total AS alloc_temp
+        |FROM w CROSS JOIN tot""".stripMargin,
     "train_test_split" ->
       """SELECT source,
         |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 10 < 9
