@@ -373,6 +373,29 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("temperature mixing dampens: shares order-reverse relative to size") {
+    val m = llm.Sampling.mixTemperature(spark, dir)
+    // tau < 1 dampening: a source's temperature share moves toward uniform,
+    // so temp/natural ratio must be >= 1 for below-average sources and
+    // <= 1 for above-average ones.
+    val n = m.count()
+    assert(m.filter(col("natural_share") < lit(1.0) / n &&
+      col("temp_share") < col("natural_share")).count() == 0)
+    assert(m.filter(col("natural_share") > lit(1.0) / n &&
+      col("temp_share") > col("natural_share")).count() == 0)
+    // shares are distributions (within integer-quantization slack)
+    val sums = m.agg(sum("natural_share"), sum("temp_share")).head
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("pack_efficiency: tail waste bounded, spanning docs bounded") {
+    val p = llm.Curation.packEfficiency(spark, dir)
+    assert(p.filter(col("tail_waste") < 0 || col("tail_waste") >= 512).count() == 0)
+    assert(p.filter(col("n_spanning") > col("n_docs")).count() == 0)
+    assert(p.filter(col("n_seqs") * 512 < col("total_toks")).count() == 0)
+  }
+
   test("embedding pair generators are sub-bucket capped") {
     // Pin the cap value: SURVEY §5 documents 40 as the stop-signal for the
     // within-block pair generators; changing it must be a deliberate edit.
