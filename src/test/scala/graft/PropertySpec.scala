@@ -210,4 +210,31 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("sub-bucket cap law: ceil(n / nsub) <= cap and pair work <= n*cap/2") {
+    // The boundedness claim every capped pair generator rests on
+    // (PairSubCap sub-bucketing in semdedup / dedup_embedding /
+    // dedup_simhash / ngram_jaccard): splitting a block of n members into
+    // nsub = ceil(n / cap) vec_id-congruence classes bounds EVERY
+    // sub-bucket's expected size at cap, and total within-block pair count
+    // at n * cap / 2 — for any block size. Verified exactly on the
+    // worst-case uniform split (congruence classes of 0..n-1 are as even
+    // as integer division allows).
+    val cap = graft.llm.Similarity.PairSubCap
+    val gen = Gen.chooseNum(1L, 5000L)
+    forAll(gen) { n =>
+      val nsub = (n + cap - 1) / cap
+      assert(nsub >= 1)
+      // largest congruence class of ids 0..n-1 mod nsub
+      val maxClass = (n + nsub - 1) / nsub
+      assert(maxClass <= cap,
+        s"block $n split into $nsub buckets leaves a class of $maxClass > $cap")
+      val pairWork = (0L until nsub).map { r =>
+        val m = n / nsub + (if (r < n % nsub) 1L else 0L)
+        m * (m - 1) / 2
+      }.sum
+      assert(pairWork <= n * cap / 2,
+        s"pair work $pairWork exceeds n*cap/2 for block $n")
+    }
+  }
 }
