@@ -84,6 +84,66 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
+  /** Multi-table random-hyperplane LSH — the L-tables recall knob every
+    * production LSH index exposes (a pair colliding in ANY of the L
+    * tables becomes a candidate, so miss probability decays as
+    * (1 - p^k)^L): 4 independent tables of 6 planes each, drawn from the
+    * same md5 plane namespace (table t owns planes 6t..6t+5), so the
+    * whole 24-plane matrix is one broadcast. Candidates are the distinct
+    * union across tables; top-3 by exact cosine. At 100 TB: L multiplies
+    * only the bucket index (4 signatures per vector), never the vectors,
+    * and each table's join stays a (t, bucket)-keyed equi-join.
+    */
+  def annLshMulti(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val planes = spark.range(0, 24).select(col("id").as("p"), expr(
+      """transform(sequence(0, 63), d ->
+        |  CAST(CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) AS DOUBLE)
+        |    / 72057594037927936.0D - 0.5D)""".stripMargin).as("pw"))
+    val buckets = vecs
+      .crossJoin(broadcast(planes))
+      .withColumn("t", expr("p div 6"))
+      .withColumn("dot", expr("vec_dot(v, pw)"))
+      .groupBy("vec_id", "t")
+      .agg(sum(expr("CASE WHEN dot > 0 THEN CAST(pow(2, p % 6) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .cast("long").as("bucket"))
+    val q = buckets.filter(col("vec_id") < 8)
+    val cand = broadcast(q.select(col("vec_id").as("q_id"),
+        col("t").as("qt"), col("bucket").as("qb")))
+      .join(buckets.as("c"),
+        col("qt") === col("c.t") && col("qb") === col("c.bucket") &&
+          col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"))
+      .distinct()
+    val pairs = cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), "q_id")
+      .join(vecs.select(col("vec_id").as("n_id"), col("v").as("cv"),
+        col("nrm").as("cnrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        (expr("vec_dot(qv, cv)") / (col("qnrm") * col("cnrm"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** Recall@3 of the 4-table LSH index vs the exact top-3 — read next to
+    * [[annRecall]] (the single-table point) this is the measured recall
+    * curve the L knob buys.
+    */
+  def lshMultiRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact3 = annBruteforce(spark, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val approx = annLshMulti(spark, dir).select(col("q_id"), col("n_id").as("a_id"))
+    exact3.join(approx,
+        exact3("q_id") === approx("q_id") && col("n_id") === col("a_id"), "left")
+      .groupBy(exact3("q_id").as("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("recall", col("n_matched") / col("n_exact"))
+  }
+
   /** IVF cell assignment shared by [[annIvf]], [[annIvfNprobe2]] and
     * [[semDedup]]: the coarse quantizer is the K-MEANS-FITTED centroid set
     * ([[Clustering.fittedCentroids]] — Lloyd iterated to fixpoint, bounded
@@ -437,6 +497,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_lsh_multi" -> annLshMulti,
+    "lsh_multi_recall" -> lshMultiRecall,
     "ann_ivfpq" -> annIvfPq,
     "ivfpq_recall" -> ivfpqRecall,
     "ann_pq" -> annPq,
@@ -586,7 +648,67 @@ object Similarity {
       |  GROUP BY dt.q_id, c.vec_id)
       |""".stripMargin
 
+  /** The 4-table LSH candidate chain (continues vecSql; ends with
+    * `mcand(q_id, n_id)`) — shared by ann_lsh_multi and lsh_multi_recall.
+    */
+  private def lshMultiChainSql: String =
+    """, mdots AS (
+      |  SELECT vec_id, p,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(v)), i -> v[i] *
+      |        (('0x' || substring(md5('p_' || p || '_' || (i - 1)), 1, 14))::BIGINT::DOUBLE
+      |          / CAST(72057594037927936 AS DOUBLE) - 0.5))),
+      |      (a, x) -> a + x) AS dot
+      |  FROM vecs, generate_series(0, 23) t(p)),
+      |mbuckets AS (
+      |  SELECT vec_id, p // 6 AS t,
+      |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p % 6) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM mdots GROUP BY vec_id, p // 6),
+      |mcand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+      |  FROM mbuckets q JOIN mbuckets c ON q.t = c.t AND q.bucket = c.bucket
+      |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh_multi" -> (vecSql + lshMultiChainSql.stripSuffix("\n") + ",\n" +
+      s"""mpairs AS (
+         |  SELECT mcand.q_id, mcand.n_id, $cosSql AS cos
+         |  FROM mcand
+         |  JOIN vecs q ON q.vec_id = mcand.q_id
+         |  JOIN vecs c ON c.vec_id = mcand.n_id)
+         |SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM mpairs)
+         |WHERE rank <= 3""".stripMargin),
+    "lsh_multi_recall" -> (vecSql + lshMultiChainSql.stripSuffix("\n") + ",\n" +
+      s"""mpairs AS (
+         |  SELECT mcand.q_id, mcand.n_id, $cosSql AS cos
+         |  FROM mcand
+         |  JOIN vecs q ON q.vec_id = mcand.q_id
+         |  JOIN vecs c ON c.vec_id = mcand.n_id),
+         |ml AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM mpairs)
+         |  WHERE rank <= 3),
+         |bfp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q, vecs c
+         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |bf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM bfp)
+         |  WHERE rank <= 3)
+         |SELECT bf.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN ml.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched,
+         |  CAST(SUM(CASE WHEN ml.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*) AS recall
+         |FROM bf LEFT JOIN ml ON bf.q_id = ml.q_id AND bf.n_id = ml.n_id
+         |GROUP BY bf.q_id""".stripMargin),
     "ann_ivfpq" -> (vecSql + ivfpqChainSql +
       """SELECT q_id, n_id,
         |  CAST(distq AS DOUBLE) / 1000000000.0 AS dist,
