@@ -131,18 +131,10 @@ object Similarity {
     * [[annRecall]] (the single-table point) this is the measured recall
     * curve the L knob buys.
     */
-  def lshMultiRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact3 = annBruteforce(spark, dir).filter(col("rank") <= 3)
-      .select(col("q_id"), col("n_id"))
-    val approx = annLshMulti(spark, dir).select(col("q_id"), col("n_id").as("a_id"))
-    exact3.join(approx,
-        exact3("q_id") === approx("q_id") && col("n_id") === col("a_id"), "left")
-      .groupBy(exact3("q_id").as("q_id"))
-      .agg(
-        count(lit(1)).as("n_exact"),
-        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
-      .withColumn("recall", col("n_matched") / col("n_exact"))
-  }
+  def lshMultiRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVs(
+      annBruteforce(spark, dir).filter(col("rank") <= 3).select("q_id", "n_id"),
+      annLshMulti(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
 
   /** IVF cell assignment shared by [[annIvf]], [[annIvfNprobe2]] and
     * [[semDedup]]: the coarse quantizer is the K-MEANS-FITTED centroid set
@@ -416,12 +408,24 @@ object Similarity {
         col("rank"))
   }
 
-  /** Recall@3 of an approximate result (columns q_id, a_id) against the
-    * exact top-3 for the vec_id 100-108 query set — the shared evaluator
-    * behind [[pqRecall]] and [[ivfpqRecall]].
+  /** Recall of an approximate result (columns q_id, a_id) against an
+    * exact result set (columns q_id, n_id) — THE recall evaluator, one
+    * definition behind every `*_recall` gate.
     */
-  private def recall3For(spark: SparkSession, dir: String,
-      approx: DataFrame): DataFrame = {
+  private def recallVs(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx,
+        exact("q_id") === approx("q_id") && exact("n_id") === approx("a_id"),
+        "left")
+      .groupBy(exact("q_id").as("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("recall", col("n_matched") / col("n_exact"))
+
+  /** Exact top-3 for the vec_id 100-108 query set (the PQ-family query
+    * range; the <8 range's exact top-3 comes from [[annBruteforce]]).
+    */
+  private def exact3HighRange(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
     val q = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
     val pairs = broadcast(q.as("q"))
@@ -429,17 +433,13 @@ object Similarity {
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
         expr(cosExpr).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val exact3 = pairs.withColumn("rank", row_number().over(w))
+    pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3).select("q_id", "n_id")
-    exact3.join(approx,
-        exact3("q_id") === approx("q_id") && exact3("n_id") === approx("a_id"),
-        "left")
-      .groupBy(exact3("q_id").as("q_id"))
-      .agg(
-        count(lit(1)).as("n_exact"),
-        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
-      .withColumn("recall", col("n_matched") / col("n_exact"))
   }
+
+  private def recall3For(spark: SparkSession, dir: String,
+      approx: DataFrame): DataFrame =
+    recallVs(exact3HighRange(spark, dir), approx)
 
   /** PQ-loss evaluation: recall@3 of the product-quantized index against
     * the exact top-3 — with [[annRecall]] (LSH) and [[sq8Recall]] (int8)
@@ -465,36 +465,20 @@ object Similarity {
     * cheaper scan is usable. Counts are exact integers; recall is an
     * int/int division (same discipline as [[annRecall]]).
     */
-  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
-    val exact3 = annBruteforce(spark, dir).filter(col("rank") <= 3)
-      .select(col("q_id"), col("n_id"))
-    val approx = annSq8(spark, dir).select(col("q_id"), col("n_id").as("a_id"))
-    exact3.join(approx,
-        exact3("q_id") === approx("q_id") && col("n_id") === col("a_id"), "left")
-      .groupBy(exact3("q_id").as("q_id"))
-      .agg(
-        count(lit(1)).as("n_exact"),
-        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
-      .withColumn("recall", col("n_matched") / col("n_exact"))
-  }
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame =
+    recallVs(
+      annBruteforce(spark, dir).filter(col("rank") <= 3).select("q_id", "n_id"),
+      annSq8(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
 
   /** ANN quality evaluation: recall of the LSH index against the exact
     * top-3 (brute-force restricted to each query's true 3 nearest) — the
     * metric that decides whether the approximate path is usable at scale.
     * Counts are exact integers; recall is an int/int division.
     */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact3 = annBruteforce(spark, dir).filter(col("rank") <= 3)
-      .select(col("q_id"), col("n_id"))
-    val approx = annLsh(spark, dir).select(col("q_id"), col("n_id").as("a_id"))
-    exact3.join(approx,
-        exact3("q_id") === approx("q_id") && col("n_id") === col("a_id"), "left")
-      .groupBy(exact3("q_id").as("q_id"))
-      .agg(
-        count(lit(1)).as("n_exact"),
-        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_matched"))
-      .withColumn("recall", col("n_matched") / col("n_exact"))
-  }
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVs(
+      annBruteforce(spark, dir).filter(col("rank") <= 3).select("q_id", "n_id"),
+      annLsh(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_multi" -> annLshMulti,

@@ -373,16 +373,22 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 0)
   }
 
-  test("temperature mixing dampens: shares order-reverse relative to size") {
+  test("temperature mixing dampens: up-weight ratio decreases with size") {
     val m = llm.Sampling.mixTemperature(spark, dir)
-    // tau < 1 dampening: a source's temperature share moves toward uniform,
-    // so temp/natural ratio must be >= 1 for below-average sources and
-    // <= 1 for above-average ones.
-    val n = m.count()
-    assert(m.filter(col("natural_share") < lit(1.0) / n &&
-      col("temp_share") < col("natural_share")).count() == 0)
-    assert(m.filter(col("natural_share") > lit(1.0) / n &&
-      col("temp_share") > col("natural_share")).count() == 0)
+    // The true tau < 1 invariant: temp_share / natural_share is
+    // proportional to 1/sqrt(n), so it must be non-increasing in source
+    // size. (The naive "crossover at the uniform share" claim is FALSE —
+    // the crossover sits at (N / sum(sqrt(n)))^2, above uniform.)
+    val rows = m.select("n_docs", "temp_share", "natural_share")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1) / r.getDouble(2)))
+      .sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((na, ra), (nb, rb)) =>
+        assert(na > nb || ra >= rb - 1e-9,
+          s"ratio not non-increasing: n=$na ratio=$ra then n=$nb ratio=$rb")
+      case _ => ()
+    }
     // shares are distributions (within integer-quantization slack)
     val sums = m.agg(sum("natural_share"), sum("temp_share")).head
     assert(math.abs(sums.getDouble(0) - 1.0) < 1e-9)
