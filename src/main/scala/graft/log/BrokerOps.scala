@@ -348,7 +348,87 @@ object BrokerOps {
           .as("read_source"))
   }
 
+  /** Replica placement + in-sync-replica status per partition — the #1
+    * Kafka health surface (UnderReplicatedPartitions / min.insync.replicas
+    * violations). RF = 3 chain placement off the md5 broker map
+    * ([[brokerRouting]]'s leader, followers on the next two brokers);
+    * each follower's replication lag is a deterministic md5 draw in
+    * [0, 2 min); a follower is in-sync iff lag <= 30 s
+    * (replica.lag.time.max.ms). A partition with n_isr < 3 is
+    * under-replicated; with n_isr < min.insync.replicas = 2 an acks=all
+    * produce is rejected (NOT_ENOUGH_REPLICAS — the [[graft.log]]
+    * delayed_produce barrier can never complete).
+    * Ref: KafkaResponseUtils metadata replica/ISR fields;
+    * KopBrokerLookupManager placement; Kafka ISR semantics the reference
+    * serves to clients.
+    *
+    * Scale: one partial-aggregated pass for per-partition sizes; the
+    * replica frame is 3x |partitions| — metadata-sized.
+    */
+  def isrStatus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val parts = LogOps.log(spark, dir)
+      .groupBy("topic", "part")
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("tp", concat(col("topic"), lit("#"), col("part").cast("string")))
+      .withColumn("leader", pmod(md5Long(col("tp")), lit(4L)))
+    val followers = parts
+      .crossJoin(broadcast(spark.range(1, 3).select(col("id").as("r"))))
+      .withColumn("broker", pmod(col("leader") + col("r"), lit(4L)))
+      .withColumn("lag_ms",
+        pmod(md5Long(concat_ws("#", lit("lag"), col("tp"), col("r").cast("string"))),
+          lit(120000L)))
+      .withColumn("in_sync", when(col("lag_ms") <= 30000L, 1L).otherwise(0L))
+    followers
+      .groupBy("topic", "part", "leader", "n_records")
+      .agg(
+        (sum("in_sync") + 1L).cast("long").as("n_isr"),
+        max("lag_ms").as("max_follower_lag_ms"))
+      .select(col("topic"), col("part"), col("leader"), col("n_records"),
+        lit(3L).as("n_replicas"), col("n_isr"), col("max_follower_lag_ms"),
+        when(col("n_isr") < 3L, 1L).otherwise(0L).as("under_replicated"),
+        when(col("n_isr") < 2L, 1L).otherwise(0L).as("min_isr_violated"))
+  }
+
+  /** Broker-drain reassignment plan (the kafka-reassign-partitions
+    * workflow against the same placement model): broker 3 is drained;
+    * every replica it holds moves to the lowest-id broker not already in
+    * the partition's replica set. Per partition: the moved replica role
+    * (leader moves force a leader election), destination, and bytes to
+    * ship; the per-broker ingress this plan creates is the throttle
+    * planner's input.
+    * Ref: KopBrokerLookupManager ownership moves; AdminManager metadata.
+    */
+  def replicaReassignment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val parts = LogOps.log(spark, dir)
+      .groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(length(col("v")) + length(col("k"))).cast("long").as("bytes"))
+      .withColumn("tp", concat(col("topic"), lit("#"), col("part").cast("string")))
+      .withColumn("leader", pmod(md5Long(col("tp")), lit(4L)))
+      .withColumn("f1", pmod(col("leader") + 1L, lit(4L)))
+      .withColumn("f2", pmod(col("leader") + 2L, lit(4L)))
+    parts
+      .withColumn("drained_role",
+        when(col("leader") === 3L, "leader")
+          .when(col("f1") === 3L, "follower")
+          .when(col("f2") === 3L, "follower"))
+      .filter(col("drained_role").isNotNull)
+      // lowest broker id not already a replica (4 brokers, 3 replicas =>
+      // exactly one candidate)
+      .withColumn("dest",
+        expr("array_min(filter(array(0L, 1L, 2L), b -> b != leader AND b != f1 AND b != f2))"))
+      .select(col("topic"), col("part"), col("drained_role"),
+        col("dest").as("dest_broker"), col("n_records"), col("bytes"),
+        when(col("drained_role") === "leader", 1L).otherwise(0L)
+          .as("needs_leader_election"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "isr_status" -> isrStatus,
+    "replica_reassignment" -> replicaReassignment,
     "timing_wheel" -> timingWheel,
     "request_latency" -> requestLatency,
     "compaction_ratio" -> compactionRatio,
@@ -397,6 +477,52 @@ object BrokerOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "isr_status" -> (L +
+      """pp AS (
+        |  SELECT topic, part, COUNT(*) AS n_records,
+        |    topic || '#' || CAST(part AS VARCHAR) AS tp,
+        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+        |      AS leader
+        |  FROM log GROUP BY topic, part),
+        |fr AS (
+        |  SELECT pp.*, r,
+        |    ('0x' || substring(md5('lag#' || tp || '#' || CAST(r AS VARCHAR)), 1, 14))::BIGINT
+        |      % 120000 AS lag_ms
+        |  FROM pp, (SELECT CAST(r AS BIGINT) AS r FROM generate_series(1, 2) t(r))),
+        |isr AS (
+        |  SELECT topic, part, leader, n_records,
+        |    CAST(SUM(CASE WHEN lag_ms <= 30000 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |      AS n_isr,
+        |    MAX(lag_ms) AS max_follower_lag_ms
+        |  FROM fr GROUP BY topic, part, leader, n_records)
+        |SELECT topic, part, leader, n_records, CAST(3 AS BIGINT) AS n_replicas,
+        |  n_isr, max_follower_lag_ms,
+        |  CAST(CASE WHEN n_isr < 3 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS under_replicated,
+        |  CAST(CASE WHEN n_isr < 2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS min_isr_violated
+        |FROM isr""".stripMargin),
+    // dest_broker is derived by a DIFFERENT algorithm than the Spark side
+    // (closed form (leader+3)%4 vs array_min over the complement) —
+    // identical output, an independent check of the placement math.
+    "replica_reassignment" -> (L +
+      """pp AS (
+        |  SELECT topic, part, COUNT(*) AS n_records,
+        |    CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes,
+        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+        |      AS leader
+        |  FROM log GROUP BY topic, part),
+        |rp AS (
+        |  SELECT *, (leader + 1) % 4 AS f1, (leader + 2) % 4 AS f2 FROM pp),
+        |dr AS (
+        |  SELECT *, CASE WHEN leader = 3 THEN 'leader'
+        |                 WHEN f1 = 3 OR f2 = 3 THEN 'follower' END AS drained_role
+        |  FROM rp)
+        |SELECT topic, part, drained_role,
+        |  (leader + 3) % 4 AS dest_broker, n_records, bytes,
+        |  CAST(CASE WHEN drained_role = 'leader' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS needs_leader_election
+        |FROM dr WHERE drained_role IS NOT NULL""".stripMargin),
     "timing_wheel" -> (L +
       """timers AS (
         |  SELECT topic, (event_id * 7919) % 3600000 AS delay_ms FROM log),
