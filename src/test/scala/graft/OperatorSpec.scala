@@ -373,6 +373,30 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("isr_status and reassignment plan are placement-consistent") {
+    val isr = graft.log.BrokerOps.isrStatus(spark, dir)
+    assert(isr.filter(col("n_isr") < 1 || col("n_isr") > 3).count() == 0)
+    assert(isr.filter(col("leader") < 0 || col("leader") > 3).count() == 0)
+    // min-ISR violation implies under-replication
+    assert(isr.filter(col("min_isr_violated") === 1 &&
+      col("under_replicated") === 0).count() == 0)
+    val rr = graft.log.BrokerOps.replicaReassignment(spark, dir)
+    // the drained broker can never be a destination
+    assert(rr.filter(col("dest_broker") < 0 || col("dest_broker") > 2).count() == 0)
+    assert(rr.filter((col("drained_role") === "leader") =!=
+      (col("needs_leader_election") === 1)).count() == 0)
+  }
+
+  test("multi-table LSH recall dominates the single table") {
+    // Table 0 of the 4-table index IS the single-table index (same plane
+    // namespace), so its candidate set is a superset and — because the
+    // final ranking uses the true cosine — recall@3 is monotone in L.
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg("recall")).head.getDouble(0)
+    assert(mean(llm.Similarity.lshMultiRecall(spark, dir)) >=
+      mean(llm.Similarity.annRecall(spark, dir)) - 1e-9)
+  }
+
   test("temperature mixing dampens: up-weight ratio decreases with size") {
     val m = llm.Sampling.mixTemperature(spark, dir)
     // The true tau < 1 invariant: temp_share / natural_share is
