@@ -376,7 +376,55 @@ object Transactions {
       .withColumn("add_seq", row_number().over(w).cast("long"))
   }
 
+  /** DescribeTransactions (KafkaRequestHandler.java:2151
+    * `handleDescribeTransactionsRequest` -> TransactionCoordinator
+    * .java:238-300 `handleDescribeTransactions`): the per-transactional-id
+    * metadata row the admin API returns — current producer id and epoch
+    * (the latest append's, matching the coordinator's "current" pid/epoch),
+    * admin-vocabulary state, the static transaction timeout, start
+    * timestamp, and the registered partition set (the same set
+    * [[addPartitionsToTxn]] builds and EndTxn fans markers to), flattened
+    * to a sorted list for a stable row shape. Ids the coordinator has no
+    * metadata for answer TRANSACTIONAL_ID_NOT_FOUND with NULL state —
+    * modeled by describing ids 0..79 against the 64-txn universe.
+    *
+    * Scale: one partial-aggregated shuffle on txn_id compresses the log to
+    * 64 metadata rows; the queried-id frame joins against that broadcast —
+    * the probe side never touches the log again.
+    */
+  def describeTransactions(spark: SparkSession, dir: String): DataFrame = {
+    val tp = concat(col("topic"), lit("#"), col("part").cast("string"))
+    val meta = txnLog(spark, dir)
+      .withColumn("producer_id", pmod(col("k").cast("long"), lit(16L)))
+      .withColumn("epoch", expr("(event_id div 500) % 8"))
+      .withColumn("tp", tp)
+      .groupBy("txn_id")
+      .agg(
+        max(struct(col("event_id"), col("producer_id")))
+          .getField("producer_id").as("producer_id"),
+        max(struct(col("event_id"), col("epoch")))
+          .getField("epoch").as("producer_epoch"),
+        min("tms").as("start_ms"),
+        countDistinct("tp").as("n_partitions"),
+        array_join(array_sort(collect_set(col("tp"))), ",").as("partitions"))
+      .withColumn("state",
+        when(txnFate(col("txn_id")) === "ABORTED", "CompleteAbort")
+          .when(txnFate(col("txn_id")) === "ONGOING", "Ongoing")
+          .otherwise("CompleteCommit"))
+    spark.range(0L, 80L).toDF("txn_id")
+      .join(broadcast(meta), Seq("txn_id"), "left")
+      .withColumn("error_code",
+        when(col("start_ms").isNull, "TRANSACTIONAL_ID_NOT_FOUND")
+          .otherwise("NONE"))
+      .withColumn("txn_timeout_ms",
+        when(col("start_ms").isNotNull, lit(60000L)))
+      .select("txn_id", "error_code", "state", "producer_id",
+        "producer_epoch", "txn_timeout_ms", "start_ms", "n_partitions",
+        "partitions")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "describe_transactions" -> describeTransactions,
     "add_partitions_to_txn" -> addPartitionsToTxn,
     "txn_offset_commits" -> txnOffsetCommits,
     "describe_producers" -> describeProducers,
@@ -394,6 +442,30 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "describe_transactions" -> (L + txnSql +
+      s""", dm AS (
+         |  SELECT txn_id,
+         |    max_by(CAST(k AS BIGINT) % 16, event_id) AS producer_id,
+         |    max_by((event_id // 500) % 8, event_id) AS producer_epoch,
+         |    MIN(tms) AS start_ms,
+         |    CAST(COUNT(DISTINCT topic || '#' || CAST(part AS VARCHAR))
+         |      AS BIGINT) AS n_partitions,
+         |    string_agg(DISTINCT topic || '#' || CAST(part AS VARCHAR), ','
+         |      ORDER BY topic || '#' || CAST(part AS VARCHAR)) AS partitions
+         |  FROM txn GROUP BY txn_id),
+        |q AS (SELECT range AS txn_id FROM range(0, 80))
+        |SELECT q.txn_id,
+        |  CASE WHEN dm.txn_id IS NULL THEN 'TRANSACTIONAL_ID_NOT_FOUND'
+        |    ELSE 'NONE' END AS error_code,
+        |  CASE WHEN dm.txn_id IS NULL THEN NULL
+        |    WHEN (${fateSql("dm.txn_id")}) = 'ABORTED' THEN 'CompleteAbort'
+        |    WHEN (${fateSql("dm.txn_id")}) = 'ONGOING' THEN 'Ongoing'
+        |    ELSE 'CompleteCommit' END AS state,
+        |  dm.producer_id, dm.producer_epoch,
+        |  CASE WHEN dm.txn_id IS NULL THEN NULL
+        |    ELSE CAST(60000 AS BIGINT) END AS txn_timeout_ms,
+        |  dm.start_ms, dm.n_partitions, dm.partitions
+        |FROM q LEFT JOIN dm ON q.txn_id = dm.txn_id""".stripMargin),
     "add_partitions_to_txn" -> (L + txnSql +
       """, reg AS (
         |  SELECT txn_id, topic, part,

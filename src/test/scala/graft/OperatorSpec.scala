@@ -322,6 +322,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(ap.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
   }
 
+  test("describe_transactions: 64 found + 16 not-found, consistent metadata") {
+    val dt = txn.Transactions.describeTransactions(spark, dir)
+    assert(dt.count() == 80)
+    val found = dt.filter(col("error_code") === "NONE")
+    assert(found.count() == 64)
+    // Not-found rows carry no metadata; found rows carry all of it.
+    assert(dt.filter(col("error_code") =!= "NONE" &&
+      (col("state").isNotNull || col("producer_id").isNotNull ||
+        col("partitions").isNotNull)).count() == 0)
+    assert(found.filter(col("state").isNull || col("producer_id").isNull ||
+      col("txn_timeout_ms") =!= 60000L || col("n_partitions") < 1).count() == 0)
+    // The partition list agrees with its own count and with the
+    // AddPartitionsToTxn registry for the same txn.
+    assert(found.filter(size(split(col("partitions"), ","))
+      =!= col("n_partitions")).count() == 0)
+    val reg = txn.Transactions.addPartitionsToTxn(spark, dir)
+      .groupBy("txn_id").agg(count(lit(1)).as("n_reg"))
+    assert(found.join(reg, "txn_id")
+      .filter(col("n_partitions") =!= col("n_reg")).count() == 0)
+  }
+
   test("delete_groups / delete_topics outcomes are consistent") {
     val dg = coordinator.Groups.deleteGroups(spark, dir)
     assert(dg.filter(col("result") === "DELETED" &&
