@@ -174,6 +174,28 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
+  /** IVF cell-balance diagnostic: per coarse cell its population, corpus
+    * share, and imbalance factor vs the mean cell (both integer-quantized
+    * — basis points and x100 — for engine parity). At 100 TB this is the
+    * operational health check of the IVF family: a hot cell bounds probe
+    * latency, skews partition sizes, and signals the coarse quantizer
+    * needs refitting (real IVF deployments re-train when max imbalance
+    * drifts); the same per-cell counts are what [[semDedup]]'s sub-bucket
+    * cap keys on. One partial-aggregated shuffle on cell (16 rows out),
+    * then a broadcast of the 1-row total.
+    */
+  def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = ivfCells(spark, dir)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(
+      sum("n_vecs").cast("long").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n_vecs * 10000 div n_total"))
+      .withColumn("imbalance_x100", expr("n_vecs * 100 * n_cells div n_total"))
+      .select("cell", "n_vecs", "share_bp", "imbalance_x100")
+  }
+
   /** IVF with nprobe=2 — the recall/cost knob made concrete: each query
     * probes its TWO nearest coarse cells instead of one (data vectors
     * still live in exactly one cell, so probed candidate sets are
@@ -492,6 +514,7 @@ object Similarity {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ivf_cell_balance" -> ivfCellBalance,
     "ann_ivf_nprobe2" -> annIvfNprobe2,
     "ann_recall" -> annRecall,
     "semdedup" -> semDedup)
@@ -914,6 +937,29 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
          |WHERE rank <= 3""".stripMargin),
+    "ivf_cell_balance" -> (vecSql + Clustering.fitSql +
+      s""", cents AS (
+         |  SELECT cid, cv, cnrm FROM fcent),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+        |cells AS (
+        |  SELECT a.vec_id, a.cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
+        |  WHERE a.crn = 1),
+        |counts AS (
+        |  SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
+        |tot AS (
+        |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cells FROM counts)
+        |SELECT cell, n_vecs,
+        |  (n_vecs * 10000) // n_total AS share_bp,
+        |  (n_vecs * 100 * n_cells) // n_total AS imbalance_x100
+        |FROM counts CROSS JOIN tot""".stripMargin),
     "ann_ivf_nprobe2" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
          |  SELECT cid, cv, cnrm FROM fcent),

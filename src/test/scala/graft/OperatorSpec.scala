@@ -378,6 +378,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf_cell_balance: shares and imbalance account for the whole corpus") {
+    val cb = llm.Similarity.ivfCellBalance(spark, dir)
+    assert(cb.filter(col("n_vecs") <= 0L).count() == 0)
+    val s = cb.agg(
+      count(lit(1)).as("n_cells"),
+      sum("n_vecs").as("n_total"),
+      sum("share_bp").as("shares"),
+      sum("imbalance_x100").as("imb")).head()
+    val nCells = s.getAs[Long]("n_cells")
+    assert(nCells >= 1L && nCells <= 16L)
+    // Floor-divided shares sum to at most 10000 and lose < 1bp per cell;
+    // same accounting for the mean-100 imbalance factors.
+    assert(s.getAs[Long]("shares") <= 10000L &&
+      s.getAs[Long]("shares") > 10000L - nCells)
+    assert(s.getAs[Long]("imb") <= 100L * nCells &&
+      s.getAs[Long]("imb") > 100L * nCells - nCells)
+    // Populations agree with the embeddings corpus size.
+    assert(s.getAs[Long]("n_total") ==
+      graft.Tables.t(spark, dir, "embeddings").count())
+  }
+
   test("ann_ivfpq: dense top-3 per query, non-negative ADC distances") {
     val r = llm.Similarity.annIvfPq(spark, dir)
     assert(r.filter(col("dist") < 0.0).count() == 0)
