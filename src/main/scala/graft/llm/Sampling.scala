@@ -83,13 +83,57 @@ object Sampling {
         expr("(200 * wq) div wq_total").as("alloc_temp"))
   }
 
+  /** Deterministic global shuffle: every document gets a reproducible
+    * pseudo-random position — the rank of (md5(doc_id), doc_id) — the
+    * training-order shuffle a pipeline runs before sequence packing, plus
+    * the loader-shard assignment (position mod 8) that order implies.
+    * Hash-keyed, so the permutation is identical across runs, engines,
+    * and cluster sizes.
+    *
+    * Scale: a single global ROW_NUMBER window would funnel 100 TB through
+    * one task. Instead the rank is computed as a chunked parallel prefix:
+    * 256 hash-prefix buckets (the top 8 bits of the hash, so bucket order
+    * IS hash order), per-bucket counts rolled into broadcast running
+    * offsets (a 256-row window), and a per-bucket ROW_NUMBER — every
+    * stage is parallel, the only full-data shuffle is the bucket window's.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("h", md5Long(col("doc_id").cast("string")))
+      .withColumn("bucket", expr("h div 281474976710656"))
+    val offs = d.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum("n").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    d.join(broadcast(offs), "bucket")
+      .withColumn("shuffle_pos",
+        col("off") + row_number().over(
+          Window.partitionBy("bucket").orderBy("h", "doc_id")).cast("long")
+          - 1L)
+      .withColumn("shard", pmod(col("shuffle_pos"), lit(8L)))
+      .select("doc_id", "shuffle_pos", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle" -> corpusShuffle,
     "sample_stratified" -> sampleStratified,
     "mix_sources" -> mixSources,
     "mix_temperature" -> mixTemperature,
     "train_test_split" -> trainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hl
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY hl, doc_id) - 1 AS BIGINT)
+        |    AS shuffle_pos,
+        |  CAST((ROW_NUMBER() OVER (ORDER BY hl, doc_id) - 1) % 8 AS BIGINT)
+        |    AS shard
+        |FROM h""".stripMargin,
     "mix_temperature" ->
       """WITH src AS (
         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),

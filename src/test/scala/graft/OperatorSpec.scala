@@ -378,6 +378,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_shuffle emits a dense permutation with balanced shards") {
+    val cs = llm.Sampling.corpusShuffle(spark, dir)
+    val n = graft.Tables.t(spark, dir, "documents").count()
+    val s = cs.agg(
+      count(lit(1)).as("rows"),
+      countDistinct("shuffle_pos").as("n_pos"),
+      min("shuffle_pos").as("mn"),
+      max("shuffle_pos").as("mx")).head()
+    assert(s.getAs[Long]("rows") == n && s.getAs[Long]("n_pos") == n)
+    assert(s.getAs[Long]("mn") == 0L && s.getAs[Long]("mx") == n - 1)
+    // position mod 8 sharding is balanced to within one document
+    val sh = cs.groupBy("shard").agg(count(lit(1)).as("c"))
+      .agg(min("c").as("lo"), max("c").as("hi"), count(lit(1)).as("k")).head()
+    assert(sh.getAs[Long]("k") == 8L)
+    assert(sh.getAs[Long]("hi") - sh.getAs[Long]("lo") <= 1L)
+  }
+
   test("ivf_cell_balance: shares and imbalance account for the whole corpus") {
     val cb = llm.Similarity.ivfCellBalance(spark, dir)
     assert(cb.filter(col("n_vecs") <= 0L).count() == 0)
