@@ -225,6 +225,49 @@ object TextAnalysis {
     merges.reduce(_ unionAll _)
   }
 
+  /** BPE encoding — applying the merge table [[bpeMerges]] trains, the
+    * other half of a tokenizer's life: each word becomes its symbol
+    * sequence, the three learned merges replay in training order, and the
+    * per-document accounting (words, pre-merge symbols = chars, post-merge
+    * tokens, symbols saved) is what a token-budget planner consumes.
+    *
+    * Scale: encoding happens on the DISTINCT vocabulary (bounded, not
+    * corpus-sized), with the 3 merges pivoted into one broadcast row and
+    * replayed as chained codegen'd replaces; the corpus-sized side only
+    * joins (doc, word) to the encoded vocab and partial-aggregates per
+    * doc. The trainer's checkpointed winners are reused, not re-derived.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val mw = bpeMerges(spark, dir).groupBy().agg(
+      max(when(col("round") === 1L, col("pair"))).as("p1"),
+      max(when(col("round") === 2L, col("pair"))).as("p2"),
+      max(when(col("round") === 3L, col("pair"))).as("p3"))
+    def applyMerge(p: String) = expr(
+      s"replace(seq, concat(' ', $p, ' '), concat(' ', replace($p, ' ', ''), ' '))")
+    val docWords = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val vocab = docWords.select("word").distinct()
+      .withColumn("seq", concat(lit(" "),
+        concat_ws(" ", expr("regexp_extract_all(word, '.', 0)")), lit(" ")))
+      .crossJoin(broadcast(mw))
+      .withColumn("seq", applyMerge("p1"))
+      .withColumn("seq", applyMerge("p2"))
+      .withColumn("seq", applyMerge("p3"))
+      .select(col("word"),
+        size(split(trim(col("seq")), " ")).cast("long").as("n_tok"))
+    // The encoded vocabulary is bounded (distinct words, not corpus rows)
+    // — broadcast it so the corpus side never shuffles on `word`.
+    docWords.join(broadcast(vocab), "word")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum("n_tok").cast("long").as("n_tokens"))
+      .withColumn("saved", col("n_chars") - col("n_tokens"))
+  }
+
   /** Document-length distribution per source: nearest-rank quartiles. */
   def docLengthStats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -368,6 +411,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> bpeMerges,
+    "bpe_encode" -> bpeEncode,
     "bpe_pair_counts" -> bpePairCounts,
     "gram_likelihood" -> gramLikelihood,
     "substring_dup_pairs" -> substringDupPairs,
@@ -391,7 +435,12 @@ object TextAnalysis {
     * (pair count -> top-1 winner -> replace), same left-to-right
     * non-overlapping replace semantics.
     */
-  private def bpeMergesSql: String = {
+  /** The 3-round BPE training CTE chain (norm/words/s0, then per round
+    * pair counts p_r, winner t_r, merged vocabulary s_r) — s3 is the
+    * vocabulary AFTER all three merges. Shared by the bpe_merges and
+    * bpe_encode oracles.
+    */
+  private def bpeChainSql: String = {
     val rounds = (1 to 3).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
       s"""p$r AS (
@@ -419,17 +468,39 @@ object TextAnalysis {
        |  SELECT word, freq,
        |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seq
        |  FROM words),
-       |$rounds
-       |SELECT CAST(round AS BIGINT) AS round, pair,
-       |  replace(pair, ' ', '') AS merged, n_pair
-       |FROM (
-       |  SELECT 1 AS round, pair, n_pair FROM t1
-       |  UNION ALL SELECT 2, pair, n_pair FROM t2
-       |  UNION ALL SELECT 3, pair, n_pair FROM t3)""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def bpeMergesSql: String =
+    bpeChainSql + "\n" +
+      """SELECT CAST(round AS BIGINT) AS round, pair,
+        |  replace(pair, ' ', '') AS merged, n_pair
+        |FROM (
+        |  SELECT 1 AS round, pair, n_pair FROM t1
+        |  UNION ALL SELECT 2, pair, n_pair FROM t2
+        |  UNION ALL SELECT 3, pair, n_pair FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql,
+    "bpe_encode" -> (bpeChainSql + """,
+        |dw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |        AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 1),
+        |enc AS (
+        |  SELECT word,
+        |    CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tok
+        |  FROM s3)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(word)) AS BIGINT) - CAST(SUM(n_tok) AS BIGINT)
+        |    AS saved
+        |FROM dw JOIN enc USING (word) GROUP BY doc_id""".stripMargin),
     "bpe_pair_counts" ->
       """SELECT pair, n, rnk FROM (
         |  SELECT pair, n,

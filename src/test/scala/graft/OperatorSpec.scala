@@ -378,6 +378,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_encode: token accounting bounded by chars and words") {
+    val enc = llm.TextAnalysis.bpeEncode(spark, dir)
+    // every word is at least one token; merges only ever shrink
+    assert(enc.filter(col("n_tokens") > col("n_chars") ||
+      col("n_tokens") < col("n_words") ||
+      col("saved") =!= col("n_chars") - col("n_tokens")).count() == 0)
+    // the learned merges actually fire somewhere in the corpus
+    assert(enc.agg(sum("saved")).head().getLong(0) > 0L)
+    // docs with no alphanumeric content drop out; the rest are all here
+    val nDocs = graft.Tables.t(spark, dir, "documents")
+      .filter(col("text").rlike("[a-z0-9]")).count()
+    assert(enc.count() == nDocs)
+  }
+
   test("corpus_shuffle emits a dense permutation with balanced shards") {
     val cs = llm.Sampling.corpusShuffle(spark, dir)
     val n = graft.Tables.t(spark, dir, "documents").count()
