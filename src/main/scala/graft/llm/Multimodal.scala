@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
@@ -270,6 +271,82 @@ object Multimodal {
     }.toDF()
   }
 
+  /** 64-bit average-hash over an 8x8 block-mean downsample of the decoded
+    * raster's luma — the standard perceptual aHash: bit b set iff block
+    * b's mean luma exceeds the mean of the 64 block means.
+    */
+  private def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val blocks = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < px.length) {
+      val x = i % w
+      val y = i / w
+      val rgb = px(i)
+      val b = ((y * 8) / h) * 8 + (x * 8) / w
+      blocks(b) += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+      counts(b) += 1
+      i += 1
+    }
+    var mean = 0.0
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) blocks(b) /= counts(b)
+      mean += blocks(b)
+      b += 1
+    }
+    mean /= 64.0
+    var hash = 0L
+    b = 0
+    while (b < 64) {
+      if (blocks(b) > mean) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  final case class PHashRow(doc_id: Long, phash: Long, width: Long, height: Long)
+
+  /** Perceptual-hash image dedup: every image-typed document goes through
+    * the REAL PNG round-trip (encode -> ImageIO decode), the decoded
+    * raster is average-hashed ([[aHash64]] — 8x8 block-mean luma
+    * signature, the lossy fingerprint image dedup pipelines bucket on),
+    * and identical signatures group into near-dup clusters (count +
+    * canonical keeper). Exact-duplicate payloads are guaranteed the same
+    * phash; visually-close variants collapse too — that lossiness is the
+    * point.
+    *
+    * Rows-only by design (the signature comes out of the binary codec
+    * path, not SQL); MultimodalSpec pins determinism, group consistency,
+    * and the superset-of-exact-dups law. Scale: the decode+hash is a
+    * batch-shaped per-partition map (no shuffle), then ONE shuffle on the
+    * 64-bit signature — the same bucket-join shape as every other dedup
+    * family member, with bounded group sizes (8-byte key, exact equality).
+    */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val images = t(spark, dir, "documents")
+      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3L)) === 0L)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val hashed = images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, payload) =>
+        val (img, w, h, _) = decodePng(encodePng(payload))
+        PHashRow(id, aHash64(img), w, h)
+      }
+    }.toDF()
+    val byHash = Window.partitionBy("phash")
+    hashed
+      .withColumn("n_same", count(lit(1)).over(byHash))
+      .withColumn("keep_id", min("doc_id").over(byHash))
+      .withColumn("is_dup",
+        when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+  }
+
   /** Cross-modal alignment: pair each media document with its embedding
     * row (doc_id <-> vec_id — the caption/image pairing step of a
     * multimodal training set) and roll up per (media_type, label):
@@ -296,6 +373,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pipeline" -> multimodalPipeline,
+    "media_phash" -> mediaPhash,
     "media_embed_align" -> mediaEmbedAlign)
 
   /** multimodal_pipeline is not SQL-expressible (binary batch processing)

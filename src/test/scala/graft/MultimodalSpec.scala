@@ -78,6 +78,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("media_phash: deterministic aHash groups contain all exact dups") {
+    val ph = Multimodal.mediaPhash(spark, dir)
+    // image subset only, one row per image doc
+    val images = graft.Tables.t(spark, dir, "documents")
+      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3L)) === 0L)
+    assert(ph.count() == images.count())
+    // group accounting: n_same counts the group, keeper is its min doc_id
+    val g = ph.groupBy("phash").agg(
+      count(lit(1)).as("n"), min("doc_id").as("mn"),
+      countDistinct("n_same").as("k1"), countDistinct("keep_id").as("k2"))
+    assert(g.filter(col("k1") =!= 1L || col("k2") =!= 1L).count() == 0)
+    assert(ph.join(g, "phash")
+      .filter(col("n_same") =!= col("n") || col("keep_id") =!= col("mn"))
+      .count() == 0)
+    // lossy-superset law: byte-identical payloads MUST share a phash
+    val byText = images.groupBy(md5(col("text")).as("h"))
+      .agg(countDistinct("doc_id").as("n_ids"))
+      .filter(col("n_ids") >= 2)
+    val textDupPhashes = images.withColumn("h", md5(col("text")))
+      .join(byText, "h").join(ph, "doc_id")
+      .groupBy("h").agg(countDistinct("phash").as("n_hashes"))
+    assert(textDupPhashes.filter(col("n_hashes") =!= 1L).count() == 0)
+    // determinism across independent evaluations
+    val again = Multimodal.mediaPhash(spark, dir)
+      .select(col("doc_id"), col("phash").as("phash2"))
+    assert(ph.join(again, "doc_id")
+      .filter(col("phash") =!= col("phash2")).count() == 0)
+  }
+
   test("pipeline image rows carry decoded-raster dims and capped resize") {
     val out = Multimodal.multimodalPipeline(spark, dir)
       .filter(col("media_type") === "image")
