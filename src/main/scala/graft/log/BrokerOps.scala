@@ -241,8 +241,11 @@ object BrokerOps {
     * (the digest rollup the reference's interval stats snapshots
     * materialize). No full-data sort, no 4-task parallelism floor.
     */
-  def requestLatency(spark: SparkSession, dir: String): DataFrame = {
-    val samples = LogOps.log(spark, dir)
+  /** The deterministic per-request (api, lat_us) sample model shared by
+    * [[requestLatency]] and [[latencyHdrSketch]].
+    */
+  private def latencySamples(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir)
       .withColumn("api",
         when(pmod(col("event_id"), lit(4L)) === 0L, "PRODUCE_ENCODE")
           .when(pmod(col("event_id"), lit(4L)) === 1L, "MESSAGE_PUBLISH")
@@ -256,6 +259,9 @@ object BrokerOps {
           .when(col("api") === "FETCH_DECODE",
             lit(10L) + expr("CAST(length(v) AS BIGINT) div 2"))
           .otherwise(lit(5L) + pmod(col("event_id"), lit(53L))))
+
+  def requestLatency(spark: SparkSession, dir: String): DataFrame = {
+    val samples = latencySamples(spark, dir)
     val dist = samples.groupBy("api", "lat_us").agg(count(lit(1)).as("cnt"))
     val cw = Window.partitionBy("api").orderBy("lat_us")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -271,6 +277,57 @@ object BrokerOps {
       pick(0.99).as("p99_us"),
       max("lat_us").as("max_us"),
       sum(col("lat_us") * col("cnt")).cast("long").as("total_us"))
+  }
+
+  /** The HdrHistogram bucket width for a value: 2^(m-3) where m =
+    * floor(log2 v) — 8 linear sub-buckets per power of two, relative
+    * error <= 1/8. Values below 8 are exact. Pure integer CASE chain so
+    * Spark and DuckDB agree bit-for-bit (no libm log2).
+    */
+  private[graft] def hdrSubWidthSql(v: String): String = {
+    val cases = (24 to 3 by -1)
+      .map(m => s"WHEN $v >= ${1L << m} THEN ${1L << (m - 3)}")
+      .mkString(" ")
+    s"CASE $cases ELSE 1 END"
+  }
+
+  /** Mergeable latency-histogram sketch
+    * (stats/DataSketchesOpStatsLogger.java — the reference records
+    * request latencies into mergeable quantile sketches and publishes
+    * p50/p95/p99; stats/PrometheusMetricsProvider.java exports them):
+    * the deterministic analog is an HdrHistogram-style log2-major /
+    * 8-linear-sub-bucket histogram — per api the bucket summary size,
+    * quantile estimates (lower bound of the bucket holding the rank,
+    * relative error <= 1/8 by construction), and the true max's bucket
+    * ceiling.
+    *
+    * Scale: this is the sketch the exact [[requestLatency]] plan cannot
+    * be at unbounded value domains — the shuffle carries at most
+    * apis x ~176 bucket rows NO MATTER the data size (request_latency's
+    * value-compressed distribution grows with distinct latencies), the
+    * bucket rollup is map-side combinable (= sketch merge), and the same
+    * frame streams: bucket counts are monoid state.
+    */
+  def latencyHdrSketch(spark: SparkSession, dir: String): DataFrame = {
+    val hist = latencySamples(spark, dir)
+      .withColumn("sw", expr(hdrSubWidthSql("lat_us")))
+      .withColumn("b_lo", expr("(lat_us div sw) * sw"))
+      .withColumn("b_hi", col("b_lo") + col("sw") - 1L)
+      .groupBy("api", "b_lo", "b_hi").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("api").orderBy("b_lo")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = hist
+      .withColumn("cum", sum("cnt").over(cw))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("api")))
+    def pick(p: Double) =
+      min(when(col("cum") >= expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("b_lo")))
+    ranked.groupBy("api").agg(
+      sum("cnt").cast("long").as("n_requests"),
+      count(lit(1)).as("n_buckets"),
+      pick(0.5).as("p50_lo"),
+      pick(0.95).as("p95_lo"),
+      pick(0.99).as("p99_lo"),
+      max("b_hi").as("max_hi"))
   }
 
   /** Hierarchical timing-wheel occupancy
@@ -431,6 +488,7 @@ object BrokerOps {
     "replica_reassignment" -> replicaReassignment,
     "timing_wheel" -> timingWheel,
     "request_latency" -> requestLatency,
+    "latency_hdr_sketch" -> latencyHdrSketch,
     "compaction_ratio" -> compactionRatio,
     "segment_cleanup_plan" -> segmentCleanupPlan,
     "tiered_offload_plan" -> tieredOffloadPlan,
@@ -474,6 +532,21 @@ object BrokerOps {
       |      AND seg_id <> MAX(seg_id) OVER (PARTITION BY topic, part)
       |      THEN 1 ELSE 0 END AS BIGINT) AS offload
       |  FROM segs)
+      |""".stripMargin
+
+  /** DuckDB mirror of [[latencySamples]] (continuable CTE). */
+  private val latencySamplesSql: String =
+    """samples AS (
+      |  SELECT event_id,
+      |    CASE event_id % 4
+      |      WHEN 0 THEN 'PRODUCE_ENCODE' WHEN 1 THEN 'MESSAGE_PUBLISH'
+      |      WHEN 2 THEN 'FETCH_DECODE' ELSE 'MESSAGE_READ' END AS api,
+      |    CASE event_id % 4
+      |      WHEN 0 THEN 20 + length(v)
+      |      WHEN 1 THEN 50 + event_id % 211
+      |      WHEN 2 THEN 10 + length(v) // 2
+      |      ELSE 5 + event_id % 53 END AS lat_us
+      |  FROM log),
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -550,19 +623,33 @@ object BrokerOps {
         |  CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
         |  MIN(delay_ms) AS min_delay_ms, MAX(delay_ms) AS max_delay_ms
         |FROM bucketed GROUP BY topic, level""".stripMargin),
-    "request_latency" -> (L +
-      """samples AS (
-        |  SELECT event_id,
-        |    CASE event_id % 4
-        |      WHEN 0 THEN 'PRODUCE_ENCODE' WHEN 1 THEN 'MESSAGE_PUBLISH'
-        |      WHEN 2 THEN 'FETCH_DECODE' ELSE 'MESSAGE_READ' END AS api,
-        |    CASE event_id % 4
-        |      WHEN 0 THEN 20 + length(v)
-        |      WHEN 1 THEN 50 + event_id % 211
-        |      WHEN 2 THEN 10 + length(v) // 2
-        |      ELSE 5 + event_id % 53 END AS lat_us
-        |  FROM log),
+    "latency_hdr_sketch" -> (L + latencySamplesSql +
+      s"""hist AS (
+         |  SELECT api,
+         |    CAST((lat_us // sw) * sw AS BIGINT) AS b_lo,
+         |    CAST((lat_us // sw) * sw + sw - 1 AS BIGINT) AS b_hi,
+         |    COUNT(*) AS cnt
+         |  FROM (SELECT api, lat_us, ${hdrSubWidthSql("lat_us")} AS sw
+         |        FROM samples)
+         |  GROUP BY 1, 2, 3),
         |ranked AS (
+        |  SELECT *,
+        |    SUM(cnt) OVER (PARTITION BY api ORDER BY b_lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY api) AS n
+        |  FROM hist)
+        |SELECT api, CAST(SUM(cnt) AS BIGINT) AS n_requests,
+        |  COUNT(*) AS n_buckets,
+        |  CAST(MIN(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |    THEN b_lo END) AS BIGINT) AS p50_lo,
+        |  CAST(MIN(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT)
+        |    THEN b_lo END) AS BIGINT) AS p95_lo,
+        |  CAST(MIN(CASE WHEN cum >= CAST(ceil(n * 0.99) AS BIGINT)
+        |    THEN b_lo END) AS BIGINT) AS p99_lo,
+        |  CAST(MAX(b_hi) AS BIGINT) AS max_hi
+        |FROM ranked GROUP BY api""".stripMargin),
+    "request_latency" -> (L + latencySamplesSql +
+      """ranked AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY api ORDER BY lat_us, event_id) AS rn,
         |    COUNT(*) OVER (PARTITION BY api) AS n
         |  FROM samples)

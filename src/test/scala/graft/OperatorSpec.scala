@@ -322,6 +322,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(ap.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
   }
 
+  test("latency_hdr_sketch brackets the exact percentiles within 1/8") {
+    val exact = graft.log.BrokerOps.requestLatency(spark, dir)
+      .select(col("api"), col("p50_us"), col("p95_us"), col("p99_us"))
+    val sk = graft.log.BrokerOps.latencyHdrSketch(spark, dir)
+    val j = sk.join(exact, "api")
+    assert(j.count() == 4)
+    // the bucket lower bound never exceeds the exact quantile, and the
+    // bucket's relative width is <= 1/8 (HdrHistogram's error contract)
+    for ((lo, ex) <- Seq(("p50_lo", "p50_us"), ("p95_lo", "p95_us"),
+        ("p99_lo", "p99_us"))) {
+      assert(j.filter(col(lo) > col(ex)).count() == 0, s"$lo above exact")
+      assert(j.filter(col(ex).cast("double") >
+        col(lo).cast("double") * 1.125 + 1.0).count() == 0, s"$lo too coarse")
+    }
+    // summary stays sketch-sized and accounts for every request
+    assert(sk.filter(col("n_buckets") > 200L).count() == 0)
+    val n1 = sk.agg(sum("n_requests")).head().getLong(0)
+    assert(n1 == graft.Tables.t(spark, dir, "events").count())
+  }
+
   test("describe_transactions: 64 found + 16 not-found, consistent metadata") {
     val dt = txn.Transactions.describeTransactions(spark, dir)
     assert(dt.count() == 80)
