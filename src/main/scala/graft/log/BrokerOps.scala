@@ -245,7 +245,14 @@ object BrokerOps {
     * [[requestLatency]] and [[latencyHdrSketch]].
     */
   private def latencySamples(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    withLatency(LogOps.log(spark, dir))
+
+  /** The api/lat_us modeling applied to any frame carrying (event_id, v)
+    * — shared with the streaming twin (Streams.runStreamLatencySketch),
+    * which must price latencies identically to the batch plan.
+    */
+  private[graft] def withLatency(df: DataFrame): DataFrame =
+    df
       .withColumn("api",
         when(pmod(col("event_id"), lit(4L)) === 0L, "PRODUCE_ENCODE")
           .when(pmod(col("event_id"), lit(4L)) === 1L, "MESSAGE_PUBLISH")
@@ -308,12 +315,20 @@ object BrokerOps {
     * bucket rollup is map-side combinable (= sketch merge), and the same
     * frame streams: bucket counts are monoid state.
     */
-  def latencyHdrSketch(spark: SparkSession, dir: String): DataFrame = {
-    val hist = latencySamples(spark, dir)
+  /** (api, b_lo, b_hi) -> cnt — the histogram state itself. Works on a
+    * batch OR streaming samples frame (bucket counts are monoid state, so
+    * a streaming complete-mode aggregation holds exactly this bounded
+    * frame); shared with Streams.runStreamLatencySketch.
+    */
+  private[graft] def hdrHist(samples: DataFrame): DataFrame =
+    samples
       .withColumn("sw", expr(hdrSubWidthSql("lat_us")))
       .withColumn("b_lo", expr("(lat_us div sw) * sw"))
       .withColumn("b_hi", col("b_lo") + col("sw") - 1L)
       .groupBy("api", "b_lo", "b_hi").agg(count(lit(1)).as("cnt"))
+
+  def latencyHdrSketch(spark: SparkSession, dir: String): DataFrame = {
+    val hist = hdrHist(latencySamples(spark, dir))
     val cw = Window.partitionBy("api").orderBy("b_lo")
       .rowsBetween(Window.unboundedPreceding, 0)
     val ranked = hist

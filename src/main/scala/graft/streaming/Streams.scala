@@ -353,6 +353,30 @@ object Streams {
     spark.table("graft_stream_static")
   }
 
+  /** Continuous latency-histogram sketch: the streaming form of
+    * BrokerOps.latencyHdrSketch, using the SAME sample pricing
+    * (BrokerOps.withLatency) and the SAME bucketing (BrokerOps.hdrHist) —
+    * bucket counts are monoid state, so the complete-mode aggregation's
+    * state is bounded by the bucket universe (apis x ~176 rows) no matter
+    * how long the stream runs, where a raw-value distribution would grow
+    * with distinct latencies. StreamingSpec pins stream == batch on the
+    * full histogram.
+    */
+  def runStreamLatencySketch(spark: SparkSession, dir: String): DataFrame = {
+    val schema = t(spark, dir, "events").schema
+    val samples = graft.log.BrokerOps.withLatency(
+      spark.readStream.schema(schema)
+        .parquet(stageStreamDir(dir, "events"))
+        .select(col("event_id"), col("props").as("v")))
+    val q = graft.log.BrokerOps.hdrHist(samples)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_latency")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_stream_latency")
+  }
+
   /** Streaming ingest sink: consume the event stream and append it to the
     * partitioned log store layout via foreachBatch — the continuous form of
     * LogStore.materialize (produce-side persistence). Returns the number of

@@ -189,6 +189,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming latency sketch == batch histogram, bounded state") {
+    val got = Streams.runStreamLatencySketch(spark, dir)
+    val want = graft.log.BrokerOps.hdrHist(
+      graft.log.BrokerOps.withLatency(
+        Tables.t(spark, dir, "events")
+          .select(col("event_id"), col("props").as("v"))))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the state the stream held IS bounded: 4 apis x <= ~176 buckets
+    assert(got.count() > 0 && got.count() <= 4 * 176)
+  }
+
   test("streaming CDC == batch cdc_view") {
     val got = Streams.runCdcStream(spark, dir)
       .select("topic", "k", "event_id", "v", "prev_v", "op")
