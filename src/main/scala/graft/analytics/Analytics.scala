@@ -540,6 +540,32 @@ object Analytics {
       .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
   }
 
+  /** TPC-H Q9 flavor (product-type profit by nation and year): lineitems
+    * of red parts joined through orders (for the year), supplier, and the
+    * supplier's nation; profit per (nation, o_year). The testdata carries
+    * no partsupp table, so the classic `ps_supplycost * l_quantity`
+    * subtrahend is omitted (documented deviation) — what the query
+    * exercises is Q9's star topology: the filtered part list and the
+    * 25-row nation dim broadcast, the fact side joining only on
+    * orderkey/suppkey, profit aggregated with exact decimal arithmetic.
+    */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val profit = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    val redParts = t(spark, dir, "part")
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    t(spark, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(
+        dsum(profit).as("sum_profit"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q19 flavor: OR-of-ANDs bracket predicate over a broadcast part
     * join (brand x size-range x quantity-range brackets) — the disjunctive
     * pushdown shape.
@@ -690,6 +716,7 @@ object Analytics {
     "q21_waiting" -> q21,
     "q22_idle_balance" -> q22,
     "q8_market_share" -> q8,
+    "q9_profit" -> q9,
     "q19_brackets" -> q19,
     "q10_returns" -> q10,
     "q12_priority" -> q12,
@@ -799,6 +826,28 @@ object Analytics {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |  AND CAST(c_acctbal AS DECIMAL(10,2)) * n_pos > sum_pos
         |GROUP BY c_nationkey % 5""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_profit,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_profit,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
     "q8_market_share" ->
       """WITH agg AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
