@@ -566,6 +566,33 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q16 flavor (parts/supplier relationship): distinct suppliers
+    * per (brand, type, size) for a filtered part universe, excluding
+    * suppliers on the complaint list — the NOT-IN-subquery shape, planned
+    * as a broadcast anti join. The part/supplier bridge comes from
+    * lineitem's (l_partkey, l_suppkey) pairs (the testdata has no
+    * partsupp table; same documented deviation as q9_profit), and the
+    * negative-balance suppliers stand in for Q16's complaints predicate
+    * (no s_comment column). Scale: broadcast part filter prunes the fact
+    * scan, broadcast anti join removes excluded suppliers before the one
+    * aggregation shuffle; the distinct rides inside the aggregate.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(3, 9, 14, 19, 23, 36))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complained = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+  }
+
   /** TPC-H Q19 flavor: OR-of-ANDs bracket predicate over a broadcast part
     * join (brand x size-range x quantity-range brackets) — the disjunctive
     * pushdown shape.
@@ -717,6 +744,7 @@ object Analytics {
     "q22_idle_balance" -> q22,
     "q8_market_share" -> q8,
     "q9_profit" -> q9,
+    "q16_supplier_counts" -> q16,
     "q19_brackets" -> q19,
     "q10_returns" -> q10,
     "q12_priority" -> q12,
@@ -826,6 +854,16 @@ object Analytics {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |  AND CAST(c_acctbal AS DECIMAL(10,2)) * n_pos > sum_pos
         |GROUP BY c_nationkey % 5""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q9_profit" ->
       """SELECT n_name AS nation,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -837,6 +875,16 @@ object Analytics {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q9_profit" ->
       """SELECT n_name AS nation,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
