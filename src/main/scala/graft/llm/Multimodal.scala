@@ -347,6 +347,42 @@ object Multimodal {
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
   }
 
+  /** Banded Hamming search over the perceptual hashes: the multi-index
+    * trick that makes near-dup image retrieval scale — each DISTINCT
+    * 64-bit signature explodes into its four 16-bit bands, signatures
+    * sharing a band value become candidates (pigeonhole: any pair within
+    * Hamming distance 3 MUST agree on at least one of 4 bands — zero
+    * false negatives at radius 3), and only candidates pay the exact
+    * `bit_count(xor)` distance, kept at radius <= 3. Same 50-signature
+    * sub-bucket cap and in-row pair generation as every other pair
+    * family; dedup to distinct signatures first so identical-phash
+    * groups (already handled by [[mediaPhash]]) don't quadratically
+    * re-pair here.
+    *
+    * Rows-only by design (signatures come from the codec path);
+    * MultimodalSpec pins the pigeonhole guarantee and the radius bound.
+    */
+  def phashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = mediaPhash(spark, dir).select("phash").distinct()
+    val bands = sig.select(col("phash"), explode(expr(
+      """transform(sequence(0, 3),
+        |  b -> struct(b as band,
+        |    shiftright(phash, 16 * b) & 65535 as bv))""".stripMargin)).as("e"))
+      .select(col("phash"), col("e.band"), col("e.bv"))
+    bands
+      .groupBy("band", "bv")
+      .agg(sort_array(collect_list(col("phash"))).as("ps"))
+      .filter(size(col("ps")).between(2, 50))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ps) - 2),
+          |  i -> transform(sequence(i + 1, size(ps) - 1),
+          |    j -> struct(ps[i] as p1, ps[j] as p2))))""".stripMargin)).as("p"))
+      .select(col("p.p1"), col("p.p2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(p1 ^ p2)").cast("long"))
+      .filter(col("hamming") <= 3L)
+  }
+
   /** Cross-modal alignment: pair each media document with its embedding
     * row (doc_id <-> vec_id — the caption/image pairing step of a
     * multimodal training set) and roll up per (media_type, label):
@@ -374,6 +410,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pipeline" -> multimodalPipeline,
     "media_phash" -> mediaPhash,
+    "phash_hamming_pairs" -> phashHammingPairs,
     "media_embed_align" -> mediaEmbedAlign)
 
   /** multimodal_pipeline is not SQL-expressible (binary batch processing)

@@ -107,6 +107,22 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("phash") =!= col("phash2")).count() == 0)
   }
 
+  test("phash banding finds exactly the radius-3 pairs (pigeonhole)") {
+    val pairs = Multimodal.phashHammingPairs(spark, dir)
+    assert(pairs.filter(col("hamming") > 3L || col("hamming") < 1L ||
+      col("p1") >= col("p2")).count() == 0)
+    // 4 bands of 16 bits: a pair within distance 3 must share a band, so
+    // the banded result equals the brute-force radius-3 pair set.
+    val sig = Multimodal.mediaPhash(spark, dir).select("phash").distinct()
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.phash") < col("b.phash"))
+      .withColumn("hamming", expr("bit_count(a.phash ^ b.phash)").cast("long"))
+      .filter(col("hamming") <= 3L)
+      .select(col("a.phash").as("p1"), col("b.phash").as("p2"), col("hamming"))
+    assert(pairs.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(pairs).count() == 0)
+  }
+
   test("pipeline image rows carry decoded-raster dims and capped resize") {
     val out = Multimodal.multimodalPipeline(spark, dir)
       .filter(col("media_type") === "image")
