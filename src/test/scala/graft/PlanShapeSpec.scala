@@ -73,6 +73,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bpe_merges shuffles the vocabulary for a merge:\n$bpe")
   }
 
+  test("late round-7 additions keep their scale shapes") {
+    // latency_hdr_sketch: bucket counts must partial-aggregate on
+    // (api, b_lo) before any window — the bounded-summary contract.
+    val sk = planOf(BrokerOps.latencyHdrSketch(spark, dir))
+    assertCompressed(sk, "api", "b_lo")
+    // corpus_shuffle: the 256-row bucket-offset side is broadcast; the
+    // corpus must not join it with a shuffle.
+    val cs = planOf(graft.llm.Sampling.corpusShuffle(spark, dir))
+    assert(cs.contains("BroadcastHashJoin"),
+      s"corpus_shuffle offsets not broadcast:\n$cs")
+    assert(!cs.contains("SortMergeJoin"),
+      s"corpus_shuffle shuffles the offset join:\n$cs")
+    // bpe_encode: the encoded vocabulary joins the corpus side broadcast.
+    val be = planOf(graft.llm.TextAnalysis.bpeEncode(spark, dir))
+    assert(!be.contains("SortMergeJoin"),
+      s"bpe_encode shuffles the vocab join:\n$be")
+    // describe_transactions: the 64-row metadata side is broadcast into
+    // the queried-id probe.
+    val dt = planOf(graft.txn.Transactions.describeTransactions(spark, dir))
+    assert(dt.contains("BroadcastHashJoin"),
+      s"describe_transactions metadata not broadcast:\n$dt")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Global guard: every join in the engine must be equi-keyed or a
     // broadcast of a deliberately tiny frame (BroadcastNestedLoopJoin).
