@@ -310,6 +310,32 @@ object Multimodal {
 
   final case class PHashRow(doc_id: Long, phash: Long, width: Long, height: Long)
 
+  private val phashCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The decoded-and-hashed signature frame (doc_id, phash, width,
+    * height), computed once per (session, data fingerprint) and
+    * localCheckpoint'ed — [[mediaPhash]] and [[phashHammingPairs]] both
+    * consume it, so the per-doc codec round-trips are paid once, not per
+    * query (the Embeddings/fitCache discipline).
+    */
+  private def phashFrame(spark: SparkSession, dir: String): DataFrame =
+    phashCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(phashCache, spark, dir, "documents"), {
+        import spark.implicits._
+        val images = t(spark, dir, "documents")
+          .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3L)) === 0L)
+          .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        images.mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false)
+          rows.map { case (id, payload) =>
+            val (img, w, h, _) = decodePng(encodePng(payload))
+            PHashRow(id, aHash64(img), w, h)
+          }
+        }.toDF().localCheckpoint()
+      })
+
   /** Perceptual-hash image dedup: every image-typed document goes through
     * the REAL PNG round-trip (encode -> ImageIO decode), the decoded
     * raster is average-hashed ([[aHash64]] — 8x8 block-mean luma
@@ -327,20 +353,8 @@ object Multimodal {
     * family member, with bounded group sizes (8-byte key, exact equality).
     */
   def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val images = t(spark, dir, "documents")
-      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3L)) === 0L)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    val hashed = images.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      rows.map { case (id, payload) =>
-        val (img, w, h, _) = decodePng(encodePng(payload))
-        PHashRow(id, aHash64(img), w, h)
-      }
-    }.toDF()
     val byHash = Window.partitionBy("phash")
-    hashed
+    phashFrame(spark, dir)
       .withColumn("n_same", count(lit(1)).over(byHash))
       .withColumn("keep_id", min("doc_id").over(byHash))
       .withColumn("is_dup",
@@ -363,7 +377,7 @@ object Multimodal {
     * MultimodalSpec pins the pigeonhole guarantee and the radius bound.
     */
   def phashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = mediaPhash(spark, dir).select("phash").distinct()
+    val sig = phashFrame(spark, dir).select("phash").distinct()
     val bands = sig.select(col("phash"), explode(expr(
       """transform(sequence(0, 3),
         |  b -> struct(b as band,
