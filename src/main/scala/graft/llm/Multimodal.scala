@@ -321,20 +321,27 @@ object Multimodal {
     */
   private def phashFrame(spark: SparkSession, dir: String): DataFrame =
     phashCache.getOrElseUpdate(
-      graft.Tables.freshCacheKey(phashCache, spark, dir, "documents"), {
-        import spark.implicits._
-        val images = t(spark, dir, "documents")
-          .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3L)) === 0L)
-          .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-          .as[(Long, Array[Byte])]
-        images.mapPartitions { rows =>
-          javax.imageio.ImageIO.setUseCache(false)
-          rows.map { case (id, payload) =>
-            val (img, w, h, _) = decodePng(encodePng(payload))
-            PHashRow(id, aHash64(img), w, h)
-          }
-        }.toDF().localCheckpoint()
-      })
+      graft.Tables.freshCacheKey(phashCache, spark, dir, "documents"),
+      buildPhashFrame(spark, dir).localCheckpoint())
+
+  /** The uncached decode+hash pass — private[graft] so MultimodalSpec can
+    * pin decode determinism against the cached frame (comparing the cache
+    * with itself would pin nothing).
+    */
+  private[graft] def buildPhashFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val images = t(spark, dir, "documents")
+      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3L)) === 0L)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, payload) =>
+        val (img, w, h, _) = decodePng(encodePng(payload))
+        PHashRow(id, aHash64(img), w, h)
+      }
+    }.toDF()
+  }
 
   /** Perceptual-hash image dedup: every image-typed document goes through
     * the REAL PNG round-trip (encode -> ImageIO decode), the decoded

@@ -100,8 +100,9 @@ class MultimodalSpec extends AnyFunSuite {
       .join(byText, "h").join(ph, "doc_id")
       .groupBy("h").agg(countDistinct("phash").as("n_hashes"))
     assert(textDupPhashes.filter(col("n_hashes") =!= 1L).count() == 0)
-    // determinism across independent evaluations
-    val again = Multimodal.mediaPhash(spark, dir)
+    // determinism: a FRESH uncached decode pass reproduces the cached
+    // signatures bit-for-bit
+    val again = Multimodal.buildPhashFrame(spark, dir)
       .select(col("doc_id"), col("phash").as("phash2"))
     assert(ph.join(again, "doc_id")
       .filter(col("phash") =!= col("phash2")).count() == 0)
