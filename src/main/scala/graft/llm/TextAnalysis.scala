@@ -184,7 +184,20 @@ object TextAnalysis {
     * a global (n DESC, pair ASC) top-1 (TakeOrderedAndProject — no full
     * sort materialized).
     */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The trained merge table, fingerprint-cached per (session, data) —
+    * [[bpeMerges]] and [[bpeEncode]] share one trainer run (the PQ
+    * codebook-cache discipline); each round's winner is already
+    * localCheckpoint'ed, so the cached frame is 3 tiny checkpointed rows.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    mergeCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(mergeCache, spark, dir, "documents"),
+      trainBpeMerges(spark, dir))
+
+  private def trainBpeMerges(spark: SparkSession, dir: String): DataFrame = {
     val rounds = 3
     val words = t(spark, dir, "documents")
       .select(explode(split(trim(regexp_replace(regexp_replace(
