@@ -104,7 +104,48 @@ object Curation {
       .withColumn("span_rate",
         col("n_spanning").cast("double") / col("n_docs").cast("double"))
 
+  /** Packing in SHUFFLED global order — the layout a pre-training run
+    * actually materializes: the deterministic corpus shuffle
+    * (Sampling.corpusShuffle's hash order) defines one global document
+    * stream, cut every [[SeqLen]] tokens. Per doc: its shuffle position,
+    * token count, global start offset, owning sequence, and the
+    * boundary-straddle flag.
+    *
+    * Scale: the global token prefix reuses corpus_shuffle's chunked
+    * parallel-prefix shape — the 256 hash-prefix buckets ARE prefix-order
+    * chunks, so per-bucket (row, token) totals roll into broadcast
+    * running offsets and every within-bucket window stays parallel; no
+    * single-task global window.
+    */
+  def packShuffled(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val d = t(spark, dir, "documents")
+      .withColumn("h", md5Long(col("doc_id").cast("string")))
+      .withColumn("bucket", expr("h div 281474976710656"))
+      .withColumn("n_tok", (size(split(col("text"), " ")) + 1).cast("long"))
+    val wPrefix = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("n_tok").cast("long").as("toks"))
+      .withColumn("pos_off", coalesce(sum("n").over(wPrefix), lit(0L)))
+      .withColumn("tok_off", coalesce(sum("toks").over(wPrefix), lit(0L)))
+      .select("bucket", "pos_off", "tok_off")
+    val inBucket = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    d.join(broadcast(offs), "bucket")
+      .withColumn("shuffle_pos",
+        col("pos_off") + row_number().over(inBucket).cast("long") - 1L)
+      .withColumn("start_off",
+        col("tok_off") + coalesce(sum("n_tok").over(
+          inBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shuffle_pos"), col("n_tok"), col("start_off"),
+        expr(s"start_off div $SeqLen").as("seq_id"),
+        when(expr(s"(start_off + n_tok - 1) div $SeqLen")
+          =!= expr(s"start_off div $SeqLen"), 1L).otherwise(0L)
+          .as("spans_boundary"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_shuffled" -> packShuffled,
     "boilerplate_chunks" -> boilerplateChunks,
     "strip_boilerplate" -> stripBoilerplate,
     "pack_efficiency" -> packEfficiency,
@@ -131,6 +172,26 @@ object Curation {
        |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pack_shuffled" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hl,
+         |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
+         |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY hl, doc_id) - 1 AS BIGINT)
+        |      AS shuffle_pos,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hl, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_off
+        |  FROM h)
+        |SELECT doc_id, shuffle_pos, n_tok, start_off,
+        |  start_off // $SeqLen AS seq_id,
+        |  CAST(CASE WHEN (start_off + n_tok - 1) // $SeqLen
+        |      <> start_off // $SeqLen
+        |    THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+        |FROM p""".stripMargin,
     "boilerplate_chunks" -> (chunkSql + bpSql + "SELECT * FROM bp"),
     "strip_boilerplate" -> (chunkSql + bpSql +
       """SELECT ch.doc_id, COUNT(*) AS n_chunks,

@@ -412,6 +412,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(enc.count() == nDocs)
   }
 
+  test("pack_shuffled lays docs contiguously in corpus_shuffle order") {
+    import org.apache.spark.sql.expressions.Window
+    val ps = llm.Curation.packShuffled(spark, dir)
+    // positions agree with the canonical shuffle
+    val cs = llm.Sampling.corpusShuffle(spark, dir)
+      .select(col("doc_id"), col("shuffle_pos").as("cs_pos"))
+    assert(ps.join(cs, "doc_id")
+      .filter(col("shuffle_pos") =!= col("cs_pos")).count() == 0)
+    // contiguous stream: each doc starts where the previous one ended
+    val w = Window.orderBy("shuffle_pos")
+    val gaps = ps
+      .withColumn("prev_end", lag(col("start_off") + col("n_tok"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_off") =!= col("prev_end"))
+    assert(gaps.count() == 0)
+    // straddle flag consistent with the 512 cut
+    assert(ps.filter(col("spans_boundary") =!=
+      when(expr("(start_off + n_tok - 1) div 512") =!= expr("start_off div 512"), 1L)
+        .otherwise(0L)).count() == 0)
+  }
+
   test("corpus_shuffle emits a dense permutation with balanced shards") {
     val cs = llm.Sampling.corpusShuffle(spark, dir)
     val n = graft.Tables.t(spark, dir, "documents").count()
