@@ -57,7 +57,24 @@ object Bench {
       "\"" + name + "\":[" + (if (ok1) ms(v1) else "-1") + "," +
         (if (ok2) ms(v2) else "-1") + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only a truncated tail of the stdout line, losing
+    // per-query history for most of the registry every round. Persist the
+    // full JSON (both passes, every query) as a committed artifact so
+    // regression-vs-stall adjudication never requires a re-run. Opt-out via
+    // env for ad-hoc SPARK_GRAFT_ONLY stress runs, which would otherwise
+    // overwrite the full-run artifact with a partial one.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_ARTIFACT")) {
+      try {
+        val dir = java.nio.file.Paths.get("bench")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve("bench_full.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
