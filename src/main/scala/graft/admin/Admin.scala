@@ -173,7 +173,105 @@ object Admin {
         "n_segments", "n_groups_affected", "n_offsets_purged")
   }
 
+  /** The broker's default log-config surface
+    * (/root/reference/kafka-impl/.../KafkaLogConfig.java:34-59 — the
+    * LogConfig port DescribeConfigs answers from; cleanup.policy defaults
+    * to "compact" there, KafkaLogConfig.java:49-51). One (key, default)
+    * row per config the views below consume.
+    */
+  private val configDefaults = Seq(
+    ("retention.ms", "604800000"),
+    ("retention.bytes", "-1"),
+    ("segment.bytes", "1073741824"),
+    ("segment.ms", "604800000"),
+    ("cleanup.policy", "compact"),
+    ("min.insync.replicas", "1"),
+    ("max.message.bytes", "1000012"),
+    ("min.cleanable.dirty.ratio", "0.5"))
+
+  /** DescribeConfigs for every topic
+    * (/root/reference/kafka-impl/.../KafkaRequestHandler.java:2300
+    * `handleDescribeConfigs` -> AdminManager.describeConfigsAsync, answering
+    * from the KafkaLogConfig defaults): per (topic, config key) the
+    * effective value with override provenance — Kafka's ConfigSource
+    * vocabulary (DYNAMIC_TOPIC_CONFIG for a per-topic override,
+    * STATIC_BROKER_CONFIG for the broker default). Which topics override
+    * which keys is a deterministic md5 coin on (topic, key) — the same
+    * engine-portable modeling discipline as Groups.protocolSelect — and the
+    * override VALUE derives from the next hash digit, so the whole config
+    * universe is reproducible from the topic list alone.
+    *
+    * Scale: one distinct on topic (partial-aggregated) cross a broadcast
+    * 8-row key frame; everything downstream is metadata-sized.
+    */
+  def topicConfigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val defaults = broadcast(configDefaults.toDF("config_key", "default_value"))
+    val h = md5(concat_ws("#", lit("cfg"), col("topic"), col("config_key")))
+    LogOps.log(spark, dir).select("topic").distinct()
+      .crossJoin(defaults)
+      .withColumn("coin", substring(h, 1, 1))
+      .withColumn("d", conv(substring(h, 2, 1), 16, 10).cast("long"))
+      .withColumn("override_value",
+        when(!col("coin").isin("0", "1", "2", "3"), lit(null).cast("string"))
+          .otherwise(
+            when(col("config_key") === "retention.ms",
+              ((col("d") + 1L) * 86400000L).cast("string"))
+            .when(col("config_key") === "retention.bytes",
+              ((col("d") + 1L) * 1073741824L).cast("string"))
+            .when(col("config_key") === "segment.bytes",
+              ((col("d") + 1L) * 67108864L).cast("string"))
+            .when(col("config_key") === "segment.ms",
+              ((col("d") + 1L) * 3600000L).cast("string"))
+            .when(col("config_key") === "cleanup.policy",
+              when(col("d") < 8L, "delete").otherwise("compact,delete"))
+            .when(col("config_key") === "min.insync.replicas",
+              (pmod(col("d"), lit(3L)) + 1L).cast("string"))
+            .when(col("config_key") === "max.message.bytes",
+              ((col("d") + 1L) * 131072L).cast("string"))
+            .otherwise(concat(lit("0."),
+              (pmod(col("d"), lit(9L)) + 1L).cast("string")))))
+      .withColumn("effective_value",
+        coalesce(col("override_value"), col("default_value")))
+      .withColumn("source",
+        when(col("override_value").isNotNull, "DYNAMIC_TOPIC_CONFIG")
+          .otherwise("STATIC_BROKER_CONFIG"))
+      .select("topic", "config_key", "default_value", "override_value",
+        "effective_value", "source")
+  }
+
+  /** Time retention driven by the config view: each topic's cutoff is
+    * `now - retention.ms(effective)` — the broker's LogManager reading its
+    * policy from the DescribeConfigs surface instead of a constant ([[
+    * topicConfigs]] is the producer; "now" is the log's newest timestamp,
+    * the deterministic stand-in for wall clock). Reports the surviving
+    * range per partition, like LogOps.retention.
+    *
+    * Scale: the per-topic policy frame is broadcast (topic-cardinality
+    * rows); the scan filters map-side and the rollup partial-aggregates on
+    * the log's own (topic, part) key — no new wide exchange.
+    */
+  def retentionByConfig(spark: SparkSession, dir: String): DataFrame = {
+    val policy = topicConfigs(spark, dir)
+      .filter(col("config_key") === "retention.ms")
+      .select(col("topic"),
+        col("effective_value").cast("long").as("retention_ms"))
+    val nowF = LogOps.log(spark, dir).agg(max("tms").as("now_ms"))
+    LogOps.log(spark, dir)
+      .join(broadcast(policy), Seq("topic"))
+      .crossJoin(broadcast(nowF))
+      .filter(col("tms") >= col("now_ms") - col("retention_ms"))
+      .groupBy("topic", "part", "retention_ms")
+      .agg(
+        count(lit(1)).as("n_survive"),
+        min("offs").as("new_earliest"),
+        sum(length(col("v")) + length(col("k"))).cast("long")
+          .as("bytes_survive"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topic_configs" -> topicConfigs,
+    "retention_by_config" -> retentionByConfig,
     "delete_topics" -> deleteTopics,
     "migration_status" -> migrationStatus,
     "delayed_create" -> delayedCreate,
@@ -188,7 +286,68 @@ object Admin {
   // One source of truth for the commit-log model: Groups owns the SQL.
   private val commitsSql: String = Groups.commitsSql
 
+  /** DuckDB mirror of [[topicConfigs]] (continues the log CTE; ends with
+    * `cfg(topic, config_key, default_value, override_value,
+    * effective_value, source)`).
+    */
+  private val configsSql: String =
+    """cfgu AS (
+      |  SELECT * FROM (VALUES
+      |    ('retention.ms', '604800000'), ('retention.bytes', '-1'),
+      |    ('segment.bytes', '1073741824'), ('segment.ms', '604800000'),
+      |    ('cleanup.policy', 'compact'), ('min.insync.replicas', '1'),
+      |    ('max.message.bytes', '1000012'),
+      |    ('min.cleanable.dirty.ratio', '0.5'))
+      |    c(config_key, default_value)),
+      |cfg0 AS (
+      |  SELECT topic, config_key, default_value,
+      |    substring(md5('cfg#' || topic || '#' || config_key), 1, 1) AS coin,
+      |    ('0x' || substring(md5('cfg#' || topic || '#' || config_key), 2, 1))
+      |      ::BIGINT AS d
+      |  FROM (SELECT DISTINCT topic FROM log) CROSS JOIN cfgu),
+      |cfg1 AS (
+      |  SELECT topic, config_key, default_value,
+      |    CASE WHEN coin NOT IN ('0','1','2','3') THEN NULL
+      |      WHEN config_key = 'retention.ms'
+      |        THEN CAST((d + 1) * 86400000 AS VARCHAR)
+      |      WHEN config_key = 'retention.bytes'
+      |        THEN CAST((d + 1) * 1073741824 AS VARCHAR)
+      |      WHEN config_key = 'segment.bytes'
+      |        THEN CAST((d + 1) * 67108864 AS VARCHAR)
+      |      WHEN config_key = 'segment.ms'
+      |        THEN CAST((d + 1) * 3600000 AS VARCHAR)
+      |      WHEN config_key = 'cleanup.policy'
+      |        THEN CASE WHEN d < 8 THEN 'delete' ELSE 'compact,delete' END
+      |      WHEN config_key = 'min.insync.replicas'
+      |        THEN CAST(d % 3 + 1 AS VARCHAR)
+      |      WHEN config_key = 'max.message.bytes'
+      |        THEN CAST((d + 1) * 131072 AS VARCHAR)
+      |      ELSE '0.' || CAST(d % 9 + 1 AS VARCHAR) END AS override_value
+      |  FROM cfg0),
+      |cfg AS (
+      |  SELECT topic, config_key, default_value, override_value,
+      |    COALESCE(override_value, default_value) AS effective_value,
+      |    CASE WHEN override_value IS NOT NULL THEN 'DYNAMIC_TOPIC_CONFIG'
+      |      ELSE 'STATIC_BROKER_CONFIG' END AS source
+      |  FROM cfg1)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "topic_configs" -> (L + configsSql +
+      """SELECT topic, config_key, default_value, override_value,
+        |  effective_value, source
+        |FROM cfg""".stripMargin),
+    "retention_by_config" -> (L + configsSql +
+      """, ret AS (
+        |  SELECT topic, CAST(effective_value AS BIGINT) AS retention_ms
+        |  FROM cfg WHERE config_key = 'retention.ms'),
+        |now_f AS (SELECT MAX(tms) AS now_ms FROM log)
+        |SELECT topic, part, retention_ms, COUNT(*) AS n_survive,
+        |  MIN(offs) AS new_earliest,
+        |  CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes_survive
+        |FROM log JOIN ret USING (topic) CROSS JOIN now_f
+        |WHERE tms >= now_ms - retention_ms
+        |GROUP BY topic, part, retention_ms""".stripMargin),
     "delete_topics" -> (L + commitsSql +
       """, tm AS (
         |  SELECT topic, COUNT(*) AS n_partitions,
