@@ -145,7 +145,46 @@ object SchemaRegistry {
       .withColumn("full_transitive",
         col("backward_transitive") * col("forward_transitive"))
 
+  /** Subject/version deletion impact
+    * (/root/reference/schema-registry/.../model/SchemaStorage.java:63
+    * `deleteSubject` — all versions of a subject removed; the REST
+    * DELETE /subjects/{s} + /subjects/{s}/versions/{v} surface): a
+    * deterministic md5 coin marks ~25% of subjects hard-deleted (every
+    * version gone) and, independently, individual versions soft-deleted
+    * on the survivors. Per subject: version counts before/deleted/
+    * remaining, the re-pointed latest version (-1 when the subject is
+    * gone), and whether compatibility checking has gone vacuous (fewer
+    * than 2 remaining versions — nothing left to check a new schema
+    * against). The destructive sibling of [[schemaVersions]], same mold
+    * as delete_groups/delete_topics.
+    *
+    * Scale: operates on the (subject, version) registry — metadata-sized
+    * after the same one aggregation the other registry views share.
+    */
+  def schemaDelete(spark: SparkSession, dir: String): DataFrame =
+    versionedFields(spark, dir).select("topic", "version").distinct()
+      .withColumn("subject_deleted",
+        when(substring(md5(concat(lit("sdel#"), col("topic"))), 1, 1)
+          .isin("0", "1", "2", "3"), 1L).otherwise(0L))
+      .withColumn("version_deleted",
+        when(substring(md5(concat_ws("#", lit("vdel"), col("topic"),
+          col("version").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3"), 1L).otherwise(0L))
+      .withColumn("deleted",
+        greatest(col("subject_deleted"), col("version_deleted")))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_versions_before"),
+        max("subject_deleted").as("subject_deleted"),
+        sum("deleted").cast("long").as("n_deleted"),
+        sum(lit(1L) - col("deleted")).cast("long").as("n_remaining"),
+        coalesce(max(when(col("deleted") === 0L, col("version"))), lit(-1L))
+          .as("new_latest"))
+      .withColumn("compat_vacuous",
+        when(col("n_remaining") <= 1L, 1L).otherwise(0L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_delete" -> schemaDelete,
     "schema_infer" -> schemaInfer,
     "schema_compat" -> schemaCompat,
     "schema_compat_modes" -> schemaCompatModes,
@@ -189,6 +228,27 @@ object SchemaRegistry {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "schema_delete" -> (L + fieldsSql + vfieldsSql +
+      """, dv AS (
+        |  SELECT topic, version,
+        |    CASE WHEN substring(md5('sdel#' || topic), 1, 1)
+        |      IN ('0','1','2','3') THEN 1 ELSE 0 END AS subject_deleted,
+        |    CASE WHEN substring(md5('vdel#' || topic || '#'
+        |        || CAST(version AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3') THEN 1 ELSE 0 END AS version_deleted
+        |  FROM (SELECT DISTINCT topic, version FROM vfields)),
+        |d2 AS (
+        |  SELECT *, GREATEST(subject_deleted, version_deleted) AS deleted
+        |  FROM dv)
+        |SELECT topic, COUNT(*) AS n_versions_before,
+        |  CAST(MAX(subject_deleted) AS BIGINT) AS subject_deleted,
+        |  CAST(SUM(deleted) AS BIGINT) AS n_deleted,
+        |  CAST(SUM(1 - deleted) AS BIGINT) AS n_remaining,
+        |  CAST(COALESCE(MAX(CASE WHEN deleted = 0 THEN version END), -1)
+        |    AS BIGINT) AS new_latest,
+        |  CAST(CASE WHEN SUM(1 - deleted) <= 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS compat_vacuous
+        |FROM d2 GROUP BY topic""".stripMargin),
     "schema_infer" -> (L + fieldsSql +
       """SELECT topic, field, COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT fval) AS BIGINT) AS n_vals,
