@@ -423,7 +423,42 @@ object Transactions {
         "partitions")
   }
 
+  /** AddOffsetsToTxn (KafkaRequestHandler.java:2546
+    * `handleAddOffsetsToTxn` -> TransactionCoordinator
+    * .handleAddPartitionsToTransaction with the group's offsets-topic
+    * partition): before a transactional consumer can
+    * [[txnOffsetCommits]], the coordinator registers the group's
+    * __consumer_offsets partition into the transaction — the
+    * coordinator_placement ∘ add_partitions_to_txn composition. Per
+    * (txn, group): the registered metadata partition (the group's
+    * md5-hash placement, identical to Groups.coordinatorPlacement), the
+    * broker coordinating it, how many (topic, partition) offset commits
+    * flow through the registration, and the transaction's fate.
+    *
+    * Scale: one partial-aggregated shuffle on (txn_id, group_id) over the
+    * groups x partitions commit frame; everything else is hash arithmetic
+    * on the aggregated (≤ 64 x 4)-row result.
+    */
+  def addOffsetsToTxn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    graft.coordinator.Groups.commits(spark, dir)
+      .withColumn("txn_id",
+        pmod(md5Long(concat_ws("#", col("group_id"), col("topic"),
+          col("part").cast("string"))), lit(64L)))
+      .groupBy("txn_id", "group_id")
+      .agg(count(lit(1)).as("n_commit_partitions"))
+      .withColumn("meta_topic", lit("__consumer_offsets"))
+      .withColumn("meta_partition", pmod(md5Long(col("group_id")), lit(50L)))
+      .withColumn("coordinator_broker",
+        pmod(md5Long(concat(col("meta_topic"), lit("#"),
+          col("meta_partition").cast("string"))), lit(4L)))
+      .withColumn("txn_state", txnFate(col("txn_id")))
+      .withColumn("pending_commit",
+        when(col("txn_state") === "ONGOING", 1L).otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "add_offsets_to_txn" -> addOffsetsToTxn,
     "describe_transactions" -> describeTransactions,
     "add_partitions_to_txn" -> addPartitionsToTxn,
     "txn_offset_commits" -> txnOffsetCommits,
@@ -442,6 +477,27 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "add_offsets_to_txn" -> (L + graft.coordinator.Groups.commitsSql +
+      s""", toc AS (
+         |  SELECT group_id,
+         |    ('0x' || substring(md5(group_id || '#' || topic || '#' ||
+         |      CAST(part AS VARCHAR)), 1, 14))::BIGINT % 64 AS txn_id
+         |  FROM commits),
+         |reg AS (
+         |  SELECT txn_id, group_id, COUNT(*) AS n_commit_partitions,
+         |    '__consumer_offsets' AS meta_topic,
+         |    ('0x' || substring(md5(group_id), 1, 14))::BIGINT % 50
+         |      AS meta_partition
+         |  FROM toc GROUP BY txn_id, group_id)
+         |SELECT txn_id, group_id, n_commit_partitions, meta_topic,
+         |  meta_partition,
+         |  ('0x' || substring(md5(meta_topic || '#' ||
+         |    CAST(meta_partition AS VARCHAR)), 1, 14))::BIGINT % 4
+         |    AS coordinator_broker,
+         |  ${fateSql("txn_id")} AS txn_state,
+         |  CAST(CASE WHEN (${fateSql("txn_id")}) = 'ONGOING' THEN 1 ELSE 0
+         |    END AS BIGINT) AS pending_commit
+         |FROM reg""".stripMargin),
     "describe_transactions" -> (L + txnSql +
       s""", dm AS (
          |  SELECT txn_id,
