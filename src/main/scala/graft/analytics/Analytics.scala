@@ -556,7 +556,11 @@ object Analytics {
     t(spark, dir, "lineitem")
       .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      // supplier is the small dim of the star (1/10th of customer): pin the
+      // broadcast rather than leaving the choice to AQE's runtime estimate,
+      // so the fact side shuffles only for orderkey and the aggregation.
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(spark, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
@@ -854,27 +858,6 @@ object Analytics {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |  AND CAST(c_acctbal AS DECIMAL(10,2)) * n_pos > sum_pos
         |GROUP BY c_nationkey % 5""".stripMargin,
-    "q16_supplier_counts" ->
-      """SELECT p_brand, p_type, p_size,
-        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
-        |  AND p_size IN (3, 9, 14, 19, 23, 36)
-        |  AND l_suppkey NOT IN
-        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        |GROUP BY 1, 2, 3""".stripMargin,
-    "q9_profit" ->
-      """SELECT n_name AS nation,
-        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_profit,
-        |  COUNT(*) AS n_items
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
     "q16_supplier_counts" ->
       """SELECT p_brand, p_type, p_size,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

@@ -96,6 +96,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"describe_transactions metadata not broadcast:\n$dt")
   }
 
+  test("q9/q16 star plans broadcast every dimension side") {
+    // q9_profit: part (filtered), supplier, and nation are all broadcast —
+    // the fact side shuffles only for the orders join and the aggregation.
+    // At 100x the supplier broadcast is pinned by the author, not left to
+    // AQE's runtime estimate.
+    val q9 = planOf(graft.analytics.Analytics.q9(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(q9).size >= 3,
+      s"q9_profit dims not all broadcast:\n$q9")
+    assert(!q9.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(q9).size <= 1,
+      s"q9_profit shuffles more than the orders join:\n$q9")
+    // q16_supplier_counts: part filter and complained-supplier anti join
+    // both broadcast; the only shuffle is the aggregation on
+    // (brand, type, size).
+    val q16 = planOf(graft.analytics.Analytics.q16(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(q16).size >= 2,
+      s"q16 part/anti joins not broadcast:\n$q16")
+    assert(!q16.contains("SortMergeJoin"),
+      s"q16 shuffles a join side:\n$q16")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Global guard: every join in the engine must be equi-keyed or a
     // broadcast of a deliberately tiny frame (BroadcastNestedLoopJoin).
