@@ -374,9 +374,14 @@ object Multimodal {
     * sharing a band value become candidates (pigeonhole: any pair within
     * Hamming distance 3 MUST agree on at least one of 4 bands — zero
     * false negatives at radius 3), and only candidates pay the exact
-    * `bit_count(xor)` distance, kept at radius <= 3. Same 50-signature
-    * sub-bucket cap and in-row pair generation as every other pair
-    * family; dedup to distinct signatures first so identical-phash
+    * `bit_count(xor)` distance, kept at radius <= 3. Oversized bands are
+    * split into [[Similarity.PairSubCap]]-bounded sub-buckets (the same
+    * two-pass count -> pmod(phash, nsub) split as every other pair
+    * family), so pair work stays O(n * cap); when every band fits one
+    * sub-bucket the pigeonhole guarantee is exact (zero false negatives —
+    * the case MultimodalSpec pins), past the cap it trades ~1/nsub of
+    * within-band recall for boundedness, like the other capped
+    * generators. Dedup to distinct signatures first so identical-phash
     * groups (already handled by [[mediaPhash]]) don't quadratically
     * re-pair here.
     *
@@ -384,16 +389,22 @@ object Multimodal {
     * MultimodalSpec pins the pigeonhole guarantee and the radius bound.
     */
   def phashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cap = Similarity.PairSubCap
     val sig = phashFrame(spark, dir).select("phash").distinct()
     val bands = sig.select(col("phash"), explode(expr(
       """transform(sequence(0, 3),
         |  b -> struct(b as band,
         |    shiftright(phash, 16 * b) & 65535 as bv))""".stripMargin)).as("e"))
       .select(col("phash"), col("e.band"), col("e.bv"))
-    bands
-      .groupBy("band", "bv")
+    // Band-population frame scales with the distinct-signature count, so
+    // it joins back on the (band, bv) shuffle key — NOT broadcast.
+    val nsub = bands.groupBy("band", "bv")
+      .agg(expr(s"(count(1) + ${cap - 1}) div $cap").as("nsub"))
+    bands.join(nsub, Seq("band", "bv"))
+      .withColumn("sub", pmod(col("phash"), col("nsub")))
+      .groupBy("band", "bv", "sub")
       .agg(sort_array(collect_list(col("phash"))).as("ps"))
-      .filter(size(col("ps")).between(2, 50))
+      .filter(size(col("ps")) >= 2)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ps) - 2),
           |  i -> transform(sequence(i + 1, size(ps) - 1),

@@ -113,8 +113,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.filter(col("hamming") > 3L || col("hamming") < 1L ||
       col("p1") >= col("p2")).count() == 0)
     // 4 bands of 16 bits: a pair within distance 3 must share a band, so
-    // the banded result equals the brute-force radius-3 pair set.
+    // the banded result equals the brute-force radius-3 pair set — exact
+    // equality holds when every band fits one PairSubCap sub-bucket (the
+    // sub-bucket split only sheds recall past the cap). Pin that
+    // precondition explicitly so a data change that overflows a band
+    // fails here with the reason, not in the equality below.
     val sig = Multimodal.mediaPhash(spark, dir).select("phash").distinct()
+    val maxBand = sig.select(explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> struct(b as band, shiftright(phash, 16 * b) & 65535 as bv))"""
+          .stripMargin)).as("e"))
+      .groupBy("e.band", "e.bv").count().agg(max("count")).head().getLong(0)
+    assert(maxBand <= graft.llm.Similarity.PairSubCap,
+      s"band population $maxBand exceeds PairSubCap; exact pigeonhole " +
+        "equality no longer applies — scope this test to subset-only")
     val brute = sig.as("a").crossJoin(sig.as("b"))
       .filter(col("a.phash") < col("b.phash"))
       .withColumn("hamming", expr("bit_count(a.phash ^ b.phash)").cast("long"))
