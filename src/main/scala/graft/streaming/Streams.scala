@@ -470,6 +470,32 @@ object Streams {
     spark.table("graft_log_end")
   }
 
+  /** Continuous consumer-lag monitor: the lag-monitor topology every Kafka
+    * operator runs — the glog tail's live log-end joined against the
+    * committed-offset ledger, as one complete-mode aggregation. The
+    * committed side (groups x partitions — metadata-sized) broadcasts into
+    * every micro-batch BEFORE the aggregation, so the streaming state is
+    * bounded by the (group, topic, part) universe and the stream never
+    * shuffles for the join; lag = live log-end - committed updates as
+    * segments append. GlogSpec pins stream == batch Groups.consumerLag.
+    */
+  def runConsumerLagStream(spark: SparkSession, dir: String,
+      storePath: String): DataFrame = {
+    val committed = broadcast(graft.coordinator.Groups.commits(spark, dir)
+      .select("group_id", "topic", "part", "committed"))
+    val q = spark.readStream.format("glog").load(storePath)
+      .join(committed, Seq("topic", "part"))
+      .groupBy("group_id", "topic", "part", "committed")
+      .agg((max("offs") + 1L).as("log_end"))
+      .withColumn("lag", col("log_end") - col("committed"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_consumer_lag")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_consumer_lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg)
 

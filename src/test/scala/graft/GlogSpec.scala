@@ -279,6 +279,14 @@ class GlogSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming consumer-lag monitor over the glog tail matches batch consumer_lag") {
+    val got = graft.streaming.Streams.runConsumerLagStream(spark, dir, store)
+      .select("group_id", "topic", "part", "committed", "log_end", "lag")
+    val want = graft.coordinator.Groups.consumerLag(spark, dir)
+      .select("group_id", "topic", "part", "committed", "log_end", "lag")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("column pruning reaches the reader") {
     val ks = glog.select("k").distinct().count()
     val want = LogOps.log(spark, dir).select("k").distinct().count()
