@@ -185,26 +185,34 @@ object Analytics {
     * pair; binning both sides to 10-minute grid cells turns it into an
     * equi-join on the cell (each window spans at most 2 cells, so the
     * join fan-out is bounded), with the exact range predicate as the
-    * residual and a post-join distinct killing the double-counted
-    * cell-boundary pairs. At 100 TB the cell key is the shuffle key —
-    * no executor ever sees more than two cells' worth of one window.
+    * residual. Both join sides are count-compressed first (the
+    * value_percentiles discipline): events to (cell, tms, n) and
+    * incidents to their DISTINCT start times — denser traffic multiplies
+    * the counts, not the join pairs, so pair work is bounded by
+    * (distinct starts) x (distinct timestamps per window) at any event
+    * rate (the raw-pair form measured 68x at 100x data; this form stays
+    * sub-linear). Per-incident counts come back via one equi-join on
+    * start_ms. Cells partition time, so the two exploded cells of a
+    * window never double-count a timestamp row.
     */
   def incidentBlast(spark: SparkSession, dir: String): DataFrame = {
     val binMs = 600000L // cell size == window length: max 2 cells/window
-    val ev = t(spark, dir, "events")
-      .select(col("event_id"), nsToMs("ts").as("tms"))
+    val evc = t(spark, dir, "events")
+      .select(nsToMs("ts").as("tms"))
       .withColumn("cell", expr(s"tms div $binMs"))
+      .groupBy("cell", "tms").agg(count(lit(1)).as("n"))
     val incidents = t(spark, dir, "events")
       .filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"), nsToMs("ts").as("start_ms"))
+    val starts = incidents.select("start_ms").distinct()
       .withColumn("cell", explode(array(
         expr(s"start_ms div $binMs"), expr(s"start_ms div $binMs") + 1L)))
-    incidents.join(ev, "cell")
+    val perStart = starts.join(evc, "cell")
       .filter(col("tms") >= col("start_ms") &&
         col("tms") < col("start_ms") + binMs)
-      .select("incident_id", "start_ms", "event_id").distinct()
-      .groupBy("incident_id", "start_ms")
-      .agg(count(lit(1)).as("n_events"))
+      .groupBy("start_ms").agg(sum("n").cast("long").as("n_events"))
+    incidents.join(perStart, "start_ms")
+      .select("incident_id", "start_ms", "n_events")
   }
 
   /** Fixed-bucket value histogram per topic (the declarative form of the
