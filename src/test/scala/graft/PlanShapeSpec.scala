@@ -96,6 +96,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"describe_transactions metadata not broadcast:\n$dt")
   }
 
+  test("incident_blast joins count-compressed sides, never raw pairs") {
+    // Both interval-join sides must be compressed before the cell
+    // equi-join: events to (cell, tms, n) via a partial-aggregated
+    // exchange, incidents to distinct starts — the pair explosion at high
+    // traffic density is the hazard the 100x stress run exposed.
+    val plan = planOf(graft.analytics.Analytics.incidentBlast(spark, dir))
+    assertCompressed(plan, "cell", "tms")
+    assert(!plan.contains("CartesianProduct"),
+      s"incident_blast plans a cartesian product:\n$plan")
+  }
+
   test("q9/q16 star plans broadcast every dimension side") {
     // q9_profit: part (filtered), supplier, and nation are all broadcast —
     // the fact side shuffles only for the orders join and the aggregation.
