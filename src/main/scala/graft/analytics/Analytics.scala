@@ -605,6 +605,96 @@ object Analytics {
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
   }
 
+  /** TPC-H Q2 flavor (min-cost supplier per part in a region): for each
+    * size-15 part, the EUROPE-region supplier(s) quoting the lowest price,
+    * where the part/supplier bridge and its quoted cost come from lineitem
+    * (min extended price per (part, supplier) — the testdata carries no
+    * partsupp table; same documented deviation as q9_profit/q16). Q2's
+    * correlated-MIN-subquery shape plans as one window min over the part
+    * key. Scale: the bridge aggregates on the fact's natural (partkey,
+    * suppkey) key after a broadcast part-filter prune; the supplier ->
+    * nation -> region dim chain broadcasts; the window partitions on
+    * p_partkey — full parallelism, no global sort.
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part").filter(col("p_size") === 15)
+      .select("p_partkey", "p_brand", "p_type")
+    val eur = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val bridge = t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_brand", "p_type", "l_suppkey")
+      .agg(min(money(col("l_extendedprice"))).as("cost_dec"))
+    val w = Window.partitionBy("p_partkey")
+    bridge.join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min("cost_dec").over(w))
+      .filter(col("cost_dec") === col("min_cost"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"),
+        col("cost_dec").cast("double").as("supply_cost"))
+  }
+
+  /** TPC-H Q11 flavor (important part values): each part's inventory value
+    * from one nation's suppliers (exact decimal sum of price x quantity
+    * over the lineitem bridge — no partsupp, documented deviation), kept
+    * when it exceeds 1/500 of the nation's total — Q11's
+    * group-sum-vs-global-threshold shape. The threshold compare runs on
+    * the decimal sums cast to double (identical bits on both engines; the
+    * division by 500.0 is a single deterministic IEEE op). Scale: one
+    * partial-aggregated shuffle on partkey; the global total is a
+    * broadcast 1-row frame — no second pass over the fact.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val pv = t(spark, dir, "lineitem")
+      .join(broadcast(nat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(money(col("l_extendedprice")) * money(col("l_quantity")))
+        .as("value_dec"))
+    val tot = pv.agg(sum("value_dec").cast("double").as("total_value"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_dec").cast("double") > col("total_value") / 500.0)
+      .select(col("p_partkey"), col("value_dec").cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q20 flavor (suppliers with excess stock): per (supplier, red
+    * part) the quantity shipped in 1995 vs all years (the lineitem bridge
+    * stands in for partsupp availability, documented deviation); a part is
+    * in excess when its 1995 share is over half the total, and the view
+    * lists one nation's suppliers holding at least one excess part — Q20's
+    * nested-semi-join shape collapsed to one conditional aggregate + two
+    * broadcast joins. The share compare runs in doubles (2.0 * x is exact
+    * IEEE scaling). Scale: one partial-aggregated shuffle on the bridge
+    * key; supplier/nation dims broadcast.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = t(spark, dir, "part")
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    t(spark, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "p_partkey")
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("qty_total"),
+        sum(when(year(col("l_shipdate")) === 1995, money(col("l_quantity")))
+          .otherwise(money(lit(0)))).cast("double").as("qty_1995"))
+      .filter(col("qty_1995") * 2.0 > col("qty_total"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_excess_parts"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name", "n_excess_parts")
+  }
+
   /** TPC-H Q19 flavor: OR-of-ANDs bracket predicate over a broadcast part
     * join (brand x size-range x quantity-range brackets) — the disjunctive
     * pushdown shape.
@@ -756,6 +846,9 @@ object Analytics {
     "q22_idle_balance" -> q22,
     "q8_market_share" -> q8,
     "q9_profit" -> q9,
+    "q2_min_cost_supplier" -> q2,
+    "q11_important_parts" -> q11,
+    "q20_excess_suppliers" -> q20,
     "q16_supplier_counts" -> q16,
     "q19_brackets" -> q19,
     "q10_returns" -> q10,
@@ -887,6 +980,57 @@ object Analytics {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |bridge AS (
+        |  SELECT p_partkey, p_brand, p_type, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(10,2))) AS cost_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT p_partkey, p_brand, p_type, s_suppkey, s_name, s_acctbal,
+        |  n_name, CAST(cost_dec AS DOUBLE) AS supply_cost
+        |FROM bridge JOIN eur ON l_suppkey = s_suppkey
+        |QUALIFY cost_dec = MIN(cost_dec) OVER (PARTITION BY p_partkey)"""
+        .stripMargin,
+    "q11_important_parts" ->
+      """WITH nat AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation
+        |    ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'),
+        |pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+        |        * CAST(l_quantity AS DECIMAL(10,2))) AS value_dec
+        |  FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(value_dec) AS DOUBLE) AS total_value FROM pv)
+        |SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM pv, tot
+        |WHERE CAST(value_dec AS DOUBLE) > total_value / 500.0""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH usage_q AS (
+        |  SELECT l_suppkey, p_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+        |      AS qty_total,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995
+        |      THEN CAST(l_quantity AS DECIMAL(10,2))
+        |      ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) AS qty_1995
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1, 2),
+        |excess AS (
+        |  SELECT l_suppkey, COUNT(*) AS n_excess_parts
+        |  FROM usage_q WHERE qty_1995 * 2.0 > qty_total
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal, n_name, n_excess_parts
+        |FROM excess JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'""".stripMargin,
     "q8_market_share" ->
       """WITH agg AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
