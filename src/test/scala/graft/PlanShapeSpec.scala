@@ -128,6 +128,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q16 shuffles a join side:\n$q16")
   }
 
+  test("q2/q11/q20 bridge plans broadcast every dim and the global scalar") {
+    // q2: part filter + supplier->nation->region chain broadcast; the
+    // fact shuffles once for the bridge groupBy, then the correlated-MIN
+    // window partitions on p_partkey — full parallelism, no global sort.
+    val q2 = planOf(graft.analytics.Analytics.q2(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(q2).size >= 2,
+      s"q2 dims not broadcast:\n$q2")
+    assert(!q2.contains("SortMergeJoin"), s"q2 shuffles a join side:\n$q2")
+    assert("hashpartitioning\\(p_partkey#\\d+".r.findFirstIn(q2).isDefined,
+      s"q2 window not partitioned on p_partkey:\n$q2")
+    // q11: the nation-supplier probe broadcasts into one fact pass; the
+    // global total joins back as a broadcast 1-row frame — the fact is
+    // never scanned twice and never shuffled for the threshold compare.
+    val q11 = planOf(graft.analytics.Analytics.q11(spark, dir))
+    assert(q11.contains("BroadcastHashJoin"), s"q11 probe not broadcast:\n$q11")
+    assert(q11.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(q11).size >= 2,
+      s"q11 global total not broadcast:\n$q11")
+    assert(!q11.contains("SortMergeJoin"), s"q11 shuffles a join side:\n$q11")
+    // q20: red-part prune and the supplier dim both broadcast; the only
+    // shuffles are the two aggregations.
+    val q20 = planOf(graft.analytics.Analytics.q20(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(q20).size >= 2,
+      s"q20 dims not broadcast:\n$q20")
+    assert(!q20.contains("SortMergeJoin"), s"q20 shuffles a join side:\n$q20")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Global guard: every join in the engine must be equi-keyed or a
     // broadcast of a deliberately tiny frame (BroadcastNestedLoopJoin).
