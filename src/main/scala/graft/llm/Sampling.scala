@@ -115,7 +115,52 @@ object Sampling {
       .select("doc_id", "shuffle_pos", "shard")
   }
 
+  /** DSIR-style importance weight per document (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): how much
+    * more likely the doc's token bag is under the target distribution
+    * (source src0, standing in for the curated slice) than under the raw
+    * corpus. The classic form sums log-probability ratios; logs drift
+    * between engines, so the score is the equivalent linear discriminant
+    * on per-billion-quantized probabilities — Σ tf·(pt_q − pr_q) in exact
+    * BIGINT, divided once at the end (positive = more target-like, the
+    * resampling keep signal).
+    *
+    * Scale: the gram ratio table is vocabulary-sized → broadcast both
+    * ways; per-doc term frequencies come from the in-row array_counts
+    * combiner (one row per DISTINCT token per doc, never per token), so
+    * the whole selector is two scans + one broadcast join at 100 TB. The
+    * per-billion quantization also bounds every product by
+    * tf_total × 10⁹ — no overflow at any corpus size.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(expr("array_counts(split(text, ' '))")).as(Seq("tok", "tf")))
+    val grams = tf.groupBy("tok").agg(
+      sum("tf").cast("long").as("cnt_r"),
+      sum(when(col("source") === "src0", col("tf")).otherwise(0L))
+        .cast("long").as("cnt_t"))
+    val tot = grams.agg(
+      sum("cnt_r").cast("long").as("n_r"),
+      sum("cnt_t").cast("long").as("n_t"))
+    val ratio = grams.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        expr("(cnt_t * 1000000000L) div n_t").as("pt_q"),
+        expr("(cnt_r * 1000000000L) div n_r").as("pr_q"))
+    tf.join(broadcast(ratio), "tok")
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        sum(col("tf") * (col("pt_q") - col("pr_q"))).cast("long")
+          .as("score_num"))
+      .withColumn("dsir_score",
+        col("score_num").cast("double") / 1000000000.0d)
+      .withColumn("selected", when(col("score_num") > 0L, 1L).otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> dsirWeights,
     "corpus_shuffle" -> corpusShuffle,
     "sample_stratified" -> sampleStratified,
     "mix_sources" -> mixSources,
@@ -123,6 +168,36 @@ object Sampling {
     "train_test_split" -> trainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "dsir_weights" ->
+      """WITH tf AS (
+        |  SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |grams AS (
+        |  SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt_r,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN tf ELSE 0 END)
+        |      AS BIGINT) AS cnt_t
+        |  FROM tf GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt_r) AS BIGINT) AS n_r,
+        |    CAST(SUM(cnt_t) AS BIGINT) AS n_t
+        |  FROM grams),
+        |ratio AS (
+        |  SELECT tok, (cnt_t * 1000000000) // n_t AS pt_q,
+        |    (cnt_r * 1000000000) // n_r AS pr_q
+        |  FROM grams CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * (pt_q - pr_q)) AS BIGINT) AS score_num
+        |  FROM tf JOIN ratio USING (tok)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, score_num,
+        |  CAST(score_num AS DOUBLE) / 1000000000.0 AS dsir_score,
+        |  CAST(CASE WHEN score_num > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS selected
+        |FROM scored""".stripMargin,
     "corpus_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -422,7 +422,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3L)
 
+  /** Per-document lexical diversity: type-token ratio and the Simpson
+    * diversity index 1 − Σ tf²/n² (the token-concentration signal quality
+    * filters use alongside [[qualityGopher]] — a doc dominated by a few
+    * repeated tokens scores near 0, a fully varied one near 1). Integer-
+    * exact parity: both ratios are one double division of exact BIGINT
+    * sums (n² − Σ tf² as the Simpson numerator) — no logs, no float
+    * folds. Computed entirely in-row from the array_counts combiner: no
+    * explode, no shuffle; streams at scan speed at 100 TB.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    t(spark, dir, "documents")
+      .withColumn("m", expr("array_counts(split(text, ' '))"))
+      .select(col("doc_id"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("n_tokens"),
+        expr("CAST(size(m) AS BIGINT)").as("n_types"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x * x)").as("sum_sq"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("simpson",
+        (col("n_tokens") * col("n_tokens") - col("sum_sq")).cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lexical_diversity" -> lexicalDiversity,
     "bpe_merges" -> bpeMerges,
     "bpe_encode" -> bpeEncode,
     "bpe_pair_counts" -> bpePairCounts,
@@ -631,6 +656,22 @@ object TextAnalysis {
         |    i -> substring(text, i, 3))) AS g
         |  FROM documents WHERE length(text) >= 3)
         |GROUP BY g ORDER BY n DESC, g LIMIT 20""".stripMargin,
+    "lexical_diversity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(tf * tf) AS BIGINT) AS sum_sq
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, sum_sq,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE)
+        |    / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+        |FROM s""".stripMargin,
     "doc_length_stats" ->
       """WITH ranked AS (
         |  SELECT source, n_chars,
