@@ -674,4 +674,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(wrong.count() == 0)
     p.unpersist()
   }
+
+  test("dsir weights separate the target source from the raw corpus") {
+    val w = llm.Sampling.dsirWeights(spark, dir)
+      .join(Tables.t(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .groupBy(when(col("source") === "src0", "target").otherwise("raw")
+        .as("side"))
+      .agg(avg("dsir_score").as("mean_score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // The importance discriminant must rank the target slice above the
+    // raw rest on average — the property that makes resampling select
+    // target-like data at all.
+    assert(w("target") > w("raw"),
+      s"target mean ${w("target")} not above raw mean ${w("raw")}")
+  }
+
+  test("lexical diversity indices stay in their algebraic ranges") {
+    val d = llm.TextAnalysis.lexicalDiversity(spark, dir).cache()
+    // 1 <= n_types <= n_tokens; sum_sq >= n_tokens (each tf >= 1) and
+    // sum_sq <= n_tokens^2 (all mass on one type).
+    assert(d.filter(col("n_types") < 1L || col("n_types") > col("n_tokens"))
+      .count() == 0)
+    assert(d.filter(col("sum_sq") < col("n_tokens") ||
+      col("sum_sq") > col("n_tokens") * col("n_tokens")).count() == 0)
+    // ttr in (0, 1]; simpson in [0, 1); all-distinct docs have ttr == 1
+    // and simpson == 1 - 1/n exactly.
+    assert(d.filter(col("ttr") <= 0.0 || col("ttr") > 1.0).count() == 0)
+    assert(d.filter(col("simpson") < 0.0 || col("simpson") >= 1.0)
+      .count() == 0)
+    val allDistinct = d.filter(col("n_types") === col("n_tokens"))
+    assert(allDistinct.filter(col("ttr") =!= 1.0).count() == 0)
+    d.unpersist()
+  }
 }

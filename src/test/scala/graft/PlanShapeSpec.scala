@@ -155,6 +155,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!q20.contains("SortMergeJoin"), s"q20 shuffles a join side:\n$q20")
   }
 
+  test("dsir_weights broadcasts the vocabulary ratio table") {
+    // The per-token ratio frame is vocabulary-sized: it must broadcast
+    // into the tf stream (and the 1-row totals into the gram table) —
+    // the corpus side never shuffles for either join.
+    val plan = planOf(graft.llm.Sampling.dsirWeights(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dsir ratio join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dsir shuffles a join side:\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // Global guard: every join in the engine must be equi-keyed or a
     // broadcast of a deliberately tiny frame (BroadcastNestedLoopJoin).
