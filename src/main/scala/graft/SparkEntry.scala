@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (analytics.Analytics.queries, analytics.Analytics.oracles),
       (log.LogOps.queries, log.LogOps.oracles),

@@ -20,6 +20,15 @@ class OperatorSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
     }
+    // No module may shadow another's query or oracle name: the merged
+    // registry keeps only the LAST entry per key, so a collision would
+    // silently drop an operator (or pair a query with the wrong oracle).
+    val qDupes = SparkEntry.modules.flatMap(_._1.keys)
+      .groupBy(identity).filter(_._2.size > 1).keys
+    assert(qDupes.isEmpty, s"duplicate query names across modules: $qDupes")
+    val oDupes = SparkEntry.modules.flatMap(_._2.keys)
+      .groupBy(identity).filter(_._2.size > 1).keys
+    assert(oDupes.isEmpty, s"duplicate oracle names across modules: $oDupes")
     SparkEntry.queries.foreach { case (name, fn) =>
       assert(fn(spark, dir).columns.nonEmpty, s"$name has no schema")
     }
