@@ -183,7 +183,52 @@ object SchemaRegistry {
       .withColumn("compat_vacuous",
         when(col("n_remaining") <= 1L, 1L).otherwise(0L))
 
+  /** Per-subject effective compatibility mode
+    * (/root/reference/schema-registry/.../resources/ConfigResource.java:92-123
+    * — GET/PUT /config/{subject} backed by SchemaStorage
+    * .getCompatibilityMode/setCompatibilityMode): the registry-wide
+    * default (BACKWARD) unless the subject carries an override — a
+    * deterministic md5 coin on the subject (~25% override rate, the next
+    * hex digit picking among the six non-default modes; the
+    * Admin.topicConfigs provenance discipline) — plus the admission
+    * verdict the mode exists to produce: would this subject's own v3
+    * registration be accepted under its effective mode (NONE always
+    * admits; the rest read the [[schemaCompatTransitive]] matrix).
+    *
+    * Scale: subject-cardinality metadata all the way down — the compat
+    * matrix aggregates on (topic, field) like every schema view; the
+    * coin is one hash on the already-grouped row.
+    */
+  def subjectConfig(spark: SparkSession, dir: String): DataFrame = {
+    val modes = Seq("NONE", "FORWARD", "FULL", "BACKWARD_TRANSITIVE",
+      "FORWARD_TRANSITIVE", "FULL_TRANSITIVE")
+    val h = md5(concat(lit("subjcfg#"), col("topic")))
+    schemaCompatTransitive(spark, dir)
+      .withColumn("full_compat", col("backward") * col("forward"))
+      .withColumn("coin", substring(h, 1, 1))
+      .withColumn("d", conv(substring(h, 2, 1), 16, 10).cast("long"))
+      .withColumn("compatibility",
+        when(!col("coin").isin("0", "1", "2", "3"), lit("BACKWARD"))
+          .otherwise(element_at(array(modes.map(lit): _*),
+            (pmod(col("d"), lit(6L)) + 1L).cast("int"))))
+      .withColumn("source",
+        when(col("coin").isin("0", "1", "2", "3"), "SUBJECT")
+          .otherwise("DEFAULT"))
+      .withColumn("v3_accepted",
+        when(col("compatibility") === "NONE", 1L)
+          .when(col("compatibility") === "BACKWARD", col("backward"))
+          .when(col("compatibility") === "FORWARD", col("forward"))
+          .when(col("compatibility") === "FULL", col("full_compat"))
+          .when(col("compatibility") === "BACKWARD_TRANSITIVE",
+            col("backward_transitive"))
+          .when(col("compatibility") === "FORWARD_TRANSITIVE",
+            col("forward_transitive"))
+          .otherwise(col("full_transitive")))
+      .select("topic", "compatibility", "source", "v3_accepted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subject_config" -> subjectConfig,
     "schema_delete" -> schemaDelete,
     "schema_infer" -> schemaInfer,
     "schema_compat" -> schemaCompat,
@@ -228,6 +273,46 @@ object SchemaRegistry {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "subject_config" -> (L + fieldsSql + versSql +
+      """, cmpt AS (
+        |  SELECT topic,
+        |    MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END)
+        |      AS backward,
+        |    MIN(CASE WHEN (has_v1 = 1 OR has_v2 = 1) AND has_v3 = 0
+        |      THEN 0 ELSE 1 END) AS backward_transitive,
+        |    MIN(CASE WHEN has_v3 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
+        |      AS forward,
+        |    MIN(CASE WHEN has_v3 = 1 AND (has_v1 = 0 OR has_v2 = 0)
+        |      THEN 0 ELSE 1 END) AS forward_transitive
+        |  FROM vers GROUP BY topic),
+        |c2 AS (
+        |  SELECT topic, backward, forward,
+        |    backward * forward AS full_compat,
+        |    backward_transitive, forward_transitive,
+        |    backward_transitive * forward_transitive AS full_transitive,
+        |    substring(md5('subjcfg#' || topic), 1, 1) AS coin,
+        |    ('0x' || substring(md5('subjcfg#' || topic), 2, 1))::BIGINT AS d
+        |  FROM cmpt),
+        |c3 AS (
+        |  SELECT topic,
+        |    CASE WHEN coin NOT IN ('0','1','2','3') THEN 'BACKWARD'
+        |      ELSE ['NONE','FORWARD','FULL','BACKWARD_TRANSITIVE',
+        |            'FORWARD_TRANSITIVE','FULL_TRANSITIVE'][(d % 6 + 1)]
+        |    END AS compatibility,
+        |    CASE WHEN coin IN ('0','1','2','3') THEN 'SUBJECT'
+        |      ELSE 'DEFAULT' END AS source,
+        |    backward, forward, full_compat,
+        |    backward_transitive, forward_transitive, full_transitive
+        |  FROM c2)
+        |SELECT topic, compatibility, source,
+        |  CAST(CASE compatibility WHEN 'NONE' THEN 1
+        |    WHEN 'BACKWARD' THEN backward
+        |    WHEN 'FORWARD' THEN forward
+        |    WHEN 'FULL' THEN full_compat
+        |    WHEN 'BACKWARD_TRANSITIVE' THEN backward_transitive
+        |    WHEN 'FORWARD_TRANSITIVE' THEN forward_transitive
+        |    ELSE full_transitive END AS BIGINT) AS v3_accepted
+        |FROM c3""".stripMargin),
     "schema_delete" -> (L + fieldsSql + vfieldsSql +
       """, dv AS (
         |  SELECT topic, version,
