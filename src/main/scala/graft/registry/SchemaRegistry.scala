@@ -227,7 +227,34 @@ object SchemaRegistry {
       .select("topic", "compatibility", "source", "v3_accepted")
   }
 
+  /** Content-addressed global schema IDs
+    * (/root/reference/schema-registry/.../resources/SchemaResource.java:77-105
+    * GET /schemas/ids/{id} + /versions; SchemaStorage.java:36,43
+    * findSchemaById / findSchemaByDefinition): identical schema content
+    * registered under any number of (subject, version) slots shares ONE
+    * global id — the registry's dedup-by-definition contract. IDs are
+    * assigned densely in fingerprint order (deterministic, engine-
+    * portable); n_uses counts the slots sharing the id (the
+    * /schemas/ids/{id}/versions answer).
+    *
+    * Scale: the id table is one row per DISTINCT schema — metadata-sized
+    * by construction — so the unpartitioned ranking window and the join
+    * back are both bounded; the (subject, version) side never shuffles
+    * (broadcast).
+    */
+  def schemaIds(spark: SparkSession, dir: String): DataFrame = {
+    val v = schemaVersions(spark, dir)
+    val ids = v.groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_uses"))
+      .withColumn("schema_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("fingerprint")).cast("long"))
+    v.join(broadcast(ids), "fingerprint")
+      .select("topic", "version", "schema_id", "fingerprint", "n_uses")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_ids" -> schemaIds,
     "subject_config" -> subjectConfig,
     "schema_delete" -> schemaDelete,
     "schema_infer" -> schemaInfer,
@@ -273,6 +300,18 @@ object SchemaRegistry {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "schema_ids" -> (L + fieldsSql + vfieldsSql +
+      """, vers2 AS (
+        |  SELECT topic, version,
+        |    md5(string_agg(field, ',' ORDER BY field)) AS fingerprint
+        |  FROM vfields GROUP BY topic, version),
+        |ids AS (
+        |  SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_uses,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY fingerprint) AS BIGINT)
+        |      AS schema_id
+        |  FROM vers2 GROUP BY fingerprint)
+        |SELECT topic, version, schema_id, fingerprint, n_uses
+        |FROM vers2 JOIN ids USING (fingerprint)""".stripMargin),
     "subject_config" -> (L + fieldsSql + versSql +
       """, cmpt AS (
         |  SELECT topic,
