@@ -128,9 +128,11 @@ object Sampling {
     * Scale: the gram ratio table is vocabulary-sized → broadcast both
     * ways; per-doc term frequencies come from the in-row array_counts
     * combiner (one row per DISTINCT token per doc, never per token), so
-    * the whole selector is two scans + one broadcast join at 100 TB. The
-    * per-billion quantization also bounds every product by
-    * tf_total × 10⁹ — no overflow at any corpus size.
+    * the whole selector is two scans + one broadcast join at 100 TB.
+    * The quantization multiply widens to DECIMAL(38,0)/HUGEINT (BIGINT
+    * would overflow past ~9.2e9 corpus tokens); the per-doc score sum is
+    * bounded by the doc's own token count × 10⁹ — overflow-free at any
+    * corpus size.
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashes.register(spark)
@@ -144,10 +146,16 @@ object Sampling {
     val tot = grams.agg(
       sum("cnt_r").cast("long").as("n_r"),
       sum("cnt_t").cast("long").as("n_t"))
+    // The quantization multiply runs in DECIMAL(38,0) (HUGEINT on the
+    // oracle side): cnt_r x 10^9 would overflow BIGINT on any corpus
+    // past ~9.2e9 tokens. The quotient is < 10^9 by construction
+    // (cnt <= n), so the BIGINT cast back is always safe.
     val ratio = grams.crossJoin(broadcast(tot))
       .select(col("tok"),
-        expr("(cnt_t * 1000000000L) div n_t").as("pt_q"),
-        expr("(cnt_r * 1000000000L) div n_r").as("pr_q"))
+        expr("CAST((CAST(cnt_t AS DECIMAL(38,0)) * 1000000000) div n_t" +
+          " AS BIGINT)").as("pt_q"),
+        expr("CAST((CAST(cnt_r AS DECIMAL(38,0)) * 1000000000) div n_r" +
+          " AS BIGINT)").as("pr_q"))
     tf.join(broadcast(ratio), "tok")
       .groupBy("doc_id")
       .agg(
@@ -185,8 +193,11 @@ object Sampling {
         |    CAST(SUM(cnt_t) AS BIGINT) AS n_t
         |  FROM grams),
         |ratio AS (
-        |  SELECT tok, (cnt_t * 1000000000) // n_t AS pt_q,
-        |    (cnt_r * 1000000000) // n_r AS pr_q
+        |  SELECT tok,
+        |    CAST((CAST(cnt_t AS HUGEINT) * 1000000000) // n_t AS BIGINT)
+        |      AS pt_q,
+        |    CAST((CAST(cnt_r AS HUGEINT) * 1000000000) // n_r AS BIGINT)
+        |      AS pr_q
         |  FROM grams CROSS JOIN tot),
         |scored AS (
         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
