@@ -684,6 +684,40 @@ class OperatorSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("schema compat lattice: transitive modes only ever tighten") {
+    // BACKWARD_TRANSITIVE checks v3 against MORE versions than BACKWARD,
+    // so it can only flip 1 -> 0, never 0 -> 1 (same for FORWARD); FULL_*
+    // is exactly the conjunction. subject_config's admission verdict
+    // inherits these, so a mode upgrade can never admit a schema the
+    // weaker mode rejected.
+    val m = graft.registry.SchemaRegistry.schemaCompatTransitive(spark, dir)
+    assert(m.filter(col("backward_transitive") > col("backward"))
+      .count() == 0)
+    assert(m.filter(col("forward_transitive") > col("forward"))
+      .count() == 0)
+    assert(m.filter(col("full_transitive") =!=
+      col("backward_transitive") * col("forward_transitive")).count() == 0)
+  }
+
+  test("schema ids are dense and conserve the (subject, version) slots") {
+    val ids = graft.registry.SchemaRegistry.schemaIds(spark, dir).cache()
+    val v = graft.registry.SchemaRegistry.schemaVersions(spark, dir)
+    // one row per (subject, version) slot, n_uses conserved per id
+    assert(ids.count() == v.count())
+    val perId = ids.groupBy("schema_id")
+      .agg(countDistinct("fingerprint").as("nf"), count(lit(1)).as("n"),
+        max("n_uses").as("declared"))
+    assert(perId.filter(col("nf") =!= 1L).count() == 0,
+      "one fingerprint per id")
+    assert(perId.filter(col("n") =!= col("declared")).count() == 0,
+      "n_uses must equal the slots sharing the id")
+    // ids are dense 1..N over distinct fingerprints
+    val n = perId.count()
+    assert(ids.agg(min("schema_id"), max("schema_id")).collect()(0)
+      .toSeq == Seq(1L, n))
+    ids.unpersist()
+  }
+
   test("dsir weights separate the target source from the raw corpus") {
     val w = llm.Sampling.dsirWeights(spark, dir)
       .join(Tables.t(spark, dir, "documents").select("doc_id", "source"),
