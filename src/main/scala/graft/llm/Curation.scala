@@ -144,7 +144,37 @@ object Curation {
           .as("spans_boundary"))
   }
 
+  /** Intra-document span dedup — the within-doc half of the repetition
+    * pipeline (Gopher / RefinedWeb "remove duplicate lines within a
+    * document", at the same 10-token-chunk granularity the corpus
+    * boilerplate ops use): keep each chunk's FIRST occurrence in
+    * document order, drop later repeats, and account chunks/tokens
+    * before and after plus the md5 identity of the rewritten text.
+    *
+    * Scale: computed entirely in-row (array_position over the doc's own
+    * chunk array — chunks per doc is bounded by doc length, not corpus
+    * size) — no explode, no shuffle; streams at scan speed at 100 TB.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("nch", expr("CAST(ceil(size(tk) / 10.0) AS BIGINT)"))
+      .withColumn("chunks", expr(
+        s"""transform(sequence(0L, nch - 1), i ->
+           |  array_join(slice(tk, CAST(i * $ChunkToks + 1 AS INT),
+           |    $ChunkToks), ' '))""".stripMargin))
+      .withColumn("kept", expr(
+        "filter(chunks, (c, i) -> array_position(chunks, c) == i + 1)"))
+      .withColumn("kept_text", array_join(col("kept"), " "))
+      .select(col("doc_id"),
+        col("nch").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("nch") - size(col("kept"))).as("n_dropped"),
+        size(split(col("kept_text"), " ")).cast("long").as("kept_toks"),
+        md5(col("kept_text")).as("kept_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> dedupSpans,
     "pack_shuffled" -> packShuffled,
     "boilerplate_chunks" -> boilerplateChunks,
     "strip_boilerplate" -> stripBoilerplate,
@@ -172,6 +202,34 @@ object Curation {
        |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1)) AS chunk_id,
+        |    unnest(list_transform(generate_series(0,
+        |        CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1),
+        |      i -> array_to_string(
+        |        tk[(i * $ChunkToks + 1):(i * $ChunkToks + $ChunkToks)],
+        |        ' '))) AS ctext
+        |  FROM tk),
+        |k AS (
+        |  SELECT doc_id, chunk_id, ctext,
+        |    CASE WHEN MIN(chunk_id) OVER (PARTITION BY doc_id, ctext)
+        |      = chunk_id THEN 1 ELSE 0 END AS kept
+        |  FROM ch)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN kept = 1
+        |    THEN len(string_split(ctext, ' ')) ELSE 0 END) AS BIGINT)
+        |    AS kept_toks,
+        |  md5(string_agg(ctext, ' ' ORDER BY chunk_id)
+        |    FILTER (WHERE kept = 1)) AS kept_md5
+        |FROM k GROUP BY doc_id""".stripMargin,
     "pack_shuffled" ->
       s"""WITH h AS (
          |  SELECT doc_id,
