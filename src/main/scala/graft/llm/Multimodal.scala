@@ -310,6 +310,16 @@ object Multimodal {
 
   final case class PHashRow(doc_id: Long, phash: Long, width: Long, height: Long)
 
+  /** The 4x16-bit banding of a 64-bit phash — one definition shared by
+    * [[phashHammingPairs]] and MultimodalSpec's pigeonhole precondition,
+    * so a banding change can never leave the spec measuring the old
+    * scheme.
+    */
+  private[graft] val BandExpr: String =
+    """transform(sequence(0, 3),
+      |  b -> struct(b as band,
+      |    shiftright(phash, 16 * b) & 65535 as bv))""".stripMargin
+
   private val phashCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
@@ -391,10 +401,7 @@ object Multimodal {
   def phashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
     val cap = Similarity.PairSubCap
     val sig = phashFrame(spark, dir).select("phash").distinct()
-    val bands = sig.select(col("phash"), explode(expr(
-      """transform(sequence(0, 3),
-        |  b -> struct(b as band,
-        |    shiftright(phash, 16 * b) & 65535 as bv))""".stripMargin)).as("e"))
+    val bands = sig.select(col("phash"), explode(expr(BandExpr)).as("e"))
       .select(col("phash"), col("e.band"), col("e.bv"))
     // Band-population frame scales with the distinct-signature count, so
     // it joins back on the (band, bv) shuffle key — NOT broadcast.

@@ -119,10 +119,7 @@ class MultimodalSpec extends AnyFunSuite {
     // precondition explicitly so a data change that overflows a band
     // fails here with the reason, not in the equality below.
     val sig = Multimodal.mediaPhash(spark, dir).select("phash").distinct()
-    val maxBand = sig.select(explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> struct(b as band, shiftright(phash, 16 * b) & 65535 as bv))"""
-          .stripMargin)).as("e"))
+    val maxBand = sig.select(explode(expr(Multimodal.BandExpr)).as("e"))
       .groupBy("e.band", "e.bv").count().agg(max("count")).head().getLong(0)
     assert(maxBand <= graft.llm.Similarity.PairSubCap,
       s"band population $maxBand exceeds PairSubCap; exact pigeonhole " +

@@ -115,8 +115,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val q9 = planOf(graft.analytics.Analytics.q9(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(q9).size >= 3,
       s"q9_profit dims not all broadcast:\n$q9")
-    assert(!q9.contains("SortMergeJoin") ||
-      "SortMergeJoin".r.findAllIn(q9).size <= 1,
+    assert("SortMergeJoin".r.findAllIn(q9).size <= 1,
       s"q9_profit shuffles more than the orders join:\n$q9")
     // q16_supplier_counts: part filter and complained-supplier anti join
     // both broadcast; the only shuffle is the aggregation on
