@@ -26,7 +26,8 @@ object Streams {
   /** Batch-equivalent of the 15-minute windowed throughput aggregation. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .withColumn("win_ms", expr("((ts div 1000000) div 900000) * 900000"))
+      .withColumn("tms", nsToMs("ts"))
+      .withColumn("win_ms", expr("(tms div 900000) * 900000"))
       .groupBy("win_ms", "event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -105,7 +106,7 @@ object Streams {
     // landing in the same millisecond / exactly on the 1h boundary would
     // disagree between stream and batch.
     def withEts(df: DataFrame) =
-      df.withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+      df.withColumn("ets", timestamp_millis(nsToMs("ts")))
     val s = withEts(signups).filter(col("event_type") === "signup")
       .select(col("user_id").as("su"), col("event_id").as("signup_id"),
         col("ets").as("s_ts"))
@@ -174,14 +175,21 @@ object Streams {
       }
   }
 
+  /** The events table as a file-source stream with its batch schema —
+    * the one staging definition every runner shares (a divergence here,
+    * e.g. maxFilesPerTrigger or a schema source change, must hit all of
+    * them identically).
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(t(spark, dir, "events").schema)
+      .parquet(stageStreamDir(dir, "events"))
+
   /** Run [[cdcPerKey]] as a real streaming query and return the emitted
     * change rows.
     */
   def runCdcStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "events")).as[Ev]
+    val stream = eventStream(spark, dir).as[Ev]
     val q = cdcPerKey(spark, stream).writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName("graft_cdc_stream")
@@ -237,8 +245,13 @@ object Streams {
               }
             }
             state.update(st)
-            // Close the tail session once event time passes last + gap.
-            state.setTimeoutTimestamp(st.last + gap)
+            // Close the tail session once event time passes last + gap —
+            // clamped above the current watermark: an event delivered
+            // late-but-within-the-watermark-delay can leave last + gap
+            // BELOW the watermark, and setTimeoutTimestamp throws on that
+            // (killing the whole query) rather than firing immediately.
+            state.setTimeoutTimestamp(
+              math.max(st.last + gap, state.getCurrentWatermarkMs() + 1L))
             closed.iterator
           }
       }
@@ -253,8 +266,10 @@ object Streams {
     val link = Files.createSymbolicLink(d.resolve(s"$table.parquet"),
       Paths.get(s"$dir/$table.parquet").toAbsolutePath)
     // Best-effort cleanup so repeated runs don't accumulate temp dirs.
-    link.toFile.deleteOnExit()
+    // deleteOnExit deletes in REVERSE registration order: the directory
+    // must be registered first so the link inside it goes first at exit.
     d.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     d.toString
   }
 
@@ -263,9 +278,7 @@ object Streams {
     */
   def runCompactionStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "events")).as[Ev]
+    val stream = eventStream(spark, dir).as[Ev]
     val q = latestPerKey(spark, stream).writeStream
       .outputMode(OutputMode.Update)
       .format("memory").queryName("graft_compact_stream")
@@ -293,9 +306,7 @@ object Streams {
       k: Int = 64): DataFrame = {
     import spark.implicits._
     val agg = graft.functions.HeavyHitters.mgAggregator(k)
-    val schema = t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "events"))
+    val stream = eventStream(spark, dir)
       .select(col("event_type").as("topic"),
         col("user_id").cast("string").as("k"))
       .as[(String, String)]
@@ -335,9 +346,7 @@ object Streams {
     * enriched table (asserted equal to the batch join in StreamingSpec).
     */
   def runStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val schema = t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "events"))
+    val stream = eventStream(spark, dir)
     val dim = broadcast(t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment")))
     val q = stream
@@ -363,10 +372,8 @@ object Streams {
     * full histogram.
     */
   def runStreamLatencySketch(spark: SparkSession, dir: String): DataFrame = {
-    val schema = t(spark, dir, "events").schema
     val samples = graft.log.BrokerOps.withLatency(
-      spark.readStream.schema(schema)
-        .parquet(stageStreamDir(dir, "events"))
+      eventStream(spark, dir)
         .select(col("event_id"), col("props").as("v")))
     val q = graft.log.BrokerOps.hdrHist(samples)
       .writeStream.outputMode("complete")
@@ -383,9 +390,7 @@ object Streams {
     * micro-batches processed.
     */
   def runIngestStream(spark: SparkSession, dir: String, outPath: String): Long = {
-    val schema = t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "events"))
+    val stream = eventStream(spark, dir)
     var batches = 0L
     val q = stream
       .withColumn("tms", graft.functions.Parity.nsToMs("ts"))
@@ -412,9 +417,7 @@ object Streams {
     */
   def runGlogIngest(spark: SparkSession, dir: String, outPath: String): Long = {
     import org.apache.spark.sql.expressions.Window
-    val schema = t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "events"))
+    val stream = eventStream(spark, dir)
     var batches = 0L
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -437,7 +440,7 @@ object Streams {
         val recs = batch
           .select(col("event_type").as("topic"),
             pmod(col("user_id"), lit(8L)).as("part"),
-            expr("ts div 1000000").as("tms"), col("event_id"),
+            nsToMs("ts").as("tms"), col("event_id"),
             col("user_id").cast("string").as("k"), col("props").as("v"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .join(broadcast(endsDf), Seq("topic", "part"), "left")
