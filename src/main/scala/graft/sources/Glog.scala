@@ -80,15 +80,6 @@ object Glog {
       minTms: Long = Long.MinValue): Iterator[Rec] =
     new Iterator[Rec] {
     private var cur: Iterator[Rec] = Iterator.empty
-    private def frame(): String = {
-      val len = in.readInt()
-      if (len < 0) null
-      else {
-        val bs = new Array[Byte](len)
-        in.readFully(bs)
-        new String(bs, java.nio.charset.StandardCharsets.UTF_8)
-      }
-    }
     private def advance(): Unit = {
       while (!cur.hasNext) {
         val batchLen =
@@ -214,11 +205,15 @@ object Glog {
               out.write(bytes)
             }
           } finally out.close()
-          // Retried batches legitimately rewrite a segment: clear any
-          // committed file first, then publish atomically. If the rename
-          // still fails, a concurrent duplicate attempt won the race —
-          // its bytes are identical, so drop ours.
-          if (pfs.exists(segPath)) pfs.delete(segPath, false)
+          // Publish with a rename-ONLY commit: a delete-then-rename pair
+          // would open a window in which a concurrent reader (listEnds in
+          // the streaming source's latestOffset, the sink's offset
+          // assignment) lists the directory, misses a committed segment,
+          // and computes a shrunken end offset. Retried batches drop
+          // their stale segments up front (dropBatchSegments), so a
+          // rename that loses because the destination exists is a
+          // concurrent duplicate attempt with identical bytes — drop
+          // ours and let theirs stand.
           if (!pfs.rename(tmpPath, segPath)) {
             pfs.delete(tmpPath, false)
             require(pfs.exists(segPath),

@@ -28,11 +28,10 @@ object GlogOps {
     */
   def glogFetchTime(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val p = storePath(dir)
-    Glog.materialize(spark, dir, p)
-    spark.read.format("glog").load(p)
+    // One source of truth for the store path/format/projection: the tms
+    // bound still pushes through glogRead's select into the DSv2 scan.
+    glogRead(spark, dir)
       .filter(col("tms") >= 1705276800000L) // 2024-01-15 00:00 UTC
-      .select("topic", "part", "offs", "event_id", "tms", "k", "v")
   }
 
   /** Store-level compaction (Kafka's LogCleaner as a batch rewrite): read
@@ -40,6 +39,11 @@ object GlogOps {
     * ORIGINAL offset (compaction never renumbers), and write a compacted
     * store — offsets inside segments stay ordered, so header-based offset
     * seeks keep working on the gaps.
+    *
+    * "Latest" is the engine-wide (tms, event_id) rule — deliberately the
+    * same survivor LogOps.compact and Streams.latestPerKey pick (and the
+    * specs pin), NOT Kafka's highest-offset rule; the three compaction
+    * paths must agree with each other first.
     */
   def compactStore(spark: SparkSession, inPath: String, outPath: String): Unit = {
     import org.apache.spark.sql.expressions.Window

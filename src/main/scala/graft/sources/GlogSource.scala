@@ -226,7 +226,10 @@ class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long,
     if (total <= cap) GlogOffset(ends)
     else GlogOffset(ends.map { case (key, e) =>
       val lag = lags(key)
-      val grant = math.min(lag, lag * cap / total + 1L)
+      // Proportional share in BigInt: lag * cap overflows Long once the
+      // backlog times the trigger cap passes 2^63 (a regressed, negative
+      // end offset would re-deliver committed records).
+      val grant = math.min(lag, (BigInt(lag) * cap / total).toLong + 1L)
       key -> (from.getOrElse(key, 0L) + grant)
     })
   }
