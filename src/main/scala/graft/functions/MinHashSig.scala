@@ -40,7 +40,13 @@ case class MinHashSig(child: Expression, k: Int)
       var m = Long.MaxValue
       var i = 0
       while (i < n) {
-        val v = (a * arr.getLong(i) + b) % p
+        // Reduce the shingle hash mod p BEFORE the affine step: a raw
+        // 56-bit hash times a ~2^31 multiplier wraps Long (~2^87) and a
+        // negative remainder would beat every legitimate minimum. With
+        // h < p the product stays under 2^62 — identity for callers that
+        // already pass mod-p hashes (all current ones), total-function
+        // safe for any other input.
+        val v = (a * (arr.getLong(i) % p) + b) % p
         if (v < m) m = v
         i += 1
       }
@@ -55,8 +61,9 @@ case class MinHashSig(child: Expression, k: Int)
 }
 
 object MinHashSig {
-  /** Idempotently register `minhash_sig(arr)` (k=24) for SQL use. */
+  /** Idempotently register the full native-function set (canonical list
+    * in [[NativeFunctions]]; registering the superset is idempotent).
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head, 24), "scala_udf")
+    NativeFunctions.registerAll(spark)
 }

@@ -250,7 +250,10 @@ case class GramCounts(child: Expression, n: Int)
   * element -> count map (first-appearance order) — the in-row combiner for
   * term frequencies: exploding the map yields (term, tf) directly, so
   * per-document TF needs no aggregation shuffle at all. Count-equivalent
-  * to exploding the array and grouping.
+  * to exploding the array and grouping — EXCEPT for null elements, which
+  * are dropped (a map key cannot be null) where explode+groupBy would
+  * count a null group; callers feeding anything beyond split() output
+  * must filter nulls first.
   */
 case class ArrayCounts(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -332,26 +335,9 @@ case class SimHash48(child: Expression)
 }
 
 object TextHashes {
-  /** Idempotently register gram_hashes(s, n, mod) and simhash48(arr). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "gram_hashes",
-      exprs => GramHashes(exprs.head,
-        exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt },
-        exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l }),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash48", exprs => SimHash48(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "intersect_sorted", exprs => IntersectSorted(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "gram_counts",
-      exprs => GramCounts(exprs.head,
-        exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt }),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_counts", exprs => ArrayCounts(exprs.head), "scala_udf")
-  }
+  /** Idempotently register the full native-function set (the canonical
+    * list lives in [[NativeFunctions]]).
+    */
+  def register(spark: SparkSession): Unit =
+    NativeFunctions.registerAll(spark)
 }

@@ -59,8 +59,9 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecDot {
-  /** Idempotently register `vec_dot(a, b)` for SQL use. */
+  /** Idempotently register the full native-function set (canonical list
+    * in [[NativeFunctions]]; registering the superset is idempotent).
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    NativeFunctions.registerAll(spark)
 }

@@ -99,6 +99,19 @@ class NativeExprSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("every native function is SQL-callable via the extensions path") {
+    // GraftSession installs GraftExtensions only — no TextHashes.register
+    // call — so this pins that the extensions route exposes the FULL
+    // canonical list (it had drifted: intersect_sorted / gram_counts /
+    // array_counts were missing from it).
+    graft.functions.NativeFunctions.all.foreach { case (name, _, _) =>
+      val fn = spark.sessionState.catalog
+        .lookupFunctionInfo(org.apache.spark.sql.catalyst
+          .FunctionIdentifier(name))
+      assert(fn.getName == name, s"$name not resolvable via extensions")
+    }
+  }
+
   test("vec_dot == declarative left-to-right fold, bit for bit") {
     val d = Tables.t(spark, dir, "embeddings")
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
