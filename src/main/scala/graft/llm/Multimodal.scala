@@ -30,6 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The deterministic doc_id -> modality mapping and its image
+    * predicate — ONE definition for the pipeline, the alignment rollup,
+    * and the phash image filter (and mirrored in the DuckDB oracles): a
+    * mapping change edited in one site but not the others would silently
+    * hash non-image docs or mistype the pipeline.
+    */
+  private def mediaTypeExpr: org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3L)) + 1L).cast("int"))
+  private def isImage: org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(3L)) === 0L
+
+  /** Mean of (r+g+b)/3 is the engine's single luma definition — the
+    * pipeline's feat_mean and the phash signature must agree on it.
+    */
+  @inline private def luma(rgb: Int): Double =
+    (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class MediaFeature(
       doc_id: Long, media_type: String, payload_bytes: Long,
@@ -75,7 +93,7 @@ object Multimodal {
     var i = 0
     while (i < px.length) {
       val rgb = px(i)
-      sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+      sum += luma(rgb)
       i += 1
     }
     (img, img.getWidth.toLong, img.getHeight.toLong,
@@ -211,7 +229,7 @@ object Multimodal {
         var j = 0
         while (j < px.length) {
           val rgb = px(j)
-          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          sum += luma(rgb)
           j += 1
         }
         pixels += img.getWidth.toLong * img.getHeight
@@ -231,8 +249,7 @@ object Multimodal {
       // crashing the batch decode.
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3L)) + 1L).cast("int")).as("media_type"),
+        mediaTypeExpr.as("media_type"),
         encode(col("text"), "utf-8").as("payload"))
       .as[MediaRow]
     // Batched decode: iterate each partition in fixed-size batches, the
@@ -287,7 +304,7 @@ object Multimodal {
       val y = i / w
       val rgb = px(i)
       val b = ((y * 8) / h) * 8 + (x * 8) / w
-      blocks(b) += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+      blocks(b) += luma(rgb)
       counts(b) += 1
       i += 1
     }
@@ -341,7 +358,7 @@ object Multimodal {
   private[graft] def buildPhashFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val images = t(spark, dir, "documents")
-      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3L)) === 0L)
+      .filter(col("text").isNotNull && isImage)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
     images.mapPartitions { rows =>
@@ -432,8 +449,7 @@ object Multimodal {
   def mediaEmbedAlign(spark: SparkSession, dir: String): DataFrame = {
     val media = t(spark, dir, "documents")
       .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3L)) + 1L).cast("int")).as("media_type"),
+        mediaTypeExpr.as("media_type"),
         col("n_chars"))
     val vecs = Embeddings.withNorm(spark, dir)
       .select(col("vec_id"), col("nrm"), col("label"))
