@@ -1,5 +1,6 @@
 package graft.coordinator
 
+import graft.functions.Parity.md5LongSql
 import graft.log.LogOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -81,11 +82,7 @@ object Groups {
       .withColumn("idx", row_number().over(w).cast("long") - 1L)
       .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
       .withColumn("member",
-        concat(lit("m"), expr(
-          """CAST(CASE WHEN idx < ((np div 3) + 1) * (np % 3)
-            |  THEN idx div ((np div 3) + 1)
-            |  ELSE (np % 3) + (idx - ((np div 3) + 1) * (np % 3)) div (np div 3)
-            |END AS STRING)""".stripMargin)))
+        concat(lit("m"), expr(s"CAST(${rangeMemberExpr(3)} AS STRING)")))
       .select("topic", "part", "member")
   }
 
@@ -595,7 +592,7 @@ object Groups {
         |  CAST(CASE WHEN n_votes = 3 THEN 1 ELSE 0 END AS BIGINT) AS unanimous
         |FROM sel JOIN nd USING (g) WHERE rn = 1""".stripMargin,
     "coordinator_placement" -> (L +
-      """ent AS (
+      s"""ent AS (
         |  SELECT 'group' AS entity_type, 'g' || CAST(g AS VARCHAR) AS entity_id,
         |    '__consumer_offsets' AS meta_topic
         |  FROM generate_series(0, 3) t(g)
@@ -604,12 +601,11 @@ object Groups {
         |    '__transaction_state'
         |  FROM log),
         |placed AS (
-        |  SELECT *, ('0x' || substring(md5(entity_id), 1, 14))::BIGINT % 50
+        |  SELECT *, ${md5LongSql("entity_id")} % 50
         |    AS meta_partition
         |  FROM ent)
         |SELECT entity_type, entity_id, meta_topic, meta_partition,
-        |  ('0x' || substring(md5(meta_topic || '#' ||
-        |    CAST(meta_partition AS VARCHAR)), 1, 14))::BIGINT % 4 AS broker
+        |  ${md5LongSql("meta_topic || '#' || CAST(meta_partition AS VARCHAR)")} % 4 AS broker
         |FROM placed""".stripMargin),
     "member_eviction" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
       """sel AS (SELECT * FROM mh CROSS JOIN nw)
@@ -661,11 +657,9 @@ object Groups {
          |    AS BIGINT) AS paused_static
          |FROM ix GROUP BY topic""".stripMargin),
     "offset_reset" -> (L + commitsSql +
-      """, surv AS (
-        |  SELECT topic, part, MIN(offs) AS new_earliest FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part
-        |      ORDER BY offs DESC) AS rn_end FROM log)
-        |  WHERE tms >= 1704672000000 AND rn_end <= 500
+      s""", surv AS (
+        |  SELECT topic, part, MIN(offs) AS new_earliest
+        |  FROM ${LogOps.survivorsSql} survivors
         |  GROUP BY topic, part)
         |SELECT group_id, topic, part, committed, new_earliest,
         |  GREATEST(committed, new_earliest) AS resume_at,
@@ -719,15 +713,13 @@ object Groups {
       """SELECT group_id, topic, part, committed, log_end,
         |  log_end - committed AS lag FROM commits""".stripMargin),
     "assign_range" -> (L +
-      """pidx AS (
+      s"""pidx AS (
         |  SELECT topic, part,
         |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY part) - 1 AS idx,
         |    COUNT(*) OVER (PARTITION BY topic) AS np
         |  FROM (SELECT DISTINCT topic, part FROM log))
-        |SELECT topic, part, 'm' || CAST(CASE WHEN idx < ((np // 3) + 1) * (np % 3)
-        |    THEN idx // ((np // 3) + 1)
-        |    ELSE (np % 3) + (idx - ((np // 3) + 1) * (np % 3)) // (np // 3)
-        |  END AS VARCHAR) AS member
+        |SELECT topic, part,
+        |  'm' || CAST(${rangeMemberSql(3)} AS VARCHAR) AS member
         |FROM pidx""".stripMargin),
     "assign_roundrobin" -> (L +
       """tp AS (SELECT DISTINCT topic, part FROM log)

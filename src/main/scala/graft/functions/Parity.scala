@@ -41,4 +41,10 @@ object Parity {
     * DuckDB equivalent: ('0x' || substring(md5(x),1,14))::BIGINT.
     */
   def md5Long(c: Column): Column = conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** [[md5Long]] as a DuckDB SQL expression over `e` — the ONE SQL-side
+    * spelling of the hash-to-long mapping (hand-copied strings drift).
+    */
+  def md5LongSql(e: String): String =
+    s"('0x' || substring(md5($e), 1, 14))::BIGINT"
 }

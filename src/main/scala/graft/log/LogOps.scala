@@ -468,6 +468,17 @@ object LogOps {
     "watermark_policy" -> watermarkPolicy,
     "heavy_hitters_sketch" -> heavyHittersSketch)
 
+  /** The retention survivor set as a SQL derived table over `log` — the
+    * ONE SQL-side spelling of the time+size retention policy (the Scala
+    * sides compose [[retention]]; Groups' offset_reset oracle composes
+    * this, so a policy change cannot update one side only).
+    */
+  private[graft] val survivorsSql: String =
+    """(SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part
+      |      ORDER BY offs DESC) AS rn_end FROM log)
+      |  WHERE tms >= 1704672000000 AND rn_end <= 500)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "partition_skew" -> (logSql +
       """SELECT topic, min_n, max_n, total, n_parts,
@@ -548,12 +559,9 @@ object LogOps {
         |    ORDER BY tms DESC, event_id DESC) AS rn FROM log)
         |WHERE rn = 1""".stripMargin),
     "retention" -> (logSql +
-      """SELECT topic, part, COUNT(*) AS n_survive, MIN(offs) AS new_earliest,
+      s"""SELECT topic, part, COUNT(*) AS n_survive, MIN(offs) AS new_earliest,
         |  CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes
-        |FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part
-        |    ORDER BY offs DESC) AS rn_end FROM log)
-        |WHERE tms >= 1704672000000 AND rn_end <= 500
+        |FROM $survivorsSql survivors
         |GROUP BY topic, part""".stripMargin),
     "validate_records" -> (logSql +
       """SELECT topic, COUNT(*) AS n_total,

@@ -1,5 +1,6 @@
 package graft.txn
 
+import graft.functions.Parity.md5LongSql
 import graft.log.LogOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -24,14 +25,13 @@ object Transactions {
     LogOps.log(spark, dir)
       .withColumn("txn_id", pmod(col("event_id"), lit(64L)))
       .withColumn("aborted",
-        when(substring(md5(col("txn_id").cast("string")), 1, 1)
-          .isin("0", "1", "2"), 1L).otherwise(0L))
+        when(txnFate(col("txn_id")) === "ABORTED", 1L).otherwise(0L))
 
-  private val txnSql: String =
-    """txn AS (
+  private def txnSql: String =
+    s"""txn AS (
       |  SELECT *, event_id % 64 AS txn_id,
-      |    CASE WHEN substring(md5(CAST(event_id % 64 AS VARCHAR)), 1, 1)
-      |      IN ('0','1','2') THEN 1 ELSE 0 END AS aborted
+      |    CASE WHEN (${fateSql("event_id % 64")}) = 'ABORTED'
+      |      THEN 1 ELSE 0 END AS aborted
       |  FROM log)
       |""".stripMargin
 
@@ -177,8 +177,7 @@ object Transactions {
   def lsoLag(spark: SparkSession, dir: String): DataFrame =
     txnLog(spark, dir)
       .withColumn("open",
-        when(substring(md5(col("txn_id").cast("string")), 1, 1)
-          .isin("3", "4"), 1L).otherwise(0L))
+        when(txnFate(col("txn_id")) === "ONGOING", 1L).otherwise(0L))
       .groupBy("topic", "part")
       .agg(
         (max("offs") + 1L).as("log_end"),
@@ -413,11 +412,15 @@ object Transactions {
           .otherwise("CompleteCommit"))
     spark.range(0L, 80L).toDF("txn_id")
       .join(broadcast(meta), Seq("txn_id"), "left")
+      // Existence sentinel = the meta-side n_partitions (countDistinct of
+      // a non-null key, so non-null exactly when the left join matched) -
+      // mirroring the oracle's dm.txn_id IS NULL; start_ms would latently
+      // diverge if a record ever carried a NULL timestamp.
       .withColumn("error_code",
-        when(col("start_ms").isNull, "TRANSACTIONAL_ID_NOT_FOUND")
+        when(col("n_partitions").isNull, "TRANSACTIONAL_ID_NOT_FOUND")
           .otherwise("NONE"))
       .withColumn("txn_timeout_ms",
-        when(col("start_ms").isNotNull, lit(60000L)))
+        when(col("n_partitions").isNotNull, lit(60000L)))
       .select("txn_id", "error_code", "state", "producer_id",
         "producer_epoch", "txn_timeout_ms", "start_ms", "n_partitions",
         "partitions")
@@ -480,19 +483,18 @@ object Transactions {
     "add_offsets_to_txn" -> (L + graft.coordinator.Groups.commitsSql +
       s""", toc AS (
          |  SELECT group_id,
-         |    ('0x' || substring(md5(group_id || '#' || topic || '#' ||
-         |      CAST(part AS VARCHAR)), 1, 14))::BIGINT % 64 AS txn_id
+         |    ${md5LongSql("group_id || '#' || topic || '#' || CAST(part AS VARCHAR)")}
+         |      % 64 AS txn_id
          |  FROM commits),
          |reg AS (
          |  SELECT txn_id, group_id, COUNT(*) AS n_commit_partitions,
          |    '__consumer_offsets' AS meta_topic,
-         |    ('0x' || substring(md5(group_id), 1, 14))::BIGINT % 50
+         |    ${md5LongSql("group_id")} % 50
          |      AS meta_partition
          |  FROM toc GROUP BY txn_id, group_id)
          |SELECT txn_id, group_id, n_commit_partitions, meta_topic,
          |  meta_partition,
-         |  ('0x' || substring(md5(meta_topic || '#' ||
-         |    CAST(meta_partition AS VARCHAR)), 1, 14))::BIGINT % 4
+         |  ${md5LongSql("meta_topic || '#' || CAST(meta_partition AS VARCHAR)")} % 4
          |    AS coordinator_broker,
          |  ${fateSql("txn_id")} AS txn_state,
          |  CAST(CASE WHEN (${fateSql("txn_id")}) = 'ONGOING' THEN 1 ELSE 0
@@ -536,8 +538,8 @@ object Transactions {
     "txn_offset_commits" -> (L + graft.coordinator.Groups.commitsSql +
       s""", toc AS (
          |  SELECT group_id, topic, part, committed, log_end,
-         |    ('0x' || substring(md5(group_id || '#' || topic || '#' ||
-         |      CAST(part AS VARCHAR)), 1, 14))::BIGINT % 64 AS txn_id
+         |    ${md5LongSql("group_id || '#' || topic || '#' || CAST(part AS VARCHAR)")}
+         |      % 64 AS txn_id
          |  FROM commits),
          |st AS (
          |  SELECT *,
@@ -596,10 +598,10 @@ object Transactions {
         |WHERE state <> 'CompleteCommit'
         |GROUP BY txn_id, state""".stripMargin),
     "txn_markers" -> (L + txnSql +
-      """, tpb AS (
+      s""", tpb AS (
         |  SELECT txn_id, aborted,
         |    topic || '#' || CAST(part AS VARCHAR) AS tp,
-        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+        |    ${md5LongSql("topic || '#' || CAST(part AS VARCHAR)")} % 4
         |      AS broker
         |  FROM txn)
         |SELECT txn_id,
@@ -611,7 +613,7 @@ object Transactions {
     "producer_id_blocks" -> (L +
       s"""pp AS (
          |  SELECT topic, part, COUNT(DISTINCT k) AS n_producers,
-         |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+         |    ${md5LongSql("topic || '#' || CAST(part AS VARCHAR)")} % 4
          |      AS broker
          |  FROM log GROUP BY topic, part),
          |pb AS (
@@ -630,16 +632,16 @@ object Transactions {
          |    AS headroom_blocks
          |FROM seq""".stripMargin),
     "lso_lag" -> (L + txnSql +
-      """SELECT topic, part, log_end,
+      s"""SELECT topic, part, log_end,
         |  first_undecided, n_open_txns,
         |  COALESCE(first_undecided, log_end) AS lso,
         |  log_end - COALESCE(first_undecided, log_end) AS lso_lag
         |FROM (
         |  SELECT topic, part, MAX(offs) + 1 AS log_end,
-        |    MIN(CASE WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
-        |      IN ('3','4') THEN offs END) AS first_undecided,
-        |    CAST(COUNT(DISTINCT CASE WHEN substring(md5(CAST(txn_id AS VARCHAR)), 1, 1)
-        |      IN ('3','4') THEN txn_id END) AS BIGINT) AS n_open_txns
+        |    MIN(CASE WHEN (${fateSql("txn_id")}) = 'ONGOING'
+        |      THEN offs END) AS first_undecided,
+        |    CAST(COUNT(DISTINCT CASE WHEN (${fateSql("txn_id")}) = 'ONGOING'
+        |      THEN txn_id END) AS BIGINT) AS n_open_txns
         |  FROM txn GROUP BY topic, part)""".stripMargin),
     "producer_fencing" -> (L +
       """recs AS (
