@@ -1,5 +1,6 @@
 package graft.log
 
+import graft.functions.Parity.md5LongSql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -217,7 +218,7 @@ object BrokerOps {
     segs
       .withColumn("max_seg", max("seg_id").over(lastSeg))
       .withColumn("deletable",
-        when(col("last_ms") < lit(1704672000000L) && // 2024-01-08 cutoff
+        when(col("last_ms") < lit(LogOps.RetentionCutoffMs) &&
           col("seg_id") =!= col("max_seg"), 1L).otherwise(0L))
       .select(col("topic"), col("part"), col("seg_id"), col("base_offset"),
         col("end_offset"), col("seg_bytes"), col("last_ms"), col("deletable"))
@@ -566,15 +567,15 @@ object BrokerOps {
 
   val oracles: Map[String, String] = Map(
     "isr_status" -> (L +
-      """pp AS (
+      s"""pp AS (
         |  SELECT topic, part, COUNT(*) AS n_records,
         |    topic || '#' || CAST(part AS VARCHAR) AS tp,
-        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+        |    ${md5LongSql("topic || '#' || CAST(part AS VARCHAR)")} % 4
         |      AS leader
         |  FROM log GROUP BY topic, part),
         |fr AS (
         |  SELECT pp.*, r,
-        |    ('0x' || substring(md5('lag#' || tp || '#' || CAST(r AS VARCHAR)), 1, 14))::BIGINT
+        |    ${md5LongSql("'lag#' || tp || '#' || CAST(r AS VARCHAR)")}
         |      % 120000 AS lag_ms
         |  FROM pp, (SELECT CAST(r AS BIGINT) AS r FROM generate_series(1, 2) t(r))),
         |isr AS (
@@ -594,10 +595,10 @@ object BrokerOps {
     // (closed form (leader+3)%4 vs array_min over the complement) —
     // identical output, an independent check of the placement math.
     "replica_reassignment" -> (L +
-      """pp AS (
+      s"""pp AS (
         |  SELECT topic, part, COUNT(*) AS n_records,
         |    CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes,
-        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+        |    ${md5LongSql("topic || '#' || CAST(part AS VARCHAR)")} % 4
         |      AS leader
         |  FROM log GROUP BY topic, part),
         |rp AS (
@@ -708,7 +709,7 @@ object BrokerOps {
         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS reclaim_ratio
         |FROM r GROUP BY topic""".stripMargin),
     "segment_cleanup_plan" -> (L +
-      """sized AS (
+      s"""sized AS (
         |  SELECT topic, part, offs, tms,
         |    length(v) + length(k) + 16 AS rec_bytes,
         |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
@@ -723,7 +724,7 @@ object BrokerOps {
         |  FROM sized GROUP BY topic, part, seg_id)
         |SELECT topic, part, seg_id, base_offset, end_offset, seg_bytes,
         |  last_ms,
-        |  CAST(CASE WHEN last_ms < 1704672000000
+        |  CAST(CASE WHEN last_ms < ${graft.log.LogOps.RetentionCutoffMs}
         |    AND seg_id <> MAX(seg_id) OVER (PARTITION BY topic, part)
         |    THEN 1 ELSE 0 END AS BIGINT) AS deletable
         |FROM segs""".stripMargin),
@@ -740,9 +741,9 @@ object BrokerOps {
         |  AND c.committed >= p.base_offset AND c.committed < p.end_offset"""
         .stripMargin),
     "broker_routing" -> (L +
-      """pp AS (
+      s"""pp AS (
         |  SELECT topic, part, COUNT(*) AS n_records,
-        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)), 1, 14))::BIGINT % 4
+        |    ${md5LongSql("topic || '#' || CAST(part AS VARCHAR)")} % 4
         |      AS broker
         |  FROM log GROUP BY topic, part),
         |failed AS (
@@ -753,7 +754,7 @@ object BrokerOps {
         |  WHERE rnk = 1),
         |alt AS (
         |  SELECT pp.*, failed_broker,
-        |    ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR) || '#f'), 1, 14))::BIGINT % 3
+        |    ${md5LongSql("topic || '#' || CAST(part AS VARCHAR) || '#f'")} % 3
         |      AS a
         |  FROM pp, failed)
         |SELECT topic, part, n_records, CAST(broker AS BIGINT) AS broker,

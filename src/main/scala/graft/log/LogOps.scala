@@ -126,7 +126,8 @@ object LogOps {
     val fromEnd = Window.partitionBy("topic", "part").orderBy(col("offs").desc)
     log(spark, dir)
       .withColumn("rn_end", row_number().over(fromEnd))
-      .filter(col("tms") >= lit(1704672000000L) && col("rn_end") <= 500) // 2024-01-08
+      .filter(col("tms") >= lit(RetentionCutoffMs) &&
+        col("rn_end") <= RetentionMaxRecords)
       .groupBy("topic", "part")
       .agg(
         count(lit(1)).as("n_survive"),
@@ -468,16 +469,24 @@ object LogOps {
     "watermark_policy" -> watermarkPolicy,
     "heavy_hitters_sketch" -> heavyHittersSketch)
 
+  /** The retention policy constants — shared by [[retention]] (Scala),
+    * [[survivorsSql]] (SQL), and BrokerOps' segment views, so the window
+    * cannot be tuned on one side of the engine/oracle boundary only.
+    */
+  private[graft] val RetentionCutoffMs = 1704672000000L // 2024-01-08
+  private[graft] val RetentionMaxRecords = 500L
+
   /** The retention survivor set as a SQL derived table over `log` — the
     * ONE SQL-side spelling of the time+size retention policy (the Scala
     * sides compose [[retention]]; Groups' offset_reset oracle composes
     * this, so a policy change cannot update one side only).
     */
   private[graft] val survivorsSql: String =
-    """(SELECT * FROM (
+    s"""(SELECT * FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part
       |      ORDER BY offs DESC) AS rn_end FROM log)
-      |  WHERE tms >= 1704672000000 AND rn_end <= 500)""".stripMargin
+      |  WHERE tms >= $RetentionCutoffMs
+      |    AND rn_end <= $RetentionMaxRecords)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "partition_skew" -> (logSql +
@@ -581,16 +590,16 @@ object LogOps {
         |  MAX(offs) + 1 AS log_end
         |FROM log WHERE offs >= 50 GROUP BY topic, part""".stripMargin),
     "delayed_produce" -> (logSqlCte +
-      """batches AS (
+      s"""batches AS (
         |  SELECT topic, part, tms // 1000 AS sec, COUNT(*) AS n_recs
         |  FROM log GROUP BY topic, part, tms // 1000),
         |waits AS (
         |  SELECT topic, part, n_recs,
         |    GREATEST(
-        |      ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)
-        |        || '#' || CAST(sec AS VARCHAR) || '#1'), 1, 14))::BIGINT % 250,
-        |      ('0x' || substring(md5(topic || '#' || CAST(part AS VARCHAR)
-        |        || '#' || CAST(sec AS VARCHAR) || '#2'), 1, 14))::BIGINT % 250)
+        |      ${md5LongSql(
+             "topic || '#' || CAST(part AS VARCHAR) || '#' || CAST(sec AS VARCHAR) || '#1'")} % 250,
+        |      ${md5LongSql(
+             "topic || '#' || CAST(part AS VARCHAR) || '#' || CAST(sec AS VARCHAR) || '#2'")} % 250)
         |      AS wait_ms
         |  FROM batches)
         |SELECT topic, part, COUNT(*) AS n_batches,
