@@ -1,5 +1,6 @@
 package graft.admin
 
+import graft.functions.Parity.md5LongSql
 import graft.coordinator.Groups
 import graft.log.LogOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -378,8 +379,8 @@ object Admin {
         |  n_groups_affected, n_offsets_purged
         |FROM tm JOIN segn USING (topic) JOIN og USING (topic)""".stripMargin),
     "migration_status" -> (L +
-      """st AS (
-        |  SELECT *, ('0x' || substring(md5(topic || '#mig'), 1, 14))::BIGINT % 3 AS phase_id,
+      s"""st AS (
+        |  SELECT *, ${md5LongSql("topic || '#mig'")} % 3 AS phase_id,
         |    MIN(tms) OVER (PARTITION BY topic) +
         |      (MAX(tms) OVER (PARTITION BY topic)
         |       - MIN(tms) OVER (PARTITION BY topic)) // 2 AS mid_ts

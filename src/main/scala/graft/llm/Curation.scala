@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.functions.Parity.md5LongSql
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -233,7 +234,7 @@ object Curation {
     "pack_shuffled" ->
       s"""WITH h AS (
          |  SELECT doc_id,
-         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hl,
+         |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS hl,
          |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
          |  FROM documents),
         |p AS (

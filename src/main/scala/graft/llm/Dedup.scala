@@ -401,13 +401,13 @@ object Dedup {
     * consumer of its pair set.
     */
   private val lshPairsSql: String =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
       |  FROM documents WHERE length(text) >= 5),
       |hss AS (
       |  SELECT doc_id, list_distinct(list_transform(s,
-      |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+      |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
       |  FROM sh),
       |sig AS (
       |  SELECT doc_id, list_transform(generate_series(0, 23),
@@ -474,13 +474,13 @@ object Dedup {
         |FROM train JOIN bench ON train.gram = bench.gram
         |GROUP BY train.doc_id""".stripMargin,
     "containment" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
         |  FROM documents WHERE length(text) >= 5),
         |hss AS (
         |  SELECT doc_id, list_distinct(list_transform(s,
-        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
         |  FROM sh),
         |sig AS (
         |  SELECT doc_id, list_transform(generate_series(0, 23),
@@ -527,13 +527,13 @@ object Dedup {
         |FROM pairs JOIN src a ON a.doc_id = d1 JOIN src b ON b.doc_id = d2
         |GROUP BY 1, 2""".stripMargin),
     "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
+      s"""WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
         |  FROM documents WHERE length(text) >= 5),
         |hss AS (
         |  SELECT doc_id, list_distinct(list_transform(s,
-        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
         |  FROM sh),
         |sig AS (
         |  SELECT doc_id, list_transform(generate_series(0, 23),
@@ -569,13 +569,13 @@ object Dedup {
         |SELECT src AS doc_id, MIN(dst) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
     "minhash_calibration" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
         |  FROM documents WHERE length(text) >= 5),
         |hss AS (
         |  SELECT doc_id, list_distinct(list_transform(s,
-        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
         |  FROM sh),
         |sig AS (
         |  SELECT doc_id, list_transform(generate_series(0, 23),
@@ -614,13 +614,13 @@ object Dedup {
         |  agree / CAST(24 AS DOUBLE) AS est
         |FROM pairstats GROUP BY agree""".stripMargin,
     "minhash_estimate" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
         |  FROM documents WHERE length(text) >= 5),
         |hss AS (
         |  SELECT doc_id, list_distinct(list_transform(s,
-        |    x -> ('0x' || substring(md5(x), 1, 14))::BIGINT % 2147483647)) AS hs
+        |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
         |  FROM sh),
         |sig AS (
         |  SELECT doc_id, list_transform(generate_series(0, 23),
@@ -653,7 +653,7 @@ object Dedup {
     "dedup_simhash" ->
       s"""WITH th AS (
         |  SELECT doc_id,
-        |    ('0x' || substring(md5(tok), 1, 14))::BIGINT AS h
+        |    ${md5LongSql("tok")} AS h
         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |        FROM documents)),
         |bits AS (

@@ -210,9 +210,9 @@ object Sampling {
         |    AS selected
         |FROM scored""".stripMargin,
     "corpus_shuffle" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id,
-        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hl
+        |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS hl
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(ROW_NUMBER() OVER (ORDER BY hl, doc_id) - 1 AS BIGINT)
@@ -238,18 +238,18 @@ object Sampling {
         |  (200 * wq) // wq_total AS alloc_temp
         |FROM w CROSS JOIN tot""".stripMargin,
     "train_test_split" ->
-      """SELECT source,
-        |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 10 < 9
+      s"""SELECT source,
+        |  CASE WHEN ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10 < 9
         |    THEN 'train' ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
         |  MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "sample_stratified" ->
-      """SELECT doc_id, lang,
-        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS bucket
+      s"""SELECT doc_id, lang,
+        |  ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
         |FROM documents
-        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100
+        |WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 100
         |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
     "mix_sources" ->
       """SELECT doc_id, source, rn, alloc FROM (

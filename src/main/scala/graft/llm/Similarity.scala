@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.functions.Parity.md5LongSql
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -659,11 +660,11 @@ object Similarity {
     * `mcand(q_id, n_id)`) — shared by ann_lsh_multi and lsh_multi_recall.
     */
   private def lshMultiChainSql: String =
-    """, mdots AS (
+    s""", mdots AS (
       |  SELECT vec_id, p,
       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |      list_transform(generate_series(1, len(v)), i -> v[i] *
-      |        (('0x' || substring(md5('p_' || p || '_' || (i - 1)), 1, 14))::BIGINT::DOUBLE
+      |        (${md5LongSql("'p_' || p || '_' || (i - 1)")}::DOUBLE
       |          / CAST(72057594037927936 AS DOUBLE) - 0.5))),
       |      (a, x) -> a + x) AS dot
       |  FROM vecs, generate_series(0, 23) t(p)),
@@ -857,7 +858,7 @@ object Similarity {
          |  SELECT vec_id, p,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(generate_series(1, len(v)), i -> v[i] *
-         |        (('0x' || substring(md5('p_' || p || '_' || (i - 1)), 1, 14))::BIGINT::DOUBLE
+         |        (${md5LongSql("'p_' || p || '_' || (i - 1)")}::DOUBLE
          |          / CAST(72057594037927936 AS DOUBLE) - 0.5))),
          |      (a, x) -> a + x) AS dot
          |  FROM vecs, generate_series(0, 5) t(p)),
@@ -1001,7 +1002,7 @@ object Similarity {
          |  SELECT vec_id, p,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(generate_series(1, len(v)), i -> v[i] *
-         |        (('0x' || substring(md5('p_' || p || '_' || (i - 1)), 1, 14))::BIGINT::DOUBLE
+         |        (${md5LongSql("'p_' || p || '_' || (i - 1)")}::DOUBLE
          |          / CAST(72057594037927936 AS DOUBLE) - 0.5))),
          |      (a, x) -> a + x) AS dot
          |  FROM vecs, generate_series(0, 5) t(p)),

@@ -564,8 +564,8 @@ object TextAnalysis {
         |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS score
         |FROM tk JOIN df USING (tok) GROUP BY doc_id""".stripMargin,
     "substring_dup_pairs" ->
-      """WITH g AS (
-        |  SELECT doc_id, g, ('0x' || substring(md5(g), 1, 14))::BIGINT AS h
+      s"""WITH g AS (
+        |  SELECT doc_id, g, ${md5LongSql("g")} AS h
         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
         |          generate_series(1, length(text) - 7), i -> substring(text, i, 8)))) AS g
         |        FROM documents WHERE length(text) >= 8)),
@@ -734,8 +734,8 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
     "fingerprint" ->
-      """WITH g AS (
-        |  SELECT doc_id, g, ('0x' || substring(md5(g), 1, 14))::BIGINT AS h
+      s"""WITH g AS (
+        |  SELECT doc_id, g, ${md5LongSql("g")} AS h
         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
         |          generate_series(1, length(text) - 7), i -> substring(text, i, 8)))) AS g
         |        FROM documents WHERE length(text) >= 8))
