@@ -371,14 +371,25 @@ object Dedup {
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(spark, dir)
     val sweep = Seq(0.5, 0.6, 0.7, 0.8)
-    sweep.map { th =>
-      pairs.filter(col("jac") >= th)
-        .agg(
-          lit(th).as("threshold"),
-          count(lit(1)).as("n_pairs"),
-          countDistinct(when(col("d2") > col("d1"), col("d2"))).as("n_dropped"))
-        .select("threshold", "n_pairs", "n_dropped")
-    }.reduce(_ unionAll _)
+    // ONE pass over the verified pairs (the expensive LSH join previously
+    // re-ran once per threshold): each threshold's counts are conditional
+    // aggregates of the same scan, and the 1-row result unpivots to the
+    // 4-row report — which also keeps the all-zero rows when no pair
+    // reaches a threshold (the oracle's left-join shape; candidate pairs
+    // are generated d1 < d2, so d2 alone identifies a dropped doc).
+    val aggs = sweep.flatMap { th =>
+      val k = (th * 10).toInt
+      Seq(
+        sum(when(col("jac") >= th, 1L).otherwise(0L)).as(s"np_$k"),
+        countDistinct(when(col("jac") >= th, col("d2"))).as(s"nd_$k"))
+    }
+    val stack = sweep.map { th =>
+      val k = (th * 10).toInt
+      s"CAST($th AS DOUBLE), coalesce(np_$k, 0L), nd_$k"
+    }.mkString(", ")
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${sweep.size}, $stack) AS (threshold, n_pairs, n_dropped)")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -441,8 +452,7 @@ object Dedup {
   /** The shared sub-bucket formula in oracle SQL — derives from
     * [[Similarity.PairSubCap]] so the cap cannot drift between the Spark
     * side and any capped oracle. */
-  private val capSql: String =
-    s"(COUNT(*) + ${Similarity.PairSubCap - 1}) // ${Similarity.PairSubCap}"
+  private def capSql: String = Similarity.capSql
 
   val oracles: Map[String, String] = Map(
     "dedup_report" ->
@@ -518,7 +528,7 @@ object Dedup {
         |    AS n_pairs,
         |  CAST(COUNT(DISTINCT CASE WHEN jac >= CAST(t AS DOUBLE) THEN d2 END)
         |    AS BIGINT) AS n_dropped
-        |FROM pairs CROSS JOIN th GROUP BY t""".stripMargin),
+        |FROM th LEFT JOIN pairs ON TRUE GROUP BY t""".stripMargin),
     "cross_source_dups" -> (lshPairsSql +
       """, src AS (SELECT doc_id, source FROM documents)
         |SELECT LEAST(a.source, b.source) AS source_a,
@@ -710,7 +720,7 @@ object Dedup {
          |  FROM e),
          |lc AS (
          |  SELECT label,
-         |    (COUNT(*) + ${Similarity.PairSubCap - 1}) // ${Similarity.PairSubCap}
+         |    $capSql
          |      AS nsub
          |  FROM n GROUP BY label),
          |sb AS (

@@ -38,6 +38,13 @@ object Similarity {
     */
   private[graft] val PairSubCap = 40L
 
+  /** The ceil-div sub-bucket count over PairSubCap as DuckDB SQL — the
+    * ONE spelling of the cap formula for every capped-pair oracle (the
+    * Spark sides all write the matching `(count + cap-1) div cap`).
+    */
+  private[llm] def capSql: String =
+    s"(COUNT(*) + ${PairSubCap - 1}) // $PairSubCap"
+
   private val cosExpr = "vec_dot(q.v, c.v) / (q.nrm * c.nrm)"
 
   /** Exact top-5 cosine neighbors for the 8 query vectors (vec_id < 8). */
@@ -306,6 +313,12 @@ object Similarity {
       |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000000000.0D) AS BIGINT)""".stripMargin
 
   private val PqQ = 1000000L
+
+  /** Explicit teardown hook, mirroring Dedup.clearHsCache (stopped-
+    * session and stale-fingerprint purging happens in freshCacheKey on
+    * every access; this forces a full release).
+    */
+  def clearPqCache(): Unit = pqCache.clear()
 
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -900,7 +913,7 @@ object Similarity {
          |  JOIN vecs ON vecs.vec_id = a.vec_id
          |  WHERE a.crn = 1),
          |cc AS (
-         |  SELECT cell, (COUNT(*) + ${PairSubCap - 1}) // $PairSubCap AS nsub
+         |  SELECT cell, $capSql AS nsub
          |  FROM cells GROUP BY cell),
          |subc AS (
          |  SELECT cells.*, cells.vec_id % cc.nsub AS sub
