@@ -333,6 +333,20 @@ object Admin {
       |  FROM cfg1)
       |""".stripMargin
 
+  /** Per-(topic, part) -> per-topic size rollup (the delete_topics `tm`
+    * shape; topic_metadata's adds log_end_sum on the same byte
+    * accounting — keep the two in sync when the accounting changes).
+    */
+  private val topicRollupSql: String =
+    """(SELECT topic, COUNT(*) AS n_partitions,
+      |    CAST(SUM(n) AS BIGINT) AS n_records,
+      |    CAST(SUM(bytes) AS BIGINT) AS approx_bytes
+      |  FROM (
+      |    SELECT topic, part, COUNT(*) AS n,
+      |      CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes
+      |    FROM log GROUP BY topic, part)
+      |  GROUP BY topic)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "topic_configs" -> (L + configsSql +
       """SELECT topic, config_key, default_value, override_value,
@@ -350,22 +364,9 @@ object Admin {
         |WHERE tms >= now_ms - retention_ms
         |GROUP BY topic, part, retention_ms""".stripMargin),
     "delete_topics" -> (L + commitsSql +
-      """, tm AS (
-        |  SELECT topic, COUNT(*) AS n_partitions,
-        |    CAST(SUM(n) AS BIGINT) AS n_records,
-        |    CAST(SUM(bytes) AS BIGINT) AS approx_bytes
-        |  FROM (
-        |    SELECT topic, part, COUNT(*) AS n,
-        |      CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes
-        |    FROM log GROUP BY topic, part)
-        |  GROUP BY topic),
-        |sized AS (
-        |  SELECT topic, part,
-        |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
-        |      PARTITION BY topic, part ORDER BY offs
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384
-        |      AS BIGINT) AS seg_id
-        |  FROM log),
+      s""", tm AS (
+        |  SELECT * FROM $topicRollupSql t),
+        |${graft.log.BrokerOps.sizedSegSql},
         |segn AS (
         |  SELECT topic, COUNT(*) AS n_segments FROM (
         |    SELECT DISTINCT topic, part, seg_id FROM sized)

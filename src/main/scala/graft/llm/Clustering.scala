@@ -67,11 +67,8 @@ object Clustering {
       var round = 0
       var converged = false
       while (round < MaxRounds && !converged) {
-        val assigned = vecs
-          .crossJoin(broadcast(cents.select("cid", "cv", "cnrm")))
-          .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-          .groupBy("vec_id")
-          .agg(expr("max_by(cid, struct(ccos, -cid))").as("cid"))
+        val assigned = nearestCentroid(
+          vecs, cents.select("cid", "cv", "cnrm")).select("vec_id", "cid")
         val next = assigned.join(vecs, "vec_id")
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
           .select(col("cid"), col("dim"), expr(s"floor(x * $Q)").as("xq"))
@@ -99,6 +96,22 @@ object Clustering {
     })
   }
 
+  /** Nearest-centroid assignment over a broadcast (cid, cv, cnrm)
+    * frame — the ONE Spark-side definition (seed-K views, the Lloyd
+    * loop, and Similarity's IVF cells all call it). Argmax by
+    * (cosine, lowest cid) via max_by partial aggregation: the map side
+    * reduces each vector's K candidate rows to one before the exchange,
+    * so the shuffle carries (vec_id, cid), never K copies of the vector;
+    * the tie-break matches every oracle's (ccos DESC, cid ASC).
+    */
+  private[llm] def nearestCentroid(vecs: DataFrame,
+      cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(expr("max_by(cid, struct(ccos, -cid))").as("cid"),
+        max("ccos").as("best_cos"))
+
   /** Each vector with its nearest seed centroid (vec_id < 8) and the
     * cosine to it.
     */
@@ -106,11 +119,7 @@ object Clustering {
     val vecs = Embeddings.withNorm(spark, dir)
     val cents = vecs.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      .groupBy("vec_id")
-      .agg(expr("max_by(cid, struct(ccos, -cid))").as("cid"),
-        max("ccos").as("best_cos"))
+    nearestCentroid(vecs, cents)
   }
 
   /** New centroids after one Lloyd step, long-form (cid, dim, c_new):
@@ -163,10 +172,7 @@ object Clustering {
     * kmeans_fit and Similarity's IVF-family oracles.
     */
   private[llm] def fitSql: String = {
-    val dot =
-      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * c.cv[i])),
-        |      (acc, x) -> acc + x)""".stripMargin
+    val dot = Similarity.dotSql("vecs.v", "c.cv")
     val rounds = (1 to MaxRounds).map { r =>
       val prev = if (r == 1) "c0" else s"c${r - 1}"
       s"""a$r AS (
@@ -207,9 +213,7 @@ object Clustering {
        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < $K),
        |asg AS (
        |  SELECT q.vec_id, q.v, c.cid,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.cv[i])),
-       |      (acc, x) -> acc + x) / (q.nrm * c.cnrm) AS ccos
+       |    ${Similarity.dotSql("q.v", "c.cv")} / (q.nrm * c.cnrm) AS ccos
        |  FROM vecs q CROSS JOIN cents c),
        |best AS (
        |  SELECT vec_id, v, cid, ccos FROM (

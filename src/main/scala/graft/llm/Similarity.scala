@@ -156,15 +156,11 @@ object Similarity {
     val vecs = vectors(spark, dir)
     val cents = Clustering.fittedCentroids(spark, dir)
       .select(col("cid"), col("cv"), col("cnrm"))
-    // Argmax by (cosine, lowest centroid id) via max_by partial aggregation:
-    // the map side reduces each vector's 16 candidate rows to one before
-    // the exchange, so the shuffle carries (vec_id, cell), not 16 copies of
-    // every 64-dim vector (the windowed row_number form moved ~16x the
-    // data). Tie-break matches the oracle's (ccos DESC, cid ASC) ordering.
-    val assigned = vecs.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      .groupBy("vec_id")
-      .agg(expr("max_by(cid, struct(ccos, -cid))").as("cell"))
+    // One shared assignment definition (Clustering.nearestCentroid) -
+    // the max_by partial-aggregation shape and the (ccos DESC, cid ASC)
+    // tie-break are load-bearing for both shuffle size and oracle parity.
+    val assigned = Clustering.nearestCentroid(vecs, cents)
+      .select(col("vec_id"), col("cid").as("cell"))
     assigned.join(vecs, "vec_id")
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
   }
@@ -544,10 +540,18 @@ object Similarity {
       |  FROM e)
       |""".stripMargin
 
+  /** The ordered-fold dot product as DuckDB SQL — the ONE spelling of
+    * the fold shape (seed, accumulation order) every cosine in the
+    * oracle suite builds on; the fold order is the bit-identity contract
+    * with the Spark side's vec_dot.
+    */
+  private[llm] def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+       |    (acc, x) -> acc + x)""".stripMargin
+
   private[llm] val cosSql =
-    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |    list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])),
-      |    (acc, x) -> acc + x) / (q.nrm * c.nrm)""".stripMargin
+    s"""${dotSql("q.v", "c.v")} / (q.nrm * c.nrm)"""
 
   /** DuckDB mirror of [[pqCodebook]]: MaxRounds Lloyd rounds per subspace
     * unrolled as CTEs over the one (s, cid)-keyed codebook (a fixpoint

@@ -522,6 +522,22 @@ object BrokerOps {
     * local_bytes, offload)`) — one definition for the offload plan and the
     * read path so the threshold cannot drift.
     */
+  /** The 16 KiB segment-rolling assignment (`sized(topic, part, offs,
+    * tms, rec_bytes, seg_id)`) as a shared CTE — ONE spelling of the
+    * roll size (16384) and per-record overhead (+16) for the
+    * log_segments / segment_cleanup_plan oracles here and Admin's
+    * delete_topics oracle (their Spark sides all call [[logSegments]]).
+    */
+  private[graft] val sizedSegSql: String =
+    """sized AS (
+      |  SELECT topic, part, offs, tms,
+      |    length(v) + length(k) + 16 AS rec_bytes,
+      |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
+      |      PARTITION BY topic, part ORDER BY offs
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384
+      |      AS BIGINT) AS seg_id
+      |  FROM log)""".stripMargin
+
   private val tieredPlanSql: String =
     """sized AS (
       |  SELECT topic, part, offs,
@@ -676,15 +692,8 @@ object BrokerOps {
         |  MAX(lat_us) AS max_us,
         |  CAST(SUM(lat_us) AS BIGINT) AS total_us
         |FROM ranked GROUP BY api""".stripMargin),
-    "log_segments" -> (L +
-      """sized AS (
-        |  SELECT topic, part, offs, tms,
-        |    length(v) + length(k) + 16 AS rec_bytes,
-        |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
-        |      PARTITION BY topic, part ORDER BY offs
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384
-        |      AS BIGINT) AS seg_id
-        |  FROM log)
+    "log_segments" -> (L + sizedSegSql +
+      """
         |SELECT topic, part, seg_id, MIN(offs) AS base_offset,
         |  MAX(offs) + 1 AS end_offset, COUNT(*) AS n_records,
         |  CAST(SUM(rec_bytes) AS BIGINT) AS seg_bytes,
@@ -708,15 +717,8 @@ object BrokerOps {
         |  CAST(COUNT(*) - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS reclaim_ratio
         |FROM r GROUP BY topic""".stripMargin),
-    "segment_cleanup_plan" -> (L +
-      s"""sized AS (
-        |  SELECT topic, part, offs, tms,
-        |    length(v) + length(k) + 16 AS rec_bytes,
-        |    CAST(COALESCE(SUM(length(v) + length(k) + 16) OVER (
-        |      PARTITION BY topic, part ORDER BY offs
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384
-        |      AS BIGINT) AS seg_id
-        |  FROM log),
+    "segment_cleanup_plan" -> (L + sizedSegSql +
+      s""",
         |segs AS (
         |  SELECT topic, part, seg_id, MIN(offs) AS base_offset,
         |    MAX(offs) + 1 AS end_offset,
