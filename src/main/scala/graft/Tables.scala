@@ -11,8 +11,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The engine's contract for the event-time column is nanos-since-epoch
+    // as BIGINT (the original data shipped TIMESTAMP(NANOS), which Spark 4
+    // only reads under legacy.parquet.nanosAsLong). Later generations store
+    // TIMESTAMP(MICROS), which arrives as a real TimestampType — same
+    // instants, different carrier. Canonicalize here, in the one loader
+    // every entrypoint shares, so both generations present identically:
+    // `ts` is always BIGINT nanos. DuckDB oracles read the raw file and see
+    // TIMESTAMP either way (epoch_ms(ts) is resolution-agnostic), so the
+    // cross-engine parity rules in SURVEY §3 are unchanged.
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")) * 1000L)
+      case _ => df
+    }
+  }
 
   /** Content fingerprint of one table's files under `dir` — (path, size,
     * mtime) of every file, hashed. Session-lifetime caches key on this so
