@@ -57,24 +57,36 @@ object Bench {
       "\"" + name + "\":[" + (if (ok1) ms(v1) else "-1") + "," +
         (if (ok2) ms(v2) else "-1") + "]"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
-    println(line)
-    // The driver captures only a truncated tail of the stdout line, losing
-    // per-query history for most of the registry every round. Persist the
-    // full JSON (both passes, every query) as a committed artifact so
-    // regression-vs-stall adjudication never requires a re-run. Opt-out via
-    // env for ad-hoc SPARK_GRAFT_ONLY stress runs, which would otherwise
-    // overwrite the full-run artifact with a partial one.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
+    // The driver captures only a ~2000-char tail of stdout and parses the
+    // JSON line it finds there. The full-registry line (~200 queries, both
+    // passes) is ~6 KB — it can NEVER fit, so every round's BENCH_r{N}.json
+    // came back "parsed": null. Print a compact headline line (guaranteed to
+    // fit the tail window) as the ONE stdout JSON line, and persist the full
+    // per-query JSON as a committed artifact for regression-vs-stall
+    // adjudication. `value`/`failed` still cover the WHOLE registry.
+    val headline = Seq(
+      "q1_agg", "q3_topn", "q5_join", "q6_filter", "q9_profit",
+      "q18_large_orders", "q21_waiting", "fetch", "compact", "cdc_view",
+      "group_offsets", "consumer_lag", "read_committed", "schema_compat",
+      "dedup_minhash_lsh", "semdedup", "ann_ivf", "langid", "token_count",
+      "tfidf", "stream_window_agg", "sessionize")
+    val hset = headline.toSet
+    val hq = results.filter(r => hset.contains(r._1))
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) ms(v) else "-1") }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$nFail,"queries":$hq,"full":"bench/bench_full.json","sf":"$sfDir"}"""
     if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_ARTIFACT")) {
       try {
         val dir = java.nio.file.Paths.get("bench")
         java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.write(dir.resolve("bench_full.json"),
-          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
       }
-    }
+    } else println(full) // ad-hoc filtered runs: full detail to stdout
+    println(line)
     spark.stop()
   }
 }

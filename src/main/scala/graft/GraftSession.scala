@@ -5,9 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** One place for the session config every entrypoint (Verify, Bench, tests)
   * must share for cross-engine parity:
   *
-  * - `nanosAsLong`: the events table stores TIMESTAMP(NANOS) which Spark 4
-  *   refuses to read as a timestamp; as a long it is exact (DuckDB's
-  *   epoch_ms(ts) == ts_ns div 1_000_000).
+  * - `nanosAsLong`: two events generations exist — TIMESTAMP(NANOS) files
+  *   (which Spark 4 refuses to read as a timestamp; this flag reads them as
+  *   exact nanos longs) and TIMESTAMP(MICROS) files (read as TimestampType
+  *   and canonicalized to nanos longs by Tables.canonTs). Either way every
+  *   entrypoint sees `ts` as BIGINT nanos (DuckDB's epoch_ms(ts) ==
+  *   ts_ns div 1_000_000).
   * - `inferTimestampNTZ=false`: millis timestamps read as TIMESTAMP (session
   *   tz UTC) so unix_millis() works and literals compare like DuckDB's
   *   naive timestamps.

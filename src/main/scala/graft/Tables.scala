@@ -11,22 +11,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The engine's contract for the event-time column is nanos-since-epoch
-    // as BIGINT (the original data shipped TIMESTAMP(NANOS), which Spark 4
-    // only reads under legacy.parquet.nanosAsLong). Later generations store
-    // TIMESTAMP(MICROS), which arrives as a real TimestampType — same
-    // instants, different carrier. Canonicalize here, in the one loader
-    // every entrypoint shares, so both generations present identically:
-    // `ts` is always BIGINT nanos. DuckDB oracles read the raw file and see
-    // TIMESTAMP either way (epoch_ms(ts) is resolution-agnostic), so the
-    // cross-engine parity rules in SURVEY §3 are unchanged.
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    canonTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Schema of the raw parquet file, BEFORE [[canonTs]] — what a stream
+    * reader must declare so Spark decodes the file's native types (a forced
+    * bigint schema over an INT64 TIMESTAMP(MICROS) column silently yields
+    * raw micros, 1000x off the nanos contract).
+    */
+  def rawSchema(spark: SparkSession, dir: String, name: String)
+      : org.apache.spark.sql.types.StructType =
+    spark.read.parquet(s"$dir/$name.parquet").schema
+
+  /** The engine's contract for the event-time column is nanos-since-epoch
+    * as BIGINT. Two data generations exist: TIMESTAMP(NANOS) files arrive
+    * as LongType already (GraftSession's legacy.parquet.nanosAsLong), and
+    * TIMESTAMP(MICROS) files arrive as TimestampType (or TimestampNTZType
+    * in a session without inferTimestampNTZ=false) — same instants,
+    * different carrier. Canonicalize in the one helper every entrypoint
+    * (batch loader AND stream readers) shares, so both generations present
+    * identically. DuckDB oracles read the raw file and see TIMESTAMP either
+    * way (epoch_ms(ts) is resolution-agnostic), so the cross-engine parity
+    * rules in SURVEY §3 are unchanged. Any other carrier type fails loudly
+    * here rather than silently corrupting downstream nanos arithmetic.
+    */
+  def canonTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.unix_micros(
-            org.apache.spark.sql.functions.col("ts")) * 1000L)
+      case Some(f) if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case Some(f) if f.dataType != LongType =>
+        throw new IllegalStateException(
+          s"events.ts carrier ${f.dataType} is neither TIMESTAMP nor BIGINT " +
+            "nanos; refusing to guess its epoch unit")
       case _ => df
     }
   }

@@ -32,8 +32,10 @@ object Parity {
   /** Event-time as epoch millis (DuckDB: epoch_ms(ts)). */
   def ms(c: Column): Column = unix_millis(c)
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, read as a nanos long (see
-    * GraftSession). Integer division matches DuckDB's epoch_ms truncation.
+  /** events.ts presents as a nanos long regardless of the file's physical
+    * type — TIMESTAMP(NANOS) via GraftSession's nanosAsLong, or
+    * TIMESTAMP(MICROS) via Tables.canonTs. Integer division matches
+    * DuckDB's epoch_ms truncation.
     */
   def nsToMs(colName: String): Column = expr(s"`$colName` div 1000000")
 

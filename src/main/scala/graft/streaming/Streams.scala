@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import graft.Tables.t
 import graft.functions.Parity._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -175,14 +176,21 @@ object Streams {
       }
   }
 
-  /** The events table as a file-source stream with its batch schema —
-    * the one staging definition every runner shares (a divergence here,
-    * e.g. maxFilesPerTrigger or a schema source change, must hit all of
-    * them identically).
+  /** A table as a file-source stream, canonicalized to the batch contract —
+    * the one staging definition every runner and spec shares (a divergence
+    * here, e.g. maxFilesPerTrigger or a schema source change, must hit all
+    * of them identically). The stream MUST declare the file's native schema
+    * ([[Tables.rawSchema]]) and canonicalize afterwards: forcing the
+    * batch-canonical bigint schema onto a TIMESTAMP(MICROS) parquet file
+    * makes Spark emit raw micros — 1000x off the nanos contract.
     */
+  def tableStream(spark: SparkSession, dir: String, table: String): DataFrame =
+    Tables.canonTs(
+      spark.readStream.schema(Tables.rawSchema(spark, dir, table))
+        .parquet(stageStreamDir(dir, table)))
+
   private def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(t(spark, dir, "events").schema)
-      .parquet(stageStreamDir(dir, "events"))
+    tableStream(spark, dir, "events")
 
   /** Run [[cdcPerKey]] as a real streaming query and return the emitted
     * change rows.

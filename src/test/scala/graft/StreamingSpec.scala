@@ -12,9 +12,7 @@ class StreamingSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   test("windowed agg: stream == batch") {
-    val schema = Tables.t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(Streams.stageStreamDir(dir, "events"))
+    val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.windowedAgg(stream).writeStream
       .outputMode("complete")
       .format("memory").queryName("graft_win_stream")
@@ -29,9 +27,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("session windows: stream == batch") {
-    val schema = Tables.t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(Streams.stageStreamDir(dir, "events"))
+    val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.sessionAgg(stream).writeStream
       .outputMode("complete")
       .format("memory").queryName("graft_session_stream")
@@ -44,9 +40,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming read_committed filter == batch aborted-txn predicate") {
-    val schema = Tables.t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(Streams.stageStreamDir(dir, "events"))
+    val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.readCommittedStream(stream)
       .select("event_id", "txn_id").writeStream
       .outputMode("append").format("memory").queryName("graft_rc_stream")
@@ -67,9 +61,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming exact dedup == batch distinct") {
-    val schema = Tables.t(spark, dir, "documents").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(Streams.stageStreamDir(dir, "documents"))
+    val stream = Streams.tableStream(spark, dir, "documents")
     val q = stream.select(col("doc_id"), md5(col("text")).as("h"))
       .dropDuplicates("h")
       .writeStream.outputMode("append")
@@ -84,9 +76,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("watermarked producer-seq dedup == batch distinct (producer, seq)") {
-    val schema = Tables.t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(Streams.stageStreamDir(dir, "events"))
+    val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.producerDedupStream(stream)
       .select("producer_id", "seq").writeStream
       .outputMode("append").format("memory").queryName("graft_pdedup_stream")
@@ -101,9 +91,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join == batch range_join_events") {
-    val schema = Tables.t(spark, dir, "events").schema
-    def src() = spark.readStream.schema(schema)
-      .parquet(Streams.stageStreamDir(dir, "events"))
+    def src() = Streams.tableStream(spark, dir, "events")
     val q = Streams.intervalJoinStream(src(), src()).writeStream
       .outputMode("append").format("memory").queryName("graft_ss_join").start()
     q.processAllAvailable()
@@ -115,9 +103,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming READ_COMMITTED filter == batch aborted-txn filter") {
-    val schema = Tables.t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(Streams.stageStreamDir(dir, "events"))
+    val stream = Streams.tableStream(spark, dir, "events")
     // Stateless scan-side predicate — identical in batch and streaming.
     def committed(df: org.apache.spark.sql.DataFrame) = df.filter(
       !substring(md5(pmod(col("event_id"), lit(64L)).cast("string")), 1, 1)
@@ -132,9 +118,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("timeout-closed streaming sessions match batch sessionize") {
-    val schema = Tables.t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(Streams.stageStreamDir(dir, "events"))
+    val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.sessionTimeoutStream(spark, stream).toDF()
       .writeStream.outputMode("append")
       .format("memory").queryName("graft_sess_timeout").start()

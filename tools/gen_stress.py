@@ -5,8 +5,9 @@ Replicates every sf0.1 table 10x with consistent key shifts (orderkey
 shifts identically in orders+lineitem, custkey in customer+orders, etc.)
 so joins stay referentially intact. Documents get a per-replica text tag
 (a pure 10x-duplicate corpus would make dedup degenerate); events go
-through pyarrow to preserve the TIMESTAMP(NANOS) physical type the Spark
-session's nanosAsLong config expects.
+through pyarrow to write a TIMESTAMP-typed ts column (NANOS when the source
+generation is NANOS, MICROS otherwise) — Spark reads either via
+GraftSession's nanosAsLong + Tables.canonTs, both landing as BIGINT nanos.
 
 Usage: python3 tools/gen_stress.py [outdir] [R]   (default /tmp/sfx1, 10x; ~3 s)
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sfx1 SPARK_GRAFT_ONLY=q21_waiting,... \
