@@ -174,7 +174,59 @@ object Curation {
         size(split(col("kept_text"), " ")).cast("long").as("kept_toks"),
         md5(col("kept_text")).as("kept_md5"))
 
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val PhoneRe = "555-[0-9]{4}"
+  private val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection/redaction audit — the scrub pass privacy-aware corpus
+    * releases run after dedup. The raw corpus is synthetic word salad
+    * with no organic PII, so a deterministic PII universe is injected
+    * first (the synthetic-universe discipline of topic_configs /
+    * protocol_select): docs keyed on doc_id residues get an email, phone,
+    * or IPv4 appended, then detection runs three regex classes spelled
+    * identically on both engines, and redaction measures the char delta
+    * class-tagged replacement leaves. Per source: docs scanned, docs
+    * carrying PII, hits per class, chars redacted.
+    *
+    * Scale: pure in-row regex work over a single scan of (doc_id, source,
+    * text) — no shuffle except the final ~|sources|-row rollup; the regex
+    * expressions are codegen'd so the scan stays one whole-stage span.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = t(spark, dir, "documents")
+      .withColumn("txt", concat(col("text"),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13L)) === 0,
+          concat(lit(" host 10."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+            pmod(expr("doc_id div 7"), lit(256L)).cast("string"), lit("."),
+            pmod(expr("doc_id div 49"), lit(256L)).cast("string")))
+          .otherwise(lit(""))))
+      .withColumn("n_email", regexp_count(col("txt"), lit(EmailRe)).cast("long"))
+      .withColumn("n_phone", regexp_count(col("txt"), lit(PhoneRe)).cast("long"))
+      .withColumn("n_ip", regexp_count(col("txt"), lit(IpRe)).cast("long"))
+      .withColumn("red", regexp_replace(
+        regexp_replace(regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+    aug.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
+        .otherwise(0L)).cast("long").as("docs_with_pii"),
+      sum("n_email").cast("long").as("n_emails"),
+      sum("n_phone").cast("long").as("n_phones"),
+      sum("n_ip").cast("long").as("n_ips"),
+      sum(length(col("txt")) - length(col("red"))).cast("long")
+        .as("chars_redacted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub" -> piiScrub,
     "dedup_spans" -> dedupSpans,
     "pack_shuffled" -> packShuffled,
     "boilerplate_chunks" -> boilerplateChunks,
@@ -203,6 +255,40 @@ object Curation {
        |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' host 10.' || (doc_id % 256) || '.'
+        |        || ((doc_id // 7) % 256) || '.' || ((doc_id // 49) % 256)
+        |      ELSE '' END AS txt
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, txt,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |    regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS red
+        |  FROM aug)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_with_pii,
+        |  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+        |  CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+        |  CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+        |  CAST(SUM(len(txt) - len(red)) AS BIGINT) AS chars_redacted
+        |FROM d GROUP BY source""".stripMargin,
     "dedup_spans" ->
       s"""WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -512,7 +512,45 @@ object Similarity {
       annBruteforce(spark, dir).filter(col("rank") <= 3).select("q_id", "n_id"),
       annLsh(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
 
+  /** Blocked k-NN graph over the WHOLE corpus (k = 3) — the all-vectors
+    * neighbor graph that SemDeDup-style pruning, graph clustering, and
+    * NN-descent seeding consume. Candidate generation reuses the IVF cell
+    * assignment plus the [[PairSubCap]] sub-bucketing, so pair work is
+    * O(n * PairSubCap): the only shuffle is on the (cell, sub) key, no
+    * block ever goes quadratic, and ranking is one per-vector window over
+    * the bounded candidate lists. Edges carry the exact cosine so
+    * downstream consumers threshold without re-scoring.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
+    val nsub = cells.groupBy("cell")
+      .agg(expr(s"(count(1) + ${PairSubCap - 1}) div $PairSubCap").as("nsub"))
+    val sub = cells.join(broadcast(nsub), "cell")
+      .withColumn("sub", pmod(col("vec_id"), col("nsub")))
+    val pairs = sub.as("q").join(sub.as("c"),
+        col("q.cell") === col("c.cell") && col("q.sub") === col("c.sub") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** In-degree histogram of [[knnGraph]] — hub detection: a vector that
+    * appears in many other vectors' top-k lists (an in-degree hub) warps
+    * graph clustering and marks a region the coarse quantizer under-split.
+    * Vectors referenced by nobody simply do not appear (in-degree 0). Two
+    * metadata-sized aggregations on top of the bounded graph build.
+    */
+  def knnDegree(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(spark, dir)
+      .groupBy(col("n_id")).agg(count(lit(1)).as("in_deg"))
+      .groupBy("in_deg").agg(count(lit(1)).as("n_vecs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph" -> knnGraph,
+    "knn_degree" -> knnDegree,
     "ann_lsh_multi" -> annLshMulti,
     "lsh_multi_recall" -> lshMultiRecall,
     "ann_ivfpq" -> annIvfPq,
@@ -552,6 +590,42 @@ object Similarity {
 
   private[llm] val cosSql =
     s"""${dotSql("q.v", "c.v")} / (q.nrm * c.nrm)"""
+
+  /** DuckDB mirror of [[knnGraph]]'s candidate chain (continues vecSql +
+    * Clustering.fitSql; ends with `knng(q_id, n_id, cos, rank)` — the
+    * rank-capped edge list both knn_graph and knn_degree read).
+    */
+  private def knnChainSql: String =
+    s""", cents AS (
+       |  SELECT cid, cv, cnrm FROM fcent),
+       |assign AS (
+       |  SELECT vecs.vec_id, cents.cid,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+       |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+       |  FROM vecs CROSS JOIN cents),
+       |cells AS (
+       |  SELECT a.vec_id, a.cid AS cell, vecs.v, vecs.nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
+       |  JOIN vecs ON vecs.vec_id = a.vec_id
+       |  WHERE a.crn = 1),
+       |cc AS (
+       |  SELECT cell, $capSql AS nsub
+       |  FROM cells GROUP BY cell),
+       |subc AS (
+       |  SELECT cells.*, cells.vec_id % cc.nsub AS sub
+       |  FROM cells JOIN cc USING (cell)),
+       |kpairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+       |  FROM subc q, subc c
+       |  WHERE q.cell = c.cell AND q.sub = c.sub AND q.vec_id <> c.vec_id),
+       |knng AS (
+       |  SELECT q_id, n_id, cos, rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS rank FROM kpairs)
+       |  WHERE rank <= 3)
+       |""".stripMargin
 
   /** DuckDB mirror of [[pqCodebook]]: MaxRounds Lloyd rounds per subspace
     * unrolled as CTEs over the one (s, cid)-keyed codebook (a fixpoint
@@ -901,6 +975,13 @@ object Similarity {
          |    / COUNT(*) AS recall
          |FROM bf LEFT JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
          |GROUP BY bf.q_id""".stripMargin),
+    "knn_graph" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """SELECT q_id, n_id, cos, rank FROM knng""".stripMargin),
+    "knn_degree" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """, deg AS (
+        |  SELECT n_id, COUNT(*) AS in_deg FROM knng GROUP BY n_id)
+        |SELECT in_deg, COUNT(*) AS n_vecs FROM deg GROUP BY in_deg"""
+        .stripMargin),
     "semdedup" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
          |  SELECT cid, cv, cnrm FROM fcent),

@@ -733,6 +733,57 @@ class OperatorSpec extends AnyFunSuite {
       s"target mean ${w("target")} not above raw mean ${w("raw")}")
   }
 
+  test("knn graph is rank-dense, self-free, and degree-consistent") {
+    val g = llm.Similarity.knnGraph(spark, dir).cache()
+    assert(g.count() > 0)
+    assert(g.filter(col("q_id") === col("n_id")).count() == 0)
+    // ranks are 1..k(q) with no gaps and k(q) <= 3
+    val perQ = g.groupBy("q_id")
+      .agg(count(lit(1)).as("k"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perQ.filter(col("k") > 3L || col("mx") =!= col("k") ||
+      col("mn") =!= 1L).count() == 0)
+    // cosine is a valid similarity and ranks are ordered by it
+    assert(g.filter(col("cos") > 1.0000001 || col("cos") < -1.0000001)
+      .count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rank")
+    assert(g.withColumn("prev", lag("cos", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("cos"))
+      .count() == 0)
+    // the in-degree histogram accounts every edge exactly once
+    val edges = g.count()
+    val byDeg = llm.Similarity.knnDegree(spark, dir)
+      .agg(sum(col("in_deg") * col("n_vecs")).cast("long")).head.getLong(0)
+    assert(byDeg == edges)
+    g.unpersist()
+  }
+
+  test("pii scrub finds exactly the injected PII universe") {
+    val p = llm.Curation.piiScrub(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).cache()
+    val n = docs.count()
+    def injected(m: Long) = docs.filter(pmod(col("doc_id"), lit(m)) === 0L).count()
+    val agg = p.agg(
+      sum("n_docs").cast("long"), sum("n_emails").cast("long"),
+      sum("n_phones").cast("long"), sum("n_ips").cast("long"),
+      sum("chars_redacted").cast("long"), sum("docs_with_pii").cast("long"))
+      .head
+    assert(agg.getLong(0) == n)
+    // each injected token matches its class regex exactly once, and the
+    // base corpus (lowercase word salad) contributes zero hits
+    assert(agg.getLong(1) == injected(7L))
+    assert(agg.getLong(2) == injected(11L))
+    assert(agg.getLong(3) == injected(13L))
+    assert(agg.getLong(4) > 0L)
+    // docs_with_pii counts the union of the three residue classes
+    val union = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L ||
+      pmod(col("doc_id"), lit(11L)) === 0L ||
+      pmod(col("doc_id"), lit(13L)) === 0L).count()
+    assert(agg.getLong(5) == union)
+    docs.unpersist(); p.unpersist()
+  }
+
   test("lexical diversity indices stay in their algebraic ranges") {
     val d = llm.TextAnalysis.lexicalDiversity(spark, dir).cache()
     // 1 <= n_types <= n_tokens; sum_sq >= n_tokens (each tf >= 1) and
