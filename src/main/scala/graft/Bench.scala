@@ -71,7 +71,8 @@ object Bench {
       "group_offsets", "consumer_lag", "read_committed", "schema_compat",
       "dedup_minhash_lsh", "semdedup", "ann_ivf", "langid", "token_count",
       "tfidf", "stream_window_agg", "sessionize")
-    val hset = headline.toSet
+    // Ad-hoc filtered runs: the filtered names ARE the headline.
+    val hset = only.getOrElse(headline.toSet)
     val hq = results.filter(r => hset.contains(r._1))
       .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) ms(v) else "-1") }
       .mkString("{", ",", "}")

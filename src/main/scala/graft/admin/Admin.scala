@@ -270,7 +270,53 @@ object Admin {
           .as("bytes_survive"))
   }
 
+  /** ACL authorization audit — the decision table the reference's
+    * SimpleAclAuthorizer resolves per request
+    * (security/auth/SimpleAclAuthorizer.java:52 authorize,
+    * :64 authorizeTopicPermission, :113 authoriseTopicOverNamespacePolicies):
+    * super-user / tenant-admin short-circuits, then namespace-level role
+    * grants, then topic-level role grants, else deny. Principals, grants
+    * and admin bits form a deterministic md5-coin universe (the
+    * topic_configs discipline); requests are the distinct (topic, role,
+    * action) combinations the event stream implies, with request counts.
+    *
+    * Scale: one partial-aggregated shuffle on (topic, role, action); every
+    * decision is in-row md5 arithmetic on the metadata-sized rollup — no
+    * grant table is ever materialized or joined.
+    */
+  def aclCheck(spark: SparkSession, dir: String): DataFrame = {
+    def coin(parts: org.apache.spark.sql.Column*) =
+      substring(md5(concat_ws("#", parts: _*)), 1, 1)
+    graft.Tables.t(spark, dir, "events")
+      .select(col("event_type").as("topic"),
+        concat(lit("role"), pmod(col("user_id"), lit(8L))).as("role"),
+        when(pmod(col("event_id"), lit(2L)) === 0, "produce")
+          .otherwise("consume").as("action"))
+      .groupBy("topic", "role", "action")
+      .agg(count(lit(1)).as("n_requests"))
+      .withColumn("ns", concat(lit("ns"), pmod(
+        conv(coin(lit("ns"), col("topic")), 16, 10).cast("long"), lit(2L))))
+      .withColumn("is_super", coin(lit("super"), col("role")).isin("0", "1"))
+      .withColumn("is_admin",
+        coin(lit("admin"), col("ns"), col("role")).isin("0", "1"))
+      .withColumn("ns_grant",
+        coin(lit("nsgrant"), col("ns"), col("role"), col("action"))
+          .isin("0", "1", "2", "3"))
+      .withColumn("t_grant",
+        coin(lit("tgrant"), col("topic"), col("role"), col("action"))
+          .isin("0", "1", "2"))
+      .withColumn("via",
+        when(col("is_super") || col("is_admin"), "SUPER")
+          .when(col("ns_grant"), "NAMESPACE")
+          .when(col("t_grant"), "TOPIC")
+          .otherwise("-"))
+      .withColumn("decision",
+        when(col("via") =!= "-", "ALLOW").otherwise("DENY"))
+      .select("topic", "ns", "role", "action", "n_requests", "decision", "via")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "acl_check" -> aclCheck,
     "topic_configs" -> topicConfigs,
     "retention_by_config" -> retentionByConfig,
     "delete_topics" -> deleteTopics,
@@ -348,6 +394,38 @@ object Admin {
       |  GROUP BY topic)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "acl_check" ->
+      """WITH req AS (
+        |  SELECT event_type AS topic,
+        |    'role' || (user_id % 8) AS role,
+        |    CASE WHEN event_id % 2 = 0 THEN 'produce' ELSE 'consume' END
+        |      AS action,
+        |    COUNT(*) AS n_requests
+        |  FROM events GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT topic, role, action, n_requests,
+        |    'ns' || (CAST('0x' ||
+        |      substring(md5(concat_ws('#', 'ns', topic)), 1, 1) AS BIGINT)
+        |      % 2) AS ns
+        |  FROM req),
+        |e AS (
+        |  SELECT *,
+        |    substring(md5(concat_ws('#', 'super', role)), 1, 1)
+        |      IN ('0', '1') AS is_super,
+        |    substring(md5(concat_ws('#', 'admin', ns, role)), 1, 1)
+        |      IN ('0', '1') AS is_admin,
+        |    substring(md5(concat_ws('#', 'nsgrant', ns, role, action)), 1, 1)
+        |      IN ('0', '1', '2', '3') AS ns_grant,
+        |    substring(md5(concat_ws('#', 'tgrant', topic, role, action)), 1, 1)
+        |      IN ('0', '1', '2') AS t_grant
+        |  FROM d)
+        |SELECT topic, ns, role, action, n_requests,
+        |  CASE WHEN is_super OR is_admin OR ns_grant OR t_grant
+        |    THEN 'ALLOW' ELSE 'DENY' END AS decision,
+        |  CASE WHEN is_super OR is_admin THEN 'SUPER'
+        |       WHEN ns_grant THEN 'NAMESPACE'
+        |       WHEN t_grant THEN 'TOPIC' ELSE '-' END AS via
+        |FROM e""".stripMargin,
     "topic_configs" -> (L + configsSql +
       """SELECT topic, config_key, default_value, override_value,
         |  effective_value, source

@@ -733,6 +733,28 @@ class OperatorSpec extends AnyFunSuite {
       s"target mean ${w("target")} not above raw mean ${w("raw")}")
   }
 
+  test("acl decisions partition requests and respect grant precedence") {
+    val a = admin.Admin.aclCheck(spark, dir).cache()
+    // every event is accounted exactly once
+    val total = a.agg(sum("n_requests").cast("long")).head.getLong(0)
+    assert(total == Tables.t(spark, dir, "events").count())
+    // DENY iff no grant level fired; ALLOW always names its level
+    assert(a.filter(col("decision") === "DENY" && col("via") =!= "-")
+      .count() == 0)
+    assert(a.filter(col("decision") === "ALLOW" && col("via") === "-")
+      .count() == 0)
+    // precedence: a SUPER row's role is super/admin EVERYWHERE it appears
+    // with the same ns — no row of the same (ns, role) may resolve lower
+    // via a namespace grant decision only when super didn't fire
+    val superRoles = a.filter(col("via") === "SUPER")
+      .select("ns", "role").distinct()
+    assert(a.join(superRoles, Seq("ns", "role"))
+      .filter(col("via") =!= "SUPER").count() == 0)
+    // the universe is non-degenerate: all four outcomes occur
+    assert(a.select("via").distinct().count() == 4)
+    a.unpersist()
+  }
+
   test("knn graph is rank-dense, self-free, and degree-consistent") {
     val g = llm.Similarity.knnGraph(spark, dir).cache()
     assert(g.count() > 0)
