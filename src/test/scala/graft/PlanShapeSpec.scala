@@ -179,6 +179,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("knn_graph blocks join on (cell, sub), small frames broadcast") {
+    val plan = planOf(graft.llm.Similarity.knnGraph(spark, dir))
+    // The nsub cap table and the centroid set broadcast into the scan; the
+    // pair generation is an equi-join on (cell, sub) — never a cartesian
+    // or a single-key (cell-only) join that would let a hot cell go
+    // quadratic.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"knn_graph cap/centroid frames not broadcast:\n$plan")
+    assert("hashpartitioning\\(cell#\\d+[^)]*, sub#\\d+".r.findFirstIn(plan).isDefined ||
+      "\\[cell#\\d+[^]]*, sub#\\d+[^]]*\\]".r.findFirstIn(plan).isDefined,
+      s"knn_graph pair join not keyed on (cell, sub):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"knn_graph cartesian:\n$plan")
+  }
+
+  test("acl_check is one aggregation, no joins at all") {
+    val plan = planOf(graft.admin.Admin.aclCheck(spark, dir))
+    assert(!plan.contains("Join"), s"acl_check joined a grant table:\n$plan")
+    assert(plan.contains("HashAggregate"), s"acl_check not aggregated:\n$plan")
+  }
+
   test("watermark_lateness prefix-max runs chunk-parallel, prefix side broadcast") {
     val plan = planOf(LogOps.watermarkLateness(spark, dir))
     // The arrival-order running max must be windowed per (topic, chunk) —
