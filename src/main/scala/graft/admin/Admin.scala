@@ -315,8 +315,34 @@ object Admin {
       .select("topic", "ns", "role", "action", "n_requests", "decision", "via")
   }
 
+  /** The ACL view's first consumer (the retention_by_config mold): the
+    * fetch surface per consumer role — every topic the role's consume
+    * requests touched, gated by [[aclCheck]]'s decision; per role how
+    * many topics and bytes it may actually fetch vs what it asked for,
+    * plus the denied request volume an auditor alerts on. Both inputs
+    * are metadata-sized rollups of data-sized scans; the topic-stats
+    * side broadcasts into the 40-row ACL frame.
+    */
+  def fetchAuthorized(spark: SparkSession, dir: String): DataFrame = {
+    val consume = aclCheck(spark, dir).filter(col("action") === "consume")
+    val meta = topicMetadata(spark, dir)
+      .select("topic", "n_records", "approx_bytes")
+    consume.join(broadcast(meta), "topic")
+      .groupBy("role")
+      .agg(count(lit(1)).as("n_topics_asked"),
+        sum(when(col("decision") === "ALLOW", 1L).otherwise(0L)).cast("long")
+          .as("n_topics_allowed"),
+        sum(when(col("decision") === "ALLOW", col("n_records")).otherwise(0L))
+          .cast("long").as("fetchable_records"),
+        sum(when(col("decision") === "ALLOW", col("approx_bytes")).otherwise(0L))
+          .cast("long").as("fetchable_bytes"),
+        sum(when(col("decision") === "DENY", col("n_requests")).otherwise(0L))
+          .cast("long").as("denied_requests"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "acl_check" -> aclCheck,
+    "fetch_authorized" -> fetchAuthorized,
     "topic_configs" -> topicConfigs,
     "retention_by_config" -> retentionByConfig,
     "delete_topics" -> deleteTopics,
@@ -393,39 +419,69 @@ object Admin {
       |    FROM log GROUP BY topic, part)
       |  GROUP BY topic)""".stripMargin
 
+  /** DuckDB mirror of [[aclCheck]] as a WITH-continuation (ends with
+    * `acl(topic, ns, role, action, n_requests, decision, via)`); CTE
+    * names are a-prefixed so it composes after the log CTE.
+    */
+  private val aclSql: String =
+    """areq AS (
+      |  SELECT event_type AS topic,
+      |    'role' || (user_id % 8) AS role,
+      |    CASE WHEN event_id % 2 = 0 THEN 'produce' ELSE 'consume' END
+      |      AS action,
+      |    COUNT(*) AS n_requests
+      |  FROM events GROUP BY 1, 2, 3),
+      |ad AS (
+      |  SELECT topic, role, action, n_requests,
+      |    'ns' || (CAST('0x' ||
+      |      substring(md5(concat_ws('#', 'ns', topic)), 1, 1) AS BIGINT)
+      |      % 2) AS ns
+      |  FROM areq),
+      |ae AS (
+      |  SELECT *,
+      |    substring(md5(concat_ws('#', 'super', role)), 1, 1)
+      |      IN ('0', '1') AS is_super,
+      |    substring(md5(concat_ws('#', 'admin', ns, role)), 1, 1)
+      |      IN ('0', '1') AS is_admin,
+      |    substring(md5(concat_ws('#', 'nsgrant', ns, role, action)), 1, 1)
+      |      IN ('0', '1', '2', '3') AS ns_grant,
+      |    substring(md5(concat_ws('#', 'tgrant', topic, role, action)), 1, 1)
+      |      IN ('0', '1', '2') AS t_grant
+      |  FROM ad),
+      |acl AS (
+      |  SELECT topic, ns, role, action, n_requests,
+      |    CASE WHEN is_super OR is_admin OR ns_grant OR t_grant
+      |      THEN 'ALLOW' ELSE 'DENY' END AS decision,
+      |    CASE WHEN is_super OR is_admin THEN 'SUPER'
+      |         WHEN ns_grant THEN 'NAMESPACE'
+      |         WHEN t_grant THEN 'TOPIC' ELSE '-' END AS via
+      |  FROM ae)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "acl_check" ->
-      """WITH req AS (
-        |  SELECT event_type AS topic,
-        |    'role' || (user_id % 8) AS role,
-        |    CASE WHEN event_id % 2 = 0 THEN 'produce' ELSE 'consume' END
-        |      AS action,
-        |    COUNT(*) AS n_requests
-        |  FROM events GROUP BY 1, 2, 3),
-        |d AS (
-        |  SELECT topic, role, action, n_requests,
-        |    'ns' || (CAST('0x' ||
-        |      substring(md5(concat_ws('#', 'ns', topic)), 1, 1) AS BIGINT)
-        |      % 2) AS ns
-        |  FROM req),
-        |e AS (
-        |  SELECT *,
-        |    substring(md5(concat_ws('#', 'super', role)), 1, 1)
-        |      IN ('0', '1') AS is_super,
-        |    substring(md5(concat_ws('#', 'admin', ns, role)), 1, 1)
-        |      IN ('0', '1') AS is_admin,
-        |    substring(md5(concat_ws('#', 'nsgrant', ns, role, action)), 1, 1)
-        |      IN ('0', '1', '2', '3') AS ns_grant,
-        |    substring(md5(concat_ws('#', 'tgrant', topic, role, action)), 1, 1)
-        |      IN ('0', '1', '2') AS t_grant
-        |  FROM d)
-        |SELECT topic, ns, role, action, n_requests,
-        |  CASE WHEN is_super OR is_admin OR ns_grant OR t_grant
-        |    THEN 'ALLOW' ELSE 'DENY' END AS decision,
-        |  CASE WHEN is_super OR is_admin THEN 'SUPER'
-        |       WHEN ns_grant THEN 'NAMESPACE'
-        |       WHEN t_grant THEN 'TOPIC' ELSE '-' END AS via
-        |FROM e""".stripMargin,
+    "acl_check" -> ("WITH " + aclSql +
+      "SELECT topic, ns, role, action, n_requests, decision, via FROM acl"),
+    "fetch_authorized" -> (L + aclSql.stripSuffix("\n") + ",\n" +
+      """pp AS (
+        |  SELECT topic, part, COUNT(*) AS n,
+        |    CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes
+        |  FROM log GROUP BY topic, part),
+        |meta AS (
+        |  SELECT topic, CAST(SUM(n) AS BIGINT) AS n_records,
+        |    CAST(SUM(bytes) AS BIGINT) AS approx_bytes
+        |  FROM pp GROUP BY topic)
+        |SELECT role, COUNT(*) AS n_topics_asked,
+        |  CAST(SUM(CASE WHEN decision = 'ALLOW' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_topics_allowed,
+        |  CAST(SUM(CASE WHEN decision = 'ALLOW' THEN meta.n_records
+        |    ELSE 0 END) AS BIGINT) AS fetchable_records,
+        |  CAST(SUM(CASE WHEN decision = 'ALLOW' THEN meta.approx_bytes
+        |    ELSE 0 END) AS BIGINT) AS fetchable_bytes,
+        |  CAST(SUM(CASE WHEN decision = 'DENY' THEN acl.n_requests
+        |    ELSE 0 END) AS BIGINT) AS denied_requests
+        |FROM acl JOIN meta USING (topic)
+        |WHERE acl.action = 'consume'
+        |GROUP BY role""".stripMargin),
     "topic_configs" -> (L + configsSql +
       """SELECT topic, config_key, default_value, override_value,
         |  effective_value, source
