@@ -252,13 +252,24 @@ object Dedup {
     * diameter). cluster_id = smallest doc_id in the component, i.e. the
     * document a "keep one per cluster" pass retains.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    components(dedupMinhashLsh(spark, dir).select("d1", "d2"))
+
+  /** Connected components over an undirected pair set `(d1, d2)` via
+    * min-label propagation with pointer jumping, iterated to fixpoint —
+    * the standard large-scale CC loop (each round is one shuffle join;
+    * rounds are logarithmic in component diameter). Returns
+    * `(doc_id, cluster_id)` where cluster_id = the component's smallest
+    * vertex id. Shared by [[dedupClusters]] and
+    * [[Similarity.knnClusters]].
+    */
+  private[llm] def components(rawPairs: DataFrame): DataFrame = {
     // localCheckpoint (not cache) everywhere the loop feeds on itself:
     // caching alone leaves the logical plan growing — each round nests two
     // copies of the previous round's plan, and Catalyst re-analysis goes
     // exponential. Checkpointing truncates lineage to the materialized
     // partitions, keeping every round's plan constant-size.
-    val pairs = dedupMinhashLsh(spark, dir).select("d1", "d2").localCheckpoint()
+    val pairs = rawPairs.localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()

@@ -548,9 +548,26 @@ object Similarity {
       .groupBy(col("n_id")).agg(count(lit(1)).as("in_deg"))
       .groupBy("in_deg").agg(count(lit(1)).as("n_vecs"))
 
+  /** Semantic clusters from the k-NN graph: connected components over
+    * edges at/above the semdedup cosine threshold (0.25) — the cluster
+    * labeling a SemDeDup-style pipeline uses to keep one exemplar per
+    * semantic group. Reuses [[Dedup.components]] (min-label propagation
+    * + pointer jumping, O(log diameter) shuffle rounds); the edge set is
+    * already bounded by the knn_graph block cap, so the loop's per-round
+    * join touches at most 3n edges regardless of corpus size.
+    */
+  def knnClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.components(
+      knnGraph(spark, dir).filter(col("cos") >= 0.25)
+        .select(least(col("q_id"), col("n_id")).as("d1"),
+          greatest(col("q_id"), col("n_id")).as("d2"))
+        .distinct())
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph" -> knnGraph,
     "knn_degree" -> knnDegree,
+    "knn_clusters" -> knnClusters,
     "ann_lsh_multi" -> annLshMulti,
     "lsh_multi_recall" -> lshMultiRecall,
     "ann_ivfpq" -> annIvfPq,
@@ -977,6 +994,20 @@ object Similarity {
          |GROUP BY bf.q_id""".stripMargin),
     "knn_graph" -> (vecSql + Clustering.fitSql + knnChainSql +
       """SELECT q_id, n_id, cos, rank FROM knng""".stripMargin),
+    "knn_clusters" -> ("WITH RECURSIVE" + vecSql.stripPrefix("WITH") +
+      Clustering.fitSql + knnChainSql +
+      """, und AS (
+        |  SELECT DISTINCT least(q_id, n_id) AS d1, greatest(q_id, n_id) AS d2
+        |  FROM knng WHERE cos >= 0.25),
+        |kedges AS (
+        |  SELECT d1, d2 FROM und
+        |  UNION SELECT d2 AS d1, d1 AS d2 FROM und),
+        |reach(src, dst) AS (
+        |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM kedges)
+        |  UNION
+        |  SELECT r.src, e.d2 FROM reach r JOIN kedges e ON e.d1 = r.dst)
+        |SELECT src AS vec_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin),
     "knn_degree" -> (vecSql + Clustering.fitSql + knnChainSql +
       """, deg AS (
         |  SELECT n_id, COUNT(*) AS in_deg FROM knng GROUP BY n_id)

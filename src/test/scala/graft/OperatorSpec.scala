@@ -780,6 +780,26 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("knn clusters label every edge endpoint consistently") {
+    val labels = llm.Similarity.knnClusters(spark, dir).cache()
+    // cluster_id is the component minimum: never above the member, and
+    // itself a member of its own cluster
+    assert(labels.filter(col("cluster_id") > col("vec_id")).count() == 0)
+    val roots = labels.select(col("cluster_id").as("vec_id")).distinct()
+    assert(roots.join(labels, "vec_id")
+      .filter(col("cluster_id") =!= col("vec_id")).count() == 0)
+    // both endpoints of every thresholded edge share a label
+    val e = llm.Similarity.knnGraph(spark, dir)
+      .filter(col("cos") >= 0.25).select("q_id", "n_id")
+    val l1 = labels.withColumnRenamed("vec_id", "q_id")
+      .withColumnRenamed("cluster_id", "c1")
+    val l2 = labels.withColumnRenamed("vec_id", "n_id")
+      .withColumnRenamed("cluster_id", "c2")
+    assert(e.join(l1, "q_id").join(l2, "n_id")
+      .filter(col("c1") =!= col("c2")).count() == 0)
+    labels.unpersist()
+  }
+
   test("pii scrub finds exactly the injected PII universe") {
     val p = llm.Curation.piiScrub(spark, dir).cache()
     val docs = Tables.t(spark, dir, "documents")
