@@ -76,18 +76,35 @@ object Bench {
     val hq = results.filter(r => hset.contains(r._1))
       .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) ms(v) else "-1") }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$nFail,"queries":$hq,"full":"bench/bench_full.json","sf":"$sfDir"}"""
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_ARTIFACT")) {
-      try {
-        val dir = java.nio.file.Paths.get("bench")
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.write(dir.resolve("bench_full.json"),
-          (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
-      }
-    } else println(full) // ad-hoc filtered runs: full detail to stdout
-    println(line)
+    // The "full" pointer is only honest when the artifact write actually
+    // happened and succeeded — a filtered run, SPARK_GRAFT_NO_ARTIFACT, or
+    // a write failure must not advertise a stale/missing file.
+    val fullWritten =
+      if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_ARTIFACT")) {
+        try {
+          val dir = java.nio.file.Paths.get("bench")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.write(dir.resolve("bench_full.json"),
+            (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
+          false
+        }
+      } else { println(full); false } // ad-hoc filtered runs: full detail to stdout
+    val fullRef = if (fullWritten) "\"bench/bench_full.json\"" else "null"
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"failed":$nFail,"queries":$hq,"full":$fullRef,"sf":"$sfDir"}"""
+    // The driver parses a ~2000-char stdout TAIL; r9 proved printing the
+    // headline before spark.stop() loses it behind shutdown/epilogue noise.
+    // So (a) persist the headline as its own artifact the driver (or a
+    // human) can always read, and (b) print it AFTER spark.stop() so it is
+    // the last stdout line this JVM emits.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] headline artifact skipped: ${e.getMessage}")
+    }
     spark.stop()
+    println(line)
   }
 }

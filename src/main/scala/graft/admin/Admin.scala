@@ -241,6 +241,85 @@ object Admin {
         "effective_value", "source")
   }
 
+  /** AlterConfigs impact view
+    * (/root/reference/kafka-impl/.../KafkaRequestHandler.java:2272
+    * `handleAlterConfigs` — the reference acks each (resource, key, value)
+    * entry; the validation ranges mirror the LogConfig surface its
+    * defaults come from, KafkaLogConfig.java:34-59): the WRITE half of
+    * [[topicConfigs]]. Half the (topic, config key) surface submits a
+    * proposed value (md5 coin on ("alter", topic, key), the same
+    * deterministic universe discipline), drawn from a spread that
+    * deliberately straddles the key's valid range — retention.ms must be
+    * positive, retention.bytes >= -1, segment.bytes >= 14, segment.ms
+    * >= 1, cleanup.policy one of the three policy spellings,
+    * min.insync.replicas >= 1, max.message.bytes >= 0, the dirty ratio
+    * in [0, 1] — so both outcomes (OK / INVALID_CONFIG) stay populated
+    * at every SF. An accepted proposal becomes the new effective value; a
+    * rejected one leaves the old value standing. For retention.ms the
+    * view also reports the cutoff shift (old - new retention) a consumer
+    * of [[retentionByConfig]] would observe after the change — positive
+    * means the cutoff moves later and data expires.
+    *
+    * Scale: built on the topic_configs frame (topic-cardinality x 8
+    * keys); everything added is in-row md5 arithmetic — no new shuffle.
+    */
+  def alterConfigs(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat_ws("#", lit("alter"), col("topic"), col("config_key")))
+    topicConfigs(spark, dir)
+      .withColumn("acoin", substring(h, 1, 1))
+      .withColumn("ad", conv(substring(h, 2, 1), 16, 10).cast("long"))
+      .filter(col("acoin").isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .withColumn("proposed_value",
+        when(col("config_key") === "retention.ms",
+          ((col("ad") - 2L) * 43200000L).cast("string"))
+        .when(col("config_key") === "retention.bytes",
+          ((col("ad") - 1L) * 536870912L).cast("string"))
+        .when(col("config_key") === "segment.bytes",
+          ((col("ad") - 1L) * 33554432L).cast("string"))
+        .when(col("config_key") === "segment.ms",
+          ((col("ad") - 1L) * 1800000L).cast("string"))
+        .when(col("config_key") === "cleanup.policy",
+          when(col("ad") < 5L, "delete").when(col("ad") < 10L, "compact")
+            .when(col("ad") < 13L, "compact,delete").otherwise("purge"))
+        .when(col("config_key") === "min.insync.replicas",
+          pmod(col("ad"), lit(5L)).cast("string"))
+        .when(col("config_key") === "max.message.bytes",
+          ((col("ad") - 1L) * 262144L).cast("string"))
+        .otherwise(
+          when(col("ad") < 10L, concat(lit("0."), col("ad").cast("string")))
+            .otherwise(concat(lit("1."), (col("ad") - 10L).cast("string")))))
+      .withColumn("valid",
+        when(col("config_key") === "retention.ms",
+          col("proposed_value").cast("long") > 0L)
+        .when(col("config_key") === "retention.bytes",
+          col("proposed_value").cast("long") >= -1L)
+        .when(col("config_key") === "segment.bytes",
+          col("proposed_value").cast("long") >= 14L)
+        .when(col("config_key") === "segment.ms",
+          col("proposed_value").cast("long") >= 1L)
+        .when(col("config_key") === "cleanup.policy",
+          col("proposed_value").isin("delete", "compact", "compact,delete"))
+        .when(col("config_key") === "min.insync.replicas",
+          col("proposed_value").cast("long") >= 1L)
+        .when(col("config_key") === "max.message.bytes",
+          col("proposed_value").cast("long") >= 0L)
+        .otherwise(col("proposed_value").cast("double") <= 1.0d))
+      .withColumn("outcome",
+        when(col("valid"), "OK").otherwise("INVALID_CONFIG"))
+      .withColumn("new_effective",
+        when(col("valid"), col("proposed_value"))
+          .otherwise(col("effective_value")))
+      .withColumn("cutoff_shift_ms",
+        when(col("config_key") === "retention.ms" && col("valid"),
+          col("effective_value").cast("long")
+            - col("proposed_value").cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .select(col("topic"), col("config_key"),
+        col("effective_value").as("old_effective"),
+        col("proposed_value"), col("outcome"), col("new_effective"),
+        col("cutoff_shift_ms"))
+  }
+
   /** Time retention driven by the config view: each topic's cutoff is
     * `now - retention.ms(effective)` — the broker's LogManager reading its
     * policy from the DescribeConfigs surface instead of a constant ([[
@@ -344,6 +423,7 @@ object Admin {
     "acl_check" -> aclCheck,
     "fetch_authorized" -> fetchAuthorized,
     "topic_configs" -> topicConfigs,
+    "alter_configs" -> alterConfigs,
     "retention_by_config" -> retentionByConfig,
     "delete_topics" -> deleteTopics,
     "migration_status" -> migrationStatus,
@@ -486,6 +566,55 @@ object Admin {
       """SELECT topic, config_key, default_value, override_value,
         |  effective_value, source
         |FROM cfg""".stripMargin),
+    "alter_configs" -> (L + configsSql +
+      """, alt0 AS (
+        |  SELECT topic, config_key, effective_value,
+        |    substring(md5('alter#' || topic || '#' || config_key), 1, 1)
+        |      AS acoin,
+        |    ('0x' || substring(md5('alter#' || topic || '#' || config_key),
+        |      2, 1))::BIGINT AS ad
+        |  FROM cfg),
+        |alt1 AS (
+        |  SELECT topic, config_key, effective_value, ad,
+        |    CASE config_key
+        |      WHEN 'retention.ms' THEN CAST((ad - 2) * 43200000 AS VARCHAR)
+        |      WHEN 'retention.bytes'
+        |        THEN CAST((ad - 1) * 536870912 AS VARCHAR)
+        |      WHEN 'segment.bytes' THEN CAST((ad - 1) * 33554432 AS VARCHAR)
+        |      WHEN 'segment.ms' THEN CAST((ad - 1) * 1800000 AS VARCHAR)
+        |      WHEN 'cleanup.policy' THEN CASE WHEN ad < 5 THEN 'delete'
+        |        WHEN ad < 10 THEN 'compact'
+        |        WHEN ad < 13 THEN 'compact,delete' ELSE 'purge' END
+        |      WHEN 'min.insync.replicas' THEN CAST(ad % 5 AS VARCHAR)
+        |      WHEN 'max.message.bytes' THEN CAST((ad - 1) * 262144 AS VARCHAR)
+        |      ELSE CASE WHEN ad < 10 THEN '0.' || CAST(ad AS VARCHAR)
+        |        ELSE '1.' || CAST(ad - 10 AS VARCHAR) END END
+        |      AS proposed_value
+        |  FROM alt0 WHERE acoin IN ('0','1','2','3','4','5','6','7')),
+        |alt AS (
+        |  SELECT *, CASE config_key
+        |      WHEN 'retention.ms' THEN CAST(proposed_value AS BIGINT) > 0
+        |      WHEN 'retention.bytes' THEN CAST(proposed_value AS BIGINT) >= -1
+        |      WHEN 'segment.bytes' THEN CAST(proposed_value AS BIGINT) >= 14
+        |      WHEN 'segment.ms' THEN CAST(proposed_value AS BIGINT) >= 1
+        |      WHEN 'cleanup.policy'
+        |        THEN proposed_value IN ('delete', 'compact', 'compact,delete')
+        |      WHEN 'min.insync.replicas'
+        |        THEN CAST(proposed_value AS BIGINT) >= 1
+        |      WHEN 'max.message.bytes'
+        |        THEN CAST(proposed_value AS BIGINT) >= 0
+        |      ELSE CAST(proposed_value AS DOUBLE) <= 1.0 END AS valid
+        |  FROM alt1)
+        |SELECT topic, config_key, effective_value AS old_effective,
+        |  proposed_value,
+        |  CASE WHEN valid THEN 'OK' ELSE 'INVALID_CONFIG' END AS outcome,
+        |  CASE WHEN valid THEN proposed_value ELSE effective_value END
+        |    AS new_effective,
+        |  CASE WHEN config_key = 'retention.ms' AND valid
+        |    THEN CAST(effective_value AS BIGINT)
+        |      - CAST(proposed_value AS BIGINT)
+        |    ELSE NULL END AS cutoff_shift_ms
+        |FROM alt""".stripMargin),
     "retention_by_config" -> (L + configsSql +
       """, ret AS (
         |  SELECT topic, CAST(effective_value AS BIGINT) AS retention_ms

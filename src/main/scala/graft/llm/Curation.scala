@@ -118,9 +118,21 @@ object Curation {
     * running offsets and every within-bucket window stays parallel; no
     * single-task global window.
     */
-  def packShuffled(spark: SparkSession, dir: String): DataFrame = {
+  def packShuffled(spark: SparkSession, dir: String): DataFrame =
+    shuffledPack(t(spark, dir, "documents"))
+      .select("doc_id", "shuffle_pos", "n_tok", "start_off", "seq_id",
+        "spans_boundary")
+
+  /** The shuffled-order pack layout over an arbitrary (doc_id, source,
+    * text) frame — [[packShuffled]] runs it over the whole corpus,
+    * [[curationPipeline]] over the curated survivor set. Keeps the
+    * 256-bucket parallel-prefix shape (the hash-prefix buckets ARE
+    * prefix-order chunks; per-bucket totals roll into broadcast running
+    * offsets) so no single-task global window exists at any input size.
+    */
+  private def shuffledPack(docs: DataFrame): DataFrame = {
     import graft.functions.Parity.md5Long
-    val d = t(spark, dir, "documents")
+    val d = docs
       .withColumn("h", md5Long(col("doc_id").cast("string")))
       .withColumn("bucket", expr("h div 281474976710656"))
       .withColumn("n_tok", (size(split(col("text"), " ")) + 1).cast("long"))
@@ -138,11 +150,41 @@ object Curation {
       .withColumn("start_off",
         col("tok_off") + coalesce(sum("n_tok").over(
           inBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("doc_id"), col("shuffle_pos"), col("n_tok"), col("start_off"),
+      .select(col("doc_id"), col("source"), col("shuffle_pos"), col("n_tok"),
+        col("start_off"),
         expr(s"start_off div $SeqLen").as("seq_id"),
         when(expr(s"(start_off + n_tok - 1) div $SeqLen")
           =!= expr(s"start_off div $SeqLen"), 1L).otherwise(0L)
           .as("spans_boundary"))
+  }
+
+  /** The end-to-end curation job a pre-training run actually ships, as
+    * ONE view: quality/exact-dup filtering (TextAnalysis.corpusFilter's
+    * keep verdicts) -> near-dup pruning (keep only each
+    * Dedup.dedupClusters component's exemplar, the smallest doc_id) ->
+    * the shuffled pack manifest over the survivors ([[shuffledPack]]).
+    * Both drop decisions are the registered corpus_filter /
+    * dedup_clusters frames verbatim (computed corpus-wide, then
+    * composed), so the pipeline inherits their caches and their oracle
+    * semantics. Output: the packed-training-data manifest — one row per
+    * surviving document with its shuffle position, token count, global
+    * offset, owning sequence, and boundary-straddle flag.
+    *
+    * Scale: stage 1 is a scan + one md5-identity window, stage 2 touches
+    * only the bounded LSH pair graph, stage 3 is the chunked parallel
+    * prefix — no new shuffle shape beyond the stages' own; the stage
+    * composition is two metadata-light semi/anti joins on doc_id.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = TextAnalysis.corpusFilter(spark, dir)
+      .filter(col("keep") === 1L).select("doc_id")
+    val dupLosers = Dedup.dedupClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    val survivors = t(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+    shuffledPack(survivors)
   }
 
   /** Intra-document span dedup — the within-doc half of the repetition
@@ -229,6 +271,7 @@ object Curation {
     "pii_scrub" -> piiScrub,
     "dedup_spans" -> dedupSpans,
     "pack_shuffled" -> packShuffled,
+    "curation_pipeline" -> curationPipeline,
     "boilerplate_chunks" -> boilerplateChunks,
     "strip_boilerplate" -> stripBoilerplate,
     "pack_efficiency" -> packEfficiency,
@@ -337,6 +380,33 @@ object Curation {
         |      <> start_off // $SeqLen
         |    THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
         |FROM p""".stripMargin,
+    "curation_pipeline" -> (Dedup.clustersChainSql + ",\n" +
+      "losers AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) <> src),\n" +
+      TextAnalysis.corpusFilterChainSql + ",\n" +
+      s"""surv AS (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN r USING (doc_id)
+         |  WHERE r.reason = 'keep'
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM losers)),
+         |sh2 AS (
+         |  SELECT doc_id, source,
+         |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS hl,
+         |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
+         |  FROM surv),
+         |p2 AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY hl, doc_id) - 1 AS BIGINT)
+         |      AS shuffle_pos,
+         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hl, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_off
+         |  FROM sh2)
+         |SELECT doc_id, source, shuffle_pos, n_tok, start_off,
+         |  start_off // $SeqLen AS seq_id,
+         |  CAST(CASE WHEN (start_off + n_tok - 1) // $SeqLen
+         |      <> start_off // $SeqLen
+         |    THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+         |FROM p2""".stripMargin),
     "boilerplate_chunks" -> (chunkSql + bpSql + "SELECT * FROM bp"),
     "strip_boilerplate" -> (chunkSql + bpSql +
       """SELECT ch.doc_id, COUNT(*) AS n_chunks,

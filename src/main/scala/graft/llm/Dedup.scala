@@ -278,8 +278,8 @@ object Dedup {
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    var converged = false
+    while (!converged) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
         .groupBy(col("d1").as("doc_id"))
@@ -298,8 +298,11 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("jump"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      // Existence probe, not a full count: isEmpty executes take(1), so
+      // the convergence check stops scanning as soon as one changed label
+      // is found instead of counting every one.
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).isEmpty
       labels = next
     }
     labels
@@ -465,6 +468,52 @@ object Dedup {
     * side and any capped oracle. */
   private def capSql: String = Similarity.capSql
 
+  /** The recursive connected-components chain over the verified
+    * MinHash-LSH pair graph (ends with `reach(src, dst)`; cluster_id is
+    * `MIN(dst) GROUP BY src`) — shared by the dedup_clusters oracle and
+    * Curation's curation_pipeline oracle.
+    */
+  private[llm] val clustersChainSql: String =
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
+      |  FROM documents WHERE length(text) >= 5),
+      |hss AS (
+      |  SELECT doc_id, list_distinct(list_transform(s,
+      |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 23),
+      |    j -> list_min(list_transform(hs,
+      |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
+      |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
+      |  FROM hss),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
+      |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
+      |  FROM sig, generate_series(0, 5) t(b)),
+      |sized AS (
+      |  SELECT * FROM bands
+      |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sized a, sized b
+      |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+      |vpairs AS (
+      |  SELECT d1, d2 FROM cand
+      |  JOIN hss s1 ON s1.doc_id = d1
+      |  JOIN hss s2 ON s2.doc_id = d2
+      |  WHERE len(list_intersect(s1.hs, s2.hs)) /
+      |    len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5),
+      |edges AS (
+      |  SELECT d1, d2 FROM vpairs
+      |  UNION SELECT d2 AS d1, d1 AS d2 FROM vpairs),
+      |reach(src, dst) AS (
+      |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
+      |  UNION
+      |  SELECT r.src, e.d2 FROM reach r JOIN edges e ON e.d1 = r.dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_report" ->
       """WITH d AS (
@@ -548,47 +597,9 @@ object Dedup {
         |FROM pairs JOIN src a ON a.doc_id = d1 JOIN src b ON b.doc_id = d2
         |GROUP BY 1, 2""".stripMargin),
     "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
-        |  FROM documents WHERE length(text) >= 5),
-        |hss AS (
-        |  SELECT doc_id, list_distinct(list_transform(s,
-        |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, list_transform(generate_series(0, 23),
-        |    j -> list_min(list_transform(hs,
-        |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
-        |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
-        |  FROM hss),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
-        |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
-        |  FROM sig, generate_series(0, 5) t(b)),
-        |sized AS (
-        |  SELECT * FROM bands
-        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sized a, sized b
-        |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-        |vpairs AS (
-        |  SELECT d1, d2 FROM cand
-        |  JOIN hss s1 ON s1.doc_id = d1
-        |  JOIN hss s2 ON s2.doc_id = d2
-        |  WHERE len(list_intersect(s1.hs, s2.hs)) /
-        |    len(list_distinct(list_concat(s1.hs, s2.hs))) >= 0.5),
-        |edges AS (
-        |  SELECT d1, d2 FROM vpairs
-        |  UNION SELECT d2 AS d1, d1 AS d2 FROM vpairs),
-        |reach(src, dst) AS (
-        |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
-        |  UNION
-        |  SELECT r.src, e.d2 FROM reach r JOIN edges e ON e.d1 = r.dst)
+      (clustersChainSql + """
         |SELECT src AS doc_id, MIN(dst) AS cluster_id
-        |FROM reach GROUP BY src""".stripMargin,
+        |FROM reach GROUP BY src""".stripMargin),
     "minhash_calibration" ->
       s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

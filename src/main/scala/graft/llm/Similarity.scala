@@ -520,8 +520,29 @@ object Similarity {
     * block ever goes quadratic, and ranking is one per-vector window over
     * the bounded candidate lists. Edges carry the exact cosine so
     * downstream consumers threshold without re-scoring.
+    *
+    * The edge frame is computed once per (session, data fingerprint) and
+    * localCheckpoint'ed — [[knnDegree]] and [[knnClusters]] consume the
+    * same frame, so candidate generation is paid once, not per query
+    * (the media_phash / Embeddings / fitCache discipline).
     */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(knnCache, spark, dir, "embeddings"),
+      buildKnnGraph(spark, dir).localCheckpoint())
+
+  private val knnCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Explicit teardown hook, mirroring [[clearPqCache]]. */
+  def clearKnnCache(): Unit = knnCache.clear()
+
+  /** The uncached candidate-generation chain — private[graft] so
+    * PlanShapeSpec pins the (cell, sub) join shape of the BUILD (the
+    * cached frame's plan is just a checkpoint scan and would pin
+    * nothing).
+    */
+  private[graft] def buildKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir)
     val nsub = cells.groupBy("cell")
       .agg(expr(s"(count(1) + ${PairSubCap - 1}) div $PairSubCap").as("nsub"))

@@ -469,6 +469,27 @@ object TextAnalysis {
   private def hitSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x in (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** The corpus_filter decision chain as a WITH-continuation (ends with
+    * `r(doc_id, reason)`) — shared by the corpus_filter oracle and
+    * Curation's curation_pipeline oracle.
+    */
+  private[llm] lazy val corpusFilterChainSql: String =
+    s"""m AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_c,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t,
+       |    CAST(${hitSql(markers("en"))} AS BIGINT) AS n_stop,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id <> keep_id THEN 'dup'
+       |         WHEN n_t < 20 THEN 'too_short'
+       |         WHEN (n_c - (n_t - 1)) / n_t < 3.0
+       |           OR (n_c - (n_t - 1)) / n_t > 8.0 THEN 'tok_len'
+       |         WHEN n_stop / n_t > 0.2 THEN 'stopwords'
+       |         ELSE 'keep' END AS reason
+       |  FROM m)""".stripMargin
+
   /** DuckDB mirror of [[bpeMerges]]: the 3 merge rounds unrolled as CTEs
     * (pair count -> top-1 winner -> replace), same left-to-right
     * non-overlapping replace semantics.
@@ -685,25 +706,12 @@ object TextAnalysis {
         |  MAX(n_chars) AS max_c
         |FROM ranked GROUP BY source""".stripMargin,
     "corpus_filter" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_c,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t,
-         |    CAST(${hitSql(markers("en"))} AS BIGINT) AS n_stop,
-         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-         |  FROM documents),
-         |r AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id <> keep_id THEN 'dup'
-         |         WHEN n_t < 20 THEN 'too_short'
-         |         WHEN (n_c - (n_t - 1)) / n_t < 3.0
-         |           OR (n_c - (n_t - 1)) / n_t > 8.0 THEN 'tok_len'
-         |         WHEN n_stop / n_t > 0.2 THEN 'stopwords'
-         |         ELSE 'keep' END AS reason
-         |  FROM m)
-         |SELECT doc_id,
-         |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
-         |  reason
-         |FROM r""".stripMargin,
+      (s"WITH $corpusFilterChainSql" +
+        """
+          |SELECT doc_id,
+          |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+          |  reason
+          |FROM r""".stripMargin),
     "langid" ->
       s"""WITH h AS (
          |  SELECT doc_id,

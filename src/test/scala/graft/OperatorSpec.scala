@@ -750,8 +750,30 @@ class OperatorSpec extends AnyFunSuite {
       .select("ns", "role").distinct()
     assert(a.join(superRoles, Seq("ns", "role"))
       .filter(col("via") =!= "SUPER").count() == 0)
-    // the universe is non-degenerate: all four outcomes occur
-    assert(a.select("via").distinct().count() == 4)
+    // Derive the EXPECTED decision for every (topic, ns, role, action)
+    // from the md5 coin functions directly (driver-side MessageDigest on
+    // the metadata-sized result) — corpus- and cardinality-independent,
+    // unlike asserting all four outcomes occur at one pinned SF.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def coin(s: String): Char = md5hex(s).charAt(0)
+    a.select("topic", "ns", "role", "action", "via").collect().foreach { r =>
+      val Seq(topic, ns, role, action, via) =
+        (0 to 4).map(r.getString)
+      assert(ns == "ns" + (java.lang.Long.parseLong(
+        coin(s"ns#$topic").toString, 16) % 2), s"ns derivation for $topic")
+      val isSuper = "01".contains(coin(s"super#$role"))
+      val isAdmin = "01".contains(coin(s"admin#$ns#$role"))
+      val nsGrant = "0123".contains(coin(s"nsgrant#$ns#$role#$action"))
+      val tGrant = "012".contains(coin(s"tgrant#$topic#$role#$action"))
+      val expected =
+        if (isSuper || isAdmin) "SUPER"
+        else if (nsGrant) "NAMESPACE"
+        else if (tGrant) "TOPIC"
+        else "-"
+      assert(via == expected, s"($topic, $ns, $role, $action)")
+    }
     a.unpersist()
   }
 

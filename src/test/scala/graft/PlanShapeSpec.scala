@@ -180,7 +180,9 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("knn_graph blocks join on (cell, sub), small frames broadcast") {
-    val plan = planOf(graft.llm.Similarity.knnGraph(spark, dir))
+    // Pin the uncached BUILD: the registered query serves a checkpointed
+    // frame whose plan is just a scan.
+    val plan = planOf(graft.llm.Similarity.buildKnnGraph(spark, dir))
     // The nsub cap table and the centroid set broadcast into the scan; the
     // pair generation is an equi-join on (cell, sub) — never a cartesian
     // or a single-key (cell-only) join that would let a hot cell go
@@ -191,6 +193,43 @@ class PlanShapeSpec extends AnyFunSuite {
       "\\[cell#\\d+[^]]*, sub#\\d+[^]]*\\]".r.findFirstIn(plan).isDefined,
       s"knn_graph pair join not keyed on (cell, sub):\n$plan")
     assert(!plan.contains("CartesianProduct"), s"knn_graph cartesian:\n$plan")
+  }
+
+  test("fetch_authorized broadcasts topic stats into the ACL frame") {
+    // Both inputs are metadata-sized rollups; the composition must be a
+    // broadcast hash join — a data-sized exchange for the topic-stats
+    // side would mean the rollup happened after the join.
+    val plan = planOf(graft.admin.Admin.fetchAuthorized(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fetch_authorized topic stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fetch_authorized shuffles a join side:\n$plan")
+  }
+
+  test("pii_scrub is one scan and only the rollup exchange") {
+    // The regex work is in-row over a single documents scan; the ONLY
+    // exchange allowed is the final ~|sources|-row rollup's partial-agg
+    // shuffle. A second exchange would mean the scan shuffled data-sized
+    // rows before aggregating.
+    val plan = planOf(graft.llm.Curation.piiScrub(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"pii_scrub has more than the rollup exchange:\n$plan")
+    assert(plan.contains("partial_"),
+      s"pii_scrub rollup not map-side combined:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"pii_scrub scans documents more than once:\n$plan")
+  }
+
+  test("alter_configs adds no shuffle beyond the topic_configs frame") {
+    // The write half is in-row md5 arithmetic on the config frame: the
+    // only joins are the broadcast 8-row defaults cross the distinct
+    // topic list — never a sort-merge join.
+    val plan = planOf(graft.admin.Admin.alterConfigs(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"alter_configs shuffles a join side:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"alter_configs defaults frame not broadcast:\n$plan")
   }
 
   test("acl_check is one aggregation, no joins at all") {
