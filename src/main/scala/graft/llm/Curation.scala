@@ -187,6 +187,45 @@ object Curation {
     shuffledPack(survivors)
   }
 
+  /** The curation funnel audit per source — the stage-by-stage drop
+    * accounting a data team reads next to [[curationPipeline]]'s
+    * manifest: documents in, drops by filter reason (exact-dup /
+    * too-short / token-length / stopword gate), near-dup exemplar drops
+    * among the filter survivors, documents packed, tokens packed, and
+    * the end-to-end keep rate.
+    *
+    * Scale: rides TextAnalysis.filterVerdicts (one documents scan + the
+    * md5-identity window — no re-join of the corpus); the loser frame is
+    * bounded by the capped LSH pair graph and joins broadcast-sized; the
+    * rollup is one partial-aggregated shuffle on source.
+    */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    val losers = Dedup.dedupClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_loser"))
+    TextAnalysis.filterVerdicts(spark, dir)
+      .join(broadcast(losers), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("reason") === "dup", 1L).otherwise(0L)).cast("long")
+          .as("n_exact_dup"),
+        sum(when(col("reason") === "too_short", 1L).otherwise(0L)).cast("long")
+          .as("n_too_short"),
+        sum(when(col("reason") === "tok_len", 1L).otherwise(0L)).cast("long")
+          .as("n_tok_len"),
+        sum(when(col("reason") === "stopwords", 1L).otherwise(0L)).cast("long")
+          .as("n_stopwords"),
+        sum(when(col("reason") === "keep" && col("is_loser").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("n_neardup_drop"),
+        sum(when(col("reason") === "keep" && col("is_loser").isNull, 1L)
+          .otherwise(0L)).cast("long").as("n_packed"),
+        sum(when(col("reason") === "keep" && col("is_loser").isNull,
+          col("n_t") + 1L).otherwise(0L)).cast("long").as("packed_toks"))
+      .withColumn("keep_rate",
+        col("n_packed").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Intra-document span dedup — the within-doc half of the repetition
     * pipeline (Gopher / RefinedWeb "remove duplicate lines within a
     * document", at the same 10-token-chunk granularity the corpus
@@ -272,6 +311,7 @@ object Curation {
     "dedup_spans" -> dedupSpans,
     "pack_shuffled" -> packShuffled,
     "curation_pipeline" -> curationPipeline,
+    "curation_report" -> curationReport,
     "boilerplate_chunks" -> boilerplateChunks,
     "strip_boilerplate" -> stripBoilerplate,
     "pack_efficiency" -> packEfficiency,
@@ -407,6 +447,36 @@ object Curation {
          |      <> start_off // $SeqLen
          |    THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
          |FROM p2""".stripMargin),
+    "curation_report" -> (Dedup.clustersChainSql + ",\n" +
+      "losers AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) <> src),\n" +
+      TextAnalysis.corpusFilterChainSql + ",\n" +
+      """d2 AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t
+        |  FROM documents),
+        |j2 AS (
+        |  SELECT d2.source, r.reason, d2.n_t,
+        |    CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_loser
+        |  FROM d2 JOIN r USING (doc_id)
+        |  LEFT JOIN losers l ON l.doc_id = d2.doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN reason = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dup,
+        |  CAST(SUM(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_too_short,
+        |  CAST(SUM(CASE WHEN reason = 'tok_len' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_tok_len,
+        |  CAST(SUM(CASE WHEN reason = 'stopwords' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stopwords,
+        |  CAST(SUM(CASE WHEN reason = 'keep' AND is_loser = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_drop,
+        |  CAST(SUM(CASE WHEN reason = 'keep' AND is_loser = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_packed,
+        |  CAST(SUM(CASE WHEN reason = 'keep' AND is_loser = 0
+        |    THEN n_t + 1 ELSE 0 END) AS BIGINT) AS packed_toks,
+        |  CAST(SUM(CASE WHEN reason = 'keep' AND is_loser = 0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+        |FROM j2 GROUP BY source""".stripMargin),
     "boilerplate_chunks" -> (chunkSql + bpSql + "SELECT * FROM bp"),
     "strip_boilerplate" -> (chunkSql + bpSql +
       """SELECT ch.doc_id, COUNT(*) AS n_chunks,

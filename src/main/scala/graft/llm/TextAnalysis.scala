@@ -85,7 +85,18 @@ object TextAnalysis {
     * pipeline actually ships — exact-dup drop composed with quality gates,
     * with the first failing rule as the audit reason.
     */
-  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    filterVerdicts(spark, dir)
+      .select(col("doc_id"),
+        when(col("reason") === "keep", 1L).otherwise(0L).as("keep"),
+        col("reason"))
+
+  /** The per-document filter verdict frame (doc_id, source, n_t, reason)
+    * — [[corpusFilter]] projects it; Curation.curationReport rolls it up
+    * per source WITHOUT re-joining documents (one scan + one md5-identity
+    * window serves both).
+    */
+  private[llm] def filterVerdicts(spark: SparkSession, dir: String): DataFrame = {
     val byText = Window.partitionBy(md5(col("text")))
     t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
@@ -102,9 +113,7 @@ object TextAnalysis {
           .when(col("avg_tok_len") < 3.0 || col("avg_tok_len") > 8.0, "tok_len")
           .when(col("stop_ratio") > 0.2, "stopwords")
           .otherwise("keep"))
-      .select(col("doc_id"),
-        when(col("reason") === "keep", 1L).otherwise(0L).as("keep"),
-        col("reason"))
+      .select("doc_id", "source", "n_t", "reason")
   }
 
   /** TF-IDF-style term weighting, log-free for cross-engine exactness:

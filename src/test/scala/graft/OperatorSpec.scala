@@ -777,6 +777,30 @@ class OperatorSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("curation pipeline manifest is contiguous and drops exactly the losers") {
+    val m = llm.Curation.curationPipeline(spark, dir).cache()
+    val n = m.count()
+    assert(n > 0)
+    // shuffle positions are dense 0..n-1
+    assert(m.agg(min("shuffle_pos"), max("shuffle_pos"),
+      countDistinct("shuffle_pos")).head.toSeq == Seq(0L, n - 1, n))
+    // start offsets are the exclusive running token sum in shuffle order —
+    // the packed stream has no gaps and no overlaps
+    val w = org.apache.spark.sql.expressions.Window.orderBy("shuffle_pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    assert(m.withColumn("expected", coalesce(sum("n_tok").over(w), lit(0L)))
+      .filter(col("start_off") =!= col("expected")).count() == 0)
+    // membership == corpus_filter keepers minus dedup-cluster losers
+    val keep = llm.TextAnalysis.corpusFilter(spark, dir)
+      .filter(col("keep") === 1L).select("doc_id")
+    val losers = llm.Dedup.dedupClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    val expected = keep.except(losers)
+    assert(m.select("doc_id").except(expected).count() == 0)
+    assert(expected.except(m.select("doc_id")).count() == 0)
+    m.unpersist()
+  }
+
   test("knn graph is rank-dense, self-free, and degree-consistent") {
     val g = llm.Similarity.knnGraph(spark, dir).cache()
     assert(g.count() > 0)
