@@ -273,8 +273,17 @@ object Curation {
     * text) — no shuffle except the final ~|sources|-row rollup; the regex
     * expressions are codegen'd so the scan stays one whole-stage span.
     */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val aug = t(spark, dir, "documents")
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiAudit(t(spark, dir, "documents"))
+
+  /** The scrub transform over an arbitrary (doc_id, source, text) frame —
+    * batch [[piiScrub]] and Streams.piiScrubStream share it. The regex
+    * classes are stateless in-row work and the rollup keys on source
+    * (bounded cardinality), which is exactly what lets the streaming twin
+    * run in complete mode with metadata-sized state.
+    */
+  private[graft] def piiAudit(docs: DataFrame): DataFrame = {
+    val aug = docs
       .withColumn("txt", concat(col("text"),
         when(pmod(col("doc_id"), lit(7L)) === 0,
           concat(lit(" contact user"), col("doc_id"), lit("@example.com")))

@@ -176,6 +176,17 @@ object Streams {
       }
   }
 
+  /** Continuous PII audit — the scrub pass as a streaming ingest stage:
+    * per arriving document the three regex classes run in-row (stateless,
+    * codegen'd), and the per-source rollup carries |sources| rows of
+    * state in complete mode. The continuous form of
+    * [[graft.llm.Curation.piiScrub]] — a privacy-aware pipeline runs this
+    * ON the ingest stream so the audit is current before any batch release
+    * cut. StreamingSpec pins stream == batch.
+    */
+  def piiScrubStream(stream: DataFrame): DataFrame =
+    graft.llm.Curation.piiAudit(stream)
+
   /** A table as a file-source stream, canonicalized to the batch contract —
     * the one staging definition every runner and spec shares (a divergence
     * here, e.g. maxFilesPerTrigger or a schema source change, must hit all

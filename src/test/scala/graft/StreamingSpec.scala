@@ -75,6 +75,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming PII audit == batch pii_scrub") {
+    val stream = Streams.tableStream(spark, dir, "documents")
+    val q = Streams.piiScrubStream(stream).writeStream
+      .outputMode("complete").format("memory").queryName("graft_pii_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_pii_stream")
+    val want = llm.Curation.piiScrub(spark, dir)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("watermarked producer-seq dedup == batch distinct (producer, seq)") {
     val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.producerDedupStream(stream)
