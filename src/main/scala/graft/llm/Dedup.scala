@@ -253,7 +253,21 @@ object Dedup {
     * document a "keep one per cluster" pass retains.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    components(dedupMinhashLsh(spark, dir).select("d1", "d2"))
+    clustersCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(clustersCache, spark, dir, "documents"),
+      components(dedupMinhashLsh(spark, dir).select("d1", "d2"))
+        .localCheckpoint())
+
+  /** The converged cluster labels, cached per (session, data fingerprint)
+    * — dedup_clusters, curation_pipeline and curation_report all consume
+    * this frame, so the iterative components loop runs once, not per
+    * query (the knn edge-frame / media_phash discipline).
+    */
+  private val clustersCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Explicit teardown hook, mirroring [[clearHsCache]]. */
+  def clearClustersCache(): Unit = clustersCache.clear()
 
   /** Connected components over an undirected pair set `(d1, d2)` via
     * min-label propagation with pointer jumping, iterated to fixpoint —
