@@ -534,8 +534,10 @@ object Similarity {
   private val knnCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Explicit teardown hook, mirroring [[clearPqCache]]. */
-  def clearKnnCache(): Unit = knnCache.clear()
+  /** Explicit teardown hook for the knn family (edge frame + converged
+    * cluster labels), mirroring [[clearPqCache]].
+    */
+  def clearKnnCache(): Unit = { knnCache.clear(); knnClustersCache.clear() }
 
   /** The uncached candidate-generation chain — private[graft] so
     * PlanShapeSpec pins the (cell, sub) join shape of the BUILD (the
