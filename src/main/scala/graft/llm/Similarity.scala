@@ -597,7 +597,42 @@ object Similarity {
   private val knnClustersCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Expected per-cell sample size for [[clusterSample]] — the balance
+    * target, not a hard cap (the hash coin draws binomially around it).
+    */
+  private[graft] val SampleTarget = 64L
+
+  /** Cluster-balanced sampling over the embedding space — the
+    * density-equalizing subset a curation pipeline draws for eval sets
+    * and codebook training: each IVF cell is sampled at rate
+    * SampleTarget / n_cell by the engine-wide md5 coin, so dense cells
+    * thin toward ~SampleTarget vectors, sparse cells (n_cell <=
+    * SampleTarget) keep everything, and both engines draw the identical
+    * sample (integer cross-multiplication, no doubles, no rounding).
+    * Output: kept vectors with their cell, its population, and the coin.
+    *
+    * Scale: assignment is the shared broadcast nearestCentroid pass,
+    * cell sizes are a FitK-row broadcast, and the keep decision is an
+    * in-row integer compare — one scan, no window, no per-cell sort
+    * (a rank-based "top-SampleTarget per cell" would collapse
+    * parallelism to FitK single-task sorts at 100 TB; the coin keeps
+    * the scan embarrassingly parallel). Expected output ~FitK *
+    * SampleTarget rows regardless of corpus size.
+    */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val cells = ivfCells(spark, dir).select("vec_id", "cell")
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    cells.join(broadcast(sizes), "cell")
+      .withColumn("coin", pmod(
+        md5Long(concat(lit("cs#"), col("vec_id").cast("string"))),
+        lit(1000000L)))
+      .filter(col("coin") * col("n_cell") < lit(SampleTarget * 1000000L))
+      .select("vec_id", "cell", "n_cell", "coin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_sample" -> clusterSample,
     "knn_graph" -> knnGraph,
     "knn_degree" -> knnDegree,
     "knn_clusters" -> knnClusters,
@@ -821,6 +856,29 @@ object Similarity {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cluster_sample" -> (vecSql + Clustering.fitSql +
+      s""", cents AS (
+         |  SELECT cid, cv, cnrm FROM fcent),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |cells AS (
+         |  SELECT a.vec_id, a.cid AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
+         |  WHERE a.crn = 1),
+         |sz AS (SELECT cell, COUNT(*) AS n_cell FROM cells GROUP BY cell),
+         |coined AS (
+         |  SELECT vec_id, cell, n_cell,
+         |    ${md5LongSql("'cs#' || CAST(vec_id AS VARCHAR)")} % 1000000
+         |      AS coin
+         |  FROM cells JOIN sz USING (cell))
+         |SELECT vec_id, cell, n_cell, coin
+         |FROM coined WHERE coin * n_cell < ${SampleTarget} * 1000000"""
+        .stripMargin),
     "ann_lsh_multi" -> (vecSql + lshMultiChainSql.stripSuffix("\n") + ",\n" +
       s"""mpairs AS (
          |  SELECT mcand.q_id, mcand.n_id, $cosSql AS cos
