@@ -232,6 +232,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"alter_configs defaults frame not broadcast:\n$plan")
   }
 
+  test("cluster_sample broadcasts assignment and cell sizes, no sort") {
+    // The keep decision is an in-row integer compare: centroids and the
+    // FitK-row size frame broadcast; a SortMergeJoin or a per-cell rank
+    // Sort would mean the scan shuffled or serialized on 16 cells.
+    val plan = planOf(graft.llm.Similarity.clusterSample(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"cluster_sample sides not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"cluster_sample shuffles a join side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"cluster_sample ranks per cell (parallelism collapse):\n$plan")
+  }
+
+  test("curation_report rolls up the verdict frame without re-joining documents") {
+    // One documents scan (the verdict frame), the bounded loser frame
+    // broadcast, one partial-aggregated rollup on source.
+    val plan = planOf(graft.llm.Curation.curationReport(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"curation_report shuffles the loser join:\n$plan")
+    assert(plan.contains("partial_"),
+      s"curation_report rollup not map-side combined:\n$plan")
+  }
+
   test("acl_check is one aggregation, no joins at all") {
     val plan = planOf(graft.admin.Admin.aclCheck(spark, dir))
     assert(!plan.contains("Join"), s"acl_check joined a grant table:\n$plan")
