@@ -777,6 +777,49 @@ class OperatorSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("alter_configs validates against each key's range and applies only OK proposals") {
+    val a = admin.Admin.alterConfigs(spark, dir).cache()
+    assert(a.count() > 0)
+    // an accepted proposal becomes effective; a rejected one never does
+    assert(a.filter(col("outcome") === "OK" &&
+      col("new_effective") =!= col("proposed_value")).count() == 0)
+    assert(a.filter(col("outcome") === "INVALID_CONFIG" &&
+      col("new_effective") =!= col("old_effective")).count() == 0)
+    // the cutoff shift exists exactly for accepted retention.ms changes
+    assert(a.filter(col("cutoff_shift_ms").isNotNull &&
+      (col("config_key") =!= "retention.ms" || col("outcome") =!= "OK"))
+      .count() == 0)
+    // numeric range rules hold for every accepted numeric proposal
+    assert(a.filter(col("config_key") === "retention.ms" &&
+      col("outcome") === "OK" && col("proposed_value").cast("long") <= 0L)
+      .count() == 0)
+    assert(a.filter(col("config_key") === "segment.bytes" &&
+      col("outcome") === "OK" && col("proposed_value").cast("long") < 14L)
+      .count() == 0)
+    // rejected cleanup.policy values are never one of the three spellings
+    assert(a.filter(col("config_key") === "cleanup.policy" &&
+      col("outcome") === "INVALID_CONFIG" &&
+      col("proposed_value").isin("delete", "compact", "compact,delete"))
+      .count() == 0)
+    a.unpersist()
+  }
+
+  test("cluster_sample keeps sparse cells whole and thins dense cells") {
+    val s = llm.Similarity.clusterSample(spark, dir).cache()
+    assert(s.count() > 0)
+    // a cell at or under the target is never thinned: every member's
+    // coin * n_cell < target * 1e6 by construction
+    val target = llm.Similarity.SampleTarget
+    val perCell = s.groupBy("cell", "n_cell").agg(count(lit(1)).as("kept"))
+    assert(perCell.filter(col("n_cell") <= target &&
+      col("kept") =!= col("n_cell")).count() == 0)
+    // no cell keeps more than its population, and the coin bound holds
+    assert(perCell.filter(col("kept") > col("n_cell")).count() == 0)
+    assert(s.filter(col("coin") * col("n_cell") >= target * 1000000L)
+      .count() == 0)
+    s.unpersist()
+  }
+
   test("curation pipeline manifest is contiguous and drops exactly the losers") {
     val m = llm.Curation.curationPipeline(spark, dir).cache()
     val n = m.count()
