@@ -419,8 +419,146 @@ object Admin {
           .cast("long").as("denied_requests"))
   }
 
+  /** The broker's advertised version range per API, one row per ApiKeys
+    * entry (KafkaRequestHandler.java:508 overloadDefaultApiVersionsResponse
+    * walks ApiKeys.values() at (oldestVersion, latestVersion);
+    * ApiVersion.java carries the triple; LIST_OFFSETS' min is forced to 0
+    * so librdkafka's v0 probes keep working,
+    * KafkaRequestHandler.java:516-519). Ids and latest versions follow the
+    * public Kafka protocol tables; the handful of non-zero mins (FETCH,
+    * OFFSET_COMMIT, FIND_COORDINATOR, JOIN_GROUP, CREATE_TOPICS) are a
+    * MODELING choice in delayed_create's spirit — with every min at 0 the
+    * UNSUPPORTED_VERSION branch would be dead code at every SF.
+    */
+  private[graft] val apiRanges: Seq[(Long, Long, String, Long, Long)] = Seq(
+    (0L, 0L, "PRODUCE", 0L, 9L),
+    (1L, 1L, "FETCH", 4L, 13L),
+    (2L, 2L, "LIST_OFFSETS", 0L, 7L),
+    (3L, 3L, "METADATA", 0L, 12L),
+    (4L, 8L, "OFFSET_COMMIT", 2L, 8L),
+    (5L, 9L, "OFFSET_FETCH", 0L, 8L),
+    (6L, 10L, "FIND_COORDINATOR", 1L, 4L),
+    (7L, 11L, "JOIN_GROUP", 2L, 9L),
+    (8L, 12L, "HEARTBEAT", 0L, 4L),
+    (9L, 13L, "LEAVE_GROUP", 0L, 5L),
+    (10L, 14L, "SYNC_GROUP", 0L, 5L),
+    (11L, 15L, "DESCRIBE_GROUPS", 0L, 5L),
+    (12L, 16L, "LIST_GROUPS", 0L, 4L),
+    (13L, 17L, "SASL_HANDSHAKE", 0L, 1L),
+    (14L, 18L, "API_VERSIONS", 0L, 3L),
+    (15L, 19L, "CREATE_TOPICS", 2L, 7L),
+    (16L, 20L, "DELETE_TOPICS", 0L, 6L),
+    (17L, 21L, "DELETE_RECORDS", 0L, 2L),
+    (18L, 22L, "INIT_PRODUCER_ID", 0L, 4L),
+    (19L, 24L, "ADD_PARTITIONS_TO_TXN", 0L, 3L),
+    (20L, 25L, "ADD_OFFSETS_TO_TXN", 0L, 3L),
+    (21L, 26L, "END_TXN", 0L, 3L),
+    (22L, 28L, "TXN_OFFSET_COMMIT", 0L, 3L),
+    (23L, 32L, "DESCRIBE_CONFIGS", 0L, 4L),
+    (24L, 33L, "ALTER_CONFIGS", 0L, 2L),
+    (25L, 36L, "SASL_AUTHENTICATE", 0L, 2L))
+
+  /** ApiVersions negotiation audit (KafkaRequestHandler.java:496
+    * handleApiVersionsRequest): every client advertises the highest
+    * version it can speak per API (md5 draw in [0, broker_max+3]); a
+    * client that saw the ApiVersions response sends
+    * least(client_max, broker_max), which the broker accepts unless the
+    * client's ceiling sits BELOW the broker's floor — the
+    * UNSUPPORTED_VERSION path of KafkaCommandDecoder/the handshake's
+    * hasUnsupportedRequestVersion. Per (client, api): the advertised
+    * range, the client ceiling, the version actually used (null when
+    * unsupported), the outcome, and the request volume riding on it.
+    *
+    * Scale: one partial-aggregated events scan to <=16 clients x 26 apis,
+    * then a broadcast join against the 26-row literal range table and
+    * in-row draws — no data-sized shuffle beyond the rollup.
+    */
+  def apiVersions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val apis = broadcast(apiRanges.toDF(
+      "api_idx", "api_key", "api_name", "broker_min", "broker_max"))
+    graft.Tables.t(spark, dir, "events")
+      .select(
+        concat(lit("client"), pmod(col("user_id"), lit(16L))).as("client"),
+        pmod(col("event_id"), lit(26L)).as("api_idx"))
+      .groupBy("client", "api_idx")
+      .agg(count(lit(1)).as("n_requests"))
+      .join(apis, "api_idx")
+      .withColumn("client_max", pmod(
+        graft.functions.Parity.md5Long(
+          concat_ws("#", lit("ver"), col("client"), col("api_name"))),
+        col("broker_max") + lit(4L)))
+      .withColumn("outcome",
+        when(col("client_max") < col("broker_min"), "UNSUPPORTED_VERSION")
+          .otherwise("OK"))
+      .withColumn("used_version",
+        when(col("outcome") === "OK",
+          least(col("client_max"), col("broker_max"))).cast("long"))
+      .select(col("client"), col("api_key"), col("api_name"),
+        col("broker_min"), col("broker_max"), col("client_max"),
+        col("used_version"), col("outcome"), col("n_requests"))
+  }
+
+  /** SASL handshake + authenticate audit (security/SaslAuthenticator.java:
+    * the HANDSHAKE_OR_VERSIONS_REQUEST -> HANDSHAKE_REQUEST ->
+    * AUTHENTICATE -> COMPLETE state machine at :95-100; createSaslServer
+    * at :302-314 accepts only PLAIN and OAUTHBEARER and throws
+    * UnsupportedSaslMechanismException otherwise; handleHandshakeRequest
+    * at :584-628 answers UNSUPPORTED_SASL_MECHANISM with the allowed
+    * list; PlainSaslServer / KopOAuthBearerSaslServer then accept or fail
+    * the credentials). One row per connection: the mechanism the client
+    * chose (md5 draw weighted toward PLAIN), the handshake outcome, the
+    * authenticate outcome (bad password / expired token draws), the final
+    * state, and — on COMPLETE — the authenticated principal, which is
+    * exactly the role universe [[aclCheck]] authorizes, so the two views
+    * compose into an end-to-end authn+authz audit.
+    *
+    * Scale: one partial-aggregated events scan to 32 connection rows,
+    * every decision an in-row hash draw — nothing data-sized after the
+    * rollup.
+    */
+  def saslFlow(spark: SparkSession, dir: String): DataFrame = {
+    def coin(parts: org.apache.spark.sql.Column*) =
+      substring(md5(concat_ws("#", parts: _*)), 1, 1)
+    graft.Tables.t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(32L)).as("conn_id"))
+      .groupBy("conn_id")
+      .agg(count(lit(1)).as("n_requests"))
+      .withColumn("conn", concat(lit("conn"), col("conn_id")))
+      .withColumn("mech_coin", coin(lit("mech"), col("conn")))
+      .withColumn("mechanism",
+        when(col("mech_coin").isin("0", "1", "2", "3", "4", "5", "6"),
+          "PLAIN")
+          .when(col("mech_coin").isin("7", "8", "9", "a", "b"),
+            "OAUTHBEARER")
+          .when(col("mech_coin").isin("c", "d"), "SCRAM-SHA-256")
+          .otherwise("GSSAPI"))
+      .withColumn("handshake_outcome",
+        when(col("mechanism").isin("PLAIN", "OAUTHBEARER"), "NONE")
+          .otherwise("UNSUPPORTED_SASL_MECHANISM"))
+      .withColumn("auth_coin", coin(lit("auth"), col("conn"),
+        col("mechanism")))
+      .withColumn("auth_outcome",
+        when(col("handshake_outcome") =!= "NONE", lit(null).cast("string"))
+          .when(col("mechanism") === "PLAIN" && col("auth_coin") === "0",
+            "SASL_AUTHENTICATION_FAILED")
+          .when(col("mechanism") === "OAUTHBEARER" &&
+            col("auth_coin").isin("0", "1"), "SASL_AUTHENTICATION_FAILED")
+          .otherwise("NONE"))
+      .withColumn("final_state",
+        when(col("auth_outcome") === "NONE", "COMPLETE").otherwise("FAILED"))
+      .withColumn("principal",
+        when(col("final_state") === "COMPLETE",
+          concat(lit("role"), pmod(col("conn_id"), lit(8L)))))
+      .select(col("conn"), col("mechanism"), col("handshake_outcome"),
+        col("auth_outcome"), col("final_state"), col("principal"),
+        col("n_requests"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "acl_check" -> aclCheck,
+    "api_versions" -> apiVersions,
+    "sasl_flow" -> saslFlow,
     "fetch_authorized" -> fetchAuthorized,
     "topic_configs" -> topicConfigs,
     "alter_configs" -> alterConfigs,
@@ -538,7 +676,80 @@ object Admin {
       |  FROM ae)
       |""".stripMargin
 
+  /** The ONE spelling of the broker version-range table in SQL — derived
+    * from [[apiRanges]] so the Spark literal frame and the oracle can
+    * never drift.
+    */
+  private val apiValuesSql: String = apiRanges
+    .map { case (i, k, n, mn, mx) => s"($i, $k, '$n', $mn, $mx)" }
+    .mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "api_versions" ->
+      (s"""WITH api(api_idx, api_key, api_name, broker_min, broker_max) AS (
+        |  VALUES $apiValuesSql),
+        |""".stripMargin +
+      """req AS (
+        |  SELECT 'client' || (user_id % 16) AS client,
+        |    event_id % 26 AS api_idx, COUNT(*) AS n_requests
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT *,
+        |    ('0x' || substring(md5(
+        |      concat_ws('#', 'ver', client, api_name)), 1, 14))::BIGINT
+        |      % (broker_max + 4) AS client_max
+        |  FROM req JOIN api USING (api_idx))
+        |SELECT client, CAST(api_key AS BIGINT) AS api_key, api_name,
+        |  CAST(broker_min AS BIGINT) AS broker_min,
+        |  CAST(broker_max AS BIGINT) AS broker_max,
+        |  CAST(client_max AS BIGINT) AS client_max,
+        |  CAST(CASE WHEN client_max >= broker_min
+        |    THEN least(client_max, broker_max) END AS BIGINT)
+        |    AS used_version,
+        |  CASE WHEN client_max < broker_min THEN 'UNSUPPORTED_VERSION'
+        |    ELSE 'OK' END AS outcome,
+        |  n_requests
+        |FROM v""".stripMargin),
+    "sasl_flow" ->
+      """WITH conns AS (
+        |  SELECT user_id % 32 AS conn_id, COUNT(*) AS n_requests
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT conn_id, n_requests, 'conn' || conn_id AS conn,
+        |    substring(md5(concat_ws('#', 'mech', 'conn' || conn_id)), 1, 1)
+        |      AS mech_coin
+        |  FROM conns),
+        |mm AS (
+        |  SELECT *,
+        |    CASE WHEN mech_coin IN ('0','1','2','3','4','5','6')
+        |      THEN 'PLAIN'
+        |    WHEN mech_coin IN ('7','8','9','a','b') THEN 'OAUTHBEARER'
+        |    WHEN mech_coin IN ('c','d') THEN 'SCRAM-SHA-256'
+        |    ELSE 'GSSAPI' END AS mechanism
+        |  FROM m),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN mechanism IN ('PLAIN', 'OAUTHBEARER') THEN 'NONE'
+        |      ELSE 'UNSUPPORTED_SASL_MECHANISM' END AS handshake_outcome,
+        |    substring(md5(concat_ws('#', 'auth', 'conn' || conn_id,
+        |      mechanism)), 1, 1) AS auth_coin
+        |  FROM mm),
+        |a AS (
+        |  SELECT *,
+        |    CASE WHEN handshake_outcome <> 'NONE' THEN NULL
+        |      WHEN mechanism = 'PLAIN' AND auth_coin = '0'
+        |        THEN 'SASL_AUTHENTICATION_FAILED'
+        |      WHEN mechanism = 'OAUTHBEARER' AND auth_coin IN ('0', '1')
+        |        THEN 'SASL_AUTHENTICATION_FAILED'
+        |      ELSE 'NONE' END AS auth_outcome
+        |  FROM h)
+        |SELECT conn, mechanism, handshake_outcome, auth_outcome,
+        |  CASE WHEN auth_outcome = 'NONE' THEN 'COMPLETE'
+        |    ELSE 'FAILED' END AS final_state,
+        |  CASE WHEN auth_outcome = 'NONE'
+        |    THEN 'role' || (conn_id % 8) END AS principal,
+        |  n_requests
+        |FROM a""".stripMargin,
     "acl_check" -> ("WITH " + aclSql +
       "SELECT topic, ns, role, action, n_requests, decision, via FROM acl"),
     "fetch_authorized" -> (L + aclSql.stripSuffix("\n") + ",\n" +

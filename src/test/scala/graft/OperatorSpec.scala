@@ -804,6 +804,59 @@ class OperatorSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("api_versions negotiates least(client, broker) and accounts every request") {
+    val a = admin.Admin.apiVersions(spark, dir).cache()
+    assert(a.count() > 0)
+    // every event is accounted exactly once across (client, api) cells
+    assert(a.agg(sum("n_requests").cast("long")).head.getLong(0) ==
+      Tables.t(spark, dir, "events").count())
+    // the draw respects its modulus and the negotiation algebra holds
+    assert(a.filter(col("client_max") < 0 ||
+      col("client_max") > col("broker_max") + 3).count() == 0)
+    assert(a.filter(col("outcome") === "UNSUPPORTED_VERSION" &&
+      col("client_max") >= col("broker_min")).count() == 0)
+    assert(a.filter(col("outcome") === "OK" &&
+      col("used_version") =!= least(col("client_max"), col("broker_max")))
+      .count() == 0)
+    assert(a.filter(col("used_version").isNull =!=
+      (col("outcome") === "UNSUPPORTED_VERSION")).count() == 0)
+    // a used version is always inside the advertised range
+    assert(a.filter(col("outcome") === "OK" &&
+      (col("used_version") < col("broker_min") ||
+        col("used_version") > col("broker_max"))).count() == 0)
+    // the range table itself: LIST_OFFSETS min is 0 (the librdkafka
+    // override the reference hard-codes), and every row joined a real api
+    assert(a.filter(col("api_name") === "LIST_OFFSETS" &&
+      col("broker_min") =!= 0L).count() == 0)
+    assert(a.select("api_name").distinct().count() ==
+      admin.Admin.apiRanges.size)
+    a.unpersist()
+  }
+
+  test("sasl_flow's state machine gates authenticate on the handshake") {
+    val s = admin.Admin.saslFlow(spark, dir).cache()
+    assert(s.count() > 0)
+    assert(s.agg(sum("n_requests").cast("long")).head.getLong(0) ==
+      Tables.t(spark, dir, "events").count())
+    // handshake rejects exactly the mechanisms outside the allowed set
+    assert(s.filter((col("handshake_outcome") === "NONE") =!=
+      col("mechanism").isin("PLAIN", "OAUTHBEARER")).count() == 0)
+    // authenticate runs iff the handshake succeeded
+    assert(s.filter(col("auth_outcome").isNull =!=
+      (col("handshake_outcome") =!= "NONE")).count() == 0)
+    // COMPLETE iff authenticate returned NONE; principal iff COMPLETE
+    assert(s.filter((col("final_state") === "COMPLETE") =!=
+      (col("auth_outcome") === "NONE")).count() == 0)
+    assert(s.filter(col("principal").isNotNull =!=
+      (col("final_state") === "COMPLETE")).count() == 0)
+    // the principal is acl_check's role universe: conn<i> -> role<i%8>
+    assert(s.filter(col("principal").isNotNull &&
+      col("principal") =!= concat(lit("role"),
+        pmod(regexp_extract(col("conn"), "conn(\\d+)", 1).cast("long"),
+          lit(8L)))).count() == 0)
+    s.unpersist()
+  }
+
   test("cluster_sample keeps sparse cells whole and thins dense cells") {
     val s = llm.Similarity.clusterSample(spark, dir).cache()
     assert(s.count() > 0)

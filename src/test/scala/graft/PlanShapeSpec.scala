@@ -271,4 +271,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"chunk-prefix join is not broadcast:\n$plan")
   }
+
+  test("api_versions broadcasts the 26-row range table into the rollup") {
+    val plan = planOf(graft.admin.Admin.apiVersions(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"api_versions range table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"api_versions shuffles a join side:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"api_versions rollup not map-side combined:\n$plan")
+  }
+
+  test("sasl_flow is one aggregation, no joins at all") {
+    val plan = planOf(graft.admin.Admin.saslFlow(spark, dir))
+    assert(!plan.contains("Join"), s"sasl_flow joined a side table:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"sasl_flow rollup not map-side combined:\n$plan")
+  }
 }
