@@ -414,6 +414,20 @@ object Similarity {
     * distance within the probed cell.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("distq"), col("n_id"))
+    ivfpqCand(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"),
+        (col("distq").cast("double") / lit(1000000000.0d)).as("dist"),
+        col("rank"))
+  }
+
+  /** The IVF + PQ candidate frame `(q_id, n_id, distq)` — every pair in
+    * the query's coarse cell priced by broadcast ADC lookups.
+    * [[annIvfPq]] ranks it directly; [[annRefine]] widens and re-ranks it.
+    */
+  private def ivfpqCand(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir).select(col("vec_id"), col("cell"))
     val subs = subSlices(spark, dir)
     val cents = pqCodebook(spark, dir)
@@ -426,18 +440,45 @@ object Similarity {
         col("d2q"))
     val qcells = cells.filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id").as("q_id"), col("cell").as("qcell"))
-    val cand = codes
+    codes
       .join(broadcast(dtable.join(qcells, "q_id")),
         col("s") === col("qs") && col("code") === col("cid") &&
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum("d2q").cast("long").as("distq"))
-    val w = Window.partitionBy("q_id").orderBy(col("distq"), col("n_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** ADC re-ranking width: [[annRefine]] keeps the top RefineR candidates
+    * by code distance before paying the exact-vector fetch.
+    */
+  private[graft] val RefineR = 10L
+
+  /** IVFADC + refine (the FAISS `IVFPQR` / production two-stage pattern):
+    * the PQ code scan is a cheap, slightly wrong ranker, so keep its top
+    * [[RefineR]] candidates per query and re-rank ONLY those by exact
+    * cosine over the raw vectors. At 100 TB the exact stage fetches
+    * R << n vectors by id (a broadcast semi-join into one vector scan) —
+    * the code index still does all the winnowing, and the refine step
+    * repairs code-quantization ordering loss essentially for free.
+    * Top-3 per query by exact cosine within the widened candidate set.
+    */
+  def annRefine(spark: SparkSession, dir: String): DataFrame = {
+    val wAdc = Window.partitionBy("q_id").orderBy(col("distq"), col("n_id"))
+    val wide = ivfpqCand(spark, dir)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= RefineR)
+      .select("q_id", "n_id")
+    val vecs = vectors(spark, dir)
+    val q = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val pairs = broadcast(wide.join(broadcast(q), "q_id"))
+      .join(vecs.as("c"), col("n_id") === col("c.vec_id"))
+      .withColumn("cos", expr("vec_dot(qv, c.v) / (qnrm * c.nrm)"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
-      .select(col("q_id"), col("n_id"),
-        (col("distq").cast("double") / lit(1000000000.0d)).as("dist"),
-        col("rank"))
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
   /** Recall of an approximate result (columns q_id, a_id) against an
@@ -491,6 +532,18 @@ object Similarity {
   def ivfpqRecall(spark: SparkSession, dir: String): DataFrame =
     recall3For(spark, dir,
       annIvfPq(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
+
+  /** Recall@3 of the refined path ([[annRefine]]) vs the exact top-3.
+    * Provably >= ivfpq_recall per query: the refine candidate set is a
+    * superset of the ADC top-3, and any global-top-3 member inside it
+    * outranks every other candidate under exact cosine — so re-ranking
+    * can only keep or recover matches, never lose one. What remains
+    * unrepaired is coarse-cell loss (the true neighbor lives in an
+    * unprobed cell), which prices the nprobe knob, not the code width.
+    */
+  def refineRecall(spark: SparkSession, dir: String): DataFrame =
+    recall3For(spark, dir,
+      annRefine(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
 
   /** Quantization-loss evaluation: recall@3 of the int8 index against the
     * exact full-precision top-3 — the number that decides whether the 4x
@@ -640,6 +693,8 @@ object Similarity {
     "lsh_multi_recall" -> lshMultiRecall,
     "ann_ivfpq" -> annIvfPq,
     "ivfpq_recall" -> ivfpqRecall,
+    "ann_refine" -> annRefine,
+    "refine_recall" -> refineRecall,
     "ann_pq" -> annPq,
     "pq_recall" -> pqRecall,
     "ann_sq8" -> annSq8,
@@ -832,6 +887,29 @@ object Similarity {
       |  GROUP BY dt.q_id, c.vec_id)
       |""".stripMargin
 
+  /** The refined-candidate chain (continues vecSql + ivfpqChainSql's
+    * `cand`; ends with `ref3(q_id, n_id, cos, rank)` — the exact-cosine
+    * top-3 inside the ADC top-RefineR) — shared by ann_refine and
+    * refine_recall.
+    */
+  private def refineChainSql: String =
+    s""", wide AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY distq, n_id) AS arn FROM cand)
+       |  WHERE arn <= $RefineR),
+       |rp AS (
+       |  SELECT wide.q_id, wide.n_id, $cosSql AS cos
+       |  FROM wide
+       |  JOIN vecs q ON q.vec_id = wide.q_id
+       |  JOIN vecs c ON c.vec_id = wide.n_id),
+       |ref3 AS (
+       |  SELECT q_id, n_id, cos, rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS rank FROM rp)
+       |  WHERE rank <= 3)
+       |""".stripMargin
+
   /** The 4-table LSH candidate chain (continues vecSql; ends with
     * `mcand(q_id, n_id)`) — shared by ann_lsh_multi and lsh_multi_recall.
     */
@@ -945,6 +1023,29 @@ object Similarity {
          |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    / COUNT(*) AS recall
          |FROM bf LEFT JOIN ap ON bf.q_id = ap.q_id AND bf.n_id = ap.n_id
+         |GROUP BY bf.q_id""".stripMargin),
+    "ann_refine" -> (vecSql + ivfpqChainSql.stripSuffix("\n") +
+      refineChainSql.stripSuffix("\n") + "\n" +
+      """SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank
+        |FROM ref3""".stripMargin),
+    "refine_recall" -> (vecSql + ivfpqChainSql.stripSuffix("\n") +
+      refineChainSql.stripSuffix("\n") + ",\n" +
+      s"""bfp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q, vecs c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 108 AND q.vec_id <> c.vec_id),
+         |bf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM bfp)
+         |  WHERE rank <= 3)
+         |SELECT bf.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN ref3.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_matched,
+         |  CAST(SUM(CASE WHEN ref3.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) / COUNT(*) AS recall
+         |FROM bf LEFT JOIN ref3
+         |  ON bf.q_id = ref3.q_id AND bf.n_id = ref3.n_id
          |GROUP BY bf.q_id""".stripMargin),
     "ann_pq" -> (vecSql + pqChainSql +
       """SELECT q_id, n_id,

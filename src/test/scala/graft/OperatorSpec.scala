@@ -487,6 +487,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
   }
 
+  test("refine re-ranking never loses recall vs the raw ADC ranking") {
+    // The refine candidate set (ADC top-RefineR) is a superset of the ADC
+    // top-3, and any global-top-3 member inside it outranks every other
+    // candidate under exact cosine — so per-query refined recall is >= the
+    // unrefined ivfpq recall, with no tolerance needed (exact integers).
+    val ref = llm.Similarity.refineRecall(spark, dir)
+      .select(col("q_id"), col("n_matched").as("m_ref"))
+    val raw = llm.Similarity.ivfpqRecall(spark, dir)
+      .select(col("q_id"), col("n_matched").as("m_raw"))
+    assert(ref.join(raw, "q_id").filter(col("m_ref") < col("m_raw"))
+      .count() == 0)
+    // refined output is a dense top-3 with cosines in [-1, 1]
+    val r = llm.Similarity.annRefine(spark, dir)
+    assert(r.filter(abs(col("cos")) > 1.0 + 1e-9).count() == 0)
+    val perQ = r.groupBy("q_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
+  }
+
   test("transitive schema compat is at most the non-transitive verdict") {
     val t = registry.SchemaRegistry.schemaCompatTransitive(spark, dir)
     assert(t.filter(col("backward_transitive") === 1L && col("backward") === 0L)
