@@ -123,6 +123,42 @@ object Curation {
       .select("doc_id", "shuffle_pos", "n_tok", "start_off", "seq_id",
         "spans_boundary")
 
+  /** Loader shards: [[shardManifest]] interleaves sequences round-robin
+    * across this many reader workers (seq_id mod NumShards), the standard
+    * layout that gives every worker a statistically even slice without a
+    * second shuffle of the data.
+    */
+  private[graft] val NumShards = 8L
+
+  /** The data-loader manifest over [[packShuffled]]'s layout — the
+    * artifact a distributed reader fleet actually consumes: per
+    * round-robin shard (seq_id mod [[NumShards]]) the sequences it owns,
+    * the documents whose owning sequence lands there, their token volume,
+    * the boundary-straddle count (docs whose tail the NEXT sequence
+    * carries — the cross-shard read a loader must plan for), and the
+    * shard's sequence-id range.
+    *
+    * Scale: rides the pack manifest (the 256-bucket parallel prefix);
+    * the rollup partial-aggregates on (shard, seq_id) then on shard —
+    * both map-side-combined, output bounded by NumShards rows.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    packShuffled(spark, dir)
+      .withColumn("shard", pmod(col("seq_id"), lit(NumShards)))
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("d"),
+        sum("n_tok").cast("long").as("tk"),
+        sum("spans_boundary").cast("long").as("sp"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum("d").cast("long").as("n_docs"),
+        sum("tk").cast("long").as("n_toks"),
+        sum("sp").cast("long").as("n_straddle"),
+        min("seq_id").as("min_seq"),
+        max("seq_id").as("max_seq"))
+
   /** The shuffled-order pack layout over an arbitrary (doc_id, source,
     * text) frame — [[packShuffled]] runs it over the whole corpus,
     * [[curationPipeline]] over the curated survivor set. Keeps the
@@ -319,6 +355,7 @@ object Curation {
     "pii_scrub" -> piiScrub,
     "dedup_spans" -> dedupSpans,
     "pack_shuffled" -> packShuffled,
+    "shard_manifest" -> shardManifest,
     "curation_pipeline" -> curationPipeline,
     "curation_report" -> curationReport,
     "boilerplate_chunks" -> boilerplateChunks,
@@ -345,6 +382,33 @@ object Curation {
        |  COUNT(*) AS n_occ FROM ch GROUP BY 1, 2
        |  HAVING COUNT(DISTINCT doc_id) >= $MinDocs)
        |""".stripMargin
+
+  /** DuckDB mirror of [[packShuffled]] (ends with the per-doc manifest
+    * `m(doc_id, shuffle_pos, n_tok, start_off, seq_id, spans_boundary)`)
+    * — the ONE spelling of the shuffled pack layout, shared by
+    * pack_shuffled and shard_manifest.
+    */
+  private def packChainSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS hl,
+       |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY hl, doc_id) - 1 AS BIGINT)
+       |      AS shuffle_pos,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hl, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_off
+       |  FROM h),
+       |m AS (
+       |  SELECT doc_id, shuffle_pos, n_tok, start_off,
+       |    start_off // $SeqLen AS seq_id,
+       |    CAST(CASE WHEN (start_off + n_tok - 1) // $SeqLen
+       |        <> start_off // $SeqLen
+       |      THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+       |  FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pii_scrub" ->
@@ -409,26 +473,22 @@ object Curation {
         |  md5(string_agg(ctext, ' ' ORDER BY chunk_id)
         |    FILTER (WHERE kept = 1)) AS kept_md5
         |FROM k GROUP BY doc_id""".stripMargin,
-    "pack_shuffled" ->
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS hl,
-         |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
-         |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, n_tok,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY hl, doc_id) - 1 AS BIGINT)
-        |      AS shuffle_pos,
-        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hl, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS start_off
-        |  FROM h)
-        |SELECT doc_id, shuffle_pos, n_tok, start_off,
-        |  start_off // $SeqLen AS seq_id,
-        |  CAST(CASE WHEN (start_off + n_tok - 1) // $SeqLen
-        |      <> start_off // $SeqLen
-        |    THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
-        |FROM p""".stripMargin,
+    "pack_shuffled" -> (packChainSql + "\nSELECT * FROM m"),
+    "shard_manifest" -> (packChainSql + ",\n" +
+      s"""ps AS (
+         |  SELECT seq_id % $NumShards AS shard, seq_id,
+         |    COUNT(*) AS d,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tk,
+         |    CAST(SUM(spans_boundary) AS BIGINT) AS sp
+         |  FROM m GROUP BY seq_id % $NumShards, seq_id)
+         |SELECT shard,
+         |  COUNT(*) AS n_seqs,
+         |  CAST(SUM(d) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tk) AS BIGINT) AS n_toks,
+         |  CAST(SUM(sp) AS BIGINT) AS n_straddle,
+         |  MIN(seq_id) AS min_seq,
+         |  MAX(seq_id) AS max_seq
+         |FROM ps GROUP BY shard""".stripMargin),
     "curation_pipeline" -> (Dedup.clustersChainSql + ",\n" +
       "losers AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) <> src),\n" +
       TextAnalysis.corpusFilterChainSql + ",\n" +

@@ -487,6 +487,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
   }
 
+  test("shard manifest accounts every doc, token, and sequence once") {
+    val m = llm.Curation.shardManifest(spark, dir).cache()
+    val pk = llm.Curation.packShuffled(spark, dir).cache()
+    assert(m.agg(sum("n_docs")).head.getLong(0) ==
+      Tables.t(spark, dir, "documents").count())
+    assert(m.agg(sum("n_seqs")).head.getLong(0) ==
+      pk.select("seq_id").distinct().count())
+    assert(m.agg(sum("n_toks")).head.getLong(0) ==
+      pk.agg(sum("n_tok")).head.getLong(0))
+    // round-robin interleave: a shard's sequence-id range is congruent to
+    // the shard index (seq_id mod NumShards IS the shard)
+    assert(m.filter(pmod(col("min_seq"), lit(8L)) =!= col("shard") ||
+      pmod(col("max_seq"), lit(8L)) =!= col("shard")).count() == 0)
+  }
+
   test("refine re-ranking never loses recall vs the raw ADC ranking") {
     // The refine candidate set (ADC top-RefineR) is a superset of the ADC
     // top-3, and any global-top-3 member inside it outranks every other
