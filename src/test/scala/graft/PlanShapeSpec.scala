@@ -288,4 +288,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"),
       s"sasl_flow rollup not map-side combined:\n$plan")
   }
+
+  test("ann_refine fetches exact vectors via a broadcast n_id join") {
+    // The refine STAGE must broadcast the R x |queries| candidate set
+    // into the vector scan — a sort-merge join keyed on n_id would
+    // shuffle the whole vector table to re-rank 80 candidates. (The
+    // upstream IVFPQ code chain keeps its own data-sized vec_id joins;
+    // those are the index build, not the refine fetch.)
+    val plan = planOf(graft.llm.Similarity.annRefine(spark, dir))
+    assert("BroadcastHashJoin \\[n_id".r.findFirstIn(plan).isDefined,
+      s"ann_refine candidate fetch not a broadcast n_id join:\n$plan")
+    assert("SortMergeJoin \\[n_id".r.findFirstIn(plan).isEmpty,
+      s"ann_refine shuffles the vector table to refine:\n$plan")
+  }
+
+  test("shard_manifest adds only map-side-combined rollups to the pack") {
+    // Beyond packShuffled's own shape (256-bucket prefix, broadcast
+    // offsets) the manifest may add aggregations only — no new join, and
+    // both rollup levels partial-aggregate before their exchange.
+    val plan = planOf(graft.llm.Curation.shardManifest(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"shard_manifest shuffles a join side:\n$plan")
+    assert("Join".r.findAllIn(plan).size ==
+      "BroadcastHashJoin".r.findAllIn(plan).size,
+      s"shard_manifest has a non-broadcast join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"shard_manifest rollup not map-side combined:\n$plan")
+  }
 }
