@@ -194,6 +194,31 @@ object Curation {
           .as("spans_boundary"))
   }
 
+  /** The per-sequence attention-mask manifest over [[packShuffled]]'s
+    * layout — for every sequence that OWNS at least one document: the
+    * document count, the sorted in-sequence boundary offsets (where
+    * cross-document attention must be masked), whether a previous doc's
+    * tail carries in (first boundary > 0), and how many owned docs
+    * straddle out. Sequences fully covered by one long doc own no
+    * boundary and don't appear — their mask is all-carry.
+    *
+    * Scale: one pass over the pack manifest, one partial-aggregated
+    * shuffle on seq_id; the boundary list is bounded by SeqLen docs per
+    * sequence by construction.
+    */
+  def seqBoundaries(spark: SparkSession, dir: String): DataFrame =
+    packShuffled(spark, dir)
+      .withColumn("rel_off", col("start_off") - col("seq_id") * SeqLen)
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("rel_off").as("first_off"),
+        sum("spans_boundary").cast("long").as("n_straddle_out"),
+        expr("array_join(transform(array_sort(collect_list(rel_off))," +
+          " x -> cast(x as string)), ',')").as("boundaries"))
+      .withColumn("carry_in",
+        when(col("first_off") > 0L, 1L).otherwise(0L))
+
   /** The end-to-end curation job a pre-training run actually ships, as
     * ONE view: quality/exact-dup filtering (TextAnalysis.corpusFilter's
     * keep verdicts) -> near-dup pruning (keep only each
@@ -356,6 +381,7 @@ object Curation {
     "dedup_spans" -> dedupSpans,
     "pack_shuffled" -> packShuffled,
     "shard_manifest" -> shardManifest,
+    "seq_boundaries" -> seqBoundaries,
     "curation_pipeline" -> curationPipeline,
     "curation_report" -> curationReport,
     "boilerplate_chunks" -> boilerplateChunks,
@@ -474,6 +500,20 @@ object Curation {
         |    FILTER (WHERE kept = 1)) AS kept_md5
         |FROM k GROUP BY doc_id""".stripMargin,
     "pack_shuffled" -> (packChainSql + "\nSELECT * FROM m"),
+    "seq_boundaries" -> (packChainSql + ",\n" +
+      s"""r AS (
+         |  SELECT seq_id, start_off - seq_id * $SeqLen AS rel_off,
+         |    spans_boundary
+         |  FROM m)
+         |SELECT seq_id,
+         |  COUNT(*) AS n_docs,
+         |  MIN(rel_off) AS first_off,
+         |  CAST(SUM(spans_boundary) AS BIGINT) AS n_straddle_out,
+         |  string_agg(CAST(rel_off AS VARCHAR), ',' ORDER BY rel_off)
+         |    AS boundaries,
+         |  CAST(CASE WHEN MIN(rel_off) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS carry_in
+         |FROM r GROUP BY seq_id""".stripMargin),
     "shard_manifest" -> (packChainSql + ",\n" +
       s"""ps AS (
          |  SELECT seq_id % $NumShards AS shard, seq_id,

@@ -115,6 +115,44 @@ object Sampling {
       .select("doc_id", "shuffle_pos", "shard")
   }
 
+  /** Epochs materialized by [[epochOrder]] — enough to pin that the
+    * per-epoch permutations are distinct and individually complete.
+    */
+  private[graft] val NumEpochs = 3L
+
+  /** Multi-epoch training order: each epoch re-shuffles the corpus under
+    * an epoch-salted hash (md5("ep<e>#<doc_id>")), so every epoch is a
+    * DIFFERENT deterministic permutation — the property a multi-epoch
+    * run needs (same data, fresh order, reproducible across runs,
+    * engines, and cluster sizes). One row per (doc, epoch) with the
+    * epoch-local position.
+    *
+    * Scale: the epoch frame is [[NumEpochs]] literal rows broadcast over
+    * one documents scan; each epoch's rank reuses corpus_shuffle's
+    * 256-bucket parallel prefix (per-(epoch, bucket) counts into a
+    * 256·E-row broadcast offset table, per-bucket ROW_NUMBER) — no
+    * single-task global window, and epochs rank in parallel.
+    */
+  def epochOrder(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = spark.range(NumEpochs).select(col("id").as("epoch"))
+    val d = t(spark, dir, "documents").select("doc_id")
+      .crossJoin(broadcast(epochs))
+      .withColumn("h", md5Long(concat(lit("ep"), col("epoch"),
+        lit("#"), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr("h div 281474976710656"))
+    val offs = d.groupBy("epoch", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum("n").over(Window.partitionBy("epoch").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "bucket", "off")
+    d.join(broadcast(offs), Seq("epoch", "bucket"))
+      .withColumn("pos",
+        col("off") + row_number().over(
+          Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id"))
+          .cast("long") - 1L)
+      .select("doc_id", "epoch", "pos")
+  }
+
   /** DSIR-style importance weight per document (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): how much
     * more likely the doc's token bag is under the target distribution
@@ -170,6 +208,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> dsirWeights,
     "corpus_shuffle" -> corpusShuffle,
+    "epoch_order" -> epochOrder,
     "sample_stratified" -> sampleStratified,
     "mix_sources" -> mixSources,
     "mix_temperature" -> mixTemperature,
@@ -209,6 +248,18 @@ object Sampling {
         |  CAST(CASE WHEN score_num > 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS selected
         |FROM scored""".stripMargin,
+    "epoch_order" ->
+      s"""WITH ep AS (
+        |  SELECT unnest(generate_series(0, 2)) AS epoch),
+        |h AS (
+        |  SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |    ${md5LongSql("'ep' || CAST(epoch AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)")}
+        |      AS hl
+        |  FROM documents CROSS JOIN ep)
+        |SELECT doc_id, epoch,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hl, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     "corpus_shuffle" ->
       s"""WITH h AS (
         |  SELECT doc_id,

@@ -487,6 +487,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
   }
 
+  test("epoch orders are complete permutations and differ across epochs") {
+    val e = llm.Sampling.epochOrder(spark, dir).cache()
+    val n = Tables.t(spark, dir, "documents").count()
+    // each epoch is a bijection onto [0, n)
+    val per = e.groupBy("epoch").agg(
+      count(lit(1)).as("cnt"), countDistinct("pos").as("dp"),
+      min("pos").as("mn"), max("pos").as("mx"))
+    assert(per.filter(col("cnt") =!= n || col("dp") =!= n ||
+      col("mn") =!= 0L || col("mx") =!= (n - 1)).count() == 0)
+    // the salt works: epoch 0 and 1 are not the same permutation
+    val moved = e.filter(col("epoch") === 0L).select(col("doc_id"), col("pos"))
+      .join(e.filter(col("epoch") === 1L)
+        .select(col("doc_id"), col("pos").as("pos1")), "doc_id")
+      .filter(col("pos") =!= col("pos1")).count()
+    assert(moved > 0, "epoch 1 replayed epoch 0's order")
+  }
+
+  test("seq_boundaries masks agree with the pack layout") {
+    val b = llm.Curation.seqBoundaries(spark, dir).cache()
+    val pk = llm.Curation.packShuffled(spark, dir)
+    // every owned doc appears in exactly one sequence's boundary list
+    assert(b.agg(sum("n_docs")).head.getLong(0) == pk.count())
+    // the boundary list leads with the first offset, and a zero first
+    // offset is exactly the no-carry-in case
+    assert(b.filter(!col("boundaries")
+      .startsWith(col("first_off").cast("string"))).count() == 0)
+    assert(b.filter((col("first_off") === 0L) === (col("carry_in") === 1L))
+      .count() == 0)
+    // offsets are in-sequence: 0 <= first and every straddler is counted
+    assert(b.filter(col("first_off") < 0L ||
+      col("n_straddle_out") > col("n_docs")).count() == 0)
+  }
+
   test("shard manifest accounts every doc, token, and sequence once") {
     val m = llm.Curation.shardManifest(spark, dir).cache()
     val pk = llm.Curation.packShuffled(spark, dir).cache()
