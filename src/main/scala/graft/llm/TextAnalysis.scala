@@ -290,6 +290,32 @@ object TextAnalysis {
       .withColumn("saved", col("n_chars") - col("n_tokens"))
   }
 
+  /** Tokenizer fertility per source — the tokenizer-quality metric a
+    * multilingual data team tracks: tokens emitted per word and chars
+    * compressed per token under the trained BPE ([[bpeEncode]]'s
+    * per-doc accounting rolled up by source). A source whose fertility
+    * runs hot is under-served by the merge table — the signal that
+    * re-weights tokenizer training data. Counts are exact BIGINTs; the
+    * two ratios are single double divisions (engine-identical).
+    *
+    * Scale: rides bpe_encode's bounded-vocabulary broadcast; the source
+    * join keys the doc-level frame once, the rollup partial-aggregates
+    * to |sources| rows.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(t(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("n_words"),
+        sum("n_chars").cast("long").as("n_chars"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+
   /** Document-length distribution per source: nearest-rank quartiles. */
   def docLengthStats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -459,6 +485,7 @@ object TextAnalysis {
     "lexical_diversity" -> lexicalDiversity,
     "bpe_merges" -> bpeMerges,
     "bpe_encode" -> bpeEncode,
+    "bpe_fertility" -> bpeFertility,
     "bpe_pair_counts" -> bpePairCounts,
     "gram_likelihood" -> gramLikelihood,
     "substring_dup_pairs" -> substringDupPairs,
@@ -550,6 +577,35 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql,
+    "bpe_fertility" -> (bpeChainSql + """,
+        |dw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |        AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 1),
+        |enc AS (
+        |  SELECT word,
+        |    CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tok
+        |  FROM s3),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM dw JOIN enc USING (word) GROUP BY doc_id)
+        |SELECT d.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(p.n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(SUM(p.n_tokens) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(p.n_words) AS BIGINT) AS DOUBLE) AS fertility,
+        |  CAST(CAST(SUM(p.n_chars) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(p.n_tokens) AS BIGINT) AS DOUBLE) AS compression
+        |FROM perdoc p JOIN documents d USING (doc_id)
+        |GROUP BY d.source""".stripMargin),
     "bpe_encode" -> (bpeChainSql + """,
         |dw AS (
         |  SELECT doc_id, word FROM (
