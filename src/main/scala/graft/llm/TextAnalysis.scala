@@ -98,23 +98,36 @@ object TextAnalysis {
     */
   private[llm] def filterVerdicts(spark: SparkSession, dir: String): DataFrame = {
     val byText = Window.partitionBy(md5(col("text")))
-    t(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
+    withQualityCols(t(spark, dir, "documents"))
+      .withColumn("keep_id", min("doc_id").over(byText))
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keep_id"), "dup")
+          .otherwise(qualityReason))
+      .select("doc_id", "source", "n_t", "reason")
+  }
+
+  /** The stateless quality feature columns (toks, n_c, n_t, n_stop,
+    * avg_tok_len, stop_ratio) over any frame with a `text` column — the
+    * ONE spelling shared by the batch verdicts and the streaming gate.
+    */
+  private[graft] def withQualityCols(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
       .withColumn("n_c", length(col("text")).cast("long"))
       .withColumn("n_t", size(col("toks")).cast("long"))
       .withColumn("n_stop", expr(hitExpr(markers("en"))).cast("long"))
-      .withColumn("keep_id", min("doc_id").over(byText))
       .withColumn("avg_tok_len",
         (col("n_c") - (col("n_t") - 1)) / col("n_t"))
       .withColumn("stop_ratio", col("n_stop") / col("n_t"))
-      .withColumn("reason",
-        when(col("doc_id") =!= col("keep_id"), "dup")
-          .when(col("n_t") < 20, "too_short")
-          .when(col("avg_tok_len") < 3.0 || col("avg_tok_len") > 8.0, "tok_len")
-          .when(col("stop_ratio") > 0.2, "stopwords")
-          .otherwise("keep"))
-      .select("doc_id", "source", "n_t", "reason")
-  }
+
+  /** The quality-rule verdict (everything but the exact-dup rule) over
+    * [[withQualityCols]]'s features — first failing rule wins, same
+    * order in batch and stream.
+    */
+  private[graft] def qualityReason =
+    when(col("n_t") < 20, "too_short")
+      .when(col("avg_tok_len") < 3.0 || col("avg_tok_len") > 8.0, "tok_len")
+      .when(col("stop_ratio") > 0.2, "stopwords")
+      .otherwise("keep")
 
   /** TF-IDF-style term weighting, log-free for cross-engine exactness:
     * weight = tf * (N / df) — integer-derived double arithmetic (libm log

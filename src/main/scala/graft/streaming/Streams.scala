@@ -187,6 +187,42 @@ object Streams {
   def piiScrubStream(stream: DataFrame): DataFrame =
     graft.llm.Curation.piiAudit(stream)
 
+  final case class DocIn(doc_id: Long, h: String, q_reason: String)
+  final case class DocVerdict(doc_id: Long, reason: String)
+
+  /** Continuous corpus quality gate — corpus_filter as an ingest stage:
+    * the stateless quality rules run in-row via the SAME column
+    * expressions as the batch verdicts (TextAnalysis.withQualityCols /
+    * qualityReason), and the exact-dup rule is keep-first state per
+    * distinct text hash (flatMapGroupsWithState; in-batch arrivals
+    * resolve in doc_id order, matching the batch min-id keeper). State
+    * is one boolean per distinct text — the same cardinality the batch
+    * dedup shuffles. Because duplicate texts share one quality verdict,
+    * per-reason accounting is batch-exact regardless of which replica
+    * the stream saw first (StreamingSpec pins it).
+    */
+  def qualityGateStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val marked = graft.llm.TextAnalysis.withQualityCols(stream)
+      .withColumn("q_reason", graft.llm.TextAnalysis.qualityReason)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("h"), col("q_reason"))
+      .as[DocIn]
+    marked.groupByKey(_.h)
+      .flatMapGroupsWithState[Boolean, DocVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            if (seen) DocVerdict(d.doc_id, "dup")
+            else { seen = true; DocVerdict(d.doc_id, d.q_reason) }
+          }
+          state.update(seen)
+          out.iterator
+      }.toDF()
+  }
+
   /** A table as a file-source stream, canonicalized to the batch contract —
     * the one staging definition every runner and spec shares (a divergence
     * here, e.g. maxFilesPerTrigger or a schema source change, must hit all

@@ -88,6 +88,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming quality gate == batch corpus_filter per-reason counts") {
+    val stream = Streams.tableStream(spark, dir, "documents")
+    val q = Streams.qualityGateStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("graft_qgate_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_qgate_stream")
+    // every doc gets exactly one verdict
+    assert(got.count() == Tables.t(spark, dir, "documents").count())
+    // duplicate texts share one quality verdict, so per-reason counts are
+    // batch-exact no matter which replica the stream kept
+    val gotCounts = got.groupBy("reason").count()
+    val wantCounts = llm.TextAnalysis.corpusFilter(spark, dir)
+      .groupBy("reason").count()
+    assert(gotCounts.exceptAll(wantCounts).count() == 0 &&
+      wantCounts.exceptAll(gotCounts).count() == 0)
+  }
+
   test("watermarked producer-seq dedup == batch distinct (producer, seq)") {
     val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.producerDedupStream(stream)
