@@ -28,16 +28,43 @@ object TextAnalysis {
     * fixed priority order on ties.
     */
   def langid(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
+    withLangPred(t(spark, dir, "documents"))
+      .select("doc_id", "pred_lang", "h_en", "h_es", "h_fr")
+
+  /** Marker hits + argmax prediction over any frame with a `text` column
+    * — the ONE spelling shared by [[langid]] and [[langidEval]].
+    */
+  private def withLangPred(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
       .withColumn("h_en", expr(hitExpr(markers("en"))).cast("long"))
       .withColumn("h_es", expr(hitExpr(markers("es"))).cast("long"))
       .withColumn("h_fr", expr(hitExpr(markers("fr"))).cast("long"))
-      .select(col("doc_id"),
+      .withColumn("pred_lang",
         when(col("h_en") >= col("h_es") && col("h_en") >= col("h_fr"), "en")
           .when(col("h_es") >= col("h_fr"), "es")
-          .otherwise("fr").as("pred_lang"),
-        col("h_en"), col("h_es"), col("h_fr"))
+          .otherwise("fr"))
+
+  /** Classifier evaluation for the language-ID heuristic: the confusion
+    * matrix against the labeled `lang` column — per (actual, predicted)
+    * cell the count, the row share in integer basis points, and the hit
+    * flag. The view a data team reads before trusting langid-gated
+    * filtering (the heuristic only emits en/es/fr, so zh/de rows expose
+    * its out-of-vocabulary behavior honestly).
+    *
+    * Scale: one documents scan, in-row scoring, a partial-aggregated
+    * rollup to |langs|² cells; row totals join broadcast.
+    */
+  def langidEval(spark: SparkSession, dir: String): DataFrame = {
+    val cells = withLangPred(t(spark, dir, "documents"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").cast("long").as("n_lang"))
+    cells.join(broadcast(totals), "lang")
+      .withColumn("bp", expr("(10000 * n) div n_lang"))
+      .withColumn("hit",
+        when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+      .select("lang", "pred_lang", "n", "bp", "hit")
+  }
 
   /** Heuristic quality score from length / punctuation / stopword ratios.
     * The arithmetic is written in the same order on both engines so the
@@ -511,6 +538,7 @@ object TextAnalysis {
     "doc_length_stats" -> docLengthStats,
     "corpus_filter" -> corpusFilter,
     "langid" -> langid,
+    "langid_eval" -> langidEval,
     "quality_score" -> qualityScore,
     "token_count" -> tokenCount,
     "fingerprint" -> fingerprint)
@@ -790,6 +818,29 @@ object TextAnalysis {
           |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
           |  reason
           |FROM r""".stripMargin),
+    "langid_eval" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    CAST(${hitSql(markers("en"))} AS BIGINT) AS h_en,
+         |    CAST(${hitSql(markers("es"))} AS BIGINT) AS h_es,
+         |    CAST(${hitSql(markers("fr"))} AS BIGINT) AS h_fr
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |         WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang
+         |  FROM h),
+         |cells AS (
+         |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY lang, pred_lang),
+         |tot AS (
+         |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+         |  FROM cells GROUP BY lang)
+         |SELECT cells.lang, pred_lang, n,
+         |  (10000 * n) // n_lang AS bp,
+         |  CAST(CASE WHEN cells.lang = pred_lang THEN 1 ELSE 0 END AS BIGINT)
+         |    AS hit
+         |FROM cells JOIN tot USING (lang)""".stripMargin,
     "langid" ->
       s"""WITH h AS (
          |  SELECT doc_id,
