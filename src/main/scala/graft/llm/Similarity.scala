@@ -545,6 +545,26 @@ object Similarity {
     recall3For(spark, dir,
       annRefine(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
 
+  /** The IVF operating curve: recall@3 at nprobe = 1 and 2, rolled up
+    * across the query set — the two measured points a capacity plan
+    * interpolates between when pricing probe fan-out against recall
+    * (candidate cost scales with probed-cell population; recall is
+    * monotone in nprobe because probed sets nest and the final ranking
+    * is true cosine — OperatorSpec pins the monotonicity). Counts are
+    * exact integers; recall is one long/long division.
+    */
+  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    def at(nprobe: Long, approx: DataFrame): DataFrame =
+      recall3For(spark, dir, approx.select(col("q_id"), col("n_id").as("a_id")))
+        .withColumn("nprobe", lit(nprobe))
+    at(1L, annIvf(spark, dir)).unionByName(at(2L, annIvfNprobe2(spark, dir)))
+      .groupBy("nprobe")
+      .agg(
+        sum("n_exact").cast("long").as("n_exact"),
+        sum("n_matched").cast("long").as("n_matched"))
+      .withColumn("recall", col("n_matched") / col("n_exact"))
+  }
+
   /** Quantization-loss evaluation: recall@3 of the int8 index against the
     * exact full-precision top-3 — the number that decides whether the 4x
     * cheaper scan is usable. Counts are exact integers; recall is an
@@ -695,6 +715,7 @@ object Similarity {
     "ivfpq_recall" -> ivfpqRecall,
     "ann_refine" -> annRefine,
     "refine_recall" -> refineRecall,
+    "ivf_recall_curve" -> ivfRecallCurve,
     "ann_pq" -> annPq,
     "pq_recall" -> pqRecall,
     "ann_sq8" -> annSq8,
@@ -1309,6 +1330,54 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
          |WHERE rank <= 3""".stripMargin),
+    "ivf_recall_curve" -> (vecSql + Clustering.fitSql +
+      s""", cents AS (
+         |  SELECT cid, cv, cnrm FROM fcent),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid) AS crn FROM assign),
+         |cells AS (
+         |  SELECT r.vec_id, r.cid AS cell, vecs.v, vecs.nrm FROM ranked r
+         |  JOIN vecs ON vecs.vec_id = r.vec_id WHERE r.crn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid AS pcell, crn FROM ranked
+         |  WHERE vec_id >= 100 AND vec_id < 108 AND crn <= 2),
+         |np AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS nprobe),
+         |cpairs AS (
+         |  SELECT np.nprobe, p.q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM np JOIN probes p ON p.crn <= np.nprobe
+         |  JOIN vecs q ON q.vec_id = p.q_id
+         |  JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.q_id),
+         |ap AS (
+         |  SELECT nprobe, q_id, n_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM cpairs)
+         |  WHERE rank <= 3),
+         |bfp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q, vecs c
+         |  WHERE q.vec_id >= 100 AND q.vec_id < 108 AND q.vec_id <> c.vec_id),
+         |bf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rank FROM bfp)
+         |  WHERE rank <= 3)
+         |SELECT np.nprobe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_matched,
+         |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS recall
+         |FROM np CROSS JOIN bf
+         |LEFT JOIN ap ON ap.nprobe = np.nprobe AND ap.q_id = bf.q_id
+         |  AND ap.n_id = bf.n_id
+         |GROUP BY np.nprobe""".stripMargin),
     "ann_bruteforce" -> (vecSql +
       s""", pairs AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
