@@ -239,7 +239,20 @@ object Similarity {
     * pair work is O(n * PairSubCap) — at 100 TB the (cell, sub) key is the
     * only shuffle and no block ever goes quadratic.
     */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semPairs(spark, dir)
+      .filter(col("cos") >= 0.25)
+      .groupBy(col("b_id").as("drop_id"))
+      .agg(
+        min(col("cell")).as("cell"),
+        count(lit(1)).as("n_dups"),
+        min(col("a_id")).as("keep_id"))
+
+  /** The cell-local ordered pair frame `(a_id, b_id, cell, cos)` behind
+    * the semantic-dedup family — [[semDedup]] thresholds it once,
+    * [[semDedupSweep]] across the whole knob range.
+    */
+  private def semPairs(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir)
     val nsub = cells.groupBy("cell")
       .agg(expr(s"(count(1) + ${PairSubCap - 1}) div $PairSubCap").as("nsub"))
@@ -249,12 +262,26 @@ object Similarity {
         col("q.cell") === col("c.cell") && col("q.sub") === col("c.sub") &&
           col("q.vec_id") < col("c.vec_id"))
       .withColumn("cos", expr(cosExpr))
-      .filter(col("cos") >= 0.25)
-      .groupBy(col("c.vec_id").as("drop_id"))
+      .select(col("q.vec_id").as("a_id"), col("c.vec_id").as("b_id"),
+        col("c.cell").as("cell"), col("cos"))
+  }
+
+  /** The semantic-dedup aggressiveness curve: pairs surviving and docs
+    * dropped at cosine thresholds 0.25-0.55 — the knob a curation team
+    * tunes before committing a prune rate (the SemDeDup paper's epsilon
+    * sweep, off ONE evaluation of the capped pair set). Thresholds are
+    * th_pct/100 with the division spelled identically in both engines,
+    * so the cut is double-exact.
+    */
+  def semDedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val th = spark.range(4)
+      .select((lit(25L) + col("id") * 10L).as("th_pct"))
+    semPairs(spark, dir).crossJoin(broadcast(th))
+      .filter(col("cos") >= col("th_pct").cast("double") / 100.0d)
+      .groupBy("th_pct")
       .agg(
-        min(col("c.cell")).as("cell"),
-        count(lit(1)).as("n_dups"),
-        min(col("q.vec_id")).as("keep_id"))
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("b_id")).as("n_dropped"))
   }
 
   /** Scalar-quantized (int8) brute-force ANN — the memory-bandwidth scale
@@ -726,7 +753,8 @@ object Similarity {
     "ivf_cell_balance" -> ivfCellBalance,
     "ann_ivf_nprobe2" -> annIvfNprobe2,
     "ann_recall" -> annRecall,
-    "semdedup" -> semDedup)
+    "semdedup" -> semDedup,
+    "semdedup_sweep" -> semDedupSweep)
 
   private[llm] val vecSql =
     """WITH e AS (
@@ -1256,6 +1284,39 @@ object Similarity {
          |  MIN(a_id) AS keep_id
          |FROM pairs WHERE cos >= 0.25
          |GROUP BY b_id""".stripMargin),
+    "semdedup_sweep" -> (vecSql + Clustering.fitSql +
+      s""", cents AS (
+         |  SELECT cid, cv, cnrm FROM fcent),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |cells AS (
+         |  SELECT a.vec_id, a.cid AS cell, vecs.v, vecs.nrm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn FROM assign) a
+         |  JOIN vecs ON vecs.vec_id = a.vec_id
+         |  WHERE a.crn = 1),
+         |cc AS (
+         |  SELECT cell, $capSql AS nsub
+         |  FROM cells GROUP BY cell),
+         |subc AS (
+         |  SELECT cells.*, cells.vec_id % cc.nsub AS sub
+         |  FROM cells JOIN cc USING (cell)),
+         |pairs AS (
+         |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, c.cell AS cell,
+         |    $cosSql AS cos
+         |  FROM subc q, subc c
+         |  WHERE q.cell = c.cell AND q.sub = c.sub AND q.vec_id < c.vec_id),
+         |th AS (
+         |  SELECT CAST(25 + unnest([0, 1, 2, 3]) * 10 AS BIGINT) AS th_pct)
+         |SELECT th_pct,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_dropped
+         |FROM th JOIN pairs ON pairs.cos >= CAST(th_pct AS DOUBLE) / 100
+         |GROUP BY th_pct""".stripMargin),
     "ann_ivf" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
          |  SELECT cid, cv, cnrm FROM fcent),
