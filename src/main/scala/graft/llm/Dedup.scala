@@ -349,6 +349,35 @@ object Dedup {
         countDistinct("gram").as("n_unique_hits"))
   }
 
+  /** Per-source decontamination report — the audit a team reads before a
+    * benchmark release claim: training docs, docs flagged for sharing a
+    * word 5-gram with the held-out set ([[decontaminate]]'s hit frame),
+    * total and distinct hit volume, and the contamination rate in integer
+    * basis points. A source with a hot rate republishes benchmark-like
+    * text and needs source-level review, not per-doc patching.
+    *
+    * Scale: rides decontaminate (broadcast benchmark grams, one train
+    * scan); the flagged frame is contamination-sized and joins the
+    * doc→source map on doc_id; rollup to |sources| rows.
+    */
+  def decontaminateReport(spark: SparkSession, dir: String): DataFrame = {
+    val train = t(spark, dir, "documents")
+      .filter(col("doc_id") % 50L =!= 0L)
+      .select("doc_id", "source")
+    val flagged = train
+      .join(decontaminate(spark, dir), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_flagged"),
+        sum("n_hits").cast("long").as("n_hits"),
+        sum("n_unique_hits").cast("long").as("n_unique_hits"))
+    train.groupBy("source").agg(count(lit(1)).as("n_train"))
+      .join(flagged, Seq("source"), "left")
+      .na.fill(0L, Seq("n_flagged", "n_hits", "n_unique_hits"))
+      .withColumn("contamination_bp",
+        expr("(10000 * n_flagged) div n_train"))
+  }
+
   /** Per-source dedup report — the rollup a pipeline run actually ships:
     * document counts, exact-duplicate counts (keep = min doc_id over the
     * text hash, consistent with dedup_exact), characters dropped, and the
@@ -425,6 +454,7 @@ object Dedup {
     "cross_source_dups" -> crossSourceDups,
     "dedup_report" -> dedupReport,
     "decontaminate" -> decontaminate,
+    "decontaminate_report" -> decontaminateReport,
     "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -543,6 +573,36 @@ object Dedup {
         |  CAST(CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
         |    AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
         |FROM d GROUP BY source""".stripMargin,
+    "decontaminate_report" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 4),
+        |    i -> array_to_string(string_split(text, ' ')[i + 1:i + 5], ' ')))
+        |    AS gram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |bench AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |tg AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+        |hits AS (
+        |  SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |    CAST(COUNT(DISTINCT tg.gram) AS BIGINT) AS n_unique_hits
+        |  FROM tg JOIN bench ON tg.gram = bench.gram
+        |  GROUP BY tg.doc_id),
+        |train AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0),
+        |fl AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_flagged,
+        |    CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+        |    CAST(SUM(n_unique_hits) AS BIGINT) AS n_unique_hits
+        |  FROM train JOIN hits USING (doc_id) GROUP BY source)
+        |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |  COALESCE(ANY_VALUE(fl.n_flagged), 0) AS n_flagged,
+        |  COALESCE(ANY_VALUE(fl.n_hits), 0) AS n_hits,
+        |  COALESCE(ANY_VALUE(fl.n_unique_hits), 0) AS n_unique_hits,
+        |  (10000 * COALESCE(ANY_VALUE(fl.n_flagged), 0)) // COUNT(*)
+        |    AS contamination_bp
+        |FROM train t LEFT JOIN fl ON fl.source = t.source
+        |GROUP BY t.source""".stripMargin,
     "decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(
