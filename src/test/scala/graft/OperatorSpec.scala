@@ -487,6 +487,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
   }
 
+  test("semdedup sweep is monotone non-increasing in the threshold") {
+    val sw = llm.Similarity.semDedupSweep(spark, dir)
+      .orderBy("th_pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // raising the cut can only shed pairs and dropped docs
+    sw.sliding(2).foreach {
+      case Array((_, p0, d0), (_, p1, d1)) =>
+        assert(p1 <= p0 && d1 <= d0, s"sweep not monotone: $sw")
+      case _ =>
+    }
+    // the 0.25 point must reproduce semdedup's drop set size
+    assert(sw.head._1 == 25L &&
+      sw.head._3 == llm.Similarity.semDedup(spark, dir).count())
+  }
+
+  test("ivf recall curve: nprobe=2 point dominates nprobe=1") {
+    val c = llm.Similarity.ivfRecallCurve(spark, dir)
+      .orderBy("nprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(c.length == 2 && c(0)._1 == 1L && c(1)._1 == 2L)
+    assert(c(1)._2 >= c(0)._2, s"probing more cells lost matches: ${c.toSeq}")
+  }
+
+  test("decontaminate report accounts the train split per source") {
+    val r = llm.Dedup.decontaminateReport(spark, dir).cache()
+    val train = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 50L =!= 0L)
+    assert(r.agg(sum("n_train")).head.getLong(0) == train.count())
+    assert(r.filter(col("n_flagged") > col("n_train") ||
+      col("n_unique_hits") > col("n_hits") ||
+      col("contamination_bp") > 10000L).count() == 0)
+    // flagged totals must reconcile with the per-doc hit frame
+    assert(r.agg(sum("n_flagged")).head.getLong(0) ==
+      llm.Dedup.decontaminate(spark, dir).count())
+  }
+
   test("epoch orders are complete permutations and differ across epochs") {
     val e = llm.Sampling.epochOrder(spark, dir).cache()
     val n = Tables.t(spark, dir, "documents").count()
