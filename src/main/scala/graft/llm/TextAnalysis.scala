@@ -54,17 +54,17 @@ object TextAnalysis {
     * Scale: one documents scan, in-row scoring, a partial-aggregated
     * rollup to |langs|² cells; row totals join broadcast.
     */
-  def langidEval(spark: SparkSession, dir: String): DataFrame = {
-    val cells = withLangPred(t(spark, dir, "documents"))
+  def langidEval(spark: SparkSession, dir: String): DataFrame =
+    withLangPred(t(spark, dir, "documents"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
-    val totals = cells.groupBy("lang").agg(sum("n").cast("long").as("n_lang"))
-    cells.join(broadcast(totals), "lang")
+      // row totals via a window over the |langs|²-row aggregate — no
+      // second corpus scan, and the window's exchange is metadata-sized
+      .withColumn("n_lang", sum("n").over(Window.partitionBy("lang")))
       .withColumn("bp", expr("(10000 * n) div n_lang"))
       .withColumn("hit",
         when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
       .select("lang", "pred_lang", "n", "bp", "hit")
-  }
 
   /** Heuristic quality score from length / punctuation / stopword ratios.
     * The arithmetic is written in the same order on both engines so the

@@ -289,6 +289,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sasl_flow rollup not map-side combined:\n$plan")
   }
 
+  test("epoch_order ranks per (epoch, bucket), offsets broadcast") {
+    // Each epoch's rank must be a per-(epoch, bucket) window — a global
+    // or per-epoch-only window would funnel the corpus through E tasks —
+    // and the 256·E-row offset table must broadcast into the scan.
+    val plan = planOf(graft.llm.Sampling.epochOrder(spark, dir))
+    assert("hashpartitioning\\(epoch#\\d+[^)]*, bucket#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"epoch_order window not keyed on (epoch, bucket):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"epoch_order offsets not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"epoch_order shuffles a join side:\n$plan")
+  }
+
+  test("langid_eval is one scan, totals windowed over the aggregate") {
+    val plan = planOf(graft.llm.TextAnalysis.langidEval(spark, dir))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"langid_eval scans documents more than once:\n$plan")
+    assert(!plan.contains("Join"), s"langid_eval joined a side table:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"langid_eval rollup not map-side combined:\n$plan")
+  }
+
+  test("decontaminate_report keeps the benchmark gram set broadcast") {
+    val plan = planOf(graft.llm.Dedup.decontaminateReport(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontaminate_report shuffles a join side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontaminate_report gram set not broadcast:\n$plan")
+  }
+
   test("ann_refine fetches exact vectors via a broadcast n_id join") {
     // The refine STAGE must broadcast the R x |queries| candidate set
     // into the vector scan — a sort-merge join keyed on n_id would
