@@ -697,6 +697,18 @@ object Similarity {
   private val knnClustersCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Cluster-size histogram over [[knnClusters]] — the degeneracy check a
+    * SemDeDup-style pipeline reads before trusting exemplar pruning: a
+    * single giant component means the cosine threshold (or the coarse
+    * quantizer) collapsed the space and pruning would gut the corpus,
+    * while all-pairs/singleton-free tiny clusters are the healthy shape.
+    * Two metadata-sized rollups on the cached label frame.
+    */
+  def knnClusterProfile(spark: SparkSession, dir: String): DataFrame =
+    knnClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+
   /** Expected per-cell sample size for [[clusterSample]] — the balance
     * target, not a hard cap (the hash coin draws binomially around it).
     */
@@ -736,6 +748,7 @@ object Similarity {
     "knn_graph" -> knnGraph,
     "knn_degree" -> knnDegree,
     "knn_clusters" -> knnClusters,
+    "knn_cluster_profile" -> knnClusterProfile,
     "ann_lsh_multi" -> annLshMulti,
     "lsh_multi_recall" -> lshMultiRecall,
     "ann_ivfpq" -> annIvfPq,
@@ -1249,6 +1262,26 @@ object Similarity {
         |  SELECT r.src, e.d2 FROM reach r JOIN kedges e ON e.d1 = r.dst)
         |SELECT src AS vec_id, MIN(dst) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin),
+    "knn_cluster_profile" -> ("WITH RECURSIVE" + vecSql.stripPrefix("WITH") +
+      Clustering.fitSql + knnChainSql +
+      """, und AS (
+        |  SELECT DISTINCT least(q_id, n_id) AS d1, greatest(q_id, n_id) AS d2
+        |  FROM knng WHERE cos >= 0.25),
+        |kedges AS (
+        |  SELECT d1, d2 FROM und
+        |  UNION SELECT d2 AS d1, d1 AS d2 FROM und),
+        |reach(src, dst) AS (
+        |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM kedges)
+        |  UNION
+        |  SELECT r.src, e.d2 FROM reach r JOIN kedges e ON e.d1 = r.dst),
+        |lab AS (
+        |  SELECT src AS vec_id, MIN(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |cs AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+        |  FROM lab GROUP BY cluster_id)
+        |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY csize""".stripMargin),
     "knn_degree" -> (vecSql + Clustering.fitSql + knnChainSql +
       """, deg AS (
         |  SELECT n_id, COUNT(*) AS in_deg FROM knng GROUP BY n_id)
