@@ -277,7 +277,7 @@ object Dedup {
     * vertex id. Shared by [[dedupClusters]] and
     * [[Similarity.knnClusters]].
     */
-  private[llm] def components(rawPairs: DataFrame): DataFrame = {
+  private[graft] def components(rawPairs: DataFrame): DataFrame = {
     // localCheckpoint (not cache) everywhere the loop feeds on itself:
     // caching alone leaves the logical plan growing — each round nests two
     // copies of the previous round's plan, and Catalyst re-analysis goes

@@ -487,6 +487,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
   }
 
+  test("components loop equals union-find on adversarial graph shapes") {
+    // The distributed min-label + pointer-jumping loop vs a driver-side
+    // union-find, on the shapes that stress it: a long path (maximum
+    // diameter — exercises the O(log D) jumping), a star, a ring, two
+    // disjoint blobs, and a hash-seeded random graph.
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-label root: path-compress to the smallest member
+      verts.map(v => v -> find(v)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 32L).map(i => (i, i + 1)),                  // path, D=33
+      (1L to 20L).map(i => (0L, i)),                        // star
+      (0L until 17L).map(i => (i, (i + 1) % 17L)),          // ring
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)),      // two blobs
+      Seq.fill(40)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2).distinct)                // random
+    import spark.implicits._
+    shapes.foreach { edges =>
+      val want = unionFind(edges)
+      val got = llm.Dedup.components(
+          edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"components mismatch on ${edges.take(5)}...")
+    }
+  }
+
   test("semdedup sweep is monotone non-increasing in the threshold") {
     val sw = llm.Similarity.semDedupSweep(spark, dir)
       .orderBy("th_pct").collect()
