@@ -331,18 +331,28 @@ object Dedup {
     * scan + explode with no wide shuffle; the per-doc rollup shuffles on
     * doc_id only for the hit subset.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    def grams(df: DataFrame) = df
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
-        .as("gram"))
-    val docs = t(spark, dir, "documents")
-    val bench = grams(docs.filter(col("doc_id") % 50L === 0L))
+  /** Word 5-gram generator over any (doc_id, text) frame — the ONE
+    * spelling shared by the batch decontaminator and the streaming
+    * contamination screen.
+    */
+  private[graft] def wordGrams5(df: DataFrame): DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .filter(size(col("toks")) >= 5)
+    .select(col("doc_id"), explode(
+      expr("transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+      .as("gram"))
+
+  /** The distinct benchmark gram set (every 50th doc of the at-rest
+    * corpus) — broadcast into both the batch and streaming screens.
+    */
+  private[graft] def benchGrams(spark: SparkSession, dir: String): DataFrame =
+    wordGrams5(t(spark, dir, "documents").filter(col("doc_id") % 50L === 0L))
       .select("gram").distinct()
-    val train = grams(docs.filter(col("doc_id") % 50L =!= 0L))
-    train.join(broadcast(bench), "gram")
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val train = wordGrams5(
+      t(spark, dir, "documents").filter(col("doc_id") % 50L =!= 0L))
+    train.join(broadcast(benchGrams(spark, dir)), "gram")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_hits"),

@@ -187,6 +187,27 @@ object Streams {
   def piiScrubStream(stream: DataFrame): DataFrame =
     graft.llm.Curation.piiAudit(stream)
 
+  /** Continuous benchmark-contamination screen — decontaminate as an
+    * ingest stage: arriving train docs explode into word 5-grams in-row
+    * and join the STATIC broadcast benchmark gram set (stateless per
+    * record); the per-doc hit accounting runs in update/complete mode
+    * with state bounded by CONTAMINATED docs only (the inner gram join
+    * drops clean docs before any state is keyed). The screen a release
+    * pipeline runs so contamination is known before a benchmark claim,
+    * not after. StreamingSpec pins stream == batch decontaminate.
+    */
+  def decontaminateStream(spark: SparkSession, dir: String,
+      stream: DataFrame): DataFrame =
+    graft.llm.Dedup.wordGrams5(stream.filter(col("doc_id") % 50L =!= 0L))
+      .join(broadcast(graft.llm.Dedup.benchGrams(spark, dir)), "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        // streaming forbids COUNT(DISTINCT); the distinct-hit count is the
+        // size of the per-doc hit-gram set (state = a contaminated doc's
+        // matched grams — bounded by its benchmark overlap, not the corpus)
+        size(collect_set(col("gram"))).cast("long").as("n_unique_hits"))
+
   final case class DocIn(doc_id: Long, h: String, q_reason: String)
   final case class DocVerdict(doc_id: Long, reason: String)
 

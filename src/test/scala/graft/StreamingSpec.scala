@@ -88,6 +88,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming contamination screen == batch decontaminate") {
+    val stream = Streams.tableStream(spark, dir, "documents")
+    val q = Streams.decontaminateStream(spark, dir, stream).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("graft_decon_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_decon_stream")
+    val want = llm.Dedup.decontaminate(spark, dir)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("streaming quality gate == batch corpus_filter per-reason counts") {
     val stream = Streams.tableStream(spark, dir, "documents")
     val q = Streams.qualityGateStream(stream).writeStream
