@@ -398,6 +398,49 @@ object TextAnalysis {
         countDistinct("tok").as("n_vocab"))
       .withColumn("ttr", col("n_vocab") / col("n_tokens"))
 
+  /** Top-vocabulary size for [[vocabOverlap]]. */
+  private val VocabTopK = 200L
+
+  /** Cross-source vocabulary overlap: Jaccard of the top-[[VocabTopK]]
+    * token vocabularies for every unordered source pair — the source-
+    * similarity matrix a mixing plan reads (near-duplicate sources add
+    * redundancy, not diversity; a source overlapping nothing is either
+    * novel or noise). Deterministic vocabularies (count desc, token
+    * asc); overlap as exact-integer counts plus one double division.
+    *
+    * Scale: the token counting partial-aggregates per (source, token);
+    * after the top-K cut both join sides are |sources|·K rows —
+    * metadata-sized, so the pair join and rollup never touch the corpus
+    * again.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("tok"))
+    val top = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= VocabTopK)
+      .select("source", "tok")
+    val shared = top.as("a")
+      .join(top.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    // actual vocabulary sizes (a source can hold < TopK distinct tokens)
+    val sizes = top.groupBy("source").agg(count(lit(1)).as("sz"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("s1"),
+        col("sz").as("sz1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"),
+        col("sz").as("sz2"))), "s2")
+      .withColumn("jaccard",
+        col("n_shared") /
+          (col("sz1") + col("sz2") - col("n_shared")).cast("double"))
+      .select("s1", "s2", "n_shared", "sz1", "sz2", "jaccard")
+  }
+
   /** Gopher-style per-document quality signals (Rae et al. 2021 §A1.1):
     * word count, mean word length, type-token ratio, and the top-word
     * mass fraction, folded into a keep/drop gate. One explode + one
@@ -532,6 +575,7 @@ object TextAnalysis {
     "quality_gopher" -> qualityGopher,
     "repetition_ngrams" -> repetitionNgrams,
     "vocab_stats" -> vocabStats,
+    "vocab_overlap" -> vocabOverlap,
     "normalize_text" -> normalizeText,
     "tfidf" -> tfidf,
     "ngram_counts" -> ngramCounts,
@@ -747,6 +791,31 @@ object TextAnalysis {
         |  CAST(CASE WHEN (n_grams - n_distinct) / n_grams > 0.1
         |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
         |FROM sized""".stripMargin,
+    "vocab_overlap" ->
+      """WITH tc AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY source, tok),
+        |top AS (
+        |  SELECT source, tok FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n DESC, tok) AS rnk FROM tc)
+        |  WHERE rnk <= 200),
+        |sz AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM top GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM top a JOIN top b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT s1, s2, n_shared, z1.sz AS sz1, z2.sz AS sz2,
+        |  n_shared / CAST(z1.sz + z2.sz - n_shared AS DOUBLE) AS jaccard
+        |FROM shared
+        |JOIN sz z1 ON z1.source = s1
+        |JOIN sz z2 ON z2.source = s2""".stripMargin,
     "vocab_stats" ->
       """SELECT source, COUNT(*) AS n_tokens,
         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,
