@@ -159,6 +159,25 @@ object Curation {
         min("seq_id").as("min_seq"),
         max("seq_id").as("max_seq"))
 
+  /** Shuffle-quality histogram: distinct sources per packed sequence —
+    * the check that the deterministic corpus shuffle actually interleaves
+    * sources (a bad shuffle leaves sequences dominated by one source,
+    * which serializes gradient noise at train time). Healthy shape:
+    * mass concentrated at n_sources ≈ docs-per-sequence; a spike at 1
+    * means the order degenerated. Two map-side-combined rollups over the
+    * pack manifest.
+    */
+  def seqSourceMix(spark: SparkSession, dir: String): DataFrame =
+    shuffledPack(t(spark, dir, "documents"))
+      .groupBy("seq_id")
+      .agg(
+        countDistinct("source").as("n_sources"),
+        count(lit(1)).as("n_docs"))
+      .groupBy("n_sources")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum("n_docs").cast("long").as("n_docs"))
+
   /** The shuffled-order pack layout over an arbitrary (doc_id, source,
     * text) frame — [[packShuffled]] runs it over the whole corpus,
     * [[curationPipeline]] over the curated survivor set. Keeps the
@@ -382,6 +401,7 @@ object Curation {
     "pack_shuffled" -> packShuffled,
     "shard_manifest" -> shardManifest,
     "seq_boundaries" -> seqBoundaries,
+    "seq_source_mix" -> seqSourceMix,
     "curation_pipeline" -> curationPipeline,
     "curation_report" -> curationReport,
     "boilerplate_chunks" -> boilerplateChunks,
@@ -416,12 +436,12 @@ object Curation {
     */
   private def packChainSql: String =
     s"""WITH h AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, source,
        |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS hl,
        |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
        |  FROM documents),
        |p AS (
-       |  SELECT doc_id, n_tok,
+       |  SELECT doc_id, source, n_tok,
        |    CAST(ROW_NUMBER() OVER (ORDER BY hl, doc_id) - 1 AS BIGINT)
        |      AS shuffle_pos,
        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hl, doc_id
@@ -429,7 +449,7 @@ object Curation {
        |      AS BIGINT) AS start_off
        |  FROM h),
        |m AS (
-       |  SELECT doc_id, shuffle_pos, n_tok, start_off,
+       |  SELECT doc_id, source, shuffle_pos, n_tok, start_off,
        |    start_off // $SeqLen AS seq_id,
        |    CAST(CASE WHEN (start_off + n_tok - 1) // $SeqLen
        |        <> start_off // $SeqLen
@@ -499,7 +519,18 @@ object Curation {
         |  md5(string_agg(ctext, ' ' ORDER BY chunk_id)
         |    FILTER (WHERE kept = 1)) AS kept_md5
         |FROM k GROUP BY doc_id""".stripMargin,
-    "pack_shuffled" -> (packChainSql + "\nSELECT * FROM m"),
+    "pack_shuffled" -> (packChainSql +
+      "\nSELECT doc_id, shuffle_pos, n_tok, start_off, seq_id," +
+      " spans_boundary FROM m"),
+    "seq_source_mix" -> (packChainSql + ",\n" +
+      """sm AS (
+         |  SELECT seq_id, CAST(COUNT(DISTINCT source) AS BIGINT)
+         |      AS n_sources,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM m GROUP BY seq_id)
+         |SELECT n_sources, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs
+         |FROM sm GROUP BY n_sources""".stripMargin),
     "seq_boundaries" -> (packChainSql + ",\n" +
       s"""r AS (
          |  SELECT seq_id, start_off - seq_id * $SeqLen AS rel_off,
