@@ -258,6 +258,17 @@ object Dedup {
       components(dedupMinhashLsh(spark, dir).select("d1", "d2"))
         .localCheckpoint())
 
+  /** Cluster-size histogram over [[dedupClusters]] — the text-side twin
+    * of Similarity.knnClusterProfile: the degeneracy check before
+    * trusting near-dup exemplar pruning (one giant component means the
+    * LSH threshold collapsed the corpus). Two metadata-sized rollups on
+    * the cached label frame.
+    */
+  def dedupClusterProfile(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+
   /** The converged cluster labels, cached per (session, data fingerprint)
     * — dedup_clusters, curation_pipeline and curation_report all consume
     * this frame, so the iterative components loop runs once, not per
@@ -466,6 +477,7 @@ object Dedup {
     "decontaminate" -> decontaminate,
     "decontaminate_report" -> decontaminateReport,
     "dedup_clusters" -> dedupClusters,
+    "dedup_cluster_profile" -> dedupClusterProfile,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "containment" -> containment,
@@ -684,6 +696,16 @@ object Dedup {
       (clustersChainSql + """
         |SELECT src AS doc_id, MIN(dst) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin),
+    "dedup_cluster_profile" ->
+      (clustersChainSql + """
+        |, lab AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |cs AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+        |  FROM lab GROUP BY cluster_id)
+        |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY csize""".stripMargin),
     "minhash_calibration" ->
       s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
