@@ -487,6 +487,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
   }
 
+  test("cluster profiles, source mix, and vocab overlap stay accounted") {
+    // both cluster-size histograms partition their label frames, and a
+    // component needs at least two members by construction
+    Seq(
+      (llm.Similarity.knnClusterProfile(spark, dir),
+        llm.Similarity.knnClusters(spark, dir)),
+      (llm.Dedup.dedupClusterProfile(spark, dir),
+        llm.Dedup.dedupClusters(spark, dir))
+    ).foreach { case (prof, labels) =>
+      assert(prof.agg(sum(col("csize") * col("n_clusters"))).head.getLong(0)
+        == labels.count())
+      assert(prof.filter(col("csize") < 2L).count() == 0)
+    }
+    // seq_source_mix partitions the pack manifest
+    val mix = llm.Curation.seqSourceMix(spark, dir).cache()
+    val pk = llm.Curation.packShuffled(spark, dir)
+    assert(mix.agg(sum("n_docs")).head.getLong(0) == pk.count())
+    assert(mix.agg(sum("n_seqs")).head.getLong(0) ==
+      pk.select("seq_id").distinct().count())
+    assert(mix.filter(col("n_sources") < 1L).count() == 0)
+    // vocab_overlap: all unordered pairs, bounded intersection, jaccard
+    val ov = llm.TextAnalysis.vocabOverlap(spark, dir).cache()
+    val nSrc = Tables.t(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(ov.count() == nSrc * (nSrc - 1) / 2)
+    assert(ov.filter(col("n_shared") > least(col("sz1"), col("sz2")) ||
+      col("jaccard") < 0.0 || col("jaccard") > 1.0).count() == 0)
+  }
+
   test("components loop equals union-find on adversarial graph shapes") {
     // The distributed min-label + pointer-jumping loop vs a driver-side
     // union-find, on the shapes that stress it: a long path (maximum
