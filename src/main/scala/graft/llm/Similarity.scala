@@ -697,6 +697,33 @@ object Similarity {
   private val knnClustersCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Embedding-column data-quality gate: per label the vector count,
+    * dimension, and nearest-rank norm quartiles — the first check before
+    * trusting ANY similarity path (a label with collapsed or exploded
+    * norms marks a broken encoder batch; cosine hides it, this surfaces
+    * it). Quartiles are nearest-rank PICKS of engine-identical doubles
+    * (the vec_dot fold + exactly-rounded sqrt), not interpolations.
+    *
+    * Scale: one pass over the cached norm frame; the window partitions
+    * by label (bounded fan-in per label at any corpus size).
+    */
+  def embeddingNormStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("label").orderBy("nrm", "vec_id")
+    def pick(p: Double) =
+      max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"),
+        col("nrm")))
+    vectors(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("label")))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        max(size(col("v"))).cast("long").as("dim"),
+        min("nrm").as("min_nrm"),
+        pick(0.25).as("q1"), pick(0.5).as("median"), pick(0.75).as("q3"),
+        max("nrm").as("max_nrm"))
+  }
+
   /** Cluster-size histogram over [[knnClusters]] — the degeneracy check a
     * SemDeDup-style pipeline reads before trusting exemplar pruning: a
     * single giant component means the cosine threshold (or the coarse
@@ -749,6 +776,7 @@ object Similarity {
     "knn_degree" -> knnDegree,
     "knn_clusters" -> knnClusters,
     "knn_cluster_profile" -> knnClusterProfile,
+    "embedding_norm_stats" -> embeddingNormStats,
     "ann_lsh_multi" -> annLshMulti,
     "lsh_multi_recall" -> lshMultiRecall,
     "ann_ivfpq" -> annIvfPq,
@@ -1472,6 +1500,32 @@ object Similarity {
          |LEFT JOIN ap ON ap.nprobe = np.nprobe AND ap.q_id = bf.q_id
          |  AND ap.n_id = bf.n_id
          |GROUP BY np.nprobe""".stripMargin),
+    "embedding_norm_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nn AS (
+        |  SELECT vec_id, label, CAST(len(v) AS BIGINT) AS dim,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM e),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY nrm, vec_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY label) AS n
+        |  FROM nn)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  MAX(dim) AS dim,
+        |  MIN(nrm) AS min_nrm,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+        |    THEN nrm END) AS q1,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+        |    THEN nrm END) AS median,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+        |    THEN nrm END) AS q3,
+        |  MAX(nrm) AS max_nrm
+        |FROM r GROUP BY label""".stripMargin,
     "ann_bruteforce" -> (vecSql +
       s""", pairs AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos
