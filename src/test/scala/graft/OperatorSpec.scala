@@ -553,6 +553,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_norm_stats: ordered quartiles that partition the corpus") {
+    val st = llm.Similarity.embeddingNormStats(spark, dir).cache()
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    // one row per label; populations partition the corpus
+    assert(st.count() == emb.select("label").distinct().count())
+    assert(st.agg(sum("n_vecs")).head.getLong(0) == emb.count())
+    // quartiles are ordered and sit inside [min, max]; norms positive
+    assert(st.filter(col("min_nrm") <= lit(0.0) ||
+      col("q1") < col("min_nrm") || col("median") < col("q1") ||
+      col("q3") < col("median") || col("max_nrm") < col("q3"))
+      .count() == 0)
+    // dim is the corpus-wide embedding width on every row
+    val dim = emb.select(size(col("embedding"))).head.getInt(0).toLong
+    assert(st.filter(col("dim") =!= dim).count() == 0)
+  }
+
   test("semdedup sweep is monotone non-increasing in the threshold") {
     val sw = llm.Similarity.semDedupSweep(spark, dir)
       .orderBy("th_pct").collect()
