@@ -838,7 +838,60 @@ object Analytics {
         dsum(money(col("c_acctbal"))).as("totacctbal"))
   }
 
+  /** Semi-structured extraction rollup: parse the JSON `props` payload
+    * (the reference carries opaque per-record payloads end-to-end and
+    * leaves parsing to consumers — KafkaRequestHandler.java produce path)
+    * and aggregate the extracted field per event type. `get_json_object`
+    * is a codegen'd path over the scan, so at 100 TB this is one pass +
+    * a |event_type|-row shuffle; nothing materializes the parsed JSON.
+    */
+  def propsJsonStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("kv"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("kv")).as("n_with_k"),
+        min("kv").as("min_k"),
+        max("kv").as("max_k"),
+        sum("kv").as("sum_k"),
+        countDistinct(col("kv")).as("distinct_k"))
+
+  /** First-order event-type transition matrix: per user, consecutive
+    * (prev, next) event-type pairs by time — the Markov-chain view a
+    * product-analytics consumer builds from the funnel stream. One
+    * window over (user, time) — state bounded per key — then a
+    * |types|^2-row rollup.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** User-lifetime histogram: distinct active days per user, then the
+    * user count per activity level — the engagement-distribution view
+    * behind retention planning. Two partial-aggregated shuffles, the
+    * second over |levels| rows.
+    */
+  def activitySpan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("day")).as("active_days"),
+        ((max("day") - min("day")) + lit(1L)).as("span_days"))
+      .groupBy("active_days")
+      .agg(count(lit(1)).as("n_users"),
+        max("span_days").as("max_span_days"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "props_json_stats" -> propsJsonStats,
+    "event_transitions" -> eventTransitions,
+    "activity_span" -> activitySpan,
     "incident_blast" -> incidentBlast,
     "q13_custdist" -> q13,
     "q17_small_qty" -> q17,
@@ -893,6 +946,34 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "props_json_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(kv) AS n_with_k,
+        |  MIN(kv) AS min_k, MAX(kv) AS max_k,
+        |  CAST(SUM(kv) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT kv) AS distinct_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |FROM seq WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
+    "activity_span" ->
+      """WITH per_user AS (
+        |  SELECT user_id, COUNT(DISTINCT day) AS active_days,
+        |    MAX(day) - MIN(day) + 1 AS span_days
+        |  FROM (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events)
+        |  GROUP BY user_id)
+        |SELECT active_days, COUNT(*) AS n_users,
+        |  MAX(span_days) AS max_span_days
+        |FROM per_user GROUP BY active_days""".stripMargin,
     "incident_blast" ->
       """WITH ev AS (
         |  SELECT event_id, epoch_ms(ts) AS tms FROM events),
