@@ -220,6 +220,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pii_scrub scans documents more than once:\n$plan")
   }
 
+  test("props_json_stats parses in-row: one scan, one rollup exchange") {
+    // get_json_object must stay a codegen'd projection over the scan —
+    // nothing materializes parsed JSON. The distinct-count rewrite
+    // plans exactly two partial-aggregated exchanges: the (type, kv)
+    // expansion then the |event_type|-row rollup; both shuffle
+    // aggregate-compressed rows, never the scan.
+    val plan = planOf(graft.analytics.Analytics.propsJsonStats(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"props_json_stats plans extra exchanges:\n$plan")
+    assert(plan.contains("partial_"),
+      s"props_json_stats rollup not map-side combined:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"props_json_stats scans events more than once:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_type:string,props:string>"),
+      s"props_json_stats scan not pruned to two columns:\n$plan")
+  }
+
+  test("event_transitions shuffles once on user, rolls up on pair") {
+    // One window exchange on user_id (bounded per-key state), one
+    // |types|^2 rollup exchange — no join, no extra sort beyond the
+    // window's per-partition sort.
+    val plan = planOf(graft.analytics.Analytics.eventTransitions(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"event_transitions plans extra exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      s"event_transitions plans a join:\n$plan")
+  }
+
   test("alter_configs adds no shuffle beyond the topic_configs frame") {
     // The write half is in-row md5 arithmetic on the config frame: the
     // only joins are the broadcast 8-row defaults cross the distinct
