@@ -888,7 +888,57 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"),
         max("span_days").as("max_span_days"))
 
+  /** Robust anomaly detection over the event stream: per event type,
+    * minute-level volume outliers by exact median absolute deviation —
+    * the alerting rollup an operations consumer runs on topic
+    * throughput (mean/stddev breaks on the very spikes it should find;
+    * median/MAD does not). Medians are exact integers via the windowed
+    * rank-pick (no percentile_approx), so both engines agree
+    * bit-for-bit.
+    *
+    * Scale: the raw scan partial-aggregates to the (type, minute) count
+    * frame — |types|*|minutes| rows, time-bounded metadata, not data —
+    * and every window/join below runs on that compressed frame, with
+    * the per-type median frames broadcast back.
+    */
+  /** The (type, minute) count frame behind [[anomalyMad]] — split out so
+    * its plan (one partial-aggregated scan) stays pinnable after the
+    * checkpoint truncates lineage.
+    */
+  private[graft] def anomalyMinuteCounts(
+      spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("minute", expr("(ts div 1000000) div 60000"))
+      .groupBy("event_type", "minute")
+      .agg(count(lit(1)).as("n"))
+
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    // The count frame feeds four branches (two median picks, the dev
+    // join, the rollup) — checkpoint it so the data-sized scan runs
+    // once and every branch reads the |types|*|minutes| rows back.
+    val mc = anomalyMinuteCounts(spark, dir).localCheckpoint()
+    def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(v), col("minute"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col(v).as(out))
+    }
+    val dev = mc.join(broadcast(medianOf(mc, "n", "med")), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    dev.join(broadcast(medianOf(dev, "dev", "mad")), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        max("med").as("med"),
+        max("mad").as("mad"),
+        sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max("dev").as("max_dev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_mad" -> anomalyMad,
     "props_json_stats" -> propsJsonStats,
     "event_transitions" -> eventTransitions,
     "activity_span" -> activitySpan,
@@ -946,6 +996,36 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "anomaly_mad" ->
+      """WITH mc AS (
+        |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, minute),
+        |med AS (
+        |  SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n, minute,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY n, minute) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM mc)
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (
+        |  SELECT mc.event_type, minute, n, med, ABS(n - med) AS dev
+        |  FROM mc JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, minute,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY dev, minute) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM dev)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, COUNT(*) AS n_minutes,
+        |  MAX(d.med) AS med, MAX(m.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  MAX(d.dev) AS max_dev
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
     "props_json_stats" ->
       """SELECT event_type, COUNT(*) AS n,
         |  COUNT(kv) AS n_with_k,

@@ -398,6 +398,34 @@ object TextAnalysis {
         countDistinct("tok").as("n_vocab"))
       .withColumn("ttr", col("n_vocab") / col("n_tokens"))
 
+  /** Zipf power-law profile: per source, the token frequency-rank
+    * distribution compressed into log2 rank buckets — the diagnostic a
+    * corpus-quality gate reads against Zipf's law (natural text puts
+    * roughly constant total frequency in each doubling of rank; machine-
+    * generated or template text collapses the head or flattens the
+    * tail). Pure integer math (bucket = bit length of the rank), so both
+    * engines agree bit-for-bit without transcendental parity.
+    *
+    * Scale: the token counting partial-aggregates per (source, token);
+    * the rank window shuffles only the |sources|*|vocab| count frame
+    * (vocabulary grows sub-linearly in the corpus), and the bucket
+    * rollup is |sources|*~20 rows.
+    */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("freq").desc, col("tok"))
+    t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_bucket", (length(bin(col("rank"))) - 1).cast("long"))
+      .groupBy("source", "rank_bucket")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum("freq").cast("long").as("sum_freq"),
+        max("freq").cast("long").as("max_freq"))
+  }
+
   /** Top-vocabulary size for [[vocabOverlap]]. */
   private val VocabTopK = 200L
 
@@ -576,6 +604,7 @@ object TextAnalysis {
     "repetition_ngrams" -> repetitionNgrams,
     "vocab_stats" -> vocabStats,
     "vocab_overlap" -> vocabOverlap,
+    "zipf_profile" -> zipfProfile,
     "normalize_text" -> normalizeText,
     "tfidf" -> tfidf,
     "ngram_counts" -> ngramCounts,
@@ -816,6 +845,21 @@ object TextAnalysis {
         |FROM shared
         |JOIN sz z1 ON z1.source = s1
         |JOIN sz z2 ON z2.source = s2""".stripMargin,
+    "zipf_profile" ->
+      """WITH tf AS (
+        |  SELECT source, tok, COUNT(*) AS freq
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY source, tok),
+        |ranked AS (
+        |  SELECT source, freq,
+        |    length(format('{:b}', ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY freq DESC, tok))) - 1 AS rank_bucket
+        |  FROM tf)
+        |SELECT source, CAST(rank_bucket AS BIGINT) AS rank_bucket,
+        |  COUNT(*) AS n_toks, CAST(SUM(freq) AS BIGINT) AS sum_freq,
+        |  CAST(MAX(freq) AS BIGINT) AS max_freq
+        |FROM ranked GROUP BY source, rank_bucket""".stripMargin,
     "vocab_stats" ->
       """SELECT source, COUNT(*) AS n_tokens,
         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,

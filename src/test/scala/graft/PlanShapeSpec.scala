@@ -248,6 +248,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"event_transitions plans a join:\n$plan")
   }
 
+  test("anomaly_mad windows the compressed minute frame, medians broadcast") {
+    // Every window/join runs on the |types|*|minutes| count frame; the
+    // two median frames broadcast back — never a sort-merge join — and
+    // the scan partial-aggregates before any exchange.
+    val plan = planOf(graft.analytics.Analytics.anomalyMad(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"anomaly_mad shuffles a join side:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"anomaly_mad median frames not broadcast:\n$plan")
+    // the checkpointed count frame means the raw scan runs exactly once
+    assert("Scan parquet".r.findAllIn(plan).size == 0,
+      s"anomaly_mad re-scans events past the checkpoint:\n$plan")
+    val mcPlan = planOf(graft.analytics.Analytics
+      .anomalyMinuteCounts(spark, dir))
+    assert(mcPlan.contains("partial_count") &&
+      "Scan parquet".r.findAllIn(mcPlan).size == 1,
+      s"minute-count frame not one partial-aggregated scan:\n$mcPlan")
+  }
+
+  test("zipf_profile ranks the vocabulary frame, not the corpus") {
+    // The token explode partial-aggregates to (source, tok) counts; the
+    // rank window and bucket rollup run on that sub-linear frame.
+    val plan = planOf(graft.llm.TextAnalysis.zipfProfile(spark, dir))
+    assert(plan.contains("partial_count"),
+      s"zipf_profile token counts not map-side combined:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"zipf_profile scans documents more than once:\n$plan")
+    assert(!plan.contains("Join"), s"zipf_profile plans a join:\n$plan")
+  }
+
   test("alter_configs adds no shuffle beyond the topic_configs frame") {
     // The write half is in-row md5 arithmetic on the config frame: the
     // only joins are the broadcast 8-row defaults cross the distinct
