@@ -244,6 +244,40 @@ object Streams {
       }.toDF()
   }
 
+  final case class LastEv(ts: Long, event_id: Long, event_type: String)
+  final case class Trans(user_id: Long, from_type: String, to_type: String)
+
+  /** Continuous event-type transition feed — the streaming half of the
+    * batch [[graft.analytics.Analytics.eventTransitions]] matrix: state
+    * is one (ts, id, type) triple per user (the same bounded per-key
+    * state the batch lag window holds), in-batch arrivals resolve in
+    * (ts, event_id) order, and each arrival emits its (prev, next) pair
+    * by chaining from the stored last event. Aggregating the emitted
+    * pairs reproduces the batch matrix exactly (StreamingSpec pins it).
+    */
+  def transitionsStream(events: DataFrame): Dataset[Trans] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEv, Trans](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[LastEv]) =>
+          var last = state.getOption.orNull
+          val out = rows.toSeq.sortBy(e => (e._2, e._3)).flatMap {
+            case (_, ts, id, tpe) =>
+              val pair = Option(last).map(l => Trans(uid, l.event_type, tpe))
+              last = LastEv(ts, id, tpe)
+              pair
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** A table as a file-source stream, canonicalized to the batch contract —
     * the one staging definition every runner and spec shares (a divergence
     * here, e.g. maxFilesPerTrigger or a schema source change, must hit all

@@ -121,6 +121,21 @@ class StreamingSpec extends AnyFunSuite {
       wantCounts.exceptAll(gotCounts).count() == 0)
   }
 
+  test("streaming transition feed aggregates to batch event_transitions") {
+    val stream = Streams.tableStream(spark, dir, "events")
+    val q = Streams.transitionsStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("graft_trans_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_trans_stream")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val want = analytics.Analytics.eventTransitions(spark, dir)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+  }
+
   test("watermarked producer-seq dedup == batch distinct (producer, seq)") {
     val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.producerDedupStream(stream)
