@@ -937,7 +937,31 @@ object Analytics {
         max("dev").as("max_dev"))
   }
 
+  /** Sliding-window throughput: per event type, the 5-minute rolling
+    * event volume by RANGE frame over the minute counts — the smoothed
+    * rate view an operations dashboard reads next to [[anomalyMad]]'s
+    * outlier flags (tumbling rollups like throughput_rollup alias
+    * spikes that straddle a boundary; the sliding frame does not).
+    * RANGE (not ROWS) so gaps in the minute sequence count as zero
+    * traffic, matching wall-clock semantics. Integer frame sums, one
+    * double division — bit-exact across engines.
+    *
+    * Scale: the frame runs on the |types|*|minutes| count frame, never
+    * the scan; per-type ordering state is bounded by the 5-minute frame.
+    */
+  def rollingThroughput(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("minute")
+      .rangeBetween(-4L, 0L)
+    anomalyMinuteCounts(spark, dir)
+      .withColumn("roll_n", sum("n").over(w).cast("long"))
+      .withColumn("roll_minutes", count(lit(1)).over(w).cast("long"))
+      .withColumn("roll_avg",
+        col("roll_n").cast("double") / lit(5.0))
+      .withColumn("roll_max", max("n").over(w).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_throughput" -> rollingThroughput,
     "anomaly_mad" -> anomalyMad,
     "props_json_stats" -> propsJsonStats,
     "event_transitions" -> eventTransitions,
@@ -996,6 +1020,18 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rolling_throughput" ->
+      """WITH mc AS (
+        |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, minute)
+        |SELECT event_type, minute, n,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS roll_n,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS roll_minutes,
+        |  CAST(CAST(SUM(n) OVER w AS BIGINT) AS DOUBLE) / 5.0 AS roll_avg,
+        |  CAST(MAX(n) OVER w AS BIGINT) AS roll_max
+        |FROM mc
+        |WINDOW w AS (PARTITION BY event_type ORDER BY minute
+        |  RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "anomaly_mad" ->
       """WITH mc AS (
         |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n

@@ -267,6 +267,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"minute-count frame not one partial-aggregated scan:\n$mcPlan")
   }
 
+  test("rolling_throughput frames the compressed minute counts") {
+    // One partial-aggregated scan to the (type, minute) frame, then the
+    // RANGE window on a single exchange of that frame — never a
+    // full-data sort.
+    val plan = planOf(graft.analytics.Analytics.rollingThroughput(spark, dir))
+    assert(plan.contains("partial_count"),
+      s"rolling_throughput counts not map-side combined:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"rolling_throughput scans events more than once:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"rolling_throughput plans extra exchanges:\n$plan")
+  }
+
   test("zipf_profile ranks the vocabulary frame, not the corpus") {
     // The token explode partial-aggregates to (source, tok) counts; the
     // rank window and bucket rollup run on that sub-linear frame.
