@@ -21,6 +21,7 @@ object SparkEntry {
       (llm.Sampling.queries, llm.Sampling.oracles),
       (llm.Curation.queries, llm.Curation.oracles),
       (llm.Clustering.queries, llm.Clustering.oracles),
+      (llm.Pca.queries, llm.Pca.oracles),
       (llm.Multimodal.queries, llm.Multimodal.oracles),
       (streaming.Streams.queries, streaming.Streams.oracles))
 

@@ -569,6 +569,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(st.filter(col("dim") =!= dim).count() == 0)
   }
 
+  test("pca_top_component matches a driver-side exact eigensolve") {
+    val r = llm.Pca.pcaTopComponent(spark, dir).orderBy("dim").collect()
+    val d = 64
+    assert(r.length == d)
+    val w = r.map(_.getAs[Double]("component"))
+    val lam = r.head.getAs[Double]("eigenvalue")
+    val ratio = r.head.getAs[Double]("explained_ratio")
+    val nVecs = r.head.getAs[Long]("n_vecs")
+    // reference: exact covariance + long power iteration, all in the test
+    val xs = Tables.t(spark, dir, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    assert(nVecs == xs.length)
+    val n = xs.length.toDouble
+    val mu = Array.tabulate(d)(i => xs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      xs.map(x => x(i) * x(j)).sum / n - mu(i) * mu(j))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    (1 to 500).foreach { _ =>
+      val y = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(y.map(x => x * x).sum)
+      v = y.map(_ / nrm)
+    }
+    val refLam = (0 until d).map(i =>
+      (0 until d).map(j => cov(i)(j) * v(i) * v(j)).sum).sum
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    // direction agrees up to sign; eigenvalue and ratio to tight rel tol
+    val cos = (0 until d).map(i => w(i) * v(i)).sum
+    assert(math.abs(cos) > 0.999, s"component cosine $cos")
+    assert(math.abs(lam - refLam) / refLam < 1e-6, s"lam $lam vs $refLam")
+    assert(math.abs(ratio - refLam / trace) < 1e-6)
+    assert(ratio > 0.0 && ratio <= 1.0)
+    val unit = math.sqrt(w.map(x => x * x).sum)
+    assert(math.abs(unit - 1.0) < 1e-9)
+    // sign canonicalization: the largest-|w| entry is positive
+    val peak = w.maxBy(math.abs)
+    assert(peak > 0.0)
+  }
+
   test("semdedup sweep is monotone non-increasing in the threshold") {
     val sw = llm.Similarity.semDedupSweep(spark, dir)
       .orderBy("th_pct").collect()
