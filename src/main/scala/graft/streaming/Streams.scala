@@ -244,6 +244,22 @@ object Streams {
       }.toDF()
   }
 
+  /** Sliding-window throughput as a continuous query — the streaming
+    * half of [[graft.analytics.Analytics.rollingThroughput]]: a
+    * 5-minute window sliding by 1 minute over event time, so each
+    * emitted (type, window) row is the same 5-minute trailing volume
+    * the batch RANGE frame computes for the window's last minute.
+    * StreamingSpec pins every batch row against its stream window.
+    */
+  def rollingThroughputStream(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("roll_n"))
+      .select(expr("unix_millis(window.start) div 60000 + 4").as("minute"),
+        col("event_type"), col("roll_n"))
+
   final case class LastEv(ts: Long, event_id: Long, event_type: String)
   final case class Trans(user_id: Long, from_type: String, to_type: String)
 

@@ -121,6 +121,23 @@ class StreamingSpec extends AnyFunSuite {
       wantCounts.exceptAll(gotCounts).count() == 0)
   }
 
+  test("sliding stream windows match batch rolling_throughput") {
+    val stream = Streams.tableStream(spark, dir, "events")
+    val q = Streams.rollingThroughputStream(stream).writeStream
+      .outputMode("complete").format("memory").queryName("graft_roll_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_roll_stream")
+      .select("event_type", "minute", "roll_n")
+    val want = analytics.Analytics.rollingThroughput(spark, dir)
+      .select("event_type", "minute", "roll_n")
+    // every batch minute has its sliding window, with the same count; the
+    // stream additionally emits windows whose closing minute was silent
+    assert(want.exceptAll(got).count() == 0)
+    assert(got.count() >= want.count() && want.count() > 0)
+  }
+
   test("streaming transition feed aggregates to batch event_transitions") {
     val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.transitionsStream(stream).writeStream
