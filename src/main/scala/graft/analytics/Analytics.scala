@@ -912,7 +912,11 @@ object Analytics {
       .groupBy("event_type", "minute")
       .agg(count(lit(1)).as("n"))
 
-  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-(type, minute) deviation frame shared by [[anomalyMad]],
+    * [[anomalyMinutes]] and the streaming alert feed: columns
+    * (event_type, minute, n, med, dev, mad).
+    */
+  private[graft] def anomalyDev(spark: SparkSession, dir: String): DataFrame = {
     // The count frame feeds four branches (two median picks, the dev
     // join, the rollup) — checkpoint it so the data-sized scan runs
     // once and every branch reads the |types|*|minutes| rows back.
@@ -927,6 +931,18 @@ object Analytics {
     val dev = mc.join(broadcast(medianOf(mc, "n", "med")), "event_type")
       .withColumn("dev", abs(col("n") - col("med")))
     dev.join(broadcast(medianOf(dev, "dev", "mad")), "event_type")
+  }
+
+  /** The flagged outlier minutes themselves — the alert rows an
+    * operations consumer pages on, where [[anomalyMad]] is the summary.
+    */
+  def anomalyMinutes(spark: SparkSession, dir: String): DataFrame =
+    anomalyDev(spark, dir)
+      .filter(col("dev") > lit(3L) * col("mad"))
+      .select("event_type", "minute", "n", "med", "mad", "dev")
+
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    anomalyDev(spark, dir)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_minutes"),
@@ -935,7 +951,6 @@ object Analytics {
         sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"),
         max("dev").as("max_dev"))
-  }
 
   /** Sliding-window throughput: per event type, the 5-minute rolling
     * event volume by RANGE frame over the minute counts — the smoothed
@@ -963,6 +978,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_throughput" -> rollingThroughput,
     "anomaly_mad" -> anomalyMad,
+    "anomaly_minutes" -> anomalyMinutes,
     "props_json_stats" -> propsJsonStats,
     "event_transitions" -> eventTransitions,
     "activity_span" -> activitySpan,
@@ -1032,6 +1048,32 @@ object Analytics {
         |FROM mc
         |WINDOW w AS (PARTITION BY event_type ORDER BY minute
         |  RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "anomaly_minutes" ->
+      """WITH mc AS (
+        |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, minute),
+        |med AS (
+        |  SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n, minute,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY n, minute) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM mc)
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (
+        |  SELECT mc.event_type, minute, n, med, ABS(n - med) AS dev
+        |  FROM mc JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, minute,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY dev, minute) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM dev)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, minute, n, med, m.mad, dev
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE dev > 3 * m.mad""".stripMargin,
     "anomaly_mad" ->
       """WITH mc AS (
         |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n

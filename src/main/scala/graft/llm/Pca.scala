@@ -158,8 +158,33 @@ object Pca {
         .localCheckpoint()
     })
 
+  /** Projection histogram along the top component: per label, vector
+    * counts in width-1/16 projection buckets — the separability view a
+    * curation pipeline reads next to the spectrum (labels whose
+    * projections separate along the top axis mean one principal
+    * direction encodes the label; fully overlapping histograms mean the
+    * axis is label-neutral). The cached component folds to ONE
+    * broadcast array row, so scoring is an in-row dot product over a
+    * single scan — no explode, no join shuffle; the rollup is
+    * |labels|*|buckets| rows.
+    */
+  def pcaProjectionHist(spark: SparkSession, dir: String): DataFrame = {
+    val comp = pcaTopComponent(spark, dir)
+      .agg(expr("transform(array_sort(collect_list(struct(dim, component)))" +
+        ", s -> s.component)").as("comp"))
+    Embeddings.withNorm(spark, dir)
+      .crossJoin(broadcast(comp))
+      .withColumn("proj", expr("vec_dot(v, comp)"))
+      .withColumn("bucket",
+        floor(col("proj") * lit(16.0)).cast("long"))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("proj").as("min_proj"), max("proj").as("max_proj"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pca_top_component" -> pcaTopComponent)
+    "pca_top_component" -> pcaTopComponent,
+    "pca_projection_hist" -> pcaProjectionHist)
 
   // Rows-only by design: a 32-round double-precision eigen-iteration has
   // no bit-stable SQL mirror; OperatorSpec pins the result against an

@@ -260,6 +260,32 @@ object Streams {
       .select(expr("unix_millis(window.start) div 60000 + 4").as("minute"),
         col("event_type"), col("roll_n"))
 
+  /** Continuous anomaly alerting — the streaming consumer of the batch
+    * MAD thresholds: per-minute counts aggregate over event time
+    * (update mode, one row of state per open minute) against the
+    * STATIC broadcast (type, med, mad) threshold frame fitted by the
+    * batch [[graft.analytics.Analytics.anomalyDev]]; rows where
+    * |n - med| > 3*mad are the page-worthy alerts. The fit-batch /
+    * score-stream split is the production shape: thresholds refresh on
+    * the batch cadence, scoring is continuous. StreamingSpec pins the
+    * final per-minute alert set == batch anomaly_minutes.
+    */
+  def anomalyAlertStream(spark: SparkSession, dir: String,
+      stream: DataFrame): DataFrame = {
+    val thresholds = graft.analytics.Analytics.anomalyDev(spark, dir)
+      .select("event_type", "med", "mad").distinct()
+    stream
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_millis(window.start) div 60000").as("minute"),
+        col("event_type"), col("n"))
+      .join(broadcast(thresholds), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+      .filter(col("dev") > lit(3L) * col("mad"))
+  }
+
   final case class LastEv(ts: Long, event_id: Long, event_type: String)
   final case class Trans(user_id: Long, from_type: String, to_type: String)
 

@@ -609,6 +609,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(peak > 0.0)
   }
 
+  test("pca_projection_hist partitions the corpus into consistent buckets") {
+    val h = llm.Pca.pcaProjectionHist(spark, dir).cache()
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    assert(h.agg(sum("n_vecs")).head.getLong(0) == emb.count())
+    assert(h.select("label").distinct().count() ==
+      emb.select("label").distinct().count())
+    // every row's projection extremes sit inside its bucket interval
+    assert(h.filter(col("min_proj") < col("bucket") / lit(16.0) ||
+      col("max_proj") >= (col("bucket") + lit(1L)) / lit(16.0) ||
+      col("max_proj") < col("min_proj")).count() == 0)
+  }
+
   test("semdedup sweep is monotone non-increasing in the threshold") {
     val sw = llm.Similarity.semDedupSweep(spark, dir)
       .orderBy("th_pct").collect()

@@ -138,6 +138,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() >= want.count() && want.count() > 0)
   }
 
+  test("streaming MAD alerts equal batch anomaly_minutes") {
+    // sf0.001 minute counts are almost all 1 (dev = 0 everywhere), so the
+    // alert set is empty there by construction; the sf0.01 corpus has real
+    // spikes and exercises the threshold for real.
+    val dir01 = "/root/testdata/sf0.01"
+    val stream = Streams.tableStream(spark, dir01, "events")
+    val q = Streams.anomalyAlertStream(spark, dir01, stream)
+      .select("event_type", "minute", "n", "med", "mad", "dev")
+      .writeStream
+      .outputMode("complete").format("memory").queryName("graft_alert_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_alert_stream")
+    val want = analytics.Analytics.anomalyMinutes(spark, dir01)
+      .select("event_type", "minute", "n", "med", "mad", "dev")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    assert(want.count() > 0)
+  }
+
   test("streaming transition feed aggregates to batch event_transitions") {
     val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.transitionsStream(stream).writeStream
