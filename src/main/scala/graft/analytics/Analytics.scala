@@ -752,6 +752,97 @@ object Analytics {
         dsum(money(col("val"))).as("sum_val"),
         grouping_id().as("gid"))
 
+  /** Revenue by region with nation drill-down — ROLLUP(r_name, n_name)
+    * semantics (per-nation gid=0, per-region subtotal gid=1, grand
+    * total gid=3: DuckDB's GROUPING encoding, which the oracle runs
+    * literally) built as ONE fact-scan aggregation to the
+    * |nations|-row frame plus two re-aggregations of that frame.
+    * Deliberately not Dataset.rollup: its Expand would triple every
+    * fact row through the shuffle, while the decimal partial sums here
+    * make the subtotals bit-identical at a third of the shuffle volume
+    * (and rollup downstream of a join trips Spark's self-join
+    * ambiguity detector besides).
+    */
+  def nationRevenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("rn"), col("n_name").as("nn"))
+      .agg(count(lit(1)).as("n_items"),
+        // decimal partial sums: subtotal re-aggregation stays exact
+        sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .as("rev_d"))
+      .localCheckpoint()
+    val nullStr = lit(null).cast("string")
+    val nation = nat.select(col("rn"), col("nn"), col("n_items"),
+      col("rev_d"), lit(0L).as("gid"))
+    val region = nat.groupBy("rn")
+      .agg(sum("n_items").cast("long").as("n_items"),
+        sum("rev_d").as("rev_d"))
+      .select(col("rn"), nullStr.as("nn"), col("n_items"), col("rev_d"),
+        lit(1L).as("gid"))
+    val total = nat
+      .agg(sum("n_items").cast("long").as("n_items"),
+        sum("rev_d").as("rev_d"))
+      .select(nullStr.as("rn"), nullStr.as("nn"), col("n_items"),
+        col("rev_d"), lit(3L).as("gid"))
+    nation.unionByName(region).unionByName(total)
+      .select(col("rn").as("r_name"), col("nn").as("n_name"),
+        col("n_items"), col("rev_d").cast("double").as("revenue"),
+        col("gid"))
+  }
+
+  /** Customer spend deciles via NTILE — the tiering view a marketing
+    * consumer reads (decile boundaries + population and revenue per
+    * tier). Totals are decimal-exact per customer, and the NTILE order
+    * is made deterministic by the (total, custkey) tie-break, so both
+    * engines assign identical tiers. The window runs on the
+    * |customers|-row aggregated frame, not the fact scan.
+    */
+  def customerSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val totals = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(dsum(money(col("o_totalprice"))).as("total"))
+    // Global rank WITHOUT a single-task ORDER BY window (the NTILE
+    // default): $1000-wide value buckets align bucket order with value
+    // order, per-bucket counts prefix-sum into a broadcast offset table
+    // (the corpus_shuffle 256-bucket discipline, value-keyed), and each
+    // bucket ranks in parallel. The tier arithmetic then reproduces
+    // NTILE's first-tiles-get-the-remainder split in pure integers —
+    // the oracle runs DuckDB's literal NTILE(10), so the two
+    // implementations cross-check.
+    val b = totals
+      .withColumn("bucket", floor(col("total") / lit(1000.0)).cast("long"))
+    val offs = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        coalesce(sum("bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    val nAll = b.agg(count(lit(1)).as("n"))
+    b.join(broadcast(offs), "bucket")
+      .withColumn("rank",
+        col("off") + row_number().over(
+          Window.partitionBy("bucket").orderBy("total", "o_custkey"))
+          .cast("long"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("decile",
+        expr("""CASE WHEN rank <= (n % 10) * (n div 10 + 1)
+               |  THEN (rank - 1) div (n div 10 + 1) + 1
+               |  ELSE (n % 10) + (rank - (n % 10) * (n div 10 + 1) - 1)
+               |    div (n div 10) + 1 END""".stripMargin))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        min("total").as("min_total"),
+        max("total").as("max_total"),
+        // decimal re-sum: a raw double sum would be fold-order-dependent
+        sum(col("total").cast("decimal(18,2)")).cast("double")
+          .as("sum_total"))
+  }
+
   /** TPC-H Q13 flavor: distribution of per-customer order counts through a
     * LEFT join (customers with zero orders must appear in the 0 bucket),
     * with non-urgent priority as the "special orders excluded" predicate.
@@ -977,6 +1068,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_throughput" -> rollingThroughput,
+    "nation_revenue_rollup" -> nationRevenueRollup,
+    "customer_spend_deciles" -> customerSpendDeciles,
     "anomaly_mad" -> anomalyMad,
     "anomaly_minutes" -> anomalyMinutes,
     "props_json_stats" -> propsJsonStats,
@@ -1048,6 +1141,33 @@ object Analytics {
         |FROM mc
         |WINDOW w AS (PARTITION BY event_type ORDER BY minute
         |  RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "nation_revenue_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "customer_spend_deciles" ->
+      """WITH totals AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders GROUP BY o_custkey),
+        |tiered AS (
+        |  SELECT total,
+        |    CAST(NTILE(10) OVER (ORDER BY total, o_custkey) AS BIGINT)
+        |      AS decile
+        |  FROM totals)
+        |SELECT decile, COUNT(*) AS n_customers,
+        |  MIN(total) AS min_total, MAX(total) AS max_total,
+        |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM tiered GROUP BY decile""".stripMargin,
     "anomaly_minutes" ->
       """WITH mc AS (
         |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n
