@@ -280,6 +280,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rolling_throughput plans extra exchanges:\n$plan")
   }
 
+  test("nation_revenue_rollup subtotals re-read the checkpointed frame") {
+    // The hierarchy must come from re-aggregating the |nations| frame —
+    // no Expand (Dataset.rollup would triple the fact shuffle) and no
+    // parquet re-scan past the checkpoint.
+    val plan = planOf(graft.analytics.Analytics
+      .nationRevenueRollup(spark, dir))
+    assert(!plan.contains("Expand"),
+      s"nation_revenue_rollup plans an Expand:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 0,
+      s"nation_revenue_rollup re-scans facts past the checkpoint:\n$plan")
+  }
+
+  test("customer_spend_deciles ranks per bucket, never one global sort") {
+    // The data-sized window must partition by the value bucket; the only
+    // single-partition work is the |buckets|-row offset prefix.
+    val plan = planOf(graft.analytics.Analytics
+      .customerSpendDeciles(spark, dir))
+    assert("hashpartitioning\\(bucket".r.findFirstIn(plan).isDefined,
+      s"deciles rank window not bucket-partitioned:\n$plan")
+    assert(plan.contains("partial_"),
+      s"deciles totals not map-side combined:\n$plan")
+  }
+
   test("zipf_profile ranks the vocabulary frame, not the corpus") {
     // The token explode partial-aggregates to (source, tok) counts; the
     // rank window and bucket rollup run on that sub-linear frame.
