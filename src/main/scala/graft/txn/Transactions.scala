@@ -460,7 +460,62 @@ object Transactions {
         when(col("txn_state") === "ONGOING", 1L).otherwise(0L))
   }
 
+  /** Snapshot cadence for [[producerStateSnapshot]] — a snapshot is cut
+    * at every multiple of this many offsets.
+    */
+  private val SnapInterval = 256L
+
+  /** Producer-state snapshot / recovery plan
+    * (storage/ProducerStateManagerSnapshot.java:24-33 — a snapshot
+    * carries (offset, producers, ongoingTxns, abortedIndexList);
+    * ProducerStateManager.java:80-105 applySnapshotAndRecover —
+    * recovery applies the latest snapshot then replays from its offset,
+    * or replays the whole partition when none exists): per partition,
+    * with snapshots cut every [[SnapInterval]] offsets, the latest
+    * snapshot boundary, what it captured (distinct producers, txns
+    * still open at the boundary, aborted-index entries), the replay
+    * tail a recovering broker must re-read, and the recovery mode.
+    *
+    * Scale: the boundary frame is a partial-aggregated |partitions|-row
+    * checkpoint broadcast back onto the scan; the txn-lifetime and
+    * producer branches are both partial-aggregated — the honest cost is
+    * two compressed passes, metadata-sized joins after.
+    */
+  def producerStateSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = txnLog(spark, dir)
+    val bounds = base.groupBy("topic", "part")
+      .agg((max("offs") + lit(1L)).as("log_end"))
+      .withColumn("snap_off",
+        expr(s"(log_end div $SnapInterval) * $SnapInterval"))
+      .localCheckpoint()
+    val txns = base.join(broadcast(bounds), Seq("topic", "part"))
+      .groupBy("topic", "part", "txn_id")
+      .agg(min("offs").as("mn"), max("offs").as("mx"),
+        max("snap_off").as("snap_off"))
+      .withColumn("fate", txnFate(col("txn_id")))
+      .groupBy("topic", "part")
+      .agg(
+        sum(when(col("mn") < col("snap_off") &&
+          (col("fate") === "ONGOING" || col("mx") >= col("snap_off")), 1L)
+          .otherwise(0L)).as("n_ongoing_at_snap"),
+        sum(when(col("fate") === "ABORTED" && col("mx") < col("snap_off"),
+          1L).otherwise(0L)).as("n_aborted_index"))
+    val prods = base.join(broadcast(bounds), Seq("topic", "part"))
+      .filter(col("offs") < col("snap_off"))
+      .groupBy("topic", "part")
+      .agg(countDistinct("k").as("n_producers_snap"))
+    bounds.join(txns, Seq("topic", "part"))
+      .join(prods, Seq("topic", "part"), "left")
+      .withColumn("n_producers_snap",
+        coalesce(col("n_producers_snap"), lit(0L)))
+      .withColumn("replay_tail", col("log_end") - col("snap_off"))
+      .withColumn("recovery",
+        when(col("snap_off") > 0L, "SNAPSHOT_REPLAY")
+          .otherwise("FULL_REPLAY"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "producer_state_snapshot" -> producerStateSnapshot,
     "add_offsets_to_txn" -> addOffsetsToTxn,
     "describe_transactions" -> describeTransactions,
     "add_partitions_to_txn" -> addPartitionsToTxn,
@@ -631,6 +686,39 @@ object Transactions {
          |  (${Long.MaxValue} - ((blocks_before + n_blocks) * 1000 - 1)) // 1000
          |    AS headroom_blocks
          |FROM seq""".stripMargin),
+    "producer_state_snapshot" -> (L + txnSql +
+      s""", bounds AS (
+        |  SELECT topic, part, MAX(offs) + 1 AS log_end,
+        |    ((MAX(offs) + 1) // 256) * 256 AS snap_off
+        |  FROM txn GROUP BY topic, part),
+        |tl AS (
+        |  SELECT topic, part, txn_id, MIN(offs) AS mn, MAX(offs) AS mx
+        |  FROM txn GROUP BY topic, part, txn_id),
+        |ts AS (
+        |  SELECT tl.topic, tl.part,
+        |    CAST(SUM(CASE WHEN mn < snap_off AND
+        |        ((${fateSql("txn_id")}) = 'ONGOING' OR mx >= snap_off)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ongoing_at_snap,
+        |    CAST(SUM(CASE WHEN (${fateSql("txn_id")}) = 'ABORTED'
+        |        AND mx < snap_off
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_aborted_index
+        |  FROM tl JOIN bounds USING (topic, part)
+        |  GROUP BY tl.topic, tl.part),
+        |pr AS (
+        |  SELECT txn.topic, txn.part,
+        |    CAST(COUNT(DISTINCT k) AS BIGINT) AS n_producers_snap
+        |  FROM txn JOIN bounds USING (topic, part)
+        |  WHERE offs < snap_off
+        |  GROUP BY txn.topic, txn.part)
+        |SELECT b.topic, b.part, log_end, snap_off,
+        |  n_ongoing_at_snap, n_aborted_index,
+        |  COALESCE(n_producers_snap, 0) AS n_producers_snap,
+        |  log_end - snap_off AS replay_tail,
+        |  CASE WHEN snap_off > 0 THEN 'SNAPSHOT_REPLAY'
+        |    ELSE 'FULL_REPLAY' END AS recovery
+        |FROM bounds b
+        |JOIN ts USING (topic, part)
+        |LEFT JOIN pr USING (topic, part)""".stripMargin),
     "lso_lag" -> (L + txnSql +
       s"""SELECT topic, part, log_end,
         |  first_undecided, n_open_txns,
