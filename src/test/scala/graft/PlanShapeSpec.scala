@@ -280,6 +280,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rolling_throughput plans extra exchanges:\n$plan")
   }
 
+  test("producer_state_snapshot broadcasts the boundary frame") {
+    // The |partitions|-row bounds checkpoint broadcasts back onto both
+    // compressed passes — the log never shuffles for the boundary join.
+    val plan = planOf(graft.txn.Transactions
+      .producerStateSnapshot(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"producer_state_snapshot bounds not broadcast into both passes:\n$plan")
+    assert(plan.contains("partial_"),
+      s"producer_state_snapshot passes not map-side combined:\n$plan")
+  }
+
   test("nation_revenue_rollup subtotals re-read the checkpointed frame") {
     // The hierarchy must come from re-aggregating the |nations| frame —
     // no Expand (Dataset.rollup would triple the fact shuffle) and no
