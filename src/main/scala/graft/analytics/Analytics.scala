@@ -1066,7 +1066,34 @@ object Analytics {
       .withColumn("roll_max", max("n").over(w).cast("long"))
   }
 
+  /** Signup-to-first-purchase conversion lag: per user the gap between
+    * first signup and the first purchase at-or-after it, rolled into a
+    * whole-day latency histogram — the activation-funnel timing view
+    * (funnel counts WHO converts; this measures HOW LONG conversion
+    * takes). Two partial-aggregated per-user extremes joined on the
+    * user key, then a |days|-row rollup; integer day math end to end.
+    */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    // ms-floored on BOTH sides before any comparison or difference, so
+    // the day bucket is bit-identical to the oracle's epoch_ms math
+    // even for pairs within a millisecond of a day boundary.
+    val ev = t(spark, dir, "events")
+      .withColumn("tms", expr("ts div 1000000"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tms").as("s_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "tms")
+    signups.join(purchases, "user_id")
+      .filter(col("tms") >= col("s_ms"))
+      .groupBy("user_id", "s_ms").agg(min("tms").as("p_ms"))
+      .withColumn("latency_days",
+        expr("(p_ms - s_ms) div 86400000"))
+      .groupBy("latency_days")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conversion_lag" -> conversionLag,
     "rolling_throughput" -> rollingThroughput,
     "nation_revenue_rollup" -> nationRevenueRollup,
     "customer_spend_deciles" -> customerSpendDeciles,
@@ -1129,6 +1156,18 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "conversion_lag" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS s_ms
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, s_ms, MIN(epoch_ms(e.ts)) AS p_ms
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s_ms
+        |  GROUP BY e.user_id, s_ms)
+        |SELECT (p_ms - s_ms) // 86400000 AS latency_days,
+        |  COUNT(*) AS n_users
+        |FROM fp GROUP BY latency_days""".stripMargin,
     "rolling_throughput" ->
       """WITH mc AS (
         |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n
