@@ -609,6 +609,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(peak > 0.0)
   }
 
+  test("conversion_lag accounts converted users within the signup cohort") {
+    val lag = analytics.Analytics.conversionLag(spark, dir).cache()
+    val ev = graft.Tables.t(spark, dir, "events")
+    val nSignups = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    val converted = lag.agg(sum("n_users")).head.getLong(0)
+    // every counted user signed up; buckets are non-negative whole days
+    assert(converted > 0 && converted <= nSignups)
+    assert(lag.filter(col("latency_days") < 0L).count() == 0)
+  }
+
   test("pca_projection_hist partitions the corpus into consistent buckets") {
     val h = llm.Pca.pcaProjectionHist(spark, dir).cache()
     val emb = graft.Tables.t(spark, dir, "embeddings")
