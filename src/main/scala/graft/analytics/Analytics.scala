@@ -1092,7 +1092,34 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Market-basket co-occurrence: part pairs bought together in the
+    * same order, counted across orders and kept where they repeat —
+    * the association-mining primitive behind recommendations. Pairs
+    * generate IN-ROW from each order's sorted distinct part list (the
+    * substring_dup_pairs comprehension — order sizes are schema-bounded
+    * at 7 lineitems, so per-row pair work is O(21) and nothing
+    * quadratic ever crosses the shuffle); the oracle cross-checks with
+    * a DuckDB self-join, a structurally different plan.
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      // collect_set dedups in-row — a separate distinct() would add a
+      // second full shuffle of the fact for nothing
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .select(col("pr.p1"), col("pr.p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_pairs" -> basketPairs,
     "conversion_lag" -> conversionLag,
     "rolling_throughput" -> rollingThroughput,
     "nation_revenue_rollup" -> nationRevenueRollup,
@@ -1156,6 +1183,15 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |  COUNT(*) AS n_orders
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY p1, p2
+        |HAVING COUNT(*) >= 2""".stripMargin,
     "conversion_lag" ->
       """WITH s AS (
         |  SELECT user_id, MIN(epoch_ms(ts)) AS s_ms

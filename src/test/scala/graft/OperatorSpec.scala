@@ -609,6 +609,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(peak > 0.0)
   }
 
+  test("basket_pairs emits ordered repeating pairs only") {
+    val bp = analytics.Analytics.basketPairs(spark, dir).cache()
+    assert(bp.filter(col("p1") >= col("p2")).count() == 0)
+    assert(bp.filter(col("n_orders") < 2L).count() == 0)
+    // spot-check one pair against a direct order-intersection count
+    val top = bp.orderBy(col("n_orders").desc, col("p1"), col("p2")).head()
+    val li = graft.Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val o1 = li.filter(col("l_partkey") === top.getLong(0))
+      .select("l_orderkey")
+    val o2 = li.filter(col("l_partkey") === top.getLong(1))
+      .select("l_orderkey")
+    assert(o1.intersect(o2).count() == top.getLong(2))
+  }
+
   test("conversion_lag accounts converted users within the signup cohort") {
     val lag = analytics.Analytics.conversionLag(spark, dir).cache()
     val ev = graft.Tables.t(spark, dir, "events")
