@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print ONE machine-parsed JSON line on stdout. Route the
+// forked process's streams straight through (no "[info] " prefix) and
+// drop sbt's "[success] Total time" epilogue so that JSON line is the
+// FINAL stdout line the driver sees.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
