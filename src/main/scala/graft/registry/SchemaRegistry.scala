@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.log.LogOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType}
 
@@ -18,6 +18,14 @@ import org.apache.spark.sql.types.{MapType, StringType}
   * against the latest prior (v2); `schema_compat_transitive` checks v3
   * against ALL prior versions (CompatibilityChecker.java:141-146
   * BACKWARD_TRANSITIVE / FORWARD_TRANSITIVE / FULL_TRANSITIVE).
+  *
+  * Compatibility is TYPE-AWARE, not just field-set-aware: every (topic,
+  * field, version) slot carries a declared Avro primitive type (see
+  * [[typedVersionedFields]]), and a field surviving a version bump with a
+  * type change passes only when the change is an allowed Avro promotion
+  * ([[promotable]]) — mirroring how CompatibilityChecker.java:16-22
+  * delegates to Avro's structural SchemaValidator rather than comparing
+  * field names.
   *
   * Scale: field explosion is a narrow map-side op (from_json is codegen'd);
   * the aggregation key (topic, field) has tiny cardinality so the shuffle
@@ -61,14 +69,95 @@ object SchemaRegistry {
     observed.union(synth).distinct()
   }
 
-  /** Per-(topic, field) presence flags for the three schema versions. */
-  private def versionFlags(spark: SparkSession, dir: String): DataFrame =
+  /** The Avro primitive universe the evolved types draw from. */
+  private val Types = Seq("int", "long", "float", "double", "string", "bytes")
+
+  private def typeAt(idx: Column): Column =
+    element_at(array(Types.map(lit): _*), (pmod(idx, lit(6L)) + 1L).cast("int"))
+
+  /** Avro schema-resolution promotion rules
+    * (CompatibilityChecker.java:16-22 delegates to Avro's
+    * SchemaValidatorBuilder, whose structural check applies the spec's
+    * promotion table): data written with type `w` is readable by a reader
+    * declaring type `r` iff equal or w promotes to r — int→long/float/
+    * double, long→float/double, float→double, string↔bytes.
+    */
+  private[graft] def promotable(w: Column, r: Column): Column =
+    (w === r) ||
+      (w === "int" && r.isin("long", "float", "double")) ||
+      (w === "long" && r.isin("float", "double")) ||
+      (w === "float" && r === "double") ||
+      (w === "string" && r === "bytes") ||
+      (w === "bytes" && r === "string")
+
+  /** Typed version inventory (topic, version, field, ftype): the field
+    * model of [[versionedFields]] deepened with a per-(topic, field,
+    * version) TYPE. Observed payload fields base on [[schemaInfer]]'s
+    * value-driven inference; synthetic universe fields base on an md5-coin
+    * pick from the Avro primitive set; and each (field, version) slot
+    * independently EVOLVES away from its base type with probability ~25%
+    * (first hex digit of md5("tyv#t#f#v") in 0-3, second digit picking the
+    * replacement) — rare enough that type breaks are a distinct signal
+    * from field-set breaks, common enough that both verdicts appear on
+    * testdata.
+    *
+    * Scale: one broadcast of the (topic, field)-cardinality inferred-type
+    * table onto the metadata-sized version inventory; all hashing is
+    * per-row codegen.
+    */
+  private def typedVersionedFields(spark: SparkSession, dir: String): DataFrame = {
+    val obs = fields(spark, dir)
+      .groupBy("topic", "field")
+      .agg(when(
+        min(when(col("fval").rlike("^-?[0-9]+$"), 1).otherwise(0)) === 1,
+        "long").otherwise("string").as("base_obs"))
+    val h = md5(concat_ws("#", lit("tyv"), col("topic"), col("field"),
+      col("version").cast("string")))
     versionedFields(spark, dir)
+      .join(broadcast(obs), Seq("topic", "field"), "left")
+      .withColumn("base_type", coalesce(col("base_obs"),
+        typeAt(conv(substring(md5(concat_ws("#", lit("ty"), col("topic"),
+          col("field"))), 1, 1), 16, 10).cast("long"))))
+      .withColumn("ftype",
+        when(substring(h, 1, 1).isin("0", "1", "2", "3"),
+          typeAt(conv(substring(h, 2, 1), 16, 10).cast("long")))
+          .otherwise(col("base_type")))
+      .select("topic", "version", "field", "ftype")
+  }
+
+  /** Per-(topic, field) presence flags AND declared types for the three
+    * schema versions (null type where the field is absent).
+    */
+  private[graft] def versionFlags(spark: SparkSession, dir: String): DataFrame =
+    typedVersionedFields(spark, dir)
       .groupBy("topic", "field")
       .agg(
         max(when(col("version") === 1L, 1L).otherwise(0L)).as("has_v1"),
         max(when(col("version") === 2L, 1L).otherwise(0L)).as("has_v2"),
-        max(when(col("version") === 3L, 1L).otherwise(0L)).as("has_v3"))
+        max(when(col("version") === 3L, 1L).otherwise(0L)).as("has_v3"),
+        max(when(col("version") === 1L, col("ftype"))).as("ty_v1"),
+        max(when(col("version") === 2L, col("ftype"))).as("ty_v2"),
+        max(when(col("version") === 3L, col("ftype"))).as("ty_v3"))
+
+  /** Per-field BACKWARD verdict of v3 (reader) against prior version p
+    * (writer): 0 when p's field is dropped in v3 OR survives with a type
+    * the promotion rules can't bridge.
+    */
+  private def bwdOk(hasP: Column, tyP: Column): Column =
+    when(hasP === 1L && col("has_v3") === 0L, 0L)
+      .when(hasP === 1L && col("has_v3") === 1L &&
+        !promotable(tyP, col("ty_v3")), 0L)
+      .otherwise(1L)
+
+  /** Per-field FORWARD verdict of v3 (writer) against prior version p
+    * (reader): 0 when v3 adds a field absent from p OR writes a type p's
+    * declaration can't read.
+    */
+  private def fwdOk(hasP: Column, tyP: Column): Column =
+    when(col("has_v3") === 1L && hasP === 0L, 0L)
+      .when(col("has_v3") === 1L && hasP === 1L &&
+        !promotable(col("ty_v3"), tyP), 0L)
+      .otherwise(1L)
 
   def schemaInfer(spark: SparkSession, dir: String): DataFrame =
     fields(spark, dir)
@@ -81,7 +170,10 @@ object SchemaRegistry {
 
   /** Non-transitive BACKWARD: the new version (v3) must retain every field
     * of the LATEST prior version (v2) — earlier versions are not consulted
-    * (that is [[schemaCompatTransitive]]'s job).
+    * (that is [[schemaCompatTransitive]]'s job) — AND every retained
+    * field's type change must be an allowed Avro promotion
+    * (CompatibilityChecker.java:16-22; long→double passes, string→long
+    * breaks).
     */
   def schemaCompat(spark: SparkSession, dir: String): DataFrame =
     versionFlags(spark, dir)
@@ -90,19 +182,19 @@ object SchemaRegistry {
         sum("has_v2").cast("long").as("n_prev_fields"),
         sum("has_v3").cast("long").as("n_new_fields"),
         sum(col("has_v2") * col("has_v3")).cast("long").as("n_common"),
-        min(when(col("has_v2") === 1L && col("has_v3") === 0L, 0L).otherwise(1L))
-          .as("backward_compatible"))
+        min(bwdOk(col("has_v2"), col("ty_v2"))).as("backward_compatible"))
 
   /** Version registry: per (subject, version) the canonical schema
     * fingerprint — md5 of the sorted field list — and its field count
     * (SchemaStorage's subject -> versions -> schema-id mapping).
     */
   def schemaVersions(spark: SparkSession, dir: String): DataFrame =
-    versionedFields(spark, dir)
+    typedVersionedFields(spark, dir)
       .groupBy("topic", "version")
       .agg(
         count(lit(1)).as("n_fields"),
-        md5(concat_ws(",", sort_array(collect_list("field")))).as("fingerprint"))
+        md5(concat_ws(",", sort_array(collect_list(
+          concat_ws(":", col("field"), col("ftype")))))).as("fingerprint"))
 
   /** Non-transitive compatibility-mode matrix per subject
     * (CompatibilityChecker.java's BACKWARD / FORWARD / FULL modes), v3
@@ -114,10 +206,8 @@ object SchemaRegistry {
     versionFlags(spark, dir)
       .groupBy("topic")
       .agg(
-        min(when(col("has_v2") === 1L && col("has_v3") === 0L, 0L).otherwise(1L))
-          .as("backward"),
-        min(when(col("has_v3") === 1L && col("has_v2") === 0L, 0L).otherwise(1L))
-          .as("forward"))
+        min(bwdOk(col("has_v2"), col("ty_v2"))).as("backward"),
+        min(fwdOk(col("has_v2"), col("ty_v2"))).as("forward"))
       .withColumn("full_compat", col("backward") * col("forward"))
 
   /** Transitive compatibility modes (CompatibilityChecker.java:141-146):
@@ -133,15 +223,12 @@ object SchemaRegistry {
     versionFlags(spark, dir)
       .groupBy("topic")
       .agg(
-        min(when(col("has_v2") === 1L && col("has_v3") === 0L, 0L).otherwise(1L))
-          .as("backward"),
-        min(when((col("has_v1") === 1L || col("has_v2") === 1L) &&
-          col("has_v3") === 0L, 0L).otherwise(1L)).as("backward_transitive"),
-        min(when(col("has_v3") === 1L && col("has_v2") === 0L, 0L).otherwise(1L))
-          .as("forward"),
-        min(when(col("has_v3") === 1L &&
-          (col("has_v1") === 0L || col("has_v2") === 0L), 0L).otherwise(1L))
-          .as("forward_transitive"))
+        min(bwdOk(col("has_v2"), col("ty_v2"))).as("backward"),
+        min(bwdOk(col("has_v1"), col("ty_v1")) *
+          bwdOk(col("has_v2"), col("ty_v2"))).as("backward_transitive"),
+        min(fwdOk(col("has_v2"), col("ty_v2"))).as("forward"),
+        min(fwdOk(col("has_v1"), col("ty_v1")) *
+          fwdOk(col("has_v2"), col("ty_v2"))).as("forward_transitive"))
       .withColumn("full_transitive",
         col("backward_transitive") * col("forward_transitive"))
 
@@ -290,21 +377,84 @@ object SchemaRegistry {
       |    UNION ALL SELECT * FROM synth))
       |""".stripMargin
 
-  private val versSql: String = vfieldsSql +
+  /** DuckDB mirror of [[typedVersionedFields]] (continues vfieldsSql; ends
+    * with `tvf(topic, version, field, ftype)`).
+    */
+  private val tvfieldsSql: String = vfieldsSql +
+    """, obs AS (
+      |  SELECT topic, field,
+      |    CASE WHEN MIN(CASE WHEN regexp_matches(fval, '^-?[0-9]+$')
+      |      THEN 1 ELSE 0 END) = 1 THEN 'long' ELSE 'string' END AS base_obs
+      |  FROM fv GROUP BY topic, field),
+      |tvf AS (
+      |  SELECT topic, version, field,
+      |    CASE WHEN substring(md5('tyv#' || topic || '#' || field || '#'
+      |          || CAST(version AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      |      THEN ['int','long','float','double','string','bytes'][
+      |        CAST(('0x' || substring(md5('tyv#' || topic || '#' || field
+      |          || '#' || CAST(version AS VARCHAR)), 2, 1))::BIGINT % 6 + 1
+      |          AS INT)]
+      |      ELSE COALESCE(base_obs,
+      |        ['int','long','float','double','string','bytes'][
+      |          CAST(('0x' || substring(md5('ty#' || topic || '#' || field),
+      |            1, 1))::BIGINT % 6 + 1 AS INT)])
+      |    END AS ftype
+      |  FROM vfields LEFT JOIN obs USING (topic, field))
+      |""".stripMargin
+
+  private val versSql: String = tvfieldsSql +
     """, vers AS (
       |  SELECT topic, field,
       |    MAX(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS has_v1,
       |    MAX(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS has_v2,
-      |    MAX(CASE WHEN version = 3 THEN 1 ELSE 0 END) AS has_v3
-      |  FROM vfields GROUP BY topic, field)
+      |    MAX(CASE WHEN version = 3 THEN 1 ELSE 0 END) AS has_v3,
+      |    MAX(CASE WHEN version = 1 THEN ftype END) AS ty_v1,
+      |    MAX(CASE WHEN version = 2 THEN ftype END) AS ty_v2,
+      |    MAX(CASE WHEN version = 3 THEN ftype END) AS ty_v3
+      |  FROM tvf GROUP BY topic, field)
       |""".stripMargin
 
+  /** SQL mirror of [[promotable]]. */
+  private def promoSql(w: String, r: String): String =
+    s"($w = $r OR ($w = 'int' AND $r IN ('long','float','double'))" +
+      s" OR ($w = 'long' AND $r IN ('float','double'))" +
+      s" OR ($w = 'float' AND $r = 'double')" +
+      s" OR ($w = 'string' AND $r = 'bytes')" +
+      s" OR ($w = 'bytes' AND $r = 'string'))"
+
+  /** SQL mirror of [[bwdOk]]. */
+  private def bwdOkSql(hasP: String, tyP: String): String =
+    s"CASE WHEN $hasP = 1 AND has_v3 = 0 THEN 0" +
+      s" WHEN $hasP = 1 AND has_v3 = 1 AND NOT ${promoSql(tyP, "ty_v3")}" +
+      s" THEN 0 ELSE 1 END"
+
+  /** SQL mirror of [[fwdOk]]. */
+  private def fwdOkSql(hasP: String, tyP: String): String =
+    s"CASE WHEN has_v3 = 1 AND $hasP = 0 THEN 0" +
+      s" WHEN has_v3 = 1 AND $hasP = 1 AND NOT ${promoSql("ty_v3", tyP)}" +
+      s" THEN 0 ELSE 1 END"
+
+  /** The per-field verdict quartet as a CTE over `vers` — shared by every
+    * compat oracle (ends with `fv2(topic, bwd2, bwd1, fwd2, fwd1)`).
+    */
+  private val fieldVerdictsSql: String =
+    s""", fv2 AS (
+       |  SELECT topic,
+       |    ${bwdOkSql("has_v2", "ty_v2")} AS bwd2,
+       |    ${bwdOkSql("has_v1", "ty_v1")} AS bwd1,
+       |    ${fwdOkSql("has_v2", "ty_v2")} AS fwd2,
+       |    ${fwdOkSql("has_v1", "ty_v1")} AS fwd1,
+       |    has_v2, has_v3
+       |  FROM vers)
+       |""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "schema_ids" -> (L + fieldsSql + vfieldsSql +
+    "schema_ids" -> (L + fieldsSql + tvfieldsSql +
       """, vers2 AS (
         |  SELECT topic, version,
-        |    md5(string_agg(field, ',' ORDER BY field)) AS fingerprint
-        |  FROM vfields GROUP BY topic, version),
+        |    md5(string_agg(field || ':' || ftype, ','
+        |      ORDER BY field || ':' || ftype)) AS fingerprint
+        |  FROM tvf GROUP BY topic, version),
         |ids AS (
         |  SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_uses,
         |    CAST(ROW_NUMBER() OVER (ORDER BY fingerprint) AS BIGINT)
@@ -312,18 +462,14 @@ object SchemaRegistry {
         |  FROM vers2 GROUP BY fingerprint)
         |SELECT topic, version, schema_id, fingerprint, n_uses
         |FROM vers2 JOIN ids USING (fingerprint)""".stripMargin),
-    "subject_config" -> (L + fieldsSql + versSql +
+    "subject_config" -> (L + fieldsSql + versSql + fieldVerdictsSql +
       """, cmpt AS (
         |  SELECT topic,
-        |    MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END)
-        |      AS backward,
-        |    MIN(CASE WHEN (has_v1 = 1 OR has_v2 = 1) AND has_v3 = 0
-        |      THEN 0 ELSE 1 END) AS backward_transitive,
-        |    MIN(CASE WHEN has_v3 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
-        |      AS forward,
-        |    MIN(CASE WHEN has_v3 = 1 AND (has_v1 = 0 OR has_v2 = 0)
-        |      THEN 0 ELSE 1 END) AS forward_transitive
-        |  FROM vers GROUP BY topic),
+        |    MIN(bwd2) AS backward,
+        |    MIN(bwd1 * bwd2) AS backward_transitive,
+        |    MIN(fwd2) AS forward,
+        |    MIN(fwd1 * fwd2) AS forward_transitive
+        |  FROM fv2 GROUP BY topic),
         |c2 AS (
         |  SELECT topic, backward, forward,
         |    backward * forward AS full_compat,
@@ -379,40 +525,30 @@ object SchemaRegistry {
         |  CASE WHEN MIN(CASE WHEN regexp_matches(fval, '^-?[0-9]+$')
         |    THEN 1 ELSE 0 END) = 1 THEN 'long' ELSE 'string' END AS inferred
         |FROM fv GROUP BY topic, field""".stripMargin),
-    "schema_versions" -> (L + fieldsSql + vfieldsSql +
+    "schema_versions" -> (L + fieldsSql + tvfieldsSql +
       """SELECT topic, version, COUNT(*) AS n_fields,
-        |  md5(string_agg(field, ',' ORDER BY field)) AS fingerprint
-        |FROM vfields GROUP BY topic, version""".stripMargin),
-    "schema_compat_modes" -> (L + fieldsSql + versSql +
+        |  md5(string_agg(field || ':' || ftype, ','
+        |    ORDER BY field || ':' || ftype)) AS fingerprint
+        |FROM tvf GROUP BY topic, version""".stripMargin),
+    "schema_compat_modes" -> (L + fieldsSql + versSql + fieldVerdictsSql +
       """SELECT topic,
-        |  CAST(MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS backward,
-        |  CAST(MIN(CASE WHEN has_v3 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS forward,
-        |  CAST(MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END)
-        |    * MIN(CASE WHEN has_v3 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS full_compat
-        |FROM vers GROUP BY topic""".stripMargin),
-    "schema_compat_transitive" -> (L + fieldsSql + versSql +
+        |  CAST(MIN(bwd2) AS BIGINT) AS backward,
+        |  CAST(MIN(fwd2) AS BIGINT) AS forward,
+        |  CAST(MIN(bwd2) * MIN(fwd2) AS BIGINT) AS full_compat
+        |FROM fv2 GROUP BY topic""".stripMargin),
+    "schema_compat_transitive" -> (L + fieldsSql + versSql + fieldVerdictsSql +
       """SELECT topic,
-        |  CAST(MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS backward,
-        |  CAST(MIN(CASE WHEN (has_v1 = 1 OR has_v2 = 1) AND has_v3 = 0
-        |    THEN 0 ELSE 1 END) AS BIGINT) AS backward_transitive,
-        |  CAST(MIN(CASE WHEN has_v3 = 1 AND has_v2 = 0 THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS forward,
-        |  CAST(MIN(CASE WHEN has_v3 = 1 AND (has_v1 = 0 OR has_v2 = 0)
-        |    THEN 0 ELSE 1 END) AS BIGINT) AS forward_transitive,
-        |  CAST(MIN(CASE WHEN (has_v1 = 1 OR has_v2 = 1) AND has_v3 = 0
-        |    THEN 0 ELSE 1 END)
-        |    * MIN(CASE WHEN has_v3 = 1 AND (has_v1 = 0 OR has_v2 = 0)
-        |    THEN 0 ELSE 1 END) AS BIGINT) AS full_transitive
-        |FROM vers GROUP BY topic""".stripMargin),
-    "schema_compat" -> (L + fieldsSql + versSql +
+        |  CAST(MIN(bwd2) AS BIGINT) AS backward,
+        |  CAST(MIN(bwd1 * bwd2) AS BIGINT) AS backward_transitive,
+        |  CAST(MIN(fwd2) AS BIGINT) AS forward,
+        |  CAST(MIN(fwd1 * fwd2) AS BIGINT) AS forward_transitive,
+        |  CAST(MIN(bwd1 * bwd2) * MIN(fwd1 * fwd2) AS BIGINT)
+        |    AS full_transitive
+        |FROM fv2 GROUP BY topic""".stripMargin),
+    "schema_compat" -> (L + fieldsSql + versSql + fieldVerdictsSql +
       """SELECT topic, CAST(SUM(has_v2) AS BIGINT) AS n_prev_fields,
         |  CAST(SUM(has_v3) AS BIGINT) AS n_new_fields,
         |  CAST(SUM(has_v2 * has_v3) AS BIGINT) AS n_common,
-        |  CAST(MIN(CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
-        |    AS backward_compatible
-        |FROM vers GROUP BY topic""".stripMargin))
+        |  CAST(MIN(bwd2) AS BIGINT) AS backward_compatible
+        |FROM fv2 GROUP BY topic""".stripMargin))
 }

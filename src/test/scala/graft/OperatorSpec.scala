@@ -758,6 +758,38 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("type-aware compat distinguishes field-set-pass from type-fail") {
+    import registry.SchemaRegistry
+    // Per-topic verdicts: field-set-only backward (the pre-type-aware
+    // check) vs the shipped type-aware one.
+    val flags = SchemaRegistry.versionFlags(spark, dir)
+    val fsBwd = flags.groupBy("topic").agg(
+      min(when(col("has_v2") === 1L && col("has_v3") === 0L, 0L)
+        .otherwise(1L)).as("fs_backward"))
+    val tyBwd = SchemaRegistry.schemaCompatModes(spark, dir)
+      .select("topic", "backward")
+    val both = fsBwd.join(tyBwd, "topic").cache()
+    try {
+      // The type check only ever TIGHTENS the field-set verdict...
+      assert(both.filter(col("backward") === 1L && col("fs_backward") === 0L)
+        .count() == 0)
+      // ...and on testdata at least one subject keeps every v2 field in v3
+      // yet fails on an un-promotable type change (the Avro-rule signal the
+      // field-set check is blind to).
+      assert(both.filter(col("fs_backward") === 1L && col("backward") === 0L)
+        .count() >= 1)
+    } finally both.unpersist()
+    // Promotion table spot-checks: long→double passes backward, string→long
+    // and double→int break, string↔bytes passes both ways.
+    val cases = spark.createDataFrame(Seq(
+      ("long", "double", 1), ("string", "long", 0), ("double", "int", 0),
+      ("string", "bytes", 1), ("bytes", "string", 1), ("int", "int", 1)))
+      .toDF("w", "r", "expect")
+    assert(cases.filter(
+      SchemaRegistry.promotable(col("w"), col("r")).cast("int")
+        =!= col("expect")).count() == 0)
+  }
+
   test("isr_status and reassignment plan are placement-consistent") {
     val isr = graft.log.BrokerOps.isrStatus(spark, dir)
     assert(isr.filter(col("n_isr") < 1 || col("n_isr") > 3).count() == 0)
