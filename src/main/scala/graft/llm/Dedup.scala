@@ -353,22 +353,61 @@ object Dedup {
       expr("transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
       .as("gram"))
 
-  /** The distinct benchmark gram set (every 50th doc of the at-rest
-    * corpus) — broadcast into both the batch and streaming screens.
+  /** The doc_id modulus splitting the corpus into train vs held-out
+    * benchmark (doc_id % mod == 0 → benchmark) — the ONE definition the
+    * batch decontaminator, its report, and the streaming screen all
+    * share, so the split can never silently diverge between them.
     */
-  private[graft] def benchGrams(spark: SparkSession, dir: String): DataFrame =
-    wordGrams5(t(spark, dir, "documents").filter(col("doc_id") % 50L === 0L))
-      .select("gram").distinct()
+  private[graft] val BenchSplitMod = 50L
 
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** The (benchmark gram set, per-doc hit frame) pair, cached per
+    * (session, data fingerprint) — decontaminate, decontaminate_report
+    * and the streaming contamination screen's static set all consume
+    * these, so the gram build + broadcast overlap join runs once per data
+    * generation, not per query (the knn edge-frame / cluster-label
+    * discipline).
+    */
+  private val decontamCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Explicit teardown hook, mirroring [[clearHsCache]]. */
+  def clearDecontamCache(): Unit = decontamCache.clear()
+
+  /** The uncached (benchmark grams, hit frame) build — separated from the
+    * cache wrapper so PlanShapeSpec can pin the broadcast-gram join shape
+    * without an InMemoryRelation hiding it.
+    */
+  private[graft] def decontamBuild(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bg = wordGrams5(t(spark, dir, "documents")
+      .filter(col("doc_id") % BenchSplitMod === 0L))
+      .select("gram").distinct()
     val train = wordGrams5(
-      t(spark, dir, "documents").filter(col("doc_id") % 50L =!= 0L))
-    train.join(broadcast(benchGrams(spark, dir)), "gram")
+      t(spark, dir, "documents").filter(col("doc_id") % BenchSplitMod =!= 0L))
+    val hits = train.join(broadcast(bg), "gram")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_hits"),
         countDistinct("gram").as("n_unique_hits"))
+    (bg, hits)
   }
+
+  private def decontamFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    decontamCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(decontamCache, spark, dir, "documents"), {
+        val (bg, hits) = decontamBuild(spark, dir)
+        (bg.cache(), hits.cache())
+      })
+
+  /** The distinct benchmark gram set (every 50th doc of the at-rest
+    * corpus) — broadcast into both the batch and streaming screens.
+    */
+  private[graft] def benchGrams(spark: SparkSession, dir: String): DataFrame =
+    decontamFrames(spark, dir)._1
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontamFrames(spark, dir)._2
 
   /** Per-source decontamination report — the audit a team reads before a
     * benchmark release claim: training docs, docs flagged for sharing a
@@ -383,17 +422,19 @@ object Dedup {
     */
   def decontaminateReport(spark: SparkSession, dir: String): DataFrame = {
     val train = t(spark, dir, "documents")
-      .filter(col("doc_id") % 50L =!= 0L)
+      .filter(col("doc_id") % BenchSplitMod =!= 0L)
       .select("doc_id", "source")
     val flagged = train
-      .join(decontaminate(spark, dir), "doc_id")
+      // contamination-sized (docs sharing a benchmark gram), so the join
+      // back to the doc→source map broadcasts rather than shuffling train
+      .join(broadcast(decontaminate(spark, dir)), "doc_id")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_flagged"),
         sum("n_hits").cast("long").as("n_hits"),
         sum("n_unique_hits").cast("long").as("n_unique_hits"))
     train.groupBy("source").agg(count(lit(1)).as("n_train"))
-      .join(flagged, Seq("source"), "left")
+      .join(broadcast(flagged), Seq("source"), "left")
       .na.fill(0L, Seq("n_flagged", "n_hits", "n_unique_hits"))
       .withColumn("contamination_bp",
         expr("(10000 * n_flagged) div n_train"))

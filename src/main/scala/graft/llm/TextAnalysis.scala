@@ -458,11 +458,17 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
     // actual vocabulary sizes (a source can hold < TopK distinct tokens)
     val sizes = top.groupBy("source").agg(count(lit(1)).as("sz"))
-    shared
-      .join(broadcast(sizes.select(col("source").as("s1"),
-        col("sz").as("sz1"))), "s1")
-      .join(broadcast(sizes.select(col("source").as("s2"),
-        col("sz").as("sz2"))), "s2")
+    // EVERY unordered source pair, generated from the size table (s1 < s2)
+    // — an inner join on the shared counts would silently drop pairs with
+    // zero common tokens, exactly the "overlaps nothing" rows the mixing
+    // plan needs to see. Both sides are |sources| rows, so the pair
+    // universe is a broadcast nested-loop over metadata, never the corpus.
+    sizes.select(col("source").as("s1"), col("sz").as("sz1"))
+      .crossJoin(broadcast(
+        sizes.select(col("source").as("s2"), col("sz").as("sz2"))))
+      .filter(col("s1") < col("s2"))
+      .join(shared, Seq("s1", "s2"), "left")
+      .na.fill(0L, Seq("n_shared"))
       .withColumn("jaccard",
         col("n_shared") /
           (col("sz1") + col("sz2") - col("n_shared")).cast("double"))
@@ -839,12 +845,14 @@ object TextAnalysis {
         |    CAST(COUNT(*) AS BIGINT) AS n_shared
         |  FROM top a JOIN top b
         |    ON a.tok = b.tok AND a.source < b.source
-        |  GROUP BY a.source, b.source)
-        |SELECT s1, s2, n_shared, z1.sz AS sz1, z2.sz AS sz2,
-        |  n_shared / CAST(z1.sz + z2.sz - n_shared AS DOUBLE) AS jaccard
-        |FROM shared
-        |JOIN sz z1 ON z1.source = s1
-        |JOIN sz z2 ON z2.source = s2""".stripMargin,
+        |  GROUP BY a.source, b.source),
+        |pairs AS (
+        |  SELECT z1.source AS s1, z1.sz AS sz1, z2.source AS s2, z2.sz AS sz2
+        |  FROM sz z1 CROSS JOIN sz z2 WHERE z1.source < z2.source)
+        |SELECT s1, s2, COALESCE(n_shared, 0) AS n_shared, sz1, sz2,
+        |  COALESCE(n_shared, 0)
+        |    / CAST(sz1 + sz2 - COALESCE(n_shared, 0) AS DOUBLE) AS jaccard
+        |FROM pairs LEFT JOIN shared USING (s1, s2)""".stripMargin,
     "zipf_profile" ->
       """WITH tf AS (
         |  SELECT source, tok, COUNT(*) AS freq

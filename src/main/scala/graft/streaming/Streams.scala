@@ -198,7 +198,8 @@ object Streams {
     */
   def decontaminateStream(spark: SparkSession, dir: String,
       stream: DataFrame): DataFrame =
-    graft.llm.Dedup.wordGrams5(stream.filter(col("doc_id") % 50L =!= 0L))
+    graft.llm.Dedup.wordGrams5(
+      stream.filter(col("doc_id") % graft.llm.Dedup.BenchSplitMod =!= 0L))
       .join(broadcast(graft.llm.Dedup.benchGrams(spark, dir)), "gram")
       .groupBy("doc_id")
       .agg(
@@ -220,7 +221,18 @@ object Streams {
     * is one boolean per distinct text — the same cardinality the batch
     * dedup shuffles. Because duplicate texts share one quality verdict,
     * per-reason accounting is batch-exact regardless of which replica
-    * the stream saw first (StreamingSpec pins it).
+    * the stream saw first (StreamingSpec pins it, including under
+    * shuffled multi-batch delivery); only the per-doc keeper choice is
+    * arrival-order-dependent — keep-FIRST here vs the batch keep-min-id,
+    * the unavoidable gap for an append-mode screen that cannot retract a
+    * verdict once a smaller doc_id shows up late.
+    *
+    * State: NoTimeout is deliberate — evicting a text hash would
+    * re-admit its next duplicate, so state must live as long as the
+    * dedup horizon; its size is bounded by the distinct-text universe
+    * (exactly what the batch dedup shuffles), not by stream length. A
+    * retention-bounded deployment would swap in an event-time timeout
+    * equal to its dedup window.
     */
   def qualityGateStream(stream: DataFrame): DataFrame = {
     val spark = stream.sparkSession
@@ -289,13 +301,42 @@ object Streams {
   final case class LastEv(ts: Long, event_id: Long, event_type: String)
   final case class Trans(user_id: Long, from_type: String, to_type: String)
 
+  /** Shared state-advance rule for the transition feed: an arrival
+    * strictly newer than the stored last event (ordered by (ts,
+    * event_id)) emits its (prev -> next) pair and becomes the new state;
+    * a LATE arrival — one an already-processed event outranks — is
+    * dropped without touching state (its retroactive pair cannot be
+    * emitted without retracting append-mode output already released, and
+    * overwriting state with it would corrupt every later pair). One rule
+    * shared by [[transitionsStream]] and the spec's state observer, so
+    * the two cannot diverge.
+    */
+  private[graft] def stepTransition(last: LastEv, ts: Long, id: Long,
+      tpe: String): (LastEv, Option[LastEv]) =
+    last match {
+      case null => (LastEv(ts, id, tpe), None)
+      case l if ts > l.ts || (ts == l.ts && id > l.event_id) =>
+        (LastEv(ts, id, tpe), Some(l))
+      case l => (l, None)
+    }
+
   /** Continuous event-type transition feed — the streaming half of the
     * batch [[graft.analytics.Analytics.eventTransitions]] matrix: state
-    * is one (ts, id, type) triple per user (the same bounded per-key
-    * state the batch lag window holds), in-batch arrivals resolve in
-    * (ts, event_id) order, and each arrival emits its (prev, next) pair
-    * by chaining from the stored last event. Aggregating the emitted
-    * pairs reproduces the batch matrix exactly (StreamingSpec pins it).
+    * is one (ts, id, type) triple per user, in-batch arrivals resolve in
+    * (ts, event_id) order, and each arrival newer than the stored last
+    * event emits its (prev, next) pair by chaining from it
+    * ([[stepTransition]]). Under in-order delivery (any number of
+    * micro-batches) aggregating the emitted pairs reproduces the batch
+    * matrix exactly; an out-of-order arrival is dropped as late data
+    * rather than silently corrupting the chain, so the final state is
+    * the true (ts, event_id)-latest event no matter the delivery order
+    * (StreamingSpec pins both).
+    *
+    * State: one triple per user with NoTimeout — deliberately unbounded
+    * in TIME but bounded in SIZE by the user universe (the same
+    * cardinality the batch lag window shuffles); a deployment with
+    * unbounded key churn would add an inactivity timeout like
+    * [[sessionTimeoutStream]]'s.
     */
   def transitionsStream(events: DataFrame): Dataset[Trans] = {
     val spark = events.sparkSession
@@ -311,9 +352,9 @@ object Streams {
           var last = state.getOption.orNull
           val out = rows.toSeq.sortBy(e => (e._2, e._3)).flatMap {
             case (_, ts, id, tpe) =>
-              val pair = Option(last).map(l => Trans(uid, l.event_type, tpe))
-              last = LastEv(ts, id, tpe)
-              pair
+              val (next, prev) = stepTransition(last, ts, id, tpe)
+              last = next
+              prev.map(l => Trans(uid, l.event_type, tpe))
           }
           state.update(last)
           out.iterator
@@ -327,6 +368,14 @@ object Streams {
     * ([[Tables.rawSchema]]) and canonicalize afterwards: forcing the
     * batch-canonical bigint schema onto a TIMESTAMP(MICROS) parquet file
     * makes Spark emit raw micros — 1000x off the nanos contract.
+    *
+    * Delivery contract: the staged table is ONE file, so this source
+    * yields a single in-order micro-batch. The stateful screens are also
+    * exercised under adversarial multi-batch / shuffled delivery in
+    * StreamingSpec via its chunked staging helper, which is where the
+    * out-of-order guarantees ([[stepTransition]]'s late-drop, the session
+    * merge's max-end, the quality gate's order-invariant reason counts)
+    * are pinned.
     */
   def tableStream(spark: SparkSession, dir: String, table: String): DataFrame =
     Tables.canonTs(
@@ -393,7 +442,13 @@ object Streams {
                 case s if t - s.last > gap =>
                   closed += Sess(uid, s.start, s.last, s.n)
                   st = SessState(t, t, 1L)
-                case s => st = SessState(s.start, t, s.n + 1L)
+                case s =>
+                  // max, not t: a late-but-within-watermark arrival (t <
+                  // s.last, possible across micro-batches) merges into the
+                  // open session WITHOUT moving its end backwards — every
+                  // arrival increments exactly one session's count, so
+                  // event totals are conserved under any delivery order.
+                  st = SessState(s.start, math.max(s.last, t), s.n + 1L)
               }
             }
             state.update(st)

@@ -418,11 +418,20 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("decontaminate_report keeps the benchmark gram set broadcast") {
+    // The gram-overlap build (pre-cache) must broadcast the benchmark set
+    // into the single train scan...
+    val build = planOf(graft.llm.Dedup.decontamBuild(spark, dir)._2)
+    assert(!build.contains("SortMergeJoin"),
+      s"decontaminate hit-frame build shuffles a join side:\n$build")
+    assert(build.contains("BroadcastHashJoin"),
+      s"decontaminate gram set not broadcast:\n$build")
+    // ...and the report must broadcast the contamination-sized hit frame
+    // back onto the doc→source map instead of shuffling it.
     val plan = planOf(graft.llm.Dedup.decontaminateReport(spark, dir))
     assert(!plan.contains("SortMergeJoin"),
       s"decontaminate_report shuffles a join side:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
-      s"decontaminate_report gram set not broadcast:\n$plan")
+      s"decontaminate_report hit frame not broadcast:\n$plan")
   }
 
   test("ann_refine fetches exact vectors via a broadcast n_id join") {

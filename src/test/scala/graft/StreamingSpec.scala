@@ -11,6 +11,47 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.build("local[4]", "4")
   val dir = "/root/testdata/sf0.001"
 
+  /** Stage `df` as `nChunks` single-file parquets ordered by `order`
+    * (ascending mtimes so the file source delivers chunks
+    * deterministically), for adversarial multi-batch delivery tests —
+    * read back with [[chunkStream]] (maxFilesPerTrigger=1 → one chunk
+    * per micro-batch). The global order window is test-only (sf0.001).
+    */
+  def stageChunks(df: org.apache.spark.sql.DataFrame, nChunks: Int,
+      order: org.apache.spark.sql.Column): String = {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft_chunks")
+    d.toFile.deleteOnExit()
+    val n = df.count()
+    val per = math.max(1L, (n + nChunks - 1) / nChunks)
+    val ranked = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order)) - 1)
+      .withColumn("__chunk", expr(s"__rn div $per").cast("int"))
+      .drop("__rn").cache()
+    (0 until nChunks).foreach { i =>
+      val tmp = d.resolve(s"tmp_$i")
+      ranked.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get
+      val dest = d.resolve(f"chunk-$i%03d.parquet")
+      Files.move(part, dest)
+      Files.list(tmp).forEach(p => Files.delete(p))
+      Files.delete(tmp)
+      assert(dest.toFile.setLastModified(1700000000000L + i * 60000L))
+      dest.toFile.deleteOnExit()
+    }
+    ranked.unpersist()
+    d.toString
+  }
+
+  def chunkStream(staged: String): org.apache.spark.sql.DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+
   test("windowed agg: stream == batch") {
     val stream = Streams.tableStream(spark, dir, "events")
     val q = Streams.windowedAgg(stream).writeStream
@@ -295,6 +336,127 @@ class StreamingSpec extends AnyFunSuite {
       .select("topic", "k", "event_id", "v", "prev_v", "op")
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
     assert(got.count() > 0)
+  }
+
+  test("transitions: in-order multi-batch == batch; shuffled keeps true state") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    val events = Tables.t(spark, dir, "events")
+    // (a) IN-ORDER delivery split across 4 micro-batches: cross-batch
+    // state chaining must still reproduce the batch matrix exactly.
+    val ordered = stageChunks(events, 4, struct(col("ts"), col("event_id")))
+    val q1 = Streams.transitionsStream(chunkStream(ordered)).writeStream
+      .outputMode("append").format("memory").queryName("graft_trans_mb").start()
+    q1.processAllAvailable(); q1.stop()
+    val got = spark.table("graft_trans_mb")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val want = analytics.Analytics.eventTransitions(spark, dir)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // (b) ADVERSARIALLY SHUFFLED delivery: run the shared stepTransition
+    // rule as a state observer and assert the final per-user state is the
+    // true (ts, event_id)-latest event — late arrivals are dropped, never
+    // written into state.
+    val shuffled = stageChunks(events, 4,
+      md5(concat_ws("#", lit("shuf"), col("event_id"))))
+    val q2 = chunkStream(shuffled)
+      .select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Streams.LastEv, (Long, Long, Long, String)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var last = state.getOption.orNull
+          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, id, tpe) =>
+            last = Streams.stepTransition(last, ts, id, tpe)._1
+          }
+          state.update(last)
+          (uid, last.ts, last.event_id, last.event_type)
+      }
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_trans_state").start()
+    q2.processAllAvailable(); q2.stop()
+    val finalState = spark.table("graft_trans_state")
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.ts"), col("m.event_id"), col("m.event_type"))
+    val wantState = events
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.ts"), col("m.event_id"), col("m.event_type"))
+    assert(finalState.exceptAll(wantState).count() == 0 &&
+      wantState.exceptAll(finalState).count() == 0)
+  }
+
+  test("quality gate reason counts survive shuffled multi-batch delivery") {
+    // Chunked md5-shuffled delivery: a text's smallest doc_id frequently
+    // arrives AFTER a replica already took the keeper slot, so this pins
+    // the delivery-order-invariance argument (duplicate texts share one
+    // quality verdict), not just the single-batch happy path.
+    val docs = Tables.t(spark, dir, "documents")
+    val staged = stageChunks(docs, 4,
+      md5(concat_ws("#", lit("qg"), col("doc_id"))))
+    val q = Streams.qualityGateStream(chunkStream(staged)).writeStream
+      .outputMode("append").format("memory").queryName("graft_qgate_mb").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_qgate_mb")
+    assert(got.count() == docs.count())
+    assert(got.select("doc_id").distinct().count() == docs.count())
+    val gotCounts = got.groupBy("reason").count()
+    val wantCounts = llm.TextAnalysis.corpusFilter(spark, dir)
+      .groupBy("reason").count()
+    assert(gotCounts.exceptAll(wantCounts).count() == 0 &&
+      wantCounts.exceptAll(gotCounts).count() == 0)
+  }
+
+  test("sessions: multi-batch closes to batch-exact; bounded disorder conserves") {
+    val tenHoursNs = 36000L * 1000000000L
+    val events = Tables.t(spark, dir, "events").select("user_id", "ts")
+    val maxTs = events.agg(max("ts")).head.getLong(0)
+    // One far-future sentinel per user forces every tail session closed
+    // (gap exceeded on arrival), so the emitted set is COMPLETE and can be
+    // compared exactly, not as a subset.
+    val sentinels = events.select("user_id").distinct()
+      .withColumn("ts", lit(maxTs) + lit(tenHoursNs))
+    val maxRealMs = maxTs / 1000000L
+    def runStaged(staged: String) = {
+      val name = s"graft_sess_mb_${staged.hashCode.abs}"
+      val q = Streams.sessionTimeoutStream(spark, chunkStream(staged)).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      // sentinel-born sessions start after the real data ends; drop them
+      spark.table(name).filter(col("start_ms") <= maxRealMs)
+    }
+    // (a) in-order delivery over 4 micro-batches + sentinel flush: the
+    // emitted sessions ARE the batch sessionization, exactly.
+    val ordered = stageChunks(events.unionByName(sentinels), 4, col("ts"))
+    val got = runStaged(ordered)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+    val want = analytics.Analytics.sessionize(spark, dir)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // (b) disorder bounded under the 1h watermark (±15min jitter): split
+    // decisions legitimately differ from batch, but no event is lost or
+    // double-counted (per-user totals conserve), no session runs backwards,
+    // and each user's latest event still terminates their last session.
+    val jitterNs = pmod(conv(substring(
+      md5(concat_ws("#", lit("j"), col("user_id"), col("ts"))), 1, 8), 16, 10)
+      .cast("long"), lit(900L * 1000000000L))
+    val jittered = stageChunks(events.unionByName(sentinels), 4,
+      col("ts") + jitterNs)
+    val got2 = runStaged(jittered).cache()
+    try {
+      assert(got2.filter(col("start_ms") > col("end_ms")).count() == 0)
+      val perUser = got2.groupBy("user_id").agg(
+        sum("n_events").cast("long").as("n"), max("end_ms").as("max_end"))
+      val wantPerUser = events.groupBy("user_id").agg(
+        count(lit(1)).as("n"), expr("max(ts) div 1000000").as("max_end"))
+      assert(perUser.exceptAll(wantPerUser).count() == 0 &&
+        wantPerUser.exceptAll(perUser).count() == 0)
+    } finally got2.unpersist()
   }
 
   test("stateful compaction stream == batch compact") {
