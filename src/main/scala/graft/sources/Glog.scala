@@ -37,10 +37,22 @@ object Glog {
       event_id: Long, tms: Long, k: String, v: String)
 
   /** Test/diagnostic counters (single-JVM): batches decoded vs skipped by
-    * the offset lower bound across all readers since last reset.
+    * the offset lower bound across all readers since last reset, and the
+    * payload (key/value) bytes actually DECODED into strings — a
+    * projection that needs neither stays at zero while the fixed-width
+    * record headers stream past.
     */
   val batchesRead = new AtomicLong(0)
   val batchesSkipped = new AtomicLong(0)
+  val payloadBytesDecoded = new AtomicLong(0)
+
+  private def skipFully(in: DataInputStream, n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skipBytes(left)
+      if (s <= 0) { in.readByte(); left -= 1 } else left -= s
+    }
+  }
 
   def encodeBatch(recs: Seq[Rec]): Array[Byte] = {
     require(recs.nonEmpty, "empty record batch")
@@ -72,12 +84,22 @@ object Glog {
 
   /** Iterate a segment stream's records; batches entirely below `fromOffs`
     * or at/after `untilOffs` are skipped from their headers without
-    * decoding the records (the [from, until) window is how a micro-batch
-    * reads its slice).
+    * decoding (or even buffering) the records — the header is read off the
+    * stream and the body is `skip`ped, so an offset/time seek never copies
+    * payload bytes (the [from, until) window is how a micro-batch reads
+    * its slice).
+    *
+    * `needK` / `needV` thread the scan's column pruning down to the codec:
+    * a projection that reads neither key nor value (a count, an offset
+    * rollup) hops over each record body via its length prefixes instead of
+    * materializing strings that the scan would immediately drop — the
+    * payload is the dominant byte volume, so a metadata-only query decodes
+    * ~0% of the store (GlogSpec pins payloadBytesDecoded == 0 for it).
     */
   def readSegment(in: DataInputStream, topic: String, part: Long,
       fromOffs: Long, untilOffs: Long = Long.MaxValue,
-      minTms: Long = Long.MinValue): Iterator[Rec] =
+      minTms: Long = Long.MinValue,
+      needK: Boolean = true, needV: Boolean = true): Iterator[Rec] =
     new Iterator[Rec] {
     private var cur: Iterator[Rec] = Iterator.empty
     private def advance(): Unit = {
@@ -85,34 +107,43 @@ object Glog {
         val batchLen =
           try in.readInt()
           catch { case _: EOFException => return }
-        val mark = new Array[Byte](batchLen)
-        in.readFully(mark)
-        val b = new DataInputStream(new java.io.ByteArrayInputStream(mark))
-        val magic = b.readByte()
+        val magic = in.readByte()
         require(magic == Magic || magic == MagicT, "bad magic")
-        val n = b.readInt()
-        val base = b.readLong()
+        val n = in.readInt()
+        val base = in.readLong()
         // v4 carries the batch's max timestamp; v3 batches cannot be
         // time-skipped (maxTms = MaxValue keeps them).
-        val maxTms = if (magic == MagicT) b.readLong() else Long.MaxValue
+        val maxTms = if (magic == MagicT) in.readLong() else Long.MaxValue
+        val headerLen = if (magic == MagicT) 21 else 13
         // Header-only skip: the whole batch sits below the requested
         // offset (max offset in a batch is base + n - 1 because deltas
         // are dense-ordered within <= MaxBatch records), or every record
-        // in it predates the time lower bound.
+        // in it predates the time lower bound. The body streams past
+        // unbuffered.
         if (base + n <= fromOffs || base >= untilOffs || maxTms < minTms) {
           batchesSkipped.incrementAndGet()
+          skipFully(in, batchLen - headerLen)
         } else {
           batchesRead.incrementAndGet()
+          val body = new Array[Byte](batchLen - headerLen)
+          in.readFully(body)
+          val b = new DataInputStream(new java.io.ByteArrayInputStream(body))
+          def str(need: Boolean): String = {
+            val len = b.readInt()
+            if (len < 0) null
+            else if (!need) { b.skipBytes(len); null }
+            else {
+              val bs = new Array[Byte](len); b.readFully(bs)
+              payloadBytesDecoded.addAndGet(len.toLong)
+              new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+            }
+          }
           cur = (0 until n).iterator.map { _ =>
             val delta = b.readInt()
             val tms = b.readLong()
             val eid = b.readLong()
-            val kk = { val len = b.readInt()
-              if (len < 0) null else { val bs = new Array[Byte](len); b.readFully(bs)
-                new String(bs, java.nio.charset.StandardCharsets.UTF_8) } }
-            val vv = { val len = b.readInt()
-              if (len < 0) null else { val bs = new Array[Byte](len); b.readFully(bs)
-                new String(bs, java.nio.charset.StandardCharsets.UTF_8) } }
+            val kk = str(needK)
+            val vv = str(needV)
             Rec(topic, part, base + delta, eid, tms, kk, vv)
           }.filter(r => r.offs >= fromOffs && r.offs < untilOffs).toArray.iterator
         }

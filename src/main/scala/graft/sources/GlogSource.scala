@@ -277,8 +277,13 @@ class GlogReaderFactory(required: StructType, conf: SerializableConfiguration)
         val fp = new Path(p.file)
         new DataInputStream(fp.getFileSystem(conf.value).open(fp))
       }
+      // Column pruning reaches the codec: record bodies are hopped over
+      // via their length prefixes when the projection needs neither key
+      // nor value, so a counts-only read decodes no payload at all.
       private val it = Glog.readSegment(in, p.topic, p.part, p.fromOffs,
-        p.untilOffs, p.minTms)
+        p.untilOffs, p.minTms,
+        needK = required.fieldNames.contains("k"),
+        needV = required.fieldNames.contains("v"))
       // Column pruning: precompute the projection from field name to the
       // record accessor once per partition.
       private val getters: Array[Glog.Rec => Any] = required.fields.map { f =>

@@ -50,6 +50,29 @@ class GlogSpec extends AnyFunSuite {
     assert(Glog.batchesSkipped.get() > 0)
   }
 
+  test("projection-only reads hop over record bodies via length prefixes") {
+    // A counts/offsets-only projection needs neither key nor value, so
+    // the reader must decode ZERO payload bytes — it advances through each
+    // record body on the k/v length prefixes alone...
+    Glog.payloadBytesDecoded.set(0)
+    val counts = glog.groupBy("topic", "part")
+      .agg(count(lit(1)).as("n"), max("offs").as("max_offs"))
+    assert(counts.count() > 0)
+    val metaOnly = Glog.payloadBytesDecoded.get()
+    assert(metaOnly == 0L,
+      s"counts-only glog read decoded $metaOnly payload bytes")
+    // ...while the same store read WITH the value column pays the payload
+    // decode, and a k-only projection pays strictly less than k+v.
+    Glog.payloadBytesDecoded.set(0)
+    assert(glog.select("k").filter(col("k").isNotNull).count() > 0)
+    val kOnly = Glog.payloadBytesDecoded.get()
+    Glog.payloadBytesDecoded.set(0)
+    assert(glog.select("k", "v").filter(col("v").isNotNull).count() > 0)
+    val full = Glog.payloadBytesDecoded.get()
+    assert(kOnly > 0 && full > kOnly,
+      s"payload pruning not monotone: k-only=$kOnly, k+v=$full")
+  }
+
   test("timestamp lower bound skips whole batches via the v4 time index") {
     // The time index pays off when append order tracks event time (the
     // production Kafka case); build a time-ordered store to exercise it.
