@@ -9,9 +9,17 @@ through pyarrow to write a TIMESTAMP-typed ts column (NANOS when the source
 generation is NANOS, MICROS otherwise) — Spark reads either via
 GraftSession's nanosAsLong + Tables.canonTs, both landing as BIGINT nanos.
 
-Usage: python3 tools/gen_stress.py [outdir] [R]   (default /tmp/sfx1, 10x; ~3 s)
+Usage: python3 tools/gen_stress.py [outdir] [R] [--hot]  (default /tmp/sfx1, 10x; ~3 s)
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sfx1 SPARK_GRAFT_ONLY=q21_waiting,... \
          sbt "runMain graft.Bench"
+
+--hot: adversarial hot-key mode — half of all events collapse onto ONE
+topic ('click' ends up with ~60% of the stream) and half of all docs onto
+ONE source ('src0' with ~52% of the corpus), by reassigning the label on
+odd event_id/doc_id rows. Everything else (ids, payloads, join keys) is
+untouched, so results CHANGE (it is a different dataset) but plan shapes
+and skew behavior are measured on the same volume as the uniform replica
+set — the §5 skew datapoints compare hot vs uniform time per query.
 """
 import duckdb
 import pyarrow as pa
@@ -22,8 +30,10 @@ import os
 import sys
 
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
-R = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+args = [a for a in sys.argv[1:] if a != "--hot"]
+HOT = "--hot" in sys.argv[1:]
+OUT = args[0] if len(args) > 0 else "/tmp/sfx1"
+R = int(args[1]) if len(args) > 1 else 10
 os.makedirs(OUT, exist_ok=True)
 
 con = duckdb.connect()
@@ -61,7 +71,10 @@ jobs = {
                 f" l_shipdate FROM read_parquet('{SRC}/lineitem.parquet') CROSS JOIN {rep}",
     "documents": f"SELECT doc_id + i*{D} AS doc_id,"
                  f" CASE WHEN i = 0 THEN text ELSE text || ' r' || i END AS text,"
-                 f" lang, source, n_chars FROM read_parquet('{SRC}/documents.parquet') CROSS JOIN {rep}",
+                 f" lang, "
+                 + (f"CASE WHEN (doc_id + i*{D}) % 2 = 1 THEN 'src0' ELSE source END AS source, "
+                    if HOT else "source, ")
+                 + f"n_chars FROM read_parquet('{SRC}/documents.parquet') CROSS JOIN {rep}",
     "embeddings": f"SELECT vec_id + i*{V} AS vec_id, embedding, label"
                   f" FROM read_parquet('{SRC}/embeddings.parquet') CROSS JOIN {rep}",
 }
@@ -79,6 +92,12 @@ for i in range(R):
                      pc.add(t["event_id"], i * E))
     t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
                      pc.add(t["user_id"], i * U))
+    if HOT:
+        # odd event_id -> topic 'click': one topic carries ~60% of the
+        # stream (half of everything plus its own uniform fifth).
+        hot = pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)
+        t = t.set_column(t.schema.get_field_index("event_type"), "event_type",
+                         pc.if_else(hot, pa.scalar("click"), t["event_type"]))
     parts.append(t)
 pq.write_table(pa.concat_tables(parts), f"{OUT}/events.parquet")
-print("wrote", OUT)
+print("wrote", OUT, "(hot-key mode)" if HOT else "")
