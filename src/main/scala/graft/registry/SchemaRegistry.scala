@@ -340,7 +340,39 @@ object SchemaRegistry {
       .select("topic", "version", "schema_id", "fingerprint", "n_uses")
   }
 
+  /** Field-level Avro schema-resolution plan for the v3-reader / v2-writer
+    * pair — the per-field detail BEHIND the subject-level verdicts (the
+    * reference's POST /compatibility/subjects/{s}/versions/latest
+    * (CompatibilityResource.java:60-82) answers is_compatible, which is
+    * exactly the AND over this plan's blocks_backward column): per (topic,
+    * field) the reader action — READ (same type), PROMOTE (allowed Avro
+    * promotion), DROPPED_IN_NEW / ADDED_IN_NEW (field-set delta), or
+    * TYPE_ERROR (unbridgeable type change) — plus which directions the
+    * field blocks. Fields absent from both v2 and v3 (v1-only) have no
+    * resolution to plan and are excluded.
+    *
+    * Scale: one projection over the (topic, field)-cardinality flags
+    * frame — metadata all the way down.
+    */
+  def schemaResolutionPlan(spark: SparkSession, dir: String): DataFrame =
+    versionFlags(spark, dir)
+      .filter(col("has_v2") === 1L || col("has_v3") === 1L)
+      .withColumn("action",
+        when(col("has_v2") === 1L && col("has_v3") === 0L, "DROPPED_IN_NEW")
+          .when(col("has_v2") === 0L && col("has_v3") === 1L, "ADDED_IN_NEW")
+          .when(col("ty_v2") === col("ty_v3"), "READ")
+          .when(promotable(col("ty_v2"), col("ty_v3")), "PROMOTE")
+          .otherwise("TYPE_ERROR"))
+      .withColumn("blocks_backward",
+        lit(1L) - bwdOk(col("has_v2"), col("ty_v2")))
+      .withColumn("blocks_forward",
+        lit(1L) - fwdOk(col("has_v2"), col("ty_v2")))
+      .select(col("topic"), col("field"),
+        col("ty_v2").as("ty_prev"), col("ty_v3").as("ty_new"),
+        col("action"), col("blocks_backward"), col("blocks_forward"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_resolution_plan" -> schemaResolutionPlan,
     "schema_ids" -> schemaIds,
     "subject_config" -> subjectConfig,
     "schema_delete" -> schemaDelete,
@@ -449,6 +481,18 @@ object SchemaRegistry {
        |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "schema_resolution_plan" -> (L + fieldsSql + versSql +
+      s"""SELECT topic, field, ty_v2 AS ty_prev, ty_v3 AS ty_new,
+         |  CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 'DROPPED_IN_NEW'
+         |    WHEN has_v2 = 0 AND has_v3 = 1 THEN 'ADDED_IN_NEW'
+         |    WHEN ty_v2 = ty_v3 THEN 'READ'
+         |    WHEN ${promoSql("ty_v2", "ty_v3")} THEN 'PROMOTE'
+         |    ELSE 'TYPE_ERROR' END AS action,
+         |  CAST(1 - ${bwdOkSql("has_v2", "ty_v2")} AS BIGINT)
+         |    AS blocks_backward,
+         |  CAST(1 - ${fwdOkSql("has_v2", "ty_v2")} AS BIGINT)
+         |    AS blocks_forward
+         |FROM vers WHERE has_v2 = 1 OR has_v3 = 1""".stripMargin),
     "schema_ids" -> (L + fieldsSql + tvfieldsSql +
       """, vers2 AS (
         |  SELECT topic, version,

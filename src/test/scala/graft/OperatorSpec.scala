@@ -758,6 +758,28 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("schema resolution plan aggregates to the subject verdicts") {
+    val plan = registry.SchemaRegistry.schemaResolutionPlan(spark, dir).cache()
+    try {
+      // the subject-level backward/forward verdicts ARE the AND over the
+      // plan's per-field blocks columns
+      val agg = plan.groupBy("topic").agg(
+        (lit(1L) - max("blocks_backward")).as("b"),
+        (lit(1L) - max("blocks_forward")).as("f"))
+      val modes = registry.SchemaRegistry.schemaCompatModes(spark, dir)
+      assert(agg.join(modes, "topic")
+        .filter(col("b") =!= col("backward") || col("f") =!= col("forward"))
+        .count() == 0)
+      // action lattice: READ/PROMOTE never block backward, TYPE_ERROR
+      // always does, and real promotions exist on testdata
+      assert(plan.filter(col("action").isin("READ", "PROMOTE") &&
+        col("blocks_backward") === 1L).count() == 0)
+      assert(plan.filter(col("action") === "TYPE_ERROR" &&
+        col("blocks_backward") === 0L).count() == 0)
+      assert(plan.filter(col("action") === "PROMOTE").count() > 0)
+    } finally plan.unpersist()
+  }
+
   test("type-aware compat distinguishes field-set-pass from type-fail") {
     import registry.SchemaRegistry
     // Per-topic verdicts: field-set-only backward (the pre-type-aware
