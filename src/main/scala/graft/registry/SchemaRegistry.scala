@@ -105,7 +105,8 @@ object SchemaRegistry {
     * table onto the metadata-sized version inventory; all hashing is
     * per-row codegen.
     */
-  private def typedVersionedFields(spark: SparkSession, dir: String): DataFrame = {
+  private def typedVersionedFieldsBuild(
+      spark: SparkSession, dir: String): DataFrame = {
     val obs = fields(spark, dir)
       .groupBy("topic", "field")
       .agg(when(
@@ -124,6 +125,24 @@ object SchemaRegistry {
           .otherwise(col("base_type")))
       .select("topic", "version", "field", "ftype")
   }
+
+  /** The typed inventory is (topic, field, version)-cardinality metadata
+    * consumed by NINE registry queries, each of whose uncached build runs
+    * two JSON field explosions over the full log — so it is cached per
+    * (session, data fingerprint) like the knn/decontaminate frames: one
+    * build per data generation, every registry view reads the
+    * materialized ~metadata-sized frame.
+    */
+  private val tvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Explicit teardown hook (the Dedup.clearHsCache discipline). */
+  def clearTvfCache(): Unit = tvfCache.clear()
+
+  private def typedVersionedFields(spark: SparkSession, dir: String): DataFrame =
+    tvfCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(tvfCache, spark, dir, "events"),
+      typedVersionedFieldsBuild(spark, dir).cache())
 
   /** Per-(topic, field) presence flags AND declared types for the three
     * schema versions (null type where the field is absent).
@@ -249,7 +268,7 @@ object SchemaRegistry {
     * after the same one aggregation the other registry views share.
     */
   def schemaDelete(spark: SparkSession, dir: String): DataFrame =
-    versionedFields(spark, dir).select("topic", "version").distinct()
+    typedVersionedFields(spark, dir).select("topic", "version").distinct()
       .withColumn("subject_deleted",
         when(substring(md5(concat(lit("sdel#"), col("topic"))), 1, 1)
           .isin("0", "1", "2", "3"), 1L).otherwise(0L))
