@@ -390,7 +390,29 @@ object SchemaRegistry {
         col("ty_v2").as("ty_prev"), col("ty_v3").as("ty_new"),
         col("action"), col("blocks_backward"), col("blocks_forward"))
 
+  /** Schema drift audit: per (topic, field) the FIRST record that carried
+    * the field (min event_id, its arrival position) and the field's
+    * lifetime occurrence count — "when did this field first appear" is
+    * the question a registry operator asks when an unregistered field
+    * shows up in production payloads (the reference surfaces the
+    * field-set through Schema.java's parsed definitions; the arrival
+    * audit is the operational side of the same inventory). The streaming
+    * twin (Streams.schemaDiscoveryStream) emits each (topic, field) once
+    * on first arrival — StreamingSpec pins the discovered set equal to
+    * this frame.
+    *
+    * Scale: one from_json explode (codegen'd map-side), one partial-agg
+    * rollup to (topic, field) cardinality.
+    */
+  def schemaFirstSeen(spark: SparkSession, dir: String): DataFrame =
+    fields(spark, dir)
+      .groupBy("topic", "field")
+      .agg(
+        min("event_id").as("first_event_id"),
+        count(lit(1)).as("n_records"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_first_seen" -> schemaFirstSeen,
     "schema_resolution_plan" -> schemaResolutionPlan,
     "schema_ids" -> schemaIds,
     "subject_config" -> subjectConfig,
@@ -500,6 +522,10 @@ object SchemaRegistry {
        |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "schema_first_seen" -> (L + fieldsSql +
+      """SELECT topic, field, MIN(event_id) AS first_event_id,
+        |  COUNT(*) AS n_records
+        |FROM fv GROUP BY topic, field""".stripMargin),
     "schema_resolution_plan" -> (L + fieldsSql + versSql +
       s"""SELECT topic, field, ty_v2 AS ty_prev, ty_v3 AS ty_new,
          |  CASE WHEN has_v2 = 1 AND has_v3 = 0 THEN 'DROPPED_IN_NEW'

@@ -209,6 +209,30 @@ object Streams {
         // matched grams — bounded by its benchmark overlap, not the corpus)
         size(collect_set(col("gram"))).cast("long").as("n_unique_hits"))
 
+  /** Continuous schema discovery — the streaming twin of
+    * [[graft.registry.SchemaRegistry.schemaFirstSeen]]: arriving payloads
+    * explode into their JSON fields in-row and each (topic, field) pair
+    * is emitted exactly ONCE, on first arrival (dropDuplicates state =
+    * one marker per known pair — the registered inventory's own
+    * cardinality, not the stream's). This is the ingest-side drift
+    * monitor: a field missing from the registry shows up in this feed
+    * within one micro-batch of its first record, before any batch
+    * schema_infer pass would see it. StreamingSpec pins the discovered
+    * set equal to the batch inventory under both in-order and shuffled
+    * multi-batch delivery (the SET is delivery-order-invariant even
+    * though which replica record triggers the emission is not).
+    */
+  def schemaDiscoveryStream(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    stream
+      .select(col("event_type").as("topic"),
+        explode_outer(from_json(col("props"),
+          MapType(StringType, StringType))).as(Seq("field", "fval")))
+      .filter(col("field").isNotNull)
+      .select("topic", "field")
+      .dropDuplicates("topic", "field")
+  }
+
   final case class DocIn(doc_id: Long, h: String, q_reason: String)
   final case class DocVerdict(doc_id: Long, reason: String)
 

@@ -459,6 +459,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally got2.unpersist()
   }
 
+  test("streaming schema discovery == batch field inventory, any order") {
+    val want = registry.SchemaRegistry.schemaFirstSeen(spark, dir)
+      .select("topic", "field")
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = Streams.schemaDiscoveryStream(src).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    // single-batch in-order staging
+    val got = run(Streams.tableStream(spark, dir, "events"), "graft_sdisc1")
+    assert(got.count() == got.distinct().count()) // emitted exactly once
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+    // shuffled multi-batch delivery: WHICH record triggers an emission is
+    // order-dependent, but the discovered set is not
+    val staged = stageChunks(Tables.t(spark, dir, "events"), 4,
+      md5(concat_ws("#", lit("sd"), col("event_id"))))
+    val got2 = run(chunkStream(staged), "graft_sdisc2")
+    assert(got2.count() == got2.distinct().count())
+    assert(got2.exceptAll(want).count() == 0 && want.exceptAll(got2).count() == 0)
+  }
+
   test("stateful compaction stream == batch compact") {
     val got = Streams.runCompactionStream(spark, dir)
       .select(col("topic"), col("k"), col("event_id"))
