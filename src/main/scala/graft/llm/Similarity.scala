@@ -250,9 +250,20 @@ object Similarity {
 
   /** The cell-local ordered pair frame `(a_id, b_id, cell, cos)` behind
     * the semantic-dedup family — [[semDedup]] thresholds it once,
-    * [[semDedupSweep]] across the whole knob range.
+    * [[semDedupSweep]] across the whole knob range. Fingerprint-cached
+    * per (session, data) with the knn-edge discipline: the frame is
+    * bounded at n x [[PairSubCap]] rows by construction, so the cached
+    * footprint scales linearly and both consumers ride one pair pass.
     */
-  private def semPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def semPairs(spark: SparkSession, dir: String): DataFrame =
+    semPairsCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(semPairsCache, spark, dir, "embeddings"),
+      buildSemPairs(spark, dir).localCheckpoint())
+
+  private val semPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def buildSemPairs(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir)
     val nsub = cells.groupBy("cell")
       .agg(expr(s"(count(1) + ${PairSubCap - 1}) div $PairSubCap").as("nsub"))
@@ -341,10 +352,48 @@ object Similarity {
     * session and stale-fingerprint purging happens in freshCacheKey on
     * every access; this forces a full release).
     */
-  def clearPqCache(): Unit = pqCache.clear()
+  def clearPqCache(): Unit = { pqCache.clear(); pqCodesCache.clear() }
+
+  /** Explicit teardown hook for the semantic-dedup pair frame. */
+  def clearSemPairsCache(): Unit = semPairsCache.clear()
 
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+
+  private val pqCodesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The encoded index itself: per-vector PQ code assignment
+    * `(vec_id, s, code)` against the fitted [[pqCodebook]], fingerprint-
+    * cached per (session, data) with the knn-edge discipline. [[annPq]]
+    * and [[ivfpqCand]] (and through it ann_ivfpq, ann_refine, and every
+    * PQ recall gate) consume this one frame instead of each re-encoding
+    * the corpus — encoding is the only data-sized pass in the family, so
+    * per-consumer rebuilds were the family's whole steady-state cost.
+    * localCheckpoint'ed: 8 (long, int, int) rows per vector, the 64x-
+    * smaller stand-in for the vectors that PQ exists to provide, so the
+    * cached footprint is a fraction of the input at any corpus size.
+    */
+  private[llm] def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(pqCodesCache, spark, dir, "embeddings"),
+      subSlices(spark, dir)
+        .join(broadcast(pqCodebook(spark, dir)), "s")
+        .withColumn("d2q", expr(pqD2q))
+        .groupBy("vec_id", "s")
+        .agg(expr("min_by(cid, struct(d2q, cid))").as("code"))
+        .localCheckpoint())
+
+  /** A query-side ADC distance table `(q_id, s, cid, d2q)` for the PQ
+    * query range — 8 queries x 8 subspaces x 16 centroids, always
+    * broadcast by its consumers; the corpus never joins into it.
+    */
+  private def pqQueryTable(spark: SparkSession, dir: String): DataFrame =
+    subSlices(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .join(broadcast(pqCodebook(spark, dir)), "s")
+      .withColumn("d2q", expr(pqD2q))
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"), col("d2q"))
 
   /** PQ sub-codebooks fitted per subspace with the kmeans_fit discipline
     * (Lloyd to fixpoint under the same MaxRounds budget, quantized means,
@@ -408,15 +457,8 @@ object Similarity {
     * ADC distance.
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val subs = subSlices(spark, dir)
-    val cents = pqCodebook(spark, dir)
-    val dists = subs.join(broadcast(cents), "s").withColumn("d2q", expr(pqD2q))
-    val codes = dists
-      .groupBy("vec_id", "s")
-      .agg(expr("min_by(cid, struct(d2q, cid))").as("code"))
-    val dtable = dists
-      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
-      .select(col("vec_id").as("q_id"), col("s"), col("cid"), col("d2q"))
+    val codes = pqCodes(spark, dir)
+    val dtable = pqQueryTable(spark, dir)
     val cand = codes
       .join(broadcast(dtable),
         codes("s") === dtable("s") && col("code") === col("cid") &&
@@ -456,15 +498,9 @@ object Similarity {
     */
   private def ivfpqCand(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir).select(col("vec_id"), col("cell"))
-    val subs = subSlices(spark, dir)
-    val cents = pqCodebook(spark, dir)
-    val dists = subs.join(broadcast(cents), "s").withColumn("d2q", expr(pqD2q))
-    val codes = dists.groupBy("vec_id", "s")
-      .agg(expr("min_by(cid, struct(d2q, cid))").as("code"))
-      .join(cells, "vec_id")
-    val dtable = dists.filter(col("vec_id") >= 100 && col("vec_id") < 108)
-      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("cid"),
-        col("d2q"))
+    val codes = pqCodes(spark, dir).join(cells, "vec_id")
+    val dtable = pqQueryTable(spark, dir)
+      .select(col("q_id"), col("s").as("qs"), col("cid"), col("d2q"))
     val qcells = cells.filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id").as("q_id"), col("cell").as("qcell"))
     codes

@@ -298,8 +298,25 @@ object TextAnalysis {
     * replayed as chained codegen'd replaces; the corpus-sized side only
     * joins (doc, word) to the encoded vocab and partial-aggregates per
     * doc. The trainer's checkpointed winners are reused, not re-derived.
+    * The per-doc accounting frame is fingerprint-cached per (session,
+    * data) with the knn-edge discipline — [[bpeFertility]] re-aggregates
+    * it instead of re-encoding the corpus; one 5-column row per doc, the
+    * same footprint class as the cached dedup/knn label frames.
     */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    encodeCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(encodeCache, spark, dir, "documents"),
+      buildBpeEncode(spark, dir).localCheckpoint())
+
+  private val encodeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Explicit teardown hook (the Dedup.clearHsCache discipline) for the
+    * BPE trainer and per-doc encode caches.
+    */
+  def clearBpeCache(): Unit = { mergeCache.clear(); encodeCache.clear() }
+
+  private def buildBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val mw = bpeMerges(spark, dir).groupBy().agg(
       max(when(col("round") === 1L, col("pair"))).as("p1"),
       max(when(col("round") === 2L, col("pair"))).as("p2"),
