@@ -20,6 +20,7 @@ object SparkEntry {
       (llm.Similarity.queries, llm.Similarity.oracles),
       (llm.Sampling.queries, llm.Sampling.oracles),
       (llm.Curation.queries, llm.Curation.oracles),
+      (llm.Chunking.queries, llm.Chunking.oracles),
       (llm.Clustering.queries, llm.Clustering.oracles),
       (llm.Pca.queries, llm.Pca.oracles),
       (llm.Multimodal.queries, llm.Multimodal.oracles),
