@@ -209,6 +209,35 @@ object Streams {
         // matched grams — bounded by its benchmark overlap, not the corpus)
         size(collect_set(col("gram"))).cast("long").as("n_unique_hits"))
 
+  /** Continuous chunk-level dedup — the streaming twin of
+    * [[graft.llm.Chunking.chunkDedup]]: arriving documents chunk in-row
+    * (the same stateless 200/150 window generator — no state, no join),
+    * and the per-chunk-hash copy accounting runs as a streaming
+    * aggregate in complete mode. The RAG-ingest screen: duplicate
+    * windows are known before they reach an embedding index, not after.
+    * State = one (count, min-doc) entry per DISTINCT chunk hash — the
+    * index's own cardinality, the thing this screen exists to bound.
+    * COUNT(DISTINCT doc_id) is not streamable, so the streaming surface
+    * is (chunk_hash, n_copies, keep_doc); StreamingSpec pins it equal to
+    * batch chunk_dedup on those columns — counts are delivery-order
+    * invariant by construction.
+    */
+  def chunkDedupStream(stream: DataFrame): DataFrame = {
+    val (win, stride) = (graft.llm.Chunking.Win, graft.llm.Chunking.Stride)
+    stream
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(expr(s"sequence(0L, (len - 1) div $stride)")).as("k"))
+      .withColumn("chunk_hash",
+        md5(expr(s"substring(text, CAST(k * $stride + 1 AS INT), $win)")))
+      .groupBy("chunk_hash")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_copies") > 1L)
+  }
+
   /** Continuous schema discovery — the streaming twin of
     * [[graft.registry.SchemaRegistry.schemaFirstSeen]]: arriving payloads
     * explode into their JSON fields in-row and each (topic, field) pair

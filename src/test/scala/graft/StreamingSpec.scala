@@ -390,6 +390,25 @@ class StreamingSpec extends AnyFunSuite {
       wantState.exceptAll(finalState).count() == 0)
   }
 
+  test("streaming chunk dedup == batch chunk_dedup under shuffled delivery") {
+    // Counts and min-doc are delivery-order invariant; the shuffled
+    // 4-batch staging checks exactly that claim (a window's replicas
+    // land in different micro-batches in hash order, not doc order).
+    val docs = Tables.t(spark, dir, "documents")
+    val staged = stageChunks(docs, 4,
+      md5(concat_ws("#", lit("cd"), col("doc_id"))))
+    val q = Streams.chunkDedupStream(chunkStream(staged)).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("graft_cdedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_cdedup_stream")
+    val want = llm.Chunking.chunkDedup(spark, dir)
+      .select("chunk_hash", "n_copies", "keep_doc")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("quality gate reason counts survive shuffled multi-batch delivery") {
     // Chunked md5-shuffled delivery: a text's smallest doc_id frequently
     // arrives AFTER a replica already took the keeper slot, so this pins
