@@ -998,10 +998,26 @@ object Analytics {
     */
   private[graft] def anomalyMinuteCounts(
       spark: SparkSession, dir: String): DataFrame =
+    mcCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(mcCache, spark, dir, "events"),
+      buildAnomalyMinuteCounts(spark, dir).localCheckpoint())
+
+  /** The uncached build — one partial-aggregated scan; split out so
+    * PlanShapeSpec pins the BUILD shape (the thing that runs at scale)
+    * while consumers ride the checkpointed frame.
+    */
+  private[graft] def buildAnomalyMinuteCounts(
+      spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumn("minute", expr("(ts div 1000000) div 60000"))
       .groupBy("event_type", "minute")
       .agg(count(lit(1)).as("n"))
+
+  private val mcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Explicit teardown hook for the minute-count frame cache. */
+  def clearAnomalyCache(): Unit = mcCache.clear()
 
   /** The per-(type, minute) deviation frame shared by [[anomalyMad]],
     * [[anomalyMinutes]] and the streaming alert feed: columns
@@ -1009,9 +1025,11 @@ object Analytics {
     */
   private[graft] def anomalyDev(spark: SparkSession, dir: String): DataFrame = {
     // The count frame feeds four branches (two median picks, the dev
-    // join, the rollup) — checkpoint it so the data-sized scan runs
-    // once and every branch reads the |types|*|minutes| rows back.
-    val mc = anomalyMinuteCounts(spark, dir).localCheckpoint()
+    // join, the rollup) and THREE registered consumers (mad, minutes,
+    // rolling_throughput) — fingerprint-cached + checkpointed, so the
+    // data-sized scan runs once per (session, data) and every branch
+    // reads the |types|*|minutes| rows back.
+    val mc = anomalyMinuteCounts(spark, dir)
     def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
       val w = Window.partitionBy("event_type").orderBy(col(v), col("minute"))
       df.withColumn("rn", row_number().over(w).cast("long"))

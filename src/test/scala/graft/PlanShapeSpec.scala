@@ -261,22 +261,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 0,
       s"anomaly_mad re-scans events past the checkpoint:\n$plan")
     val mcPlan = planOf(graft.analytics.Analytics
-      .anomalyMinuteCounts(spark, dir))
+      .buildAnomalyMinuteCounts(spark, dir))
     assert(mcPlan.contains("partial_count") &&
       "Scan parquet".r.findAllIn(mcPlan).size == 1,
       s"minute-count frame not one partial-aggregated scan:\n$mcPlan")
   }
 
   test("rolling_throughput frames the compressed minute counts") {
-    // One partial-aggregated scan to the (type, minute) frame, then the
-    // RANGE window on a single exchange of that frame — never a
-    // full-data sort.
+    // The RANGE window runs on the checkpointed (type, minute) frame —
+    // no parquet re-scan past the shared minute-count cache, and only
+    // the window's own exchange of that compressed frame (the build
+    // shape itself is pinned in the anomaly_mad test).
     val plan = planOf(graft.analytics.Analytics.rollingThroughput(spark, dir))
-    assert(plan.contains("partial_count"),
-      s"rolling_throughput counts not map-side combined:\n$plan")
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
-      s"rolling_throughput scans events more than once:\n$plan")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+    assert("Scan parquet".r.findAllIn(plan).size == 0,
+      s"rolling_throughput re-scans events past the checkpoint:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"rolling_throughput plans extra exchanges:\n$plan")
   }
 
