@@ -93,6 +93,40 @@ object Dedup {
       .select("d1", "d2", "jac")
   }
 
+  /** Incremental near-dup admission screen — the PRODUCTION shape of
+    * minhash dedup at 100 TB: a new batch (the ~10% md5-coin "delta"
+    * split) is probed against the existing corpus ("base") through the
+    * SAME band buckets the full pipeline maintains, and each delta doc
+    * gets its admission evidence (match count, best Jaccard, first base
+    * match). A real deployment stores the band → members index and only
+    * the delta's bands are computed per batch; here both sides ride the
+    * session's cached signature/candidate frames, so the screen adds
+    * zero data-sized passes. Pairs inside the same split are ignored —
+    * delta-vs-delta dups are the NEXT batch's base-side problem, and
+    * base-vs-base is the full pipeline's.
+    */
+  def dedupDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val (hs, _, cand) = lshCandidates(spark, dir)
+    val oriented = cand
+      .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
+      .withColumn("jac", expr("jaccard_sorted(s1, s2)"))
+      .filter(col("jac") >= 0.5)
+      .withColumn("f1", md5Long(col("d1").cast("string")) % 10L)
+      .withColumn("f2", md5Long(col("d2").cast("string")) % 10L)
+      .filter((col("f1") === 0L) =!= (col("f2") === 0L))
+      .select(
+        when(col("f1") === 0L, col("d1")).otherwise(col("d2")).as("delta_id"),
+        when(col("f1") === 0L, col("d2")).otherwise(col("d1")).as("base_id"),
+        col("jac"))
+    oriented.groupBy("delta_id")
+      .agg(
+        count(lit(1)).as("n_matches"),
+        max("jac").as("best_jac"),
+        min("base_id").as("first_base"))
+  }
+
   /** Sketch-quality operator: for every LSH candidate pair, the MinHash
     * similarity estimate (fraction of agreeing signature positions) next to
     * the true Jaccard — the estimator a 100 TB pipeline would use to skip
@@ -521,6 +555,7 @@ object Dedup {
     "dedup_cluster_profile" -> dedupClusterProfile,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_delta" -> dedupDelta,
     "containment" -> containment,
     "minhash_estimate" -> minhashEstimate,
     "minhash_calibration" -> minhashCalibration,
@@ -718,6 +753,19 @@ object Dedup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> (lshPairsSql +
       "SELECT d1, d2, jac FROM pairs"),
+    "dedup_delta" -> (lshPairsSql +
+      s""", coined AS (
+        |  SELECT d1, d2, jac,
+        |    ${md5LongSql("CAST(d1 AS VARCHAR)")} % 10 AS f1,
+        |    ${md5LongSql("CAST(d2 AS VARCHAR)")} % 10 AS f2
+        |  FROM pairs),
+        |orient AS (
+        |  SELECT CASE WHEN f1 = 0 THEN d1 ELSE d2 END AS delta_id,
+        |    CASE WHEN f1 = 0 THEN d2 ELSE d1 END AS base_id, jac
+        |  FROM coined WHERE (f1 = 0) <> (f2 = 0))
+        |SELECT delta_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  MAX(jac) AS best_jac, MIN(base_id) AS first_base
+        |FROM orient GROUP BY delta_id""".stripMargin),
     "dedup_threshold_sweep" -> (lshPairsSql +
       """, th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS t)
         |SELECT CAST(t AS DOUBLE) AS threshold,

@@ -24,6 +24,37 @@ object Sampling {
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket"))
 
+  /** Quality-curriculum training order: documents ranked easy → hard by
+    * integer-quantized mean token length (x100 — the complexity axis a
+    * curriculum schedule sorts on), deterministically shuffled inside
+    * each difficulty level by the md5 coin, and cut into 4 training
+    * phases. The global rank uses the corpus_shuffle discipline — per-
+    * difficulty-bucket prefix offsets (a window over the bucket COUNT
+    * frame, never the corpus) + per-bucket parallel row_number — so no
+    * single-task global sort exists at any scale; the oracle's literal
+    * global ROW_NUMBER proves the decomposition exact.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("n_c", length(col("text")).cast("long"))
+      .withColumn("n_t", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cq", expr("((n_c - (n_t - 1)) * 100) div n_t"))
+      .withColumn("h", md5Long(col("doc_id").cast("string")))
+    val offs = d.groupBy("cq").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum("n").over(Window.orderBy("cq")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cq", "off")
+    val total = d.agg(count(lit(1)).as("n_total"))
+    d.join(broadcast(offs), "cq")
+      .withColumn("pos",
+        col("off") + row_number().over(
+          Window.partitionBy("cq").orderBy("h", "doc_id")).cast("long") - 1L)
+      .crossJoin(broadcast(total))
+      .withColumn("phase", expr("(pos * 4) div n_total"))
+      .select("doc_id", "cq", "pos", "phase")
+  }
+
   /** Dataset mixing: a 200-doc budget allocated across sources
     * proportionally to source size, taking each source's lowest doc_ids —
     * the deterministic form of ratio-controlled corpus interleaving.
@@ -208,6 +239,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> dsirWeights,
     "corpus_shuffle" -> corpusShuffle,
+    "curriculum_order" -> curriculumOrder,
     "epoch_order" -> epochOrder,
     "sample_stratified" -> sampleStratified,
     "mix_sources" -> mixSources,
@@ -215,6 +247,22 @@ object Sampling {
     "train_test_split" -> trainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "curriculum_order" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_c,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t,
+        |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents),
+        |dd AS (
+        |  SELECT doc_id, ((n_c - (n_t - 1)) * 100) // n_t AS cq, h FROM d),
+        |ranked AS (
+        |  SELECT doc_id, cq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cq, h, doc_id) - 1 AS BIGINT)
+        |      AS pos
+        |  FROM dd),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM dd)
+        |SELECT doc_id, cq, pos, (pos * 4) // n_total AS phase
+        |FROM ranked CROSS JOIN tot""".stripMargin,
     "dsir_weights" ->
       """WITH tf AS (
         |  SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS tf
