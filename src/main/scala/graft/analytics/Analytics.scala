@@ -893,12 +893,16 @@ object Analytics {
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
         .as("late"))
+    // Carry the unique late supplier THROUGH the per-order aggregate
+    // (well-defined exactly when n_late == 1, the only rows kept), so
+    // the classic q21 self-join disappears: one fact join + three
+    // aggregation levels, no second lineitem pass, no perSupp re-join.
     val perOrder = perSupp.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supps"), sum("late").cast("long").as("n_late"))
-    val waits = perSupp.filter(col("late") === 1L)
-      .join(perOrder, "l_orderkey")
+      .agg(count(lit(1)).as("n_supps"), sum("late").cast("long").as("n_late"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("late_supp"))
+    val waits = perOrder
       .filter(col("n_supps") > 1L && col("n_late") === 1L)
-      .groupBy("l_suppkey")
+      .groupBy(col("late_supp").as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
     val w = Window.orderBy(col("numwait").desc, col("s_name"))
     waits

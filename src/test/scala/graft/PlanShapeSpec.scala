@@ -302,6 +302,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nation_revenue_rollup re-scans facts past the checkpoint:\n$plan")
   }
 
+  test("r11 additions keep their scale shapes") {
+    // doc_chunk: the window generator is in-row off one scan — the plan
+    // must contain NO exchange of any kind (a map-only stage at 100 TB).
+    val dc = planOf(graft.llm.Chunking.docChunk(spark, dir))
+    assert(!dc.contains("Exchange"),
+      s"doc_chunk plans an exchange — the chunker must be map-only:\n$dc")
+    // curriculum_order: same contract as corpus_shuffle — the
+    // difficulty-bucket offsets broadcast back, never a shuffled join,
+    // and the corpus itself never passes through a single partition.
+    val co = planOf(graft.llm.Sampling.curriculumOrder(spark, dir))
+    assert(co.contains("BroadcastHashJoin"),
+      s"curriculum_order offsets not broadcast:\n$co")
+    assert(!co.contains("SortMergeJoin"),
+      s"curriculum_order shuffles the offset join:\n$co")
+    // dedup_delta rides the cached LSH candidates; its only additions
+    // are in-row coin columns and a contamination-sized rollup — no
+    // cartesian anywhere (the global guard also covers this).
+    val dd = planOf(graft.llm.Dedup.dedupDelta(spark, dir))
+    assert(!dd.contains("CartesianProduct"),
+      s"dedup_delta plans a cartesian:\n$dd")
+  }
+
   test("customer_spend_deciles ranks per bucket, never one global sort") {
     // The data-sized window must partition by the value bucket; the only
     // single-partition work is the |buckets|-row offset prefix.
