@@ -1302,4 +1302,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(allDistinct.filter(col("ttr") =!= 1.0).count() == 0)
     d.unpersist()
   }
+
+  test("doc_chunk covers every char of every doc, windows aligned") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val chunks = graft.llm.Chunking.docChunk(spark, dir).cache()
+    // every doc chunked; first window starts at 1; last window ends at
+    // len; consecutive windows stride exactly 150
+    val perDoc = chunks.groupBy("doc_id").agg(
+      min("c_start").as("first_start"),
+      max(col("c_start") + col("c_len") - 1L).as("last_end"),
+      count(lit(1)).as("n_chunks"),
+      max("chunk_id").as("max_k"))
+    val joined = perDoc.join(docs, "doc_id").cache()
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("first_start") =!= 1L).count() == 0)
+    assert(joined.filter(col("last_end") =!= col("len")).count() == 0)
+    assert(joined.filter(col("n_chunks") =!= col("max_k") + 1L).count() == 0)
+    // no window exceeds Win chars, and every short window is exactly an
+    // end-truncated one (c_len = len - c_start + 1) — with Win > Stride
+    // the final up-to-50 chars can shorten more than one trailing window
+    assert(chunks.filter(col("c_len") > graft.llm.Chunking.Win).count() == 0)
+    val badShort = chunks.join(docs, "doc_id")
+      .filter(col("c_len") < graft.llm.Chunking.Win &&
+        col("c_len") =!= col("len") - col("c_start") + 1L)
+    assert(badShort.count() == 0)
+    joined.unpersist(); chunks.unpersist()
+  }
+
+  test("dedup_delta orients every match delta -> base across the coin") {
+    import graft.functions.Parity.md5Long
+    val d = graft.llm.Dedup.dedupDelta(spark, dir).cache()
+    // every delta_id is in the 10% coin split, every first_base outside
+    assert(d.filter(
+      md5Long(col("delta_id").cast("string")) % 10L =!= 0L).count() == 0)
+    assert(d.filter(
+      md5Long(col("first_base").cast("string")) % 10L === 0L).count() == 0)
+    // evidence is internally consistent
+    assert(d.filter(col("n_matches") < 1L).count() == 0)
+    assert(d.filter(col("best_jac") < 0.5 || col("best_jac") > 1.0)
+      .count() == 0)
+    d.unpersist()
+  }
+
+  test("curriculum_order is a difficulty-sorted permutation in 4 phases") {
+    val co = graft.llm.Sampling.curriculumOrder(spark, dir).cache()
+    val n = Tables.t(spark, dir, "documents").count()
+    assert(co.count() == n)
+    // pos is a bijection onto 0..n-1
+    assert(co.select("pos").distinct().count() == n)
+    val mm = co.agg(min("pos"), max("pos")).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == n - 1)
+    // order is monotone in difficulty: a harder doc never precedes an
+    // easier one
+    val w = org.apache.spark.sql.expressions.Window.orderBy("pos")
+    assert(co.withColumn("prev_cq", lag("cq", 1).over(w))
+      .filter(col("prev_cq") > col("cq")).count() == 0)
+    // phases split 0..3 and are monotone in pos by construction
+    assert(co.filter(col("phase") < 0L || col("phase") > 3L).count() == 0)
+    co.unpersist()
+  }
 }
