@@ -846,6 +846,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_sample" -> clusterSample,
     "knn_graph" -> knnGraph,
+    "hard_negatives" -> hardNegatives,
+    "cell_purity" -> cellPurity,
     "knn_degree" -> knnDegree,
     "knn_clusters" -> knnClusters,
     "knn_cluster_profile" -> knnClusterProfile,
@@ -869,6 +871,55 @@ object Similarity {
     "ann_recall" -> annRecall,
     "semdedup" -> semDedup,
     "semdedup_sweep" -> semDedupSweep)
+
+  /** Hard-negative mining for contrastive training — per anchor, its
+    * highest-cosine neighbors with a DIFFERENT label (the pairs a
+    * contrastive loss needs most: semantically close, label-separated).
+    * Rides the cached [[knnGraph]] edge frame, so mining adds only two
+    * label equi-joins and a per-anchor window over the rank-capped
+    * (≤ 3n-row) edge list — no new candidate generation at any scale.
+    * Top-2 hard negatives per anchor by (cos DESC, n_id).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val labels = vectors(spark, dir).select(col("vec_id"), col("label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    knnGraph(spark, dir)
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")), "q_id")
+      .join(labels.select(col("vec_id").as("n_id"),
+        col("label").as("n_label")), "n_id")
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("hn_rank", row_number().over(w).cast("long"))
+      .filter(col("hn_rank") <= 2L)
+      .select("q_id", "q_label", "n_id", "n_label", "cos", "hn_rank")
+  }
+
+  /** Embedding-space label coherence per IVF cell: each coarse cell's
+    * population, its majority label (ties to the lower label id), and
+    * the purity in integer basis points — the audit that tells a
+    * curation team whether the embedding space actually separates the
+    * label structure before they trust semantic dedup or clustering
+    * built on it. Rides the cached cell assignment; two bounded
+    * aggregations (|cells| x |labels|, then |cells|), integer-exact.
+    */
+  def cellPurity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = vectors(spark, dir).select(col("vec_id"), col("label"))
+    val counts = ivfAssign(spark, dir).join(labels, "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val per = counts.groupBy("cell").agg(
+      sum("n").cast("long").as("n_vecs"),
+      max("n").as("maj_n"),
+      count(lit(1)).as("n_labels"))
+    counts.join(per, "cell")
+      .filter(col("n") === col("maj_n"))
+      .groupBy("cell")
+      .agg(
+        max("n_vecs").as("n_vecs"),
+        max("n_labels").as("n_labels"),
+        min("label").as("maj_label"),
+        max("maj_n").as("maj_n"))
+      .withColumn("purity_bp", expr("(10000 * maj_n) div n_vecs"))
+  }
 
   private[llm] val vecSql =
     """WITH e AS (
@@ -1347,6 +1398,37 @@ object Similarity {
          |    / COUNT(*) AS recall
          |FROM bf LEFT JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
          |GROUP BY bf.q_id""".stripMargin),
+    "hard_negatives" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """, lab AS (SELECT vec_id, label FROM embeddings),
+        |hn AS (
+        |  SELECT knng.q_id, ql.label AS q_label, knng.n_id,
+        |    nl.label AS n_label, knng.cos,
+        |    ROW_NUMBER() OVER (PARTITION BY knng.q_id
+        |      ORDER BY knng.cos DESC, knng.n_id) AS hn_rank
+        |  FROM knng JOIN lab ql ON ql.vec_id = knng.q_id
+        |  JOIN lab nl ON nl.vec_id = knng.n_id
+        |  WHERE ql.label <> nl.label)
+        |SELECT q_id, q_label, n_id, n_label, cos,
+        |  CAST(hn_rank AS BIGINT) AS hn_rank
+        |FROM hn WHERE hn_rank <= 2""".stripMargin),
+    "cell_purity" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """, lab AS (SELECT vec_id, label FROM embeddings),
+        |pcounts AS (
+        |  SELECT cells.cell, lab.label, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM cells JOIN lab ON lab.vec_id = cells.vec_id
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |    CAST(MAX(n) AS BIGINT) AS maj_n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_labels
+        |  FROM pcounts GROUP BY cell)
+        |SELECT p.cell, MAX(per.n_vecs) AS n_vecs,
+        |  MAX(per.n_labels) AS n_labels,
+        |  MIN(p.label) AS maj_label, MAX(per.maj_n) AS maj_n,
+        |  (10000 * MAX(per.maj_n)) // MAX(per.n_vecs) AS purity_bp
+        |FROM pcounts p JOIN per USING (cell)
+        |WHERE p.n = per.maj_n
+        |GROUP BY p.cell""".stripMargin),
     "knn_graph" -> (vecSql + Clustering.fitSql + knnChainSql +
       """SELECT q_id, n_id, cos, rank FROM knng""".stripMargin),
     "knn_clusters" -> ("WITH RECURSIVE" + vecSql.stripPrefix("WITH") +
