@@ -48,6 +48,10 @@ object Chunking {
     t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         col("text"), length(col("text")).cast("long").as("len"))
+      // Empty docs emit no window in BOTH engines: without the guard,
+      // Spark's `div` truncates (-1 div 150 = 0 -> one empty window)
+      // while DuckDB's `//` floors (range empty -> none).
+      .filter(col("len") >= 1L)
       .select(col("doc_id"), col("source"), col("text"), col("len"),
         explode(expr(s"sequence(0L, (len - 1) div $Stride)")).as("k"))
       .withColumn("c_start", col("k") * Stride + 1L)
@@ -152,7 +156,7 @@ object Chunking {
       s"""WITH ks AS (
         |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len,
         |    unnest(range(0, (length(text) - 1) // $Stride + 1)) AS k
-        |  FROM documents)
+        |  FROM documents WHERE length(text) >= 1)
         |SELECT doc_id, source, k AS chunk_id,
         |  k * $Stride + 1 AS c_start,
         |  least($Win, len - (k * $Stride + 1) + 1) AS c_len,
@@ -163,7 +167,7 @@ object Chunking {
       s"""WITH ks AS (
         |  SELECT doc_id, text,
         |    unnest(range(0, (length(text) - 1) // $Stride + 1)) AS k
-        |  FROM documents),
+        |  FROM documents WHERE length(text) >= 1),
         |chunks AS (
         |  SELECT doc_id,
         |    md5(substring(text, CAST(k * $Stride + 1 AS INT), $Win)) AS chunk_hash
@@ -176,7 +180,7 @@ object Chunking {
       s"""WITH ks AS (
         |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
         |    unnest(range(0, (length(text) - 1) // $Stride + 1)) AS k
-        |  FROM documents),
+        |  FROM documents WHERE length(text) >= 1),
         |chunks AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,

@@ -227,6 +227,7 @@ object Streams {
     stream
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
+      .filter(col("len") >= 1L)
       .select(col("doc_id"), col("text"), col("len"),
         explode(expr(s"sequence(0L, (len - 1) div $stride)")).as("k"))
       .withColumn("chunk_hash",
