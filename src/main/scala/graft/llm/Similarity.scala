@@ -847,6 +847,7 @@ object Similarity {
     "cluster_sample" -> clusterSample,
     "knn_graph" -> knnGraph,
     "hard_negatives" -> hardNegatives,
+    "ivf_append" -> ivfAppend,
     "cell_purity" -> cellPurity,
     "knn_degree" -> knnDegree,
     "knn_clusters" -> knnClusters,
@@ -871,6 +872,38 @@ object Similarity {
     "ann_recall" -> annRecall,
     "semdedup" -> semDedup,
     "semdedup_sweep" -> semDedupSweep)
+
+  /** Incremental index-append audit — the production path a vector
+    * store takes at 100 TB: a new batch (the ~10% md5-coin "delta"
+    * split, [[graft.llm.Dedup.dedupDelta]]'s convention) is assigned to
+    * the EXISTING fitted coarse cells (no refit — that is the point),
+    * and per cell the audit reports base/appended populations, each
+    * side's share in integer basis points, and the drift between them.
+    * Sustained positive drift on a cell says the incoming distribution
+    * is sliding away from the fitted quantizer — the signal that
+    * schedules a refit. Rides the cached cell assignment; one bounded
+    * aggregation, integer-exact.
+    */
+  def ivfAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val per = ivfAssign(spark, dir)
+      .withColumn("is_delta",
+        when(md5Long(col("vec_id").cast("string")) % 10L === 0L, 1L)
+          .otherwise(0L))
+      .groupBy("cell")
+      .agg(
+        sum(lit(1L) - col("is_delta")).cast("long").as("n_base"),
+        sum("is_delta").cast("long").as("n_delta"))
+    val tot = per.agg(
+      sum("n_base").cast("long").as("t_base"),
+      sum("n_delta").cast("long").as("t_delta"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("base_share_bp", expr("(10000 * n_base) div t_base"))
+      .withColumn("delta_share_bp", expr("(10000 * n_delta) div t_delta"))
+      .withColumn("drift_bp", col("delta_share_bp") - col("base_share_bp"))
+      .select("cell", "n_base", "n_delta", "base_share_bp",
+        "delta_share_bp", "drift_bp")
+  }
 
   /** Hard-negative mining for contrastive training — per anchor, its
     * highest-cosine neighbors with a DIFFERENT label (the pairs a
@@ -1398,6 +1431,25 @@ object Similarity {
          |    / COUNT(*) AS recall
          |FROM bf LEFT JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
          |GROUP BY bf.q_id""".stripMargin),
+    "ivf_append" -> (vecSql + Clustering.fitSql + knnChainSql +
+      s""", coined AS (
+        |  SELECT cell,
+        |    CASE WHEN ${md5LongSql("CAST(cells.vec_id AS VARCHAR)")} % 10 = 0
+        |      THEN 1 ELSE 0 END AS is_delta
+        |  FROM cells),
+        |per AS (
+        |  SELECT cell, CAST(SUM(1 - is_delta) AS BIGINT) AS n_base,
+        |    CAST(SUM(is_delta) AS BIGINT) AS n_delta
+        |  FROM coined GROUP BY cell),
+        |tot AS (
+        |  SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+        |    CAST(SUM(n_delta) AS BIGINT) AS t_delta FROM per)
+        |SELECT cell, n_base, n_delta,
+        |  (10000 * n_base) // t_base AS base_share_bp,
+        |  (10000 * n_delta) // t_delta AS delta_share_bp,
+        |  (10000 * n_delta) // t_delta - (10000 * n_base) // t_base
+        |    AS drift_bp
+        |FROM per CROSS JOIN tot""".stripMargin),
     "hard_negatives" -> (vecSql + Clustering.fitSql + knnChainSql +
       """, lab AS (SELECT vec_id, label FROM embeddings),
         |hn AS (
