@@ -409,6 +409,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("quality gate survives stop/restart from checkpoint exactly-once") {
+    // The real recovery contract, not just multi-batch delivery: run the
+    // stateful screen over half the chunks to a PARQUET sink with a
+    // checkpoint, stop it, reveal the remaining chunks, restart from the
+    // same checkpoint, and require the recovered run to (a) not
+    // re-emit processed docs (exactly-once sink manifest), (b) restore
+    // the dedup state (later replicas of a seen text still verdict
+    // "dup"), (c) land batch-exact reason counts.
+    import java.nio.file.{Files, Paths}
+    val docs = Tables.t(spark, dir, "documents")
+    val staged = stageChunks(docs, 4,
+      md5(concat_ws("#", lit("ckpt"), col("doc_id"))))
+    val all = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val stash = Files.createTempDirectory("graft_stash")
+    val hidden = all.drop(2)
+    hidden.foreach(f =>
+      Files.move(f.toPath, stash.resolve(f.getName)))
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_out").toString
+    def runOnce(): Unit = {
+      val q = Streams.qualityGateStream(chunkStream(staged)).writeStream
+        .outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt)
+        .start(outDir)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val firstCount = spark.read.parquet(outDir).count()
+    assert(firstCount > 0 && firstCount < docs.count())
+    hidden.foreach(f =>
+      Files.move(stash.resolve(f.getName), Paths.get(staged, f.getName)))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == docs.count())
+    assert(got.select("doc_id").distinct().count() == docs.count())
+    val gotCounts = got.groupBy("reason").count()
+    val wantCounts = llm.TextAnalysis.corpusFilter(spark, dir)
+      .groupBy("reason").count()
+    assert(gotCounts.exceptAll(wantCounts).count() == 0 &&
+      wantCounts.exceptAll(gotCounts).count() == 0)
+  }
+
   test("quality gate reason counts survive shuffled multi-batch delivery") {
     // Chunked md5-shuffled delivery: a text's smallest doc_id frequently
     // arrives AFTER a replica already took the keeper slot, so this pins
