@@ -53,7 +53,7 @@ object Clustering {
     * round so lineage stays flat; the convergence probe is a
     * set-difference over the k-row centroid frames, never over the data.
     */
-  private[llm] def fittedCentroids(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def fittedCentroids(spark: SparkSession, dir: String): DataFrame = {
     // Keyed on a content fingerprint of the embeddings table, not the path
     // alone: data regenerated in-place mid-session (the gen_stress
     // workflow) re-fits instead of serving stale centroids.

@@ -209,6 +209,44 @@ object Streams {
         // matched grams — bounded by its benchmark overlap, not the corpus)
         size(collect_set(col("gram"))).cast("long").as("n_unique_hits"))
 
+  /** Continuous vector-ingest cell monitor — the streaming side of
+    * [[graft.llm.Similarity.ivfAppend]]'s append path: arriving
+    * embeddings are assigned to the STATIC fitted coarse cells entirely
+    * in-row (the 16 centroids fold as one broadcast single-row array —
+    * argmax by (cos DESC, cid ASC), the nearestCentroid tie-break, with
+    * no per-vector aggregation state), and per-cell populations
+    * aggregate in complete mode (state = |cells| rows). The ops feed a
+    * vector-store team watches while a batch lands: a cell's arrival
+    * share sliding away from its fitted share is the refit signal
+    * BEFORE the batch commits. StreamingSpec pins the per-cell counts
+    * equal to the batch assignment's.
+    */
+  def ivfAppendStream(spark: SparkSession, dir: String,
+      stream: DataFrame): DataFrame = {
+    graft.functions.VecDot.register(spark)
+    val cl = graft.llm.Clustering.fittedCentroids(spark, dir)
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm")))
+        .as("cl"))
+    stream
+      .select(col("vec_id").cast("long").as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .crossJoin(broadcast(cl))
+      .withColumn("cell", expr(
+        """aggregate(cl,
+          |  named_struct('bc', CAST(-2.0 AS DOUBLE), 'bid', CAST(-1 AS BIGINT)),
+          |  (acc, c) -> CASE
+          |    WHEN vec_dot(v, c.cv) / (nrm * c.cnrm) > acc.bc
+          |      OR (vec_dot(v, c.cv) / (nrm * c.cnrm) = acc.bc
+          |          AND c.cid < acc.bid)
+          |    THEN named_struct('bc', vec_dot(v, c.cv) / (nrm * c.cnrm),
+          |      'bid', c.cid)
+          |    ELSE acc END,
+          |  acc -> acc.bid)""".stripMargin))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Continuous chunk-level dedup — the streaming twin of
     * [[graft.llm.Chunking.chunkDedup]]: arriving documents chunk in-row
     * (the same stateless 200/150 window generator — no state, no join),

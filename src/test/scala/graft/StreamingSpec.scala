@@ -390,6 +390,23 @@ class StreamingSpec extends AnyFunSuite {
       wantState.exceptAll(finalState).count() == 0)
   }
 
+  test("streaming vector ingest assigns cells batch-exact") {
+    // The in-row centroid fold must agree with the batch max_by
+    // assignment (same (cos DESC, cid ASC) tie-break) — pinned via the
+    // per-cell populations, which ivf_cell_balance also reports.
+    val stream = Streams.tableStream(spark, dir, "embeddings")
+    val q = Streams.ivfAppendStream(spark, dir, stream).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("graft_ivfapp_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_ivfapp_stream")
+    val want = llm.Similarity.ivfCellBalance(spark, dir)
+      .select(col("cell"), col("n_vecs"))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("streaming chunk dedup == batch chunk_dedup under shuffled delivery") {
     // Counts and min-doc are delivery-order invariant; the shuffled
     // 4-batch staging checks exactly that claim (a window's replicas
