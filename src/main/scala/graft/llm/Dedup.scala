@@ -218,8 +218,13 @@ object Dedup {
     // so it joins back on the (c, ck) shuffle key — NOT broadcast.
     val nsub = chunks.groupBy("c", "ck")
       .agg(expr(s"(count(1) + ${cap - 1}) div $cap").as("nsub"))
+    // Checkpoint before the self-join: both join sides would otherwise
+    // re-run the text scan and the simhash48 evaluation (the q21 /
+    // anomalyDev no-double-pass discipline); the checkpointed frame is
+    // 3 small rows per doc, never the text.
     val sub = chunks.join(nsub, Seq("c", "ck"))
       .withColumn("sub", pmod(col("doc_id"), col("nsub")))
+      .localCheckpoint()
     sub.as("a")
       .join(sub.as("b"),
         col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
