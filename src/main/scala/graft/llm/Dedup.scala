@@ -250,6 +250,12 @@ object Dedup {
           .as("g"))
     val nsub = g.groupBy("lang", "source")
       .agg(expr(s"(count(1) + ${cap - 1}) div $cap").as("nsub"))
+    // Deliberately NOT checkpointed before the self-join (unlike
+    // dedup_simhash's 3-small-rows-per-doc frame): this frame carries
+    // the 4-gram ARRAYS (~4x the text per row), and materializing them
+    // costs 6x more than letting each join side re-run the codegen'd
+    // in-row transform off the column-pruned scan (measured at sf0.1:
+    // 0.40s re-scan vs 2.55s checkpointed).
     val sub = g.join(broadcast(nsub), Seq("lang", "source"))
       .withColumn("sub", pmod(col("doc_id"), col("nsub")))
     sub.as("a").join(sub.as("b"),
