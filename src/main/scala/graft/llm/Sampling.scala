@@ -40,16 +40,25 @@ object Sampling {
       .withColumn("n_t", size(split(col("text"), " ")).cast("long"))
       .withColumn("cq", expr("((n_c - (n_t - 1)) * 100) div n_t"))
       .withColumn("h", md5Long(col("doc_id").cast("string")))
-    val offs = d.groupBy("cq").agg(count(lit(1)).as("n"))
+      // Difficulty values CONCENTRATE (real corpora share a narrow mean
+      // token length), so ranking inside cq alone would funnel most of
+      // the corpus through a handful of window tasks. Sub-bucket each
+      // difficulty level by the hash's top 8 bits — bucket order IS hash
+      // order within the level, so the (cq, bucket) two-level prefix
+      // reproduces the global (cq, h, doc_id) rank exactly while every
+      // row_number partition stays ~1/256th of a level.
+      .withColumn("bkt", expr("h div 281474976710656"))
+    val offs = d.groupBy("cq", "bkt").agg(count(lit(1)).as("n"))
       .withColumn("off",
-        coalesce(sum("n").over(Window.orderBy("cq")
+        coalesce(sum("n").over(Window.orderBy("cq", "bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("cq", "off")
+      .select("cq", "bkt", "off")
     val total = d.agg(count(lit(1)).as("n_total"))
-    d.join(broadcast(offs), "cq")
+    d.join(broadcast(offs), Seq("cq", "bkt"))
       .withColumn("pos",
         col("off") + row_number().over(
-          Window.partitionBy("cq").orderBy("h", "doc_id")).cast("long") - 1L)
+          Window.partitionBy("cq", "bkt").orderBy("h", "doc_id"))
+          .cast("long") - 1L)
       .crossJoin(broadcast(total))
       .withColumn("phase", expr("(pos * 4) div n_total"))
       .select("doc_id", "cq", "pos", "phase")
