@@ -74,11 +74,28 @@ object Curation {
     * sequence boundary — the packer's manifest.
     */
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t(spark, dir, "documents")
+    // The running token offset is a per-source PREFIX SUM over doc_id
+    // order; partitioning the window by source alone would funnel each
+    // source's whole slice through one task. Decompose it (the
+    // corpus_shuffle discipline, summing instead of counting):
+    // order-preserving doc_id-range buckets (64k docs each), per-bucket
+    // token totals rolled into per-source running offsets on the
+    // 65536x-compressed bucket frame, then an in-bucket prefix sum.
+    // (bucket, doc_id) order IS doc_id order, so offsets are identical.
+    val d = t(spark, dir, "documents")
       .withColumn("n_tok", (size(split(col("text"), " ")) + 1).cast("long"))
-      .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("bkt", expr("doc_id div 65536"))
+    val offs = d.groupBy("source", "bkt")
+      .agg(sum("n_tok").cast("long").as("btoks"))
+      .withColumn("off",
+        coalesce(sum("btoks").over(Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bkt", "off")
+    val inBkt = Window.partitionBy("source", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(offs, Seq("source", "bkt"))
+      .withColumn("start_off",
+        col("off") + coalesce(sum("n_tok").over(inBkt), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tok"), col("start_off"),
         expr(s"start_off div $SeqLen").as("seq_id"),
         when(expr(s"(start_off + n_tok - 1) div $SeqLen") =!= expr(s"start_off div $SeqLen"),

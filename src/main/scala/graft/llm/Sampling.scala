@@ -69,15 +69,28 @@ object Sampling {
     * the deterministic form of ratio-controlled corpus interleaving.
     */
   def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    // Per-source counts and the corpus total as broadcast aggregates,
+    // and the per-source doc_id rank decomposed over order-preserving
+    // 64k-doc buckets (the seq_pack prefix discipline) — the naive form
+    // (count + row_number windows partitioned by source) would funnel
+    // each source's whole slice through one task at scale.
     val d = t(spark, dir, "documents")
-    val bySource = Window.partitionBy("source").orderBy("doc_id")
-    // Corpus total via a broadcast 1-row aggregate — a global window would
-    // funnel the whole table through one task at scale.
+      .withColumn("bkt", expr("doc_id div 65536"))
     val total = d.agg(count(lit(1)).as("n_total"))
-    d.crossJoin(broadcast(total))
-      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+    val alloc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .crossJoin(broadcast(total))
       .withColumn("alloc", expr("(200 * n_src) div n_total"))
-      .withColumn("rn", row_number().over(bySource).cast("long"))
+      .select("source", "alloc")
+    val offs = d.groupBy("source", "bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum("cnt").over(Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bkt", "off")
+    d.join(offs, Seq("source", "bkt"))
+      .withColumn("rn",
+        col("off") + row_number().over(
+          Window.partitionBy("source", "bkt").orderBy("doc_id")).cast("long"))
+      .join(broadcast(alloc), "source")
       .filter(col("rn") <= col("alloc"))
       .select(col("doc_id"), col("source"), col("rn"), col("alloc"))
   }

@@ -777,17 +777,32 @@ object Similarity {
     * it). Quartiles are nearest-rank PICKS of engine-identical doubles
     * (the vec_dot fold + exactly-rounded sqrt), not interpolations.
     *
-    * Scale: one pass over the cached norm frame; the window partitions
-    * by label (bounded fan-in per label at any corpus size).
+    * Scale: one pass over the cached norm frame. Labels are FEW but
+    * their populations are data-sized, so a per-label rank over raw
+    * vectors would funnel each label through one window task; the rank
+    * is instead decomposed as value-bucket + prefix (the
+    * customer_spend_deciles shape): floor(nrm * 64) buckets — a
+    * monotone function of the sort key, so (bucket, nrm, vec_id) order
+    * IS (nrm, vec_id) order — with broadcast per-(label, bucket)
+    * offsets and a bounded in-bucket row_number.
     */
   def embeddingNormStats(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("label").orderBy("nrm", "vec_id")
+    val v = vectors(spark, dir)
+      .withColumn("bkt", expr("CAST(floor(nrm * 64) AS BIGINT)"))
+    val offs = v.groupBy("label", "bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum("cnt").over(Window.partitionBy("label").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("label")))
+      .select("label", "bkt", "off", "n")
     def pick(p: Double) =
       max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"),
         col("nrm")))
-    vectors(spark, dir)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("label")))
+    v.join(broadcast(offs), Seq("label", "bkt"))
+      .withColumn("rn",
+        col("off") + row_number().over(
+          Window.partitionBy("label", "bkt").orderBy("nrm", "vec_id"))
+          .cast("long"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),

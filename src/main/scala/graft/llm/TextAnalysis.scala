@@ -373,16 +373,31 @@ object TextAnalysis {
       .withColumn("compression",
         col("n_chars").cast("double") / col("n_tokens").cast("double"))
 
-  /** Document-length distribution per source: nearest-rank quartiles. */
+  /** Document-length distribution per source: nearest-rank quartiles.
+    *
+    * Count-compressed (the value_percentiles discipline): a per-source
+    * rank over raw documents would funnel each source's whole slice
+    * through one window task at 100 TB. Instead one partial-aggregated
+    * shuffle compresses to (source, n_chars) counts — n_chars is
+    * schema-bounded — and the quartile is the value whose cumulative
+    * rank range [cum - cnt + 1, cum] covers ceil(n * p); identical to
+    * the doc-level nearest rank (the doc_id tiebreak only chose WHICH
+    * doc sat at the rank, never the value picked), so the oracle keeps
+    * the literal ROW_NUMBER form and pins the equivalence.
+    */
   def docLengthStats(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    val ranked = t(spark, dir, "documents")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val counts = t(spark, dir, "documents")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("source").orderBy("n_chars")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+      .withColumn("lo", col("cum") - col("cnt") + 1L)
     def pick(p: Double) =
-      max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"), col("n_chars")))
+      max(when(expr(s"CAST(ceil(n * $p) AS BIGINT)")
+        .between(col("lo"), col("cum")), col("n_chars")))
     ranked.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
+      max("n").as("n_docs"),
       min("n_chars").as("min_c"),
       pick(0.25).as("q1"), pick(0.5).as("median"), pick(0.75).as("q3"),
       max("n_chars").as("max_c"))

@@ -394,10 +394,25 @@ object LogOps {
     * acceptable. One pass, three conditional sums.
     */
   def watermarkPolicy(spark: SparkSession, dir: String): DataFrame = {
-    val arrival = Window.partitionBy("topic").orderBy("event_id")
+    // The running event-time maximum is a per-topic PREFIX MAX in
+    // arrival order; topics are few, so the naive window would funnel
+    // each topic through one task. Prefix max decomposes over
+    // order-preserving event_id-range buckets exactly like the seq_pack
+    // prefix sum: per-bucket maxima rolled into a running max on the
+    // 65536x-compressed bucket frame, then an in-bucket running max,
+    // combined with greatest().
+    val d = log(spark, dir).withColumn("bkt", expr("event_id div 65536"))
+    val bmax = d.groupBy("topic", "bkt").agg(max("tms").as("bm"))
+      .withColumn("pmax",
+        max("bm").over(Window.partitionBy("topic").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("topic", "bkt", "pmax")
+    val inBkt = Window.partitionBy("topic", "bkt").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    log(spark, dir)
-      .withColumn("late_ms", max("tms").over(arrival) - col("tms"))
+    d.join(bmax, Seq("topic", "bkt"))
+      .withColumn("rmax", greatest(
+        coalesce(col("pmax"), col("tms")), max("tms").over(inBkt)))
+      .withColumn("late_ms", col("rmax") - col("tms"))
       .groupBy("topic")
       .agg(
         count(lit(1)).as("n_events"),
