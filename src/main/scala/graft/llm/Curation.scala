@@ -412,7 +412,38 @@ object Curation {
         .as("chars_redacted"))
   }
 
+  /** Context-window budget per document for [[contextOverflow]]: docs
+    * longer than this truncate in a fixed-window tokenizer path (the
+    * non-packing alternative [[seqPack]] avoids — this op quantifies what
+    * truncation would cost per source before choosing).
+    */
+  private[graft] val TruncWindow = 64L
+
+  /** Per-source truncation accounting under a fixed context window of
+    * [[TruncWindow]] whitespace tokens: how many docs overflow, and the
+    * exact token mass kept vs dropped if each doc were clipped to the
+    * window — the number a pipeline compares against [[packEfficiency]]'s
+    * padding tax to pick clip-vs-pack per source. All counters are exact
+    * BIGINTs off one scan (map-side-combined rollup to source grain, no
+    * join, no window); drop_ratio is the single double division.
+    */
+  def contextOverflow(spark: SparkSession, dir: String): DataFrame = {
+    val w = lit(TruncWindow)
+    t(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_t") > w, 1L).otherwise(0L)).as("n_overflow"),
+        sum("n_t").cast("long").as("tok_total"),
+        sum(least(col("n_t"), w)).cast("long").as("tok_kept"),
+        sum(greatest(col("n_t") - w, lit(0L))).cast("long").as("tok_dropped"))
+      .withColumn("drop_ratio",
+        col("tok_dropped").cast("double") / col("tok_total").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "context_overflow" -> contextOverflow,
     "pii_scrub" -> piiScrub,
     "dedup_spans" -> dedupSpans,
     "pack_shuffled" -> packShuffled,
@@ -474,6 +505,18 @@ object Curation {
        |  FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "context_overflow" ->
+      s"""WITH d AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_t > $TruncWindow THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overflow,
+        |  CAST(SUM(n_t) AS BIGINT) AS tok_total,
+        |  CAST(SUM(LEAST(n_t, $TruncWindow)) AS BIGINT) AS tok_kept,
+        |  CAST(SUM(GREATEST(n_t - $TruncWindow, 0)) AS BIGINT) AS tok_dropped,
+        |  CAST(CAST(SUM(GREATEST(n_t - $TruncWindow, 0)) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(n_t) AS BIGINT) AS DOUBLE) AS drop_ratio
+        |FROM d GROUP BY source""".stripMargin,
     "pii_scrub" ->
       """WITH aug AS (
         |  SELECT doc_id, source, text ||

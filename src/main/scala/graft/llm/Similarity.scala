@@ -858,7 +858,38 @@ object Similarity {
       .select("vec_id", "cell", "n_cell", "coin")
   }
 
+  /** Johnson–Lindenstrauss sign-sketch of the embedding column: each
+    * vector quantized to integers (floor(x·1024)) and projected onto 4
+    * md5-derived ±1 axes — the cheap 4-number summary a 100 TB pipeline
+    * ships instead of the 64-float vector when all a downstream stage
+    * needs is coarse locality (distribution-drift monitors, candidate
+    * pre-bucketing, sanity dashboards). Signs come from the same md5
+    * namespace discipline as [[annLsh]]'s hyperplanes so both engines
+    * build the identical matrix, and the quantize-then-integer-fold makes
+    * every projection an exact BIGINT — no float fold-order drift.
+    *
+    * Scale: the 4×64 sign matrix is one broadcast row set; projection is
+    * an in-row zip/fold per (vector, axis), so the whole op is a single
+    * scan with a 4× generator and NO shuffle at all.
+    */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val q = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT))")
+        .as("q"))
+    val axes = spark.range(0, 4).select(col("id").as("a"), expr(
+      """transform(sequence(0, 63), d ->
+        |  CASE WHEN CAST(conv(substring(md5(concat('rp_', cast(a as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) % 2 = 0
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)"""
+        .stripMargin).as("s"))
+    q.crossJoin(broadcast(axes))
+      .select(col("vec_id"), col("label"), col("a").cast("long").as("axis"),
+        expr("aggregate(zip_with(q, s, (x, sg) -> x * sg), 0L, (acc, x) -> acc + x)")
+          .as("proj"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "random_projection" -> randomProjection,
     "cluster_sample" -> clusterSample,
     "knn_graph" -> knnGraph,
     "hard_negatives" -> hardNegatives,
@@ -1196,6 +1227,21 @@ object Similarity {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "random_projection" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ax AS (
+        |  SELECT a, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN ('0x' || substring(md5('rp_' || a || '_' || d), 1, 14))::BIGINT % 2 = 0
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS s
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS a))
+        |SELECT vec_id, label, CAST(a AS BIGINT) AS axis,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, len(q)), i -> q[i] * s[i])),
+        |    (acc, x) -> acc + x) AS proj
+        |FROM q CROSS JOIN ax""".stripMargin,
     "cluster_sample" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
          |  SELECT cid, cv, cnrm FROM fcent),

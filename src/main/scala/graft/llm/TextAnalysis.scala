@@ -630,7 +630,71 @@ object TextAnalysis {
           / (col("n_tokens") * col("n_tokens")).cast("double"))
   }
 
+  /** Per-document n-gram novelty against the earlier corpus (doc_id
+    * order): the fraction of a doc's distinct char-8-grams whose FIRST
+    * corpus occurrence is this doc — the incremental-ingest signal a
+    * pipeline reads to decide whether a new crawl slice still adds
+    * content (novelty decaying to ~0 means the source is exhausted) and
+    * the per-doc complement of [[substringDupPairs]]' pairwise view.
+    * Integer-exact parity: counts plus one double division.
+    *
+    * Scale: one explode of the in-row distinct gram hashes (the
+    * [[fingerprint]] machinery without the bottom-8 cut), ONE shuffle
+    * keyed by the 56-bit gram hash (uniform — no skew), a min-over-hash
+    * window inside that partitioning, then a map-side-combined rollup to
+    * doc grain. Gram rows carry (doc_id, h) only — 16 bytes — never the
+    * text; at 100 TB the shuffle is ~2% of corpus bytes.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    t(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(expr("gram_hashes(text, 8, 0)")).as("h"))
+      .withColumn("fd", min("doc_id").over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("fd"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Word-BIGRAM df-weighted likelihood — [[gramLikelihood]] lifted to
+    * token order: a doc of common words in an order nobody else uses
+    * (shuffled/generated salad) scores low here while scoring high on the
+    * unigram gate, so the two together separate "rare words" from "wrong
+    * order". Same integer-exact contract: score is one double division of
+    * two exact BIGINT sums.
+    *
+    * Scale: bigrams are generated and counted IN-ROW (array_counts over
+    * the adjacent-pair transform — one generator row per distinct bigram
+    * per doc), hashed to 56 bits so the df join carries (doc_id, h, tf)
+    * and never the strings. Unlike the unigram df (vocabulary-sized,
+    * broadcast), the bigram df table grows with the corpus — so this is
+    * a hash-keyed SHUFFLE join on uniform keys, both sides partitioned
+    * alike, followed by the map-side-combined doc rollup.
+    */
+  def bigramLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    val tf = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """array_counts(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""
+          .stripMargin)).as(Seq("bg", "tf")))
+      .select(col("doc_id"), md5Long(col("bg")).as("h"), col("tf"))
+    val df = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    tf.join(df, "h")
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_bigrams"),
+        sum(col("tf") * col("df")).cast("long").as("sum_df"))
+      .withColumn("score",
+        col("sum_df").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty" -> ngramNovelty,
+    "bigram_likelihood" -> bigramLikelihood,
     "lexical_diversity" -> lexicalDiversity,
     "bpe_merges" -> bpeMerges,
     "bpe_encode" -> bpeEncode,
@@ -728,6 +792,33 @@ object TextAnalysis {
         |  UNION ALL SELECT 3, pair, n_pair FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ngram_novelty" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, ${md5LongSql("gr")} AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          generate_series(1, length(text) - 7), i -> substring(text, i, 8)))) AS gr
+        |        FROM documents WHERE length(text) >= 8)),
+        |f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS fd FROM g)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(CAST(SUM(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS novelty
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "bigram_likelihood" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, bg, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |    WHERE len(toks) >= 2)
+        |  GROUP BY doc_id, bg),
+        |h AS (SELECT doc_id, ${md5LongSql("bg")} AS h, tf FROM tk),
+        |df AS (SELECT h, COUNT(*) AS df FROM h GROUP BY h)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(tf * df) AS BIGINT) AS sum_df,
+        |  CAST(CAST(SUM(tf * df) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS score
+        |FROM h JOIN df USING (h) GROUP BY doc_id""".stripMargin,
     "bpe_merges" -> bpeMergesSql,
     "bpe_fertility" -> (bpeChainSql + """,
         |dw AS (

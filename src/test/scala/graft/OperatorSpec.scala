@@ -1362,4 +1362,70 @@ class OperatorSpec extends AnyFunSuite {
     assert(co.filter(col("phase") < 0L || col("phase") > 3L).count() == 0)
     co.unpersist()
   }
+
+  test("ngram_novelty: first doc fully novel, novel mass == distinct grams") {
+    val nv = llm.TextAnalysis.ngramNovelty(spark, dir).cache()
+    // bounds: 0 <= n_novel <= n_grams, novelty in [0, 1]
+    assert(nv.filter(col("n_novel") < 0L || col("n_novel") > col("n_grams"))
+      .count() == 0)
+    assert(nv.filter(col("novelty") < 0.0 || col("novelty") > 1.0)
+      .count() == 0)
+    // the smallest doc_id sees an empty prior corpus: novelty == 1
+    val first = nv.orderBy("doc_id").select("novelty").head().getDouble(0)
+    assert(first == 1.0)
+    // every gram's first occurrence is credited exactly once: the novel
+    // mass across docs equals the corpus-wide distinct gram-hash count
+    graft.functions.TextHashes.register(spark)
+    val distinctGrams = Tables.t(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(explode(expr("gram_hashes(text, 8, 0)")).as("h"))
+      .distinct().count()
+    assert(nv.agg(sum("n_novel")).head().getLong(0) == distinctGrams)
+    nv.unpersist()
+  }
+
+  test("bigram_likelihood: bigram count matches tokens-1, score >= 1") {
+    val bl = llm.TextAnalysis.bigramLikelihood(spark, dir).cache()
+    // each doc's bigram mass is exactly n_ws - 1 (adjacent pairs)
+    val tc = llm.TextAnalysis.tokenCount(spark, dir)
+      .filter(col("n_ws") >= 2L)
+    assert(bl.count() == tc.count())
+    assert(bl.join(tc, "doc_id")
+      .filter(col("n_bigrams") =!= col("n_ws") - 1L).count() == 0)
+    // df >= 1 for every bigram a doc contains, so sum_df >= n_bigrams
+    assert(bl.filter(col("sum_df") < col("n_bigrams")).count() == 0)
+    assert(bl.filter(col("score") < 1.0).count() == 0)
+    bl.unpersist()
+  }
+
+  test("context_overflow: kept + dropped == total, overflow bounded") {
+    val covf = llm.Curation.contextOverflow(spark, dir).cache()
+    assert(covf.filter(
+      col("tok_kept") + col("tok_dropped") =!= col("tok_total")).count() == 0)
+    assert(covf.filter(col("n_overflow") > col("n_docs")).count() == 0)
+    // a source overflows iff it dropped tokens
+    assert(covf.filter((col("n_overflow") > 0L) =!= (col("tok_dropped") > 0L))
+      .count() == 0)
+    // doc accounting covers the whole table
+    val nDocs = Tables.t(spark, dir, "documents").count()
+    assert(covf.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    covf.unpersist()
+  }
+
+  test("random_projection: 4 axes per vector, sign-flip preserves parity") {
+    val rp = llm.Similarity.randomProjection(spark, dir).cache()
+    val nVecs = Tables.t(spark, dir, "embeddings").count()
+    assert(rp.count() == nVecs * 4)
+    assert(rp.select("axis").distinct().count() == 4)
+    // ±1 signs never change a sum's parity: proj ≡ Σ floor(x·1024) (mod 2)
+    val qsum = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        """aggregate(transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT)),
+          |  0L, (a, x) -> a + x)""".stripMargin).as("qs"))
+    assert(rp.join(qsum, "vec_id")
+      .filter(pmod(col("proj"), lit(2L)) =!= pmod(col("qs"), lit(2L)))
+      .count() == 0)
+    rp.unpersist()
+  }
 }
