@@ -667,15 +667,16 @@ object TextAnalysis {
     *
     * Scale: bigrams are generated and counted IN-ROW (array_counts over
     * the adjacent-pair transform — one generator row per distinct bigram
-    * per doc), hashed to 56 bits so the df join carries (doc_id, h, tf)
+    * per doc), hashed to 56 bits so the shuffle carries (doc_id, h, tf)
     * and never the strings. Unlike the unigram df (vocabulary-sized,
-    * broadcast), the bigram df table grows with the corpus — so this is
-    * a hash-keyed SHUFFLE join on uniform keys, both sides partitioned
-    * alike, followed by the map-side-combined doc rollup.
+    * broadcast), the bigram df grows with the corpus — so df is a
+    * count-over-hash window INSIDE the one uniform-key shuffle (the
+    * [[ngramNovelty]] shape), not a groupBy + re-shuffle join, followed
+    * by the map-side-combined doc rollup.
     */
   def bigramLikelihood(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashes.register(spark)
-    val tf = t(spark, dir, "documents")
+    t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -683,8 +684,7 @@ object TextAnalysis {
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""
           .stripMargin)).as(Seq("bg", "tf")))
       .select(col("doc_id"), md5Long(col("bg")).as("h"), col("tf"))
-    val df = tf.groupBy("h").agg(count(lit(1)).as("df"))
-    tf.join(df, "h")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(sum("tf").cast("long").as("n_bigrams"),
         sum(col("tf") * col("df")).cast("long").as("sum_df"))
