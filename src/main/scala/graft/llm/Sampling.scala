@@ -95,6 +95,14 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("rn"), col("alloc"))
   }
 
+  /** The ONE spelling of the 90/10 train/test md5 coin over doc_id —
+    * shared by [[trainTestSplit]] and [[splitLeakage]] so the two screens
+    * can never silently diverge (the Dedup.BenchSplitMod discipline).
+    */
+  private[graft] def splitCoin: org.apache.spark.sql.Column =
+    when(md5Long(col("doc_id").cast("string")) % 10L < 9L, "train")
+      .otherwise("test")
+
   /** Deterministic 90/10 train/test split on an md5 coin over doc_id —
     * reproducible across runs, cluster sizes, and engines — with a
     * per-source assignment audit (split skew per source is the first thing
@@ -102,9 +110,7 @@ object Sampling {
     */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .withColumn("split",
-        when(md5Long(col("doc_id").cast("string")) % 10L < 9L, "train")
-          .otherwise("test"))
+      .withColumn("split", splitCoin)
       .groupBy("source", "split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -258,7 +264,32 @@ object Sampling {
       .withColumn("selected", when(col("score_num") > 0L, 1L).otherwise(0L))
   }
 
+  /** Train/test contamination through NEAR-duplicates: test docs whose
+    * minhash-LSH near-dup cluster ([[Dedup.dedupClusters]]) also contains
+    * at least one train doc — the leakage an exact-match decontaminate
+    * pass misses (the benchmark answer is in training verbatim-ish, just
+    * not byte-identical). Output: each leaked test doc with its cluster
+    * and how many train near-dups it has; empty means the split is clean
+    * under the near-dup relation.
+    *
+    * Scale: rides the cached converged cluster-label frame (docs in at
+    * least one near-dup pair — far smaller than the corpus); the split
+    * coin is an in-row md5, and the train-count join is keyed by
+    * cluster_id on that reduced frame. No corpus-sized work beyond what
+    * dedup_clusters already paid (and cached).
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Dedup.dedupClusters(spark, dir)
+      .withColumn("split", splitCoin)
+    val trainPerCluster = labeled.filter(col("split") === "train")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_train_dups"))
+    labeled.filter(col("split") === "test")
+      .join(trainPerCluster, "cluster_id")
+      .select("doc_id", "cluster_id", "n_train_dups")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage" -> splitLeakage,
     "dsir_weights" -> dsirWeights,
     "corpus_shuffle" -> corpusShuffle,
     "curriculum_order" -> curriculumOrder,
@@ -269,6 +300,22 @@ object Sampling {
     "train_test_split" -> trainTestSplit)
 
   val oracles: Map[String, String] = Map(
+    "split_leakage" ->
+      (Dedup.clustersChainSql + s"""
+        |, lab AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |lt AS (
+        |  SELECT lab.doc_id, lab.cluster_id,
+        |    CASE WHEN ${md5LongSql("CAST(lab.doc_id AS VARCHAR)")} % 10 < 9
+        |      THEN 'train' ELSE 'test' END AS split
+        |  FROM lab),
+        |tr AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_train_dups
+        |  FROM lt WHERE split = 'train' GROUP BY cluster_id)
+        |SELECT doc_id, cluster_id, n_train_dups
+        |FROM lt JOIN tr USING (cluster_id) WHERE split = 'test'"""
+        .stripMargin),
     "curriculum_order" ->
       s"""WITH d AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_c,

@@ -888,7 +888,53 @@ object Similarity {
           .as("proj"))
   }
 
+  /** PageRank fixed-point scale: ranks live in millionths (1.0 ==
+    * 1,000,000), damping 0.85 applied as integer (85·x) div 100.
+    */
+  private val PrScale = 1000000L
+  private val PrBase = 150000L
+
+  /** Two power-iteration rounds of PageRank over the [[knnGraph]] edges —
+    * semantic-hub centrality for curation: a doc whose vector sits in many
+    * neighbours' top-k lists anchors an over-represented region (cut it
+    * harder when pruning) while rank ~ the dangling floor marks isolated,
+    * novel content. Integer-exact across engines: ranks are BIGINTs in
+    * millionths, every division is truncating integer division on
+    * positive operands (identical in Spark `div` and DuckDB `//`), and
+    * contribution sums are order-independent integer adds. Dangling mass
+    * (vectors with no out-edges) is deliberately dropped, identically in
+    * both engines — this is a relative centrality screen, not a
+    * normalized distribution.
+    *
+    * Scale: the edge frame is the cached, cap-bounded knn graph (≤ 3
+    * edges per vector), so each round is one join keyed by q_id plus one
+    * map-side-combined rollup keyed by n_id — 2 rounds are unrolled
+    * because rank ORDER stabilizes in O(1) rounds on a degree-capped
+    * graph; full convergence would buy precision the screen never reads.
+    */
+  def knnPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ed = knnGraph(spark, dir).select("q_id", "n_id")
+    val edges = ed.join(
+      ed.groupBy("q_id").agg(count(lit(1)).as("deg")), "q_id")
+    val nodes = t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    // damped rank from the summed contribution column `c` (null = no
+    // in-edges -> the dangling floor PrBase)
+    val damp = expr(
+      s"CAST($PrBase + (85 * coalesce(c, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
+    val c1 = edges
+      .select(col("n_id").as("vec_id"), expr(s"$PrScale div deg").as("c"))
+      .groupBy("vec_id").agg(sum("c").cast("long").as("c"))
+    val p1 = nodes.join(c1, Seq("vec_id"), "left")
+      .select(col("vec_id").as("q_id"), damp.as("pr"))
+    val c2 = edges.join(p1, "q_id")
+      .select(col("n_id").as("vec_id"), expr("pr div deg").as("c"))
+      .groupBy("vec_id").agg(sum("c").cast("long").as("c"))
+    nodes.join(c2, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), damp.as("pr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_pagerank" -> knnPagerank,
     "random_projection" -> randomProjection,
     "cluster_sample" -> clusterSample,
     "knn_graph" -> knnGraph,
@@ -1227,6 +1273,23 @@ object Similarity {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "knn_pagerank" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """, pr_outd AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS deg FROM knng GROUP BY q_id),
+        |prc1 AS (
+        |  SELECT n_id AS vec_id, CAST(SUM(1000000 // deg) AS BIGINT) AS c
+        |  FROM knng JOIN pr_outd USING (q_id) GROUP BY n_id),
+        |prp1 AS (
+        |  SELECT e.vec_id, CAST(150000 + (85 * COALESCE(prc1.c, 0)) // 100
+        |    AS BIGINT) AS pr
+        |  FROM embeddings e LEFT JOIN prc1 USING (vec_id)),
+        |prc2 AS (
+        |  SELECT k.n_id AS vec_id, CAST(SUM(prp1.pr // o.deg) AS BIGINT) AS c
+        |  FROM knng k JOIN pr_outd o USING (q_id) JOIN prp1 ON prp1.vec_id = k.q_id
+        |  GROUP BY k.n_id)
+        |SELECT e.vec_id, e.label,
+        |  CAST(150000 + (85 * COALESCE(prc2.c, 0)) // 100 AS BIGINT) AS pr
+        |FROM embeddings e LEFT JOIN prc2 USING (vec_id)""".stripMargin),
     "random_projection" ->
       """WITH q AS (
         |  SELECT vec_id, label, list_transform(embedding,

@@ -1412,6 +1412,44 @@ class OperatorSpec extends AnyFunSuite {
     covf.unpersist()
   }
 
+  test("knn_pagerank: dangling floor exact, in-edges strictly raise rank") {
+    val pr = llm.Similarity.knnPagerank(spark, dir).cache()
+    val nVecs = Tables.t(spark, dir, "embeddings").count()
+    assert(pr.count() == nVecs)
+    // rank never drops below the dangling floor 0.15 (in millionths)
+    assert(pr.filter(col("pr") < 150000L).count() == 0)
+    // a vector in nobody's top-k sits EXACTLY at the floor; any in-edge
+    // contributes at least 85 * (150000 div 3) div 100 > 0 above it
+    val targets = llm.Similarity.knnGraph(spark, dir)
+      .select(col("n_id").as("vec_id")).distinct()
+    val joined = pr.join(targets.withColumn("has_in", lit(1L)),
+      Seq("vec_id"), "left").cache()
+    assert(joined.filter(col("has_in").isNull && col("pr") =!= 150000L)
+      .count() == 0)
+    assert(joined.filter(col("has_in").isNotNull && col("pr") <= 150000L)
+      .count() == 0)
+    joined.unpersist(); pr.unpersist()
+  }
+
+  test("split_leakage: only test docs, each with a real train near-dup") {
+    import graft.functions.Parity.md5Long
+    val lk = llm.Sampling.splitLeakage(spark, dir).cache()
+    // every leaked doc is on the test side of the coin
+    assert(lk.filter(
+      md5Long(col("doc_id").cast("string")) % 10L < 9L).count() == 0)
+    assert(lk.filter(col("n_train_dups") < 1L).count() == 0)
+    // recompute the leak set from the cluster frame directly
+    val cl = graft.llm.Dedup.dedupClusters(spark, dir)
+      .withColumn("isTrain",
+        md5Long(col("doc_id").cast("string")) % 10L < 9L)
+    val expect = cl.filter(!col("isTrain")).as("t")
+      .join(cl.filter(col("isTrain")).as("tr"),
+        col("t.cluster_id") === col("tr.cluster_id"))
+      .select(col("t.doc_id")).distinct().count()
+    assert(lk.count() == expect)
+    lk.unpersist()
+  }
+
   test("random_projection: 4 axes per vector, sign-flip preserves parity") {
     val rp = llm.Similarity.randomProjection(spark, dir).cache()
     val nVecs = Tables.t(spark, dir, "embeddings").count()
