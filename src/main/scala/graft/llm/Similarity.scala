@@ -933,7 +933,50 @@ object Similarity {
       .select(col("vec_id"), col("label"), damp.as("pr"))
   }
 
+  /** Mislabel/outlier detection on the embedding column: each vector's
+    * squared distance to its LABEL's centroid, flagged where it exceeds
+    * 2x the label mean — the "this doc is filed under the wrong topic /
+    * the encoder glitched" screen a curation pass runs before trusting
+    * labels for stratified sampling. Integer-exact end to end: vectors
+    * quantize to BIGINT (floor(x·1024)), the centroid is a truncating
+    * integer mean per dimension (Spark `div` and DuckDB `//` both
+    * truncate toward zero, verified on negatives), distances are integer
+    * sums of squares, and the outlier flag is an integer
+    * cross-multiplication (dist·n > 2·Σdist) — no doubles anywhere.
+    *
+    * Scale: ONE uniform shuffle of (label, dim, x) rows builds the
+    * centroid table (labels × 64 rows), which broadcasts back as
+    * per-label arrays; the distance is then an in-row zip/fold and the
+    * label stats another broadcast — the big side is scanned twice but
+    * never re-shuffled.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val q = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT))")
+        .as("q"))
+    val cent = q
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg(sum("x").cast("long").as("sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("d"), expr("sx div n").as("c"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+        .as("cv"))
+    val dist = q.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"), expr(
+        "aggregate(zip_with(q, cv, (x, c) -> (x - c) * (x - c)), 0L, (a, e) -> a + e)")
+        .as("dist_sq"))
+    val stats = dist.groupBy("label")
+      .agg(sum("dist_sq").cast("long").as("sum_d"), count(lit(1)).as("n"))
+    dist.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("dist_sq"),
+        when(col("dist_sq") * col("n") > lit(2L) * col("sum_d"), 1L)
+          .otherwise(0L).as("outlier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_outliers" -> embeddingOutliers,
     "knn_pagerank" -> knnPagerank,
     "random_projection" -> randomProjection,
     "cluster_sample" -> clusterSample,
@@ -1273,6 +1316,35 @@ object Similarity {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embedding_outliers" ->
+      """WITH qv AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, i AS d, q[i] AS x
+        |  FROM qv, generate_series(1, 64) t(i)),
+        |cent AS (
+        |  SELECT label, d,
+        |    CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM dims GROUP BY label, d),
+        |centarr AS (
+        |  SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+        |dist AS (
+        |  SELECT vec_id, qv.label,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 64),
+        |        i -> (q[i] - cv[i]) * (q[i] - cv[i]))),
+        |      (a, e) -> a + e) AS dist_sq
+        |  FROM qv JOIN centarr USING (label)),
+        |stats AS (
+        |  SELECT label, CAST(SUM(dist_sq) AS BIGINT) AS sum_d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM dist GROUP BY label)
+        |SELECT vec_id, label, dist_sq,
+        |  CAST(CASE WHEN dist_sq * n > 2 * sum_d THEN 1 ELSE 0 END AS BIGINT)
+        |    AS outlier
+        |FROM dist JOIN stats USING (label)""".stripMargin,
     "knn_pagerank" -> (vecSql + Clustering.fitSql + knnChainSql +
       """, pr_outd AS (
         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS deg FROM knng GROUP BY q_id),

@@ -1450,6 +1450,20 @@ class OperatorSpec extends AnyFunSuite {
     lk.unpersist()
   }
 
+  test("embedding_outliers: full coverage, Markov-bounded outlier share") {
+    val eo = llm.Similarity.embeddingOutliers(spark, dir).cache()
+    val nVecs = Tables.t(spark, dir, "embeddings").count()
+    assert(eo.count() == nVecs)
+    assert(eo.filter(col("dist_sq") < 0L).count() == 0)
+    assert(eo.filter(!col("outlier").isin(0L, 1L)).count() == 0)
+    // dist > 2x mean can hold for at most half a label's population
+    // (Markov): 2 * n_outliers <= n per label
+    val perLabel = eo.groupBy("label").agg(
+      count(lit(1)).as("n"), sum("outlier").as("n_out"))
+    assert(perLabel.filter(col("n_out") * 2L > col("n")).count() == 0)
+    eo.unpersist()
+  }
+
   test("random_projection: 4 axes per vector, sign-flip preserves parity") {
     val rp = llm.Similarity.randomProjection(spark, dir).cache()
     val nVecs = Tables.t(spark, dir, "embeddings").count()

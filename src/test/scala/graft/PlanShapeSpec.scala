@@ -481,4 +481,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"),
       s"shard_manifest rollup not map-side combined:\n$plan")
   }
+
+  test("gram-df ops pay exactly one token-scale shuffle, no join") {
+    // ngram_novelty and bigram_likelihood both fold their df/first-doc
+    // lookup into the ONE uniform gram-hash exchange (a groupBy +
+    // re-join would shuffle token-scale rows twice).
+    for (name <- Seq("ngram_novelty", "bigram_likelihood")) {
+      val plan = planOf(graft.llm.TextAnalysis.queries(name)(spark, dir))
+      assert("hashpartitioning\\(h#".r.findAllIn(plan).size == 1,
+        s"$name should have exactly one gram-hash exchange:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        s"$name re-joins what the window already computed:\n$plan")
+    }
+  }
+
+  test("embedding_outliers broadcasts centroids and stats, never re-shuffles vectors") {
+    val plan = planOf(graft.llm.Similarity.embeddingOutliers(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"embedding_outliers shuffles a join side:\n$plan")
+    assert("Join".r.findAllIn(plan).size ==
+      "BroadcastHashJoin".r.findAllIn(plan).size,
+      s"embedding_outliers has a non-broadcast join:\n$plan")
+  }
 }
