@@ -301,6 +301,31 @@ object Streams {
       .dropDuplicates("topic", "field")
   }
 
+  /** Continuous gram discovery — the streaming twin of
+    * [[graft.llm.TextAnalysis.ngramNovelty]]: arriving documents explode
+    * into their distinct char-8-gram hashes in-row and each gram is
+    * emitted exactly ONCE, on first arrival, with the doc that carried
+    * it. The ingest-side novelty monitor: the emission RATE decaying
+    * toward zero says the incoming source is exhausted — visible within
+    * one micro-batch, without waiting for a batch novelty pass.
+    * State (dropDuplicates markers) is the corpus's distinct-gram
+    * universe — exactly the cardinality the batch window shuffles, and
+    * deliberately unbounded for the same reason qualityGateStream's is:
+    * evicting a gram would re-report it as novel. StreamingSpec pins
+    * the discovered SET equal to the batch distinct grams (and its size
+    * to the batch novel mass) under in-order AND shuffled multi-batch
+    * delivery; WHICH doc triggers an emission is delivery-order-
+    * dependent, the set is not.
+    */
+  def gramNoveltyStream(stream: DataFrame): DataFrame = {
+    graft.functions.TextHashes.register(stream.sparkSession)
+    stream
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(expr("gram_hashes(text, 8, 0)")).as("h"))
+      .dropDuplicates("h")
+  }
+
   final case class DocIn(doc_id: Long, h: String, q_reason: String)
   final case class DocVerdict(doc_id: Long, reason: String)
 

@@ -561,6 +561,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2.exceptAll(want).count() == 0 && want.exceptAll(got2).count() == 0)
   }
 
+  test("streaming gram discovery == batch distinct grams, any order") {
+    // The discovered gram SET (and so its size == the batch novel mass)
+    // is delivery-order invariant; WHICH doc carries each first-arrival
+    // emission is not, so the pin compares `h` sets only.
+    graft.functions.TextHashes.register(spark)
+    val docs = Tables.t(spark, dir, "documents")
+    val want = docs.filter(length(col("text")) >= 8)
+      .select(explode(expr("gram_hashes(text, 8, 0)")).as("h"))
+      .distinct()
+    val novelMass = llm.TextAnalysis.ngramNovelty(spark, dir)
+      .agg(sum("n_novel")).first().getLong(0)
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = Streams.gramNoveltyStream(src).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val got = run(Streams.tableStream(spark, dir, "documents"), "graft_gnov1")
+    assert(got.count() == novelMass)
+    assert(got.select("h").exceptAll(want).count() == 0 &&
+      want.exceptAll(got.select("h")).count() == 0)
+    assert(got.count() > 0)
+    val staged = stageChunks(docs, 4,
+      md5(concat_ws("#", lit("gn"), col("doc_id"))))
+    val got2 = run(chunkStream(staged), "graft_gnov2")
+    assert(got2.count() == novelMass)
+    assert(got2.select("h").exceptAll(want).count() == 0 &&
+      want.exceptAll(got2.select("h")).count() == 0)
+  }
+
   test("stateful compaction stream == batch compact") {
     val got = Streams.runCompactionStream(spark, dir)
       .select(col("topic"), col("k"), col("event_id"))
