@@ -710,7 +710,9 @@ object Similarity {
   /** Explicit teardown hook for the knn family (edge frame + converged
     * cluster labels), mirroring [[clearPqCache]].
     */
-  def clearKnnCache(): Unit = { knnCache.clear(); knnClustersCache.clear() }
+  def clearKnnCache(): Unit = {
+    knnCache.clear(); knnClustersCache.clear(); snnClustersCache.clear()
+  }
 
   /** The uncached candidate-generation chain — private[graft] so
     * PlanShapeSpec pins the (cell, sub) join shape of the BUILD (the
@@ -975,7 +977,80 @@ object Similarity {
           .otherwise(0L).as("outlier"))
   }
 
+  /** Shared-nearest-neighbor strength for every undirected knn edge —
+    * the Jarvis–Patrick similarity refinement: raw cosine proximity is
+    * promoted to a CONSENSUS measure (how many of each endpoint's top-k
+    * out-neighbors agree the two belong together). Density-aware
+    * clustering wants exactly this — a hub that is "close" to
+    * everything but shares neighbors with nothing scores 0, while a
+    * pair deep inside one dense semantic pocket scores high even when
+    * its raw cosine is middling. Output per edge (a < b): the
+    * merge-walk shared count over the two sorted top-3 out-neighbor
+    * lists (which may include the partner itself — the raw JP lists,
+    * not punctured ones) and snn_sim = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|,
+    * a division of two small exact integers.
+    *
+    * Totality: every endpoint of a knn edge shares a (cell, sub)
+    * bucket with at least one other vector, so it has >= 1 out-edge
+    * and an adjacency row — the inner joins lose no edge.
+    *
+    * Scale: rides the cached knn edge frame (<= 3 out-edges per
+    * vector), so the adjacency rollup and both joins are bounded by
+    * the edge cap; neighbor lists are <= 3 longs, the merge walk is
+    * O(1) per row, and no vector data is touched at all.
+    */
+  def snnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val adj = knnGraph(spark, dir).groupBy("q_id")
+      .agg(sort_array(collect_set(col("n_id"))).as("nbrs"))
+    knnGraph(spark, dir)
+      .select(least(col("q_id"), col("n_id")).as("a"),
+        greatest(col("q_id"), col("n_id")).as("b"))
+      .distinct()
+      .join(adj.select(col("q_id").as("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("q_id").as("b"), col("nbrs").as("nb")), "b")
+      .withColumn("n_shared", expr("intersect_sorted(na, nb)"))
+      .select(col("a"), col("b"), col("n_shared"),
+        (col("n_shared") /
+          (size(col("na")).cast("long") + size(col("nb")).cast("long") -
+            col("n_shared"))).as("snn_sim"))
+  }
+
+  /** Jarvis–Patrick clusters: connected components over the edges that
+    * pass BOTH classic JP gates — mutuality (a sits in b's top-k AND b
+    * in a's; a one-sided edge into a hub does not bind) and >= 1 shared
+    * neighbor ([[snnGraph]]'s consensus). The gates make JP robust
+    * exactly where raw-threshold components ([[knnClusters]]) over-merge:
+    * chain-linking through hubs needs TWO vectors to each claim the hub
+    * mutually, not just sit near it. Returns (vec_id, cluster_id =
+    * component min); vectors with no qualifying edge do not appear.
+    *
+    * Scale: both gates are metadata-sized filters on the cached edge
+    * frame (mutual = the (a, b) rollup seeing both directions, bounded
+    * by the 3n edge cap); components is the shared min-label-propagation
+    * loop, O(log diameter) bounded-size rounds. Converged labels are
+    * fingerprint-cached like [[knnClusters]].
+    */
+  def snnClusters(spark: SparkSession, dir: String): DataFrame =
+    snnClustersCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(snnClustersCache, spark, dir, "embeddings"),
+      Dedup.components(
+        knnGraph(spark, dir)
+          .groupBy(least(col("q_id"), col("n_id")).as("d1"),
+            greatest(col("q_id"), col("n_id")).as("d2"))
+          .agg(count(lit(1)).as("ndir"))
+          .filter(col("ndir") === 2L)
+          .join(snnGraph(spark, dir).filter(col("n_shared") >= 1L)
+            .select(col("a").as("d1"), col("b").as("d2")), Seq("d1", "d2"))
+          .select("d1", "d2"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .localCheckpoint())
+
+  private val snnClustersCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snn_graph" -> snnGraph,
+    "snn_clusters" -> snnClusters,
     "embedding_outliers" -> embeddingOutliers,
     "knn_pagerank" -> knnPagerank,
     "random_projection" -> randomProjection,
@@ -1679,6 +1754,43 @@ object Similarity {
         |GROUP BY p.cell""".stripMargin),
     "knn_graph" -> (vecSql + Clustering.fitSql + knnChainSql +
       """SELECT q_id, n_id, cos, rank FROM knng""".stripMargin),
+    "snn_graph" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """, adjx AS (
+        |  SELECT q_id, list_sort(list(DISTINCT n_id)) AS nbrs
+        |  FROM knng GROUP BY q_id),
+        |undx AS (
+        |  SELECT DISTINCT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b
+        |  FROM knng)
+        |SELECT u.a, u.b,
+        |  CAST(len(list_intersect(x.nbrs, y.nbrs)) AS BIGINT) AS n_shared,
+        |  CAST(len(list_intersect(x.nbrs, y.nbrs)) AS DOUBLE) /
+        |    (len(x.nbrs) + len(y.nbrs) - len(list_intersect(x.nbrs, y.nbrs)))
+        |    AS snn_sim
+        |FROM undx u
+        |JOIN adjx x ON x.q_id = u.a
+        |JOIN adjx y ON y.q_id = u.b""".stripMargin),
+    "snn_clusters" -> ("WITH RECURSIVE" + vecSql.stripPrefix("WITH") +
+      Clustering.fitSql + knnChainSql +
+      """, adjx AS (
+        |  SELECT q_id, list_sort(list(DISTINCT n_id)) AS nbrs
+        |  FROM knng GROUP BY q_id),
+        |mut AS (
+        |  SELECT least(q_id, n_id) AS d1, greatest(q_id, n_id) AS d2
+        |  FROM knng GROUP BY 1, 2 HAVING COUNT(*) = 2),
+        |jp AS (
+        |  SELECT m.d1, m.d2 FROM mut m
+        |  JOIN adjx x ON x.q_id = m.d1
+        |  JOIN adjx y ON y.q_id = m.d2
+        |  WHERE len(list_intersect(x.nbrs, y.nbrs)) >= 1),
+        |kedges AS (
+        |  SELECT d1, d2 FROM jp
+        |  UNION SELECT d2 AS d1, d1 AS d2 FROM jp),
+        |reach(src, dst) AS (
+        |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM kedges)
+        |  UNION
+        |  SELECT r.src, e.d2 FROM reach r JOIN kedges e ON e.d1 = r.dst)
+        |SELECT src AS vec_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin),
     "knn_clusters" -> ("WITH RECURSIVE" + vecSql.stripPrefix("WITH") +
       Clustering.fitSql + knnChainSql +
       """, und AS (

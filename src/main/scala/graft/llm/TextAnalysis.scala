@@ -507,6 +507,85 @@ object TextAnalysis {
       .select("s1", "s2", "n_shared", "sz1", "sz2", "jaccard")
   }
 
+  /** Corpus vocabulary size for [[vocabCoverage]]. */
+  private val CoverageK = 500
+
+  /** Tokenizer-vocabulary coverage: per source, the token mass and type
+    * count falling OUTSIDE the corpus-level top-[[CoverageK]] vocabulary
+    * — the "how much of this source would a K-entry tokenizer render as
+    * UNK/byte-fallback" audit run before fixing a vocabulary size. A
+    * source with a high OOV rate is under-served by the shared vocab
+    * (jargon, another language, noise) and either needs vocab budget or
+    * a quality look.
+    *
+    * Scale: ONE (source, token) partial-aggregated shuffle; the corpus
+    * rollup compresses to the vocabulary (sub-linear in data); the
+    * top-K cut is a distributed partial top-K (TakeOrderedAndProject —
+    * per-partition heads merged on one K-row frame, never a global
+    * sort); the K-row vocab broadcasts back. OOV accounting is a
+    * per-source rollup of the already-aggregated count frame.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("n"))
+    val topv = counts.groupBy("tok").agg(sum("n").cast("long").as("cn"))
+      .orderBy(col("cn").desc, col("tok")).limit(CoverageK)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    counts.join(broadcast(topv), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(
+        sum("n").cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+          .cast("long").as("oov_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .cast("long").as("oov_types"))
+      .withColumn("oov_rate", col("oov_tokens") / col("n_tokens"))
+  }
+
+  /** Per-source dataset card: the one-row-per-source summary a corpus
+    * release ships — population (docs, chars), majority language with
+    * its share, exact-duplicate exposure (docs whose full-text md5
+    * recurs ANYWHERE in the corpus, so cross-source mirrors count), and
+    * the Gopher keep rate. Every rate is integer basis points
+    * (truncating div, identical both engines); the majority language
+    * tie-breaks deterministically (count desc, then lang desc via the
+    * struct max). The first artifact a data consumer reads and the
+    * last the curation pipeline writes.
+    *
+    * Scale: three corpus scans (profile, hash, quality words), each
+    * rolling up per source / per hash with map-side combine — no
+    * data-sized join keys except the hash rollup, which is the
+    * dedup_exact shape; everything after is |sources|-row metadata.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").cast("long").as("total_chars"))
+    val lmax = docs.groupBy("source", "lang").agg(count(lit(1)).as("ln"))
+      .groupBy("source")
+      .agg(max(struct(col("ln"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        col("m.ln").as("top_lang_n"))
+    val h = docs.select(col("source"), md5(col("text")).as("h"))
+    val dups = h.join(
+        h.groupBy("h").agg(count(lit(1)).as("nh")).filter(col("nh") > 1L)
+          .select("h"), "h")
+      .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+    val keep = qualityGopher(spark, dir).select("doc_id", "keep")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum("keep").cast("long").as("keep_docs"))
+    base.join(lmax, "source")
+      .join(dups, Seq("source"), "left").na.fill(0L, Seq("dup_docs"))
+      .join(keep, "source")
+      .withColumn("top_lang_bp", expr("(10000 * top_lang_n) div n_docs"))
+      .withColumn("dup_bp", expr("(10000 * dup_docs) div n_docs"))
+      .withColumn("keep_bp", expr("(10000 * keep_docs) div n_docs"))
+  }
+
   /** Gopher-style per-document quality signals (Rae et al. 2021 §A1.1):
     * word count, mean word length, type-token ratio, and the top-word
     * mass fraction, folded into a keep/drop gate. One explode + one
@@ -705,6 +784,8 @@ object TextAnalysis {
     "quality_gopher" -> qualityGopher,
     "repetition_ngrams" -> repetitionNgrams,
     "vocab_stats" -> vocabStats,
+    "vocab_coverage" -> vocabCoverage,
+    "corpus_card" -> corpusCard,
     "vocab_overlap" -> vocabOverlap,
     "zipf_profile" -> zipfProfile,
     "normalize_text" -> normalizeText,
@@ -991,6 +1072,72 @@ object TextAnalysis {
         |  COUNT(*) AS n_toks, CAST(SUM(freq) AS BIGINT) AS sum_freq,
         |  CAST(MAX(freq) AS BIGINT) AS max_freq
         |FROM ranked GROUP BY source, rank_bucket""".stripMargin,
+    "vocab_coverage" ->
+      """WITH tc AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY source, tok),
+        |cv AS (
+        |  SELECT tok, 1 AS in_vocab FROM (
+        |    SELECT tok, CAST(SUM(n) AS BIGINT) AS cn FROM tc GROUP BY tok
+        |    ORDER BY cn DESC, tok LIMIT 500)),
+        |j AS (SELECT tc.*, cv.in_vocab FROM tc LEFT JOIN cv USING (tok)),
+        |per AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN in_vocab IS NULL THEN n ELSE 0 END) AS BIGINT)
+        |      AS oov_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS oov_types
+        |  FROM j GROUP BY source)
+        |SELECT *, oov_tokens / n_tokens AS oov_rate FROM per""".stripMargin,
+    "corpus_card" ->
+      """WITH base AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source),
+        |lc AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS ln
+        |  FROM documents GROUP BY source, lang),
+        |lm AS (
+        |  SELECT source, lang AS top_lang, ln AS top_lang_n FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ln DESC, lang DESC) AS rn FROM lc)
+        |  WHERE rn = 1),
+        |hh AS (SELECT source, md5(text) AS h FROM documents),
+        |dh AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) > 1),
+        |dd AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS dup_docs
+        |  FROM hh JOIN dh USING (h) GROUP BY source),
+        |words AS (
+        |  SELECT doc_id, w, COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |rolled AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct, MAX(n) AS top_n,
+        |    CAST(SUM(n * length(w)) AS BIGINT) AS sum_len
+        |  FROM words GROUP BY doc_id),
+        |kflag AS (
+        |  SELECT doc_id, CAST(CASE WHEN n_words >= 10 AND n_words <= 1000
+        |    AND sum_len / n_words >= 2.0 AND sum_len / n_words <= 10.0
+        |    AND top_n / n_words <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |  FROM rolled),
+        |kp AS (
+        |  SELECT d.source, CAST(SUM(k.keep) AS BIGINT) AS keep_docs
+        |  FROM kflag k JOIN documents d USING (doc_id) GROUP BY d.source)
+        |SELECT base.source, base.n_docs, base.total_chars,
+        |  lm.top_lang, lm.top_lang_n,
+        |  COALESCE(dd.dup_docs, 0) AS dup_docs, kp.keep_docs,
+        |  (10000 * lm.top_lang_n) // base.n_docs AS top_lang_bp,
+        |  (10000 * COALESCE(dd.dup_docs, 0)) // base.n_docs AS dup_bp,
+        |  (10000 * kp.keep_docs) // base.n_docs AS keep_bp
+        |FROM base
+        |JOIN lm USING (source)
+        |LEFT JOIN dd USING (source)
+        |JOIN kp USING (source)""".stripMargin,
     "vocab_stats" ->
       """SELECT source, COUNT(*) AS n_tokens,
         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,

@@ -516,6 +516,43 @@ class OperatorSpec extends AnyFunSuite {
       col("jaccard") < 0.0 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("vocab coverage reconciles with vocab_stats; card reconciles its parts") {
+    val docs = Tables.t(spark, dir, "documents").cache()
+    val nSrc = docs.select("source").distinct().count()
+    // vocab_coverage: per-source totals must equal vocab_stats exactly,
+    // and OOV accounting can never exceed them
+    val cov = llm.TextAnalysis.vocabCoverage(spark, dir).cache()
+    assert(cov.count() == nSrc)
+    val vs = llm.TextAnalysis.vocabStats(spark, dir)
+      .select(col("source"), col("n_tokens").as("vt"), col("n_vocab").as("vv"))
+    assert(cov.join(vs, "source")
+      .filter(col("n_tokens") =!= col("vt") || col("n_types") =!= col("vv"))
+      .count() == 0)
+    assert(cov.filter(col("oov_tokens") > col("n_tokens") ||
+      col("oov_types") > col("n_types") ||
+      col("oov_rate") < 0.0 || col("oov_rate") > 1.0).count() == 0)
+    // in-vocab type mass: at most CoverageK types per source are covered
+    assert(cov.filter(col("n_types") - col("oov_types") > 500L).count() == 0)
+    // corpus_card: one row per source, parts bounded by and summing to
+    // independently computed totals
+    val card = llm.TextAnalysis.corpusCard(spark, dir).cache()
+    assert(card.count() == nSrc)
+    assert(card.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(card.filter(col("top_lang_n") > col("n_docs") ||
+      col("dup_docs") > col("n_docs") || col("keep_docs") > col("n_docs"))
+      .count() == 0)
+    for (c <- Seq("top_lang_bp", "dup_bp", "keep_bp"))
+      assert(card.filter(col(c) < 0L || col(c) > 10000L).count() == 0)
+    val dupTotal = docs.select(md5(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("nh")).filter(col("nh") > 1L)
+      .agg(coalesce(sum("nh"), lit(0L))).head.getLong(0)
+    assert(card.agg(sum("dup_docs")).head.getLong(0) == dupTotal)
+    val keepTotal = llm.TextAnalysis.qualityGopher(spark, dir)
+      .agg(sum("keep")).head.getLong(0)
+    assert(card.agg(sum("keep_docs")).head.getLong(0) == keepTotal)
+    docs.unpersist(); cov.unpersist(); card.unpersist()
+  }
+
   test("components loop equals union-find on adversarial graph shapes") {
     // The distributed min-label + pointer-jumping loop vs a driver-side
     // union-find, on the shapes that stress it: a long path (maximum
@@ -1257,6 +1294,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.join(l1, "q_id").join(l2, "n_id")
       .filter(col("c1") =!= col("c2")).count() == 0)
     labels.unpersist()
+  }
+
+  test("snn graph covers every knn edge; counts match an independent path") {
+    val g = llm.Similarity.knnGraph(spark, dir)
+    val und = g.select(least(col("q_id"), col("n_id")).as("a"),
+      greatest(col("q_id"), col("n_id")).as("b")).distinct().cache()
+    val s = llm.Similarity.snnGraph(spark, dir).cache()
+    // totality: exactly the undirected knn edge universe, nothing else
+    assert(s.count() == und.count())
+    assert(s.select("a", "b").exceptAll(und).count() == 0)
+    // shared counts bounded by the k = 3 cap; similarity a valid ratio,
+    // zero exactly when the intersection is empty
+    assert(s.filter(col("n_shared") < 0L || col("n_shared") > 3L).count() == 0)
+    assert(s.filter(col("snn_sim") < 0.0 || col("snn_sim") > 1.0).count() == 0)
+    assert(s.filter((col("n_shared") === 0L) =!= (col("snn_sim") === 0.0))
+      .count() == 0)
+    // independent recomputation of the shared count via array_intersect
+    // (different builtin, unsorted adjacency) must agree edge-for-edge
+    val adj = g.groupBy("q_id").agg(collect_set("n_id").as("nb"))
+    val chk = s.join(adj.select(col("q_id").as("a"), col("nb").as("xa")), "a")
+      .join(adj.select(col("q_id").as("b"), col("nb").as("xb")), "b")
+      .withColumn("ref", size(array_intersect(col("xa"), col("xb"))).cast("long"))
+    assert(chk.filter(col("n_shared") =!= col("ref")).count() == 0)
+    und.unpersist(); s.unpersist()
+  }
+
+  test("snn clusters bind exactly the mutual shared-neighbor edges") {
+    val labels = llm.Similarity.snnClusters(spark, dir).cache()
+    assert(labels.count() > 0)
+    // cluster_id is the component minimum and roots label themselves
+    assert(labels.filter(col("cluster_id") > col("vec_id")).count() == 0)
+    val roots = labels.select(col("cluster_id").as("vec_id")).distinct()
+    assert(roots.join(labels, "vec_id")
+      .filter(col("cluster_id") =!= col("vec_id")).count() == 0)
+    // the JP edge set: mutual knn pairs with >= 1 shared neighbor
+    val g = llm.Similarity.knnGraph(spark, dir)
+    val jp = g.groupBy(least(col("q_id"), col("n_id")).as("a"),
+        greatest(col("q_id"), col("n_id")).as("b"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") === 2L)
+      .join(llm.Similarity.snnGraph(spark, dir)
+        .filter(col("n_shared") >= 1L).select("a", "b"), Seq("a", "b"))
+      .cache()
+    // both endpoints of every JP edge carry the same label, and the
+    // labeled universe is exactly the JP edge endpoints
+    val l1 = labels.select(col("vec_id").as("a"), col("cluster_id").as("c1"))
+    val l2 = labels.select(col("vec_id").as("b"), col("cluster_id").as("c2"))
+    val j = jp.join(l1, "a").join(l2, "b")
+    assert(j.count() == jp.count())
+    assert(j.filter(col("c1") =!= col("c2")).count() == 0)
+    val ends = jp.select(col("a").as("vec_id"))
+      .union(jp.select(col("b").as("vec_id"))).distinct()
+    assert(labels.select("vec_id").exceptAll(ends).count() == 0)
+    assert(ends.exceptAll(labels.select("vec_id")).count() == 0)
+    jp.unpersist(); labels.unpersist()
   }
 
   test("pii scrub finds exactly the injected PII universe") {
