@@ -843,6 +843,56 @@ object Analytics {
           .as("sum_total"))
   }
 
+  /** RFM user segmentation — the classic marketing tiering over the
+    * purchase stream: per user, Recency (last purchase day), Frequency
+    * (purchase count), and Monetary ($100-quantized decimal spend) each
+    * map to a quartile score 1..4 (4 = best), and the segment rollup
+    * carries a canonical label (champion / loyal / at_risk / lost /
+    * regular). Quartiles are VALUE-level, not row-level: q = 1 +
+    * (4 * users_strictly_below) div n, so ties share a score (NTILE
+    * would split them arbitrarily) and the assignment is deterministic
+    * in both engines with pure integer arithmetic.
+    *
+    * Scale: ONE user-keyed aggregation of the purchase scan (the frame
+    * is localCheckpoint'ed for its four consumers); each dimension's
+    * distribution compresses to a (value, count) rollup over a
+    * BOUNDED domain — days, small counts, $100 buckets — so the
+    * cumulative window runs on metadata and broadcasts back; the final
+    * rollup is ≤ 64 segment rows.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val u = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        max(expr("(ts div 1000000) div 86400000")).as("r_v"),
+        count(lit(1)).as("f_v"),
+        sum(money(col("value"))).as("m_dec"))
+      .withColumn("m_v", expr("CAST(floor(m_dec / 100) AS BIGINT)"))
+      .localCheckpoint()
+    val nAll = u.agg(count(lit(1)).as("n"))
+    def quart(v: String, q: String): DataFrame =
+      u.groupBy(v).agg(count(lit(1)).as("c"))
+        .withColumn("below",
+          coalesce(sum("c").over(Window.orderBy(v)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(nAll))
+        .select(col(v), (lit(1L) + expr("(4 * below) div n")).as(q))
+    u.join(broadcast(quart("r_v", "r_q")), "r_v")
+      .join(broadcast(quart("f_v", "f_q")), "f_v")
+      .join(broadcast(quart("m_v", "m_q")), "m_v")
+      .withColumn("label",
+        when(col("r_q") === 4L && col("f_q") === 4L && col("m_q") === 4L,
+          "champion")
+          .when(col("r_q") >= 3L && col("f_q") >= 3L, "loyal")
+          .when(col("r_q") === 1L && col("f_q") >= 3L, "at_risk")
+          .when(col("r_q") === 1L && col("f_q") === 1L, "lost")
+          .otherwise("regular"))
+      .groupBy("r_q", "f_q", "m_q", "label")
+      .agg(count(lit(1)).as("n_users"),
+        sum("m_dec").cast("double").as("total_value"))
+  }
+
   /** TPC-H Q13 flavor: distribution of per-customer order counts through a
     * LEFT join (customers with zero orders must appear in the 0 bucket),
     * with non-urgent priority as the "special orders excluded" predicate.
@@ -1183,6 +1233,7 @@ object Analytics {
     "salted_agg" -> saltedAgg,
     "funnel" -> funnel,
     "cohort_retention" -> cohortRetention,
+    "rfm_segments" -> rfmSegments,
     "range_join_events" -> rangeJoinEvents,
     "value_histogram" -> valueHistogram,
     "distinct_users" -> distinctUsers,
@@ -1696,6 +1747,47 @@ object Analytics {
         |  CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS reached_purchase
         |FROM s3""".stripMargin,
+    "rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(epoch_ms(ts) // 86400000) AS r_v,
+        |    COUNT(*) AS f_v,
+        |    SUM(CAST(value AS DECIMAL(10,2))) AS m_dec
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |u2 AS (SELECT *, CAST(floor(m_dec / 100) AS BIGINT) AS m_v FROM u),
+        |n AS (SELECT COUNT(*) AS n FROM u2),
+        |rq AS (
+        |  SELECT r_v, 1 + (4 * below) // n.n AS r_q FROM (
+        |    SELECT r_v, COALESCE(SUM(c) OVER (ORDER BY r_v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |    FROM (SELECT r_v, COUNT(*) AS c FROM u2 GROUP BY r_v))
+        |  CROSS JOIN n),
+        |fq AS (
+        |  SELECT f_v, 1 + (4 * below) // n.n AS f_q FROM (
+        |    SELECT f_v, COALESCE(SUM(c) OVER (ORDER BY f_v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |    FROM (SELECT f_v, COUNT(*) AS c FROM u2 GROUP BY f_v))
+        |  CROSS JOIN n),
+        |mq AS (
+        |  SELECT m_v, 1 + (4 * below) // n.n AS m_q FROM (
+        |    SELECT m_v, COALESCE(SUM(c) OVER (ORDER BY m_v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |    FROM (SELECT m_v, COUNT(*) AS c FROM u2 GROUP BY m_v))
+        |  CROSS JOIN n),
+        |scored AS (
+        |  SELECT u2.*, rq.r_q, fq.f_q, mq.m_q,
+        |    CASE WHEN rq.r_q = 4 AND fq.f_q = 4 AND mq.m_q = 4
+        |        THEN 'champion'
+        |      WHEN rq.r_q >= 3 AND fq.f_q >= 3 THEN 'loyal'
+        |      WHEN rq.r_q = 1 AND fq.f_q >= 3 THEN 'at_risk'
+        |      WHEN rq.r_q = 1 AND fq.f_q = 1 THEN 'lost'
+        |      ELSE 'regular' END AS label
+        |  FROM u2 JOIN rq USING (r_v) JOIN fq USING (f_v)
+        |    JOIN mq USING (m_v))
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q, label, COUNT(*) AS n_users,
+        |  CAST(SUM(m_dec) AS DOUBLE) AS total_value
+        |FROM scored GROUP BY r_q, f_q, m_q, label""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),

@@ -516,6 +516,33 @@ class OperatorSpec extends AnyFunSuite {
       col("jaccard") < 0.0 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("rfm segments partition the purchaser universe with coherent scores") {
+    val seg = analytics.Analytics.rfmSegments(spark, dir).cache()
+    // the segment rollup accounts every purchasing user exactly once
+    val nBuyers = Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(seg.agg(sum("n_users")).head.getLong(0) == nBuyers)
+    // quartile scores stay in 1..4 and labels follow their definitions
+    for (c <- Seq("r_q", "f_q", "m_q"))
+      assert(seg.filter(col(c) < 1L || col(c) > 4L).count() == 0)
+    assert(seg.filter(col("label") === "champion" &&
+      (col("r_q") =!= 4L || col("f_q") =!= 4L || col("m_q") =!= 4L))
+      .count() == 0)
+    assert(seg.filter(col("label") === "lost" &&
+      (col("r_q") =!= 1L || col("f_q") =!= 1L)).count() == 0)
+    assert(seg.filter(col("label") === "at_risk" &&
+      (col("r_q") =!= 1L || col("f_q") < 3L)).count() == 0)
+    // total monetary mass is conserved (decimal-exact both sides)
+    val total = Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(10,2)")).cast("double"))
+      .head.getDouble(0)
+    assert(math.abs(seg.agg(sum("total_value")).head.getDouble(0) - total)
+      < 1e-6)
+    seg.unpersist()
+  }
+
   test("vocab coverage reconciles with vocab_stats; card reconciles its parts") {
     val docs = Tables.t(spark, dir, "documents").cache()
     val nSrc = docs.select("source").distinct().count()
