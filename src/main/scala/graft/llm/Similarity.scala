@@ -1048,7 +1048,43 @@ object Similarity {
   private val snnClustersCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Deterministic 2-step random walks over the cached knn graph — the
+    * skip-gram-style POSITIVE-pair generator for contrastive training
+    * (the complement of [[hardNegatives]]' negatives): from every
+    * vector with out-edges, one walk visits ctx = an out-neighbor
+    * chosen by an md5 coin over the dense rank 1..deg (step 1), then a
+    * neighbor of that neighbor by a second coin (step 2, which may
+    * legitimately return to the anchor — standard for random-walk
+    * objectives). Both coins hash only the ANCHOR (with the step tag),
+    * so the walk is reproducible across engines and runs, and step-2
+    * context depends on the anchor's own trajectory, not on where
+    * other walks went.
+    *
+    * Scale: two rank-filtered passes over the cached ≤ 3n edge frame
+    * joined by vector id — no new candidate generation, no windows
+    * over data-sized partitions; emits ≤ 2 rows per vector.
+    */
+  def walkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnGraph(spark, dir)
+      .join(knnGraph(spark, dir).groupBy("q_id").agg(max("rank").as("deg")),
+        "q_id")
+    val s1 = e.filter(col("rank") ===
+        graft.functions.Parity.md5Long(
+          concat_ws("#", lit("walk1"), col("q_id"))) % col("deg") + 1L)
+      .select(col("q_id").as("anchor"), col("n_id").as("ctx"))
+    val s2 = s1.select(col("anchor"), col("ctx").as("mid"))
+      .join(e.select(col("q_id").as("mid"), col("n_id"), col("rank"),
+        col("deg")), "mid")
+      .filter(col("rank") ===
+        graft.functions.Parity.md5Long(
+          concat_ws("#", lit("walk2"), col("anchor"))) % col("deg") + 1L)
+      .select(col("anchor"), col("n_id").as("ctx"))
+    s1.withColumn("step", lit(1L))
+      .unionByName(s2.withColumn("step", lit(2L)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "walk_pairs" -> walkPairs,
     "snn_graph" -> snnGraph,
     "snn_clusters" -> snnClusters,
     "embedding_outliers" -> embeddingOutliers,
@@ -1754,6 +1790,24 @@ object Similarity {
         |GROUP BY p.cell""".stripMargin),
     "knn_graph" -> (vecSql + Clustering.fitSql + knnChainSql +
       """SELECT q_id, n_id, cos, rank FROM knng""".stripMargin),
+    "walk_pairs" -> (vecSql + Clustering.fitSql + knnChainSql +
+      s""", ed AS (
+         |  SELECT knng.*, dg.deg FROM knng
+         |  JOIN (SELECT q_id, MAX(rank) AS deg FROM knng GROUP BY q_id) dg
+         |    USING (q_id)),
+         |s1 AS (
+         |  SELECT q_id AS anchor, n_id AS ctx FROM ed
+         |  WHERE rank = ${graft.functions.Parity.md5LongSql(
+                 "('walk1#' || q_id)")} % deg + 1),
+         |s2 AS (
+         |  SELECT s1.anchor, ed.n_id AS ctx
+         |  FROM s1 JOIN ed ON ed.q_id = s1.ctx
+         |  WHERE ed.rank = ${graft.functions.Parity.md5LongSql(
+                 "('walk2#' || s1.anchor)")} % ed.deg + 1)
+         |SELECT anchor, ctx, CAST(1 AS BIGINT) AS step FROM s1
+         |UNION ALL
+         |SELECT anchor, ctx, CAST(2 AS BIGINT) AS step FROM s2"""
+        .stripMargin),
     "snn_graph" -> (vecSql + Clustering.fitSql + knnChainSql +
       """, adjx AS (
         |  SELECT q_id, list_sort(list(DISTINCT n_id)) AS nbrs

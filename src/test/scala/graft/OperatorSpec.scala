@@ -516,6 +516,31 @@ class OperatorSpec extends AnyFunSuite {
       col("jaccard") < 0.0 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("walk pairs: one walk per anchor, edges real, fully deterministic") {
+    val g = llm.Similarity.knnGraph(spark, dir).select("q_id", "n_id").cache()
+    val wp = llm.Similarity.walkPairs(spark, dir).cache()
+    // every vector with out-edges emits exactly one step-1 and one
+    // step-2 context
+    val nAnchors = g.select("q_id").distinct().count()
+    for (s <- Seq(1L, 2L))
+      assert(wp.filter(col("step") === s).count() == nAnchors)
+    // step-1 contexts are genuine out-neighbors of the anchor
+    assert(wp.filter(col("step") === 1L).select(col("anchor").as("q_id"),
+      col("ctx").as("n_id")).exceptAll(g).count() == 0)
+    // step-2 contexts are out-neighbors of the step-1 context
+    val s1 = wp.filter(col("step") === 1L)
+      .select(col("anchor"), col("ctx").as("mid"))
+    val s2 = wp.filter(col("step") === 2L).select("anchor", "ctx")
+    assert(s2.join(s1, "anchor")
+      .join(g.select(col("q_id").as("mid2"), col("n_id")),
+        col("mid") === col("mid2") && col("ctx") === col("n_id"), "left_anti")
+      .count() == 0)
+    // the md5 coin makes the walk reproducible
+    val again = llm.Similarity.walkPairs(spark, dir)
+    assert(wp.exceptAll(again).count() == 0 && again.exceptAll(wp).count() == 0)
+    g.unpersist(); wp.unpersist()
+  }
+
   test("rfm segments partition the purchaser universe with coherent scores") {
     val seg = analytics.Analytics.rfmSegments(spark, dir).cache()
     // the segment rollup accounts every purchasing user exactly once
