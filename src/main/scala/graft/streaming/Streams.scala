@@ -317,6 +317,39 @@ object Streams {
     * delivery; WHICH doc triggers an emission is delivery-order-
     * dependent, the set is not.
     */
+  /** The live dataset card — the streaming twin of
+    * [[graft.llm.TextAnalysis.corpusCard]]'s stateless fields: arriving
+    * docs derive their Gopher keep flag entirely IN-ROW (the
+    * array_counts combiner instead of batch's explode+groupBy — same
+    * values, no per-doc shuffle state), and one complete-mode rollup
+    * keeps the per-source population / char-mass / keep counts current
+    * while a crawl lands. State = |sources| rows. The card fields that
+    * need corpus-wide distinctness (exact-dup exposure) or two-level
+    * aggregation (majority language) are batch-only by design —
+    * streaming forbids chained aggregations and COUNT(DISTINCT).
+    * StreamingSpec pins (n_docs, total_chars, keep_docs) == the batch
+    * card under in-order AND shuffled multi-batch delivery.
+    */
+  def corpusCardStream(stream: DataFrame): DataFrame = {
+    graft.functions.TextHashes.register(stream.sparkSession)
+    stream
+      .withColumn("m", expr("array_counts(split(text, ' '))"))
+      .withColumn("n_words",
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)"))
+      .withColumn("sum_len",
+        expr("aggregate(map_entries(m), 0L, (a, e) -> a + e.value * length(e.key))"))
+      .withColumn("top_n", expr("array_max(map_values(m))"))
+      .withColumn("keep",
+        when(col("n_words") >= 10L && col("n_words") <= 1000L
+          && (col("sum_len") / col("n_words")) >= 2.0
+          && (col("sum_len") / col("n_words")) <= 10.0
+          && (col("top_n") / col("n_words")) <= 0.2, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).cast("long").as("total_chars"),
+        sum("keep").cast("long").as("keep_docs"))
+  }
+
   def gramNoveltyStream(stream: DataFrame): DataFrame = {
     graft.functions.TextHashes.register(stream.sparkSession)
     stream

@@ -561,6 +561,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2.exceptAll(want).count() == 0 && want.exceptAll(got2).count() == 0)
   }
 
+  test("live dataset card == batch corpus_card stateless fields, any order") {
+    val docs = Tables.t(spark, dir, "documents")
+    val want = llm.TextAnalysis.corpusCard(spark, dir)
+      .select("source", "n_docs", "total_chars", "keep_docs")
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = Streams.corpusCardStream(src).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val got = run(Streams.tableStream(spark, dir, "documents"), "graft_card1")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    val staged = stageChunks(docs, 4,
+      md5(concat_ws("#", lit("card"), col("doc_id"))))
+    val got2 = run(chunkStream(staged), "graft_card2")
+    assert(got2.exceptAll(want).count() == 0 &&
+      want.exceptAll(got2).count() == 0)
+  }
+
   test("streaming gram discovery == batch distinct grams, any order") {
     // The discovered gram SET (and so its size == the batch novel mass)
     // is delivery-order invariant; WHICH doc carries each first-arrival
