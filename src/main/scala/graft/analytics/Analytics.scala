@@ -843,6 +843,56 @@ object Analytics {
           .as("sum_total"))
   }
 
+  /** Markov transition matrix over the per-user event chains: each
+    * (from, to) transition count normalized into a probability in
+    * integer parts-per-million (truncating div — engine-exact) with
+    * the per-from rank (count desc, to_type asc), so "what does a user
+    * do after X" reads directly off rnk = 1. Rides the same one-pass
+    * lag chain as [[eventTransitions]]; the normalization join and the
+    * rank window run on the |event_types|² count frame — metadata.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val tr = eventTransitions(spark, dir)
+    val tot = tr.groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
+    val w = Window.partitionBy("from_type")
+      .orderBy(col("n").desc, col("to_type"))
+    tr.join(broadcast(tot), "from_type")
+      .withColumn("p_ppm", expr("(1000000 * n) div n_from"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** Cohort lifetime-value curve: per signup-week cohort (first event
+    * of ANY type, the [[cohortRetention]] convention) and week-since,
+    * the purchase count, that week's decimal-exact value, and the
+    * CUMULATIVE value — the LTV trajectory a growth model fits. The
+    * cumulative window sums decimals over the (cohort, weeks_since)
+    * frame (≤ weeks² rows — metadata), so the running total is exact
+    * and only the final surfaces cast to double.
+    *
+    * Scale: the cohort frame is one user-keyed rollup of the event
+    * scan; purchases join it on user_id (the one data-sized join) and
+    * roll up to the bounded cohort grid.
+    */
+  def userLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("week", expr("(ts div 1000000) div 604800000"))
+    val firstWeek = e.groupBy("user_id").agg(min("week").as("cohort"))
+    val cohortSize = firstWeek.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    e.filter(col("event_type") === "purchase")
+      .join(firstWeek, "user_id")
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(money(col("value"))).as("wk_dec"))
+      .withColumn("cum_dec",
+        sum("wk_dec").over(Window.partitionBy("cohort")
+          .orderBy("weeks_since")))
+      .join(broadcast(cohortSize), "cohort")
+      .select(col("cohort"), col("weeks_since"), col("cohort_users"),
+        col("n_purchases"), col("wk_dec").cast("double").as("wk_value"),
+        col("cum_dec").cast("double").as("cum_value"))
+  }
+
   /** RFM user segmentation — the classic marketing tiering over the
     * purchase stream: per user, Recency (last purchase day), Frequency
     * (purchase count), and Monetary ($100-quantized decimal spend) each
@@ -1234,6 +1284,8 @@ object Analytics {
     "funnel" -> funnel,
     "cohort_retention" -> cohortRetention,
     "rfm_segments" -> rfmSegments,
+    "transition_matrix" -> transitionMatrix,
+    "user_ltv" -> userLtv,
     "range_join_events" -> rangeJoinEvents,
     "value_histogram" -> valueHistogram,
     "distinct_users" -> distinctUsers,
@@ -1391,6 +1443,43 @@ object Analytics {
         |SELECT from_type, event_type AS to_type, COUNT(*) AS n
         |FROM seq WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |  FROM seq WHERE from_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |tot AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM tr GROUP BY from_type)
+        |SELECT tr.from_type, tr.to_type, tr.n, tot.n_from,
+        |  (1000000 * tr.n) // tot.n_from AS p_ppm,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY tr.from_type
+        |    ORDER BY tr.n DESC, tr.to_type) AS BIGINT) AS rnk
+        |FROM tr JOIN tot USING (from_type)""".stripMargin,
+    "user_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_ms(ts) // 604800000 AS week FROM events),
+        |fw AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY user_id),
+        |cs AS (SELECT cohort, COUNT(*) AS cohort_users FROM fw
+        |       GROUP BY cohort),
+        |wk AS (
+        |  SELECT fw.cohort, e.week - fw.cohort AS weeks_since,
+        |    COUNT(*) AS n_purchases,
+        |    SUM(CAST(e.value AS DECIMAL(10,2))) AS wk_dec
+        |  FROM e JOIN fw USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort, weeks_since, cs.cohort_users, n_purchases,
+        |  CAST(wk_dec AS DOUBLE) AS wk_value,
+        |  CAST(SUM(wk_dec) OVER (PARTITION BY cohort ORDER BY weeks_since)
+        |    AS DOUBLE) AS cum_value
+        |FROM wk JOIN cs USING (cohort)""".stripMargin,
     "activity_span" ->
       """WITH per_user AS (
         |  SELECT user_id, COUNT(DISTINCT day) AS active_days,

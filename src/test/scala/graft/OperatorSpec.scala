@@ -541,6 +541,38 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist(); wp.unpersist()
   }
 
+  test("transition matrix normalizes event_transitions; ltv curve conserves") {
+    val tm = analytics.Analytics.transitionMatrix(spark, dir).cache()
+    // counts reconcile with event_transitions row-for-row
+    val tr = analytics.Analytics.eventTransitions(spark, dir)
+    assert(tm.select("from_type", "to_type", "n").exceptAll(tr).count() == 0)
+    assert(tm.count() == tr.count())
+    // per-from mass: the n sum to n_from, ppm bounded, ranks dense from 1
+    assert(tm.groupBy("from_type", "n_from").agg(sum("n").as("s"))
+      .filter(col("s") =!= col("n_from")).count() == 0)
+    assert(tm.filter(col("p_ppm") < 0L || col("p_ppm") > 1000000L)
+      .count() == 0)
+    assert(tm.groupBy("from_type")
+      .agg(count(lit(1)).as("k"), min("rnk").as("mn"), max("rnk").as("mx"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("k")).count() == 0)
+    tm.unpersist()
+    // user_ltv: cumulative value is monotone per cohort and the final
+    // total conserves the corpus purchase mass exactly
+    val ltv = analytics.Analytics.userLtv(spark, dir).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort").orderBy("weeks_since")
+    assert(ltv.withColumn("prev", lag("cum_value", 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_value") < col("prev"))
+      .count() == 0)
+    val total = Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(10,2)")).cast("double"))
+      .head.getDouble(0)
+    val fromCurve = ltv.agg(sum("wk_value")).head.getDouble(0)
+    assert(math.abs(fromCurve - total) < 1e-6)
+    ltv.unpersist()
+  }
+
   test("rfm segments partition the purchaser universe with coherent scores") {
     val seg = analytics.Analytics.rfmSegments(spark, dir).cache()
     // the segment rollup accounts every purchasing user exactly once
