@@ -728,6 +728,34 @@ class OperatorSpec extends AnyFunSuite {
     // sign canonicalization: the largest-|w| entry is positive
     val peak = w.maxBy(math.abs)
     assert(peak > 0.0)
+    // second component: reference = power iteration on the deflated
+    // covariance (exact for symmetric matrices)
+    val r2 = llm.Pca.pcaSecondComponent(spark, dir).orderBy("dim").collect()
+    assert(r2.length == d)
+    val w2 = r2.map(_.getAs[Double]("component"))
+    val lam2 = r2.head.getAs[Double]("eigenvalue")
+    val cum = r2.head.getAs[Double]("cum_explained")
+    val cov2 = Array.tabulate(d, d)((i, j) =>
+      cov(i)(j) - refLam * v(i) * v(j))
+    var u = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    (1 to 500).foreach { _ =>
+      val y = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov2(i)(j) * u(j)).sum)
+      val nrm = math.sqrt(y.map(x => x * x).sum)
+      u = y.map(_ / nrm)
+    }
+    val refLam2 = (0 until d).map(i =>
+      (0 until d).map(j => cov(i)(j) * u(i) * u(j)).sum).sum
+    val cos2 = (0 until d).map(i => w2(i) * u(i)).sum
+    assert(math.abs(cos2) > 0.999, s"second-component cosine $cos2")
+    assert(math.abs(lam2 - refLam2) / refLam2 < 1e-6, s"$lam2 vs $refLam2")
+    assert(lam2 <= lam * (1 + 1e-9), "spectrum ordered")
+    assert(math.abs(cum - (refLam + refLam2) / trace) < 1e-6)
+    // orthogonal to the top component, unit norm, canonical sign
+    val dot12 = (0 until d).map(i => w(i) * w2(i)).sum
+    assert(math.abs(dot12) < 1e-6, s"v1.v2 = $dot12")
+    assert(math.abs(math.sqrt(w2.map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(w2.maxBy(math.abs) > 0.0)
   }
 
   test("basket_pairs emits ordered repeating pairs only") {
