@@ -263,10 +263,39 @@ object Pca {
         min("proj").as("min_proj"), max("proj").as("max_proj"))
   }
 
+  /** 2-d separability grid in the top-2 principal plane: per label,
+    * vector counts in (width-1/8 × width-1/8) projection cells along
+    * (v1, v2) — the scatter a curation review actually plots, reduced
+    * to a frame (labels that overlap along v1 alone may separate in
+    * the plane; a label smeared across the whole grid marks encoder
+    * noise). Both cached components fold to ONE broadcast two-array
+    * row, so scoring is two in-row vec_dots over a single scan — no
+    * explode, no join shuffle; the rollup is |labels|·|cells| rows.
+    */
+  def pcaScatter2d(spark: SparkSession, dir: String): DataFrame = {
+    def fold(c: DataFrame) =
+      c.agg(expr("transform(array_sort(collect_list(struct(dim, component)))" +
+        ", s -> s.component)").as("comp"))
+    val c1 = fold(pcaTopComponent(spark, dir))
+      .select(col("comp").as("c1"))
+    val c2 = fold(pcaSecondComponent(spark, dir))
+      .select(col("comp").as("c2"))
+    Embeddings.withNorm(spark, dir)
+      .crossJoin(broadcast(c1))
+      .crossJoin(broadcast(c2))
+      .withColumn("b1",
+        floor(expr("vec_dot(v, c1)") * lit(8.0)).cast("long"))
+      .withColumn("b2",
+        floor(expr("vec_dot(v, c2)") * lit(8.0)).cast("long"))
+      .groupBy("label", "b1", "b2")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pca_top_component" -> pcaTopComponent,
     "pca_second_component" -> pcaSecondComponent,
-    "pca_projection_hist" -> pcaProjectionHist)
+    "pca_projection_hist" -> pcaProjectionHist,
+    "pca_scatter_2d" -> pcaScatter2d)
 
   // Rows-only by design: a double-precision eigen-iteration has no
   // bit-stable SQL mirror; OperatorSpec pins the results against an

@@ -794,6 +794,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(h.filter(col("min_proj") < col("bucket") / lit(16.0) ||
       col("max_proj") >= (col("bucket") + lit(1L)) / lit(16.0) ||
       col("max_proj") < col("min_proj")).count() == 0)
+    // the 2-d grid accounts the corpus too, and its v1 marginal matches
+    // the 1-d histogram's counts at the coarser bucket width (16 -> 8)
+    val g = llm.Pca.pcaScatter2d(spark, dir).cache()
+    assert(g.agg(sum("n_vecs")).head.getLong(0) == emb.count())
+    val marg = g.groupBy("b1").agg(sum("n_vecs").as("n"))
+    val coarse = h.withColumn("b1",
+        expr("CAST(floor(bucket / 2.0) AS BIGINT)"))
+      .groupBy("b1").agg(sum("n_vecs").as("n"))
+    assert(marg.exceptAll(coarse).count() == 0 &&
+      coarse.exceptAll(marg).count() == 0)
+    g.unpersist(); h.unpersist()
   }
 
   test("semdedup sweep is monotone non-increasing in the threshold") {
