@@ -861,6 +861,31 @@ object Analytics {
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** Second-order Markov transitions: per (e1, e2) event-pair prefix,
+    * the next-event distribution in integer ppm with per-prefix ranks —
+    * the journey-mining refinement of [[transitionMatrix]] (what a user
+    * does after a VIEW depends on whether an ERROR preceded it; the
+    * first-order matrix averages that away). One window pass with two
+    * lags (same shuffle key as the first-order chain); everything
+    * after runs on the |types|³ metadata frame.
+    */
+  def transitionMatrix2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = t(spark, dir, "events")
+      .withColumn("from2", lag(col("event_type"), 1).over(w))
+      .withColumn("from1", lag(col("event_type"), 2).over(w))
+      .filter(col("from1").isNotNull)
+      .groupBy(col("from1"), col("from2"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from1", "from2")
+      .agg(sum("n").cast("long").as("n_from"))
+    val rw = Window.partitionBy("from1", "from2")
+      .orderBy(col("n").desc, col("to_type"))
+    tr.join(broadcast(tot), Seq("from1", "from2"))
+      .withColumn("p_ppm", expr("(1000000 * n) div n_from"))
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+  }
+
   /** Cohort lifetime-value curve: per signup-week cohort (first event
     * of ANY type, the [[cohortRetention]] convention) and week-since,
     * the purchase count, that week's decimal-exact value, and the
@@ -1285,6 +1310,7 @@ object Analytics {
     "cohort_retention" -> cohortRetention,
     "rfm_segments" -> rfmSegments,
     "transition_matrix" -> transitionMatrix,
+    "transition_matrix2" -> transitionMatrix2,
     "user_ltv" -> userLtv,
     "range_join_events" -> rangeJoinEvents,
     "value_histogram" -> valueHistogram,
@@ -1461,6 +1487,26 @@ object Analytics {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY tr.from_type
         |    ORDER BY tr.n DESC, tr.to_type) AS BIGINT) AS rnk
         |FROM tr JOIN tot USING (from_type)""".stripMargin,
+    "transition_matrix2" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from2,
+        |    LAG(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from1
+        |  FROM events),
+        |tr AS (
+        |  SELECT from1, from2, event_type AS to_type, COUNT(*) AS n
+        |  FROM seq WHERE from1 IS NOT NULL
+        |  GROUP BY from1, from2, to_type),
+        |tot AS (
+        |  SELECT from1, from2, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM tr GROUP BY from1, from2)
+        |SELECT tr.from1, tr.from2, tr.to_type, tr.n, tot.n_from,
+        |  (1000000 * tr.n) // tot.n_from AS p_ppm,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY tr.from1, tr.from2
+        |    ORDER BY tr.n DESC, tr.to_type) AS BIGINT) AS rnk
+        |FROM tr JOIN tot USING (from1, from2)""".stripMargin,
     "user_ltv" ->
       """WITH e AS (
         |  SELECT user_id, event_type, value,

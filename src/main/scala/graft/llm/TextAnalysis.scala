@@ -507,6 +507,53 @@ object TextAnalysis {
       .select("s1", "s2", "n_shared", "sz1", "sz2", "jaccard")
   }
 
+  /** Collocation mining over adjacent token pairs: the top-100 bigrams
+    * by LIFT — observed co-occurrence over the independence expectation,
+    * n_ab·N / (n_a·n_b), in integer parts-per-million (the log-free PMI
+    * ranking: log is monotone, so ordering by lift IS ordering by PMI,
+    * with no transcendental parity risk) — at minimum support 5. The
+    * multiword-expression / tokenizer-merge-candidate view a vocab
+    * design reads ("new york" scoring 100x its independence expectation
+    * is one token in spirit). Products run in DECIMAL(38,0) so the
+    * ppm scaling cannot overflow at 100 TB token counts (n_ab·10⁶·N ≤
+    * 10²⁷ ≪ 10³⁸), and the division is truncating integral DIV —
+    * engine-exact.
+    *
+    * Scale: bigram and unigram counts partial-aggregate in-row
+    * (array_counts) before their one shuffle each; the support-5 cut
+    * prunes the bigram tail before the two vocab-frame joins; the
+    * top-100 is a distributed partial top-k (TakeOrderedAndProject),
+    * never a global sort.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    val toks = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    val uni = toks
+      .select(explode(expr("array_counts(toks)")).as(Seq("w", "tf")))
+      .groupBy("w").agg(sum("tf").cast("long").as("n_w"))
+    val nTok = uni.agg(sum("n_w").cast("long").as("n_total"))
+    toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """array_counts(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""
+          .stripMargin)).as(Seq("bg", "tf")))
+      .groupBy("bg").agg(sum("tf").cast("long").as("n_ab"))
+      .filter(col("n_ab") >= 5L)
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("lift_ppm", expr(
+        """CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000 * n_total)
+          |  DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+          .stripMargin))
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
   /** Corpus vocabulary size for [[vocabCoverage]]. */
   private val CoverageK = 500
 
@@ -786,6 +833,7 @@ object TextAnalysis {
     "vocab_stats" -> vocabStats,
     "vocab_coverage" -> vocabCoverage,
     "corpus_card" -> corpusCard,
+    "collocations" -> collocations,
     "vocab_overlap" -> vocabOverlap,
     "zipf_profile" -> zipfProfile,
     "normalize_text" -> normalizeText,
@@ -1072,6 +1120,30 @@ object TextAnalysis {
         |  COUNT(*) AS n_toks, CAST(SUM(freq) AS BIGINT) AS sum_freq,
         |  CAST(MAX(freq) AS BIGINT) AS max_freq
         |FROM ranked GROUP BY source, rank_bucket""".stripMargin,
+    "collocations" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+        |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+        |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni),
+        |bg AS (
+        |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_ab FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM tk WHERE len(toks) >= 2)
+        |  GROUP BY bg HAVING COUNT(*) >= 5),
+        |j AS (
+        |  SELECT n_ab, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2 FROM bg)
+        |SELECT w1, w2, n_ab, u1.n_w AS n_a, u2.n_w AS n_b,
+        |  CAST((CAST(n_ab AS HUGEINT) * 1000000 * tot.n_total)
+        |    // (CAST(u1.n_w AS HUGEINT) * u2.n_w) AS BIGINT) AS lift_ppm
+        |FROM j
+        |JOIN uni u1 ON u1.w = j.w1
+        |JOIN uni u2 ON u2.w = j.w2
+        |CROSS JOIN tot
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin,
     "vocab_coverage" ->
       """WITH tc AS (
         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n

@@ -541,6 +541,55 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist(); wp.unpersist()
   }
 
+  test("collocations: lift consistent with counts, support cut respected") {
+    val co = llm.TextAnalysis.collocations(spark, dir).cache()
+    assert(co.count() > 0 && co.count() <= 100)
+    assert(co.filter(col("n_ab") < 5L).count() == 0)
+    // a bigram can occur at most min(n_a, n_b) times
+    assert(co.filter(col("n_ab") > least(col("n_a"), col("n_b")))
+      .count() == 0)
+    // recompute lift independently from the row's own counts
+    val nTotal = Tables.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    assert(co.filter(col("lift_ppm") =!=
+      expr(s"CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000 * ${nTotal}L)" +
+        " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .count() == 0)
+    // unigram counts in the result match a direct token count
+    val uni = Tables.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ref"))
+    assert(co.join(uni, col("w1") === col("w"))
+      .filter(col("n_a") =!= col("ref")).count() == 0)
+    co.unpersist()
+  }
+
+  test("second-order transitions refine the first-order matrix exactly") {
+    val t2 = analytics.Analytics.transitionMatrix2(spark, dir).cache()
+    // prefix mass normalizes and ranks are dense
+    assert(t2.groupBy("from1", "from2", "n_from").agg(sum("n").as("s"))
+      .filter(col("s") =!= col("n_from")).count() == 0)
+    assert(t2.groupBy("from1", "from2")
+      .agg(count(lit(1)).as("k"), min("rnk").as("mn"), max("rnk").as("mx"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("k")).count() == 0)
+    // marginalizing the first prefix event recovers the first-order
+    // counts over chains of length >= 3 — pin against a direct recount
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val ref = Tables.t(spark, dir, "events")
+      .withColumn("from2", lag("event_type", 1).over(w))
+      .withColumn("from1", lag("event_type", 2).over(w))
+      .filter(col("from1").isNotNull)
+      .groupBy(col("from2"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("ref_n"))
+    val marg = t2.groupBy(col("from2"), col("to_type"))
+      .agg(sum("n").as("m_n"))
+    assert(marg.join(ref, Seq("from2", "to_type"), "full")
+      .filter(col("m_n").isNull || col("ref_n").isNull ||
+        col("m_n") =!= col("ref_n")).count() == 0)
+    t2.unpersist()
+  }
+
   test("transition matrix normalizes event_transitions; ltv curve conserves") {
     val tm = analytics.Analytics.transitionMatrix(spark, dir).cache()
     // counts reconcile with event_transitions row-for-row
