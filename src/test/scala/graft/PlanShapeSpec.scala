@@ -495,6 +495,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("late r11 additions keep their scale shapes") {
+    // vocab_coverage: the corpus top-K must be a distributed partial
+    // top-k (TakeOrderedAndProject), never a global Sort, and the K-row
+    // vocab must broadcast back into the count frame.
+    val vc = planOf(graft.llm.TextAnalysis.vocabCoverage(spark, dir))
+    assert(vc.contains("TakeOrderedAndProject"),
+      s"vocab_coverage top-K is not a partial top-k:\n$vc")
+    assert(vc.contains("BroadcastHashJoin"),
+      s"vocab_coverage vocab not broadcast:\n$vc")
+    // collocations: same top-k contract for the final cut.
+    val co = planOf(graft.llm.TextAnalysis.collocations(spark, dir))
+    assert(co.contains("TakeOrderedAndProject"),
+      s"collocations top-100 is not a partial top-k:\n$co")
+    // rfm_segments: all three quartile maps and the scalar n broadcast
+    // into the user frame — no shuffled join anywhere.
+    val rfm = planOf(graft.analytics.Analytics.rfmSegments(spark, dir))
+    assert(!rfm.contains("SortMergeJoin"),
+      s"rfm_segments shuffles a quartile join:\n$rfm")
+    assert(rfm.contains("BroadcastHashJoin"),
+      s"rfm_segments quartile maps not broadcast:\n$rfm")
+    // transition matrices: the normalization totals broadcast; the only
+    // data-sized exchange is the per-user lag window's.
+    for ((n, df) <- Seq(
+        ("transition_matrix",
+          graft.analytics.Analytics.transitionMatrix(spark, dir)),
+        ("transition_matrix2",
+          graft.analytics.Analytics.transitionMatrix2(spark, dir)))) {
+      val p = planOf(df)
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$n normalization join not broadcast:\n$p")
+    }
+  }
+
   test("embedding_outliers broadcasts centroids and stats, never re-shuffles vectors") {
     val plan = planOf(graft.llm.Similarity.embeddingOutliers(spark, dir))
     assert(!plan.contains("SortMergeJoin"),
