@@ -454,6 +454,34 @@ object Dedup {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontamFrames(spark, dir)._2
 
+  /** Per-benchmark-doc leakage audit — [[decontaminate]]'s mirror view:
+    * for each held-out benchmark doc, how many TRAIN docs share at
+    * least one of its word 5-grams, the raw hit volume, and how many of
+    * ITS grams leaked — the "which eval items are compromised" ranking
+    * that decides whether to drop items or re-draw the benchmark (an
+    * item with massive leakage measures memorization, not
+    * generalization; decontaminate tells you which TRAIN docs to drop,
+    * this tells you which EVAL items are already spent).
+    *
+    * Scale: the gram set re-keys by its benchmark doc (a
+    * benchmark-sized frame, broadcast); the train side is the same one
+    * scan + explode shape as decontaminate; the rollup is
+    * benchmark-sized, and both COUNT DISTINCTs run on the
+    * contamination-sized hit frame.
+    */
+  def benchmarkLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bg = wordGrams5(docs.filter(col("doc_id") % BenchSplitMod === 0L))
+      .select(col("doc_id").as("bench_doc"), col("gram")).distinct()
+    wordGrams5(docs.filter(col("doc_id") % BenchSplitMod =!= 0L))
+      .join(broadcast(bg), "gram")
+      .groupBy("bench_doc")
+      .agg(
+        countDistinct("doc_id").as("n_train_docs"),
+        count(lit(1)).as("n_hits"),
+        countDistinct("gram").as("n_grams_leaked"))
+  }
+
   /** Per-source decontamination report — the audit a team reads before a
     * benchmark release claim: training docs, docs flagged for sharing a
     * word 5-gram with the held-out set ([[decontaminate]]'s hit frame),
@@ -562,6 +590,7 @@ object Dedup {
     "dedup_report" -> dedupReport,
     "decontaminate" -> decontaminate,
     "decontaminate_report" -> decontaminateReport,
+    "benchmark_leakage" -> benchmarkLeakage,
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_profile" -> dedupClusterProfile,
     "dedup_exact" -> dedupExact,
@@ -712,6 +741,23 @@ object Dedup {
         |    AS contamination_bp
         |FROM train t LEFT JOIN fl ON fl.source = t.source
         |GROUP BY t.source""".stripMargin,
+    "benchmark_leakage" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 4),
+        |    i -> array_to_string(string_split(text, ' ')[i + 1:i + 5], ' ')))
+        |    AS gram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |bench AS (
+        |  SELECT DISTINCT doc_id AS bench_doc, gram FROM g
+        |  WHERE doc_id % 50 = 0),
+        |train AS (SELECT * FROM g WHERE doc_id % 50 <> 0)
+        |SELECT bench.bench_doc,
+        |  CAST(COUNT(DISTINCT train.doc_id) AS BIGINT) AS n_train_docs,
+        |  COUNT(*) AS n_hits,
+        |  CAST(COUNT(DISTINCT train.gram) AS BIGINT) AS n_grams_leaked
+        |FROM train JOIN bench USING (gram)
+        |GROUP BY bench.bench_doc""".stripMargin,
     "decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(

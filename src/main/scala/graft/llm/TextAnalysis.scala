@@ -507,6 +507,42 @@ object TextAnalysis {
       .select("s1", "s2", "n_shared", "sz1", "sz2", "jaccard")
   }
 
+  /** The full Gopher/RefinedWeb repetition battery (Rae et al. 2021
+    * §A1.1 extends [[repetitionNgrams]]' single 2-gram signal): per doc
+    * with ≥ 4 tokens, for n ∈ {2, 3, 4} the n-gram count, the
+    * duplicate-gram fraction (n_grams − n_distinct)/n_grams, and the
+    * top-gram mass top_n/n_grams — template/machine text trips
+    * different orders at different thresholds, so quality filters read
+    * the battery, not one number. Every fraction is one double
+    * division of exact integers derived from the in-row array_counts
+    * combiner: no explode, no shuffle beyond the scan — streams at
+    * scan speed at 100 TB.
+    */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    def gm(n: Int) = expr(
+      s"""array_counts(transform(sequence(1, size(toks) - ${n - 1}),
+         |  i -> concat_ws(' ', slice(toks, i, $n))))""".stripMargin)
+    def stats(n: Int)(df: DataFrame): DataFrame = df
+      .withColumn("m", gm(n))
+      .withColumn(s"n_grams_$n",
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)"))
+      .withColumn(s"dup_frac_$n",
+        (col(s"n_grams_$n") - expr("CAST(size(m) AS BIGINT)")) /
+          col(s"n_grams_$n"))
+      .withColumn(s"top_frac_$n",
+        expr("array_max(map_values(m))") / col(s"n_grams_$n"))
+      .drop("m")
+    val base = t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+    Seq(2, 3, 4).foldLeft(base)((d, n) => stats(n)(d))
+      .select(col("doc_id"),
+        col("n_grams_2"), col("dup_frac_2"), col("top_frac_2"),
+        col("n_grams_3"), col("dup_frac_3"), col("top_frac_3"),
+        col("n_grams_4"), col("dup_frac_4"), col("top_frac_4"))
+  }
+
   /** Collocation mining over adjacent token pairs: the top-100 bigrams
     * by LIFT — observed co-occurrence over the independence expectation,
     * n_ab·N / (n_a·n_b), in integer parts-per-million (the log-free PMI
@@ -834,6 +870,7 @@ object TextAnalysis {
     "vocab_coverage" -> vocabCoverage,
     "corpus_card" -> corpusCard,
     "collocations" -> collocations,
+    "repetition_profile" -> repetitionProfile,
     "vocab_overlap" -> vocabOverlap,
     "zipf_profile" -> zipfProfile,
     "normalize_text" -> normalizeText,
@@ -1120,6 +1157,42 @@ object TextAnalysis {
         |  COUNT(*) AS n_toks, CAST(SUM(freq) AS BIGINT) AS sum_freq,
         |  CAST(MAX(freq) AS BIGINT) AS max_freq
         |FROM ranked GROUP BY source, rank_bucket""".stripMargin,
+    "repetition_profile" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) ),
+        |      i -> array_to_string(toks[i:i + 1], ' ')) AS g2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i + 2], ' ')) AS g3,
+        |    list_transform(range(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i + 3], ' ')) AS g4
+        |  FROM tk),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(g2) AS BIGINT) AS n_grams_2,
+        |    CAST(len(list_distinct(g2)) AS BIGINT) AS d2,
+        |    CAST(list_max(list_transform(list_distinct(g2),
+        |      x -> len(list_filter(g2, y -> y = x)))) AS BIGINT) AS t2,
+        |    CAST(len(g3) AS BIGINT) AS n_grams_3,
+        |    CAST(len(list_distinct(g3)) AS BIGINT) AS d3,
+        |    CAST(list_max(list_transform(list_distinct(g3),
+        |      x -> len(list_filter(g3, y -> y = x)))) AS BIGINT) AS t3,
+        |    CAST(len(g4) AS BIGINT) AS n_grams_4,
+        |    CAST(len(list_distinct(g4)) AS BIGINT) AS d4,
+        |    CAST(list_max(list_transform(list_distinct(g4),
+        |      x -> len(list_filter(g4, y -> y = x)))) AS BIGINT) AS t4
+        |  FROM g)
+        |SELECT doc_id,
+        |  n_grams_2, (n_grams_2 - d2) / n_grams_2 AS dup_frac_2,
+        |  t2 / n_grams_2 AS top_frac_2,
+        |  n_grams_3, (n_grams_3 - d3) / n_grams_3 AS dup_frac_3,
+        |  t3 / n_grams_3 AS top_frac_3,
+        |  n_grams_4, (n_grams_4 - d4) / n_grams_4 AS dup_frac_4,
+        |  t4 / n_grams_4 AS top_frac_4
+        |FROM s""".stripMargin,
     "collocations" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -541,6 +541,44 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist(); wp.unpersist()
   }
 
+  test("benchmark_leakage mirrors decontaminate's hit mass exactly") {
+    val bl = llm.Dedup.benchmarkLeakage(spark, dir).cache()
+    // only benchmark docs appear, with positive evidence
+    assert(bl.filter(col("bench_doc") % llm.Dedup.BenchSplitMod =!= 0L)
+      .count() == 0)
+    assert(bl.filter(col("n_train_docs") < 1L || col("n_hits") < 1L ||
+      col("n_grams_leaked") < 1L || col("n_grams_leaked") > col("n_hits"))
+      .count() == 0)
+    // a (train doc, bench doc) gram hit is counted once on each side:
+    // the leak view's total hit volume can only exceed decontaminate's
+    // (one train gram can hit several bench docs), never undershoot it
+    val trainHits = llm.Dedup.decontaminate(spark, dir)
+      .agg(sum("n_hits")).head.getLong(0)
+    assert(bl.agg(sum("n_hits")).head.getLong(0) >= trainHits)
+    bl.unpersist()
+  }
+
+  test("repetition_profile fractions are coherent and match the 2-gram op") {
+    val rp = llm.TextAnalysis.repetitionProfile(spark, dir).cache()
+    assert(rp.count() > 0)
+    for (n <- Seq(2, 3, 4)) {
+      assert(rp.filter(col(s"dup_frac_$n") < 0.0 ||
+        col(s"dup_frac_$n") >= 1.0 || col(s"top_frac_$n") <= 0.0 ||
+        col(s"top_frac_$n") > 1.0).count() == 0)
+      // a doc's top gram is itself a duplicate iff dup_frac > 0
+      assert(rp.filter((col(s"dup_frac_$n") === 0.0) &&
+        col(s"top_frac_$n") * col(s"n_grams_$n") > 1.0 + 1e-9)
+        .count() == 0)
+    }
+    // the 3-gram column reproduces repetition_ngrams (a 3-gram op)
+    // exactly where both apply
+    val rn = llm.TextAnalysis.repetitionNgrams(spark, dir)
+      .select(col("doc_id"), col("dup_frac").as("ref"))
+    assert(rp.join(rn, "doc_id")
+      .filter(abs(col("dup_frac_3") - col("ref")) > 1e-12).count() == 0)
+    rp.unpersist()
+  }
+
   test("collocations: lift consistent with counts, support cut respected") {
     val co = llm.TextAnalysis.collocations(spark, dir).cache()
     assert(co.count() > 0 && co.count() <= 100)
