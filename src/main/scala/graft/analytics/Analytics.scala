@@ -843,6 +843,60 @@ object Analytics {
           .as("sum_total"))
   }
 
+  /** Sketch-accuracy evaluation for distinct counting: per event type,
+    * the exact distinct-user count next to Spark's HLL++
+    * approx_count_distinct at rsd = 2% and the relative error in
+    * integer ppm — the audit run before swapping the exact (shuffling)
+    * distinct for the mergeable sketch at 100 TB, where the sketch's
+    * fixed-size partials replace a user-keyed exchange. Rows-only by
+    * design: HLL++ register hashing is engine-specific (DuckDB's
+    * approx sketch would not match bit-for-bit); OperatorSpec pins the
+    * exact side against a direct recount and the error inside the
+    * configured bound instead.
+    */
+  def hllDistinctEval(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("exact_users"),
+        approx_count_distinct("user_id", 0.02).cast("long")
+          .as("approx_users"))
+      .withColumn("err_ppm",
+        expr("(1000000 * abs(approx_users - exact_users)) div exact_users"))
+
+  /** Session-level conversion audit: the 30-minute sessionization chain
+    * ([[sessionize]]'s exact session ids) rolled up by session LENGTH —
+    * per n_events bucket, the session count, how many contained a
+    * purchase, the conversion rate in integer basis points, and the
+    * summed dwell time — the "how long do converting journeys run"
+    * curve a funnel review reads next to the per-step [[funnel]].
+    * Same one per-user window pass as sessionize; the length rollup is
+    * a bounded second aggregation (session length is schema-free but
+    * its distinct values are tiny).
+    */
+  def sessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").withColumn("tms", nsToMs("ts"))
+    val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    e.withColumn("prev", lag("tms", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        (max("tms") - min("tms")).as("dur_ms"))
+      .groupBy("n_events")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("conv").cast("long").as("n_converted"),
+        sum("dur_ms").cast("long").as("sum_dur_ms"))
+      .withColumn("conv_bp", expr("(10000 * n_converted) div n_sessions"))
+  }
+
   /** Markov transition matrix over the per-user event chains: each
     * (from, to) transition count normalized into a probability in
     * integer parts-per-million (truncating div — engine-exact) with
@@ -1310,6 +1364,8 @@ object Analytics {
     "cohort_retention" -> cohortRetention,
     "rfm_segments" -> rfmSegments,
     "transition_matrix" -> transitionMatrix,
+    "session_conversion" -> sessionConversion,
+    "hll_distinct_eval" -> hllDistinctEval,
     "transition_matrix2" -> transitionMatrix2,
     "user_ltv" -> userLtv,
     "range_join_events" -> rangeJoinEvents,
@@ -1487,6 +1543,29 @@ object Analytics {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY tr.from_type
         |    ORDER BY tr.n DESC, tr.to_type) AS BIGINT) AS rnk
         |FROM tr JOIN tot USING (from_type)""".stripMargin,
+    "session_conversion" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN prev IS NULL OR tms - prev > 1800000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    MAX(tms) - MIN(tms) AS dur_ms
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT n_events, COUNT(*) AS n_sessions,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+        |  (10000 * CAST(SUM(conv) AS BIGINT)) // COUNT(*) AS conv_bp
+        |FROM per GROUP BY n_events""".stripMargin,
     "transition_matrix2" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -541,6 +541,28 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist(); wp.unpersist()
   }
 
+  test("session conversion partitions sessionize; hll error inside bound") {
+    val sc = analytics.Analytics.sessionConversion(spark, dir).cache()
+    // the length rollup accounts every session exactly once
+    val sess = analytics.Analytics.sessionize(spark, dir)
+    assert(sc.agg(sum("n_sessions")).head.getLong(0) == sess.count())
+    assert(sc.select(col("n_events"), col("n_sessions")).exceptAll(
+      sess.groupBy("n_events").agg(count(lit(1)).as("n_sessions")))
+      .count() == 0)
+    assert(sc.filter(col("n_converted") > col("n_sessions") ||
+      col("conv_bp") < 0L || col("conv_bp") > 10000L).count() == 0)
+    sc.unpersist()
+    // hll eval: exact side == direct recount; relative error within 5%
+    // (rsd 0.02 gives ~2% typical, 5% is a hard generous ceiling)
+    val h = analytics.Analytics.hllDistinctEval(spark, dir).cache()
+    val ref = Tables.t(spark, dir, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("ref"))
+    assert(h.join(ref, "event_type")
+      .filter(col("exact_users") =!= col("ref")).count() == 0)
+    assert(h.filter(col("err_ppm") > 50000L).count() == 0)
+    h.unpersist()
+  }
+
   test("benchmark_leakage mirrors decontaminate's hit mass exactly") {
     val bl = llm.Dedup.benchmarkLeakage(spark, dir).cache()
     // only benchmark docs appear, with positive evidence
