@@ -543,6 +543,41 @@ object TextAnalysis {
         col("n_grams_4"), col("dup_frac_4"), col("top_frac_4"))
   }
 
+  /** Source-ablation signal: per source, how much of the corpus's
+    * DISTINCT char-8-gram universe it covers, and how much exists
+    * NOWHERE else — the "what would removing this source actually
+    * lose" number a mixing plan reads against [[vocabOverlap]]'s
+    * redundancy view (a source with high coverage but near-zero unique
+    * mass is replaceable; low coverage with high unique mass is the
+    * long tail worth protecting). Integer ppm shares over the distinct
+    * universe.
+    *
+    * Scale: grams dedupe in-row first (gram_hashes emits each doc's
+    * DISTINCT hashes), then two shuffles keyed by the uniform 56-bit
+    * gram hash — (source, h) dedup and the per-h source rollup; the
+    * per-source frames are |sources| rows and broadcast.
+    */
+  def sourceUniqueGrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    val g = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("source"), explode(expr("gram_hashes(text, 8, 0)")).as("h"))
+      .distinct()
+    val per = g.groupBy("h")
+      .agg(count(lit(1)).as("ns"), max("source").as("src"))
+    val univ = per.agg(count(lit(1)).as("univ"))
+    val cov = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val uq = per.filter(col("ns") === 1L)
+      .groupBy(col("src").as("source"))
+      .agg(count(lit(1)).as("n_unique"))
+    cov.join(broadcast(uq), Seq("source"), "left")
+      .na.fill(0L, Seq("n_unique"))
+      .crossJoin(broadcast(univ))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        expr("(1000000 * n_unique) div univ").as("unique_ppm"),
+        expr("(1000000 * n_grams) div univ").as("coverage_ppm"))
+  }
+
   /** Collocation mining over adjacent token pairs: the top-100 bigrams
     * by LIFT — observed co-occurrence over the independence expectation,
     * n_ab·N / (n_a·n_b), in integer parts-per-million (the log-free PMI
@@ -870,6 +905,7 @@ object TextAnalysis {
     "vocab_coverage" -> vocabCoverage,
     "corpus_card" -> corpusCard,
     "collocations" -> collocations,
+    "source_unique_grams" -> sourceUniqueGrams,
     "repetition_profile" -> repetitionProfile,
     "vocab_overlap" -> vocabOverlap,
     "zipf_profile" -> zipfProfile,
@@ -1157,6 +1193,24 @@ object TextAnalysis {
         |  COUNT(*) AS n_toks, CAST(SUM(freq) AS BIGINT) AS sum_freq,
         |  CAST(MAX(freq) AS BIGINT) AS max_freq
         |FROM ranked GROUP BY source, rank_bucket""".stripMargin,
+    "source_unique_grams" ->
+      s"""WITH g0 AS (
+        |  SELECT source, ${md5LongSql("gr")} AS h
+        |  FROM (SELECT source, unnest(list_distinct(list_transform(
+        |          generate_series(1, length(text) - 7), i -> substring(text, i, 8)))) AS gr
+        |        FROM documents WHERE length(text) >= 8)),
+        |g AS (SELECT DISTINCT source, h FROM g0),
+        |per AS (SELECT h, COUNT(*) AS ns, MAX(source) AS src FROM g GROUP BY h),
+        |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS univ FROM per),
+        |cov AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |        FROM g GROUP BY source),
+        |uq AS (SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_unique
+        |       FROM per WHERE ns = 1 GROUP BY src)
+        |SELECT cov.source, cov.n_grams,
+        |  COALESCE(uq.n_unique, 0) AS n_unique,
+        |  (1000000 * COALESCE(uq.n_unique, 0)) // u.univ AS unique_ppm,
+        |  (1000000 * cov.n_grams) // u.univ AS coverage_ppm
+        |FROM cov LEFT JOIN uq USING (source) CROSS JOIN u""".stripMargin,
     "repetition_profile" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -563,6 +563,33 @@ class OperatorSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("source_unique_grams: universe accounting closes exactly") {
+    graft.functions.TextHashes.register(spark)
+    val s = llm.TextAnalysis.sourceUniqueGrams(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+    assert(s.count() == docs.filter(length(col("text")) >= 8)
+      .select("source").distinct().count())
+    assert(s.filter(col("n_unique") > col("n_grams")).count() == 0)
+    // unique masses are disjoint slices of the universe: their sum can
+    // never exceed the distinct-gram universe, and each source's
+    // coverage never exceeds it either
+    val univ = docs.filter(length(col("text")) >= 8)
+      .select(explode(expr("gram_hashes(text, 8, 0)")).as("h"))
+      .distinct().count()
+    assert(s.agg(sum("n_unique")).head.getLong(0) <= univ)
+    assert(s.filter(col("n_grams") > univ).count() == 0)
+    // grams in exactly one source are unique to it: sum(n_unique) ==
+    // universe minus grams shared by >= 2 sources
+    val shared = docs.filter(length(col("text")) >= 8)
+      .select(col("source"),
+        explode(expr("gram_hashes(text, 8, 0)")).as("h"))
+      .distinct().groupBy("h")
+      .agg(countDistinct("source").as("ns"))
+      .filter(col("ns") >= 2L).count()
+    assert(s.agg(sum("n_unique")).head.getLong(0) == univ - shared)
+    s.unpersist()
+  }
+
   test("benchmark_leakage mirrors decontaminate's hit mass exactly") {
     val bl = llm.Dedup.benchmarkLeakage(spark, dir).cache()
     // only benchmark docs appear, with positive evidence
