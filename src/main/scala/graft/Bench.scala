@@ -99,10 +99,15 @@ object Bench {
     // So (a) persist the headline as its own artifact the driver (or a
     // human) can always read, and (b) print it AFTER spark.stop() so it is
     // the last stdout line this JVM emits.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HEADLINE.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] headline artifact skipped: ${e.getMessage}")
+    // Same guard as bench_full.json: a filtered ad-hoc run must not
+    // clobber the committed full-registry headline with a subset line.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_ARTIFACT")) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] headline artifact skipped: ${e.getMessage}")
+      }
     }
     spark.stop()
     println(line)
