@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-corpus robustness: the text/LLM family run against a
+  * crafted documents table full of the degenerate shapes a 100 TB crawl
+  * actually contains — empty docs, whitespace runs, single tokens,
+  * pathological repetition, unicode, exact duplicates, kilobyte tokens.
+  * The oracle gate proves parity on healthy data; this proves the
+  * operators neither crash nor mis-account on the junk tail.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.build("local[4]", "4")
+
+  /** One-off adversarial corpus staged as a documents.parquet dir. */
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_edge")
+    d.toFile.deleteOnExit()
+    val rows = Seq(
+      (0L, "", "en", "empty"),
+      (1L, "   ", "en", "empty"),
+      (2L, "x", "en", "tiny"),
+      (3L, "hello", "en", "tiny"),
+      (4L, "a a", "en", "tiny"),
+      (5L, ("spam " * 500).trim, "en", "repeat"),
+      (6L, "héllo wörld 😀 日本語 テキスト です ここ に ある", "ja", "unicode"),
+      (7L, "a  b   c", "en", "gaps"),
+      (8L, "the exact same text twice over", "en", "dup"),
+      (9L, "the exact same text twice over", "en", "dup"),
+      (10L, "z" * 5000, "en", "longtok"),
+      (11L, "line one\nline two\ttabbed end", "en", "ctl"),
+      (12L, "a perfectly ordinary control document with twelve plain words here now", "en", "normal"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d.toString
+  }
+
+  test("document-only registry queries survive the adversarial corpus") {
+    // every documents-only operator must execute without throwing; a
+    // junk tail in a crawl must never abort the whole pipeline stage
+    val docOnly = Seq("dedup_exact", "normalize_text", "token_count",
+      "fingerprint", "langid", "quality_score", "quality_gopher",
+      "lexical_diversity", "repetition_ngrams", "repetition_profile",
+      "doc_length_stats", "vocab_stats", "vocab_coverage", "vocab_overlap",
+      "corpus_card", "collocations", "source_unique_grams", "zipf_profile",
+      "ngram_counts", "ngram_novelty", "gram_likelihood",
+      "bigram_likelihood", "corpus_filter", "pii_scrub")
+    for (name <- docOnly) {
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      assert(n >= 0, s"$name failed on the adversarial corpus")
+    }
+  }
+
+  test("accounting closes on the junk tail") {
+    val docs = Tables.t(spark, dir, "documents")
+    val total = docs.count()
+    // the card accounts every doc, including empty and whitespace-only
+    val card = llm.TextAnalysis.corpusCard(spark, dir)
+    assert(card.agg(sum("n_docs")).head.getLong(0) == total)
+    // exact dedup finds exactly the one duplicated text (n_copies = 2)
+    val dups = llm.Dedup.dedupExact(spark, dir)
+      .filter(col("n_copies") > 1L).collect()
+    assert(dups.length == 1 && dups.head.getAs[Long]("n_copies") == 2L)
+    // normalize: never longer than raw, and the empty/whitespace docs
+    // normalize to the same empty identity
+    val nt = llm.TextAnalysis.normalizeText(spark, dir).cache()
+    assert(nt.filter(col("norm_len") > col("raw_len")).count() == 0)
+    assert(nt.filter(col("doc_id").isin(0L, 1L))
+      .select("norm_hash").distinct().count() == 1)
+    nt.unpersist()
+  }
+
+  test("repetition battery saturates on pure spam and stays in range") {
+    val rp = llm.TextAnalysis.repetitionProfile(spark, dir).cache()
+    // 500x "spam": 499 identical 2-grams -> dup_frac_2 = 498/499,
+    // top_frac_2 = 1.0 exactly (all mass in one gram)
+    val spam = rp.filter(col("doc_id") === 5L).head
+    assert(spam.getAs[Long]("n_grams_2") == 499L)
+    assert(math.abs(spam.getAs[Double]("dup_frac_2") - 498.0 / 499.0) < 1e-12)
+    assert(spam.getAs[Double]("top_frac_2") == 1.0)
+    assert(spam.getAs[Double]("top_frac_4") == 1.0)
+    // short docs are excluded by the >= 4 token floor, not crashed on
+    assert(rp.filter(col("doc_id").isin(0L, 2L, 3L, 4L)).count() == 0)
+    rp.unpersist()
+  }
+
+  test("whitespace runs and unicode tokenize without corruption") {
+    // "a  b   c" splits into 6 split-tokens (3 words + 3 empties) — the
+    // convention every token op shares; the point is consistency, not
+    // linguistic truth
+    val vs = llm.TextAnalysis.vocabStats(spark, dir)
+      .filter(col("source") === "gaps").head
+    assert(vs.getAs[Long]("n_tokens") == 6L)
+    // unicode doc: token count equals its space-separated word count and
+    // the char count respects codepoint length (emoji are surrogate
+    // pairs in the JVM; length() counts code units, consistently with
+    // n_chars — pin the two agree rather than a magic number)
+    val docs = Tables.t(spark, dir, "documents")
+    val uni = docs.filter(col("doc_id") === 6L)
+      .select(length(col("text")).cast("long").as("l"), col("n_chars"))
+      .head
+    assert(uni.getAs[Long]("l") == uni.getAs[Long]("n_chars"))
+    // the kilobyte single token flows through quality gates un-split
+    val qg = llm.TextAnalysis.qualityGopher(spark, dir)
+      .filter(col("doc_id") === 10L).head
+    assert(qg.getAs[Long]("n_words") == 1L)
+    assert(qg.getAs[Long]("keep") == 0L)
+  }
+}
