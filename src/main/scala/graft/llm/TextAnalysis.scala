@@ -559,6 +559,11 @@ object TextAnalysis {
     */
   def sourceUniqueGrams(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashes.register(spark)
+    // Deliberately NOT checkpointed: the deduped (source, h) frame is
+    // DATA-sized, so materializing it for its two consumers costs as
+    // much as the rescans it would save (measured: +46% at sf0.1 and
+    // +28% at 100x with a localCheckpoint here); each consumer's
+    // pipeline partial-aggregates before its exchange instead.
     val g = t(spark, dir, "documents")
       .filter(length(col("text")) >= 8)
       .select(col("source"), explode(expr("gram_hashes(text, 8, 0)")).as("h"))
@@ -644,10 +649,18 @@ object TextAnalysis {
     * per-source rollup of the already-aggregated count frame.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the count frame feeds BOTH the corpus top-K branch
+    // and the OOV join — without it each consumer re-runs the corpus
+    // scan + token aggregation (two data passes instead of one). The
+    // frame itself is vocabulary-sized (sub-linear), so the
+    // materialization is cheap where the saved pass is a full scan;
+    // locally this costs ~0.1s of checkpoint overhead, at 100 TB it
+    // removes a corpus pass.
     val counts = t(spark, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("source", "tok")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val topv = counts.groupBy("tok").agg(sum("n").cast("long").as("cn"))
       .orderBy(col("cn").desc, col("tok")).limit(CoverageK)
       .select(col("tok"), lit(1L).as("in_vocab"))
