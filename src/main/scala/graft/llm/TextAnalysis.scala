@@ -605,6 +605,13 @@ object TextAnalysis {
     graft.functions.TextHashes.register(spark)
     val toks = t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
+    // The unigram frame has three consumers, each re-deriving it from
+    // its own scan — and that is the measured-fastest shape here: every
+    // branch partial-aggregates in parallel off the (page-cached) scan,
+    // while a localCheckpoint serializes the whole query behind one
+    // materialization (+29% at sf0.1, still slower at 100x). On a real
+    // cluster where scans pay network I/O the trade can flip; swap in a
+    // checkpoint there, guided by the same measurement.
     val uni = toks
       .select(explode(expr("array_counts(toks)")).as(Seq("w", "tf")))
       .groupBy("w").agg(sum("tf").cast("long").as("n_w"))
@@ -649,18 +656,16 @@ object TextAnalysis {
     * per-source rollup of the already-aggregated count frame.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: the count frame feeds BOTH the corpus top-K branch
-    // and the OOV join — without it each consumer re-runs the corpus
-    // scan + token aggregation (two data passes instead of one). The
-    // frame itself is vocabulary-sized (sub-linear), so the
-    // materialization is cheap where the saved pass is a full scan;
-    // locally this costs ~0.1s of checkpoint overhead, at 100 TB it
-    // removes a corpus pass.
+    // The count frame feeds both the corpus top-K branch and the OOV
+    // join; as in [[collocations]], the measured-fastest local shape is
+    // letting each branch re-derive it (parallel partial-aggregated
+    // scans beat serializing behind a localCheckpoint: +57% at sf0.1
+    // with one). On a cluster where scans pay network I/O, checkpoint
+    // the vocabulary-sized frame instead — same measurement, new trade.
     val counts = t(spark, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("source", "tok")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
     val topv = counts.groupBy("tok").agg(sum("n").cast("long").as("cn"))
       .orderBy(col("cn").desc, col("tok")).limit(CoverageK)
       .select(col("tok"), lit(1L).as("in_vocab"))
