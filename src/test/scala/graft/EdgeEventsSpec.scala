@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial event-stream shapes: identical-timestamp ties, exact
+  * session-boundary gaps, out-of-order ids, negative monetary values.
+  * The per-user window chains claim (ts, event_id) total-order
+  * determinism — this pins that claim on data built to break it.
+  */
+class EdgeEventsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.build("local[4]", "4")
+
+  /** T0 in micros (2024-01-01 00:00:00 UTC). */
+  private val T0 = 1704067200000000L
+
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_edge_ev")
+    d.toFile.deleteOnExit()
+    import spark.implicits._
+    // (event_id, micros, user_id, event_type, value)
+    val rows = Seq(
+      // user 1: FOUR events at the IDENTICAL instant — chain order must
+      // come from event_id alone
+      (10L, T0, 1L, "view", 1.0),
+      (11L, T0, 1L, "click", 2.0),
+      (12L, T0, 1L, "purchase", 30.0),
+      (13L, T0, 1L, "error", 0.0),
+      // user 2: gap of EXACTLY 30 min — same session (the split is
+      // strictly-greater)
+      (20L, T0, 2L, "view", 1.0),
+      (21L, T0 + 1800000000L, 2L, "purchase", 10.0),
+      // user 3: gap of 30 min + 1 ms — two sessions
+      (30L, T0, 3L, "view", 1.0),
+      (31L, T0 + 1800001000L, 3L, "click", 1.0),
+      // user 4: ids DESCEND while time ascends (late renumbering) +
+      // a negative refund value
+      (42L, T0, 4L, "signup", 0.0),
+      (41L, T0 + 1000000L, 4L, "view", 5.0),
+      (40L, T0 + 2000000L, 4L, "purchase", -5.0))
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d.toString
+  }
+
+  test("tied timestamps: the transition chain follows event_id exactly") {
+    val tr = analytics.Analytics.eventTransitions(spark, dir)
+      .filter(col("n") > 0).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // user 1 contributes view->click->purchase->error; user 2 view->
+    // purchase; user 3 view->click; user 4 (by ts despite descending
+    // ids) signup->view->purchase
+    val want = Set(
+      ("view", "click"), ("click", "purchase"), ("purchase", "error"),
+      ("view", "purchase"), ("signup", "view"))
+    assert(tr == want, s"got $tr")
+    // and the 2nd-order chain sees the tied triple in id order
+    val t2 = analytics.Analytics.transitionMatrix2(spark, dir)
+      .select("from1", "from2", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(t2 == Set(("view", "click", "purchase"),
+      ("click", "purchase", "error"), ("signup", "view", "purchase")))
+  }
+
+  test("session boundary is strictly greater than 30 minutes") {
+    val s = analytics.Analytics.sessionize(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == 1L) // four tied events: one session
+    assert(s(2L) == 1L) // exactly 30 min: same session
+    assert(s(3L) == 2L) // 30 min + 1 ms: split
+    assert(s(4L) == 1L)
+    // negative value flows through the decimal sum, not dropped
+    val u4 = analytics.Analytics.sessionize(spark, dir)
+      .filter(col("user_id") === 4L).head
+    assert(math.abs(u4.getAs[Double]("sum_val") - 0.0) < 1e-9)
+  }
+
+  test("session conversion counts the tied-instant purchase session") {
+    val sc = analytics.Analytics.sessionConversion(spark, dir)
+    // sessions: u1 (4 events, converted), u2 (2, converted), u3 two
+    // 1-event sessions (not converted), u4 (3, converted — refunds
+    // still count as purchase events)
+    assert(sc.agg(sum("n_sessions")).head.getLong(0) == 5L)
+    assert(sc.agg(sum("n_converted")).head.getLong(0) == 3L)
+    assert(sc.filter(col("n_events") === 1L).head
+      .getAs[Long]("n_converted") == 0L)
+  }
+}
