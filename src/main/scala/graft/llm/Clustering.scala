@@ -59,7 +59,7 @@ object Clustering {
     // workflow) re-fits instead of serving stale centroids.
     fitCache.getOrElseUpdate(
       graft.Tables.freshCacheKey(fitCache, spark, dir, "embeddings"), {
-      val vecs = Embeddings.withNorm(spark, dir)
+      val vecs = Embeddings.directional(spark, dir)
       var cents = vecs.filter(col("vec_id") < FitK)
         .select(col("vec_id").as("cid"), col("v").as("cv"),
           col("nrm").as("cnrm"), lit(1L).as("n_members"))
@@ -116,7 +116,7 @@ object Clustering {
     * cosine to it.
     */
   private def assigned(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = Embeddings.withNorm(spark, dir)
+    val vecs = Embeddings.directional(spark, dir)
     val cents = vecs.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     nearestCentroid(vecs, cents)
@@ -126,7 +126,7 @@ object Clustering {
     * per-dimension mean of the assigned vectors' quantized components.
     */
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = Embeddings.withNorm(spark, dir).select(col("vec_id"), col("v"))
+    val vecs = Embeddings.directional(spark, dir).select(col("vec_id"), col("v"))
     assigned(spark, dir).join(vecs, "vec_id")
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("cid"), col("dim").cast("long").as("dim"),

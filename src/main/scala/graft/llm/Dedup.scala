@@ -276,7 +276,7 @@ object Dedup {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val cap = Similarity.PairSubCap
-    val e = Embeddings.withNorm(spark, dir)
+    val e = Embeddings.directional(spark, dir)
     val nsub = e.groupBy("label")
       .agg(expr(s"(count(1) + ${cap - 1}) div $cap").as("nsub"))
     val sub = e.join(broadcast(nsub), "label")

@@ -29,4 +29,16 @@ object Embeddings {
         .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
         .cache())
   }
+
+  /** [[withNorm]] restricted to vectors that HAVE a direction
+    * (nrm > 0) — the ingestion contract of every cosine consumer
+    * (Similarity, Clustering, embedding dedup). A zero-norm vector is a
+    * broken encoder output: it cannot participate in cosine geometry,
+    * and under ANSI mode one such row would abort the whole stage with
+    * DIVIDE_BY_ZERO (EdgeEmbeddingsSpec pins both facts). It stays
+    * visible to the detectors — [[graft.llm.Similarity.embeddingNormStats]]
+    * and the PCA moment pass read the unfiltered frame.
+    */
+  def directional(spark: SparkSession, dir: String): DataFrame =
+    withNorm(spark, dir).filter(col("nrm") > 0.0)
 }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Embeddings.withNorm(spark, dir)
+    Embeddings.directional(spark, dir)
 
   /** Sub-bucket cap for the within-block pair generators ([[semDedup]] and
     * Dedup.dedupEmbedding): a block (IVF cell / label) of n members is
@@ -789,7 +789,10 @@ object Similarity {
     * offsets and a bounded in-bucket row_number.
     */
   def embeddingNormStats(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
+    // Deliberately the UNfiltered frame: this operator IS the broken-
+    // encoder detector, so the zero-norm rows every cosine path excludes
+    // (Embeddings.directional) must stay visible here.
+    val v = Embeddings.withNorm(spark, dir)
       .withColumn("bkt", expr("CAST(floor(nrm * 64) AS BIGINT)"))
     val offs = v.groupBy("label", "bkt").agg(count(lit(1)).as("cnt"))
       .withColumn("off",

@@ -231,6 +231,10 @@ object Streams {
       .select(col("vec_id").cast("long").as("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      // zero-norm arrivals carry no direction and would abort the
+      // stream under ANSI divide-by-zero — same exclusion contract as
+      // the batch side's Embeddings.directional
+      .filter(col("nrm") > 0.0)
       .crossJoin(broadcast(cl))
       .withColumn("cell", expr(
         """aggregate(cl,
