@@ -55,6 +55,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty corpus yields empty results, never a crash") {
+    // a 0-row partition is routine at 100 TB (a day with no crawl); the
+    // whole documents pipeline — including the iterative components
+    // loop and the composed curation pipeline — must pass it through
+    val empty = {
+      val d = java.nio.file.Files.createTempDirectory("graft_edge_mt")
+      d.toFile.deleteOnExit()
+      Tables.t(spark, dir, "documents").limit(0)
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      d.toString
+    }
+    for (name <- Seq("dedup_exact", "vocab_coverage", "corpus_card",
+        "collocations", "source_unique_grams", "ngram_novelty",
+        "dedup_minhash_lsh", "dedup_clusters", "decontaminate",
+        "benchmark_leakage", "curation_pipeline"))
+      assert(SparkEntry.queries(name)(spark, empty).count() == 0,
+        s"$name non-empty on the empty corpus")
+  }
+
   test("accounting closes on the junk tail") {
     val docs = Tables.t(spark, dir, "documents")
     val total = docs.count()
