@@ -1086,7 +1086,34 @@ object Similarity {
       .unionByName(s2.withColumn("step", lit(2L)))
   }
 
+  /** Metadata-filtered similarity search — the vector-store feature a
+    * RAG stack leans on hardest: top-3 neighbors per query vector
+    * RESTRICTED to the query's own label partition (the tenant /
+    * collection / language predicate pushed INTO the search, not
+    * applied after). Filtering changes the ANSWER, not just the cost —
+    * the nearest in-label neighbor is generally not the global nearest
+    * — so this is its own operator, not a recall knob on
+    * [[annBruteforce]]. Same broadcast-query single-scan shape; the
+    * label equi-predicate rides the join, so the scan prunes
+    * |label|/n of the corpus per query at any scale.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val q = vecs.filter(col("vec_id") < 8)
+    val pairs = broadcast(q.as("q"))
+      .join(vecs.as("c"),
+        col("q.label") === col("c.label") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"),
+        col("q.label").cast("long").as("label"),
+        col("c.vec_id").as("n_id"), expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered" -> annFiltered,
     "walk_pairs" -> walkPairs,
     "snn_graph" -> snnGraph,
     "snn_clusters" -> snnClusters,
@@ -2107,6 +2134,21 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
          |WHERE rank <= 5""".stripMargin),
+    "ann_filtered" -> (vecSql +
+      s""", lab AS (SELECT vec_id, label FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS q_id, ql.label AS label,
+         |    c.vec_id AS n_id, $cosSql AS cos
+         |  FROM vecs q
+         |  JOIN lab ql ON ql.vec_id = q.vec_id
+         |  JOIN lab cl ON cl.label = ql.label
+         |  JOIN vecs c ON c.vec_id = cl.vec_id
+         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+         |SELECT q_id, CAST(label AS BIGINT) AS label, n_id, cos,
+         |  CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
+         |WHERE rank <= 3""".stripMargin),
     "ann_lsh" -> (vecSql +
       s""", dots AS (
          |  SELECT vec_id, p,

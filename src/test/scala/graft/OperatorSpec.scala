@@ -516,6 +516,24 @@ class OperatorSpec extends AnyFunSuite {
       col("jaccard") < 0.0 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("filtered search stays in-label and can only lose cosine vs global") {
+    val f = llm.Similarity.annFiltered(spark, dir).cache()
+    // neighbors share the query's label, ranks dense 1..3
+    val labels = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("n_id"), col("label").cast("long").as("nl"))
+    assert(f.join(labels, "n_id").filter(col("label") =!= col("nl"))
+      .count() == 0)
+    assert(f.groupBy("q_id").agg(count(lit(1)).as("k"), max("rank").as("mx"))
+      .filter(col("k") > 3L || col("mx") =!= col("k")).count() == 0)
+    // per query, the best in-label cosine is <= the global best: the
+    // filter restricts the candidate set, it never improves it
+    val g = llm.Similarity.annBruteforce(spark, dir)
+      .groupBy("q_id").agg(max("cos").as("gbest"))
+    assert(f.filter(col("rank") === 1L).join(g, "q_id")
+      .filter(col("cos") > col("gbest") + lit(1e-12)).count() == 0)
+    f.unpersist()
+  }
+
   test("walk pairs: one walk per anchor, edges real, fully deterministic") {
     val g = llm.Similarity.knnGraph(spark, dir).select("q_id", "n_id").cache()
     val wp = llm.Similarity.walkPairs(spark, dir).cache()
