@@ -1112,8 +1112,46 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
+  /** The at-scale path for [[annFiltered]]: the label predicate pushed
+    * through the IVF index — candidates must share the query's coarse
+    * CELL and its label, so the scan touches one cell's one label slice
+    * instead of the label's whole partition. The price is coarse-cell
+    * loss on top of the filter, which [[filteredRecall]] gates against
+    * the exact filtered top-3 (the same exact-vs-indexed discipline as
+    * every other ANN path).
+    */
+  def annFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfAssign(spark, dir).join(vectors(spark, dir), "vec_id")
+      .select(col("vec_id"), col("cell"), col("label"), col("v"), col("nrm"))
+    val q = cells.filter(col("vec_id") < 8)
+    val pairs = broadcast(q.as("q"))
+      .join(cells.as("c"),
+        col("q.cell") === col("c.cell") &&
+          col("q.label") === col("c.label") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"),
+        col("q.label").cast("long").as("label"),
+        col("c.vec_id").as("n_id"), expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** Recall@3 of the indexed filtered path vs the exact filtered top-3
+    * — prices the coarse quantizer's loss UNDER the metadata filter
+    * (cells are fit label-blind, so a query's in-label neighbors can
+    * concentrate outside its cell; this gate is what says whether
+    * filtered search may ride the index or must scan the partition).
+    */
+  def filteredRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVs(
+      annFiltered(spark, dir).select("q_id", "n_id"),
+      annFilteredIvf(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_filtered" -> annFiltered,
+    "ann_filtered_ivf" -> annFilteredIvf,
+    "filtered_recall" -> filteredRecall,
     "walk_pairs" -> walkPairs,
     "snn_graph" -> snnGraph,
     "snn_clusters" -> snnClusters,
@@ -2149,6 +2187,59 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
          |WHERE rank <= 3""".stripMargin),
+    "ann_filtered_ivf" -> (vecSql + Clustering.fitSql + knnChainSql +
+      s""", lab AS (SELECT vec_id, label FROM embeddings),
+         |fcells AS (
+         |  SELECT cells.vec_id, cells.cell, lab.label, cells.v, cells.nrm
+         |  FROM cells JOIN lab USING (vec_id)),
+         |fpairs AS (
+         |  SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS n_id,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM fcells q JOIN fcells c
+         |    ON q.cell = c.cell AND q.label = c.label
+         |      AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8)
+         |SELECT q_id, CAST(label AS BIGINT) AS label, n_id, cos,
+         |  CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM fpairs)
+         |WHERE rank <= 3""".stripMargin),
+    "filtered_recall" -> (vecSql + Clustering.fitSql + knnChainSql +
+      s""", lab AS (SELECT vec_id, label FROM embeddings),
+         |ex AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id)
+         |        AS rank
+         |    FROM vecs q
+         |    JOIN lab ql ON ql.vec_id = q.vec_id
+         |    JOIN lab cl ON cl.label = ql.label
+         |    JOIN vecs c ON c.vec_id = cl.vec_id
+         |    WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 3),
+         |fcells AS (
+         |  SELECT cells.vec_id, cells.cell, lab.label, cells.v, cells.nrm
+         |  FROM cells JOIN lab USING (vec_id)),
+         |ap AS (
+         |  SELECT q_id, n_id AS a_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id)
+         |        AS rank
+         |    FROM fcells q JOIN fcells c
+         |      ON q.cell = c.cell AND q.label = c.label
+         |        AND q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 8)
+         |  WHERE rank <= 3)
+         |SELECT ex.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN ap.a_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_matched,
+         |  CAST(SUM(CASE WHEN ap.a_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) / COUNT(*) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.q_id = ex.q_id AND ap.a_id = ex.n_id
+         |GROUP BY ex.q_id""".stripMargin),
     "ann_lsh" -> (vecSql +
       s""", dots AS (
          |  SELECT vec_id, p,

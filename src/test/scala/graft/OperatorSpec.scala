@@ -534,6 +534,24 @@ class OperatorSpec extends AnyFunSuite {
     f.unpersist()
   }
 
+  test("indexed filtered search is a subset path with a sane recall gate") {
+    val exact = llm.Similarity.annFiltered(spark, dir)
+    val idx = llm.Similarity.annFilteredIvf(spark, dir).cache()
+    // the indexed candidate set is a subset of the filtered universe:
+    // per query its best cosine can only be <= the exact filtered best
+    val eb = exact.filter(col("rank") === 1L)
+      .select(col("q_id"), col("cos").as("ebest"))
+    assert(idx.filter(col("rank") === 1L).join(eb, "q_id")
+      .filter(col("cos") > col("ebest") + lit(1e-12)).count() == 0)
+    // the recall gate is consistent: n_matched <= n_exact, recall in
+    // [0, 1], and one row per exact-side query
+    val r = llm.Similarity.filteredRecall(spark, dir).cache()
+    assert(r.count() == exact.select("q_id").distinct().count())
+    assert(r.filter(col("n_matched") > col("n_exact") ||
+      col("recall") < 0.0 || col("recall") > 1.0).count() == 0)
+    idx.unpersist(); r.unpersist()
+  }
+
   test("walk pairs: one walk per anchor, edges real, fully deterministic") {
     val g = llm.Similarity.knnGraph(spark, dir).select("q_id", "n_id").cache()
     val wp = llm.Similarity.walkPairs(spark, dir).cache()
