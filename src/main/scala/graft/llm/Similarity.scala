@@ -156,6 +156,13 @@ object Similarity {
     ivfAssign(spark, dir).join(vectors(spark, dir), "vec_id")
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
 
+  /** The static (vec_id, cell, v, nrm) serving frame for the streaming
+    * query screen ([[graft.streaming.Streams.annServeStream]]) — the
+    * cached IVF assignment joined to the cached vector projection.
+    */
+  private[graft] def servingIndex(spark: SparkSession, dir: String): DataFrame =
+    ivfCells(spark, dir)
+
   private val ivfAssignCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 

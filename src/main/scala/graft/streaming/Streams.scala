@@ -321,6 +321,56 @@ object Streams {
     * delivery; WHICH doc triggers an emission is delivery-order-
     * dependent, the set is not.
     */
+  /** Online vector-query serving — the streaming face of the IVF
+    * index: arriving query vectors are assigned to their coarse cell
+    * entirely IN-ROW (the ivfAppendStream centroid fold over the
+    * broadcast fitted centroids), stream-static joined against the
+    * cached (cell, vec_id, v, nrm) serving frame — so each query
+    * touches ONE cell's slice, never the corpus — and reduced to their
+    * exact-cosine top-3 neighbor ids per query in update-mode state
+    * (one bounded struct-sorted list per in-flight query). This is the
+    * nprobe=1 serving path a vector store runs online; StreamingSpec
+    * pins the per-query neighbor lists equal to the identical batch
+    * computation under in-order AND shuffled delivery, self-matches
+    * excluded.
+    */
+  def annServeStream(spark: SparkSession, dir: String,
+      stream: DataFrame): DataFrame = {
+    graft.functions.VecDot.register(spark)
+    val cl = graft.llm.Clustering.fittedCentroids(spark, dir)
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm")))
+        .as("cl"))
+    val static = graft.llm.Similarity.servingIndex(spark, dir)
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("v").as("cv2"), col("nrm").as("cnrm2"))
+    stream
+      .select(col("vec_id").cast("long").as("q_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      .withColumn("qnrm", expr("sqrt(vec_dot(qv, qv))"))
+      .filter(col("qnrm") > 0.0)
+      .crossJoin(broadcast(cl))
+      .withColumn("cell", expr(
+        """aggregate(cl,
+          |  named_struct('bc', CAST(-2.0 AS DOUBLE), 'bid', CAST(-1 AS BIGINT)),
+          |  (acc, c) -> CASE
+          |    WHEN vec_dot(qv, c.cv) / (qnrm * c.cnrm) > acc.bc
+          |      OR (vec_dot(qv, c.cv) / (qnrm * c.cnrm) = acc.bc
+          |          AND c.cid < acc.bid)
+          |    THEN named_struct('bc', vec_dot(qv, c.cv) / (qnrm * c.cnrm),
+          |      'bid', c.cid)
+          |    ELSE acc END,
+          |  acc -> acc.bid)""".stripMargin))
+      .drop("cl")
+      .join(static, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr("vec_dot(qv, cv2)") / (col("qnrm") * col("cnrm2")))
+      .groupBy("q_id")
+      .agg(expr(
+        """slice(transform(array_sort(collect_list(struct(-cos AS nc,
+          |  n_id AS n))), s -> s.n), 1, 3)""".stripMargin).as("top3"))
+  }
+
   /** The live dataset card — the streaming twin of
     * [[graft.llm.TextAnalysis.corpusCard]]'s stateless fields: arriving
     * docs derive their Gopher keep flag entirely IN-ROW (the

@@ -561,6 +561,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2.exceptAll(want).count() == 0 && want.exceptAll(got2).count() == 0)
   }
 
+  test("streaming ann serving == batch in-cell top-3, any order") {
+    // independent batch twin: the cell self-join ranked by a window
+    // (different code path from the stream's struct-sort aggregation)
+    val idx = llm.Similarity.servingIndex(spark, dir)
+    val q = idx.select(col("cell"), col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val want = q.join(idx.select(col("cell"), col("vec_id").as("n_id"),
+        col("v").as("cv2"), col("nrm").as("cnrm2")), "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr("vec_dot(qv, cv2)") / (col("qnrm") * col("cnrm2")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "n_id").cache()
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val qry = Streams.annServeStream(spark, dir, src).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      qry.processAllAvailable(); qry.stop()
+      spark.table(name)
+        .select(col("q_id"), posexplode(col("top3")).as(Seq("p", "n_id")))
+        .select(col("q_id"), (col("p") + 1L).cast("long").as("rank"),
+          col("n_id"))
+    }
+    val emb = Tables.t(spark, dir, "embeddings")
+    val got = run(Streams.tableStream(spark, dir, "embeddings"), "graft_serve1")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    val staged = stageChunks(emb, 4,
+      md5(concat_ws("#", lit("serve"), col("vec_id"))))
+    val got2 = run(chunkStream(staged), "graft_serve2")
+    assert(got2.exceptAll(want).count() == 0 &&
+      want.exceptAll(got2).count() == 0)
+    want.unpersist()
+  }
+
   test("live dataset card == batch corpus_card stateless fields, any order") {
     val docs = Tables.t(spark, dir, "documents")
     val want = llm.TextAnalysis.corpusCard(spark, dir)
