@@ -310,6 +310,46 @@ class GlogSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("corruption fails LOUDLY — no silent partial reads") {
+    // copy the store, then damage one segment two ways; both reads must
+    // throw (a storage engine refuses corrupt segments, it never
+    // silently drops records)
+    import java.nio.file._
+    def copyStore(): Path = {
+      val d = Files.createTempDirectory("graft_glog_corrupt")
+      d.toFile.deleteOnExit()
+      Files.walk(Paths.get(store)).forEach { p =>
+        val t = d.resolve(Paths.get(store).relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+      d
+    }
+    def firstSeg(d: Path): Path =
+      Files.walk(d).filter(_.toString.endsWith(".glog")).findFirst.get
+    val healthy = spark.read.format("glog").load(store).count()
+    // (a) truncation: chop the last 40% of a segment
+    val t1 = copyStore()
+    val s1 = firstSeg(t1)
+    val bytes = Files.readAllBytes(s1)
+    Files.write(s1, bytes.take(bytes.length * 6 / 10))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("glog").load(t1.toString).count()
+    }
+    assert(e1.getMessage != null)
+    // (b) bit-rot: flip the magic byte region mid-file
+    val t2 = copyStore()
+    val s2 = firstSeg(t2)
+    val b2 = Files.readAllBytes(s2)
+    java.util.Arrays.fill(b2, b2.length / 2, math.min(b2.length / 2 + 8, b2.length), 0x5A.toByte)
+    Files.write(s2, b2)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("glog").load(t2.toString).count()
+    }
+    // and the healthy store still reads in full afterwards
+    assert(spark.read.format("glog").load(store).count() == healthy)
+  }
+
   test("column pruning reaches the reader") {
     val ks = glog.select("k").distinct().count()
     val want = LogOps.log(spark, dir).select("k").distinct().count()
