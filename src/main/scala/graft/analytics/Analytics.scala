@@ -87,7 +87,13 @@ object Analytics {
   }
 
   /** Gap-based sessionization (30-minute inactivity gap) per user. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** The 30-minute sessionization chain — the ONE spelling of the
+    * per-user (tms, event_id) lag, the strictly-greater gap split, and
+    * the running session id, shared by [[sessionize]] and
+    * [[sessionConversion]] so the session rule cannot silently diverge
+    * between them (EdgeEventsSpec pins its boundary semantics).
+    */
+  private def sessionFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events").withColumn("tms", nsToMs("ts"))
     val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
     e.withColumn("prev", lag("tms", 1).over(byUser))
@@ -96,6 +102,10 @@ object Analytics {
           .otherwise(0L))
       .withColumn("sid",
         sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    sessionFrame(spark, dir)
       .groupBy("user_id", "sid")
       .agg(
         count(lit(1)).as("n_events"),
@@ -875,14 +885,7 @@ object Analytics {
     * its distinct values are tiny).
     */
   def sessionConversion(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "events").withColumn("tms", nsToMs("ts"))
-    val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
-    e.withColumn("prev", lag("tms", 1).over(byUser))
-      .withColumn("new_s",
-        when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid",
-        sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessionFrame(spark, dir)
       .groupBy("user_id", "sid")
       .agg(
         count(lit(1)).as("n_events"),

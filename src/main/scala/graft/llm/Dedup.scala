@@ -988,10 +988,12 @@ object Dedup {
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |n AS (
-         |  SELECT vec_id, label, v,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
-         |  FROM e),
+         |  SELECT * FROM (
+         |    SELECT vec_id, label, v,
+         |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+         |    FROM e)
+         |  WHERE nrm > 0),
          |lc AS (
          |  SELECT label,
          |    $capSql

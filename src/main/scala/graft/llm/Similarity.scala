@@ -1219,8 +1219,15 @@ object Similarity {
       sum("n_base").cast("long").as("t_base"),
       sum("n_delta").cast("long").as("t_delta"))
     per.crossJoin(broadcast(tot))
-      .withColumn("base_share_bp", expr("(10000 * n_base) div t_base"))
-      .withColumn("delta_share_bp", expr("(10000 * n_delta) div t_delta"))
+      // an absent side (the md5 coin selected no delta — likely on tiny
+      // corpora — or no base) contributes share 0, not a stage-aborting
+      // ANSI divide-by-zero
+      .withColumn("base_share_bp", expr(
+        "CASE WHEN t_base = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (10000 * n_base) div t_base END"))
+      .withColumn("delta_share_bp", expr(
+        "CASE WHEN t_delta = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (10000 * n_delta) div t_delta END"))
       .withColumn("drift_bp", col("delta_share_bp") - col("base_share_bp"))
       .select("cell", "n_base", "n_delta", "base_share_bp",
         "delta_share_bp", "drift_bp")
@@ -1275,15 +1282,22 @@ object Similarity {
       .withColumn("purity_bp", expr("(10000 * maj_n) div n_vecs"))
   }
 
+  /** Mirrors Embeddings.directional: zero-norm vectors are excluded
+    * from every cosine-family oracle exactly as the Spark side excludes
+    * them (the norm-stats oracle keeps its own unfiltered CTE — it is
+    * the detector for those rows).
+    */
   private[llm] val vecSql =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |vecs AS (
-      |  SELECT vec_id, v,
-      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
-      |  FROM e)
+      |  SELECT * FROM (
+      |    SELECT vec_id, v,
+      |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+      |    FROM e)
+      |  WHERE nrm > 0)
       |""".stripMargin
 
   /** The ordered-fold dot product as DuckDB SQL — the ONE spelling of
@@ -1827,10 +1841,14 @@ object Similarity {
         |  SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
         |    CAST(SUM(n_delta) AS BIGINT) AS t_delta FROM per)
         |SELECT cell, n_base, n_delta,
-        |  (10000 * n_base) // t_base AS base_share_bp,
-        |  (10000 * n_delta) // t_delta AS delta_share_bp,
-        |  (10000 * n_delta) // t_delta - (10000 * n_base) // t_base
-        |    AS drift_bp
+        |  CASE WHEN t_base = 0 THEN 0
+        |    ELSE (10000 * n_base) // t_base END AS base_share_bp,
+        |  CASE WHEN t_delta = 0 THEN 0
+        |    ELSE (10000 * n_delta) // t_delta END AS delta_share_bp,
+        |  CASE WHEN t_delta = 0 THEN 0
+        |    ELSE (10000 * n_delta) // t_delta END
+        |  - CASE WHEN t_base = 0 THEN 0
+        |    ELSE (10000 * n_base) // t_base END AS drift_bp
         |FROM per CROSS JOIN tot""".stripMargin),
     "hard_negatives" -> (vecSql + Clustering.fitSql + knnChainSql +
       """, lab AS (SELECT vec_id, label FROM embeddings),

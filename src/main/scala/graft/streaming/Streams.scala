@@ -236,17 +236,7 @@ object Streams {
       // the batch side's Embeddings.directional
       .filter(col("nrm") > 0.0)
       .crossJoin(broadcast(cl))
-      .withColumn("cell", expr(
-        """aggregate(cl,
-          |  named_struct('bc', CAST(-2.0 AS DOUBLE), 'bid', CAST(-1 AS BIGINT)),
-          |  (acc, c) -> CASE
-          |    WHEN vec_dot(v, c.cv) / (nrm * c.cnrm) > acc.bc
-          |      OR (vec_dot(v, c.cv) / (nrm * c.cnrm) = acc.bc
-          |          AND c.cid < acc.bid)
-          |    THEN named_struct('bc', vec_dot(v, c.cv) / (nrm * c.cnrm),
-          |      'bid', c.cid)
-          |    ELSE acc END,
-          |  acc -> acc.bid)""".stripMargin))
+      .withColumn("cell", cellFold("v", "nrm"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"))
   }
@@ -305,22 +295,24 @@ object Streams {
       .dropDuplicates("topic", "field")
   }
 
-  /** Continuous gram discovery — the streaming twin of
-    * [[graft.llm.TextAnalysis.ngramNovelty]]: arriving documents explode
-    * into their distinct char-8-gram hashes in-row and each gram is
-    * emitted exactly ONCE, on first arrival, with the doc that carried
-    * it. The ingest-side novelty monitor: the emission RATE decaying
-    * toward zero says the incoming source is exhausted — visible within
-    * one micro-batch, without waiting for a batch novelty pass.
-    * State (dropDuplicates markers) is the corpus's distinct-gram
-    * universe — exactly the cardinality the batch window shuffles, and
-    * deliberately unbounded for the same reason qualityGateStream's is:
-    * evicting a gram would re-report it as novel. StreamingSpec pins
-    * the discovered SET equal to the batch distinct grams (and its size
-    * to the batch novel mass) under in-order AND shuffled multi-batch
-    * delivery; WHICH doc triggers an emission is delivery-order-
-    * dependent, the set is not.
+  /** In-row nearest-centroid argmax over the broadcast fitted-centroid
+    * list `cl` — the ONE spelling of the (cos DESC, cid ASC) tie-break
+    * that [[ivfAppendStream]] and [[annServeStream]] share with the
+    * batch side's Clustering.nearestCentroid; a drift between the two
+    * streaming copies would silently break their batch-parity pins.
     */
+  private def cellFold(v: String, nrm: String) = expr(
+    s"""aggregate(cl,
+       |  named_struct('bc', CAST(-2.0 AS DOUBLE), 'bid', CAST(-1 AS BIGINT)),
+       |  (acc, c) -> CASE
+       |    WHEN vec_dot($v, c.cv) / ($nrm * c.cnrm) > acc.bc
+       |      OR (vec_dot($v, c.cv) / ($nrm * c.cnrm) = acc.bc
+       |          AND c.cid < acc.bid)
+       |    THEN named_struct('bc', vec_dot($v, c.cv) / ($nrm * c.cnrm),
+       |      'bid', c.cid)
+       |    ELSE acc END,
+       |  acc -> acc.bid)""".stripMargin)
+
   /** Online vector-query serving — the streaming face of the IVF
     * index: arriving query vectors are assigned to their coarse cell
     * entirely IN-ROW (the ivfAppendStream centroid fold over the
@@ -349,17 +341,7 @@ object Streams {
       .withColumn("qnrm", expr("sqrt(vec_dot(qv, qv))"))
       .filter(col("qnrm") > 0.0)
       .crossJoin(broadcast(cl))
-      .withColumn("cell", expr(
-        """aggregate(cl,
-          |  named_struct('bc', CAST(-2.0 AS DOUBLE), 'bid', CAST(-1 AS BIGINT)),
-          |  (acc, c) -> CASE
-          |    WHEN vec_dot(qv, c.cv) / (qnrm * c.cnrm) > acc.bc
-          |      OR (vec_dot(qv, c.cv) / (qnrm * c.cnrm) = acc.bc
-          |          AND c.cid < acc.bid)
-          |    THEN named_struct('bc', vec_dot(qv, c.cv) / (qnrm * c.cnrm),
-          |      'bid', c.cid)
-          |    ELSE acc END,
-          |  acc -> acc.bid)""".stripMargin))
+      .withColumn("cell", cellFold("qv", "qnrm"))
       .drop("cl")
       .join(static, "cell")
       .filter(col("n_id") =!= col("q_id"))
@@ -404,6 +386,22 @@ object Streams {
         sum("keep").cast("long").as("keep_docs"))
   }
 
+  /** Continuous gram discovery — the streaming twin of
+    * [[graft.llm.TextAnalysis.ngramNovelty]]: arriving documents explode
+    * into their distinct char-8-gram hashes in-row and each gram is
+    * emitted exactly ONCE, on first arrival, with the doc that carried
+    * it. The ingest-side novelty monitor: the emission RATE decaying
+    * toward zero says the incoming source is exhausted — visible within
+    * one micro-batch, without waiting for a batch novelty pass.
+    * State (dropDuplicates markers) is the corpus's distinct-gram
+    * universe — exactly the cardinality the batch window shuffles, and
+    * deliberately unbounded for the same reason qualityGateStream's is:
+    * evicting a gram would re-report it as novel. StreamingSpec pins
+    * the discovered SET equal to the batch distinct grams (and its size
+    * to the batch novel mass) under in-order AND shuffled multi-batch
+    * delivery; WHICH doc triggers an emission is delivery-order-
+    * dependent, the set is not.
+    */
   def gramNoveltyStream(stream: DataFrame): DataFrame = {
     graft.functions.TextHashes.register(stream.sparkSession)
     stream

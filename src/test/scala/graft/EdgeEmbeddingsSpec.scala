@@ -37,6 +37,9 @@ class EdgeEmbeddingsSpec extends AnyFunSuite {
     assert(llm.Clustering.kmeansClusters(spark, dir).count() > 0)
     assert(llm.Similarity.annBruteforce(spark, dir).count() >= 0)
     assert(llm.Dedup.dedupEmbedding(spark, dir).count() >= 0)
+    // the append audit survives a tiny corpus where the md5 coin may
+    // select an empty delta (shares guard to 0, no ANSI divide-by-zero)
+    assert(llm.Similarity.ivfAppend(spark, dir).count() >= 0)
     g.unpersist()
   }
 
