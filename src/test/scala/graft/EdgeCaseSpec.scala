@@ -55,6 +55,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("null text flows through without a crash, with sane accounting") {
+    // crawls deliver nulls; the SQL-null semantics must degrade the doc,
+    // not the stage
+    val d = java.nio.file.Files.createTempDirectory("graft_edge_null")
+    d.toFile.deleteOnExit()
+    import spark.implicits._
+    Seq((0L, Option("a normal document here with words"), "en", "s0"),
+        (1L, Option.empty[String], "en", "s0"),
+        (2L, Option("another fine document"), "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val nd = d.toString
+    for (name <- Seq("dedup_exact", "normalize_text", "langid",
+        "quality_gopher", "corpus_card", "vocab_coverage", "collocations",
+        "source_unique_grams", "dedup_minhash_lsh", "decontaminate",
+        "curation_pipeline"))
+      assert(SparkEntry.queries(name)(spark, nd).count() >= 0,
+        s"$name failed on null text")
+    // the null doc degrades predictably: its own null-hash identity in
+    // exact dedup, absent from the token-derived quality frame, still
+    // counted in the card's population
+    assert(llm.Dedup.dedupExact(spark, nd).count() == 3)
+    assert(llm.TextAnalysis.qualityGopher(spark, nd)
+      .filter(col("doc_id") === 1L).count() == 0)
+    assert(llm.TextAnalysis.corpusCard(spark, nd)
+      .filter(col("source") === "s0").head.getAs[Long]("n_docs") == 2L)
+  }
+
   test("an empty corpus yields empty results, never a crash") {
     // a 0-row partition is routine at 100 TB (a day with no crawl); the
     // whole documents pipeline — including the iterative components
