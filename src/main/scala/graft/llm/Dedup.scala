@@ -314,6 +314,38 @@ object Dedup {
       .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
 
+  /** Survivorship policy over [[dedupClusters]]: per near-dup cluster,
+    * the canonical document a keep-best dedup retains — longest text
+    * wins (near-dups differ, unlike exact dups, so "keep the most
+    * complete copy" is the standard curation rule), doc_id ascending as
+    * the deterministic tiebreak — plus the char mass the cluster's
+    * removal frees. This is the frame the curation pipeline's near-dup
+    * stage would act on if it kept best-of-cluster instead of
+    * first-of-cluster.
+    *
+    * Scale: the cached label frame (bounded by the near-dup set, far
+    * smaller than the corpus) equi-joins documents on doc_id for
+    * n_chars, then one cluster-partitioned window — no corpus-sized
+    * window, no second scan of text.
+    */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = dedupClusters(spark, dir)
+      .join(t(spark, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+    val byCluster = Window.partitionBy("cluster_id")
+    lab
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("csize", count(lit(1)).over(byCluster))
+      .withColumn("chars_total", sum("n_chars").over(byCluster))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("csize").cast("long").as("csize"),
+        col("chars_total").cast("long").as("chars_total"),
+        (col("chars_total") - col("n_chars")).cast("long")
+          .as("chars_removed"))
+  }
+
   /** The converged cluster labels, cached per (session, data fingerprint)
     * — dedup_clusters, curation_pipeline and curation_report all consume
     * this frame, so the iterative components loop runs once, not per
@@ -593,6 +625,7 @@ object Dedup {
     "benchmark_leakage" -> benchmarkLeakage,
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_profile" -> dedupClusterProfile,
+    "cluster_canonical" -> clusterCanonical,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_delta" -> dedupDelta,
@@ -842,6 +875,23 @@ object Dedup {
       (clustersChainSql + """
         |SELECT src AS doc_id, MIN(dst) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin),
+    "cluster_canonical" ->
+      (clustersChainSql + """
+        |, lab AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |lc AS (
+        |  SELECT lab.cluster_id, lab.doc_id, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+        |      ORDER BY d.n_chars DESC, lab.doc_id) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY lab.cluster_id) AS BIGINT)
+        |      AS csize,
+        |    CAST(SUM(d.n_chars) OVER (PARTITION BY lab.cluster_id)
+        |      AS BIGINT) AS chars_total
+        |  FROM lab JOIN documents d USING (doc_id))
+        |SELECT cluster_id, doc_id AS keep_doc_id, csize, chars_total,
+        |  CAST(chars_total - n_chars AS BIGINT) AS chars_removed
+        |FROM lc WHERE rk = 1""".stripMargin),
     "dedup_cluster_profile" ->
       (clustersChainSql + """
         |, lab AS (

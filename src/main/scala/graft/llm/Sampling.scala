@@ -142,6 +142,36 @@ object Sampling {
         expr("(200 * wq) div wq_total").as("alloc_temp"))
   }
 
+  /** Token-space training-budget plan: the frame a dataloader is actually
+    * configured from. [[mixTemperature]] allocates DOCUMENTS; real mixes
+    * are specified in TOKENS (per-source token budgets + repeat factors),
+    * so this allocates a fixed 1M-token budget across sources by the same
+    * sqrt-temperature weights — now over each source's whitespace-token
+    * mass — and reports the epoch factor (how many passes over the source
+    * the allocation implies, in basis points: 12000 = repeat 1.2x,
+    * 4000 = subsample to 40%). sqrt + long quantization keeps every
+    * number engine-exact (the mix_temperature discipline); the budget is
+    * a fixed constant so the plan is scale-free.
+    *
+    * Scale: one corpus scan with an in-row token count, a |sources|-row
+    * rollup, and a broadcast totals join — nothing data-sized past the
+    * scan at 100 TB.
+    */
+  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").cast("long").as("n_tok"))
+      .withColumn("wq",
+        expr("CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000000.0D) AS BIGINT)"))
+    val tot = src.agg(sum("wq").cast("long").as("wq_total"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tok"),
+        expr("(1000000 * wq) div wq_total").as("alloc_tokens"),
+        expr("((10000 * ((1000000 * wq) div wq_total))) div n_tok")
+          .as("epochs_bp"))
+  }
+
   /** Deterministic global shuffle: every document gets a reproducible
     * pseudo-random position — the rank of (md5(doc_id), doc_id) — the
     * training-order shuffle a pipeline runs before sequence packing, plus
@@ -297,6 +327,7 @@ object Sampling {
     "sample_stratified" -> sampleStratified,
     "mix_sources" -> mixSources,
     "mix_temperature" -> mixTemperature,
+    "token_budget_plan" -> tokenBudgetPlan,
     "train_test_split" -> trainTestSplit)
 
   val oracles: Map[String, String] = Map(
@@ -404,6 +435,20 @@ object Sampling {
         |  CAST(wq AS DOUBLE) / wq_total AS temp_share,
         |  (200 * n_docs) // n_total AS alloc_natural,
         |  (200 * wq) // wq_total AS alloc_temp
+        |FROM w CROSS JOIN tot""".stripMargin,
+    "token_budget_plan" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_tok,
+        |    CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+        |  FROM src),
+        |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_total FROM w)
+        |SELECT source, n_tok,
+        |  (1000000 * wq) // wq_total AS alloc_tokens,
+        |  (10000 * ((1000000 * wq) // wq_total)) // n_tok AS epochs_bp
         |FROM w CROSS JOIN tot""".stripMargin,
     "train_test_split" ->
       s"""SELECT source,

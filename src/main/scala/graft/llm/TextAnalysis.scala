@@ -403,6 +403,35 @@ object TextAnalysis {
       max("n_chars").as("max_c"))
   }
 
+  /** Per-source sentence segmentation audit: sentence counts and lengths
+    * under the standard [.!?]+ splitter — the structural sibling of
+    * [[docLengthStats]] (a source whose "sentences" average 9 chars or
+    * 900 is table dumps or run-on crawl junk, not prose, whatever its
+    * doc-length profile says). Sentences are counted and measured
+    * entirely in-row (split → trim-filter → length fold); the only
+    * exchange is the |sources|-row rollup. Ratios are integer basis
+    * points / floor divisions, so both engines agree bit-for-bit; null
+    * text degrades to zero sentences (the EdgeCaseSpec contract), never
+    * the stage.
+    */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+        expr("filter(split(coalesce(text, ''), '[.!?]+')," +
+          " x -> length(trim(x)) > 0)").as("sents"))
+      .select(col("source"),
+        size(col("sents")).cast("long").as("n_s"),
+        expr("aggregate(sents, CAST(0 AS BIGINT)," +
+          " (acc, x) -> acc + length(trim(x)))").as("c_s"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_s").cast("long").as("n_sent"),
+        sum("c_s").cast("long").as("sent_chars"))
+      .select(col("source"), col("n_docs"), col("n_sent"),
+        expr("(10000 * n_sent) div n_docs").as("sent_per_doc_bp"),
+        expr("CASE WHEN n_sent > 0 THEN sent_chars div n_sent" +
+          " ELSE CAST(0 AS BIGINT) END").as("chars_per_sent"))
+
   /** Canonical text normalization: lowercase, strip punctuation, collapse
     * whitespace — the first stage of every text pipeline, reported with
     * before/after sizes and the normalized md5 identity.
@@ -931,6 +960,7 @@ object TextAnalysis {
     "tfidf" -> tfidf,
     "ngram_counts" -> ngramCounts,
     "doc_length_stats" -> docLengthStats,
+    "sentence_stats" -> sentenceStats,
     "corpus_filter" -> corpusFilter,
     "langid" -> langid,
     "langid_eval" -> langidEval,
@@ -1407,6 +1437,28 @@ object TextAnalysis {
         |  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE)
         |    / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
         |FROM s""".stripMargin,
+    "sentence_stats" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(coalesce(text, ''), '[.!?]+'),
+        |      x -> len(trim(x)) > 0) AS sents
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    CAST(len(sents) AS BIGINT) AS n_s,
+        |    CAST(coalesce(list_sum(list_transform(sents,
+        |      x -> len(trim(x)))), 0) AS BIGINT) AS c_s
+        |  FROM s),
+        |r AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_s) AS BIGINT) AS n_sent,
+        |    CAST(SUM(c_s) AS BIGINT) AS sent_chars
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_sent,
+        |  (10000 * n_sent) // n_docs AS sent_per_doc_bp,
+        |  CASE WHEN n_sent > 0 THEN sent_chars // n_sent
+        |    ELSE CAST(0 AS BIGINT) END AS chars_per_sent
+        |FROM r""".stripMargin,
     "doc_length_stats" ->
       """WITH ranked AS (
         |  SELECT source, n_chars,

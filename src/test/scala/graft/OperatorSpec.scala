@@ -1866,4 +1866,62 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 0)
     rp.unpersist()
   }
+
+  test("token_budget_plan: allocations exhaust the budget, epochs consistent") {
+    val plan = llm.Sampling.tokenBudgetPlan(spark, dir).cache()
+    val row = plan.agg(
+      sum("alloc_tokens").cast("long"), count(lit(1)).cast("long")).head()
+    val (alloc, nSrc) = (row.getLong(0), row.getLong(1))
+    // floor division loses < 1 token per source, never over-allocates
+    assert(alloc <= 1000000L && alloc > 1000000L - nSrc)
+    // epochs_bp is exactly the basis-point quotient of alloc over mass
+    assert(plan.filter(
+      col("epochs_bp") =!= expr("(10000 * alloc_tokens) div n_tok"))
+      .count() == 0)
+    plan.unpersist()
+  }
+
+  test("cluster_canonical: keeper maximal, char accounting exact") {
+    val canon = llm.Dedup.clusterCanonical(spark, dir).cache()
+    val lab = llm.Dedup.dedupClusters(spark, dir)
+      .join(Tables.t(spark, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id")
+    val agg = lab.groupBy("cluster_id").agg(
+      count(lit(1)).cast("long").as("true_size"),
+      max("n_chars").as("max_chars"),
+      sum("n_chars").cast("long").as("true_chars"))
+    val j = canon.join(agg, "cluster_id").cache()
+    assert(canon.count() > 0 && j.count() == canon.count())
+    assert(j.filter(col("csize") =!= col("true_size")).count() == 0)
+    assert(j.filter(col("chars_total") =!= col("true_chars")).count() == 0)
+    // the keeper is a longest member; removal frees everything else
+    val keepChars = canon.select(col("keep_doc_id").as("doc_id"),
+      col("cluster_id"), col("chars_total"), col("chars_removed"))
+      .join(Tables.t(spark, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id")
+    assert(keepChars.join(agg, "cluster_id")
+      .filter(col("n_chars") =!= col("max_chars")).count() == 0)
+    assert(keepChars
+      .filter(col("chars_removed") =!= col("chars_total") - col("n_chars"))
+      .count() == 0)
+    assert(canon.filter(col("csize") < 2).count() == 0)
+    j.unpersist(); canon.unpersist()
+  }
+
+  test("sentence_stats: rollup consistent with a direct per-doc recount") {
+    val st = llm.TextAnalysis.sentenceStats(spark, dir).cache()
+    val direct = Tables.t(spark, dir, "documents")
+      .select(col("source"), expr(
+        """CAST(size(filter(split(coalesce(text, ''), '[.!?]+'),
+          |  x -> length(trim(x)) > 0)) AS BIGINT)""".stripMargin).as("n_s"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_s").as("n_sent"))
+    assert(st.join(direct, "source")
+      .filter(st("n_sent") =!= direct("n_sent") ||
+        st("n_docs") =!= direct("n_docs")).count() == 0)
+    // healthy prose: every source has sentences, mean length is sane
+    assert(st.filter(col("n_sent") === 0L).count() == 0)
+    assert(st.filter(col("chars_per_sent") <= 0L).count() == 0)
+    st.unpersist()
+  }
 }
