@@ -1165,6 +1165,51 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"),
         max("span_days").as("max_span_days"))
 
+  /** Inter-arrival time distribution: per event type, exact nearest-rank
+    * quartiles of the gaps between a user's consecutive events of that
+    * type (ms) — the arrival-process profile a session-gap threshold,
+    * an offset-expiration window, or a consumer poll timeout is tuned
+    * against. Quartiles are exact integer ms via the rank-pick (no
+    * percentile_approx), so both engines agree bit-for-bit.
+    *
+    * Scale: the lag window partitions by (user, type) — per-key state,
+    * never a global sort; the quartile pick is the
+    * customer_spend_deciles discipline: minute-granularity gap buckets
+    * give a metadata-sized (type, bucket) offset table that broadcasts
+    * back, so the only unpartitioned window runs on that |types ×
+    * buckets| frame and the per-bucket row_number stays parallel.
+    */
+  def interarrivalQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val byUserType = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("tms"), col("event_id"))
+    val gaps = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000000").as("tms"))
+      .withColumn("gap", col("tms") - lag("tms", 1).over(byUserType))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("event_id"), col("gap"))
+      .withColumn("bkt", expr("gap div 60000"))
+    val offs = gaps.groupBy("event_type", "bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum("cnt").over(Window.partitionBy("event_type")
+          .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      .select("event_type", "bkt", "off", "n")
+    def pick(p: Double) =
+      max(when(col("rn") === expr(s"CAST(ceil(n * $p) AS BIGINT)"),
+        col("gap")))
+    gaps.join(broadcast(offs), Seq("event_type", "bkt"))
+      .withColumn("rn",
+        col("off") + row_number().over(
+          Window.partitionBy("event_type", "bkt")
+            .orderBy(col("gap"), col("event_id"))).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        pick(0.25).as("q1_ms"), pick(0.5).as("median_ms"),
+        pick(0.75).as("q3_ms"), max("gap").as("max_ms"))
+  }
+
   /** Robust anomaly detection over the event stream: per event type,
     * minute-level volume outliers by exact median absolute deviation —
     * the alerting rollup an operations consumer runs on topic
@@ -1333,6 +1378,7 @@ object Analytics {
     "props_json_stats" -> propsJsonStats,
     "event_transitions" -> eventTransitions,
     "activity_span" -> activitySpan,
+    "interarrival_quartiles" -> interarrivalQuartiles,
     "incident_blast" -> incidentBlast,
     "q13_custdist" -> q13,
     "q17_small_qty" -> q17,
@@ -1617,6 +1663,28 @@ object Analytics {
         |SELECT active_days, COUNT(*) AS n_users,
         |  MAX(span_days) AS max_span_days
         |FROM per_user GROUP BY active_days""".stripMargin,
+    "interarrival_quartiles" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |    epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, gap,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY gap, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+        |    THEN gap END) AS q1_ms,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+        |    THEN gap END) AS median_ms,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+        |    THEN gap END) AS q3_ms,
+        |  MAX(gap) AS max_ms
+        |FROM r GROUP BY event_type""".stripMargin,
     "incident_blast" ->
       """WITH ev AS (
         |  SELECT event_id, epoch_ms(ts) AS tms FROM events),

@@ -346,6 +346,40 @@ object Dedup {
           .as("chars_removed"))
   }
 
+  /** Post-dedup retention report: what keep-best near-dup dedup
+    * ([[clusterCanonical]]) does to each source — docs and char mass
+    * kept vs dropped, retention in basis points. The per-source
+    * go/no-go frame a curation run publishes after its near-dup stage
+    * (a source losing half its mass to near-dups is a crawl-config bug,
+    * not a dedup success).
+    *
+    * Scale: the drop set derives from the cached label frame joined to
+    * the |clusters|-row canonical frame (both bounded by the dup set,
+    * never the corpus); the corpus-sized work is ONE documents scan
+    * partial-aggregated to |sources| rows, and the drop rollup joining
+    * it is |sources|-sized too.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "source", "n_chars")
+    val drops = dedupClusters(spark, dir)
+      .join(clusterCanonical(spark, dir).select("cluster_id", "keep_doc_id"),
+        "cluster_id")
+      .filter(col("doc_id") =!= col("keep_doc_id"))
+      .select("doc_id")
+    val dropBySrc = docs.join(drops, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_dropped"),
+        sum("n_chars").cast("long").as("chars_dropped"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars_total"))
+      .join(dropBySrc, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("chars_total"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"))
+      .withColumn("kept_bp",
+        expr("(10000 * (n_docs - n_dropped)) div n_docs"))
+  }
+
   /** The converged cluster labels, cached per (session, data fingerprint)
     * — dedup_clusters, curation_pipeline and curation_report all consume
     * this frame, so the iterative components loop runs once, not per
@@ -626,6 +660,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_profile" -> dedupClusterProfile,
     "cluster_canonical" -> clusterCanonical,
+    "dedup_survivors" -> dedupSurvivors,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_delta" -> dedupDelta,
@@ -892,6 +927,30 @@ object Dedup {
         |SELECT cluster_id, doc_id AS keep_doc_id, csize, chars_total,
         |  CAST(chars_total - n_chars AS BIGINT) AS chars_removed
         |FROM lc WHERE rk = 1""".stripMargin),
+    "dedup_survivors" ->
+      (clustersChainSql + """
+        |, lab AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |lc AS (
+        |  SELECT lab.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+        |      ORDER BY d.n_chars DESC, lab.doc_id) AS rk
+        |  FROM lab JOIN documents d USING (doc_id)),
+        |drops AS (SELECT doc_id FROM lc WHERE rk > 1),
+        |ds AS (
+        |  SELECT d.source, COUNT(*) AS n_dropped,
+        |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_dropped
+        |  FROM documents d JOIN drops USING (doc_id) GROUP BY d.source),
+        |tot AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |  FROM documents GROUP BY source)
+        |SELECT tot.source, n_docs, chars_total,
+        |  COALESCE(n_dropped, 0) AS n_dropped,
+        |  COALESCE(chars_dropped, 0) AS chars_dropped,
+        |  (10000 * (n_docs - COALESCE(n_dropped, 0))) // n_docs AS kept_bp
+        |FROM tot LEFT JOIN ds USING (source)""".stripMargin),
     "dedup_cluster_profile" ->
       (clustersChainSql + """
         |, lab AS (

@@ -632,6 +632,33 @@ object Similarity {
     recall3For(spark, dir,
       annPq(spark, dir).select(col("q_id"), col("n_id").as("a_id")))
 
+  /** PQ quantization-distortion audit: per subspace, the exact quantized
+    * squared error between each vector slice and its assigned codeword —
+    * the complement of [[pqRecall]]: recall says the RANKING survived,
+    * distortion says how much geometry the 4-bit codes threw away and
+    * WHERE (a subspace with 3x the others' distortion wants more
+    * centroids or a rotation before anyone trusts its codes at 100 TB).
+    * Distortions are the same fold-quantized integers the fit ranks by,
+    * so both engines agree exactly.
+    *
+    * Scale: one encode-shaped pass (slices x broadcast codebook) rolled
+    * up to 8 rows. Deliberately NOT riding the [[pqCodes]] cache: the
+    * cached code frame drops d2q — its consumers scan 8 code bytes per
+    * vector, which is the point of PQ — and widening it for a one-off
+    * audit would tax every search; the audit re-derives in the same
+    * single data-sized pass the encode itself costs.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame =
+    subSlices(spark, dir)
+      .join(broadcast(pqCodebook(spark, dir)), "s")
+      .withColumn("d2q", expr(pqD2q))
+      .groupBy("vec_id", "s").agg(min("d2q").as("d2q"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("d2q").cast("long").as("sum_d2q"),
+        max("d2q").as("max_d2q"))
+      .withColumn("mean_d2q", expr("sum_d2q div n_vecs"))
+
   /** The recall gate for the composed IVF + PQ path: both losses stack
     * (coarse cell miss + code quantization), so this is the number that
     * prices the full capacity-scale layout against the exact scan.
@@ -1183,6 +1210,7 @@ object Similarity {
     "ivf_recall_curve" -> ivfRecallCurve,
     "ann_pq" -> annPq,
     "pq_recall" -> pqRecall,
+    "pq_distortion" -> pqDistortion,
     "ann_sq8" -> annSq8,
     "sq8_recall" -> sq8Recall,
     "ann_bruteforce" -> annBruteforce,
@@ -1698,6 +1726,14 @@ object Similarity {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY distq, n_id) AS rank FROM cand)
         |WHERE rank <= 3""".stripMargin),
+    "pq_distortion" -> (vecSql + pqCodeSql +
+      """, md AS (
+        |  SELECT vec_id, s, MIN(d2q) AS d2q FROM d GROUP BY vec_id, s)
+        |SELECT s, COUNT(*) AS n_vecs,
+        |  CAST(SUM(d2q) AS BIGINT) AS sum_d2q,
+        |  MAX(d2q) AS max_d2q,
+        |  CAST(SUM(d2q) AS BIGINT) // COUNT(*) AS mean_d2q
+        |FROM md GROUP BY s""".stripMargin),
     "pq_recall" -> (vecSql + pqChainSql +
       s""", bfp AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos

@@ -1908,6 +1908,64 @@ class OperatorSpec extends AnyFunSuite {
     j.unpersist(); canon.unpersist()
   }
 
+  test("interarrival_quartiles: ordered quartiles, counts match recount") {
+    val iq = analytics.Analytics.interarrivalQuartiles(spark, dir).cache()
+    assert(iq.count() > 0)
+    assert(iq.filter(col("q1_ms") > col("median_ms") ||
+      col("median_ms") > col("q3_ms") ||
+      col("q3_ms") > col("max_ms")).count() == 0)
+    assert(iq.filter(col("q1_ms") < 0L || col("n_gaps") <= 0L).count() == 0)
+    // gaps per type = events of that type minus one per (user, type) group
+    val direct = Tables.t(spark, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sum(col("n") - lit(1L)).cast("long").as("n_gaps_direct"))
+    assert(iq.join(direct, "event_type")
+      .filter(col("n_gaps") =!= col("n_gaps_direct")).count() == 0)
+    iq.unpersist()
+  }
+
+  test("dedup_survivors: drop accounting ties out against the canon frame") {
+    val sv = llm.Dedup.dedupSurvivors(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+    // per-source totals are the raw corpus, untouched by dedup
+    val tot = docs.groupBy("source").agg(
+      count(lit(1)).as("d_docs"), sum("n_chars").cast("long").as("d_chars"))
+    assert(sv.join(tot, "source")
+      .filter(col("n_docs") =!= col("d_docs") ||
+        col("chars_total") =!= col("d_chars")).count() == 0)
+    // global drops = cluster members minus one keeper per cluster, and
+    // dropped char mass = the canon frame's chars_removed, summed
+    val canon = llm.Dedup.clusterCanonical(spark, dir)
+    val exp = canon.agg(
+      sum(col("csize") - lit(1L)).cast("long"),
+      sum("chars_removed").cast("long")).head()
+    val got = sv.agg(
+      sum("n_dropped").cast("long"), sum("chars_dropped").cast("long")).head()
+    assert(got.getLong(0) == exp.getLong(0) &&
+      got.getLong(1) == exp.getLong(1))
+    assert(sv.filter(col("kept_bp") < 0L || col("kept_bp") > 10000L)
+      .count() == 0)
+    assert(sv.filter(
+      col("kept_bp") =!= expr("(10000 * (n_docs - n_dropped)) div n_docs"))
+      .count() == 0)
+    sv.unpersist()
+  }
+
+  test("pq_distortion: 8 subspaces, each covering every searchable vector") {
+    val pd = llm.Similarity.pqDistortion(spark, dir).cache()
+    assert(pd.count() == 8)
+    assert(pd.filter(col("mean_d2q") > col("max_d2q") ||
+      col("mean_d2q") < 0L).count() == 0)
+    assert(pd.filter(col("mean_d2q") =!= expr("sum_d2q div n_vecs"))
+      .count() == 0)
+    // every subspace scores exactly the cosine-searchable population
+    val nv = llm.Embeddings.withNorm(spark, dir)
+      .filter(col("nrm") > 0.0).count()
+    assert(pd.filter(col("n_vecs") =!= lit(nv)).count() == 0)
+    pd.unpersist()
+  }
+
   test("sentence_stats: rollup consistent with a direct per-doc recount") {
     val st = llm.TextAnalysis.sentenceStats(spark, dir).cache()
     val direct = Tables.t(spark, dir, "documents")
