@@ -354,6 +354,36 @@ object Similarity {
       .select("q_id", "n_id", "qdot", "cos8", "rank")
   }
 
+  /** SQ8 quantization-distortion audit: the int8 twin of
+    * [[pqDistortion]] — per label, the relative squared error the
+    * symmetric per-vector max-|x| scale leaves behind
+    * (floor(|x - deq(q)|^2 / |x|^2 * 1e9), an ordered fold quantized to
+    * an exact integer in both engines). [[sq8Recall]] says the int8
+    * RANKING survived; this prices how coarse the codes actually are
+    * per region of the space — a label whose vectors carry one hot
+    * dimension quantizes everything else onto ~1 bit and shows up here
+    * long before it dents top-3 recall.
+    *
+    * Scale: one scan over the quantize-shaped projection rolled up to
+    * |labels| rows — the same single pass the quantizer itself costs.
+    */
+  def sq8Distortion(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.directional(spark, dir)
+      .withColumn("mx",
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("qv",
+        expr("transform(v, x -> CAST(floor(x * 127.0D / mx) AS INT))"))
+      .withColumn("e2q", expr(
+        """CAST(floor(aggregate(zip_with(v, qv, (x, q) ->
+          |  (x - q * mx / 127.0D) * (x - q * mx / 127.0D)),
+          |  CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)
+          |  / (nrm * nrm) * 1000000000.0D) AS BIGINT)""".stripMargin))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("e2q").cast("long").as("sum_e2q"),
+        max("e2q").as("max_e2q"))
+      .withColumn("mean_e2q", expr("sum_e2q div n_vecs"))
+
   /** Normalized 8-dim subspace slices (vec_id, s, sv) — the shared input
     * of the PQ codebook fit and the PQ encode/search path.
     */
@@ -1213,6 +1243,7 @@ object Similarity {
     "pq_distortion" -> pqDistortion,
     "ann_sq8" -> annSq8,
     "sq8_recall" -> sq8Recall,
+    "sq8_distortion" -> sq8Distortion,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -1783,6 +1814,42 @@ object Similarity {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY cos8 DESC, n_id) AS rank FROM scored)
         |WHERE rank <= 3""".stripMargin),
+    "sq8_distortion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |vecs AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, label, v,
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |    FROM e)
+        |  WHERE nrm > 0),
+        |quant AS (
+        |  SELECT label, v, nrm, mx,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS INTEGER))
+        |      AS qv
+        |  FROM (
+        |    SELECT label, v, nrm,
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x))
+        |        AS mx
+        |    FROM vecs)),
+        |d AS (
+        |  SELECT label,
+        |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(v)),
+        |        i -> (v[i] - qv[i] * mx / 127.0)
+        |          * (v[i] - qv[i] * mx / 127.0))),
+        |      (acc, d) -> acc + d) / (nrm * nrm) * 1000000000.0) AS BIGINT)
+        |      AS e2q
+        |  FROM quant)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(e2q) AS BIGINT) AS sum_e2q,
+        |  MAX(e2q) AS max_e2q,
+        |  CAST(SUM(e2q) AS BIGINT) // COUNT(*) AS mean_e2q
+        |FROM d GROUP BY label""".stripMargin,
     "sq8_recall" -> (vecSql +
       s""", bfp AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos

@@ -403,6 +403,74 @@ object TextAnalysis {
       max("n_chars").as("max_c"))
   }
 
+  /** Robust per-source length-outlier screen: exact median and median
+    * absolute deviation of doc length, and the count of docs beyond
+    * 5 MAD — the anomaly_mad discipline pointed at the corpus (truncated
+    * crawls and concatenation bugs live in the length tails, and
+    * mean/stddev breaks on exactly those tails). All integers, so both
+    * engines agree bit-for-bit.
+    *
+    * Scale: ONE corpus scan partial-aggregates to the (source, n_chars)
+    * count frame; the median, the deviation re-aggregation, the MAD,
+    * and the outlier count all derive from that metadata-sized frame —
+    * no second scan, no corpus window.
+    */
+  def docLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    def medOf(counts: DataFrame, valueCol: String): DataFrame =
+      counts
+        .withColumn("cum", sum("cnt").over(bySrc.orderBy(valueCol)))
+        .withColumn("n", sum("cnt").over(bySrc))
+        .filter(col("cum") >= expr("CAST(ceil(n * 0.5) AS BIGINT)"))
+        .groupBy("source").agg(min(valueCol).as("med"),
+          max("n").cast("long").as("n_docs"))
+    val counts = t(spark, dir, "documents")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val med = medOf(counts, "n_chars")
+      .select(col("source"), col("med").as("med_chars"), col("n_docs"))
+    val devCounts = counts.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+      .groupBy("source", "dev").agg(sum("cnt").as("cnt"))
+    val mad = medOf(devCounts, "dev")
+      .select(col("source"), col("med").as("mad_chars"))
+    devCounts.join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(sum(when(col("dev") > col("mad_chars") * 5L, col("cnt"))
+        .otherwise(0L)).cast("long").as("n_outliers"),
+        max("mad_chars").as("mad_chars"))
+      .join(broadcast(med), "source")
+      .select(col("source"), col("n_docs"), col("med_chars"),
+        col("mad_chars"), col("n_outliers"))
+      .withColumn("outlier_bp", expr("(10000 * n_outliers) div n_docs"))
+  }
+
+  /** Mixed-language document screen: a doc whose second-best language
+    * carries at least a third of its best language's marker mass is
+    * code-switching, boilerplate-in-another-language, or mislabeled —
+    * the docs langid silently assigns to ONE language and a monolingual
+    * training mix silently absorbs. Per source: mixed and
+    * zero-evidence (no marker hit at all) counts, mixed share in basis
+    * points. In-row scoring (the langid markers), rollup-only exchange;
+    * null text degrades to zero hits, never the stage.
+    */
+  def langMix(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("h_en", expr(hitExpr(markers("en"))).cast("long"))
+      .withColumn("h_es", expr(hitExpr(markers("es"))).cast("long"))
+      .withColumn("h_fr", expr(hitExpr(markers("fr"))).cast("long"))
+      .withColumn("best", greatest(col("h_en"), col("h_es"), col("h_fr")))
+      .withColumn("second",
+        col("h_en") + col("h_es") + col("h_fr") - col("best") -
+          least(col("h_en"), col("h_es"), col("h_fr")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("second") > 0L && col("second") * 3L >= col("best"),
+          1L).otherwise(0L)).cast("long").as("n_mixed"),
+        sum(when(col("best") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_nohit"))
+      .withColumn("mixed_bp", expr("(10000 * n_mixed) div n_docs"))
+
   /** Per-source sentence segmentation audit: sentence counts and lengths
     * under the standard [.!?]+ splitter — the structural sibling of
     * [[docLengthStats]] (a source whose "sentences" average 9 chars or
@@ -960,6 +1028,8 @@ object TextAnalysis {
     "tfidf" -> tfidf,
     "ngram_counts" -> ngramCounts,
     "doc_length_stats" -> docLengthStats,
+    "doc_length_outliers" -> docLengthOutliers,
+    "lang_mix" -> langMix,
     "sentence_stats" -> sentenceStats,
     "corpus_filter" -> corpusFilter,
     "langid" -> langid,
@@ -1459,6 +1529,62 @@ object TextAnalysis {
         |  CASE WHEN n_sent > 0 THEN sent_chars // n_sent
         |    ELSE CAST(0 AS BIGINT) END AS chars_per_sent
         |FROM r""".stripMargin,
+    "doc_length_outliers" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, COUNT(*) AS cnt
+        |  FROM documents GROUP BY source, n_chars),
+        |cum AS (
+        |  SELECT source, n_chars, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM c),
+        |med AS (
+        |  SELECT source, MIN(n_chars) AS med_chars,
+        |    CAST(MAX(n) AS BIGINT) AS n_docs
+        |  FROM cum WHERE cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |  GROUP BY source),
+        |dc AS (
+        |  SELECT c.source, abs(c.n_chars - m.med_chars) AS dev,
+        |    CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM c JOIN med m USING (source) GROUP BY c.source, dev),
+        |dcum AS (
+        |  SELECT source, dev, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY dev) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM dc),
+        |mad AS (
+        |  SELECT source, MIN(dev) AS mad_chars
+        |  FROM dcum WHERE cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |  GROUP BY source),
+        |o AS (
+        |  SELECT dc.source,
+        |    CAST(SUM(CASE WHEN dev > mad_chars * 5 THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS n_outliers,
+        |    MAX(mad_chars) AS mad_chars
+        |  FROM dc JOIN mad USING (source) GROUP BY dc.source)
+        |SELECT o.source, n_docs, med_chars, o.mad_chars, n_outliers,
+        |  (10000 * n_outliers) // n_docs AS outlier_bp
+        |FROM o JOIN med USING (source)""".stripMargin,
+    "lang_mix" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |    CAST(${hitSql(markers("en"))} AS BIGINT) AS h_en,
+         |    CAST(${hitSql(markers("es"))} AS BIGINT) AS h_es,
+         |    CAST(${hitSql(markers("fr"))} AS BIGINT) AS h_fr
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, greatest(h_en, h_es, h_fr) AS best,
+         |    h_en + h_es + h_fr - greatest(h_en, h_es, h_fr)
+         |      - least(h_en, h_es, h_fr) AS second
+         |  FROM h)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN second > 0 AND second * 3 >= best
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+         |  CAST(SUM(CASE WHEN best = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nohit,
+         |  (10000 * CAST(SUM(CASE WHEN second > 0 AND second * 3 >= best
+         |    THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS mixed_bp
+         |FROM m GROUP BY source""".stripMargin,
     "doc_length_stats" ->
       """WITH ranked AS (
         |  SELECT source, n_chars,

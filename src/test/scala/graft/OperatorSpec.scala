@@ -1952,6 +1952,67 @@ class OperatorSpec extends AnyFunSuite {
     sv.unpersist()
   }
 
+  test("doc_length_outliers: outlier count matches a direct recount") {
+    val ol = llm.TextAnalysis.docLengthOutliers(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+    assert(ol.count() == docs.select("source").distinct().count())
+    assert(ol.filter(col("mad_chars") < 0L || col("n_outliers") < 0L ||
+      col("outlier_bp") > 10000L).count() == 0)
+    val direct = docs.join(
+      ol.select("source", "med_chars", "mad_chars"), "source")
+      .filter(abs(col("n_chars") - col("med_chars")) >
+        col("mad_chars") * 5L)
+      .groupBy("source").agg(count(lit(1)).as("n_direct"))
+    assert(ol.join(direct, Seq("source"), "left")
+      .filter(col("n_outliers") =!= coalesce(col("n_direct"), lit(0L)))
+      .count() == 0)
+    ol.unpersist()
+  }
+
+  test("lang_mix: mixed verdicts match a direct per-doc recount") {
+    val lm = llm.TextAnalysis.langMix(spark, dir).cache()
+    val tot = lm.agg(sum("n_docs").cast("long")).head().getLong(0)
+    assert(tot == Tables.t(spark, dir, "documents").count())
+    // a doc counts as mixed iff its runner-up marker mass is >= 1/3 of
+    // the winner's — recount with an independent spelling (sort desc)
+    val direct = Tables.t(spark, dir, "documents")
+      .withColumn("hs", expr(
+        """array_sort(transform(array(
+          |  size(filter(split(coalesce(text, ''), ' '),
+          |    x -> x in ('the', 'a', 'of'))),
+          |  size(filter(split(coalesce(text, ''), ' '),
+          |    x -> x in ('data', 'table', 'row'))),
+          |  size(filter(split(coalesce(text, ''), ' '),
+          |    x -> x in ('query', 'join', 'merge')))), h -> -h))"""
+          .stripMargin))
+      .withColumn("best", -col("hs").getItem(0))
+      .withColumn("second", -col("hs").getItem(1))
+      .groupBy("source")
+      .agg(sum(when(col("second") > 0 && col("second") * 3 >= col("best"),
+        1L).otherwise(0L)).cast("long").as("m_direct"))
+    assert(lm.join(direct, "source")
+      .filter(col("n_mixed") =!= col("m_direct")).count() == 0)
+    assert(lm.filter(
+      col("mixed_bp") =!= expr("(10000 * n_mixed) div n_docs"))
+      .count() == 0)
+    lm.unpersist()
+  }
+
+  test("sq8_distortion: covers the searchable population, sane bounds") {
+    val sd = llm.Similarity.sq8Distortion(spark, dir).cache()
+    val nv = llm.Embeddings.withNorm(spark, dir)
+      .filter(col("nrm") > 0.0).count()
+    assert(sd.agg(sum("n_vecs").cast("long")).head().getLong(0) == nv)
+    assert(sd.filter(col("mean_e2q") > col("max_e2q") ||
+      col("mean_e2q") < 0L).count() == 0)
+    assert(sd.filter(col("mean_e2q") =!= expr("sum_e2q div n_vecs"))
+      .count() == 0)
+    // int8 with a per-vector symmetric scale keeps relative squared
+    // error far below 100% (1e9 in the quantized basis)
+    assert(sd.filter(col("max_e2q") >= 1000000000L).count() == 0)
+    sd.unpersist()
+  }
+
   test("pq_distortion: 8 subspaces, each covering every searchable vector") {
     val pd = llm.Similarity.pqDistortion(spark, dir).cache()
     assert(pd.count() == 8)
