@@ -1165,6 +1165,73 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"),
         max("span_days").as("max_span_days"))
 
+  /** Fulfillment-lag distribution: per order priority, exact nearest-rank
+    * quartiles of the order-to-ship lag in whole days — the SLA view a
+    * fulfillment org reads per priority class (URGENT shipping slower
+    * than 3-LOW is a routing bug, and it hides in the tails a mean
+    * would smooth over). Day diffs are floor-divided epoch millis, so
+    * both engines agree bit-for-bit.
+    *
+    * Scale: the lineitem⨝orders fact join is the honest data-sized
+    * stage (AQE picks the join strategy); it partial-aggregates to the
+    * (priority, lag_days) count frame — |priorities| x ~|days|,
+    * metadata — and the quartile rank-pick runs entirely there.
+    */
+  def fulfillmentLagQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("(unix_millis(l_shipdate) - unix_millis(o_orderdate))" +
+          " div 86400000").as("lag_days"))
+      .groupBy("priority", "lag_days").agg(count(lit(1)).as("cnt"))
+    val byP = Window.partitionBy("priority")
+    val ranked = counts
+      .withColumn("cum", sum("cnt").over(byP.orderBy("lag_days")))
+      .withColumn("n", sum("cnt").over(byP))
+      .withColumn("lo", col("cum") - col("cnt") + 1L)
+    def pick(p: Double) =
+      max(when(expr(s"CAST(ceil(n * $p) AS BIGINT)")
+        .between(col("lo"), col("cum")), col("lag_days")))
+    ranked.groupBy("priority").agg(
+      max("n").as("n_items"),
+      pick(0.25).as("q1_days"), pick(0.5).as("median_days"),
+      pick(0.75).as("q3_days"), max("lag_days").as("max_days"))
+  }
+
+  /** Order-backlog curve: per 30-day epoch bucket, orders placed,
+    * orders fully shipped (last lineitem shipped), and the running
+    * open-order backlog — the operational WIP series behind capacity
+    * planning (a monotonically growing backlog is the demand-exceeds-
+    * fulfillment alarm). Buckets are epoch-day floor divisions (no
+    * calendar/timezone arithmetic to disagree over).
+    *
+    * Scale: orders and lineitem each partial-aggregate in one scan (the
+    * lineitem side to per-order max ship day — an |orders|-row frame —
+    * then to buckets); the cumulative window runs UNpartitioned but on
+    * the |buckets|-row frame only, the customer_spend_deciles rule.
+    */
+  def orderBacklogCurve(spark: SparkSession, dir: String): DataFrame = {
+    val placed = t(spark, dir, "orders")
+      .select(expr("unix_millis(o_orderdate) div 86400000 div 30").as("d30"))
+      .groupBy("d30").agg(count(lit(1)).as("n_placed"))
+    val completed = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(max(expr("unix_millis(l_shipdate)")).as("done_ms"))
+      .select(expr("done_ms div 86400000 div 30").as("d30"))
+      .groupBy("d30").agg(count(lit(1)).as("n_completed"))
+    val w = Window.orderBy("d30")
+    placed.join(completed, Seq("d30"), "full")
+      .select(col("d30"),
+        coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+        coalesce(col("n_completed"), lit(0L)).as("n_completed"))
+      .withColumn("cum_placed", sum("n_placed").over(w))
+      .withColumn("cum_completed", sum("n_completed").over(w))
+      .withColumn("backlog", col("cum_placed") - col("cum_completed"))
+  }
+
   /** Inter-arrival time distribution: per event type, exact nearest-rank
     * quartiles of the gaps between a user's consecutive events of that
     * type (ms) — the arrival-process profile a session-gap threshold,
@@ -1379,6 +1446,8 @@ object Analytics {
     "event_transitions" -> eventTransitions,
     "activity_span" -> activitySpan,
     "interarrival_quartiles" -> interarrivalQuartiles,
+    "fulfillment_lag_quartiles" -> fulfillmentLagQuartiles,
+    "order_backlog_curve" -> orderBacklogCurve,
     "incident_blast" -> incidentBlast,
     "q13_custdist" -> q13,
     "q17_small_qty" -> q17,
@@ -1663,6 +1732,52 @@ object Analytics {
         |SELECT active_days, COUNT(*) AS n_users,
         |  MAX(span_days) AS max_span_days
         |FROM per_user GROUP BY active_days""".stripMargin,
+    "fulfillment_lag_quartiles" ->
+      """WITH lg AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    (epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate))
+        |      // 86400000 AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r AS (
+        |  SELECT priority, lag_days,
+        |    ROW_NUMBER() OVER (PARTITION BY priority
+        |      ORDER BY lag_days) AS rn,
+        |    COUNT(*) OVER (PARTITION BY priority) AS n
+        |  FROM lg)
+        |SELECT priority, COUNT(*) AS n_items,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+        |    THEN lag_days END) AS q1_days,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+        |    THEN lag_days END) AS median_days,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+        |    THEN lag_days END) AS q3_days,
+        |  MAX(lag_days) AS max_days
+        |FROM r GROUP BY priority""".stripMargin,
+    "order_backlog_curve" ->
+      """WITH placed AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 // 30 AS d30,
+        |    COUNT(*) AS n_placed
+        |  FROM orders GROUP BY d30),
+        |completed AS (
+        |  SELECT done_ms // 86400000 // 30 AS d30,
+        |    COUNT(*) AS n_completed
+        |  FROM (
+        |    SELECT l_orderkey, MAX(epoch_ms(l_shipdate)) AS done_ms
+        |    FROM lineitem GROUP BY l_orderkey)
+        |  GROUP BY d30),
+        |j AS (
+        |  SELECT COALESCE(p.d30, c.d30) AS d30,
+        |    COALESCE(n_placed, 0) AS n_placed,
+        |    COALESCE(n_completed, 0) AS n_completed
+        |  FROM placed p FULL JOIN completed c ON p.d30 = c.d30)
+        |SELECT d30, n_placed, n_completed,
+        |  CAST(SUM(n_placed) OVER (ORDER BY d30) AS BIGINT) AS cum_placed,
+        |  CAST(SUM(n_completed) OVER (ORDER BY d30) AS BIGINT)
+        |    AS cum_completed,
+        |  CAST(SUM(n_placed) OVER (ORDER BY d30) AS BIGINT)
+        |    - CAST(SUM(n_completed) OVER (ORDER BY d30) AS BIGINT)
+        |    AS backlog
+        |FROM j""".stripMargin,
     "interarrival_quartiles" ->
       """WITH g AS (
         |  SELECT event_type, event_id,

@@ -810,6 +810,27 @@ object Similarity {
       .groupBy(col("n_id")).agg(count(lit(1)).as("in_deg"))
       .groupBy("in_deg").agg(count(lit(1)).as("n_vecs"))
 
+  /** Neighborhood-coherence audit over the cached k-NN edges: per rank,
+    * how many directed edges are reciprocated ((a,b) with (b,a) also
+    * present). Mutual-kNN share is the standard graph-quality metric —
+    * a low share says the capped candidate generation produces one-way
+    * "hub" edges (points everyone lists that list nobody back), exactly
+    * the degeneracy Jarvis-Patrick (snn_graph) assumes away; read the
+    * rank-1 row before trusting any knn-derived clustering. One
+    * self-equi-join on the bounded (<= 3n-row) edge frame, rolled up to
+    * k rows.
+    */
+  def knnMutuality(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnGraph(spark, dir).select("q_id", "n_id", "rank")
+    val rev = e.select(col("n_id").as("q_id"), col("q_id").as("n_id"),
+      lit(1L).as("mut"))
+    e.join(rev, Seq("q_id", "n_id"), "left")
+      .groupBy("rank")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("mut"), lit(0L))).cast("long").as("n_mutual"))
+      .withColumn("mutual_bp", expr("(10000 * n_mutual) div n_edges"))
+  }
+
   /** Semantic clusters from the k-NN graph: connected components over
     * edges at/above the semdedup cosine threshold (0.25) — the cluster
     * labeling a SemDeDup-style pipeline uses to keep one exemplar per
@@ -1228,6 +1249,7 @@ object Similarity {
     "ivf_append" -> ivfAppend,
     "cell_purity" -> cellPurity,
     "knn_degree" -> knnDegree,
+    "knn_mutuality" -> knnMutuality,
     "knn_clusters" -> knnClusters,
     "knn_cluster_profile" -> knnClusterProfile,
     "embedding_norm_stats" -> embeddingNormStats,
@@ -2080,6 +2102,16 @@ object Similarity {
         |  SELECT n_id, COUNT(*) AS in_deg FROM knng GROUP BY n_id)
         |SELECT in_deg, COUNT(*) AS n_vecs FROM deg GROUP BY in_deg"""
         .stripMargin),
+    "knn_mutuality" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """, rev AS (SELECT n_id AS q_id, q_id AS n_id FROM knng)
+        |SELECT k.rank, COUNT(*) AS n_edges,
+        |  CAST(SUM(CASE WHEN r.q_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mutual,
+        |  (10000 * CAST(SUM(CASE WHEN r.q_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // COUNT(*) AS mutual_bp
+        |FROM knng k LEFT JOIN rev r
+        |  ON k.q_id = r.q_id AND k.n_id = r.n_id
+        |GROUP BY k.rank""".stripMargin),
     "semdedup" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
          |  SELECT cid, cv, cnrm FROM fcent),

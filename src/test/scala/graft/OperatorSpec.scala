@@ -1952,6 +1952,56 @@ class OperatorSpec extends AnyFunSuite {
     sv.unpersist()
   }
 
+  test("fulfillment_lag_quartiles: ordered quartiles over the fact join") {
+    val fq = analytics.Analytics.fulfillmentLagQuartiles(spark, dir).cache()
+    assert(fq.count() == Tables.t(spark, dir, "orders")
+      .select("o_orderpriority").distinct().count())
+    assert(fq.filter(col("q1_days") > col("median_days") ||
+      col("median_days") > col("q3_days") ||
+      col("q3_days") > col("max_days")).count() == 0)
+    val nJoin = Tables.t(spark, dir, "lineitem").select("l_orderkey")
+      .join(Tables.t(spark, dir, "orders").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(fq.agg(sum("n_items").cast("long")).head().getLong(0) == nJoin)
+    fq.unpersist()
+  }
+
+  test("order_backlog_curve: non-negative backlog, endpoints tie out") {
+    val bc = analytics.Analytics.orderBacklogCurve(spark, dir).cache()
+    assert(bc.count() > 0)
+    // an order can only complete at/after its placement bucket
+    assert(bc.filter(col("backlog") < 0L).count() == 0)
+    assert(bc.filter(
+      col("backlog") =!= col("cum_placed") - col("cum_completed"))
+      .count() == 0)
+    val last = bc.orderBy(col("d30").desc).limit(1).head()
+    val nOrders = Tables.t(spark, dir, "orders").count()
+    val nWithItems = Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey").distinct().count()
+    assert(last.getAs[Long]("cum_placed") == nOrders)
+    assert(last.getAs[Long]("cum_completed") == nWithItems)
+    bc.unpersist()
+  }
+
+  test("knn_mutuality: per-rank totals match an independent recount") {
+    val km = llm.Similarity.knnMutuality(spark, dir).cache()
+    val edges = llm.Similarity.knnGraph(spark, dir)
+      .select("q_id", "n_id").cache()
+    assert(km.agg(sum("n_edges").cast("long")).head().getLong(0)
+      == edges.count())
+    assert(km.filter(col("n_mutual") > col("n_edges") ||
+      col("n_mutual") < 0L).count() == 0)
+    val nMutual = edges.as("a").join(edges.as("b"),
+      col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id"))
+      .count()
+    assert(km.agg(sum("n_mutual").cast("long")).head().getLong(0)
+      == nMutual)
+    assert(km.filter(
+      col("mutual_bp") =!= expr("(10000 * n_mutual) div n_edges"))
+      .count() == 0)
+    edges.unpersist(); km.unpersist()
+  }
+
   test("doc_length_outliers: outlier count matches a direct recount") {
     val ol = llm.TextAnalysis.docLengthOutliers(spark, dir).cache()
     val docs = Tables.t(spark, dir, "documents")
