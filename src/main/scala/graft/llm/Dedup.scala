@@ -535,6 +535,83 @@ object Dedup {
     * benchmark-sized, and both COUNT DISTINCTs run on the
     * contamination-sized hit frame.
     */
+  /** Span-level contamination locator: for each contaminated train doc,
+    * WHERE the benchmark 5-gram hits sit — first/last touched token,
+    * hit count, and the exact token coverage of the union of hit spans —
+    * the frame an EXCISION pass (cut the spans, keep the doc) acts on,
+    * where [[decontaminate]]'s doc-level verdict would throw the whole
+    * document away (the right call at 90% coverage, a waste at 2%).
+    * Coverage merges adjacent/overlapping spans in-row from the sorted
+    * hit positions (each successor contributes min(5, gap)), so nothing
+    * position-level crosses a shuffle twice and both engines agree
+    * integer-exactly.
+    *
+    * Scale: the same one-scan train-side explode as decontaminate (plus
+    * the position column) against the broadcast gram set; the rollup is
+    * contamination-sized and per-doc fold state is bounded by the doc's
+    * own hits.
+    */
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val hits = t(spark, dir, "documents")
+      .filter(col("doc_id") % BenchSplitMod =!= 0L)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 5)," +
+            " i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+          .as(Seq("pos", "gram")))
+      .join(broadcast(benchGrams(spark, dir)), "gram")
+    hits.groupBy("doc_id", "n_toks")
+      .agg(count(lit(1)).cast("long").as("n_hit_grams"),
+        min("pos").cast("long").as("first_tok"),
+        (max("pos") + lit(5)).cast("long").as("last_tok"),
+        sort_array(collect_list("pos")).as("ps"))
+      .withColumn("cover_toks",
+        lit(5L) + expr(
+          """CASE WHEN size(ps) < 2 THEN CAST(0 AS BIGINT)
+            |ELSE aggregate(transform(sequence(2, size(ps)),
+            |  i -> least(5, element_at(ps, i) - element_at(ps, i - 1))),
+            |  CAST(0 AS BIGINT), (a, x) -> a + x) END""".stripMargin))
+      .select(col("doc_id"), col("n_toks"), col("n_hit_grams"),
+        col("first_tok"), col("last_tok"), col("cover_toks"))
+      .withColumn("cover_bp", expr("(10000 * cover_toks) div n_toks"))
+  }
+
+  /** Dedup survivorship-policy comparison: per source, the char mass a
+    * keep-FIRST near-dup stage (the curation pipeline's minimal-doc_id
+    * rule) retains vs a keep-BEST stage ([[clusterCanonical]]'s
+    * longest-text rule), in absolute chars and basis points of the
+    * source's clustered mass. Both policies keep one doc per cluster
+    * but DIFFERENT docs, and clusters span sources — so a source can
+    * lose its entire clustered mass under one policy and keep it under
+    * the other; this is the frame that policy choice is made on.
+    *
+    * Scale: one window + rollup over the cached dup-set-bounded label
+    * frame joined to doc metadata; the corpus is never re-scanned.
+    */
+  def dedupPolicyCompare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byC = Window.partitionBy("cluster_id")
+    dedupClusters(spark, dir)
+      .join(t(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id")
+      .withColumn("first_keep", min("doc_id").over(byC))
+      .withColumn("rk", row_number().over(
+        byC.orderBy(col("n_chars").desc, col("doc_id"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_members"),
+        sum("n_chars").cast("long").as("chars_members"),
+        sum(when(col("doc_id") === col("first_keep"), col("n_chars"))
+          .otherwise(0L)).cast("long").as("chars_keep_first"),
+        sum(when(col("rk") === 1, col("n_chars")).otherwise(0L))
+          .cast("long").as("chars_keep_best"))
+      .withColumn("kf_bp",
+        expr("(10000 * chars_keep_first) div chars_members"))
+      .withColumn("kb_bp",
+        expr("(10000 * chars_keep_best) div chars_members"))
+  }
+
   def benchmarkLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val bg = wordGrams5(docs.filter(col("doc_id") % BenchSplitMod === 0L))
@@ -657,6 +734,8 @@ object Dedup {
     "decontaminate" -> decontaminate,
     "decontaminate_report" -> decontaminateReport,
     "benchmark_leakage" -> benchmarkLeakage,
+    "contamination_spans" -> contaminationSpans,
+    "dedup_policy_compare" -> dedupPolicyCompare,
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_profile" -> dedupClusterProfile,
     "cluster_canonical" -> clusterCanonical,
@@ -826,6 +905,71 @@ object Dedup {
         |  CAST(COUNT(DISTINCT train.gram) AS BIGINT) AS n_grams_leaked
         |FROM train JOIN bench USING (gram)
         |GROUP BY bench.bench_doc""".stripMargin,
+    "contamination_spans" ->
+      """WITH allg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 4),
+        |    i -> array_to_string(string_split(text, ' ')[i + 1:i + 5], ' ')))
+        |    AS gram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |bench AS (
+        |  SELECT DISTINCT gram FROM allg WHERE doc_id % 50 = 0),
+        |t0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE doc_id % 50 <> 0 AND len(string_split(text, ' ')) >= 5),
+        |g AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |    unnest(list_transform(range(0, len(toks) - 4),
+        |      i -> {'pos': i,
+        |            'gram': array_to_string(toks[i + 1:i + 5], ' ')}))
+        |      AS pg
+        |  FROM t0),
+        |hits AS (
+        |  SELECT g.doc_id, g.n_toks, pg.pos AS pos
+        |  FROM g JOIN bench ON pg.gram = bench.gram),
+        |agg AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hit_grams,
+        |    CAST(MIN(pos) AS BIGINT) AS first_tok,
+        |    CAST(MAX(pos) + 5 AS BIGINT) AS last_tok,
+        |    list(pos ORDER BY pos) AS ps
+        |  FROM hits GROUP BY doc_id, n_toks),
+        |cov AS (
+        |  SELECT doc_id, n_toks, n_hit_grams, first_tok, last_tok,
+        |    5 + CASE WHEN len(ps) < 2 THEN CAST(0 AS BIGINT)
+        |      ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(2, len(ps)),
+        |          i -> CAST(least(5, ps[i] - ps[i - 1]) AS BIGINT))),
+        |        (a, x) -> a + x) END AS cover_toks
+        |  FROM agg)
+        |SELECT doc_id, n_toks, n_hit_grams, first_tok, last_tok,
+        |  cover_toks, (10000 * cover_toks) // n_toks AS cover_bp
+        |FROM cov""".stripMargin,
+    "dedup_policy_compare" ->
+      (clustersChainSql + """
+        |, lab AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |lj AS (
+        |  SELECT lab.cluster_id, lab.doc_id, d.source, d.n_chars,
+        |    MIN(lab.doc_id) OVER (PARTITION BY lab.cluster_id)
+        |      AS first_keep,
+        |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+        |      ORDER BY d.n_chars DESC, lab.doc_id) AS rk
+        |  FROM lab JOIN documents d USING (doc_id))
+        |SELECT source, COUNT(*) AS n_members,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_members,
+        |  CAST(SUM(CASE WHEN doc_id = first_keep THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_keep_first,
+        |  CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_keep_best,
+        |  (10000 * CAST(SUM(CASE WHEN doc_id = first_keep
+        |    THEN n_chars ELSE 0 END) AS BIGINT))
+        |    // CAST(SUM(n_chars) AS BIGINT) AS kf_bp,
+        |  (10000 * CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END)
+        |    AS BIGINT)) // CAST(SUM(n_chars) AS BIGINT) AS kb_bp
+        |FROM lj GROUP BY source""".stripMargin),
     "decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(

@@ -1952,6 +1952,45 @@ class OperatorSpec extends AnyFunSuite {
     sv.unpersist()
   }
 
+  test("contamination_spans: same docs as decontaminate, coverage bounded") {
+    val cs = llm.Dedup.contaminationSpans(spark, dir).cache()
+    assert(cs.count() > 0)
+    val dd = llm.Dedup.decontaminate(spark, dir).select("doc_id")
+    assert(cs.select("doc_id").except(dd).count() == 0)
+    assert(dd.except(cs.select("doc_id")).count() == 0)
+    // union coverage: >= one span, <= the doc, <= the hit extent,
+    // <= 5 tokens per hit
+    assert(cs.filter(col("cover_toks") < 5L ||
+      col("cover_toks") > col("n_toks") ||
+      col("cover_toks") > col("last_tok") - col("first_tok") ||
+      col("cover_toks") > col("n_hit_grams") * 5L).count() == 0)
+    assert(cs.filter(
+      col("cover_bp") =!= expr("(10000 * cover_toks) div n_toks"))
+      .count() == 0)
+    cs.unpersist()
+  }
+
+  test("dedup_policy_compare: per-policy kept mass ties out") {
+    val pc = llm.Dedup.dedupPolicyCompare(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "n_chars")
+    val first = llm.Dedup.dedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+      .join(docs, "doc_id")
+      .agg(sum("n_chars").cast("long")).head().getLong(0)
+    val best = llm.Dedup.clusterCanonical(spark, dir)
+      .select(col("keep_doc_id").as("doc_id")).join(docs, "doc_id")
+      .agg(sum("n_chars").cast("long")).head().getLong(0)
+    assert(pc.agg(sum("chars_keep_first").cast("long")).head()
+      .getLong(0) == first)
+    assert(pc.agg(sum("chars_keep_best").cast("long")).head()
+      .getLong(0) == best)
+    assert(best >= first) // keep-best maximizes total kept chars
+    assert(pc.filter(col("kf_bp") > 10000L || col("kb_bp") > 10000L ||
+      col("chars_keep_first") > col("chars_members") ||
+      col("chars_keep_best") > col("chars_members")).count() == 0)
+    pc.unpersist()
+  }
+
   test("fulfillment_lag_quartiles: ordered quartiles over the fact join") {
     val fq = analytics.Analytics.fulfillmentLagQuartiles(spark, dir).cache()
     assert(fq.count() == Tables.t(spark, dir, "orders")
