@@ -1165,6 +1165,45 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"),
         max("span_days").as("max_span_days"))
 
+  /** Supplier market concentration: per nation, the Herfindahl index
+    * over supplier revenue shares (sum of squared shares, in basis
+    * points squared: 10^8 = monopoly, 10^8/n = perfectly even) plus the
+    * top supplier's share — the supply-risk view behind a procurement
+    * review (one supplier carrying 60% of a nation's line revenue is a
+    * single point of failure whatever the mean says). Revenue is
+    * row-level decimal quantized to an exact BIGINT (1e4 basis) before
+    * any sum, and shares are integer basis points, so both engines
+    * agree bit-for-bit. At extreme aggregate revenue the 1e4-basis
+    * BIGINT would need DECIMAL(38) — same headroom class as every
+    * money rollup here.
+    *
+    * Scale: lineitem joins broadcast supplier + nation dims and
+    * partial-aggregates straight to the |suppliers|-row frame; the
+    * share window and the HHI rollup run entirely there.
+    */
+  def supplierShareHhi(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val revq = (money(col("l_extendedprice")) *
+      (one - rate(col("l_discount"))) * lit(10000)).cast("long")
+    val perSupp = t(spark, dir, "lineitem")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "s_suppkey")
+      .agg(sum(revq).cast("long").as("rev"))
+    val byN = Window.partitionBy("n_name")
+    perSupp
+      .withColumn("tot", sum("rev").over(byN))
+      .withColumn("share_bp", expr("(10000 * rev) div tot"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        max("tot").as("rev_total_q"),
+        sum(col("share_bp") * col("share_bp")).cast("long").as("hhi"),
+        max("share_bp").as("top_share_bp"))
+  }
+
   /** Fulfillment-lag distribution: per order priority, exact nearest-rank
     * quartiles of the order-to-ship lag in whole days — the SLA view a
     * fulfillment org reads per priority class (URGENT shipping slower
@@ -1448,6 +1487,7 @@ object Analytics {
     "interarrival_quartiles" -> interarrivalQuartiles,
     "fulfillment_lag_quartiles" -> fulfillmentLagQuartiles,
     "order_backlog_curve" -> orderBacklogCurve,
+    "supplier_share_hhi" -> supplierShareHhi,
     "incident_blast" -> incidentBlast,
     "q13_custdist" -> q13,
     "q17_small_qty" -> q17,
@@ -1732,6 +1772,27 @@ object Analytics {
         |SELECT active_days, COUNT(*) AS n_users,
         |  MAX(span_days) AS max_span_days
         |FROM per_user GROUP BY active_days""".stripMargin,
+    "supplier_share_hhi" ->
+      """WITH ps AS (
+        |  SELECT n.n_name, s.s_suppkey,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(10,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+        |      * 10000 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, s.s_suppkey),
+        |w AS (
+        |  SELECT n_name, rev,
+        |    CAST(SUM(rev) OVER (PARTITION BY n_name) AS BIGINT) AS tot
+        |  FROM ps),
+        |sh AS (
+        |  SELECT n_name, tot, (10000 * rev) // tot AS share_bp FROM w)
+        |SELECT n_name, COUNT(*) AS n_suppliers,
+        |  MAX(tot) AS rev_total_q,
+        |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+        |  MAX(share_bp) AS top_share_bp
+        |FROM sh GROUP BY n_name""".stripMargin,
     "fulfillment_lag_quartiles" ->
       """WITH lg AS (
         |  SELECT o.o_orderpriority AS priority,

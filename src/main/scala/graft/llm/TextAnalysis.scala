@@ -778,6 +778,37 @@ object TextAnalysis {
       .withColumn("oov_rate", col("oov_tokens") / col("n_tokens"))
   }
 
+  /** Corpus coverage-vs-vocab-size curve: the token mass covered by the
+    * top-K vocabulary at K ∈ {4, 8, 16} — the "how big must the vocab
+    * be" knob read before fixing a tokenizer budget ([[vocabCoverage]]
+    * answers it for ONE K per source; this is the corpus-level curve,
+    * the ivf_recall_curve discipline applied to the vocabulary). All
+    * counts are exact longs, coverage in integer basis points.
+    *
+    * Scale: one corpus scan partial-aggregates to the vocabulary-sized
+    * (tok, cn) frame; the top-16 head comes off it as a parallel
+    * TakeOrdered (no global window over the vocabulary), and the curve
+    * evaluates on those 16 rows against the broadcast scalar total.
+    */
+  def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("cn"))
+    val top = counts.orderBy(col("cn").desc, col("tok")).limit(16)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cn").desc, col("tok"))).cast("long"))
+    val tot = counts.agg(sum("cn").cast("long").as("n_total"))
+    val ks = spark.range(3)
+      .select(expr("CAST(shiftleft(4, CAST(id AS INT)) AS BIGINT)").as("k"))
+    top.crossJoin(broadcast(ks))
+      .groupBy("k")
+      .agg(sum(when(col("r") <= col("k"), col("cn")).otherwise(0L))
+        .cast("long").as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("covered"), col("n_total"))
+      .withColumn("coverage_bp", expr("(10000 * covered) div n_total"))
+  }
+
   /** Per-source dataset card: the one-row-per-source summary a corpus
     * release ships — population (docs, chars), majority language with
     * its share, exact-duplicate exposure (docs whose full-text md5
@@ -1018,6 +1049,7 @@ object TextAnalysis {
     "repetition_ngrams" -> repetitionNgrams,
     "vocab_stats" -> vocabStats,
     "vocab_coverage" -> vocabCoverage,
+    "vocab_coverage_curve" -> vocabCoverageCurve,
     "corpus_card" -> corpusCard,
     "collocations" -> collocations,
     "source_unique_grams" -> sourceUniqueGrams,
@@ -1389,6 +1421,24 @@ object TextAnalysis {
         |JOIN uni u2 ON u2.w = j.w2
         |CROSS JOIN tot
         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin,
+    "vocab_coverage_curve" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cn FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |r AS (
+        |  SELECT cn, ROW_NUMBER() OVER (ORDER BY cn DESC, tok) AS r
+        |  FROM c),
+        |tot AS (SELECT CAST(SUM(cn) AS BIGINT) AS n_total FROM c),
+        |ks AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS k)
+        |SELECT k,
+        |  CAST(SUM(CASE WHEN r.r <= ks.k THEN cn ELSE 0 END) AS BIGINT)
+        |    AS covered,
+        |  n_total,
+        |  (10000 * CAST(SUM(CASE WHEN r.r <= ks.k THEN cn ELSE 0 END)
+        |    AS BIGINT)) // n_total AS coverage_bp
+        |FROM r CROSS JOIN ks CROSS JOIN tot
+        |GROUP BY k, n_total""".stripMargin,
     "vocab_coverage" ->
       """WITH tc AS (
         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n

@@ -1952,6 +1952,55 @@ class OperatorSpec extends AnyFunSuite {
     sv.unpersist()
   }
 
+  test("supplier_share_hhi: concentration bounds and revenue tie-out") {
+    val hh = analytics.Analytics.supplierShareHhi(spark, dir).cache()
+    assert(hh.count() > 0)
+    // HHI lives in [10^8/n (even), 10^8 (monopoly)]; floor loss only
+    // pushes it DOWN, so the upper bound is exact
+    assert(hh.filter(col("hhi") > 100000000L ||
+      col("top_share_bp") > 10000L || col("n_suppliers") <= 0L)
+      .count() == 0)
+    // even split is the floor: n * (10000/n)^2 <= hhi + floor loss,
+    // so hhi * n >= (10000 - n)^2 conservatively
+    assert(hh.filter(col("hhi") * col("n_suppliers") <
+      (lit(10000L) - col("n_suppliers")) * (lit(10000L) - col("n_suppliers")))
+      .count() == 0)
+    // a nation's quantized revenue ties out against a direct recount
+    val direct = Tables.t(spark, dir, "lineitem")
+      .join(Tables.t(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.t(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((graft.functions.Parity.money(col("l_extendedprice")) *
+        (graft.functions.Parity.one -
+          graft.functions.Parity.rate(col("l_discount"))) *
+        lit(10000)).cast("long")).cast("long").as("rev_direct"))
+    assert(hh.join(direct, "n_name")
+      .filter(col("rev_total_q") =!= col("rev_direct")).count() == 0)
+    hh.unpersist()
+  }
+
+  test("vocab_coverage_curve: monotone in k, exact against the counts") {
+    val cv = llm.TextAnalysis.vocabCoverageCurve(spark, dir).cache()
+    assert(cv.count() == 3)
+    val rows = cv.orderBy("k").collectAsList()
+    assert(rows.get(0).getAs[Long]("covered")
+      <= rows.get(1).getAs[Long]("covered"))
+    assert(rows.get(1).getAs[Long]("covered")
+      <= rows.get(2).getAs[Long]("covered"))
+    assert(cv.filter(col("covered") > col("n_total") ||
+      col("coverage_bp") > 10000L).count() == 0)
+    // covered(16) == direct sum of the 16 most frequent tokens' counts
+    val counts = Tables.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("cn"))
+    val top16 = counts.orderBy(col("cn").desc, col("tok")).limit(16)
+      .agg(sum("cn").cast("long")).head().getLong(0)
+    assert(rows.get(2).getAs[Long]("covered") == top16)
+    cv.unpersist()
+  }
+
   test("contamination_spans: same docs as decontaminate, coverage bounded") {
     val cs = llm.Dedup.contaminationSpans(spark, dir).cache()
     assert(cs.count() > 0)
