@@ -453,9 +453,14 @@ object TextAnalysis {
     * points. In-row scoring (the langid markers), rollup-only exchange;
     * null text degrades to zero hits, never the stage.
     */
-  def langMix(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
+  /** The marker-hit (best, second) scoring columns — the ONE spelling
+    * of the mixed-doc evidence shared by [[langMix]] and the streaming
+    * screen (graft.streaming.Streams.langMixStream), so the rule can
+    * never silently diverge between them (the BenchSplitMod
+    * discipline).
+    */
+  private[graft] def withLangMixScores(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(coalesce(col("text"), lit("")), " "))
       .withColumn("h_en", expr(hitExpr(markers("en"))).cast("long"))
       .withColumn("h_es", expr(hitExpr(markers("es"))).cast("long"))
       .withColumn("h_fr", expr(hitExpr(markers("fr"))).cast("long"))
@@ -463,6 +468,9 @@ object TextAnalysis {
       .withColumn("second",
         col("h_en") + col("h_es") + col("h_fr") - col("best") -
           least(col("h_en"), col("h_es"), col("h_fr")))
+
+  def langMix(spark: SparkSession, dir: String): DataFrame =
+    withLangMixScores(t(spark, dir, "documents"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("second") > 0L && col("second") * 3L >= col("best"),

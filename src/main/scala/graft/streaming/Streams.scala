@@ -458,6 +458,50 @@ object Streams {
       }.toDF()
   }
 
+  /** Online length-outlier screen — the production deployment of
+    * [[graft.llm.TextAnalysis.docLengthOutliers]]: per-source
+    * median/MAD thresholds fit OFFLINE on the at-rest corpus broadcast
+    * into the stream, each arriving doc flagged in-row when its length
+    * sits beyond 5 MAD of its source's median — fit-offline /
+    * screen-online, the [[anomalyAlertStream]] shape pointed at ingest.
+    * Stateless (no stream-side aggregation at all), so it scales to any
+    * ingest rate and is delivery-order invariant by construction;
+    * StreamingSpec pins the streamed flag set == the batch outlier doc
+    * set under shuffled multi-batch delivery.
+    */
+  def lengthScreenStream(spark: SparkSession, dir: String,
+      stream: DataFrame): DataFrame = {
+    val fit = graft.llm.TextAnalysis.docLengthOutliers(spark, dir)
+      .select("source", "med_chars", "mad_chars")
+    stream
+      .join(broadcast(fit), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+      .filter(col("dev") > col("mad_chars") * 5L)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("dev").cast("long").as("dev"))
+  }
+
+  /** Live language-mix monitor — the streaming twin of
+    * [[graft.llm.TextAnalysis.langMix]]: arriving docs score their
+    * marker hits in-row (the shared withLangMixScores spelling, so the
+    * mixed rule cannot diverge from batch) and ONE complete-mode rollup
+    * keeps per-source mixed / zero-evidence counts current while a
+    * crawl lands — a source whose mixed share climbs mid-ingest is
+    * switching language mid-crawl, visible batches before any offline
+    * pass. State = |sources| rows; count aggregation is delivery-order
+    * invariant, and StreamingSpec pins the final counts == batch under
+    * in-order AND shuffled delivery.
+    */
+  def langMixStream(stream: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.withLangMixScores(stream)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("second") > 0L && col("second") * 3L >= col("best"),
+          1L).otherwise(0L)).cast("long").as("n_mixed"),
+        sum(when(col("best") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_nohit"))
+
   /** Sliding-window throughput as a continuous query — the streaming
     * half of [[graft.analytics.Analytics.rollingThroughput]]: a
     * 5-minute window sliding by 1 minute over event time, so each

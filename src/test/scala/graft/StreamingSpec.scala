@@ -598,6 +598,52 @@ class StreamingSpec extends AnyFunSuite {
     want.unpersist()
   }
 
+  test("online length screen flags exactly the batch outlier docs") {
+    val docs = Tables.t(spark, dir, "documents")
+    // batch truth: docs beyond 5 MAD of their source's median
+    val fit = llm.TextAnalysis.docLengthOutliers(spark, dir)
+      .select("source", "med_chars", "mad_chars")
+    val want = docs.join(fit, "source")
+      .filter(abs(col("n_chars") - col("med_chars")) >
+        col("mad_chars") * 5L)
+      .select(col("doc_id").cast("long").as("doc_id"))
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = Streams.lengthScreenStream(spark, dir, src).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val staged = stageChunks(docs, 4,
+      md5(concat_ws("#", lit("lenscreen"), col("doc_id"))))
+    val got = run(chunkStream(staged), "graft_lenscreen")
+    assert(got.select("doc_id").exceptAll(want).count() == 0 &&
+      want.exceptAll(got.select("doc_id")).count() == 0)
+    // flag count matches the batch report's outlier total
+    val nOut = llm.TextAnalysis.docLengthOutliers(spark, dir)
+      .agg(sum("n_outliers")).first().getLong(0)
+    assert(got.count() == nOut)
+  }
+
+  test("live language-mix monitor == batch lang_mix, any order") {
+    val docs = Tables.t(spark, dir, "documents")
+    val want = llm.TextAnalysis.langMix(spark, dir)
+      .select("source", "n_docs", "n_mixed", "n_nohit")
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = Streams.langMixStream(src).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val got = run(Streams.tableStream(spark, dir, "documents"), "graft_lmix1")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    val staged = stageChunks(docs, 4,
+      md5(concat_ws("#", lit("lmix"), col("doc_id"))))
+    val got2 = run(chunkStream(staged), "graft_lmix2")
+    assert(got2.exceptAll(want).count() == 0 &&
+      want.exceptAll(got2).count() == 0)
+  }
+
   test("live dataset card == batch corpus_card stateless fields, any order") {
     val docs = Tables.t(spark, dir, "documents")
     val want = llm.TextAnalysis.corpusCard(spark, dir)
