@@ -578,6 +578,39 @@ object Dedup {
       .withColumn("cover_bp", expr("(10000 * cover_toks) div n_toks"))
   }
 
+  /** Quality-vs-duplication calibration: per (source, near-dup
+    * membership), population, mean corpus-frequency quality score
+    * (gram_likelihood's integer-quantized qs) and mean length — the
+    * hypothesis test behind aggressive dedup ("near-dups are
+    * boilerplate, dropping them raises corpus quality"). If the dup
+    * side scores HIGHER than the clean side for a source, its dedup is
+    * eating good text and the threshold needs review — read this
+    * before widening any LSH band.
+    *
+    * Scale: rides [[dedupClusters]]' cached label frame; the quality
+    * side is gram_likelihood's one scan + broadcast-df join; the final
+    * rollup is 2·|sources| rows. Integer floor-division means, so both
+    * engines agree exactly.
+    */
+  def qualityByDup(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.llm.TextAnalysis.gramLikelihood(spark, dir)
+      .withColumn("qs", expr("(1000000 * sum_df) div n_tokens"))
+      .select("doc_id", "qs")
+    val lab = dedupClusters(spark, dir)
+      .select(col("doc_id"), lit(1L).as("dup"))
+    t(spark, dir, "documents").select("doc_id", "source", "n_chars")
+      .join(q, "doc_id")
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("dup"), lit(0L)))
+      .groupBy("source", "is_dup")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("qs").cast("long").as("sum_qs"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .select(col("source"), col("is_dup"), col("n_docs"),
+        expr("sum_qs div n_docs").as("mean_qs"),
+        expr("sum_chars div n_docs").as("mean_chars"))
+  }
+
   /** Dedup survivorship-policy comparison: per source, the char mass a
     * keep-FIRST near-dup stage (the curation pipeline's minimal-doc_id
     * rule) retains vs a keep-BEST stage ([[clusterCanonical]]'s
@@ -736,6 +769,7 @@ object Dedup {
     "benchmark_leakage" -> benchmarkLeakage,
     "contamination_spans" -> contaminationSpans,
     "dedup_policy_compare" -> dedupPolicyCompare,
+    "quality_by_dup" -> qualityByDup,
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_profile" -> dedupClusterProfile,
     "cluster_canonical" -> clusterCanonical,
@@ -946,6 +980,33 @@ object Dedup {
         |SELECT doc_id, n_toks, n_hit_grams, first_tok, last_tok,
         |  cover_toks, (10000 * cover_toks) // n_toks AS cover_bp
         |FROM cov""".stripMargin,
+    "quality_by_dup" ->
+      (clustersChainSql + """
+        |, lab AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |tk AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dfx AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+        |q AS (
+        |  SELECT doc_id,
+        |    (1000000 * CAST(SUM(tf * df) AS BIGINT))
+        |      // CAST(SUM(tf) AS BIGINT) AS qs
+        |  FROM tk JOIN dfx USING (tok) GROUP BY doc_id),
+        |j AS (
+        |  SELECT d.source,
+        |    CASE WHEN lab.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+        |    q.qs, d.n_chars
+        |  FROM documents d JOIN q USING (doc_id)
+        |  LEFT JOIN lab USING (doc_id))
+        |SELECT source, CAST(is_dup AS BIGINT) AS is_dup,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(qs) AS BIGINT) // COUNT(*) AS mean_qs,
+        |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS mean_chars
+        |FROM j GROUP BY source, is_dup""".stripMargin),
     "dedup_policy_compare" ->
       (clustersChainSql + """
         |, lab AS (

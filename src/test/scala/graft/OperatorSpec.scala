@@ -2019,6 +2019,26 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("quality_by_dup: populations tie out with the label frame") {
+    val qd = llm.Dedup.qualityByDup(spark, dir).cache()
+    val nDocs = Tables.t(spark, dir, "documents").count()
+    val nDup = llm.Dedup.dedupClusters(spark, dir).count()
+    assert(qd.agg(sum("n_docs").cast("long")).head().getLong(0) == nDocs)
+    assert(qd.filter(col("is_dup") === 1L)
+      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long")).head()
+      .getLong(0) == nDup)
+    assert(qd.filter(col("mean_qs") <= 0L || col("mean_chars") <= 0L)
+      .count() == 0)
+    // mean_qs is a floor mean of per-doc qs, so it is bounded by the
+    // global extremes
+    val q = llm.TextAnalysis.gramLikelihood(spark, dir)
+      .withColumn("qs", expr("(1000000 * sum_df) div n_tokens"))
+    val mm = q.agg(min("qs"), max("qs")).head()
+    assert(qd.filter(col("mean_qs") < mm.getLong(0) ||
+      col("mean_qs") > mm.getLong(1)).count() == 0)
+    qd.unpersist()
+  }
+
   test("dedup_policy_compare: per-policy kept mass ties out") {
     val pc = llm.Dedup.dedupPolicyCompare(spark, dir).cache()
     val docs = Tables.t(spark, dir, "documents").select("doc_id", "n_chars")
