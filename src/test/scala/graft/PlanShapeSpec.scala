@@ -528,6 +528,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 close-out additions keep their scale shapes") {
+    // supplier_share_hhi: both dims broadcast into the fact scan; the
+    // only shuffles are the (nation, supplier) partial agg and the
+    // suppliers-frame window.
+    val hh = planOf(graft.analytics.Analytics.supplierShareHhi(spark, dir))
+    assert(hh.contains("BroadcastHashJoin") && !hh.contains("SortMergeJoin"),
+      s"supplier_share_hhi dims not broadcast:\n$hh")
+    // interarrival_quartiles: the rank-pick offset table must broadcast
+    // back (no shuffled join of the gap frame against it).
+    val iq = planOf(graft.analytics.Analytics.interarrivalQuartiles(spark, dir))
+    assert(iq.contains("BroadcastHashJoin"),
+      s"interarrival_quartiles offsets not broadcast:\n$iq")
+    // vocab_coverage_curve: partial top-k head, never a global Sort of
+    // the vocabulary.
+    val cv = planOf(graft.llm.TextAnalysis.vocabCoverageCurve(spark, dir))
+    assert(cv.contains("TakeOrderedAndProject"),
+      s"vocab_coverage_curve head is not a partial top-k:\n$cv")
+    // contamination_spans: the benchmark gram set broadcasts into the
+    // train-side explode, as in decontaminate.
+    val cs = planOf(graft.llm.Dedup.contaminationSpans(spark, dir))
+    assert(cs.contains("BroadcastHashJoin"),
+      s"contamination_spans gram set not broadcast:\n$cs")
+    // doc_length_outliers: med/MAD frames broadcast back into the
+    // metadata-sized count frame; no shuffled join anywhere.
+    val ol = planOf(graft.llm.TextAnalysis.docLengthOutliers(spark, dir))
+    assert(ol.contains("BroadcastHashJoin") && !ol.contains("SortMergeJoin"),
+      s"doc_length_outliers med/MAD not broadcast:\n$ol")
+  }
+
   test("embedding_outliers broadcasts centroids and stats, never re-shuffles vectors") {
     val plan = planOf(graft.llm.Similarity.embeddingOutliers(spark, dir))
     assert(!plan.contains("SortMergeJoin"),
