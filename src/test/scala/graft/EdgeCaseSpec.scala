@@ -48,7 +48,9 @@ class EdgeCaseSpec extends AnyFunSuite {
       "doc_length_stats", "vocab_stats", "vocab_coverage", "vocab_overlap",
       "corpus_card", "collocations", "source_unique_grams", "zipf_profile",
       "ngram_counts", "ngram_novelty", "gram_likelihood",
-      "bigram_likelihood", "corpus_filter", "pii_scrub")
+      "bigram_likelihood", "corpus_filter", "pii_scrub",
+      "sentence_stats", "lang_mix", "doc_length_outliers",
+      "vocab_coverage_curve", "token_budget_plan")
     for (name <- docOnly) {
       val n = SparkEntry.queries(name)(spark, dir).count()
       assert(n >= 0, s"$name failed on the adversarial corpus")
