@@ -1473,8 +1473,48 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2L)
 
+  /** Association lift over the repeated basket pairs: n_both·N /
+    * (n_p1·n_p2) in ppm — [[basketPairs]] counts co-occurrence, lift
+    * says whether it EXCEEDS chance (lift_q > 1e6) or is just two
+    * popular parts colliding (the mistake raw pair counts invite).
+    * Integer-exact: one quantized ratio of four exact counts. The
+    * 1e6·n_both·n_all numerator wants DECIMAL(38) headroom at extreme
+    * order counts — the HHI class.
+    *
+    * Scale: one ps build (the basketPairs shape) serves the pair
+    * counts, the per-part counts, and the order total; the part-count
+    * frames broadcast back into the pair frame.
+    */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val ps = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val nAll = ps.agg(count(lit(1)).as("n_all"))
+    val perPart = ps.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_part"))
+    val pairs = ps.filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .select(col("pr.p1"), col("pr.p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2L)
+    pairs
+      .join(broadcast(perPart.select(col("pk").as("p1"),
+        col("n_part").as("n_p1"))), "p1")
+      .join(broadcast(perPart.select(col("pk").as("p2"),
+        col("n_part").as("n_p2"))), "p2")
+      .crossJoin(broadcast(nAll))
+      .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
+        col("n_p2"),
+        expr("(1000000 * n_both * n_all) div (n_p1 * n_p2)").as("lift_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "basket_pairs" -> basketPairs,
+    "basket_lift" -> basketLift,
     "conversion_lag" -> conversionLag,
     "rolling_throughput" -> rollingThroughput,
     "nation_revenue_rollup" -> nationRevenueRollup,
@@ -1548,6 +1588,25 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "basket_lift" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    COUNT(*) AS n_both
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY p1, p2
+        |  HAVING COUNT(*) >= 2),
+        |pp AS (SELECT l_partkey AS pk, COUNT(*) AS n_part
+        |  FROM op GROUP BY pk),
+        |na AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_all
+        |  FROM lineitem)
+        |SELECT p1, p2, n_both,
+        |  a.n_part AS n_p1, b.n_part AS n_p2,
+        |  (1000000 * n_both * n_all) // (a.n_part * b.n_part) AS lift_q
+        |FROM pairs JOIN pp a ON pairs.p1 = a.pk
+        |JOIN pp b ON pairs.p2 = b.pk CROSS JOIN na""".stripMargin,
     "basket_pairs" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

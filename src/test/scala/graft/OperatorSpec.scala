@@ -2019,6 +2019,25 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("basket_lift: pairs match basket_pairs, lift arithmetic exact") {
+    val bl = analytics.Analytics.basketLift(spark, dir).cache()
+    val bp = analytics.Analytics.basketPairs(spark, dir)
+    assert(bl.count() == bp.count())
+    assert(bl.select("p1", "p2").except(bp.select("p1", "p2"))
+      .count() == 0)
+    // co-occurrence can never exceed either part's own order count
+    assert(bl.filter(col("n_both") > col("n_p1") ||
+      col("n_both") > col("n_p2")).count() == 0)
+    // exact lift recount with the order total rejoined
+    val nAll = Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey").distinct().count()
+    assert(bl.filter(col("lift_q") =!=
+      expr(s"(1000000 * n_both * ${nAll}L) div (n_p1 * n_p2)"))
+      .count() == 0)
+    assert(bl.filter(col("lift_q") <= 0L).count() == 0)
+    bl.unpersist()
+  }
+
   test("quality_by_dup: populations tie out with the label frame") {
     val qd = llm.Dedup.qualityByDup(spark, dir).cache()
     val nDocs = Tables.t(spark, dir, "documents").count()
