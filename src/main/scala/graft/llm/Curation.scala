@@ -102,6 +102,39 @@ object Curation {
           1L).otherwise(0L).as("spans_boundary"))
   }
 
+  /** Context-length sweep over the pack layout: sequences, tail waste,
+    * and boundary-spanning docs at ctx ∈ {256, 512, 1024} — the knob a
+    * pretraining team prices before fixing a context window (double the
+    * window: half the tail waste but MORE docs need cross-document
+    * masking... or fewer? this is the measurement). One evaluation of
+    * the [[seqPack]] offsets serves all three lengths — start_off and
+    * n_tok are ctx-independent, so the sweep is pure arithmetic on the
+    * already-computed layout (the semdedup_sweep discipline).
+    */
+  def packLenSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sp = seqPack(spark, dir).select("source", "n_tok", "start_off")
+    val ls = spark.range(3)
+      .select(expr("CAST(shiftleft(256, CAST(id AS INT)) AS BIGINT)")
+        .as("ctx"))
+    // per-source packing keeps its own tail per source (the seqPack
+    // contract), so sequence counts roll up per (ctx, source) first
+    sp.crossJoin(broadcast(ls))
+      .groupBy("ctx", "source")
+      .agg(count(lit(1)).as("nd"),
+        sum("n_tok").cast("long").as("stoks"),
+        sum(when(expr("(start_off + n_tok - 1) div ctx") =!=
+          expr("start_off div ctx"), 1L).otherwise(0L)).cast("long")
+          .as("nsp"))
+      .withColumn("sseqs", expr("(stoks + ctx - 1) div ctx"))
+      .groupBy("ctx")
+      .agg(sum("nd").cast("long").as("n_docs"),
+        sum("stoks").cast("long").as("total_toks"),
+        sum("nsp").cast("long").as("n_spanning"),
+        sum("sseqs").cast("long").as("n_seqs"))
+      .withColumn("tail_waste", expr("n_seqs * ctx - total_toks"))
+      .withColumn("span_bp", expr("(10000 * n_spanning) div n_docs"))
+  }
+
   /** Packing-quality rollup over [[seqPack]]: per source the sequences
     * produced, the partial tail (the only waste contiguous concatenation
     * leaves), and — the number that matters for training — how many
@@ -455,7 +488,8 @@ object Curation {
     "boilerplate_chunks" -> boilerplateChunks,
     "strip_boilerplate" -> stripBoilerplate,
     "pack_efficiency" -> packEfficiency,
-    "seq_pack" -> seqPack)
+    "seq_pack" -> seqPack,
+    "pack_len_sweep" -> packLenSweep)
 
   /** Shared chunking CTE — unnest-in-select (DuckDB's generate_series
     * table function cannot be lateral).
@@ -705,6 +739,36 @@ object Curation {
          |    AS tail_waste,
          |  CAST(n_spanning AS DOUBLE) / n_docs AS span_rate
          |FROM agg""".stripMargin,
+    "pack_len_sweep" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS start_off
+         |  FROM d),
+         |ks AS (SELECT CAST(unnest([256, 512, 1024]) AS BIGINT) AS ctx),
+         |per AS (
+         |  SELECT ctx, source, COUNT(*) AS nd,
+         |    CAST(SUM(n_tok) AS BIGINT) AS stoks,
+         |    CAST(SUM(CASE WHEN (start_off + n_tok - 1) // ctx
+         |      <> start_off // ctx THEN 1 ELSE 0 END) AS BIGINT) AS nsp
+         |  FROM c CROSS JOIN ks GROUP BY ctx, source),
+         |per2 AS (
+         |  SELECT ctx, nd, stoks, nsp,
+         |    (stoks + ctx - 1) // ctx AS sseqs FROM per),
+         |r AS (
+         |  SELECT ctx, CAST(SUM(nd) AS BIGINT) AS n_docs,
+         |    CAST(SUM(stoks) AS BIGINT) AS total_toks,
+         |    CAST(SUM(nsp) AS BIGINT) AS n_spanning,
+         |    CAST(SUM(sseqs) AS BIGINT) AS n_seqs
+         |  FROM per2 GROUP BY ctx)
+         |SELECT ctx, n_docs, total_toks, n_spanning, n_seqs,
+         |  n_seqs * ctx - total_toks AS tail_waste,
+         |  (10000 * n_spanning) // n_docs AS span_bp
+         |FROM r""".stripMargin,
     "seq_pack" ->
       s"""WITH d AS (SELECT doc_id, source,
          |  CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok FROM documents),

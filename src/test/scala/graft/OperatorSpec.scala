@@ -2019,6 +2019,29 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("pack_len_sweep: monotone in ctx, 512 row matches pack_efficiency") {
+    val sw = llm.Curation.packLenSweep(spark, dir).cache()
+    assert(sw.count() == 3)
+    val rows = sw.orderBy("ctx").collectAsList()
+    // doubling ctx can only reduce sequence count and spanning docs
+    assert(rows.get(0).getAs[Long]("n_seqs")
+      >= rows.get(1).getAs[Long]("n_seqs"))
+    assert(rows.get(1).getAs[Long]("n_seqs")
+      >= rows.get(2).getAs[Long]("n_seqs"))
+    assert(rows.get(0).getAs[Long]("n_spanning")
+      >= rows.get(1).getAs[Long]("n_spanning"))
+    // the ctx=512 point is exactly the pack_efficiency rollup
+    val pe = llm.Curation.packEfficiency(spark, dir)
+      .agg(sum("n_seqs").cast("long"), sum("n_spanning").cast("long"),
+        sum("tail_waste").cast("long")).head()
+    val r512 = rows.get(1)
+    assert(r512.getAs[Long]("ctx") == 512L)
+    assert(r512.getAs[Long]("n_seqs") == pe.getLong(0))
+    assert(r512.getAs[Long]("n_spanning") == pe.getLong(1))
+    assert(r512.getAs[Long]("tail_waste") == pe.getLong(2))
+    sw.unpersist()
+  }
+
   test("basket_lift: pairs match basket_pairs, lift arithmetic exact") {
     val bl = analytics.Analytics.basketLift(spark, dir).cache()
     val bp = analytics.Analytics.basketPairs(spark, dir)
