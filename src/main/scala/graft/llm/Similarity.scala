@@ -226,6 +226,50 @@ object Similarity {
       .select("cell", "n_vecs", "share_bp", "imbalance_x100")
   }
 
+  /** The COST side of the IVF nprobe knob: per nprobe ∈ {1, 2, 4}, the
+    * candidate volume the probed cells put in front of the 8-query
+    * range — total candidates, candidates per query, and the scanned
+    * corpus share in basis points. Read next to [[ivfRecallCurve]]
+    * (the recall side) it is the full price list the capacity plan
+    * interpolates on: recall@nprobe vs bytes-scanned@nprobe. Counts
+    * the probed cells' full populations (the honest scan amount — the
+    * query's own row included when its cell is probed).
+    *
+    * Scale: rides the cached assignment; the probe ranking touches
+    * |queries| x |cells| broadcast rows, the size table is
+    * |cells|-sized, and nothing data-sized moves.
+    */
+  def ivfScanCostCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Clustering.fittedCentroids(spark, dir)
+      .select(col("cid"), col("cv"), col("cnrm"))
+    val asg = ivfAssign(spark, dir)
+    val sizes = asg.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val nAll = asg.agg(count(lit(1)).as("n_total"))
+    val qw = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = vectors(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .withColumn("pr", row_number().over(qw).cast("long"))
+      .filter(col("pr") <= 4)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"), col("pr"))
+      .join(broadcast(sizes), "cell")
+    val ns = spark.range(3)
+      .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)")
+        .as("nprobe"))
+    probes.crossJoin(broadcast(ns))
+      .filter(col("pr") <= col("nprobe"))
+      .groupBy("nprobe")
+      .agg(countDistinct("q_id").as("n_queries"),
+        sum("csz").cast("long").as("cand_total"))
+      .crossJoin(broadcast(nAll))
+      .select(col("nprobe"), col("n_queries"), col("cand_total"),
+        expr("cand_total div n_queries").as("cand_per_query"),
+        expr("(10000 * cand_total) div (n_queries * n_total)")
+          .as("scan_share_bp"))
+  }
+
   /** IVF with nprobe=2 — the recall/cost knob made concrete: each query
     * probes its TWO nearest coarse cells instead of one (data vectors
     * still live in exactly one cell, so probed candidate sets are
@@ -1260,6 +1304,7 @@ object Similarity {
     "ann_refine" -> annRefine,
     "refine_recall" -> refineRecall,
     "ivf_recall_curve" -> ivfRecallCurve,
+    "ivf_scan_cost_curve" -> ivfScanCostCurve,
     "ann_pq" -> annPq,
     "pq_recall" -> pqRecall,
     "pq_distortion" -> pqDistortion,
@@ -2249,6 +2294,39 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM pairs)
          |WHERE rank <= 3""".stripMargin),
+    "ivf_scan_cost_curve" -> (vecSql + Clustering.fitSql +
+      s""", cents AS (
+         |  SELECT cid, cv, cnrm FROM fcent),
+         |assign AS (
+         |  SELECT vecs.vec_id, cents.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(vecs.v)), i -> vecs.v[i] * cents.cv[i])),
+         |      (acc, x) -> acc + x) / (vecs.nrm * cents.cnrm) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid) AS crn FROM assign),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell FROM ranked WHERE crn = 1),
+         |sizes AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS csz
+         |  FROM cells GROUP BY cell),
+         |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM cells),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid AS cell, CAST(crn AS BIGINT) AS pr
+         |  FROM ranked
+         |  WHERE vec_id >= 100 AND vec_id < 108 AND crn <= 4),
+         |ns AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+         |agg AS (
+         |  SELECT nprobe,
+         |    CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+         |    CAST(SUM(csz) AS BIGINT) AS cand_total
+         |  FROM probes JOIN sizes USING (cell) CROSS JOIN ns
+         |  WHERE pr <= nprobe GROUP BY nprobe)
+         |SELECT nprobe, n_queries, cand_total,
+         |  cand_total // n_queries AS cand_per_query,
+         |  (10000 * cand_total) // (n_queries * n_total) AS scan_share_bp
+         |FROM agg CROSS JOIN na""".stripMargin),
     "ivf_recall_curve" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
          |  SELECT cid, cv, cnrm FROM fcent),

@@ -2019,6 +2019,24 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("ivf_scan_cost_curve: monotone cost, full coverage at every nprobe") {
+    val cc = llm.Similarity.ivfScanCostCurve(spark, dir).cache()
+    assert(cc.count() == 3)
+    val rows = cc.orderBy("nprobe").collectAsList()
+    // more probes can only scan more
+    assert(rows.get(0).getAs[Long]("cand_total")
+      <= rows.get(1).getAs[Long]("cand_total"))
+    assert(rows.get(1).getAs[Long]("cand_total")
+      <= rows.get(2).getAs[Long]("cand_total"))
+    // every nprobe point covers all 8 queries and scans a positive,
+    // sub-total share
+    assert(cc.filter(col("n_queries") =!= 8L).count() == 0)
+    assert(cc.filter(col("cand_total") <= 0L ||
+      col("scan_share_bp") <= 0L || col("scan_share_bp") > 10000L)
+      .count() == 0)
+    cc.unpersist()
+  }
+
   test("pack_len_sweep: monotone in ctx, 512 row matches pack_efficiency") {
     val sw = llm.Curation.packLenSweep(spark, dir).cache()
     assert(sw.count() == 3)
