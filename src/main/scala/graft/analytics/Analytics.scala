@@ -1165,6 +1165,42 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"),
         max("span_days").as("max_span_days"))
 
+  /** Customer churn by market segment across the date-span midpoint
+    * (1995-06-30, the middle of the TPC-H order window): buyers active
+    * only in the first half (churned), only in the second (new), or in
+    * both (retained), with the churn rate over the first-half base in
+    * basis points — the lifecycle rollup a retention program is
+    * measured by.
+    *
+    * Scale: one orders scan partial-aggregates to two activity flags
+    * per customer, then an equi-join to the customer dim (AQE picks
+    * broadcast vs shuffle by dim size) and a |segments|-row rollup.
+    */
+  def customerChurn(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (col("o_orderdate") <= lit("1995-06-30").cast("timestamp"))
+          .as("h1"))
+      .groupBy("o_custkey")
+      .agg(max(when(col("h1"), 1L).otherwise(0L)).as("act1"),
+        max(when(!col("h1"), 1L).otherwise(0L)).as("act2"))
+    per.join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("act1") === 1L && col("act2") === 0L, 1L)
+          .otherwise(0L)).cast("long").as("n_churned"),
+        sum(when(col("act1") === 0L && col("act2") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("n_new"),
+        sum(when(col("act1") === 1L && col("act2") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("n_retained"))
+      .withColumn("churn_bp",
+        expr("""CASE WHEN n_churned + n_retained > 0
+               |THEN (10000 * n_churned) div (n_churned + n_retained)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+  }
+
   /** Supplier market concentration: per nation, the Herfindahl index
     * over supplier revenue shares (sum of squared shares, in basis
     * points squared: 10^8 = monopoly, 10^8/n = perfectly even) plus the
@@ -1528,6 +1564,7 @@ object Analytics {
     "fulfillment_lag_quartiles" -> fulfillmentLagQuartiles,
     "order_backlog_curve" -> orderBacklogCurve,
     "supplier_share_hhi" -> supplierShareHhi,
+    "customer_churn" -> customerChurn,
     "incident_blast" -> incidentBlast,
     "q13_custdist" -> q13,
     "q17_small_qty" -> q17,
@@ -1831,6 +1868,31 @@ object Analytics {
         |SELECT active_days, COUNT(*) AS n_users,
         |  MAX(span_days) AS max_span_days
         |FROM per_user GROUP BY active_days""".stripMargin,
+    "customer_churn" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderdate <= TIMESTAMP '1995-06-30'
+        |      THEN 1 ELSE 0 END) AS act1,
+        |    MAX(CASE WHEN o_orderdate > TIMESTAMP '1995-06-30'
+        |      THEN 1 ELSE 0 END) AS act2
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, COUNT(*) AS n_buyers,
+        |  CAST(SUM(CASE WHEN act1 = 1 AND act2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned,
+        |  CAST(SUM(CASE WHEN act1 = 0 AND act2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN act1 = 1 AND act2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CASE WHEN SUM(CASE WHEN act1 = 1 AND act2 = 0 THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN act1 = 1 AND act2 = 1 THEN 1 ELSE 0 END) > 0
+        |    THEN (10000 * CAST(SUM(CASE WHEN act1 = 1 AND act2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT))
+        |      // CAST(SUM(CASE WHEN act1 = 1 AND act2 = 0 THEN 1 ELSE 0 END)
+        |        + SUM(CASE WHEN act1 = 1 AND act2 = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS churn_bp
+        |FROM per JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "supplier_share_hhi" ->
       """WITH ps AS (
         |  SELECT n.n_name, s.s_suppkey,

@@ -2,6 +2,7 @@ package graft.registry
 
 import graft.log.LogOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType}
 
@@ -215,6 +216,35 @@ object SchemaRegistry {
         md5(concat_ws(",", sort_array(collect_list(
           concat_ws(":", col("field"), col("ftype")))))).as("fingerprint"))
 
+  /** Per-field evolution stability audit: across a subject's version
+    * history, how many versions carry the field, how many
+    * consecutive-version TYPE changes it suffered, and whether it was
+    * ever dropped and reintroduced (a version gap) — the field-level
+    * drill-down under schema_compat's subject-level verdict (a subject
+    * can pass BACKWARD overall while one field flip-flops types every
+    * other version; that field is the outage waiting to happen). One
+    * lag window + rollup on the cached typed field inventory —
+    * registry-sized, never data-sized.
+    */
+  def schemaFieldStability(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("topic", "field").orderBy("version")
+    typedVersionedFields(spark, dir)
+      .withColumn("prev_t", lag("ftype", 1).over(w))
+      .withColumn("prev_v", lag("version", 1).over(w))
+      .groupBy("topic", "field")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("prev_t").isNotNull && col("prev_t") =!= col("ftype"),
+          1L).otherwise(0L)).cast("long").as("type_changes"),
+        sum(when(col("prev_v").isNotNull &&
+          col("version") - col("prev_v") > 1, 1L).otherwise(0L))
+          .cast("long").as("reintroductions"),
+        min("version").cast("long").as("first_version"),
+        max("version").cast("long").as("last_version"))
+      .withColumn("stable",
+        when(col("type_changes") === 0L && col("reintroductions") === 0L,
+          1L).otherwise(0L))
+  }
+
   /** Non-transitive compatibility-mode matrix per subject
     * (CompatibilityChecker.java's BACKWARD / FORWARD / FULL modes), v3
     * checked against v2 only: backward = no v2 field dropped in v3,
@@ -421,7 +451,8 @@ object SchemaRegistry {
     "schema_compat" -> schemaCompat,
     "schema_compat_modes" -> schemaCompatModes,
     "schema_compat_transitive" -> schemaCompatTransitive,
-    "schema_versions" -> schemaVersions)
+    "schema_versions" -> schemaVersions,
+    "schema_field_stability" -> schemaFieldStability)
 
   private val L = LogOps.logSqlCte
 
@@ -619,6 +650,27 @@ object SchemaRegistry {
         |  md5(string_agg(field || ':' || ftype, ','
         |    ORDER BY field || ':' || ftype)) AS fingerprint
         |FROM tvf GROUP BY topic, version""".stripMargin),
+    "schema_field_stability" -> (L + fieldsSql + tvfieldsSql +
+      """, lagd AS (
+        |  SELECT topic, field, version, ftype,
+        |    LAG(ftype) OVER (PARTITION BY topic, field
+        |      ORDER BY version) AS prev_t,
+        |    LAG(version) OVER (PARTITION BY topic, field
+        |      ORDER BY version) AS prev_v
+        |  FROM tvf)
+        |SELECT topic, field, COUNT(*) AS n_versions,
+        |  CAST(SUM(CASE WHEN prev_t IS NOT NULL AND prev_t <> ftype
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS type_changes,
+        |  CAST(SUM(CASE WHEN prev_v IS NOT NULL AND version - prev_v > 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS reintroductions,
+        |  CAST(MIN(version) AS BIGINT) AS first_version,
+        |  CAST(MAX(version) AS BIGINT) AS last_version,
+        |  CAST(CASE WHEN SUM(CASE WHEN prev_t IS NOT NULL
+        |      AND prev_t <> ftype THEN 1 ELSE 0 END) = 0
+        |    AND SUM(CASE WHEN prev_v IS NOT NULL AND version - prev_v > 1
+        |      THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS stable
+        |FROM lagd GROUP BY topic, field""".stripMargin),
     "schema_compat_modes" -> (L + fieldsSql + versSql + fieldVerdictsSql +
       """SELECT topic,
         |  CAST(MIN(bwd2) AS BIGINT) AS backward,

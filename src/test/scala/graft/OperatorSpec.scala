@@ -2019,6 +2019,38 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("customer_churn: lifecycle states partition the buyer universe") {
+    val ch = analytics.Analytics.customerChurn(spark, dir).cache()
+    val nBuyers = Tables.t(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    val tot = ch.agg(sum("n_buyers").cast("long"),
+      sum(col("n_churned") + col("n_new") + col("n_retained"))
+        .cast("long")).head()
+    assert(tot.getLong(0) == nBuyers)
+    // churned + new + retained partition the buyers exactly (every
+    // buyer has at least one order, so (0,0) is impossible)
+    assert(tot.getLong(1) == nBuyers)
+    assert(ch.filter(col("churn_bp") < 0L || col("churn_bp") > 10000L)
+      .count() == 0)
+    ch.unpersist()
+  }
+
+  test("schema_field_stability: version spans and flags are consistent") {
+    val st = registry.SchemaRegistry.schemaFieldStability(spark, dir).cache()
+    assert(st.count() > 0)
+    assert(st.filter(col("n_versions") < 1L || col("n_versions") > 3L ||
+      col("first_version") > col("last_version")).count() == 0)
+    // a field spanning k versions has at most k-1 consecutive changes
+    assert(st.filter(col("type_changes") > col("n_versions") - 1L)
+      .count() == 0)
+    assert(st.filter(col("stable") === 1L)
+      .filter(col("type_changes") =!= 0L ||
+        col("reintroductions") =!= 0L).count() == 0)
+    // with 3 versions a reintroduction needs v1 and v3 without v2
+    assert(st.filter(col("reintroductions") > 1L).count() == 0)
+    st.unpersist()
+  }
+
   test("ivf_scan_cost_curve: monotone cost, full coverage at every nprobe") {
     val cc = llm.Similarity.ivfScanCostCurve(spark, dir).cache()
     assert(cc.count() == 3)
