@@ -428,6 +428,60 @@ object Similarity {
         max("e2q").as("max_e2q"))
       .withColumn("mean_e2q", expr("sum_e2q div n_vecs"))
 
+  /** Embedding classification-margin audit: per label, the mean margin
+    * between each vector's cosine to its OWN label centroid and its
+    * best OTHER-label centroid (quantized 1e-9), and the share of
+    * vectors with NEGATIVE margin (closer to another label's center
+    * than their own — the confusable mass). The finer-grained sibling
+    * of cell_purity: purity says the unsupervised cells roughly track
+    * labels, margin says how much geometric headroom each label
+    * actually has before a classifier (or a label-filtered ANN search)
+    * starts leaking.
+    *
+    * Scale: label centroids are the kmeans quantized-mean shape
+    * ((label, dim) partial agg); the margin pass is one broadcast of
+    * the |labels| centroid frame over the vectors with a map-side
+    * two-way max — nothing data-sized shuffles twice.
+    */
+  def embeddingLabelMargin(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Embeddings.directional(spark, dir)
+    val cents = vecs
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), expr("floor(x * 1000000)").as("xq"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").cast("long").as("sq"))
+      .withColumn("c",
+        col("sq").cast("double") / (col("n") * 1000000L).cast("double"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c)))," +
+        " s -> s.c)").as("cv"))
+      .withColumn("cnrm", expr("sqrt(vec_dot(cv, cv))"))
+      .select(col("label").as("clabel"), col("cv"), col("cnrm"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id", "label")
+      .agg(
+        max(when(col("clabel") === col("label"), col("ccos"))).as("own"),
+        max(when(col("clabel") =!= col("label"), col("ccos"))).as("other"))
+      .withColumn("mq",
+        expr("CAST(floor((own - other) * 1000000000.0D) AS BIGINT)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("mq").cast("long").as("sum_mq"),
+        sum(when(col("mq") < 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_negative"))
+      .select(col("label"), col("n_vecs"),
+        // floor-mean via a nonnegative shift: Spark's `div` truncates
+        // toward zero while DuckDB's // floors, so a possibly-negative
+        // numerator must be shifted into the nonnegative range (where
+        // the two agree) before dividing
+        expr("(sum_mq + 2000000000 * n_vecs) div n_vecs - 2000000000")
+          .as("mean_margin_q"),
+        col("n_negative"),
+        expr("(10000 * n_negative) div n_vecs").as("neg_bp"))
+  }
+
   /** Normalized 8-dim subspace slices (vec_id, s, sv) — the shared input
     * of the PQ codebook fit and the PQ encode/search path.
     */
@@ -1297,6 +1351,7 @@ object Similarity {
     "knn_clusters" -> knnClusters,
     "knn_cluster_profile" -> knnClusterProfile,
     "embedding_norm_stats" -> embeddingNormStats,
+    "embedding_label_margin" -> embeddingLabelMargin,
     "ann_lsh_multi" -> annLshMulti,
     "lsh_multi_recall" -> lshMultiRecall,
     "ann_ivfpq" -> annIvfPq,
@@ -1881,6 +1936,57 @@ object Similarity {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY cos8 DESC, n_id) AS rank FROM scored)
         |WHERE rank <= 3""".stripMargin),
+    "embedding_label_margin" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |vecs AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, label, v,
+         |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+         |    FROM e)
+         |  WHERE nrm > 0),
+         |cd AS (
+         |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sq
+         |  FROM (
+         |    SELECT label,
+         |      unnest(generate_series(0, len(v) - 1)) AS dim,
+         |      unnest(list_transform(v,
+         |        x -> CAST(floor(x * 1000000) AS BIGINT))) AS xq
+         |    FROM vecs)
+         |  GROUP BY label, dim),
+         |cents AS (
+         |  SELECT label AS clabel,
+         |    list(CAST(sq AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+         |      ORDER BY dim) AS cv
+         |  FROM cd GROUP BY label),
+         |cents2 AS (
+         |  SELECT clabel, cv,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(cv, x -> x * x)), (a, x) -> a + x)) AS cnrm
+         |  FROM cents),
+         |sc AS (
+         |  SELECT v.vec_id, v.label,
+         |    MAX(CASE WHEN c.clabel = v.label THEN
+         |      ${dotSql("v.v", "c.cv")} / (v.nrm * c.cnrm) END) AS own,
+         |    MAX(CASE WHEN c.clabel <> v.label THEN
+         |      ${dotSql("v.v", "c.cv")} / (v.nrm * c.cnrm) END) AS other
+         |  FROM vecs v CROSS JOIN cents2 c
+         |  GROUP BY v.vec_id, v.label),
+         |m AS (
+         |  SELECT label,
+         |    CAST(floor((own - other) * 1000000000.0) AS BIGINT) AS mq
+         |  FROM sc)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  (CAST(SUM(mq) AS BIGINT) + 2000000000 * COUNT(*)) // COUNT(*)
+         |    - 2000000000 AS mean_margin_q,
+         |  CAST(SUM(CASE WHEN mq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_negative,
+         |  (10000 * CAST(SUM(CASE WHEN mq < 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // COUNT(*) AS neg_bp
+         |FROM m GROUP BY label""".stripMargin,
     "sq8_distortion" ->
       """WITH e AS (
         |  SELECT vec_id, label,

@@ -2019,6 +2019,25 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("embedding_label_margin: covers the population, bounds hold") {
+    val lm = llm.Similarity.embeddingLabelMargin(spark, dir).cache()
+    val nv = llm.Embeddings.withNorm(spark, dir)
+      .filter(col("nrm") > 0.0).count()
+    assert(lm.agg(sum("n_vecs").cast("long")).head().getLong(0) == nv)
+    // margins are differences of cosines: |margin| <= 2 (2e9 quantized)
+    assert(lm.filter(abs(col("mean_margin_q")) > 2000000000L ||
+      col("n_negative") > col("n_vecs") ||
+      col("neg_bp") > 10000L).count() == 0)
+    // one row per label, and the audit finds real signal: the
+    // synthetic labels overlap, so confusable vectors exist (this is
+    // the measurement the operator exists for — on testdata the
+    // global mean margin is in fact slightly NEGATIVE)
+    assert(lm.count() == llm.Embeddings.withNorm(spark, dir)
+      .filter(col("nrm") > 0.0).select("label").distinct().count())
+    assert(lm.agg(sum("n_negative").cast("long")).head().getLong(0) > 0L)
+    lm.unpersist()
+  }
+
   test("customer_churn: lifecycle states partition the buyer universe") {
     val ch = analytics.Analytics.customerChurn(spark, dir).cache()
     val nBuyers = Tables.t(spark, dir, "orders")
