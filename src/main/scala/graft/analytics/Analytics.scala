@@ -1165,6 +1165,34 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"),
         max("span_days").as("max_span_days"))
 
+  /** Order seasonality: monthly order volume and exact decimal revenue
+    * with the year-over-year volume ratio in basis points — the
+    * calendar rollup every demand forecast starts from (a month whose
+    * YoY drops while neighbors hold is a supply incident, not
+    * seasonality). Calendar months are UTC on both engines, counts are
+    * exact integers, and the YoY ratio divides counts (never floats).
+    *
+    * Scale: one orders scan partial-aggregated to the |months| frame;
+    * the YoY self-join runs on (and broadcasts) that metadata-sized
+    * frame.
+    */
+  def ordersSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "orders")
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"),
+        money(col("o_totalprice")).as("p"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("p")).as("revenue"))
+    val prev = m.select((col("ym") + 100L).as("ym"),
+      col("n_orders").as("pn"))
+    m.join(broadcast(prev), Seq("ym"), "left")
+      .select(col("ym"), col("n_orders"), col("revenue"),
+        coalesce(col("pn"), lit(0L)).as("prev_n"))
+      .withColumn("yoy_bp",
+        expr("""CASE WHEN prev_n > 0 THEN (10000 * n_orders) div prev_n
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+  }
+
   /** Customer churn by market segment across the date-span midpoint
     * (1995-06-30, the middle of the TPC-H order window): buyers active
     * only in the first half (churned), only in the second (new), or in
@@ -1565,6 +1593,7 @@ object Analytics {
     "order_backlog_curve" -> orderBacklogCurve,
     "supplier_share_hhi" -> supplierShareHhi,
     "customer_churn" -> customerChurn,
+    "orders_seasonality" -> ordersSeasonality,
     "incident_blast" -> incidentBlast,
     "q13_custdist" -> q13,
     "q17_small_qty" -> q17,
@@ -1868,6 +1897,20 @@ object Analytics {
         |SELECT active_days, COUNT(*) AS n_users,
         |  MAX(span_days) AS max_span_days
         |FROM per_user GROUP BY active_days""".stripMargin,
+    "orders_seasonality" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |    AS BIGINT) AS ym,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY ym)
+        |SELECT a.ym, a.n_orders, a.revenue,
+        |  COALESCE(b.n_orders, 0) AS prev_n,
+        |  CASE WHEN COALESCE(b.n_orders, 0) > 0
+        |    THEN (10000 * a.n_orders) // b.n_orders
+        |    ELSE CAST(0 AS BIGINT) END AS yoy_bp
+        |FROM m a LEFT JOIN m b ON a.ym = b.ym + 100""".stripMargin,
     "customer_churn" ->
       """WITH per AS (
         |  SELECT o_custkey,

@@ -2019,6 +2019,22 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("orders_seasonality: months partition orders, YoY links align") {
+    val se = analytics.Analytics.ordersSeasonality(spark, dir).cache()
+    val nOrders = Tables.t(spark, dir, "orders").count()
+    assert(se.agg(sum("n_orders").cast("long")).head().getLong(0)
+      == nOrders)
+    // every month with a same-month-prior-year sibling carries its
+    // count as prev_n
+    val link = se.select((col("ym") + 100L).as("ym"),
+      col("n_orders").as("expect_prev"))
+    assert(se.join(link, "ym")
+      .filter(col("prev_n") =!= col("expect_prev")).count() == 0)
+    assert(se.filter(col("yoy_bp") < 0L).count() == 0)
+    assert(se.filter(col("revenue") <= 0.0).count() == 0)
+    se.unpersist()
+  }
+
   test("embedding_label_margin: covers the population, bounds hold") {
     val lm = llm.Similarity.embeddingLabelMargin(spark, dir).cache()
     val nv = llm.Embeddings.withNorm(spark, dir)
