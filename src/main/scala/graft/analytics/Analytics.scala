@@ -1165,6 +1165,28 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"),
         max("span_days").as("max_span_days"))
 
+  /** Brand discount depth: per part brand, items sold, the mean granted
+    * discount in basis points (exact integer mean over per-row
+    * quantized discounts), and net decimal revenue — the merchandising
+    * view that catches a brand being silently margin-dumped (its mean
+    * discount drifting above the portfolio's). One fact scan with the
+    * part dim broadcast, |brands|-row rollup.
+    */
+  def brandDiscountDepth(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val discBp = (rate(col("l_discount")) * lit(10000)).cast("long")
+    t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(discBp).cast("long").as("sum_disc_bp"),
+        dsum(money(col("l_extendedprice")) *
+          (one - rate(col("l_discount")))).as("net_revenue"))
+      .select(col("p_brand"), col("n_items"),
+        expr("sum_disc_bp div n_items").as("mean_disc_bp"),
+        col("net_revenue"))
+  }
+
   /** Order seasonality: monthly order volume and exact decimal revenue
     * with the year-over-year volume ratio in basis points — the
     * calendar rollup every demand forecast starts from (a month whose
@@ -1594,6 +1616,7 @@ object Analytics {
     "supplier_share_hhi" -> supplierShareHhi,
     "customer_churn" -> customerChurn,
     "orders_seasonality" -> ordersSeasonality,
+    "brand_discount_depth" -> brandDiscountDepth,
     "incident_blast" -> incidentBlast,
     "q13_custdist" -> q13,
     "q17_small_qty" -> q17,
@@ -1897,6 +1920,19 @@ object Analytics {
         |SELECT active_days, COUNT(*) AS n_users,
         |  MAX(span_days) AS max_span_days
         |FROM per_user GROUP BY active_days""".stripMargin,
+    "brand_discount_depth" ->
+      """WITH j AS (
+        |  SELECT p.p_brand,
+        |    CAST(CAST(l.l_discount AS DECIMAL(3,2)) * 10000 AS BIGINT)
+        |      AS disc_bp,
+        |    CAST(l.l_extendedprice AS DECIMAL(10,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+        |      AS net
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(disc_bp) AS BIGINT) // COUNT(*) AS mean_disc_bp,
+        |  CAST(SUM(net) AS DOUBLE) AS net_revenue
+        |FROM j GROUP BY p_brand""".stripMargin,
     "orders_seasonality" ->
       """WITH m AS (
         |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)

@@ -2019,6 +2019,19 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("brand_discount_depth: items partition the joined fact rows") {
+    val bd = analytics.Analytics.brandDiscountDepth(spark, dir).cache()
+    val nJoin = Tables.t(spark, dir, "lineitem")
+      .join(Tables.t(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(bd.agg(sum("n_items").cast("long")).head().getLong(0) == nJoin)
+    // TPC-H discounts live in [0, 10%]
+    assert(bd.filter(col("mean_disc_bp") < 0L ||
+      col("mean_disc_bp") > 1000L).count() == 0)
+    assert(bd.filter(col("net_revenue") <= 0.0).count() == 0)
+    bd.unpersist()
+  }
+
   test("orders_seasonality: months partition orders, YoY links align") {
     val se = analytics.Analytics.ordersSeasonality(spark, dir).cache()
     val nOrders = Tables.t(spark, dir, "orders").count()
