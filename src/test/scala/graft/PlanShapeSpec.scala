@@ -557,6 +557,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"doc_length_outliers med/MAD not broadcast:\n$ol")
   }
 
+  test("final close-out additions keep their scale shapes") {
+    // basket_lift: the per-part count frames and the scalar total must
+    // broadcast back into the pair frame (no shuffled join there).
+    val bl = planOf(graft.analytics.Analytics.basketLift(spark, dir))
+    assert(bl.contains("BroadcastHashJoin"),
+      s"basket_lift part counts not broadcast:\n$bl")
+    // brand_discount_depth / customer_churn: dims broadcast or AQE
+    // shuffle — either way no CartesianProduct and at least one
+    // broadcast in the depth plan (part is a classic broadcast dim).
+    val bd = planOf(graft.analytics.Analytics.brandDiscountDepth(spark, dir))
+    assert(bd.contains("BroadcastHashJoin") && !bd.contains("SortMergeJoin"),
+      s"brand_discount_depth part dim not broadcast:\n$bd")
+    // orders_seasonality: the YoY self-join runs broadcast on the
+    // months frame.
+    val se = planOf(graft.analytics.Analytics.ordersSeasonality(spark, dir))
+    assert(se.contains("BroadcastHashJoin"),
+      s"orders_seasonality YoY join not broadcast:\n$se")
+    // embedding_label_margin: the label-centroid frame broadcasts; the
+    // data-sized vector frame never sort-merge joins.
+    val lm = planOf(graft.llm.Similarity.embeddingLabelMargin(spark, dir))
+    assert(!lm.contains("SortMergeJoin"),
+      s"embedding_label_margin shuffles a join:\n$lm")
+    // pack_len_sweep: the 3-row length frame broadcasts into the pack
+    // layout (BroadcastNestedLoopJoin from the crossJoin is expected).
+    val pl = planOf(graft.llm.Curation.packLenSweep(spark, dir))
+    assert(!pl.contains("CartesianProduct"),
+      s"pack_len_sweep plans a cartesian:\n$pl")
+  }
+
   test("embedding_outliers broadcasts centroids and stats, never re-shuffles vectors") {
     val plan = planOf(graft.llm.Similarity.embeddingOutliers(spark, dir))
     assert(!plan.contains("SortMergeJoin"),
