@@ -50,7 +50,9 @@ class EdgeCaseSpec extends AnyFunSuite {
       "ngram_counts", "ngram_novelty", "gram_likelihood",
       "bigram_likelihood", "corpus_filter", "pii_scrub",
       "sentence_stats", "lang_mix", "doc_length_outliers",
-      "vocab_coverage_curve", "token_budget_plan")
+      "vocab_coverage_curve", "token_budget_plan",
+      "cluster_canonical", "dedup_survivors", "dedup_policy_compare",
+      "quality_by_dup", "contamination_spans", "pack_len_sweep")
     for (name <- docOnly) {
       val n = SparkEntry.queries(name)(spark, dir).count()
       assert(n >= 0, s"$name failed on the adversarial corpus")
