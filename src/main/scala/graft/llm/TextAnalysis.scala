@@ -444,6 +444,39 @@ object TextAnalysis {
       .withColumn("outlier_bp", expr("(10000 * n_outliers) div n_docs"))
   }
 
+  /** Char-mass inequality per source: the exact Gini coefficient of doc
+    * lengths in basis points — 0 = every doc the same size, →10000 =
+    * all mass in one doc. A source whose Gini jumps is a crawl that
+    * started concatenating (few huge docs) or truncating (many tiny
+    * ones) — the single-number companion to [[docLengthOutliers]]'
+    * tail counts. Computed EXACTLY in integers from the (source,
+    * n_chars) count frame: a run of k docs at value v whose cumulative
+    * predecessor count is c0 occupies ranks c0+1..c0+k and contributes
+    * v·(k·c0 + k(k+1)/2) to Σ rank·x, so
+    * G_bp = (10000·(2·Σrank·x − (n+1)·Σx)) div (n·Σx) with no floats
+    * anywhere — both engines agree bit-for-bit.
+    *
+    * Scale: ONE corpus scan partial-aggregates to the count frame;
+    * the cumulative window and the Gini arithmetic run entirely there.
+    */
+  def lengthGini(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("k"))
+      .withColumn("c0",
+        coalesce(sum("k").over(Window.partitionBy("source")
+          .orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .groupBy("source")
+      .agg(sum("k").cast("long").as("n_docs"),
+        sum(col("n_chars") * col("k")).cast("long").as("total_chars"),
+        sum(col("n_chars") *
+          (col("k") * col("c0") + expr("(k * (k + 1)) div 2")))
+          .cast("long").as("s1"))
+      .withColumn("gini_bp",
+        expr("""(10000 * (2 * s1 - (n_docs + 1) * total_chars))
+               | div (n_docs * total_chars)""".stripMargin))
+      .select("source", "n_docs", "total_chars", "gini_bp")
+
   /** Mixed-language document screen: a doc whose second-best language
     * carries at least a third of its best language's marker mass is
     * code-switching, boilerplate-in-another-language, or mislabeled —
@@ -1070,6 +1103,7 @@ object TextAnalysis {
     "doc_length_stats" -> docLengthStats,
     "doc_length_outliers" -> docLengthOutliers,
     "lang_mix" -> langMix,
+    "length_gini" -> lengthGini,
     "sentence_stats" -> sentenceStats,
     "corpus_filter" -> corpusFilter,
     "langid" -> langid,
@@ -1623,6 +1657,27 @@ object TextAnalysis {
         |SELECT o.source, n_docs, med_chars, o.mad_chars, n_outliers,
         |  (10000 * n_outliers) // n_docs AS outlier_bp
         |FROM o JOIN med USING (source)""".stripMargin,
+    "length_gini" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, COUNT(*) AS k
+        |  FROM documents GROUP BY source, n_chars),
+        |cc AS (
+        |  SELECT source, n_chars, k,
+        |    CAST(COALESCE(SUM(k) OVER (PARTITION BY source
+        |      ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c0
+        |  FROM c),
+        |r AS (
+        |  SELECT source, CAST(SUM(k) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars * k) AS BIGINT) AS total_chars,
+        |    CAST(SUM(n_chars * (k * c0 + (k * (k + 1)) // 2)) AS BIGINT)
+        |      AS s1
+        |  FROM cc GROUP BY source)
+        |SELECT source, n_docs, total_chars,
+        |  (10000 * (2 * s1 - (n_docs + 1) * total_chars))
+        |    // (n_docs * total_chars) AS gini_bp
+        |FROM r""".stripMargin,
     "lang_mix" ->
       s"""WITH h AS (
          |  SELECT source,

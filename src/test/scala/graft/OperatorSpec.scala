@@ -2019,6 +2019,36 @@ class OperatorSpec extends AnyFunSuite {
     cs.unpersist()
   }
 
+  test("length_gini: bounds hold and a uniform source scores zero") {
+    val lg = llm.TextAnalysis.lengthGini(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+    assert(lg.count() == docs.select("source").distinct().count())
+    assert(lg.filter(col("gini_bp") < 0L || col("gini_bp") >= 10000L)
+      .count() == 0)
+    assert(lg.join(docs.groupBy("source")
+      .agg(count(lit(1)).as("nd"), sum("n_chars").cast("long").as("tc")),
+      "source")
+      .filter(col("n_docs") =!= col("nd") ||
+        col("total_chars") =!= col("tc")).count() == 0)
+    // exactness check on a synthetic frame: all-equal lengths -> 0,
+    // one doc owning all mass -> (n-1)/n of 10000 (floored)
+    import spark.implicits._
+    val uni = Seq.fill(10)(100L).zipWithIndex
+      .map { case (c, i) => (i.toLong, "u", c) }
+      .toDF("doc_id", "source", "n_chars")
+    val skewed = ((0L, "s", 9991L) +: Seq.tabulate(9)(i =>
+      (i + 1L, "s", 1L))).toDF("doc_id", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gini")
+    tmp.toFile.deleteOnExit()
+    uni.union(skewed).coalesce(1)
+      .write.parquet(s"$tmp/documents.parquet")
+    val g2 = llm.TextAnalysis.lengthGini(spark, tmp.toString)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("gini_bp")).toMap
+    assert(g2("u") == 0L)
+    assert(g2("s") > 8900L) // one doc owns 99.9% of the mass
+    lg.unpersist()
+  }
+
   test("brand_discount_depth: items partition the joined fact rows") {
     val bd = analytics.Analytics.brandDiscountDepth(spark, dir).cache()
     val nJoin = Tables.t(spark, dir, "lineitem")
