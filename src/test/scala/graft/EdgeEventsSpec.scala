@@ -65,6 +65,22 @@ class EdgeEventsSpec extends AnyFunSuite {
       ("click", "purchase", "error"), ("signup", "view", "purchase")))
   }
 
+  test("tied timestamps: interarrival gaps are zero, counted exactly") {
+    // user 1's four same-instant events yield three gaps of exactly 0 ms
+    // within each type... but types differ, so per-(user, type) there
+    // are NO gaps for user 1; users 2/3 contribute one gap each per
+    // type pair. The tie-broken lag window must neither crash nor
+    // invent nonzero gaps from the tied instants.
+    val iq = analytics.Analytics.interarrivalQuartiles(spark, dir)
+    val got = iq.collect().map(r =>
+      r.getString(0) -> r.getAs[Long]("n_gaps")).toMap
+    // no (user, type) pair repeats a type for users 1/2/3/4 except none
+    // — the adversarial set has all-distinct types per user, so the
+    // operator must return an EMPTY frame rather than fabricate gaps
+    assert(got.isEmpty,
+      s"interarrival invented gaps on a no-repeat stream: $got")
+  }
+
   test("session boundary is strictly greater than 30 minutes") {
     val s = analytics.Analytics.sessionize(spark, dir)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
