@@ -872,7 +872,12 @@ object Analytics {
         approx_count_distinct("user_id", 0.02).cast("long")
           .as("approx_users"))
       .withColumn("err_ppm",
-        expr("(1000000 * abs(approx_users - exact_users)) div exact_users"))
+        // An all-NULL user_id group yields exact_users = 0: degrade to
+        // 0 ppm rather than an ANSI DIVIDE_BY_ZERO stage abort.
+        expr("""CASE WHEN exact_users > 0
+               |  THEN (1000000 * abs(approx_users - exact_users))
+               |    div exact_users
+               |  ELSE 0 END""".stripMargin))
 
   /** Session-level conversion audit: the 30-minute sessionization chain
     * ([[sessionize]]'s exact session ids) rolled up by session LENGTH —
@@ -1543,21 +1548,58 @@ object Analytics {
     * a DuckDB self-join, a structurally different plan.
     */
   def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    basketPairCounts(spark, dir)
+      .withColumnRenamed("n_both", "n_orders")
+
+  /** The per-order sorted distinct part list — the shared base of the
+    * basket family ([[basketPairs]], [[basketLift]]), fingerprint-cached
+    * per (session, data) and localCheckpoint'ed so the lineitem
+    * scan+shuffle is paid once, not per consumer (the knn/anomaly cache
+    * discipline).
+    */
+  private[graft] def basketSets(spark: SparkSession, dir: String): DataFrame =
+    basketSetsCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(basketSetsCache, spark, dir, "lineitem"),
+      buildBasketSets(spark, dir).localCheckpoint())
+
+  private val basketSetsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The uncached ps build — split out so PlanShapeSpec pins the BUILD
+    * shape (one partial-aggregated fact scan) after the checkpoint
+    * truncates lineage.
+    */
+  private[graft] def buildBasketSets(
+      spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey")
       // collect_set dedups in-row — a separate distinct() would add a
       // second full shuffle of the fact for nothing
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y ->
-          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
-      .select(col("pr.p1"), col("pr.p2"))
-      .groupBy("p1", "p2")
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 2L)
+
+  /** The repeated (p1, p2, n_both) co-occurrence counts off the cached
+    * [[basketSets]] frame — likewise cached; serves both registry
+    * entries.
+    */
+  private[graft] def basketPairCounts(
+      spark: SparkSession, dir: String): DataFrame =
+    basketPairsCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(basketPairsCache, spark, dir, "lineitem"),
+      basketSets(spark, dir)
+        .filter(size(col("ps")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+        .select(col("pr.p1"), col("pr.p2"))
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 2L)
+        .localCheckpoint())
+
+  private val basketPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   /** Association lift over the repeated basket pairs: n_both·N /
     * (n_p1·n_p2) in ppm — [[basketPairs]] counts co-occurrence, lift
@@ -1572,22 +1614,11 @@ object Analytics {
     * frames broadcast back into the pair frame.
     */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
-    val ps = t(spark, dir, "lineitem")
-      .select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val ps = basketSets(spark, dir)
     val nAll = ps.agg(count(lit(1)).as("n_all"))
     val perPart = ps.select(explode(col("ps")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n_part"))
-    val pairs = ps.filter(size(col("ps")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y ->
-          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
-      .select(col("pr.p1"), col("pr.p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= 2L)
-    pairs
+    basketPairCounts(spark, dir)
       .join(broadcast(perPart.select(col("pk").as("p1"),
         col("n_part").as("n_p1"))), "p1")
       .join(broadcast(perPart.select(col("pk").as("p2"),
@@ -1595,7 +1626,11 @@ object Analytics {
       .crossJoin(broadcast(nAll))
       .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
         col("n_p2"),
-        expr("(1000000 * n_both * n_all) div (n_p1 * n_p2)").as("lift_q"))
+        // DECIMAL(38,0) headroom (the collocations discipline): raw
+        // BIGINT would overflow the numerator at large order counts.
+        expr("""CAST((CAST(n_both AS DECIMAL(38,0)) * 1000000 * n_all)
+               |  DIV (CAST(n_p1 AS DECIMAL(38,0)) * n_p2) AS BIGINT)"""
+          .stripMargin).as("lift_q"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1693,7 +1728,8 @@ object Analytics {
         |  FROM lineitem)
         |SELECT p1, p2, n_both,
         |  a.n_part AS n_p1, b.n_part AS n_p2,
-        |  (1000000 * n_both * n_all) // (a.n_part * b.n_part) AS lift_q
+        |  CAST((CAST(n_both AS HUGEINT) * 1000000 * n_all)
+        |    // (CAST(a.n_part AS HUGEINT) * b.n_part) AS BIGINT) AS lift_q
         |FROM pairs JOIN pp a ON pairs.p1 = a.pk
         |JOIN pp b ON pairs.p2 = b.pk CROSS JOIN na""".stripMargin,
     "basket_pairs" ->

@@ -43,11 +43,25 @@ object Chunking {
     * documents scan — zero shuffle; at 100 TB this is a map-only stage
     * whose output feeds partial aggregates ([[chunkDedup]],
     * [[chunkStats]]) that ship 32-byte hashes, not text.
+    *
+    * Per-doc length bound: window starts are addressed with
+    * `substring(text, CAST(c_start AS INT), ...)`. The INT cast is
+    * safe by construction — a Spark `string` value is a JVM String,
+    * which cannot hold more than 2^31-1 chars, so `c_start <= len`
+    * always fits — but the guard below still fails LOUDLY (raise_error,
+    * never a silently wrapped window) if a future source type widens
+    * the invariant (e.g. a chunked-text column exceeding one JVM
+    * string).
     */
   def docChunk(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         col("text"), length(col("text")).cast("long").as("len"))
+      .withColumn("len",
+        expr(s"""CASE WHEN len <= ${Int.MaxValue}L THEN len
+                |ELSE raise_error(CONCAT('docChunk: doc ', doc_id,
+                |  ' exceeds the 2^31-1 char window-addressing bound'))
+                |END""".stripMargin))
       // Empty docs emit no window in BOTH engines: without the guard,
       // Spark's `div` truncates (-1 div 150 = 0 -> one empty window)
       // while DuckDB's `//` floors (range empty -> none).

@@ -473,8 +473,12 @@ object TextAnalysis {
           (col("k") * col("c0") + expr("(k * (k + 1)) div 2")))
           .cast("long").as("s1"))
       .withColumn("gini_bp",
-        expr("""(10000 * (2 * s1 - (n_docs + 1) * total_chars))
-               | div (n_docs * total_chars)""".stripMargin))
+        // A source of solely zero-length docs has total_chars = 0:
+        // degrade to gini 0 instead of an ANSI DIVIDE_BY_ZERO abort.
+        expr("""CASE WHEN total_chars > 0
+               |  THEN (10000 * (2 * s1 - (n_docs + 1) * total_chars))
+               |    div (n_docs * total_chars)
+               |  ELSE 0 END""".stripMargin))
       .select("source", "n_docs", "total_chars", "gini_bp")
 
   /** Mixed-language document screen: a doc whose second-best language
@@ -1675,8 +1679,10 @@ object TextAnalysis {
         |      AS s1
         |  FROM cc GROUP BY source)
         |SELECT source, n_docs, total_chars,
-        |  (10000 * (2 * s1 - (n_docs + 1) * total_chars))
-        |    // (n_docs * total_chars) AS gini_bp
+        |  CASE WHEN total_chars > 0
+        |    THEN (10000 * (2 * s1 - (n_docs + 1) * total_chars))
+        |      // (n_docs * total_chars)
+        |    ELSE 0 END AS gini_bp
         |FROM r""".stripMargin,
     "lang_mix" ->
       s"""WITH h AS (

@@ -597,6 +597,21 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("exact_users") =!= col("ref")).count() == 0)
     assert(h.filter(col("err_ppm") > 50000L).count() == 0)
     h.unpersist()
+    // all-NULL degradation: an event_type whose user_ids are ALL NULL
+    // has exact_users = 0 and must report err_ppm 0, not abort under
+    // ANSI DIVIDE_BY_ZERO
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll0")
+    tmp.toFile.deleteOnExit()
+    Seq(("ghost", Option.empty[Long]), ("ghost", Option.empty[Long]),
+      ("real", Option(7L)))
+      .toDF("event_type", "user_id").coalesce(1)
+      .write.parquet(s"$tmp/events.parquet")
+    val h0 = analytics.Analytics.hllDistinctEval(spark, tmp.toString)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_users"), r.getAs[Long]("err_ppm"))).toMap
+    assert(h0("ghost") == ((0L, 0L)))
+    assert(h0("real")._1 == 1L)
   }
 
   test("source_unique_grams: universe accounting closes exactly") {
@@ -2046,6 +2061,17 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("gini_bp")).toMap
     assert(g2("u") == 0L)
     assert(g2("s") > 8900L) // one doc owns 99.9% of the mass
+    // zero-mass degradation: a source of solely zero-length docs must
+    // report gini 0, not abort the stage with ANSI DIVIDE_BY_ZERO
+    val empty = Seq.tabulate(5)(i => (i.toLong, "z", 0L))
+      .toDF("doc_id", "source", "n_chars")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_gini0")
+    tmp2.toFile.deleteOnExit()
+    uni.union(empty).coalesce(1)
+      .write.parquet(s"$tmp2/documents.parquet")
+    val g3 = llm.TextAnalysis.lengthGini(spark, tmp2.toString)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("gini_bp")).toMap
+    assert(g3("z") == 0L && g3("u") == 0L)
     lg.unpersist()
   }
 
