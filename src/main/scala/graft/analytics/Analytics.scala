@@ -1538,6 +1538,66 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-trajectory profile: each user's first three events (ordered
+    * by ms-floored timestamp with event_id as the deterministic tie
+    * rule — the EdgeEventsSpec contract) joined into a '>'-separated
+    * path, counted across users with each path's share of all users in
+    * basis points. The entry-path table a growth review reads before
+    * the per-step [[funnel]]: it says WHAT journeys actually open, not
+    * just how one prescribed journey converts.
+    *
+    * Scale: one user-keyed top-3 window (per-key bounded state — the
+    * topn_per_group shape), the path assembly in-row off the <= 3
+    * collected structs, then a |paths|-row rollup with the scalar
+    * total broadcast back.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val p = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000").as("tms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(expr(
+        """array_join(transform(
+          |  array_sort(collect_list(struct(rn, event_type))),
+          |  s -> s.event_type), '>')""".stripMargin).as("path"))
+    val tot = p.agg(count(lit(1)).as("n_total"))
+    p.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("path"), col("n_users"),
+        expr("(10000 * n_users) div n_total").as("share_bp"))
+  }
+
+  /** Cumulative activation curve: how many signed-up users convert to a
+    * first purchase within 0/1/3/7/14/30 days — [[conversionLag]]'s
+    * histogram integrated to the decision-ready "day-N conversion"
+    * numbers, with the rate over ALL signup users (not just converters)
+    * in basis points. Rides the same two partial-aggregated extremes;
+    * the window spine and both scalar/histogram frames are
+    * metadata-sized, so every join broadcasts.
+    */
+  def conversionWindowCurve(spark: SparkSession, dir: String): DataFrame = {
+    val lat = conversionLag(spark, dir)
+    val nSign = t(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .agg(countDistinct("user_id").as("n_signups"))
+    val wins = nSign.select(explode(array(
+      lit(0L), lit(1L), lit(3L), lit(7L), lit(14L), lit(30L)))
+      .as("win_days"), col("n_signups"))
+    wins.join(broadcast(lat), col("latency_days") <= col("win_days"),
+        "left")
+      .groupBy("win_days", "n_signups")
+      .agg(sum(coalesce(col("n_users"), lit(0L))).cast("long")
+        .as("n_converted"))
+      .select(col("win_days"), col("n_converted"), col("n_signups"),
+        // zero-signup degradation (the hll_distinct_eval guard style)
+        expr("""CASE WHEN n_signups > 0
+               |  THEN (10000 * n_converted) div n_signups
+               |  ELSE 0 END""".stripMargin).as("conv_bp"))
+  }
+
   /** Market-basket co-occurrence: part pairs bought together in the
     * same order, counted across orders and kept where they repeat —
     * the association-mining primitive behind recommendations. Pairs
@@ -1637,6 +1697,8 @@ object Analytics {
     "basket_pairs" -> basketPairs,
     "basket_lift" -> basketLift,
     "conversion_lag" -> conversionLag,
+    "conversion_window_curve" -> conversionWindowCurve,
+    "event_paths" -> eventPaths,
     "rolling_throughput" -> rollingThroughput,
     "nation_revenue_rollup" -> nationRevenueRollup,
     "customer_spend_deciles" -> customerSpendDeciles,
@@ -1753,6 +1815,47 @@ object Analytics {
         |SELECT (p_ms - s_ms) // 86400000 AS latency_days,
         |  COUNT(*) AS n_users
         |FROM fp GROUP BY latency_days""".stripMargin,
+    "conversion_window_curve" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS s_ms
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, s_ms, MIN(epoch_ms(e.ts)) AS p_ms
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s_ms
+        |  GROUP BY e.user_id, s_ms),
+        |lat AS (
+        |  SELECT (p_ms - s_ms) // 86400000 AS latency_days,
+        |    COUNT(*) AS n_users
+        |  FROM fp GROUP BY latency_days),
+        |ns AS (
+        |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_signups
+        |  FROM events WHERE event_type = 'signup'),
+        |w AS (
+        |  SELECT unnest([0, 1, 3, 7, 14, 30]) AS win_days)
+        |SELECT CAST(win_days AS BIGINT) AS win_days,
+        |  CAST(SUM(COALESCE(n_users, 0)) AS BIGINT) AS n_converted,
+        |  n_signups,
+        |  CASE WHEN n_signups > 0
+        |    THEN (10000 * CAST(SUM(COALESCE(n_users, 0)) AS BIGINT))
+        |      // n_signups
+        |    ELSE 0 END AS conv_bp
+        |FROM w CROSS JOIN ns
+        |LEFT JOIN lat ON lat.latency_days <= w.win_days
+        |GROUP BY win_days, n_signups""".stripMargin,
+    "event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM p)
+        |SELECT path, COUNT(*) AS n_users,
+        |  (10000 * COUNT(*)) // n_total AS share_bp
+        |FROM p CROSS JOIN tot GROUP BY path, n_total""".stripMargin,
     "rolling_throughput" ->
       """WITH mc AS (
         |  SELECT event_type, epoch_ms(ts) // 60000 AS minute, COUNT(*) AS n

@@ -60,13 +60,21 @@ object Dedup {
     (sigs.select("doc_id", "hs"), sigs, cand)
   }
 
-  private def bandPairs(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"), explode(
+  /** The (doc_id, band, bsig) bucket-key projection off the signature
+    * frame — in-row, shared by [[bandPairs]] and [[minhashBandStats]] so
+    * the banding spelling can never drift between the pair generator
+    * and its audit.
+    */
+  private def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(
       expr("""transform(sequence(0, 5),
              |  b -> struct(b as band,
              |    concat_ws('_', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as bsig))"""
         .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bsig"))
+
+  private def bandPairs(sigs: DataFrame): DataFrame = {
+    val bands = bandKeys(sigs)
     // One shuffle on the bucket key, then pairs are generated in-row from
     // the bucket's member list (i < j over the sorted members) — same pair
     // set as the windowed self-join form the oracle runs, one exchange and
@@ -81,6 +89,37 @@ object Dedup {
           |    j -> struct(ds[i] as d1, ds[j] as d2))))""".stripMargin)).as("p"))
       .select(col("p.d1"), col("p.d2"))
       .distinct()
+  }
+
+  /** Band-bucket occupancy audit of the MinHash-LSH shuffle — the
+    * measurement behind the 50-doc band cap's "recall-vs-boundedness
+    * stop-signal": per band, how many buckets exist, how the docs mass
+    * distributes (max bucket, singleton buckets that generate nothing),
+    * how many buckets the cap DROPS (n_over_cap — the silent-cap
+    * accounting the scale design demands be loud), and the in-row pair
+    * fan-out the surviving buckets produce (Σ k(k−1)/2, the exact row
+    * count [[bandPairs]] emits before distinct). A band whose max
+    * bucket explodes marks boilerplate-heavy shards where the band
+    * hash degenerates — the skew this table detects before it becomes
+    * a straggler.
+    *
+    * Scale: rides the cached signature frame; ONE bucket-key exchange
+    * to the (band, bsig) count frame, then a 6-row rollup.
+    */
+  def minhashBandStats(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sigs, _) = lshCandidates(spark, dir)
+    bandKeys(sigs)
+      .groupBy("band", "bsig").agg(count(lit(1)).as("k"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum("k").cast("long").as("n_docs"),
+        max("k").cast("long").as("max_bucket"),
+        sum(when(col("k") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_singletons"),
+        sum(when(col("k") > 50L, 1L).otherwise(0L)).cast("long")
+          .as("n_over_cap"),
+        sum(when(col("k").between(2L, 50L), expr("(k * (k - 1)) div 2"))
+          .otherwise(lit(0L))).cast("long").as("n_pairs"))
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -776,6 +815,7 @@ object Dedup {
     "dedup_survivors" -> dedupSurvivors,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "minhash_band_stats" -> minhashBandStats,
     "dedup_delta" -> dedupDelta,
     "containment" -> containment,
     "minhash_estimate" -> minhashEstimate,
@@ -1083,6 +1123,20 @@ object Dedup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> (lshPairsSql +
       "SELECT d1, d2, jac FROM pairs"),
+    "minhash_band_stats" -> (lshPairsSql +
+      """, bk AS (
+        |  SELECT b, bsig, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM bands GROUP BY b, bsig)
+        |SELECT b AS band, COUNT(*) AS n_buckets,
+        |  CAST(SUM(k) AS BIGINT) AS n_docs,
+        |  MAX(k) AS max_bucket,
+        |  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons,
+        |  CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over_cap,
+        |  CAST(SUM(CASE WHEN k BETWEEN 2 AND 50
+        |    THEN (k * (k - 1)) // 2 ELSE 0 END) AS BIGINT) AS n_pairs
+        |FROM bk GROUP BY b""".stripMargin),
     "dedup_delta" -> (lshPairsSql +
       s""", coined AS (
         |  SELECT d1, d2, jac,

@@ -929,6 +929,48 @@ object Similarity {
       .withColumn("mutual_bp", expr("(10000 * n_mutual) div n_edges"))
   }
 
+  /** Per-vector triangle count and local clustering coefficient over the
+    * undirected k-NN edges — the transitivity audit next to
+    * [[knnMutuality]]'s reciprocity: a neighborhood whose neighbors are
+    * ALSO neighbors of each other (high clustering) is a real semantic
+    * pocket; triangle-free stars are hub artifacts of the capped
+    * candidate generation. Exact integer math: for each edge (a, b) the
+    * merge-walk common-neighbor count c(a,b); Σ over v's incident edges
+    * of c = 2·tri(v), so n_tri = s div 2 and clust_bp =
+    * 10000·s div (deg·(deg−1)) (0 when deg < 2) with no doubles anywhere.
+    *
+    * Scale: rides the cached edge frame — undirected degree is bounded
+    * by twice the rank cap, so adjacency lists are <= 6 longs, the
+    * per-edge merge walk O(1), and every join is on the <= 3n-row edge
+    * frame; vector data is never touched.
+    */
+  def knnTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = knnGraph(spark, dir)
+      .select(least(col("q_id"), col("n_id")).as("a"),
+        greatest(col("q_id"), col("n_id")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("w"))
+      .union(und.select(col("b").as("v"), col("a").as("w")))
+      .groupBy("v").agg(sort_array(collect_set(col("w"))).as("nbrs"))
+    val ec = und
+      .join(adj.select(col("v").as("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("v").as("b"), col("nbrs").as("nb")), "b")
+      .withColumn("nc", expr("intersect_sorted(na, nb)"))
+      .select(col("a"), col("b"), col("nc"))
+    val perNode = ec.select(col("a").as("v"), col("nc"))
+      .union(ec.select(col("b").as("v"), col("nc")))
+      .groupBy("v").agg(sum("nc").cast("long").as("s"))
+    adj.select(col("v").as("vec_id"),
+        size(col("nbrs")).cast("long").as("deg"))
+      .join(perNode.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .select(col("vec_id"), col("deg"),
+        expr("s div 2").as("n_tri"),
+        expr("""CASE WHEN deg >= 2
+               |  THEN (10000 * s) div (deg * (deg - 1))
+               |  ELSE 0 END""".stripMargin).as("clust_bp"))
+  }
+
   /** Semantic clusters from the k-NN graph: connected components over
     * edges at/above the semdedup cosine threshold (0.25) — the cluster
     * labeling a SemDeDup-style pipeline uses to keep one exemplar per
@@ -998,6 +1040,53 @@ object Similarity {
         min("nrm").as("min_nrm"),
         pick(0.25).as("q1"), pick(0.5).as("median"), pick(0.75).as("q3"),
         max("nrm").as("max_nrm"))
+  }
+
+  /** Per-dimension value-range calibration — the audit run before fitting
+    * any per-dimension quantizer (asymmetric SQ8, clipping, dim dropout):
+    * for each of the 64 dimensions, the value count, the min/max bucket
+    * on a fixed 1/1000 grid, the grid-exact p01/p99 bucket (smallest
+    * bucket whose cumulative count reaches ceil(0.01·n) / ceil(0.99·n))
+    * and the mass strictly outside [p01, p99] in basis points — a fat
+    * clip tail on one dimension is the hot-dim pathology per-vector
+    * max-|x| scaling ([[annSq8]]) hides. Reads the UNfiltered frame (a
+    * detector, like [[embeddingNormStats]]).
+    *
+    * Scale: ONE scan partial-aggregates to the (dim, bucket) count frame
+    * (<= 64 · |grid| rows at any corpus size); the cumulative window,
+    * rank picks, and clip rollup all run there, and every join key is
+    * the 64-row dim frame (broadcast).
+    */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = graft.Tables.t(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("q",
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT)"))
+      .groupBy("d", "q").agg(count(lit(1)).as("k"))
+    val cum = cnt.withColumn("cum",
+      sum("k").over(Window.partitionBy("d").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    val tot = cnt.groupBy("d").agg(
+      sum("k").cast("long").as("n"),
+      min("q").as("mn_q"), max("q").as("mx_q"))
+      .withColumn("r1", expr("(n + 99) div 100"))
+      .withColumn("r99", expr("(99 * n + 99) div 100"))
+    val p01 = cum.join(broadcast(tot.select("d", "r1")), "d")
+      .filter(col("cum") >= col("r1"))
+      .groupBy("d").agg(min("q").as("p01_q"))
+    val p99 = cum.join(broadcast(tot.select("d", "r99")), "d")
+      .filter(col("cum") >= col("r99"))
+      .groupBy("d").agg(min("q").as("p99_q"))
+    val clip = cnt
+      .join(broadcast(p01), "d").join(broadcast(p99), "d")
+      .groupBy("d").agg(
+        sum(when(col("q") < col("p01_q"), col("k"))
+          .when(col("q") > col("p99_q"), col("k"))
+          .otherwise(lit(0L))).cast("long").as("n_clip"))
+    tot.select("d", "n", "mn_q", "mx_q")
+      .join(broadcast(p01), "d").join(broadcast(p99), "d")
+      .join(broadcast(clip), "d")
+      .withColumn("clip_bp", expr("(10000 * n_clip) div n"))
   }
 
   /** Cluster-size histogram over [[knnClusters]] — the degeneracy check a
@@ -1348,9 +1437,11 @@ object Similarity {
     "cell_purity" -> cellPurity,
     "knn_degree" -> knnDegree,
     "knn_mutuality" -> knnMutuality,
+    "knn_triangles" -> knnTriangles,
     "knn_clusters" -> knnClusters,
     "knn_cluster_profile" -> knnClusterProfile,
     "embedding_norm_stats" -> embeddingNormStats,
+    "embedding_dim_stats" -> embeddingDimStats,
     "embedding_label_margin" -> embeddingLabelMargin,
     "ann_lsh_multi" -> annLshMulti,
     "lsh_multi_recall" -> lshMultiRecall,
@@ -2263,6 +2354,61 @@ object Similarity {
         |FROM knng k LEFT JOIN rev r
         |  ON k.q_id = r.q_id AND k.n_id = r.n_id
         |GROUP BY k.rank""".stripMargin),
+    "embedding_dim_stats" ->
+      """WITH dims AS (
+        |  SELECT i - 1 AS d,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |cnt AS (SELECT d, q, COUNT(*) AS k FROM dims GROUP BY d, q),
+        |cum AS (
+        |  SELECT d, q, k,
+        |    CAST(SUM(k) OVER (PARTITION BY d ORDER BY q) AS BIGINT) AS cum
+        |  FROM cnt),
+        |tot AS (
+        |  SELECT d, CAST(SUM(k) AS BIGINT) AS n,
+        |    MIN(q) AS mn_q, MAX(q) AS mx_q
+        |  FROM cnt GROUP BY d),
+        |rk AS (SELECT *, (n + 99) // 100 AS r1,
+        |  (99 * n + 99) // 100 AS r99 FROM tot),
+        |p01 AS (
+        |  SELECT cum.d, MIN(q) AS p01_q FROM cum JOIN rk USING (d)
+        |  WHERE cum >= r1 GROUP BY cum.d),
+        |p99 AS (
+        |  SELECT cum.d, MIN(q) AS p99_q FROM cum JOIN rk USING (d)
+        |  WHERE cum >= r99 GROUP BY cum.d),
+        |clip AS (
+        |  SELECT cnt.d, CAST(SUM(CASE WHEN q < p01_q OR q > p99_q
+        |    THEN k ELSE 0 END) AS BIGINT) AS n_clip
+        |  FROM cnt JOIN p01 USING (d) JOIN p99 USING (d) GROUP BY cnt.d)
+        |SELECT rk.d, n, mn_q, mx_q, p01_q, p99_q, n_clip,
+        |  (10000 * n_clip) // n AS clip_bp
+        |FROM rk JOIN p01 USING (d) JOIN p99 USING (d)
+        |JOIN clip USING (d)""".stripMargin,
+    "knn_triangles" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """, undx AS (
+        |  SELECT DISTINCT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b
+        |  FROM knng),
+        |adjt AS (
+        |  SELECT v, list_sort(list(DISTINCT w)) AS nbrs FROM (
+        |    SELECT a AS v, b AS w FROM undx
+        |    UNION ALL SELECT b AS v, a AS w FROM undx) GROUP BY v),
+        |ec AS (
+        |  SELECT u.a, u.b,
+        |    CAST(len(list_intersect(x.nbrs, y.nbrs)) AS BIGINT) AS nc
+        |  FROM undx u
+        |  JOIN adjt x ON x.v = u.a
+        |  JOIN adjt y ON y.v = u.b),
+        |pv AS (
+        |  SELECT v, CAST(SUM(nc) AS BIGINT) AS s FROM (
+        |    SELECT a AS v, nc FROM ec
+        |    UNION ALL SELECT b AS v, nc FROM ec) GROUP BY v)
+        |SELECT adjt.v AS vec_id, CAST(len(adjt.nbrs) AS BIGINT) AS deg,
+        |  COALESCE(pv.s, 0) // 2 AS n_tri,
+        |  CASE WHEN len(adjt.nbrs) >= 2
+        |    THEN (10000 * COALESCE(pv.s, 0))
+        |      // (CAST(len(adjt.nbrs) AS BIGINT) * (len(adjt.nbrs) - 1))
+        |    ELSE 0 END AS clust_bp
+        |FROM adjt LEFT JOIN pv ON pv.v = adjt.v""".stripMargin),
     "semdedup" -> (vecSql + Clustering.fitSql +
       s""", cents AS (
          |  SELECT cid, cv, cnrm FROM fcent),

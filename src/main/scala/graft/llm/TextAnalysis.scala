@@ -84,6 +84,41 @@ object TextAnalysis {
         (col("n_punct") / col("n_c")).as("punct_ratio"),
         ((col("n_c") - (col("n_t") - 1)) / col("n_t")).as("avg_tok_len"))
 
+  /** Per-source character-class composition: letter / digit / space /
+    * other shares of the corpus character mass in basis points — the
+    * crawl-health fingerprint read next to [[qualityScore]]: a source
+    * whose digit or "other" share spikes is markup, tables, or binary
+    * junk the per-doc heuristics each see too little of. Class counts
+    * are in-row length arithmetic (len − len(class stripped)), so the
+    * only exchange is the |sources|-row rollup; null text degrades to
+    * zero mass and an all-empty source reports zero shares, never a
+    * divide-by-zero abort.
+    */
+  def charClassProfile(spark: SparkSession, dir: String): DataFrame = {
+    def stripped(cls: String) =
+      length(regexp_replace(coalesce(col("text"), lit("")), cls, ""))
+    val base = length(coalesce(col("text"), lit("")))
+    t(spark, dir, "documents")
+      .select(col("source"),
+        base.cast("long").as("n_c"),
+        (base - stripped("[a-zA-Z]")).cast("long").as("n_alpha"),
+        (base - stripped("[0-9]")).cast("long").as("n_digit"),
+        (base - stripped("[ \\t\\n\\r]")).cast("long").as("n_space"))
+      .groupBy("source")
+      .agg(sum("n_c").cast("long").as("n_chars"),
+        sum("n_alpha").cast("long").as("t_alpha"),
+        sum("n_digit").cast("long").as("t_digit"),
+        sum("n_space").cast("long").as("t_space"))
+      .select(col("source"), col("n_chars"),
+        expr("CASE WHEN n_chars > 0 THEN (10000 * t_alpha) div n_chars ELSE 0 END").as("alpha_bp"),
+        expr("CASE WHEN n_chars > 0 THEN (10000 * t_digit) div n_chars ELSE 0 END").as("digit_bp"),
+        expr("CASE WHEN n_chars > 0 THEN (10000 * t_space) div n_chars ELSE 0 END").as("space_bp"),
+        expr("""CASE WHEN n_chars > 0
+               |  THEN (10000 * (n_chars - t_alpha - t_digit - t_space))
+               |    div n_chars
+               |  ELSE 0 END""".stripMargin).as("other_bp"))
+  }
+
   /** Whitespace + BPE-ish regex token counts per document. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1113,6 +1148,7 @@ object TextAnalysis {
     "langid" -> langid,
     "langid_eval" -> langidEval,
     "quality_score" -> qualityScore,
+    "char_class_profile" -> charClassProfile,
     "token_count" -> tokenCount,
     "fingerprint" -> fingerprint)
 
@@ -1758,6 +1794,38 @@ object TextAnalysis {
          |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang,
          |  h_en, h_es, h_fr
          |FROM h""".stripMargin,
+    "char_class_profile" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(length(COALESCE(text, '')) AS BIGINT) AS n_c,
+        |    CAST(length(COALESCE(text, '')) - length(
+        |      regexp_replace(COALESCE(text, ''), '[a-zA-Z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(length(COALESCE(text, '')) - length(
+        |      regexp_replace(COALESCE(text, ''), '[0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digit,
+        |    CAST(length(COALESCE(text, '')) - length(
+        |      regexp_replace(COALESCE(text, ''), '[ \t\n\r]', '', 'g'))
+        |      AS BIGINT) AS n_space
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, CAST(SUM(n_c) AS BIGINT) AS n_chars,
+        |    CAST(SUM(n_alpha) AS BIGINT) AS t_alpha,
+        |    CAST(SUM(n_digit) AS BIGINT) AS t_digit,
+        |    CAST(SUM(n_space) AS BIGINT) AS t_space
+        |  FROM d GROUP BY source)
+        |SELECT source, n_chars,
+        |  CASE WHEN n_chars > 0 THEN (10000 * t_alpha) // n_chars
+        |    ELSE 0 END AS alpha_bp,
+        |  CASE WHEN n_chars > 0 THEN (10000 * t_digit) // n_chars
+        |    ELSE 0 END AS digit_bp,
+        |  CASE WHEN n_chars > 0 THEN (10000 * t_space) // n_chars
+        |    ELSE 0 END AS space_bp,
+        |  CASE WHEN n_chars > 0
+        |    THEN (10000 * (n_chars - t_alpha - t_digit - t_space))
+        |      // n_chars
+        |    ELSE 0 END AS other_bp
+        |FROM r""".stripMargin,
     "quality_score" ->
       s"""WITH q AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_c,

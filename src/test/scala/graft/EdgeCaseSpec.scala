@@ -52,7 +52,8 @@ class EdgeCaseSpec extends AnyFunSuite {
       "sentence_stats", "lang_mix", "doc_length_outliers",
       "vocab_coverage_curve", "token_budget_plan",
       "cluster_canonical", "dedup_survivors", "dedup_policy_compare",
-      "quality_by_dup", "contamination_spans", "pack_len_sweep")
+      "quality_by_dup", "contamination_spans", "pack_len_sweep",
+      "char_class_profile", "minhash_band_stats", "length_gini")
     for (name <- docOnly) {
       val n = SparkEntry.queries(name)(spark, dir).count()
       assert(n >= 0, s"$name failed on the adversarial corpus")

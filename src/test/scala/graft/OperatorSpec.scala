@@ -2397,4 +2397,88 @@ class OperatorSpec extends AnyFunSuite {
     assert(st.filter(col("chars_per_sent") <= 0L).count() == 0)
     st.unpersist()
   }
+
+  test("knn_triangles: handshake identity and coefficient bounds") {
+    val tr = llm.Similarity.knnTriangles(spark, dir).cache()
+    val und = llm.Similarity.knnGraph(spark, dir)
+      .select(least(col("q_id"), col("n_id")).as("a"),
+        greatest(col("q_id"), col("n_id")).as("b")).distinct().cache()
+    // one row per vector touched by an undirected edge
+    val nodes = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v"))).distinct()
+    assert(tr.count() == nodes.count())
+    // independent global triangle count: the ordered triple join
+    // (a < b < c) enumerates each triangle exactly once, and the
+    // per-node counts sum to 3 per triangle
+    val tri3 = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .count()
+    assert(tr.agg(sum("n_tri")).head.getLong(0) == 3L * tri3)
+    assert(tr.filter(col("clust_bp") < 0L || col("clust_bp") > 10000L)
+      .count() == 0)
+    tr.unpersist(); und.unpersist()
+  }
+
+  test("embedding_dim_stats: grid ordering, accounting, clip ceiling") {
+    val ds = llm.Similarity.embeddingDimStats(spark, dir).cache()
+    assert(ds.count() == 64)
+    val nv = Tables.t(spark, dir, "embeddings").count()
+    assert(ds.filter(col("n") =!= nv).count() == 0)
+    assert(ds.filter(col("mn_q") > col("p01_q") ||
+      col("p01_q") > col("p99_q") || col("p99_q") > col("mx_q"))
+      .count() == 0)
+    // by construction at most ~1% of mass clips on each side
+    assert(ds.filter(col("clip_bp") > 200L).count() == 0)
+    ds.unpersist()
+  }
+
+  test("event_paths: users partition, paths bounded at three steps") {
+    val ep = analytics.Analytics.eventPaths(spark, dir).cache()
+    val nUsers = Tables.t(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(ep.agg(sum("n_users")).head.getLong(0) == nUsers)
+    assert(ep.filter(col("share_bp") < 0L || col("share_bp") > 10000L)
+      .count() == 0)
+    assert(ep.filter(size(split(col("path"), ">")) > 3).count() == 0)
+    ep.unpersist()
+  }
+
+  test("conversion_window_curve: monotone, closes on the lag histogram") {
+    val cw = analytics.Analytics.conversionWindowCurve(spark, dir).cache()
+    assert(cw.count() == 6)
+    val rows = cw.orderBy("win_days").collect()
+    val conv = rows.map(_.getAs[Long]("n_converted"))
+    assert(conv.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    val lag30 = analytics.Analytics.conversionLag(spark, dir)
+      .filter(col("latency_days") <= 30L)
+      .agg(coalesce(sum("n_users"), lit(0L))).head.getLong(0)
+    assert(conv.last == lag30)
+    assert(cw.filter(col("conv_bp") < 0L || col("conv_bp") > 10000L)
+      .count() == 0)
+    cw.unpersist()
+  }
+
+  test("minhash_band_stats: per-band doc mass equals the signature frame") {
+    val bs = llm.Dedup.minhashBandStats(spark, dir).cache()
+    assert(bs.count() == 6)
+    val nSig = Tables.t(spark, dir, "documents")
+      .filter(length(col("text")) >= 5).count()
+    assert(bs.filter(col("n_docs") =!= nSig).count() == 0)
+    assert(bs.filter(col("n_singletons") > col("n_buckets") ||
+      col("max_bucket") < 1L || col("n_over_cap") < 0L).count() == 0)
+    bs.unpersist()
+  }
+
+  test("char_class_profile: shares close within floor rounding") {
+    val cp = llm.TextAnalysis.charClassProfile(spark, dir).cache()
+    val nSrc = Tables.t(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(cp.count() == nSrc)
+    val s = col("alpha_bp") + col("digit_bp") + col("space_bp") +
+      col("other_bp")
+    assert(cp.filter(s > 10000L || s < 9996L).count() == 0)
+    cp.unpersist()
+  }
 }

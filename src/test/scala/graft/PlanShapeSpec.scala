@@ -586,6 +586,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pack_len_sweep plans a cartesian:\n$pl")
   }
 
+  test("round-12 additions keep their scale shapes") {
+    // embedding_dim_stats: every join key is the 64-row dim frame —
+    // broadcast only, and the base is ONE partial-aggregated scan.
+    val ds = planOf(graft.llm.Similarity.embeddingDimStats(spark, dir))
+    assert(ds.contains("BroadcastHashJoin") && !ds.contains("SortMergeJoin"),
+      s"embedding_dim_stats dim joins not broadcast:\n$ds")
+    assert(ds.contains("partial_count"),
+      s"embedding_dim_stats scan not partial-aggregated:\n$ds")
+    // event_paths: the scalar total rides a broadcast, and the top-3
+    // cut happens per user partition (window), never a global sort.
+    val ep = planOf(graft.analytics.Analytics.eventPaths(spark, dir))
+    assert(ep.contains("BroadcastNestedLoopJoin"),
+      s"event_paths scalar total not broadcast:\n$ep")
+    // conversion_window_curve: the lag histogram broadcasts into the
+    // 6-row window spine (non-equi join on metadata-sized frames).
+    val cw = planOf(graft.analytics.Analytics
+      .conversionWindowCurve(spark, dir))
+    assert(cw.contains("BroadcastNestedLoopJoin"),
+      s"conversion_window_curve histogram not broadcast:\n$cw")
+    // char_class_profile / minhash_band_stats: rollup-only exchanges,
+    // no join anywhere.
+    val cp = planOf(graft.llm.TextAnalysis.charClassProfile(spark, dir))
+    assert(!cp.contains("Join"), s"char_class_profile joins:\n$cp")
+    val bs = planOf(graft.llm.Dedup.minhashBandStats(spark, dir))
+    assert(!bs.contains("Join"), s"minhash_band_stats joins:\n$bs")
+  }
+
   test("embedding_outliers broadcasts centroids and stats, never re-shuffles vectors") {
     val plan = planOf(graft.llm.Similarity.embeddingOutliers(spark, dir))
     assert(!plan.contains("SortMergeJoin"),
