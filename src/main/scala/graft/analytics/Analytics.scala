@@ -1538,6 +1538,58 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-supplier fulfillment health: item volume, floor-mean
+    * order-to-ship lag in whole days, and the share shipped within 30
+    * days in basis points — the vendor scorecard behind
+    * [[fulfillmentLagQuartiles]]' global curve (the quartiles say the
+    * network drifted; this says WHICH supplier). One honest fact join
+    * (lineitem ⨝ orders on the order key), partial-aggregated to the
+    * |suppliers|-row frame before the broadcast name join; lag math is
+    * the shared ms-floored integer-day spelling.
+    */
+  def supplierFulfillment(spark: SparkSession, dir: String): DataFrame = {
+    val agg = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        expr("(unix_millis(l_shipdate) - unix_millis(o_orderdate))" +
+          " div 86400000").as("lag_days"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum("lag_days").cast("long").as("sum_lag"),
+        sum(when(col("lag_days") <= 30L, 1L).otherwise(0L)).cast("long")
+          .as("n_on_time"))
+    agg.join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_items"),
+        expr("sum_lag div n_items").as("mean_lag_days"),
+        expr("(10000 * n_on_time) div n_items").as("on_time_bp"))
+  }
+
+  /** Discount-elasticity curve: per whole discount percent, the item
+    * count, exact decimal quantity mass, discounted revenue, and the
+    * mean quantity — does a deeper discount actually move volume, or
+    * just erode margin ([[brandDiscountDepth]] slices by brand; this is
+    * the policy-level curve). ONE fact scan partial-aggregated to <= 11
+    * rows; money math in DECIMAL cast to double at the end (the q1
+    * parity discipline), the mean a division of engine-identical
+    * doubles by an exact count.
+    */
+  def discountQtyCurve(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        expr("CAST(floor(l_discount * 100.0D + 0.5D) AS BIGINT)")
+          .as("disc_pct"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .groupBy("disc_pct")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(money(col("l_quantity"))).as("sum_qty"),
+        dsum(money(col("l_extendedprice")) *
+          (one - rate(col("l_discount")))).as("net_revenue"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_items"))
+
   /** First-trajectory profile: each user's first three events (ordered
     * by ms-floored timestamp with event_id as the deterministic tie
     * rule — the EdgeEventsSpec contract) joined into a '>'-separated
@@ -1699,6 +1751,8 @@ object Analytics {
     "conversion_lag" -> conversionLag,
     "conversion_window_curve" -> conversionWindowCurve,
     "event_paths" -> eventPaths,
+    "supplier_fulfillment" -> supplierFulfillment,
+    "discount_qty_curve" -> discountQtyCurve,
     "rolling_throughput" -> rollingThroughput,
     "nation_revenue_rollup" -> nationRevenueRollup,
     "customer_spend_deciles" -> customerSpendDeciles,
@@ -2132,6 +2186,32 @@ object Analytics {
         |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
         |  MAX(share_bp) AS top_share_bp
         |FROM sh GROUP BY n_name""".stripMargin,
+    "supplier_fulfillment" ->
+      """WITH lg AS (
+        |  SELECT l_suppkey,
+        |    (epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+        |      // 86400000 AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (
+        |  SELECT l_suppkey, COUNT(*) AS n_items,
+        |    CAST(SUM(lag_days) AS BIGINT) AS sum_lag,
+        |    CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_on_time
+        |  FROM lg GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, n_items,
+        |  sum_lag // n_items AS mean_lag_days,
+        |  (10000 * n_on_time) // n_items AS on_time_bp
+        |FROM a JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "discount_qty_curve" ->
+      """SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS net_revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY disc_pct""".stripMargin,
     "fulfillment_lag_quartiles" ->
       """WITH lg AS (
         |  SELECT o.o_orderpriority AS priority,

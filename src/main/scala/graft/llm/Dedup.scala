@@ -245,7 +245,16 @@ object Dedup {
     * The signature is computed by a native expression in one pass over the
     * tokens (no row explosion, no aggregation shuffle at all).
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashCandidates(spark, dir)
+      .filter(col("hamming") <= 2)
+
+  /** The unfiltered distinct simhash candidate-pair frame (every pair
+    * sharing a 16-bit chunk sub-bucket, with its Hamming distance) —
+    * [[dedupSimhash]] is the <= 2 cut, [[simhashHammingProfile]] the
+    * distribution audit; one spelling so the two can never drift.
+    */
+  private def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashes.register(spark)
     val cap = Similarity.PairSubCap
     val simhash = t(spark, dir, "documents")
@@ -270,9 +279,21 @@ object Dedup {
           col("a.sub") === col("b.sub") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .filter(col("hamming") <= 2)
       .distinct()
   }
+
+  /** Hamming-distance distribution of the simhash CANDIDATE pairs — the
+    * threshold-calibration audit behind [[dedupSimhash]]'s `<= 2` cut:
+    * a healthy corpus shows a deep valley between the near-dup cluster
+    * at low Hamming and the random-collision mass near 24 (the expected
+    * distance of independent 48-bit hashes); a filled valley says the
+    * threshold is guessing, not separating. Same bounded candidate
+    * generation (chunk blocking + PairSubCap), rolled to <= 49 rows.
+    */
+  def simhashHammingProfile(spark: SparkSession, dir: String): DataFrame =
+    simhashCandidates(spark, dir)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
 
   /** Char-4-gram Jaccard across (lang, source)-blocked pairs, bounded by
     * [[Similarity.PairSubCap]] sub-bucketing — block population grows
@@ -821,8 +842,48 @@ object Dedup {
     "minhash_estimate" -> minhashEstimate,
     "minhash_calibration" -> minhashCalibration,
     "dedup_simhash" -> dedupSimhash,
+    "simhash_hamming_profile" -> simhashHammingProfile,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> dedupEmbedding)
+
+  /** The simhash candidate-pair pipeline as a reusable CTE chain
+    * (`cp(d1, d2, hamming)`, unfiltered) — the oracle mirror of
+    * [[simhashCandidates]], shared by dedup_simhash and the Hamming
+    * profile so the cut and its audit read the same pair set.
+    */
+  private val simhashCandSql: String =
+    s"""WITH th AS (
+      |  SELECT doc_id,
+      |    ${md5LongSql("tok")} AS h
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |        FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, bit,
+      |    SUM(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM th, generate_series(0, 47) t(bit)
+      |  GROUP BY doc_id, bit),
+      |sim AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+      |    THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, simhash, c,
+      |    (simhash // CAST(pow(2, c * 16) AS BIGINT)) % 65536 AS ck
+      |  FROM sim, generate_series(0, 2) t(c)),
+      |cc AS (
+      |  SELECT c, ck, $capSql AS nsub
+      |  FROM chunks GROUP BY c, ck),
+      |sc AS (
+      |  SELECT chunks.*, chunks.doc_id % cc.nsub AS sub
+      |  FROM chunks JOIN cc USING (c, ck)),
+      |cp AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |  FROM sc a, sc b
+      |  WHERE a.c = b.c AND a.ck = b.ck AND a.sub = b.sub
+      |    AND a.doc_id < b.doc_id)
+      |""".stripMargin
 
   /** The MinHash-LSH verified-pair pipeline as a reusable CTE chain
     * (`pairs(d1, d2, jac)`), shared by the dedup query and every
@@ -1302,37 +1363,10 @@ object Dedup {
         |JOIN hss s2 ON s2.doc_id = d2
         |JOIN sig g1 ON g1.doc_id = d1
         |JOIN sig g2 ON g2.doc_id = d2""".stripMargin,
-    "dedup_simhash" ->
-      s"""WITH th AS (
-        |  SELECT doc_id,
-        |    ${md5LongSql("tok")} AS h
-        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        |        FROM documents)),
-        |bits AS (
-        |  SELECT doc_id, bit,
-        |    SUM(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
-        |      THEN 1 ELSE -1 END) AS s
-        |  FROM th, generate_series(0, 47) t(bit)
-        |  GROUP BY doc_id, bit),
-        |sim AS (
-        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0
-        |    THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |chunks AS (
-        |  SELECT doc_id, simhash, c,
-        |    (simhash // CAST(pow(2, c * 16) AS BIGINT)) % 65536 AS ck
-        |  FROM sim, generate_series(0, 2) t(c)),
-        |cc AS (
-        |  SELECT c, ck, $capSql AS nsub
-        |  FROM chunks GROUP BY c, ck),
-        |sc AS (
-        |  SELECT chunks.*, chunks.doc_id % cc.nsub AS sub
-        |  FROM chunks JOIN cc USING (c, ck))
-        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM sc a, sc b
-        |WHERE a.c = b.c AND a.ck = b.ck AND a.sub = b.sub AND a.doc_id < b.doc_id
-        |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+    "dedup_simhash" -> (simhashCandSql +
+      "SELECT d1, d2, hamming FROM cp WHERE hamming <= 2"),
+    "simhash_hamming_profile" -> (simhashCandSql +
+      "SELECT hamming, COUNT(*) AS n_pairs FROM cp GROUP BY hamming"),
     "ngram_jaccard" ->
       s"""WITH g AS (
         |  SELECT doc_id, lang, source, list_distinct(list_transform(

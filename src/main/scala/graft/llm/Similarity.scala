@@ -538,6 +538,43 @@ object Similarity {
         .agg(expr("min_by(cid, struct(d2q, cid))").as("code"))
         .localCheckpoint())
 
+  /** PQ code-usage balance per subspace — the codebook-health audit read
+    * next to [[pqDistortion]]: distortion prices how FAR vectors sit
+    * from their codes, this says whether the 16 sub-centroids are all
+    * pulling weight (a subspace assigning most vectors to 2-3 codes has
+    * collapsed — its effective bits are gone and ADC contrast with it).
+    * Per subspace: distinct codes used, the encoded population, and the
+    * min/max code load. Rides the cached code frame: one (s, code)
+    * rollup to <= 128 rows, then an 8-row rollup; vectors never touched.
+    */
+  def pqCodeBalance(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir)
+      .groupBy("s", "code").agg(count(lit(1)).as("n"))
+      .groupBy("s").agg(
+        count(lit(1)).as("n_codes_used"),
+        sum("n").cast("long").as("n_vecs"),
+        min("n").cast("long").as("min_load"),
+        max("n").cast("long").as("max_load"))
+
+  /** Pairwise cosine between the fitted IVF coarse centroids — the
+    * quantizer-geometry audit behind every nprobe choice: two centroids
+    * at cosine ~1 split one semantic region across cells (recall leaks
+    * unless nprobe covers both), while well-separated centroids make
+    * nprobe=1 safe. 28 rows off the 8-row fitted frame; the non-equi
+    * self-join broadcasts (never a data-sized exchange), and the dot is
+    * the shared ordered fold so the doubles are engine-identical.
+    */
+  def ivfCentroidMargin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Clustering.fittedCentroids(spark, dir)
+      .select("cid", "cv", "cnrm")
+    graft.functions.VecDot.register(spark)
+    broadcast(c.as("a"))
+      .join(c.as("b"), col("a.cid") < col("b.cid"))
+      .select(col("a.cid").as("c1"), col("b.cid").as("c2"),
+        (expr("vec_dot(a.cv, b.cv)") /
+          (col("a.cnrm") * col("b.cnrm"))).as("cos"))
+  }
+
   /** A query-side ADC distance table `(q_id, s, cid, d2q)` for the PQ
     * query range — 8 queries x 8 subspaces x 16 centroids, always
     * broadcast by its consumers; the corpus never joins into it.
@@ -1454,6 +1491,8 @@ object Similarity {
     "ann_pq" -> annPq,
     "pq_recall" -> pqRecall,
     "pq_distortion" -> pqDistortion,
+    "pq_code_balance" -> pqCodeBalance,
+    "ivf_centroid_margin" -> ivfCentroidMargin,
     "ann_sq8" -> annSq8,
     "sq8_recall" -> sq8Recall,
     "sq8_distortion" -> sq8Distortion,
@@ -1978,6 +2017,18 @@ object Similarity {
         |  MAX(d2q) AS max_d2q,
         |  CAST(SUM(d2q) AS BIGINT) // COUNT(*) AS mean_d2q
         |FROM md GROUP BY s""".stripMargin),
+    "pq_code_balance" -> (vecSql + pqCodeSql +
+      """, cb AS (
+        |  SELECT s, code, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM codes GROUP BY s, code)
+        |SELECT s, COUNT(*) AS n_codes_used,
+        |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |  MIN(n) AS min_load, MAX(n) AS max_load
+        |FROM cb GROUP BY s""".stripMargin),
+    "ivf_centroid_margin" -> (vecSql + Clustering.fitSql +
+      s"""SELECT a.cid AS c1, b.cid AS c2,
+         |  ${dotSql("a.cv", "b.cv")} / (a.cnrm * b.cnrm) AS cos
+         |FROM fcent a JOIN fcent b ON a.cid < b.cid""".stripMargin),
     "pq_recall" -> (vecSql + pqChainSql +
       s""", bfp AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosSql AS cos

@@ -2471,6 +2471,52 @@ class OperatorSpec extends AnyFunSuite {
     bs.unpersist()
   }
 
+  test("simhash_hamming_profile: the <=2 cut's mass matches dedup_simhash") {
+    val hp = llm.Dedup.simhashHammingProfile(spark, dir).cache()
+    assert(hp.filter(col("hamming") < 0L || col("hamming") > 48L)
+      .count() == 0)
+    val nearMass = hp.filter(col("hamming") <= 2L)
+      .agg(coalesce(sum("n_pairs"), lit(0L))).head.getLong(0)
+    assert(nearMass == llm.Dedup.dedupSimhash(spark, dir).count())
+    hp.unpersist()
+  }
+
+  test("pq_code_balance: populations close over the encoded frame") {
+    val cb = llm.Similarity.pqCodeBalance(spark, dir).cache()
+    assert(cb.count() == 8)
+    assert(cb.filter(col("n_codes_used") < 1L || col("n_codes_used") > 16L)
+      .count() == 0)
+    val nv = llm.Embeddings.directional(spark, dir).count()
+    assert(cb.filter(col("n_vecs") =!= nv).count() == 0)
+    assert(cb.filter(col("min_load") > col("max_load")).count() == 0)
+    cb.unpersist()
+  }
+
+  test("ivf_centroid_margin: full ordered pair set, cosine in range") {
+    val cm = llm.Similarity.ivfCentroidMargin(spark, dir).cache()
+    val k = llm.Clustering.kmeansFit(spark, dir)
+      .select("cid").distinct().count()
+    assert(cm.count() == k * (k - 1) / 2)
+    assert(cm.filter(col("cos") > 1.0001 || col("cos") < -1.0001)
+      .count() == 0)
+    cm.unpersist()
+  }
+
+  test("supplier_fulfillment / discount_qty_curve: items partition the fact") {
+    val nLi = Tables.t(spark, dir, "lineitem").count()
+    val sf = analytics.Analytics.supplierFulfillment(spark, dir).cache()
+    assert(sf.agg(sum("n_items")).head.getLong(0) == nLi)
+    assert(sf.filter(col("on_time_bp") < 0L || col("on_time_bp") > 10000L)
+      .count() == 0)
+    sf.unpersist()
+    val dq = analytics.Analytics.discountQtyCurve(spark, dir).cache()
+    assert(dq.agg(sum("n_items")).head.getLong(0) == nLi)
+    assert(dq.filter(col("disc_pct") < 0L || col("disc_pct") > 10L)
+      .count() == 0)
+    assert(dq.filter(col("avg_qty") <= 0.0).count() == 0)
+    dq.unpersist()
+  }
+
   test("char_class_profile: shares close within floor rounding") {
     val cp = llm.TextAnalysis.charClassProfile(spark, dir).cache()
     val nSrc = Tables.t(spark, dir, "documents")

@@ -611,6 +611,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!cp.contains("Join"), s"char_class_profile joins:\n$cp")
     val bs = planOf(graft.llm.Dedup.minhashBandStats(spark, dir))
     assert(!bs.contains("Join"), s"minhash_band_stats joins:\n$bs")
+    // supplier_fulfillment: fact partial-aggregates BEFORE the name
+    // join, and the supplier dim broadcasts.
+    val sf = planOf(graft.analytics.Analytics
+      .supplierFulfillment(spark, dir))
+    assert(sf.contains("BroadcastHashJoin"),
+      s"supplier_fulfillment dim not broadcast:\n$sf")
+    assert(sf.contains("partial_count"),
+      s"supplier_fulfillment not partial-aggregated:\n$sf")
+    // discount_qty_curve: ONE scan, rollup-only, no join.
+    val dq = planOf(graft.analytics.Analytics.discountQtyCurve(spark, dir))
+    assert(!dq.contains("Join"), s"discount_qty_curve joins:\n$dq")
+    // ivf_centroid_margin: the 16-row fitted frame self-joins via
+    // broadcast, never a cartesian.
+    val cm = planOf(graft.llm.Similarity.ivfCentroidMargin(spark, dir))
+    assert(cm.contains("BroadcastNestedLoopJoin") &&
+      !cm.contains("CartesianProduct"),
+      s"ivf_centroid_margin pair join not broadcast:\n$cm")
   }
 
   test("embedding_outliers broadcasts centroids and stats, never re-shuffles vectors") {
