@@ -65,6 +65,20 @@ class EdgeEventsSpec extends AnyFunSuite {
       ("click", "purchase", "error"), ("signup", "view", "purchase")))
   }
 
+  test("tied timestamps: event_paths orders the tied triple by id") {
+    // u1's tied instant resolves by event_id (view>click>purchase, the
+    // error event falls off the 3-cut); u4's descending ids resolve by
+    // ts. Four users, one path each, 2500 bp shares.
+    val p = analytics.Analytics.eventPaths(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("share_bp"))).toMap
+    assert(p == Map(
+      "view>click>purchase" -> ((1L, 2500L)),
+      "view>purchase" -> ((1L, 2500L)),
+      "view>click" -> ((1L, 2500L)),
+      "signup>view>purchase" -> ((1L, 2500L))), s"got $p")
+  }
+
   test("tied timestamps: interarrival gaps are zero, counted exactly") {
     // user 1's four same-instant events yield three gaps of exactly 0 ms
     // within each type... but types differ, so per-(user, type) there
