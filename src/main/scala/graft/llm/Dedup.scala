@@ -531,12 +531,15 @@ object Dedup {
     */
   private[graft] val BenchSplitMod = 50L
 
-  /** The (benchmark gram set, per-doc hit frame) pair, cached per
-    * (session, data fingerprint) — decontaminate, decontaminate_report
-    * and the streaming contamination screen's static set all consume
-    * these, so the gram build + broadcast overlap join runs once per data
-    * generation, not per query (the knn edge-frame / cluster-label
-    * discipline).
+  /** The (keyed benchmark gram frame, positioned hit-pair frame) pair,
+    * cached per (session, data fingerprint). The hit-pair frame
+    * `(gram, doc_id, n_toks, pos, bench_doc)` is the FULL contamination
+    * evidence — one row per (train gram occurrence, benchmark doc
+    * sharing it) — so decontaminate (per-train-doc), benchmark_leakage
+    * (per-eval-item), contamination_spans (per-position), the report,
+    * and the streaming screen's static set all derive from ONE train
+    * scan per data generation instead of one each. The cached footprint
+    * is contamination-sized (hits only), never token-scale.
     */
   private val decontamCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
@@ -544,41 +547,57 @@ object Dedup {
   /** Explicit teardown hook, mirroring [[clearHsCache]]. */
   def clearDecontamCache(): Unit = decontamCache.clear()
 
-  /** The uncached (benchmark grams, hit frame) build — separated from the
-    * cache wrapper so PlanShapeSpec can pin the broadcast-gram join shape
-    * without an InMemoryRelation hiding it.
+  /** The uncached (keyed benchmark grams, hit-pair frame) build —
+    * separated from the cache wrapper so PlanShapeSpec can pin the
+    * broadcast-gram join shape without an InMemoryRelation hiding it.
     */
   private[graft] def decontamBuild(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val bg = wordGrams5(t(spark, dir, "documents")
-      .filter(col("doc_id") % BenchSplitMod === 0L))
-      .select("gram").distinct()
-    val train = wordGrams5(
-      t(spark, dir, "documents").filter(col("doc_id") % BenchSplitMod =!= 0L))
-    val hits = train.join(broadcast(bg), "gram")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_hits"),
-        countDistinct("gram").as("n_unique_hits"))
-    (bg, hits)
+    val docs = t(spark, dir, "documents")
+    val bgk = wordGrams5(docs.filter(col("doc_id") % BenchSplitMod === 0L))
+      .select(col("doc_id").as("bench_doc"), col("gram")).distinct()
+    val train = docs.filter(col("doc_id") % BenchSplitMod =!= 0L)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 5)," +
+            " i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+          .as(Seq("pos", "gram")))
+    (bgk, train.join(broadcast(bgk), "gram"))
   }
 
   private def decontamFrames(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     decontamCache.getOrElseUpdate(
       graft.Tables.freshCacheKey(decontamCache, spark, dir, "documents"), {
-        val (bg, hits) = decontamBuild(spark, dir)
-        (bg.cache(), hits.cache())
+        val (bgk, hitPairs) = decontamBuild(spark, dir)
+        (bgk.cache(), hitPairs.cache())
       })
 
   /** The distinct benchmark gram set (every 50th doc of the at-rest
     * corpus) — broadcast into both the batch and streaming screens.
+    * Derived off the cached keyed frame (benchmark-sized, no data pass).
     */
   private[graft] def benchGrams(spark: SparkSession, dir: String): DataFrame =
-    decontamFrames(spark, dir)._1
+    decontamFrames(spark, dir)._1.select("gram").distinct()
+
+  /** One row per (train gram occurrence, benchmark doc sharing it) —
+    * the shared contamination evidence. Occurrence-level consumers
+    * dedupe on (doc_id, pos); eval-item consumers keep the pairing.
+    */
+  private def hitPairs(spark: SparkSession, dir: String): DataFrame =
+    decontamFrames(spark, dir)._2
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
-    decontamFrames(spark, dir)._2
+    hitPairs(spark, dir)
+      // one row per train gram OCCURRENCE (a gram shared by k benchmark
+      // docs must not count k times here)
+      .dropDuplicates("doc_id", "pos")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct("gram").as("n_unique_hits"))
 
   /** Per-benchmark-doc leakage audit — [[decontaminate]]'s mirror view:
     * for each held-out benchmark doc, how many TRAIN docs share at
@@ -612,16 +631,9 @@ object Dedup {
     * own hits.
     */
   def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
-    val hits = t(spark, dir, "documents")
-      .filter(col("doc_id") % BenchSplitMod =!= 0L)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-        posexplode(expr(
-          "transform(sequence(0, size(toks) - 5)," +
-            " i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
-          .as(Seq("pos", "gram")))
-      .join(broadcast(benchGrams(spark, dir)), "gram")
+    val hits = hitPairs(spark, dir)
+      // occurrence-level view of the shared evidence frame
+      .dropDuplicates("doc_id", "pos")
     hits.groupBy("doc_id", "n_toks")
       .agg(count(lit(1)).cast("long").as("n_hit_grams"),
         min("pos").cast("long").as("first_tok"),
@@ -705,18 +717,13 @@ object Dedup {
         expr("(10000 * chars_keep_best) div chars_members"))
   }
 
-  def benchmarkLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val bg = wordGrams5(docs.filter(col("doc_id") % BenchSplitMod === 0L))
-      .select(col("doc_id").as("bench_doc"), col("gram")).distinct()
-    wordGrams5(docs.filter(col("doc_id") % BenchSplitMod =!= 0L))
-      .join(broadcast(bg), "gram")
+  def benchmarkLeakage(spark: SparkSession, dir: String): DataFrame =
+    hitPairs(spark, dir)
       .groupBy("bench_doc")
       .agg(
         countDistinct("doc_id").as("n_train_docs"),
         count(lit(1)).as("n_hits"),
         countDistinct("gram").as("n_grams_leaked"))
-  }
 
   /** Per-source decontamination report — the audit a team reads before a
     * benchmark release claim: training docs, docs flagged for sharing a

@@ -545,11 +545,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val cv = planOf(graft.llm.TextAnalysis.vocabCoverageCurve(spark, dir))
     assert(cv.contains("TakeOrderedAndProject"),
       s"vocab_coverage_curve head is not a partial top-k:\n$cv")
-    // contamination_spans: the benchmark gram set broadcasts into the
-    // train-side explode, as in decontaminate.
+    // contamination_spans now rides the cached hit-pair frame (the
+    // r12 one-train-scan unification): its own plan must add NO new
+    // data-sized pass — no join at all beyond the cached scan (the
+    // broadcast-gram BUILD shape is pinned on decontamBuild above).
     val cs = planOf(graft.llm.Dedup.contaminationSpans(spark, dir))
-    assert(cs.contains("BroadcastHashJoin"),
-      s"contamination_spans gram set not broadcast:\n$cs")
+    assert(cs.contains("InMemoryTableScan") && !cs.contains("SortMergeJoin"),
+      s"contamination_spans re-scans instead of riding the cache:\n$cs")
     // doc_length_outliers: med/MAD frames broadcast back into the
     // metadata-sized count frame; no shuffled join anywhere.
     val ol = planOf(graft.llm.TextAnalysis.docLengthOutliers(spark, dir))
