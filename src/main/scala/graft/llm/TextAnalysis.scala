@@ -94,12 +94,20 @@ object TextAnalysis {
     * zero mass and an all-empty source reports zero shares, never a
     * divide-by-zero abort.
     */
-  def charClassProfile(spark: SparkSession, dir: String): DataFrame = {
+  def charClassProfile(spark: SparkSession, dir: String): DataFrame =
+    charClassRollup(t(spark, dir, "documents"))
+
+  /** The in-row class counts + per-source rollup — the ONE spelling
+    * shared by [[charClassProfile]] and the streaming monitor
+    * (graft.streaming.Streams.charClassStream), the withLangMixScores
+    * discipline: batch and online composition can never silently
+    * diverge.
+    */
+  private[graft] def charClassRollup(df: DataFrame): DataFrame = {
     def stripped(cls: String) =
       length(regexp_replace(coalesce(col("text"), lit("")), cls, ""))
     val base = length(coalesce(col("text"), lit("")))
-    t(spark, dir, "documents")
-      .select(col("source"),
+    df.select(col("source"),
         base.cast("long").as("n_c"),
         (base - stripped("[a-zA-Z]")).cast("long").as("n_alpha"),
         (base - stripped("[0-9]")).cast("long").as("n_digit"),

@@ -502,6 +502,19 @@ object Streams {
         sum(when(col("best") === 0L, 1L).otherwise(0L)).cast("long")
           .as("n_nohit"))
 
+  /** Live character-class composition monitor — the streaming twin of
+    * [[graft.llm.TextAnalysis.charClassProfile]], via the same shared
+    * rollup spelling (the withLangMixScores discipline): per arriving
+    * source the letter/digit/space/other shares in basis points,
+    * complete-mode with one bounded counter row per source. The ingest
+    * dashboard that catches a markup/binary-junk spike in the CURRENT
+    * crawl batch instead of the nightly batch profile; pure counters,
+    * so the result is delivery-order invariant (StreamingSpec-pinned
+    * == batch under in-order AND shuffled delivery).
+    */
+  def charClassStream(stream: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.charClassRollup(stream)
+
   /** Sliding-window throughput as a continuous query — the streaming
     * half of [[graft.analytics.Analytics.rollingThroughput]]: a
     * 5-minute window sliding by 1 minute over event time, so each
