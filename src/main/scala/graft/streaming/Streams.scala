@@ -620,6 +620,47 @@ object Streams {
       }
   }
 
+  final case class PathState(evs: Seq[(Long, Long, String)], nSeen: Long)
+  final case class PathRow(user_id: Long, path: String, n_seen: Long)
+
+  /** Continuous first-trajectory tracker — the streaming half of the
+    * batch [[graft.analytics.Analytics.eventPaths]]: per user the state
+    * is the THREE (ms, event_id)-smallest events seen so far, and each
+    * micro-batch that improves the set emits the updated '>'-path with
+    * a monotone per-user arrival counter (the row with the max counter
+    * IS the final answer). Unlike the transition chain, keep-3-min is a
+    * commutative idempotent merge, so the FINAL state is delivery-order
+    * INVARIANT by construction — late data refines rather than corrupts
+    * (StreamingSpec pins the final path histogram == batch event_paths
+    * under shuffled chunked delivery).
+    *
+    * State: <= 3 triples per user, NoTimeout — bounded in size by the
+    * user universe, the same cardinality the batch window shuffles.
+    */
+  def firstPathStream(events: DataFrame): Dataset[PathRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        expr("ts div 1000000").as("tms"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PathState, PathRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[PathState]) =>
+          val prev = state.getOption.getOrElse(PathState(Nil, 0L))
+          val rs = rows.toSeq
+          val merged = (prev.evs ++ rs.map(e => (e._2, e._3, e._4)))
+            .distinct.sortBy(e => (e._1, e._2)).take(3)
+          val next = PathState(merged, prev.nSeen + rs.size)
+          state.update(next)
+          if (merged == prev.evs) Iterator.empty
+          else Iterator(PathRow(uid, merged.map(_._3).mkString(">"),
+            next.nSeen))
+      }
+  }
+
   /** A table as a file-source stream, canonicalized to the batch contract —
     * the one staging definition every runner and spec shares (a divergence
     * here, e.g. maxFilesPerTrigger or a schema source change, must hit all

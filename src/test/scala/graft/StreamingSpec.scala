@@ -338,6 +338,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("first-path tracker: shuffled delivery converges to batch paths") {
+    val events = Tables.t(spark, dir, "events")
+    // adversarially shuffled 4-batch delivery: keep-3-min is a
+    // commutative idempotent merge, so the FINAL per-user path (the
+    // max-n_seen emission) must equal the batch first-3 path exactly —
+    // late data refines, never corrupts.
+    val shuffled = stageChunks(events, 4,
+      md5(concat_ws("#", lit("fpath"), col("event_id"))))
+    val q = Streams.firstPathStream(chunkStream(shuffled)).writeStream
+      .outputMode("update").format("memory").queryName("graft_fpath").start()
+    q.processAllAvailable(); q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val finalPaths = spark.table("graft_fpath")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+    val want = analytics.Analytics.eventPaths(spark, dir)
+      .select("path", "n_users")
+    assert(finalPaths.count() > 0)
+    assert(finalPaths.exceptAll(want).count() == 0 &&
+      want.exceptAll(finalPaths).count() == 0)
+  }
+
   test("transitions: in-order multi-batch == batch; shuffled keeps true state") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import spark.implicits._
