@@ -1538,6 +1538,37 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Order-priority mix drift: per (month, priority) the order count,
+    * the share within its month, the global priority share, and the
+    * signed drift — all in basis points. The ops-drift audit behind
+    * [[ordersSeasonality]]' volume curve: volume can hold steady while
+    * the URGENT share quietly doubles (an upstream policy change, a
+    * failing scheduler), which is exactly what this surfaces. One
+    * orders scan partial-aggregated to the (month, priority) count
+    * frame; month totals and the global mix are re-aggregations of that
+    * frame with the |priorities|-row global frame broadcast back.
+    */
+  def orderPriorityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val mp = t(spark, dir, "orders")
+      .select(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate)" +
+        " AS BIGINT)").as("ym"), col("o_orderpriority").as("priority"))
+      .groupBy("ym", "priority").agg(count(lit(1)).as("n_orders"))
+    val mTot = mp.groupBy("ym")
+      .agg(sum("n_orders").cast("long").as("m_total"))
+    val gTot = mp.groupBy("priority")
+      .agg(sum("n_orders").cast("long").as("g_orders"))
+      .crossJoin(broadcast(
+        mp.agg(sum("n_orders").cast("long").as("g_total"))))
+      .select(col("priority"),
+        expr("(10000 * g_orders) div g_total").as("global_bp"))
+    mp.join(broadcast(mTot), "ym")
+      .join(broadcast(gTot), "priority")
+      .select(col("ym"), col("priority"), col("n_orders"),
+        expr("(10000 * n_orders) div m_total").as("share_bp"),
+        col("global_bp"),
+        expr("(10000 * n_orders) div m_total - global_bp").as("drift_bp"))
+  }
+
   /** Per-supplier fulfillment health: item volume, floor-mean
     * order-to-ship lag in whole days, and the share shipped within 30
     * days in basis points — the vendor scorecard behind
@@ -1753,6 +1784,7 @@ object Analytics {
     "event_paths" -> eventPaths,
     "supplier_fulfillment" -> supplierFulfillment,
     "discount_qty_curve" -> discountQtyCurve,
+    "order_priority_drift" -> orderPriorityDrift,
     "rolling_throughput" -> rollingThroughput,
     "nation_revenue_rollup" -> nationRevenueRollup,
     "customer_spend_deciles" -> customerSpendDeciles,
@@ -2186,6 +2218,24 @@ object Analytics {
         |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
         |  MAX(share_bp) AS top_share_bp
         |FROM sh GROUP BY n_name""".stripMargin,
+    "order_priority_drift" ->
+      """WITH mp AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |    AS BIGINT) AS ym,
+        |    o_orderpriority AS priority, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY ym, priority),
+        |mt AS (SELECT ym, CAST(SUM(n_orders) AS BIGINT) AS m_total
+        |  FROM mp GROUP BY ym),
+        |gt AS (
+        |  SELECT priority,
+        |    (10000 * CAST(SUM(n_orders) AS BIGINT)) //
+        |      (SELECT CAST(SUM(n_orders) AS BIGINT) FROM mp) AS global_bp
+        |  FROM mp GROUP BY priority)
+        |SELECT mp.ym, mp.priority, mp.n_orders,
+        |  (10000 * n_orders) // m_total AS share_bp,
+        |  global_bp,
+        |  (10000 * n_orders) // m_total - global_bp AS drift_bp
+        |FROM mp JOIN mt USING (ym) JOIN gt USING (priority)""".stripMargin,
     "supplier_fulfillment" ->
       """WITH lg AS (
         |  SELECT l_suppkey,

@@ -127,6 +127,30 @@ object TextAnalysis {
                |  ELSE 0 END""".stripMargin).as("other_bp"))
   }
 
+  /** Per-source token-length histogram — the tokenizer-facing shape
+    * audit next to [[charClassProfile]]'s class shares: a source whose
+    * length mass shifts toward 1-char tokens is delimiter-corrupted,
+    * toward very long ones is concatenated/URL-heavy — both inflate
+    * BPE fertility before any model sees the text. Token-scale work
+    * stays IN-ROW (array_counts over the per-doc length array, so at
+    * most |distinct lengths| ≈ 30 rows per doc cross the exchange,
+    * never the tokens); the rollup is the (source, tok_len) count
+    * frame. Null text degrades to one zero-length token, same as the
+    * oracle's split semantics.
+    */
+  def tokenLenProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashes.register(spark)
+    t(spark, dir, "documents")
+      .select(col("source"), explode(expr(
+        """map_entries(array_counts(transform(
+          |  split(coalesce(text, ''), ' '),
+          |  t -> CAST(length(t) AS STRING))))""".stripMargin)).as("e"))
+      .select(col("source"), expr("CAST(e.key AS BIGINT)").as("tok_len"),
+        col("e.value").as("cnt"))
+      .groupBy("source", "tok_len")
+      .agg(sum("cnt").cast("long").as("n_toks"))
+  }
+
   /** Whitespace + BPE-ish regex token counts per document. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1157,6 +1181,7 @@ object TextAnalysis {
     "langid_eval" -> langidEval,
     "quality_score" -> qualityScore,
     "char_class_profile" -> charClassProfile,
+    "token_len_profile" -> tokenLenProfile,
     "token_count" -> tokenCount,
     "fingerprint" -> fingerprint)
 
@@ -1802,6 +1827,13 @@ object TextAnalysis {
          |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang,
          |  h_en, h_es, h_fr
          |FROM h""".stripMargin,
+    "token_len_profile" ->
+      """SELECT source, CAST(length(tok) AS BIGINT) AS tok_len,
+        |  COUNT(*) AS n_toks
+        |FROM (SELECT source,
+        |    unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+        |  FROM documents)
+        |GROUP BY source, tok_len""".stripMargin,
     "char_class_profile" ->
       """WITH d AS (
         |  SELECT source,

@@ -2517,6 +2517,32 @@ class OperatorSpec extends AnyFunSuite {
     dq.unpersist()
   }
 
+  test("order_priority_drift: months partition, shares close, drift ties out") {
+    val pd = analytics.Analytics.orderPriorityDrift(spark, dir).cache()
+    val nOrders = Tables.t(spark, dir, "orders").count()
+    assert(pd.agg(sum("n_orders")).head.getLong(0) == nOrders)
+    // per-month shares close to 10000 within floor rounding
+    val nPrio = pd.select("priority").distinct().count()
+    val monthly = pd.groupBy("ym").agg(sum("share_bp").as("s"))
+    assert(monthly.filter(col("s") > 10000L ||
+      col("s") < 10000L - nPrio).count() == 0)
+    assert(pd.filter(col("drift_bp") =!= col("share_bp") - col("global_bp"))
+      .count() == 0)
+    pd.unpersist()
+  }
+
+  test("token_len_profile: token mass equals the whitespace tokenizer") {
+    graft.functions.TextHashes.register(spark)
+    val tp = llm.TextAnalysis.tokenLenProfile(spark, dir).cache()
+    val nToks = Tables.t(spark, dir, "documents")
+      .select(size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long").as("n")).agg(sum("n")).head.getLong(0)
+    assert(tp.agg(sum("n_toks")).head.getLong(0) == nToks)
+    assert(tp.filter(col("tok_len") < 0L || col("n_toks") < 1L)
+      .count() == 0)
+    tp.unpersist()
+  }
+
   test("char_class_profile: shares close within floor rounding") {
     val cp = llm.TextAnalysis.charClassProfile(spark, dir).cache()
     val nSrc = Tables.t(spark, dir, "documents")
