@@ -184,6 +184,54 @@ object Glog {
     end
   }
 
+  /** Segment-stats sidecar (`<segment>.glogx`, "v1 minOffs maxOffs
+    * maxTms") — the segment-level index over the batch-level header
+    * index: planInputPartitions drops a WHOLE segment from the scan when
+    * a pushed offset/time lower bound clears its max, without opening
+    * it. Strictly advisory: a missing or unreadable sidecar only
+    * disables pruning for that segment (readers stay correct via the
+    * batch-header skips), so the commit order — segment rename first,
+    * sidecar best-effort after — can never lose data. Reference frame:
+    * Kafka's .index/.timeindex sidecars next to each .log segment
+    * (kafka-impl storage/PartitionLog offset/time lookups).
+    */
+  def statsPath(seg: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(seg.getParent,
+      seg.getName.stripSuffix(".glog") + ".glogx")
+
+  def writeStats(fs: org.apache.hadoop.fs.FileSystem,
+      seg: org.apache.hadoop.fs.Path, minOffs: Long, maxOffs: Long,
+      maxTms: Long, attempt: String): Unit = {
+    val dest = statsPath(seg)
+    val tmp = new org.apache.hadoop.fs.Path(seg.getParent,
+      s".${dest.getName}.tmp-$attempt")
+    try {
+      val out = new DataOutputStream(fs.create(tmp, true))
+      try out.writeBytes(s"v1 $minOffs $maxOffs $maxTms\n")
+      finally out.close()
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    } catch { case _: java.io.IOException => () } // advisory only
+  }
+
+  def readStats(fs: org.apache.hadoop.fs.FileSystem,
+      seg: org.apache.hadoop.fs.Path): Option[(Long, Long, Long)] =
+    try {
+      val p = statsPath(seg)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val line =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .nextOption().getOrElse("")
+          finally in.close()
+        line.split(' ') match {
+          case Array("v1", mn, mx, mt) =>
+            Some((mn.toLong, mx.toLong, mt.toLong))
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None } // advisory only
+
   /** Topic names become directory names and "topic/part" offset-map keys;
     * reject names that cannot round-trip through either.
     */
@@ -224,6 +272,11 @@ object Glog {
             s".$segName.glog.tmp-$attempt")
           val pfs = segPath.getFileSystem(conf)
           val out = new DataOutputStream(pfs.create(tmpPath, true))
+          // Segment stats for the .glogx sidecar: the stream is offset-
+          // sorted within (topic, part), so min = first, max = last.
+          var minOffs = Long.MaxValue
+          var maxOffs = Long.MinValue
+          var maxTms = Long.MinValue
           try {
             while (in.hasNext && in.head.topic == head.topic &&
               in.head.part == head.part) {
@@ -231,6 +284,9 @@ object Glog {
               while (in.hasNext && group.size < MaxBatch &&
                 in.head.topic == head.topic && in.head.part == head.part)
                 group += in.next()
+              minOffs = math.min(minOffs, group.head.offs)
+              maxOffs = math.max(maxOffs, group.last.offs)
+              maxTms = math.max(maxTms, group.iterator.map(_.tms).max)
               val bytes = encodeBatch(group.toSeq)
               out.writeInt(bytes.length)
               out.write(bytes)
@@ -249,7 +305,9 @@ object Glog {
             pfs.delete(tmpPath, false)
             require(pfs.exists(segPath),
               s"glog segment commit failed for $segPath")
-          }
+            // a concurrent duplicate attempt won: its identical bytes
+            // stand, and its own sidecar write covers the stats
+          } else writeStats(pfs, segPath, minOffs, maxOffs, maxTms, attempt)
         }
       }
   }
@@ -283,6 +341,7 @@ object Glog {
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
     val seg = "segment-b(\\d+)\\.glog".r
+    val idx = "segment-b(\\d+)\\.glogx".r
     for {
       tDir <- fs.listStatus(root)
       if tDir.isDirectory && tDir.getPath.getName.startsWith("topic=")
@@ -292,6 +351,7 @@ object Glog {
       name = f.getPath.getName
     } name match {
       case seg(id) if id.toLong >= fromBatchId => fs.delete(f.getPath, false)
+      case idx(id) if id.toLong >= fromBatchId => fs.delete(f.getPath, false)
       case _ if name.startsWith(".") && name.contains(".tmp-") =>
         fs.delete(f.getPath, false)
       case _ => ()

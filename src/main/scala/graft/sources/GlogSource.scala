@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -75,6 +75,7 @@ class GlogScanBuilder(path: String, startLatest: Boolean = false,
   private var topicEq: Option[String] = None
   private var partEq: Option[Long] = None
   private var fromOffs: Long = Long.MinValue
+  private var untilOffs: Long = Long.MaxValue
   private var minTms: Long = Long.MinValue
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -86,6 +87,10 @@ class GlogScanBuilder(path: String, startLatest: Boolean = false,
         fromOffs = math.max(fromOffs, o.asInstanceOf[Number].longValue()); used :+= f
       case f @ GreaterThan("offs", o) if o.isInstanceOf[Number] =>
         fromOffs = math.max(fromOffs, o.asInstanceOf[Number].longValue() + 1); used :+= f
+      case f @ LessThan("offs", o) if o.isInstanceOf[Number] =>
+        untilOffs = math.min(untilOffs, o.asInstanceOf[Number].longValue()); used :+= f
+      case f @ LessThanOrEqual("offs", o) if o.isInstanceOf[Number] =>
+        untilOffs = math.min(untilOffs, o.asInstanceOf[Number].longValue() + 1); used :+= f
       case f @ GreaterThanOrEqual("tms", t) if t.isInstanceOf[Number] =>
         minTms = math.max(minTms, t.asInstanceOf[Number].longValue()); used :+= f
       case f @ GreaterThan("tms", t) if t.isInstanceOf[Number] =>
@@ -103,7 +108,7 @@ class GlogScanBuilder(path: String, startLatest: Boolean = false,
 
   override def build(): Scan =
     new GlogScan(path, required, topicEq, partEq, fromOffs, minTms,
-      startLatest, maxPerTrigger)
+      startLatest, maxPerTrigger, untilOffs)
 }
 
 final case class GlogPartition(file: String, topic: String, part: Long,
@@ -114,7 +119,8 @@ class GlogScan(path: String, required: StructType, topicEq: Option[String],
     partEq: Option[Long], fromOffs: Long,
     minTms: Long = Long.MinValue,
     startLatest: Boolean = false,
-    maxPerTrigger: Option[Long] = None) extends Scan with Batch {
+    maxPerTrigger: Option[Long] = None,
+    untilOffs: Long = Long.MaxValue) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -146,8 +152,17 @@ class GlogScan(path: String, required: StructType, topicEq: Option[String],
       if partEq.forall(_ == part)
       seg <- fs.listStatus(pDir.getPath).toSeq
       if seg.getPath.getName.endsWith(".glog")
+      // Segment-level pruning off the .glogx stats sidecar: a pushed
+      // offset/time bound that clears the whole segment drops the FILE
+      // from the scan without opening it (sidecar missing → keep the
+      // segment; the batch-header skips still guarantee correctness).
+      if fromOffs == Long.MinValue && minTms == Long.MinValue &&
+        untilOffs == Long.MaxValue ||
+        Glog.readStats(fs, seg.getPath).forall { case (mn, mx, mt) =>
+          fromOffs <= mx && minTms <= mt && untilOffs > mn
+        }
     } yield GlogPartition(seg.getPath.toString, topic, part, fromOffs,
-      Long.MaxValue, minTms)
+      untilOffs, minTms)
     GlogSource.lastPlannedFiles.set(parts.size.toLong)
     parts.toArray[InputPartition]
   }
@@ -258,6 +273,12 @@ class GlogMicroBatchStream(path: String, required: StructType, minOffs: Long,
         val dir = new Path(root, s"topic=$topic/part=$part")
         fs.listStatus(dir).toSeq
           .filter(_.getPath.getName.endsWith(".glog"))
+          // sidecar pruning: a segment wholly outside this micro-batch's
+          // [start, end) offset window never opens — a stream restarted
+          // near the tail re-reads the tail, not the whole store
+          .filter(seg => Glog.readStats(fs, seg.getPath).forall {
+            case (mn, mx, _) => startOffs <= mx && endOffs > mn
+          })
           .map(seg => GlogPartition(seg.getPath.toString, topic, part.toLong,
             startOffs, endOffs, minTms))
       }

@@ -37,9 +37,18 @@ class GlogSpec extends AnyFunSuite {
     assert(n == want)
   }
 
-  test("offset lower bound skips whole batches from their headers") {
-    Glog.batchesRead.set(0)
-    Glog.batchesSkipped.set(0)
+  test("offset lower bound prunes or skips — files first, then headers") {
+    // Baseline: how many files a topic-only scan plans.
+    GlogSource.lastPlannedFiles.set(-1)
+    glog.filter(col("topic") === "click").count()
+    val all = GlogSource.lastPlannedFiles.get()
+    assert(all > 0)
+    // With the offset bound, the .glogx sidecars drop segments whose max
+    // offset clears the bound BEFORE they open (this store's segments
+    // are single-batch, so the old header-skip is subsumed by the
+    // file-level prune — batch-level skipping is pinned separately in
+    // the sidecar test's deleted-sidecar branch).
+    GlogSource.lastPlannedFiles.set(-1)
     val got = glog.filter(col("topic") === "click" && col("offs") >= 150L)
     val want = LogOps.log(spark, dir)
       .filter(col("topic") === "click" && col("offs") >= 150L)
@@ -47,7 +56,7 @@ class GlogSpec extends AnyFunSuite {
     assert(got.select("topic", "part", "offs", "event_id", "tms", "k", "v")
       .exceptAll(want).count() == 0 && want.exceptAll(
       got.select("topic", "part", "offs", "event_id", "tms", "k", "v")).count() == 0)
-    assert(Glog.batchesSkipped.get() > 0)
+    assert(GlogSource.lastPlannedFiles.get() < all)
   }
 
   test("projection-only reads hop over record bodies via length prefixes") {
@@ -101,6 +110,47 @@ class GlogSpec extends AnyFunSuite {
     // pre-cutoff batches' header max timestamp triggers a payload-free skip
     assert(Glog.batchesSkipped.get() > 0)
     assert(Glog.batchesRead.get() > 0)
+  }
+
+  test("segment stats sidecar prunes whole segments for pushed bounds") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_glogx").toString
+    def recs(lo: Long, hi: Long) = (lo until hi).map(i =>
+      Glog.Rec("t", 0L, i, 1000L + i, 1700000000000L + i * 1000L,
+        s"k$i", s"v$i"))
+    Glog.writeSegments(spark.createDataset(recs(0L, 200L)), p, "segment-0")
+    Glog.writeSegments(spark.createDataset(recs(200L, 400L)), p, "segment-1")
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val seg0 = new org.apache.hadoop.fs.Path(
+      s"$p/topic=t/part=0/segment-0.glog")
+    assert(Glog.readStats(fs, seg0) == Some((0L, 199L, 1700000199000L)))
+    val df = spark.read.format("glog").load(p)
+    // no pushed bound: both segments planned
+    GlogSource.lastPlannedFiles.set(-1)
+    assert(df.count() == 400)
+    assert(GlogSource.lastPlannedFiles.get() == 2)
+    // offset lower bound clearing segment-0's max drops the FILE
+    GlogSource.lastPlannedFiles.set(-1)
+    assert(df.filter(col("offs") >= 200L).count() == 200)
+    assert(GlogSource.lastPlannedFiles.get() == 1)
+    // offset UPPER bound (the new LessThan pushdown) drops segment-1
+    GlogSource.lastPlannedFiles.set(-1)
+    assert(df.filter(col("offs") < 200L).count() == 200)
+    assert(GlogSource.lastPlannedFiles.get() == 1)
+    // time lower bound clearing segment-0's maxTms drops it too
+    GlogSource.lastPlannedFiles.set(-1)
+    assert(df.filter(col("tms") >= 1700000200000L).count() == 200)
+    assert(GlogSource.lastPlannedFiles.get() == 1)
+    // advisory contract: a deleted sidecar only disables pruning — the
+    // segment opens again and the batch-header skips keep results exact
+    // (this pins the batch-level skip tier under the file-level one)
+    fs.delete(Glog.statsPath(seg0), false)
+    GlogSource.lastPlannedFiles.set(-1)
+    Glog.batchesSkipped.set(0)
+    assert(df.filter(col("offs") >= 200L).count() == 200)
+    assert(GlogSource.lastPlannedFiles.get() == 2)
+    assert(Glog.batchesSkipped.get() > 0)
   }
 
   test("micro-batch stream tails the store: initial load + appended segment") {
