@@ -122,6 +122,31 @@ object Dedup {
           .otherwise(lit(0L))).cast("long").as("n_pairs"))
   }
 
+  /** Duplicate-accumulation curve: the exact-dup rate at 1/8, 1/4, 1/2,
+    * and all of the corpus in a deterministic md5-coin pseudo-arrival
+    * order — does duplication GROW with scale (crawl revisiting itself;
+    * the dup rate of the next 10 TB will be worse than the last) or
+    * stay flat (independent sources)? The curve a data-acquisition plan
+    * reads before extrapolating [[dedupReport]]'s single point.
+    *
+    * Scale: one scan emits (prefix, text-hash) pairs — each doc lands
+    * in <= 4 prefixes, so the exchange is a bounded 4x of the 32-byte
+    * hash stream, never text; the rollup is 4 rows.
+    */
+  def dupAccumulationCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    t(spark, dir, "documents")
+      .select(md5(coalesce(col("text"), lit(""))).as("h"),
+        (md5Long(concat(lit("dupcurve#"), col("doc_id"))) % 8).as("coin"))
+      .select(col("h"), explode(expr(
+        "filter(array(1L, 2L, 4L, 8L), b -> coin < b)")).as("prefix_eighths"))
+      .groupBy("prefix_eighths")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("h").as("n_unique"))
+      .withColumn("dup_bp",
+        expr("(10000 * (n_docs - n_unique)) div n_docs"))
+  }
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val (hs, _, cand) = lshCandidates(spark, dir)
     cand
@@ -844,6 +869,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_stats" -> minhashBandStats,
+    "dup_accumulation_curve" -> dupAccumulationCurve,
     "dedup_delta" -> dedupDelta,
     "containment" -> containment,
     "minhash_estimate" -> minhashEstimate,
@@ -1191,6 +1217,20 @@ object Dedup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> (lshPairsSql +
       "SELECT d1, d2, jac FROM pairs"),
+    "dup_accumulation_curve" ->
+      s"""WITH d AS (
+         |  SELECT md5(COALESCE(text, '')) AS h,
+         |    ${md5LongSql("('dupcurve#' || doc_id)")} % 8 AS coin
+         |  FROM documents),
+         |x AS (
+         |  SELECT b AS prefix_eighths, h
+         |  FROM d, (SELECT unnest([1, 2, 4, 8]) AS b) t
+         |  WHERE coin < b)
+         |SELECT CAST(prefix_eighths AS BIGINT) AS prefix_eighths,
+         |  COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+         |  (10000 * (COUNT(*) - COUNT(DISTINCT h))) // COUNT(*) AS dup_bp
+         |FROM x GROUP BY prefix_eighths""".stripMargin,
     "minhash_band_stats" -> (lshPairsSql +
       """, bk AS (
         |  SELECT b, bsig, CAST(COUNT(*) AS BIGINT) AS k

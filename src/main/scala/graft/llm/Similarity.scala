@@ -966,6 +966,30 @@ object Similarity {
       .withColumn("mutual_bp", expr("(10000 * n_mutual) div n_edges"))
   }
 
+  /** Per-rank label agreement of the k-NN edges — the zero-training
+    * classification-quality readout of an embedding space (the kNN-probe
+    * standard): if rank-1 neighbors rarely share the query's label, no
+    * amount of index tuning will make retrieval semantically useful;
+    * read next to [[cellPurity]] (cell-level) and
+    * [[Similarity.embeddingLabelMargin]] (centroid-level). Two co-keyed
+    * joins of the cached <= 3n edge frame against the (vec_id, label)
+    * projection, rolled to k rows.
+    */
+  def knnLabelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    knnGraph(spark, dir)
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("l1")),
+        "q_id")
+      .join(lbl.select(col("vec_id").as("n_id"), col("label").as("l2")),
+        "n_id")
+      .groupBy("rank")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).cast("long")
+          .as("n_same"))
+      .withColumn("agree_bp", expr("(10000 * n_same) div n_edges"))
+  }
+
   /** Per-vector triangle count and local clustering coefficient over the
     * undirected k-NN edges — the transitivity audit next to
     * [[knnMutuality]]'s reciprocity: a neighborhood whose neighbors are
@@ -1475,6 +1499,7 @@ object Similarity {
     "knn_degree" -> knnDegree,
     "knn_mutuality" -> knnMutuality,
     "knn_triangles" -> knnTriangles,
+    "knn_label_agreement" -> knnLabelAgreement,
     "knn_clusters" -> knnClusters,
     "knn_cluster_profile" -> knnClusterProfile,
     "embedding_norm_stats" -> embeddingNormStats,
@@ -2435,6 +2460,17 @@ object Similarity {
         |  (10000 * n_clip) // n AS clip_bp
         |FROM rk JOIN p01 USING (d) JOIN p99 USING (d)
         |JOIN clip USING (d)""".stripMargin,
+    "knn_label_agreement" -> (vecSql + Clustering.fitSql + knnChainSql +
+      """, lb AS (SELECT vec_id, label FROM embeddings)
+        |SELECT k.rank, COUNT(*) AS n_edges,
+        |  CAST(SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_same,
+        |  (10000 * CAST(SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // COUNT(*) AS agree_bp
+        |FROM knng k
+        |JOIN lb a ON a.vec_id = k.q_id
+        |JOIN lb b ON b.vec_id = k.n_id
+        |GROUP BY k.rank""".stripMargin),
     "knn_triangles" -> (vecSql + Clustering.fitSql + knnChainSql +
       """, undx AS (
         |  SELECT DISTINCT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b

@@ -2471,6 +2471,36 @@ class OperatorSpec extends AnyFunSuite {
     bs.unpersist()
   }
 
+  test("knn_label_agreement: per-rank edges close over the knn graph") {
+    val la = llm.Similarity.knnLabelAgreement(spark, dir).cache()
+    val ranks = llm.Similarity.knnGraph(spark, dir)
+      .groupBy("rank").agg(count(lit(1)).as("n"))
+    assert(la.join(ranks, "rank")
+      .filter(col("n_edges") =!= col("n")).count() == 0)
+    assert(la.filter(col("agree_bp") < 0L || col("agree_bp") > 10000L ||
+      col("n_same") > col("n_edges")).count() == 0)
+    la.unpersist()
+  }
+
+  test("dup_accumulation_curve: prefixes nest, full row matches the corpus") {
+    val dc = llm.Dedup.dupAccumulationCurve(spark, dir).cache()
+    assert(dc.count() == 4)
+    val rows = dc.orderBy("prefix_eighths").collect()
+    // nested prefixes: doc and unique mass both monotone
+    assert(rows.map(_.getAs[Long]("n_docs")).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(rows.map(_.getAs[Long]("n_unique")).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)))
+    // the full-corpus point ties out against direct counts
+    val docs = Tables.t(spark, dir, "documents")
+    assert(rows.last.getAs[Long]("n_docs") == docs.count())
+    assert(rows.last.getAs[Long]("n_unique") ==
+      docs.select(md5(coalesce(col("text"), lit("")))).distinct().count())
+    assert(dc.filter(col("n_unique") > col("n_docs") ||
+      col("dup_bp") < 0L || col("dup_bp") > 10000L).count() == 0)
+    dc.unpersist()
+  }
+
   test("simhash_hamming_profile: the <=2 cut's mass matches dedup_simhash") {
     val hp = llm.Dedup.simhashHammingProfile(spark, dir).cache()
     assert(hp.filter(col("hamming") < 0L || col("hamming") > 48L)
