@@ -151,6 +151,48 @@ object TextAnalysis {
       .agg(sum("cnt").cast("long").as("n_toks"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: distinct word types and token
+    * mass at 1/8, 1/4, 1/2, and all of the corpus in the shared md5-coin
+    * pseudo-arrival order (the [[graft.llm.Dedup.dupAccumulationCurve]]
+    * companion for the VOCABULARY: sub-Heaps growth says the crawl is
+    * exhausting its domain; super-linear says the tail is noise/junk
+    * types). Type counts per prefix come from each type's MIN arrival
+    * coin — ONE token-scale exchange (gram → min coin), after which the
+    * whole curve is an 8-row cumulative rollup; token mass per prefix
+    * is a per-doc count rollup, never a second token pass.
+    */
+  def vocabGrowthCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val docs = t(spark, dir, "documents")
+      .select((md5Long(concat(lit("vocabcurve#"), col("doc_id"))) % 8)
+        .as("coin"),
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+    def prefixes(c: String) =
+      explode(expr(s"filter(array(1L, 2L, 4L, 8L), b -> $c < b)"))
+    // per-prefix doc/token mass off the 8-row per-coin rollup
+    val mass = docs.select(col("coin"), size(col("toks")).cast("long")
+        .as("n_t"))
+      .groupBy("coin").agg(count(lit(1)).as("d"), sum("n_t").as("tk"))
+      .select(prefixes("coin").as("prefix_eighths"), col("d"),
+        col("tk"))
+      .groupBy("prefix_eighths")
+      .agg(sum("d").cast("long").as("n_docs"),
+        sum("tk").cast("long").as("n_tokens"))
+    // per-prefix distinct types off each type's min arrival coin
+    val types = docs
+      .select(col("coin"), explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(min("coin").as("c0"))
+      .groupBy("c0").agg(count(lit(1)).as("k"))
+      .select(prefixes("c0").as("prefix_eighths"), col("k"))
+      .groupBy("prefix_eighths")
+      .agg(sum("k").cast("long").as("n_types"))
+    mass.join(broadcast(types), "prefix_eighths")
+      .withColumn("ttr_ppm",
+        expr("""CASE WHEN n_tokens > 0
+               |  THEN (1000000 * n_types) div n_tokens
+               |  ELSE 0 END""".stripMargin))
+  }
+
   /** Whitespace + BPE-ish regex token counts per document. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1182,6 +1224,7 @@ object TextAnalysis {
     "quality_score" -> qualityScore,
     "char_class_profile" -> charClassProfile,
     "token_len_profile" -> tokenLenProfile,
+    "vocab_growth_curve" -> vocabGrowthCurve,
     "token_count" -> tokenCount,
     "fingerprint" -> fingerprint)
 
@@ -1827,6 +1870,31 @@ object TextAnalysis {
          |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang,
          |  h_en, h_es, h_fr
          |FROM h""".stripMargin,
+    "vocab_growth_curve" ->
+      s"""WITH d AS (
+         |  SELECT ${graft.functions.Parity.md5LongSql(
+               "('vocabcurve#' || doc_id)")} % 8 AS coin,
+         |    string_split(COALESCE(text, ''), ' ') AS toks
+         |  FROM documents),
+         |mass AS (
+         |  SELECT b AS prefix_eighths, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM d, (SELECT unnest([1, 2, 4, 8]) AS b) t
+         |  WHERE coin < b GROUP BY b),
+         |fg AS (
+         |  SELECT tok, MIN(coin) AS c0 FROM (
+         |    SELECT coin, unnest(list_distinct(toks)) AS tok FROM d)
+         |  GROUP BY tok),
+         |ty AS (
+         |  SELECT b AS prefix_eighths, CAST(COUNT(*) AS BIGINT) AS n_types
+         |  FROM fg, (SELECT unnest([1, 2, 4, 8]) AS b) t
+         |  WHERE c0 < b GROUP BY b)
+         |SELECT CAST(mass.prefix_eighths AS BIGINT) AS prefix_eighths,
+         |  n_docs, n_tokens, n_types,
+         |  CASE WHEN n_tokens > 0
+         |    THEN (1000000 * n_types) // n_tokens
+         |    ELSE 0 END AS ttr_ppm
+         |FROM mass JOIN ty USING (prefix_eighths)""".stripMargin,
     "token_len_profile" ->
       """SELECT source, CAST(length(tok) AS BIGINT) AS tok_len,
         |  COUNT(*) AS n_toks

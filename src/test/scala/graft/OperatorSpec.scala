@@ -2501,6 +2501,21 @@ class OperatorSpec extends AnyFunSuite {
     dc.unpersist()
   }
 
+  test("vocab_growth_curve: prefixes nest, full row matches global counts") {
+    val vg = llm.TextAnalysis.vocabGrowthCurve(spark, dir).cache()
+    assert(vg.count() == 4)
+    val rows = vg.orderBy("prefix_eighths").collect()
+    for (f <- Seq("n_docs", "n_tokens", "n_types"))
+      assert(rows.map(_.getAs[Long](f)).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1)), s"$f not monotone")
+    val docs = Tables.t(spark, dir, "documents")
+    assert(rows.last.getAs[Long]("n_docs") == docs.count())
+    assert(rows.last.getAs[Long]("n_types") ==
+      docs.select(explode(split(coalesce(col("text"), lit("")), " "))
+        .as("tok")).distinct().count())
+    vg.unpersist()
+  }
+
   test("simhash_hamming_profile: the <=2 cut's mass matches dedup_simhash") {
     val hp = llm.Dedup.simhashHammingProfile(spark, dir).cache()
     assert(hp.filter(col("hamming") < 0L || col("hamming") > 48L)
