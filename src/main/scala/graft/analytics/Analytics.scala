@@ -1569,6 +1569,32 @@ object Analytics {
         expr("(10000 * n_orders) div m_total - global_bp").as("drift_bp"))
   }
 
+  /** Repeat-purchase structure by nation: active customers, how many
+    * ordered at least twice, the repeat share in basis points, and the
+    * floor-mean orders per active customer in integer percent — the
+    * loyalty decomposition behind [[q13]]'s global histogram (WHERE the
+    * repeat behavior lives, not just its shape). One orders scan
+    * partial-aggregates to per-customer counts; the customer join is
+    * key-co-located, the nation name broadcast.
+    */
+  def customerRepeatRate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("n_orders") >= 2L, 1L).otherwise(0L)).cast("long")
+          .as("n_repeat"),
+        sum("n_orders").cast("long").as("n_total"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_active"), col("n_repeat"),
+        expr("(10000 * n_repeat) div n_active").as("repeat_bp"),
+        expr("(100 * n_total) div n_active").as("orders_per_cust_pct"))
+
   /** Per-supplier fulfillment health: item volume, floor-mean
     * order-to-ship lag in whole days, and the share shipped within 30
     * days in basis points — the vendor scorecard behind
@@ -1785,6 +1811,7 @@ object Analytics {
     "supplier_fulfillment" -> supplierFulfillment,
     "discount_qty_curve" -> discountQtyCurve,
     "order_priority_drift" -> orderPriorityDrift,
+    "customer_repeat_rate" -> customerRepeatRate,
     "rolling_throughput" -> rollingThroughput,
     "nation_revenue_rollup" -> nationRevenueRollup,
     "customer_spend_deciles" -> customerSpendDeciles,
@@ -2218,6 +2245,21 @@ object Analytics {
         |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
         |  MAX(share_bp) AS top_share_bp
         |FROM sh GROUP BY n_name""".stripMargin,
+    "customer_repeat_rate" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |a AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_active,
+        |    CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_repeat,
+        |    CAST(SUM(n_orders) AS BIGINT) AS n_total
+        |  FROM pc JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey)
+        |SELECT n_name AS nation, n_active, n_repeat,
+        |  (10000 * n_repeat) // n_active AS repeat_bp,
+        |  (100 * n_total) // n_active AS orders_per_cust_pct
+        |FROM a JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "order_priority_drift" ->
       """WITH mp AS (
         |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)

@@ -2562,6 +2562,17 @@ class OperatorSpec extends AnyFunSuite {
     dq.unpersist()
   }
 
+  test("customer_repeat_rate: active customers close over the order base") {
+    val rr = analytics.Analytics.customerRepeatRate(spark, dir).cache()
+    val nActive = Tables.t(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rr.agg(sum("n_active")).head.getLong(0) == nActive)
+    assert(rr.filter(col("n_repeat") > col("n_active") ||
+      col("repeat_bp") < 0L || col("repeat_bp") > 10000L ||
+      col("orders_per_cust_pct") < 100L).count() == 0)
+    rr.unpersist()
+  }
+
   test("order_priority_drift: months partition, shares close, drift ties out") {
     val pd = analytics.Analytics.orderPriorityDrift(spark, dir).cache()
     val nOrders = Tables.t(spark, dir, "orders").count()
