@@ -151,6 +151,37 @@ object TextAnalysis {
       .agg(sum("cnt").cast("long").as("n_toks"))
   }
 
+  /** Source × language contingency matrix with independence deviations:
+    * per (source, LABELED lang) the doc count, the independence-expected
+    * count in the same quantization (row_total · col_total div total),
+    * and the signed deviation in ppm of expected — the structural drift
+    * detector next to [[langid]]'s per-doc prediction (a source whose
+    * deviation flips sign is changing language mix upstream, before any
+    * classifier disagrees). One scan to the |sources|·|langs| count
+    * frame; marginals are re-aggregations of it, broadcast back; all
+    * integer math.
+    */
+  def sourceLangMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+    val rowT = m.groupBy("source").agg(sum("n_docs").cast("long").as("rt"))
+    val colT = m.groupBy("lang").agg(sum("n_docs").cast("long").as("ct"))
+    val tot = m.agg(sum("n_docs").cast("long").as("tt"))
+    m.join(broadcast(rowT), "source")
+      .join(broadcast(colT), "lang")
+      .crossJoin(broadcast(tot))
+      // the signed deviation divides NONNEGATIVE numerators only (Spark
+      // div truncates toward zero, DuckDB // floors — they disagree on
+      // negatives; the knn_mutuality shift discipline)
+      .select(col("source"), col("lang"), col("n_docs"),
+        expr("(rt * ct) div tt").as("n_expected"),
+        expr("""CASE WHEN rt * ct = 0 THEN 0
+               |WHEN n_docs * tt >= rt * ct
+               |  THEN (1000000 * (n_docs * tt - rt * ct)) div (rt * ct)
+               |ELSE -((1000000 * (rt * ct - n_docs * tt)) div (rt * ct))
+               |END""".stripMargin).as("dev_ppm"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: distinct word types and token
     * mass at 1/8, 1/4, 1/2, and all of the corpus in the shared md5-coin
     * pseudo-arrival order (the [[graft.llm.Dedup.dupAccumulationCurve]]
@@ -1225,6 +1256,7 @@ object TextAnalysis {
     "char_class_profile" -> charClassProfile,
     "token_len_profile" -> tokenLenProfile,
     "vocab_growth_curve" -> vocabGrowthCurve,
+    "source_lang_matrix" -> sourceLangMatrix,
     "token_count" -> tokenCount,
     "fingerprint" -> fingerprint)
 
@@ -1870,6 +1902,24 @@ object TextAnalysis {
          |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang,
          |  h_en, h_es, h_fr
          |FROM h""".stripMargin,
+    "source_lang_matrix" ->
+      """WITH m AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY source, lang),
+        |rt AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS rt
+        |  FROM m GROUP BY source),
+        |ct AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS ct
+        |  FROM m GROUP BY lang),
+        |tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tt FROM m)
+        |SELECT source, lang, n_docs,
+        |  (rt * ct) // tt AS n_expected,
+        |  CASE WHEN rt * ct = 0 THEN 0
+        |  WHEN n_docs * tt >= rt * ct
+        |    THEN (1000000 * (n_docs * tt - rt * ct)) // (rt * ct)
+        |  ELSE -((1000000 * (rt * ct - n_docs * tt)) // (rt * ct))
+        |  END AS dev_ppm
+        |FROM m JOIN rt USING (source) JOIN ct USING (lang)
+        |CROSS JOIN tt""".stripMargin,
     "vocab_growth_curve" ->
       s"""WITH d AS (
          |  SELECT ${graft.functions.Parity.md5LongSql(

@@ -2501,6 +2501,25 @@ class OperatorSpec extends AnyFunSuite {
     dc.unpersist()
   }
 
+  test("source_lang_matrix: cells partition, deviations balance in sign") {
+    val sm = llm.TextAnalysis.sourceLangMatrix(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+    assert(sm.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // a contingency table's observed-minus-expected sums to ~0 per row
+    // (floor quantization leaves at most |langs| of slack)
+    val nLang = sm.select("lang").distinct().count()
+    val rowBal = sm.groupBy("source")
+      .agg(sum(col("n_docs") - col("n_expected")).as("bal"))
+    assert(rowBal.filter(col("bal") < 0L || col("bal") > nLang)
+      .count() == 0)
+    // dev sign matches the observed-vs-expected comparison
+    assert(sm.filter(
+      (col("n_docs") > col("n_expected") && col("dev_ppm") < 0L) ||
+        (col("n_docs") < col("n_expected") - 1L && col("dev_ppm") > 0L))
+      .count() == 0)
+    sm.unpersist()
+  }
+
   test("vocab_growth_curve: prefixes nest, full row matches global counts") {
     val vg = llm.TextAnalysis.vocabGrowthCurve(spark, dir).cache()
     assert(vg.count() == 4)
