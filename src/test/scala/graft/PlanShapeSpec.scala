@@ -630,6 +630,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cm.contains("BroadcastNestedLoopJoin") &&
       !cm.contains("CartesianProduct"),
       s"ivf_centroid_margin pair join not broadcast:\n$cm")
+    // source_lang_matrix: marginals broadcast back onto the count frame
+    // — no shuffled join anywhere.
+    val sl = planOf(graft.llm.TextAnalysis.sourceLangMatrix(spark, dir))
+    assert(!sl.contains("SortMergeJoin") && sl.contains("BroadcastHashJoin"),
+      s"source_lang_matrix marginals not broadcast:\n$sl")
+    // customer_repeat_rate: orders partial-aggregate BEFORE the customer
+    // join; nation name broadcast.
+    val rr = planOf(graft.analytics.Analytics.customerRepeatRate(spark, dir))
+    assert(rr.contains("BroadcastHashJoin") && rr.contains("partial_count"),
+      s"customer_repeat_rate shape wrong:\n$rr")
+    // vocab_growth_curve: the type side is ONE token-scale exchange (the
+    // gram -> min-coin agg); the curve joins only broadcast 4-row frames.
+    val vg = planOf(graft.llm.TextAnalysis.vocabGrowthCurve(spark, dir))
+    assert(!vg.contains("SortMergeJoin"),
+      s"vocab_growth_curve shuffles a join side:\n$vg")
   }
 
   test("embedding_outliers broadcasts centroids and stats, never re-shuffles vectors") {
