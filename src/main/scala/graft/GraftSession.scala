@@ -14,8 +14,14 @@ import org.apache.spark.sql.SparkSession
   * - `inferTimestampNTZ=false`: millis timestamps read as TIMESTAMP (session
   *   tz UTC) so unix_millis() works and literals compare like DuckDB's
   *   naive timestamps.
-  * - shuffle.partitions sized to cores (AQE coalesces further); at cluster
-  *   scale this would be 2-3x total cores.
+  * - shuffle.partitions sized to cores, but AQE plans each shuffle at
+  *   16x cores first (`initialPartitionNum`) and COALESCES down to the
+  *   advisory size: small inputs still run a handful of reducers, while
+  *   a 1000x input keeps enough reducers that per-task aggregation state
+  *   fits (measured: basket's per-order collect_set OOMs a 32g JVM when
+  *   600M fact rows land on 8 reducers, and runs clean at 16x). This is
+  *   exactly the knob a 1000-executor cluster runs with — a high initial
+  *   count AQE shrinks per-query — not a local hack.
   */
 object GraftSession {
   def build(master: String, cpus: String): SparkSession = {
@@ -27,6 +33,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1728,8 +1728,18 @@ object Analytics {
     */
   private[graft] def basketSets(spark: SparkSession, dir: String): DataFrame =
     basketSetsCache.getOrElseUpdate(
-      graft.Tables.freshCacheKey(basketSetsCache, spark, dir, "lineitem"),
-      buildBasketSets(spark, dir).localCheckpoint())
+      graft.Tables.freshCacheKey(basketSetsCache, spark, dir, "lineitem"), {
+        // SERIALIZED persist, not localCheckpoint: the order->parts frame
+        // is array-heavy, and its deserialized blocks at 1000x data fill
+        // the protected storage pool until downstream aggregations can't
+        // acquire execution memory (measured: AGGREGATE_OUT_OF_MEMORY in
+        // the pair rollup at 32g/8 threads). Serialized blocks are ~4x
+        // smaller and evict cleanly.
+        val ps = buildBasketSets(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        ps.count()
+        ps
+      })
 
   private val basketSetsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -1765,7 +1775,7 @@ object Analytics {
         .groupBy("p1", "p2")
         .agg(count(lit(1)).as("n_both"))
         .filter(col("n_both") >= 2L)
-        .localCheckpoint())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 
   private val basketPairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
