@@ -1795,13 +1795,16 @@ object Analytics {
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
     val ps = basketSets(spark, dir)
     val nAll = ps.agg(count(lit(1)).as("n_all"))
+    // NOT force-broadcast: perPart is |parts|-sized — auto-broadcastable
+    // at survey scale but a driver OOM at 1000x (measured); AQE picks
+    // broadcast under the threshold and a co-keyed join above it.
     val perPart = ps.select(explode(col("ps")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n_part"))
     basketPairCounts(spark, dir)
-      .join(broadcast(perPart.select(col("pk").as("p1"),
-        col("n_part").as("n_p1"))), "p1")
-      .join(broadcast(perPart.select(col("pk").as("p2"),
-        col("n_part").as("n_p2"))), "p2")
+      .join(perPart.select(col("pk").as("p1"),
+        col("n_part").as("n_p1")), "p1")
+      .join(perPart.select(col("pk").as("p2"),
+        col("n_part").as("n_p2")), "p2")
       .crossJoin(broadcast(nAll))
       .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
         col("n_p2"),

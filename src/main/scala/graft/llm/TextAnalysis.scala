@@ -1107,6 +1107,37 @@ object TextAnalysis {
         col("sum_df").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Per-source quartiles of the corpus-frequency quality score — the
+    * threshold-calibration table behind [[corpusFilter]]: a global
+    * quality cut over sources with different score distributions
+    * silently guts the clean source and keeps the noisy one; this is
+    * the per-source evidence for per-source thresholds. The score is
+    * [[gramLikelihood]]'s ratio quantized to integer micro-units
+    * ((1e6·sum_df) div n_tokens) so the nearest-rank picks are
+    * bit-identical; quartiles come straight off the (source, score)
+    * count frame's cumulative window (the length_gini discipline — no
+    * join back to rows).
+    */
+  def likelihoodQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = gramLikelihood(spark, dir)
+      .select(col("doc_id"),
+        expr("(1000000 * sum_df) div n_tokens").as("qs_q"))
+      .join(t(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+    val byS = Window.partitionBy("source")
+    val cum = qs.groupBy("source", "qs_q").agg(count(lit(1)).as("k"))
+      .withColumn("cum", sum("k").over(byS.orderBy("qs_q")
+        .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .withColumn("n", sum("k").over(byS).cast("long"))
+    def pick(p: Double) =
+      max(when(col("cum") >= expr(s"CAST(ceil(n * $p) AS BIGINT)") &&
+        col("cum") - col("k") < expr(s"CAST(ceil(n * $p) AS BIGINT)"),
+        col("qs_q")))
+    cum.groupBy("source").agg(max("n").as("n_docs"),
+      pick(0.25).as("q1_qs"), pick(0.5).as("median_qs"),
+      pick(0.75).as("q3_qs"))
+  }
+
   /** Exact-substring duplicate candidates: documents sharing at least 3 of
     * their bottom-8 winnowed 8-gram fingerprints (the [[fingerprint]]
     * sketch turned into a pair generator) — the scalable alternative to a
@@ -1229,6 +1260,7 @@ object TextAnalysis {
     "bpe_fertility" -> bpeFertility,
     "bpe_pair_counts" -> bpePairCounts,
     "gram_likelihood" -> gramLikelihood,
+    "likelihood_quartiles" -> likelihoodQuartiles,
     "substring_dup_pairs" -> substringDupPairs,
     "quality_gopher" -> qualityGopher,
     "repetition_ngrams" -> repetitionNgrams,
@@ -1434,6 +1466,37 @@ object TextAnalysis {
         |  CAST(CAST(SUM(tf * df) AS BIGINT) AS DOUBLE) /
         |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS score
         |FROM tk JOIN df USING (tok) GROUP BY doc_id""".stripMargin,
+    "likelihood_quartiles" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+        |qs AS (
+        |  SELECT doc_id,
+        |    (1000000 * CAST(SUM(tf * df) AS BIGINT))
+        |      // CAST(SUM(tf) AS BIGINT) AS qs_q
+        |  FROM tk JOIN df USING (tok) GROUP BY doc_id),
+        |c AS (
+        |  SELECT source, qs_q, COUNT(*) AS k
+        |  FROM qs JOIN documents USING (doc_id) GROUP BY source, qs_q),
+        |cc AS (
+        |  SELECT *, CAST(SUM(k) OVER (PARTITION BY source
+        |    ORDER BY qs_q) AS BIGINT) AS cum,
+        |    CAST(SUM(k) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT source, MAX(n) AS n_docs,
+        |  MAX(CASE WHEN cum >= CAST(ceil(n * 0.25) AS BIGINT)
+        |    AND cum - k < CAST(ceil(n * 0.25) AS BIGINT)
+        |    THEN qs_q END) AS q1_qs,
+        |  MAX(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |    AND cum - k < CAST(ceil(n * 0.5) AS BIGINT)
+        |    THEN qs_q END) AS median_qs,
+        |  MAX(CASE WHEN cum >= CAST(ceil(n * 0.75) AS BIGINT)
+        |    AND cum - k < CAST(ceil(n * 0.75) AS BIGINT)
+        |    THEN qs_q END) AS q3_qs
+        |FROM cc GROUP BY source""".stripMargin,
     "substring_dup_pairs" ->
       s"""WITH g AS (
         |  SELECT doc_id, g, ${md5LongSql("g")} AS h

@@ -2501,6 +2501,20 @@ class OperatorSpec extends AnyFunSuite {
     dc.unpersist()
   }
 
+  test("likelihood_quartiles: ordered picks bracket the scored population") {
+    graft.functions.TextHashes.register(spark)
+    val lq = llm.TextAnalysis.likelihoodQuartiles(spark, dir).cache()
+    val scored = llm.TextAnalysis.gramLikelihood(spark, dir)
+      .join(Tables.t(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    assert(lq.join(scored, "source")
+      .filter(col("n_docs") =!= col("n")).count() == 0)
+    assert(lq.filter(col("q1_qs") > col("median_qs") ||
+      col("median_qs") > col("q3_qs")).count() == 0)
+    lq.unpersist()
+  }
+
   test("source_lang_matrix: cells partition, deviations balance in sign") {
     val sm = llm.TextAnalysis.sourceLangMatrix(spark, dir).cache()
     val docs = Tables.t(spark, dir, "documents")
