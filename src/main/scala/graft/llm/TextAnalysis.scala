@@ -140,8 +140,16 @@ object TextAnalysis {
     */
   def tokenLenProfile(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashes.register(spark)
-    t(spark, dir, "documents")
-      .select(col("source"), explode(expr(
+    tokenLenRollup(t(spark, dir, "documents"))
+  }
+
+  /** The in-row length fold + (source, tok_len) rollup — ONE spelling
+    * shared by [[tokenLenProfile]] and the streaming monitor
+    * (graft.streaming.Streams.tokenLenStream), the charClassRollup
+    * discipline.
+    */
+  private[graft] def tokenLenRollup(df: DataFrame): DataFrame =
+    df.select(col("source"), explode(expr(
         """map_entries(array_counts(transform(
           |  split(coalesce(text, ''), ' '),
           |  t -> CAST(length(t) AS STRING))))""".stripMargin)).as("e"))
@@ -149,7 +157,6 @@ object TextAnalysis {
         col("e.value").as("cnt"))
       .groupBy("source", "tok_len")
       .agg(sum("cnt").cast("long").as("n_toks"))
-  }
 
   /** Source × language contingency matrix with independence deviations:
     * per (source, LABELED lang) the doc count, the independence-expected

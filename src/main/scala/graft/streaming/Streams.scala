@@ -515,6 +515,20 @@ object Streams {
   def charClassStream(stream: DataFrame): DataFrame =
     graft.llm.TextAnalysis.charClassRollup(stream)
 
+  /** Live token-length histogram — the streaming twin of
+    * [[graft.llm.TextAnalysis.tokenLenProfile]]: arriving docs fold
+    * their token lengths in-row (array_counts over the length array, so
+    * at most ~30 rows per doc reach the aggregation) and ONE
+    * complete-mode rollup keeps the (source, tok_len) histogram
+    * current. Bounded state (|sources| x |lengths| counter rows);
+    * counters are delivery-order invariant (StreamingSpec pins == batch
+    * under in-order AND shuffled delivery).
+    */
+  def tokenLenStream(stream: DataFrame): DataFrame = {
+    graft.functions.TextHashes.register(stream.sparkSession)
+    graft.llm.TextAnalysis.tokenLenRollup(stream)
+  }
+
   /** Sliding-window throughput as a continuous query — the streaming
     * half of [[graft.analytics.Analytics.rollingThroughput]]: a
     * 5-minute window sliding by 1 minute over event time, so each

@@ -667,6 +667,26 @@ class StreamingSpec extends AnyFunSuite {
       want.exceptAll(got2).count() == 0)
   }
 
+  test("live token-length histogram == batch token_len_profile, any order") {
+    graft.functions.TextHashes.register(spark)
+    val docs = Tables.t(spark, dir, "documents")
+    val want = llm.TextAnalysis.tokenLenProfile(spark, dir)
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = Streams.tokenLenStream(src).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val got = run(Streams.tableStream(spark, dir, "documents"), "graft_tl1")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    val staged = stageChunks(docs, 4,
+      md5(concat_ws("#", lit("toklen"), col("doc_id"))))
+    val got2 = run(chunkStream(staged), "graft_tl2")
+    assert(got2.exceptAll(want).count() == 0 &&
+      want.exceptAll(got2).count() == 0)
+  }
+
   test("live char-class monitor == batch char_class_profile, any order") {
     val docs = Tables.t(spark, dir, "documents")
     val want = llm.TextAnalysis.charClassProfile(spark, dir)
