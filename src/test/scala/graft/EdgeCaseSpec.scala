@@ -53,7 +53,10 @@ class EdgeCaseSpec extends AnyFunSuite {
       "vocab_coverage_curve", "token_budget_plan",
       "cluster_canonical", "dedup_survivors", "dedup_policy_compare",
       "quality_by_dup", "contamination_spans", "pack_len_sweep",
-      "char_class_profile", "minhash_band_stats", "length_gini")
+      "char_class_profile", "minhash_band_stats", "length_gini",
+      "token_len_profile", "source_lang_matrix", "likelihood_quartiles",
+      "vocab_growth_curve", "dup_accumulation_curve",
+      "simhash_hamming_profile")
     for (name <- docOnly) {
       val n = SparkEntry.queries(name)(spark, dir).count()
       assert(n >= 0, s"$name failed on the adversarial corpus")
@@ -103,7 +106,11 @@ class EdgeCaseSpec extends AnyFunSuite {
     for (name <- Seq("dedup_exact", "vocab_coverage", "corpus_card",
         "collocations", "source_unique_grams", "ngram_novelty",
         "dedup_minhash_lsh", "dedup_clusters", "decontaminate",
-        "benchmark_leakage", "curation_pipeline"))
+        "benchmark_leakage", "curation_pipeline",
+        "token_len_profile", "source_lang_matrix", "likelihood_quartiles",
+        "char_class_profile", "vocab_growth_curve",
+        "dup_accumulation_curve", "simhash_hamming_profile",
+        "minhash_band_stats", "length_gini"))
       assert(SparkEntry.queries(name)(spark, empty).count() == 0,
         s"$name non-empty on the empty corpus")
   }
