@@ -462,7 +462,37 @@ object Multimodal {
         max("nrm").as("max_nrm"))
   }
 
+  /** Document↔embedding coverage audit: per source, how many documents
+    * have a vector and the coverage in basis points, plus one
+    * '(no_doc)' row counting orphan vectors with no document at all —
+    * the referential-integrity check a retrieval pipeline runs before
+    * trusting any join of the two tables (an embedding job that
+    * silently skipped a shard shows up here, not in per-table row
+    * counts). One full outer equi-join that co-partitions on the id;
+    * rollup to |sources|+1 rows.
+    */
+  def embeddingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val vecs = t(spark, dir, "embeddings").select(col("vec_id"))
+    docs.join(vecs, col("doc_id") === col("vec_id"), "full")
+      .select(
+        coalesce(col("source"), lit("(no_doc)")).as("source"),
+        when(col("doc_id").isNotNull, 1L).otherwise(0L).as("is_doc"),
+        when(col("vec_id").isNotNull, 1L).otherwise(0L).as("has_vec"))
+      .groupBy("source")
+      .agg(sum("is_doc").cast("long").as("n_docs"),
+        sum(when(col("is_doc") === 1L && col("has_vec") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("n_with_vec"),
+        sum(when(col("is_doc") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_orphan_vecs"))
+      .withColumn("coverage_bp",
+        expr("""CASE WHEN n_docs > 0
+               |  THEN (10000 * n_with_vec) div n_docs
+               |  ELSE 0 END""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_coverage" -> embeddingCoverage,
     "multimodal_pipeline" -> multimodalPipeline,
     "media_phash" -> mediaPhash,
     "phash_hamming_pairs" -> phashHammingPairs,
@@ -472,6 +502,25 @@ object Multimodal {
     * — rows-only check. The alignment rollup is exact SQL.
     */
   val oracles: Map[String, String] = Map(
+    "embedding_coverage" ->
+      """WITH j AS (
+        |  SELECT d.doc_id, d.source, e.vec_id
+        |  FROM documents d FULL OUTER JOIN embeddings e
+        |    ON d.doc_id = e.vec_id)
+        |SELECT COALESCE(source, '(no_doc)') AS source,
+        |  CAST(SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vec,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orphan_vecs,
+        |  CASE WHEN SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |    THEN (10000 * CAST(SUM(CASE WHEN doc_id IS NOT NULL
+        |      AND vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+        |      // CAST(SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |        AS BIGINT)
+        |    ELSE 0 END AS coverage_bp
+        |FROM j GROUP BY COALESCE(source, '(no_doc)')""".stripMargin,
     "media_embed_align" ->
       """WITH e AS (
         |  SELECT vec_id, label,

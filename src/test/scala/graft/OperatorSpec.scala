@@ -2501,6 +2501,20 @@ class OperatorSpec extends AnyFunSuite {
     dc.unpersist()
   }
 
+  test("embedding_coverage: accounting closes over both tables") {
+    val ec = llm.Multimodal.embeddingCoverage(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+    val vecs = Tables.t(spark, dir, "embeddings")
+    assert(ec.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // every vector is either matched to a doc or counted as orphan
+    val matched = ec.agg(sum("n_with_vec")).head.getLong(0)
+    val orphans = ec.agg(sum("n_orphan_vecs")).head.getLong(0)
+    assert(matched + orphans == vecs.count())
+    assert(ec.filter(col("coverage_bp") < 0L || col("coverage_bp") > 10000L
+      || col("n_with_vec") > col("n_docs")).count() == 0)
+    ec.unpersist()
+  }
+
   test("likelihood_quartiles: ordered picks bracket the scored population") {
     graft.functions.TextHashes.register(spark)
     val lq = llm.TextAnalysis.likelihoodQuartiles(spark, dir).cache()
