@@ -399,6 +399,32 @@ object Dedup {
       .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
 
+  /** Exact integer Gini of near-dup cluster-size mass — the
+    * single-number concentration companion to [[dedupClusterProfile]]'s
+    * histogram (the TextAnalysis.lengthGini closed form over cluster
+    * sizes): Gini ≈ 0 says duplication is spread in small families,
+    * a jumping Gini says a few mega-clusters carry the dup mass — the
+    * exact signature of boilerplate flooding the crawl. Runs entirely
+    * on the (csize) count frame of the cached labels; one output row.
+    */
+  def dedupClusterGini(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("k"))
+      .withColumn("c0",
+        coalesce(sum("k").over(org.apache.spark.sql.expressions.Window
+          .orderBy("csize").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .agg(sum("k").cast("long").as("n_clusters"),
+        sum(col("csize") * col("k")).cast("long").as("n_members"),
+        sum(col("csize") *
+          (col("k") * col("c0") + expr("(k * (k + 1)) div 2")))
+          .cast("long").as("s1"))
+      .select(col("n_clusters"), col("n_members"),
+        expr("""CASE WHEN n_members > 0
+               |  THEN (10000 * (2 * s1 - (n_clusters + 1) * n_members))
+               |    div (n_clusters * n_members)
+               |  ELSE 0 END""".stripMargin).as("gini_bp"))
+
   /** Survivorship policy over [[dedupClusters]]: per near-dup cluster,
     * the canonical document a keep-best dedup retains — longest text
     * wins (near-dups differ, unlike exact dups, so "keep the most
@@ -864,6 +890,7 @@ object Dedup {
     "quality_by_dup" -> qualityByDup,
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_profile" -> dedupClusterProfile,
+    "dedup_cluster_gini" -> dedupClusterGini,
     "cluster_canonical" -> clusterCanonical,
     "dedup_survivors" -> dedupSurvivors,
     "dedup_exact" -> dedupExact,
@@ -1328,6 +1355,34 @@ object Dedup {
         |  FROM lab GROUP BY cluster_id)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
         |FROM cs GROUP BY csize""".stripMargin),
+    "dedup_cluster_gini" ->
+      (clustersChainSql + """
+        |, lab AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |cs AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+        |  FROM lab GROUP BY cluster_id),
+        |cf AS (SELECT csize, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM cs GROUP BY csize),
+        |cc AS (
+        |  SELECT csize, k,
+        |    CAST(COALESCE(SUM(k) OVER (ORDER BY csize
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c0
+        |  FROM cf),
+        |r AS (
+        |  SELECT CAST(SUM(k) AS BIGINT) AS n_clusters,
+        |    CAST(SUM(csize * k) AS BIGINT) AS n_members,
+        |    CAST(SUM(csize * (k * c0 + (k * (k + 1)) // 2)) AS BIGINT)
+        |      AS s1
+        |  FROM cc)
+        |SELECT n_clusters, n_members,
+        |  CASE WHEN n_members > 0
+        |    THEN (10000 * (2 * s1 - (n_clusters + 1) * n_members))
+        |      // (n_clusters * n_members)
+        |    ELSE 0 END AS gini_bp
+        |FROM r""".stripMargin),
     "minhash_calibration" ->
       s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

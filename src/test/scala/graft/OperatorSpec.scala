@@ -2501,6 +2501,17 @@ class OperatorSpec extends AnyFunSuite {
     dc.unpersist()
   }
 
+  test("dedup_cluster_gini: closes on the profile, bounded in range") {
+    val g = llm.Dedup.dedupClusterGini(spark, dir).head()
+    val prof = llm.Dedup.dedupClusterProfile(spark, dir)
+      .agg(sum("n_clusters").cast("long"),
+        sum(col("csize") * col("n_clusters")).cast("long")).head()
+    assert(g.getAs[Long]("n_clusters") == prof.getLong(0))
+    assert(g.getAs[Long]("n_members") == prof.getLong(1))
+    val bp = g.getAs[Long]("gini_bp")
+    assert(bp >= 0L && bp < 10000L)
+  }
+
   test("embedding_coverage: accounting closes over both tables") {
     val ec = llm.Multimodal.embeddingCoverage(spark, dir).cache()
     val docs = Tables.t(spark, dir, "documents")
