@@ -1145,6 +1145,43 @@ object TextAnalysis {
       pick(0.75).as("q3_qs"))
   }
 
+  /** Quality × length contingency grid: doc counts over a fixed bucket
+    * grid of the corpus-frequency quality score (200k-micro-unit steps,
+    * capped at 10) against document length (200-char steps, capped at
+    * 10), with each cell's share of its length ROW in basis points —
+    * the confound audit run before shipping any quality threshold: if
+    * high-quality mass concentrates in one length band, the "quality"
+    * cut is a length cut in disguise ([[likelihoodQuartiles]] says
+    * where to cut per source; this says what the cut actually selects).
+    * One scored scan partial-aggregated to the <= 121-cell grid; row
+    * totals re-aggregate there.
+    */
+  def qualityLengthMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val scored = gramLikelihood(spark, dir)
+      .select(col("doc_id"),
+        expr("(1000000 * sum_df) div n_tokens").as("qs_q"))
+      .join(t(spark, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id")
+    // min-max scaled 10-bucket grid on BOTH axes (integer-exact; the
+    // +1 keeps the max value inside bucket 9) — corpus-adaptive, so the
+    // grid stays informative whatever the absolute score range is
+    val ext = scored.agg(
+      min("qs_q").as("q_mn"), max("qs_q").as("q_mx"),
+      min("n_chars").as("l_mn"), max("n_chars").as("l_mx"))
+    val cells = scored.crossJoin(broadcast(ext))
+      .select(
+        expr("((qs_q - q_mn) * 10) div (q_mx - q_mn + 1)").as("q_bucket"),
+        expr("((n_chars - l_mn) * 10) div (l_mx - l_mn + 1)")
+          .as("len_bucket"))
+      .groupBy("q_bucket", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val rows = cells.groupBy("len_bucket")
+      .agg(sum("n_docs").cast("long").as("row_total"))
+    cells.join(broadcast(rows), "len_bucket")
+      .select(col("q_bucket"), col("len_bucket"), col("n_docs"),
+        expr("(10000 * n_docs) div row_total").as("row_share_bp"))
+  }
+
   /** Exact-substring duplicate candidates: documents sharing at least 3 of
     * their bottom-8 winnowed 8-gram fingerprints (the [[fingerprint]]
     * sketch turned into a pair generator) — the scalable alternative to a
@@ -1268,6 +1305,7 @@ object TextAnalysis {
     "bpe_pair_counts" -> bpePairCounts,
     "gram_likelihood" -> gramLikelihood,
     "likelihood_quartiles" -> likelihoodQuartiles,
+    "quality_length_matrix" -> qualityLengthMatrix,
     "substring_dup_pairs" -> substringDupPairs,
     "quality_gopher" -> qualityGopher,
     "repetition_ngrams" -> repetitionNgrams,
@@ -1473,6 +1511,34 @@ object TextAnalysis {
         |  CAST(CAST(SUM(tf * df) AS BIGINT) AS DOUBLE) /
         |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS score
         |FROM tk JOIN df USING (tok) GROUP BY doc_id""".stripMargin,
+    "quality_length_matrix" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+        |qs AS (
+        |  SELECT doc_id,
+        |    (1000000 * CAST(SUM(tf * df) AS BIGINT))
+        |      // CAST(SUM(tf) AS BIGINT) AS qs_q
+        |  FROM tk JOIN df USING (tok) GROUP BY doc_id),
+        |sc AS (
+        |  SELECT qs_q, n_chars FROM qs JOIN documents USING (doc_id)),
+        |ext AS (
+        |  SELECT MIN(qs_q) AS q_mn, MAX(qs_q) AS q_mx,
+        |    MIN(n_chars) AS l_mn, MAX(n_chars) AS l_mx FROM sc),
+        |cells AS (
+        |  SELECT ((qs_q - q_mn) * 10) // (q_mx - q_mn + 1) AS q_bucket,
+        |    ((n_chars - l_mn) * 10) // (l_mx - l_mn + 1) AS len_bucket,
+        |    COUNT(*) AS n_docs
+        |  FROM sc CROSS JOIN ext
+        |  GROUP BY q_bucket, len_bucket),
+        |rt AS (SELECT len_bucket, CAST(SUM(n_docs) AS BIGINT) AS row_total
+        |  FROM cells GROUP BY len_bucket)
+        |SELECT q_bucket, cells.len_bucket, n_docs,
+        |  (10000 * n_docs) // row_total AS row_share_bp
+        |FROM cells JOIN rt USING (len_bucket)""".stripMargin,
     "likelihood_quartiles" ->
       """WITH tk AS (
         |  SELECT doc_id, tok, COUNT(*) AS tf

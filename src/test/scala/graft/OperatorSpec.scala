@@ -2501,6 +2501,19 @@ class OperatorSpec extends AnyFunSuite {
     dc.unpersist()
   }
 
+  test("quality_length_matrix: buckets in grid, rows close, mass conserved") {
+    graft.functions.TextHashes.register(spark)
+    val m = llm.TextAnalysis.qualityLengthMatrix(spark, dir).cache()
+    assert(m.filter(col("q_bucket") < 0L || col("q_bucket") > 9L ||
+      col("len_bucket") < 0L || col("len_bucket") > 9L).count() == 0)
+    val scored = llm.TextAnalysis.gramLikelihood(spark, dir).count()
+    assert(m.agg(sum("n_docs")).head.getLong(0) == scored)
+    // per-row shares close to 10000 within floor rounding (<= 10 cells)
+    val rows = m.groupBy("len_bucket").agg(sum("row_share_bp").as("s"))
+    assert(rows.filter(col("s") > 10000L || col("s") < 9990L).count() == 0)
+    m.unpersist()
+  }
+
   test("dedup_cluster_gini: closes on the profile, bounded in range") {
     val g = llm.Dedup.dedupClusterGini(spark, dir).head()
     val prof = llm.Dedup.dedupClusterProfile(spark, dir)
