@@ -1569,6 +1569,28 @@ object Analytics {
         expr("(10000 * n_orders) div m_total - global_bp").as("drift_bp"))
   }
 
+  /** Bounce profile by entry event: for each user's FIRST session, the
+    * entry event type, whether the session bounced (exactly one event),
+    * rolled to per-entry-type counts with the bounce share in basis
+    * points — the acquisition-quality read next to [[eventPaths]] (the
+    * path says where journeys go; this says which entrances go NOWHERE).
+    * Rides the shared 30-minute session chain ([[sessionFrame]], the
+    * EdgeEventsSpec-pinned tie rule), one per-user rollup on top of its
+    * window pass, then a |types|-row rollup.
+    */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame =
+    sessionFrame(spark, dir)
+      .filter(col("sid") === 1L)
+      .groupBy("user_id")
+      .agg(
+        expr("min_by(event_type, struct(tms, event_id))").as("entry_type"),
+        count(lit(1)).as("n_events"))
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_bounced"))
+      .withColumn("bounce_bp", expr("(10000 * n_bounced) div n_users"))
+
   /** Repeat-purchase structure by nation: active customers, how many
     * ordered at least twice, the repeat share in basis points, and the
     * floor-mean orders per active customer in integer percent — the
@@ -1825,6 +1847,7 @@ object Analytics {
     "discount_qty_curve" -> discountQtyCurve,
     "order_priority_drift" -> orderPriorityDrift,
     "customer_repeat_rate" -> customerRepeatRate,
+    "bounce_rate" -> bounceRate,
     "rolling_throughput" -> rollingThroughput,
     "nation_revenue_rollup" -> nationRevenueRollup,
     "customer_spend_deciles" -> customerSpendDeciles,
@@ -2874,6 +2897,34 @@ object Analytics {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY "value" DESC, event_id) AS rn
         |  FROM events)
         |WHERE rn <= 3""".stripMargin,
+    "bounce_rate" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN prev IS NULL OR tms - prev > 1800000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sid
+        |  FROM g),
+        |f AS (
+        |  SELECT user_id, entry_type, n_events FROM (
+        |    SELECT user_id, event_type AS entry_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY tms, event_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |    FROM s WHERE sid = 1)
+        |  WHERE rn = 1)
+        |SELECT entry_type, COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounced,
+        |  (10000 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // COUNT(*) AS bounce_bp
+        |FROM f GROUP BY entry_type""".stripMargin,
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, "value", epoch_ms(ts) AS tms,

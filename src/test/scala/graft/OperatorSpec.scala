@@ -2501,6 +2501,20 @@ class OperatorSpec extends AnyFunSuite {
     dc.unpersist()
   }
 
+  test("bounce_rate: first sessions partition users, bounces tie to sessionize") {
+    val br = analytics.Analytics.bounceRate(spark, dir).cache()
+    val nUsers = Tables.t(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(br.agg(sum("n_users")).head.getLong(0) == nUsers)
+    // bounced total == sessionize's first sessions with exactly 1 event
+    val want = analytics.Analytics.sessionize(spark, dir)
+      .filter(col("sid") === 1L && col("n_events") === 1L).count()
+    assert(br.agg(sum("n_bounced")).head.getLong(0) == want)
+    assert(br.filter(col("bounce_bp") < 0L || col("bounce_bp") > 10000L)
+      .count() == 0)
+    br.unpersist()
+  }
+
   test("quality_length_matrix: buckets in grid, rows close, mass conserved") {
     graft.functions.TextHashes.register(spark)
     val m = llm.TextAnalysis.qualityLengthMatrix(spark, dir).cache()
