@@ -51,5 +51,16 @@ class EdgeEmbeddingsSpec extends AnyFunSuite {
     // PCA moment pass includes all 20 vectors
     assert(llm.Pca.pcaTopComponent(spark, dir)
       .head.getAs[Long]("n_vecs") == 20L)
+    // the per-dim calibration detector reads the UNfiltered frame too:
+    // all 20 vectors counted per dimension, zero row included, no
+    // divide hazard anywhere
+    val ds = llm.Similarity.embeddingDimStats(spark, dir)
+    assert(ds.count() == 64)
+    assert(ds.filter(col("n") =!= 20L).count() == 0)
+    // the graph-quality audits survive the punctured universe (vec 0
+    // has no edges; triangles and label agreement stay well-defined)
+    assert(llm.Similarity.knnTriangles(spark, dir)
+      .filter(col("vec_id") === 0L).count() == 0)
+    assert(llm.Similarity.knnLabelAgreement(spark, dir).count() > 0)
   }
 }
