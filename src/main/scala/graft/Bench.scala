@@ -57,7 +57,13 @@ object Bench {
       "\"" + name + "\":[" + (if (ok1) ms(v1) else "-1") + "," +
         (if (ok2) ms(v2) else "-1") + "]"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
+    // Run-condition provenance, so a builder artifact and a driver rerun
+    // are comparable at a glance (the r12 builder/driver 133s-vs-171s gap
+    // was undiagnosable without knowing each run's heap and thread count;
+    // min-of-passes hides nothing when both raw passes are committed too).
+    val env = s"""{"xmx_mb":${Runtime.getRuntime.maxMemory / 1048576},""" +
+      s""""cpus":$cpus,"host_cores":${Runtime.getRuntime.availableProcessors}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"env":$env,"queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char tail of stdout and parses the
     // JSON line it finds there. The full-registry line (~200 queries, both
     // passes) is ~6 KB — it can NEVER fit, so every round's BENCH_r{N}.json

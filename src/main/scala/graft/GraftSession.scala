@@ -14,16 +14,21 @@ import org.apache.spark.sql.SparkSession
   * - `inferTimestampNTZ=false`: millis timestamps read as TIMESTAMP (session
   *   tz UTC) so unix_millis() works and literals compare like DuckDB's
   *   naive timestamps.
-  * - shuffle.partitions sized to cores, but AQE plans each shuffle at
-  *   16x cores first (`initialPartitionNum`) and COALESCES down to the
-  *   advisory size: small inputs still run a handful of reducers, while
-  *   a 1000x input keeps enough reducers that per-task aggregation state
-  *   fits (measured: basket's per-order collect_set OOMs a 32g JVM when
-  *   600M fact rows land on 8 reducers, and runs clean at 16x). This is
-  *   exactly the knob a 1000-executor cluster runs with — a high initial
-  *   count AQE shrinks per-query — not a local hack.
+  * - Shuffle fan-out is SIZE-AWARE, not one-size: shuffles plan at cores
+  *   (`initialPartitionNum` = cores, AQE coalesces below that on tiny
+  *   inputs), and the handful of object-aggregation builds whose per-task
+  *   hash state grows with the data (collect_set over fact-cardinality
+  *   keys — the one class measured to OOM at the 1000x decade check) wrap
+  *   themselves in [[withWideState]], which raises the fan-out to 16x
+  *   cores for exactly that build. Round 12 ran 16x SESSION-WIDE and paid
+  *   0.1–0.4 s per metadata-sized query across the whole registry (the
+  *   schema family ran 2–5x slower) for an envelope only those builds
+  *   need; measured at sf0.1/local[32]: 112 of 327 queries >50 ms faster
+  *   at cores vs 16x, 8 the other way, net −14 s on the registry.
   */
 object GraftSession {
+  private val InitParts = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
   def build(master: String, cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
@@ -33,11 +38,32 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 16).toString)
+      .config(InitParts,
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** Run `body` (which must EXECUTE its jobs eagerly — a persist+count or
+    * localCheckpoint) with shuffles planned at 16x the session's reducer
+    * count, AQE coalescing down. This is the 1000x memory envelope for
+    * object-aggregation state over fact-cardinality keys (per-order
+    * collect_set at 600M rows OOMs a 32 GiB JVM when the rows land on a
+    * handful of reducers; at 16x the per-task hash map stays bounded) —
+    * exactly the knob a 1000-executor cluster turns up for such a stage,
+    * paid ONLY by the stage that needs it instead of by every
+    * metadata-sized exchange in the session.
+    */
+  def withWideState[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption(InitParts)
+    val wide = (spark.conf.get("spark.sql.shuffle.partitions").toInt * 16)
+    spark.conf.set(InitParts, wide.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(InitParts, v)
+      case None => spark.conf.unset(InitParts)
+    }
   }
 }

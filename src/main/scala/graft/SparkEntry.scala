@@ -40,9 +40,35 @@ object SparkEntry {
           .as("sum_qty"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** Queries whose execution carries object-aggregation state over
+    * fact-cardinality keys OUTSIDE a cached build (per-user path collects,
+    * per-fingerprint bucket lists, per-vertex adjacency sets) — the one
+    * class that needs the 16x-cores shuffle fan-out at the 1000x decade
+    * (per-task hash state grows with data; see GraftSession.withWideState).
+    * Everything else plans at cores: measured at sf0.1/local[32], the
+    * session-wide 16x default cost 112 of 327 queries >50 ms each and
+    * bought nothing outside this class.
+    */
+  private val wideStateQueries: Set[String] =
+    Set("event_paths", "substring_dup_pairs", "snn_graph", "knn_triangles")
+
+  /** One entry per implemented operator from SURVEY.md §2. Each closure
+    * pins the session's shuffle fan-out for the query it builds (wide for
+    * [[wideStateQueries]], cores otherwise) — the conf is read at
+    * EXECUTION planning, and build→execute is sequential per query in
+    * Verify/Bench/the driver, so setting it at build time scopes it to
+    * exactly this query's run.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+    modules.map(_._1).reduce(_ ++ _).map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) =>
+        val cores = s.conf.get("spark.sql.shuffle.partitions").toInt
+        s.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          (if (wideStateQueries(name)) cores * 16 else cores).toString)
+        fn(s, d)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.

@@ -74,13 +74,93 @@ object Tables {
   }
 
   /** Best-effort release of a purged cache value's persisted data (the
-    * values are DataFrames or tuples of them).
+    * values are DataFrames or tuples of them). Two block owners exist:
+    * CacheManager entries (persist/cache — Dataset.unpersist frees them)
+    * and localCheckpoint RDDs (lineage-truncated; their blocks belong to
+    * the LogicalRDD's backing RDD, which Dataset.unpersist never touches —
+    * unwrap and unpersist it directly, else the blocks linger until GC).
+    * Blocking: eviction runs under a byte budget, so the freed bytes must
+    * be VISIBLE to the next storage poll or the evictor over-evicts.
     */
   private def release(v: Any): Unit = v match {
     case ds: org.apache.spark.sql.Dataset[_] =>
-      try ds.unpersist() catch { case _: Throwable => () }
+      try ds.unpersist(blocking = true) catch { case _: Throwable => () }
+      // ROOT node only: a derived frame's lineage may EMBED another cached
+      // frame's LogicalRDD — unpersisting that parent's checkpoint blocks
+      // while its own cache entry still serves it would be fatal (lineage
+      // is truncated; lost localCheckpoint blocks cannot be recomputed).
+      try ds.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = true)
+        case _ => ()
+      } catch { case _: Throwable => () }
     case p: Product => p.productIterator.foreach(release)
     case _ => ()
+  }
+
+  // ------------------------------------------------------------------
+  // Global LRU + storage budget over every session-lifetime frame cache.
+  //
+  // Round-12 lesson: 300+ queries in one session each pin persisted /
+  // localCheckpoint'ed frames that were NEVER unpersisted, so the storage
+  // pool saturates mid-run and every later data-sized build runs under
+  // eviction churn (basket_lift: 0.8 s steady → 73 s under pressure). On
+  // a real cluster the same discipline matters: a long-lived session that
+  // only ever adds cached frames eventually starves execution memory on
+  // every executor. Budget: frames are evicted least-recently-used once
+  // total cached bytes (mem + disk, the whole footprint the session has
+  // pinned) exceed ~30% of the driver/executor heap — the unified-memory
+  // region that storage can hold WITHOUT execution evicting it. The most
+  // recently touched entries are never evicted: a query's own frames
+  // (fetched moments ago, possibly lineage-truncated localCheckpoints
+  // that CANNOT be recomputed once their blocks drop) must survive until
+  // the query finishes.
+  // ------------------------------------------------------------------
+  private final case class CacheEntry(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), _],
+      key: (SparkSession, String))
+  private val lru =
+    new java.util.LinkedHashMap[CacheEntry, Long](64, 0.75f, true)
+  private var accessSeq = 0L
+  /** Entries touched within this many accesses of NOW are never evicted
+    * (a single query touches a handful of frames; its working set must
+    * outlive budget pressure from frames of long-finished queries).
+    */
+  private val protectWindow = 8L
+
+  /** Cached-frame byte budget: `SPARK_GRAFT_CACHE_BUDGET` (bytes) or 30%
+    * of the JVM heap. local[*] note: driver == executor here, so heap is
+    * the right denominator; on a cluster this would poll executor storage.
+    */
+  private lazy val budgetBytes: Long =
+    sys.env.get("SPARK_GRAFT_CACHE_BUDGET").map(_.toLong)
+      .getOrElse((Runtime.getRuntime.maxMemory * 0.30).toLong)
+
+  private def cachedBytes(spark: SparkSession): Long =
+    spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+
+  /** Evict least-recently-used frames of THIS session until the cached
+    * footprint fits the budget (best effort — the protect window and
+    * other sessions' frames are skipped). Runs on every cache access; the
+    * poll is one driver-side block-manager summary, no data touched.
+    */
+  private def enforceBudget(spark: SparkSession): Unit = lru.synchronized {
+    var total = cachedBytes(spark)
+    if (total <= budgetBytes) return
+    val minKeep = accessSeq - protectWindow
+    val it = lru.entrySet().iterator()
+    while (total > budgetBytes && it.hasNext) {
+      val e = it.next()
+      if (e.getValue < minKeep && (e.getKey.key._1 eq spark)) {
+        it.remove()
+        e.getKey.cache.remove(e.getKey.key).foreach(release)
+        val now = cachedBytes(spark)
+        System.err.println(s"[graft-cache] evicted ${e.getKey.key._2} " +
+          s"(${(total - now) / 1048576} MiB); cached ${now / 1048576} MiB" +
+          s" / budget ${budgetBytes / 1048576} MiB")
+        total = now
+      }
+    }
   }
 
   /** Fingerprinted cache key for session-lifetime frame caches, plus the
@@ -88,7 +168,8 @@ object Tables {
     * (session, dir) whose fingerprint no longer matches, so in-place data
     * regeneration does not strand the superseded frames in storage memory.
     * The fingerprint listing runs on every ACCESS (that is what detects
-    * staleness) — a driver-side directory walk, no data read.
+    * staleness) — a driver-side directory walk, no data read. Each access
+    * also touches the global LRU and enforces the storage budget above.
     */
   def freshCacheKey[V](
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
@@ -99,9 +180,20 @@ object Tables {
     }
     val key = s"$dir@${fingerprint(spark, dir, table)}"
     cache.keys.foreach { case k @ (s, d) =>
-      if (s == spark && d != key && d.startsWith(dir + "@"))
+      if (s == spark && d != key && d.startsWith(dir + "@")) {
         cache.remove(k).foreach(release)
+        lru.synchronized { lru.remove(CacheEntry(cache, k)) }
+      }
     }
-    (spark, key)
+    val full = (spark, key)
+    lru.synchronized {
+      accessSeq += 1
+      lru.put(CacheEntry(cache, full), accessSeq)
+      // Drop LRU entries whose session died with a stopped context.
+      val it = lru.keySet().iterator()
+      while (it.hasNext) if (it.next().key._1.sparkContext.isStopped) it.remove()
+    }
+    enforceBudget(spark)
+    full
   }
 }

@@ -123,6 +123,100 @@ object Admin {
       .withColumn("n_pending", col("log_end") - col("fence_offset"))
   }
 
+  /** The migration HTTP request lifecycle over the per-topic fence view —
+    * the three processors of /root/reference/kafka-impl/.../migration/
+    * processor/: CreateTopicWithMigrationProcessor ("/migration/createTopic",
+    * POST), StartMigrationProcessor ("/migration/start", POST) and
+    * MigrationStatusProcessor ("/migration/status", GET), each a row per
+    * topic with its request count and phase-dependent outcome
+    * ([[migrationStatus]]'s NOT_STARTED/STARTED/DONE coin — a start request
+    * is only acceptable from NOT_STARTED), plus the outstanding proxied
+    * request count the ManagedLedgerPropertiesMigrationMetadataManager
+    * tracks per topic while a migration is in flight (startProxyRequest /
+    * finishProxyRequest: records past the fence of a STARTED topic are
+    * requests KoP proxies to the source Kafka cluster). Status-poll volume
+    * is data-derived (one GET per active hour of the topic).
+    *
+    * Scale: rides [[migrationStatus]]'s fence rollup (|topics|·|parts|
+    * rows) plus one partial-aggregated per-topic poll count; the 3-way
+    * request fan-out happens on the |topics|-sized frame in-row.
+    */
+  def migrationRequests(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val fence = migrationStatus(spark, dir)
+      .groupBy("topic", "migration_status")
+      .agg(sum(when(col("migration_status") === "STARTED", col("n_pending"))
+        .otherwise(0L)).cast("long").as("n_outstanding_proxy"))
+    val polls = LogOps.log(spark, dir).groupBy("topic")
+      .agg(countDistinct(expr("tms div 3600000")).as("n_status_polls"))
+    fence.join(polls, "topic")
+      .withColumn("dup", pmod(
+        md5Long(concat(lit("migreq#"), col("topic"))), lit(2L)))
+      .select(col("topic"), col("migration_status"),
+        col("n_outstanding_proxy"),
+        explode(array(
+          struct(lit("POST").as("method"),
+            lit("/migration/createTopic").as("path"),
+            (lit(1L) + col("dup")).as("n_requests"),
+            col("dup").as("n_rejected"),
+            lit("CREATED").as("outcome")),
+          struct(lit("POST").as("method"),
+            lit("/migration/start").as("path"),
+            lit(1L).as("n_requests"), lit(0L).as("n_rejected"),
+            when(col("migration_status") === "NOT_STARTED", "ACCEPTED")
+              .when(col("migration_status") === "STARTED",
+                "ALREADY_STARTED")
+              .otherwise("ALREADY_DONE").as("outcome")),
+          struct(lit("GET").as("method"),
+            lit("/migration/status").as("path"),
+            col("n_status_polls").cast("long").as("n_requests"),
+            lit(0L).as("n_rejected"),
+            lit("OK").as("outcome")))).as("r"))
+      .select(col("topic"), col("r.method"), col("r.path"),
+        col("r.n_requests"), col("r.n_rejected"), col("r.outcome"),
+        col("migration_status"), col("n_outstanding_proxy"))
+  }
+
+  /** Per-tenant rollup of the topic/partition/byte surface — the
+    * reference keys group and transaction coordinators PER TENANT
+    * (/root/reference/kafka-impl/.../TenantContextManager.java:30,38 —
+    * getGroupCoordinator(tenant) / getTransactionCoordinator(tenant)
+    * bootstrap one coordinator pair per tenant), and every topic lives at
+    * persistent://tenant/namespace/topic (utils/KopTopic.java:34). Tenant
+    * and namespace are md5 coins over the topic name (the
+    * [[topicNameMap]] universe given a multi-tenant dimension); the
+    * summary is what a per-tenant capacity/billing view reads.
+    *
+    * Scale: one partial-aggregated (topic, part) rollup (the
+    * [[topicMetadata]] shape), then a |topics|-row re-aggregation.
+    */
+  def tenantSummary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    LogOps.log(spark, dir)
+      .groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("v")) + length(col("k"))).cast("long").as("bytes"),
+        min("tms").as("mn"), max("tms").as("mx"))
+      .withColumn("tenant", concat(lit("t"),
+        pmod(md5Long(concat(lit("tenant#"), col("topic"))), lit(3L))
+          .cast("string")))
+      .withColumn("ns", concat(col("tenant"), lit("/ns"),
+        pmod(md5Long(concat(lit("ns#"), col("topic"))), lit(2L))
+          .cast("string")))
+      .groupBy("tenant")
+      .agg(
+        countDistinct("ns").as("n_namespaces"),
+        countDistinct("topic").as("n_topics"),
+        count(lit(1)).as("n_partitions"),
+        sum("n").cast("long").as("n_records"),
+        sum("bytes").cast("long").as("approx_bytes"),
+        min("mn").as("earliest_ms"),
+        max("mx").as("latest_ms"))
+      .withColumn("group_coordinator", concat(lit("gc-"), col("tenant")))
+      .withColumn("txn_coordinator", concat(lit("tc-"), col("tenant")))
+  }
+
   /** Delayed topic/partition-creation purgatory accounting
     * (/root/reference/kafka-impl/.../DelayedCreateTopics.java — tryComplete
     * fires when numTopics hits 0, onExpiration after delayMs;
@@ -555,6 +649,60 @@ object Admin {
         col("n_requests"))
   }
 
+  /** OAuth bearer-token validation for the OAUTHBEARER connections of
+    * [[saslFlow]] (same mechanism coin, so the two views agree on which
+    * connections carry tokens): the raw token's tenant split —
+    * OAuthTokenDecoder.decode (/root/reference/kafka-impl/.../security/
+    * oauth/OAuthTokenDecoder.java:29: `tenant + "__with_tenant_" + token`,
+    * tenant null when the delimiter is absent) — then the unsecured-JWS
+    * claim checks of KopOAuthBearerUnsecuredValidatorCallbackHandler
+    * (:127-134, in validator order): principal claim existence, then
+    * expiration against the validation instant with the allowable clock
+    * skew. Token issue time is the connection's first event, validation
+    * happens at its last event, and lifetime/claim presence are md5
+    * coins — so short-lived tokens on long-lived connections EXPIRE,
+    * which is the operational signal this view exists for.
+    *
+    * Scale: one partial-aggregated pass to the 32-row connection frame;
+    * every coin and claim check is in-row arithmetic there.
+    */
+  def tokenValidation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    def coin(parts: org.apache.spark.sql.Column*) =
+      substring(md5(concat_ws("#", parts: _*)), 1, 1)
+    graft.Tables.t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(32L)).as("conn_id"),
+        expr("ts div 1000000").as("tms"))
+      .groupBy("conn_id")
+      .agg(min("tms").as("iat_ms"), max("tms").as("validated_at_ms"))
+      .withColumn("conn", concat(lit("conn"), col("conn_id")))
+      .withColumn("mech_coin", coin(lit("mech"), col("conn")))
+      .filter(col("mech_coin").isin("7", "8", "9", "a", "b")) // OAUTHBEARER
+      .withColumn("tenant",
+        when(pmod(md5Long(concat(lit("tok#"), col("conn"))), lit(2L))
+          === 1L,
+          concat(lit("t"), pmod(md5Long(concat(lit("tenant#tok#"),
+            col("conn"))), lit(3L)).cast("string"))))
+      .withColumn("sub_present",
+        pmod(md5Long(concat(lit("sub#"), col("conn"))), lit(8L)) =!= 0L)
+      .withColumn("lifetime_ms",
+        element_at(array(lit(300000L), lit(900000L), lit(3600000L),
+          lit(86400000L)),
+          (pmod(md5Long(concat(lit("exp#"), col("conn"))), lit(4L)) + 1L)
+            .cast("int")))
+      .withColumn("exp_ms", col("iat_ms") + col("lifetime_ms"))
+      .withColumn("outcome",
+        when(!col("sub_present"), "INVALID_CLAIM")
+          .when(col("exp_ms") + lit(30000L) <= col("validated_at_ms"),
+            "EXPIRED")
+          .otherwise("VALID"))
+      .withColumn("principal",
+        when(col("sub_present"),
+          concat(lit("role"), pmod(col("conn_id"), lit(8L)))))
+      .select(col("conn"), col("tenant"), col("principal"), col("iat_ms"),
+        col("exp_ms"), col("validated_at_ms"), col("outcome"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "acl_check" -> aclCheck,
     "api_versions" -> apiVersions,
@@ -570,6 +718,9 @@ object Admin {
     "list_groups" -> listGroups,
     "cluster_summary" -> clusterSummary,
     "repartition_map" -> repartitionMap,
+    "migration_requests" -> migrationRequests,
+    "tenant_summary" -> tenantSummary,
+    "token_validation" -> tokenValidation,
     "topic_name_map" -> topicNameMap)
 
   private val L = LogOps.logSqlCte
@@ -853,6 +1004,102 @@ object Admin {
         |SELECT topic, n_partitions, n_records, approx_bytes, n_segments,
         |  n_groups_affected, n_offsets_purged
         |FROM tm JOIN segn USING (topic) JOIN og USING (topic)""".stripMargin),
+    "migration_requests" -> (L +
+      s"""st AS (
+        |  SELECT *, ${md5LongSql("topic || '#mig'")} % 3 AS phase_id,
+        |    MIN(tms) OVER (PARTITION BY topic) +
+        |      (MAX(tms) OVER (PARTITION BY topic)
+        |       - MIN(tms) OVER (PARTITION BY topic)) // 2 AS mid_ts
+        |  FROM log),
+        |pp AS (
+        |  SELECT topic, part, phase_id, MAX(offs) + 1 AS log_end,
+        |    CAST(SUM(CASE WHEN tms <= mid_ts THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_before_mid
+        |  FROM st GROUP BY topic, part, phase_id),
+        |tf AS (
+        |  SELECT topic,
+        |    CASE phase_id WHEN 0 THEN 'NOT_STARTED' WHEN 1 THEN 'STARTED'
+        |      ELSE 'DONE' END AS migration_status,
+        |    CAST(SUM(CASE WHEN phase_id = 1 THEN log_end - n_before_mid
+        |      ELSE 0 END) AS BIGINT) AS n_outstanding_proxy
+        |  FROM pp GROUP BY topic, phase_id),
+        |po AS (
+        |  SELECT topic, COUNT(DISTINCT tms // 3600000) AS n_status_polls
+        |  FROM log GROUP BY topic),
+        |base AS (
+        |  SELECT tf.*, po.n_status_polls,
+        |    ${md5LongSql("'migreq#' || topic")} % 2 AS dup
+        |  FROM tf JOIN po USING (topic))
+        |SELECT topic, method, path, n_requests, n_rejected, outcome,
+        |  migration_status, n_outstanding_proxy FROM (
+        |  SELECT topic, 'POST' AS method,
+        |    '/migration/createTopic' AS path,
+        |    CAST(1 + dup AS BIGINT) AS n_requests,
+        |    CAST(dup AS BIGINT) AS n_rejected, 'CREATED' AS outcome,
+        |    migration_status, n_outstanding_proxy FROM base
+        |  UNION ALL
+        |  SELECT topic, 'POST', '/migration/start', CAST(1 AS BIGINT),
+        |    CAST(0 AS BIGINT),
+        |    CASE migration_status WHEN 'NOT_STARTED' THEN 'ACCEPTED'
+        |      WHEN 'STARTED' THEN 'ALREADY_STARTED'
+        |      ELSE 'ALREADY_DONE' END,
+        |    migration_status, n_outstanding_proxy FROM base
+        |  UNION ALL
+        |  SELECT topic, 'GET', '/migration/status',
+        |    CAST(n_status_polls AS BIGINT), CAST(0 AS BIGINT), 'OK',
+        |    migration_status, n_outstanding_proxy FROM base)""".stripMargin),
+    "tenant_summary" -> (L +
+      s"""pp AS (
+        |  SELECT topic, part, COUNT(*) AS n,
+        |    CAST(SUM(length(v) + length(k)) AS BIGINT) AS bytes,
+        |    MIN(tms) AS mn, MAX(tms) AS mx
+        |  FROM log GROUP BY topic, part),
+        |tn AS (
+        |  SELECT *,
+        |    't' || CAST(${md5LongSql("'tenant#' || topic")} % 3 AS VARCHAR)
+        |      AS tenant,
+        |    't' || CAST(${md5LongSql("'tenant#' || topic")} % 3 AS VARCHAR)
+        |      || '/ns'
+        |      || CAST(${md5LongSql("'ns#' || topic")} % 2 AS VARCHAR) AS ns
+        |  FROM pp)
+        |SELECT tenant, COUNT(DISTINCT ns) AS n_namespaces,
+        |  COUNT(DISTINCT topic) AS n_topics, COUNT(*) AS n_partitions,
+        |  CAST(SUM(n) AS BIGINT) AS n_records,
+        |  CAST(SUM(bytes) AS BIGINT) AS approx_bytes,
+        |  MIN(mn) AS earliest_ms, MAX(mx) AS latest_ms,
+        |  'gc-' || tenant AS group_coordinator,
+        |  'tc-' || tenant AS txn_coordinator
+        |FROM tn GROUP BY tenant""".stripMargin),
+    "token_validation" ->
+      s"""WITH conns AS (
+        |  SELECT user_id % 32 AS conn_id, MIN(epoch_ms(ts)) AS iat_ms,
+        |    MAX(epoch_ms(ts)) AS validated_at_ms
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT conn_id, iat_ms, validated_at_ms,
+        |    'conn' || conn_id AS conn,
+        |    substring(md5(concat_ws('#', 'mech', 'conn' || conn_id)), 1, 1)
+        |      AS mech_coin
+        |  FROM conns),
+        |d AS (
+        |  SELECT *,
+        |    CASE WHEN ${md5LongSql("'tok#' || conn")} % 2 = 1
+        |      THEN 't' || CAST(${md5LongSql("'tenant#tok#' || conn")} % 3
+        |        AS VARCHAR) END AS tenant,
+        |    ${md5LongSql("'sub#' || conn")} % 8 <> 0 AS sub_present,
+        |    CASE ${md5LongSql("'exp#' || conn")} % 4
+        |      WHEN 0 THEN 300000 WHEN 1 THEN 900000 WHEN 2 THEN 3600000
+        |      ELSE 86400000 END AS lifetime_ms
+        |  FROM m WHERE mech_coin IN ('7', '8', '9', 'a', 'b'))
+        |SELECT conn, tenant,
+        |  CASE WHEN sub_present
+        |    THEN 'role' || CAST(conn_id % 8 AS VARCHAR) END AS principal,
+        |  iat_ms, iat_ms + lifetime_ms AS exp_ms, validated_at_ms,
+        |  CASE WHEN NOT sub_present THEN 'INVALID_CLAIM'
+        |    WHEN iat_ms + lifetime_ms + 30000 <= validated_at_ms
+        |      THEN 'EXPIRED'
+        |    ELSE 'VALID' END AS outcome
+        |FROM d""".stripMargin,
     "migration_status" -> (L +
       s"""st AS (
         |  SELECT *, ${md5LongSql("topic || '#mig'")} % 3 AS phase_id,

@@ -1756,11 +1756,16 @@ object Analytics {
         // the protected storage pool until downstream aggregations can't
         // acquire execution memory (measured: AGGREGATE_OUT_OF_MEMORY in
         // the pair rollup at 32g/8 threads). Serialized blocks are ~4x
-        // smaller and evict cleanly.
-        val ps = buildBasketSets(spark, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        ps.count()
-        ps
+        // smaller and evict cleanly. withWideState: the per-order
+        // collect_set is the object-agg-over-fact-keys class that needs
+        // the 16x reducer fan-out at 1000x (measured OOM without it) —
+        // paid HERE, once, at build, not by every consumer's plan.
+        graft.GraftSession.withWideState(spark) {
+          val ps = buildBasketSets(spark, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          ps.count()
+          ps
+        }
       })
 
   private val basketSetsCache = scala.collection.concurrent.TrieMap

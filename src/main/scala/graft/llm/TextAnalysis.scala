@@ -179,14 +179,19 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       // the signed deviation divides NONNEGATIVE numerators only (Spark
       // div truncates toward zero, DuckDB // floors — they disagree on
-      // negatives; the knn_mutuality shift discipline)
+      // negatives; the knn_mutuality shift discipline). DECIMAL(38,0)
+      // headroom on every N² product (the basketLift discipline): raw
+      // BIGINT rt·ct / n_docs·tt wrap at ~3M docs once ×1e6 — Spark
+      // (non-ANSI) would wrap SILENTLY where the oracle errors.
+      .withColumn("rc", expr("CAST(rt AS DECIMAL(38,0)) * ct"))
+      .withColumn("nt", expr("CAST(n_docs AS DECIMAL(38,0)) * tt"))
       .select(col("source"), col("lang"), col("n_docs"),
-        expr("(rt * ct) div tt").as("n_expected"),
-        expr("""CASE WHEN rt * ct = 0 THEN 0
-               |WHEN n_docs * tt >= rt * ct
-               |  THEN (1000000 * (n_docs * tt - rt * ct)) div (rt * ct)
-               |ELSE -((1000000 * (rt * ct - n_docs * tt)) div (rt * ct))
-               |END""".stripMargin).as("dev_ppm"))
+        expr("CAST(rc div tt AS BIGINT)").as("n_expected"),
+        expr("""CAST(CASE WHEN rc = 0 THEN 0
+               |WHEN nt >= rc
+               |  THEN (1000000 * (nt - rc)) div rc
+               |ELSE -((1000000 * (rc - nt)) div rc)
+               |END AS BIGINT)""".stripMargin).as("dev_ppm"))
   }
 
   /** Vocabulary-growth (Heaps-law) curve: distinct word types and token
@@ -1128,7 +1133,7 @@ object TextAnalysis {
   def likelihoodQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val qs = gramLikelihood(spark, dir)
       .select(col("doc_id"),
-        expr("(1000000 * sum_df) div n_tokens").as("qs_q"))
+        expr("CAST((1000000 * CAST(sum_df AS DECIMAL(38,0))) div n_tokens AS BIGINT)").as("qs_q"))
       .join(t(spark, dir, "documents").select("doc_id", "source"),
         "doc_id")
     val byS = Window.partitionBy("source")
@@ -1159,7 +1164,7 @@ object TextAnalysis {
   def qualityLengthMatrix(spark: SparkSession, dir: String): DataFrame = {
     val scored = gramLikelihood(spark, dir)
       .select(col("doc_id"),
-        expr("(1000000 * sum_df) div n_tokens").as("qs_q"))
+        expr("CAST((1000000 * CAST(sum_df AS DECIMAL(38,0))) div n_tokens AS BIGINT)").as("qs_q"))
       .join(t(spark, dir, "documents").select("doc_id", "n_chars"),
         "doc_id")
     // min-max scaled 10-bucket grid on BOTH axes (integer-exact; the
@@ -1520,8 +1525,8 @@ object TextAnalysis {
         |df AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
         |qs AS (
         |  SELECT doc_id,
-        |    (1000000 * CAST(SUM(tf * df) AS BIGINT))
-        |      // CAST(SUM(tf) AS BIGINT) AS qs_q
+        |    CAST((1000000 * CAST(SUM(tf * df) AS HUGEINT))
+        |      // CAST(SUM(tf) AS BIGINT) AS BIGINT) AS qs_q
         |  FROM tk JOIN df USING (tok) GROUP BY doc_id),
         |sc AS (
         |  SELECT qs_q, n_chars FROM qs JOIN documents USING (doc_id)),
@@ -1548,8 +1553,8 @@ object TextAnalysis {
         |df AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
         |qs AS (
         |  SELECT doc_id,
-        |    (1000000 * CAST(SUM(tf * df) AS BIGINT))
-        |      // CAST(SUM(tf) AS BIGINT) AS qs_q
+        |    CAST((1000000 * CAST(SUM(tf * df) AS HUGEINT))
+        |      // CAST(SUM(tf) AS BIGINT) AS BIGINT) AS qs_q
         |  FROM tk JOIN df USING (tok) GROUP BY doc_id),
         |c AS (
         |  SELECT source, qs_q, COUNT(*) AS k
@@ -2048,12 +2053,14 @@ object TextAnalysis {
         |  FROM m GROUP BY lang),
         |tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tt FROM m)
         |SELECT source, lang, n_docs,
-        |  (rt * ct) // tt AS n_expected,
-        |  CASE WHEN rt * ct = 0 THEN 0
-        |  WHEN n_docs * tt >= rt * ct
-        |    THEN (1000000 * (n_docs * tt - rt * ct)) // (rt * ct)
-        |  ELSE -((1000000 * (rt * ct - n_docs * tt)) // (rt * ct))
-        |  END AS dev_ppm
+        |  CAST((CAST(rt AS HUGEINT) * ct) // tt AS BIGINT) AS n_expected,
+        |  CAST(CASE WHEN rt = 0 OR ct = 0 THEN 0
+        |  WHEN CAST(n_docs AS HUGEINT) * tt >= CAST(rt AS HUGEINT) * ct
+        |    THEN (1000000 * (CAST(n_docs AS HUGEINT) * tt
+        |      - CAST(rt AS HUGEINT) * ct)) // (CAST(rt AS HUGEINT) * ct)
+        |  ELSE -((1000000 * (CAST(rt AS HUGEINT) * ct
+        |      - CAST(n_docs AS HUGEINT) * tt)) // (CAST(rt AS HUGEINT) * ct))
+        |  END AS BIGINT) AS dev_ppm
         |FROM m JOIN rt USING (source) JOIN ct USING (lang)
         |CROSS JOIN tt""".stripMargin,
     "vocab_growth_curve" ->

@@ -306,6 +306,80 @@ object LogOps {
         (sum(col("payload") + lit(34))).cast("long").as("bytes_v1"),
         (lit(61L) + sum(col("payload") + lit(12))).cast("long").as("bytes_v2"))
 
+  /** Produce-path compression-codec accounting: per append batch (the
+    * 100-record granularity [[offsetTranslate]] models), the producer's
+    * source codec, the topic's broker compression config, the resulting
+    * target codec, and the in-place vs re-compress decision with modeled
+    * wire/stored sizes — KopLogValidator.validateMessagesAndAssignOffsets
+    * (/root/reference/kafka-impl/.../utils/KopLogValidator.java:47-216:
+    * `inPlaceAssignment = sourceCodec == targetCodec && toMagic > V0`,
+    * with a record-magic mismatch forcing full re-encode) plus
+    * getSourceCodec/getTargetCodec (:495-519 — a broker compression type
+    * of 'none' KEEPS the producer codec; anything else re-targets) and
+    * the per-batch codec sniff in storage/PartitionLog.java:1026-1061.
+    * Codec/magic/config draws are md5 coins (the sasl_flow universe
+    * discipline); compression ratios are fixed model constants (none
+    * 100, snappy 62, lz4 57, gzip 45, zstd 38 pct), so every byte count
+    * is integer-exact and oracle-checkable.
+    *
+    * Scale: the batch rollup shuffles on the SAME (topic, part) keys as
+    * the offset window (co-keyed, no extra wide exchange); the codec
+    * rollup then aggregates the |batches|-sized frame down to at most
+    * |topics|·5·5 rows — partial-aggregated, no state growth.
+    */
+  def codecRecompress(spark: SparkSession, dir: String): DataFrame = {
+    def codecName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c <= 4L, "none").when(c <= 6L, "snappy").when(c === 7L, "lz4")
+        .when(c === 8L, "zstd").otherwise("gzip")
+    def ratio(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(name === "none", 100L).when(name === "snappy", 62L)
+        .when(name === "lz4", 57L).when(name === "gzip", 45L)
+        .otherwise(38L)
+    log(spark, dir)
+      .withColumn("batch_id", expr("offs div 100"))
+      .groupBy("topic", "part", "batch_id")
+      .agg(
+        count(lit(1)).as("n_recs"),
+        sum(length(col("v")) + length(col("k")) + lit(12)).cast("long")
+          .as("rec_bytes"))
+      .withColumn("raw_bytes", col("rec_bytes") + lit(61L))
+      .withColumn("source_codec", codecName(pmod(md5Long(concat_ws("#",
+        lit("codec"), col("topic"), col("part"), col("batch_id"))),
+        lit(10L))))
+      .withColumn("conf_coin",
+        pmod(md5Long(concat(lit("codecconf#"), col("topic"))), lit(5L)))
+      .withColumn("broker_codec",
+        when(col("conf_coin") <= 2L, "none")
+          .when(col("conf_coin") === 3L, "zstd").otherwise("lz4"))
+      .withColumn("target_codec",
+        when(col("broker_codec") === "none", col("source_codec"))
+          .otherwise(col("broker_codec")))
+      .withColumn("magic",
+        when(pmod(md5Long(concat_ws("#", lit("magic"), col("topic"),
+          col("part"), col("batch_id"))), lit(10L)) === 0L, 0L)
+          .when(pmod(md5Long(concat_ws("#", lit("magic"), col("topic"),
+            col("part"), col("batch_id"))), lit(10L)) <= 2L, 1L)
+          .otherwise(2L))
+      .withColumn("in_place",
+        col("source_codec") === col("target_codec") && col("magic") === 2L)
+      .withColumn("src_ratio", ratio(col("source_codec")))
+      .withColumn("tgt_ratio", ratio(col("target_codec")))
+      .withColumn("wire_bytes", expr("(raw_bytes * src_ratio) div 100"))
+      .withColumn("stored_bytes",
+        when(col("in_place"), col("wire_bytes"))
+          .otherwise(expr("(raw_bytes * tgt_ratio) div 100")))
+      .groupBy("topic", "source_codec", "target_codec")
+      .agg(
+        count(lit(1)).as("n_batches"),
+        sum("n_recs").cast("long").as("n_records"),
+        sum(when(col("in_place"), 1L).otherwise(0L)).cast("long")
+          .as("n_in_place"),
+        sum(when(col("in_place"), 0L).otherwise(1L)).cast("long")
+          .as("n_recompressed"),
+        sum("wire_bytes").cast("long").as("wire_bytes"),
+        sum("stored_bytes").cast("long").as("stored_bytes"))
+  }
+
   /** Event-time out-of-orderness per topic: lateness of each record vs the
     * running event-time maximum in arrival order — the statistic that
     * justifies a streaming watermark delay (withWatermark("ets", X) is safe
@@ -482,6 +556,7 @@ object LogOps {
     "delayed_produce" -> delayedProduce,
     "cdc_view" -> cdcView,
     "watermark_policy" -> watermarkPolicy,
+    "codec_recompress" -> codecRecompress,
     "heavy_hitters_sketch" -> heavyHittersSketch)
 
   /** The retention policy constants — shared by [[retention]] (Scala),
@@ -504,6 +579,54 @@ object LogOps {
       |    AND rn_end <= $RetentionMaxRecords)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "codec_recompress" -> (logSqlCte +
+      s"""pb AS (
+        |  SELECT topic, part, offs // 100 AS batch_id, COUNT(*) AS n_recs,
+        |    CAST(SUM(length(v) + length(k) + 12) AS BIGINT) + 61
+        |      AS raw_bytes
+        |  FROM log GROUP BY topic, part, offs // 100),
+        |coins AS (
+        |  SELECT *,
+        |    ${md5LongSql("'codec#' || topic || '#' || part || '#' || batch_id")} % 10 AS sc,
+        |    ${md5LongSql("'codecconf#' || topic")} % 5 AS cc,
+        |    ${md5LongSql("'magic#' || topic || '#' || part || '#' || batch_id")} % 10 AS mg
+        |  FROM pb),
+        |drawn AS (
+        |  SELECT *,
+        |    CASE WHEN sc <= 4 THEN 'none' WHEN sc <= 6 THEN 'snappy'
+        |      WHEN sc = 7 THEN 'lz4' WHEN sc = 8 THEN 'zstd'
+        |      ELSE 'gzip' END AS source_codec,
+        |    CASE WHEN cc <= 2 THEN 'none' WHEN cc = 3 THEN 'zstd'
+        |      ELSE 'lz4' END AS broker_codec,
+        |    CASE WHEN mg = 0 THEN 0 WHEN mg <= 2 THEN 1 ELSE 2 END AS magic
+        |  FROM coins),
+        |sized AS (
+        |  SELECT *,
+        |    CASE WHEN broker_codec = 'none' THEN source_codec
+        |      ELSE broker_codec END AS target_codec,
+        |    (source_codec = CASE WHEN broker_codec = 'none'
+        |        THEN source_codec ELSE broker_codec END
+        |      AND magic = 2) AS in_place,
+        |    CASE source_codec WHEN 'none' THEN 100 WHEN 'snappy' THEN 62
+        |      WHEN 'lz4' THEN 57 WHEN 'gzip' THEN 45 ELSE 38 END
+        |      AS src_ratio,
+        |    CASE CASE WHEN broker_codec = 'none' THEN source_codec
+        |        ELSE broker_codec END
+        |      WHEN 'none' THEN 100 WHEN 'snappy' THEN 62 WHEN 'lz4' THEN 57
+        |      WHEN 'gzip' THEN 45 ELSE 38 END AS tgt_ratio
+        |  FROM drawn)
+        |SELECT topic, source_codec, target_codec,
+        |  COUNT(*) AS n_batches,
+        |  CAST(SUM(n_recs) AS BIGINT) AS n_records,
+        |  CAST(SUM(CASE WHEN in_place THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_place,
+        |  CAST(SUM(CASE WHEN in_place THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_recompressed,
+        |  CAST(SUM((raw_bytes * src_ratio) // 100) AS BIGINT) AS wire_bytes,
+        |  CAST(SUM(CASE WHEN in_place THEN (raw_bytes * src_ratio) // 100
+        |    ELSE (raw_bytes * tgt_ratio) // 100 END) AS BIGINT)
+        |    AS stored_bytes
+        |FROM sized GROUP BY topic, source_codec, target_codec""".stripMargin),
     "partition_skew" -> (logSql +
       """SELECT topic, min_n, max_n, total, n_parts,
         |  max_n / (total / n_parts) AS skew

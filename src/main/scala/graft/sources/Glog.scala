@@ -209,6 +209,12 @@ object Glog {
       val out = new DataOutputStream(fs.create(tmp, true))
       try out.writeBytes(s"v1 $minOffs $maxOffs $maxTms\n")
       finally out.close()
+      // Replace, never keep, a pre-existing sidecar: rename-onto-existing
+      // fails on HDFS-like filesystems, and a STALE .glogx paired with a
+      // rewritten segment is trusted to drop whole segments from scans —
+      // silent data loss, where a MISSING sidecar is safe by design (the
+      // reader falls back to scanning the segment).
+      fs.delete(dest, false)
       if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
     } catch { case _: java.io.IOException => () } // advisory only
   }

@@ -90,7 +90,15 @@ class GlogScanBuilder(path: String, startLatest: Boolean = false,
       case f @ LessThan("offs", o) if o.isInstanceOf[Number] =>
         untilOffs = math.min(untilOffs, o.asInstanceOf[Number].longValue()); used :+= f
       case f @ LessThanOrEqual("offs", o) if o.isInstanceOf[Number] =>
-        untilOffs = math.min(untilOffs, o.asInstanceOf[Number].longValue() + 1); used :+= f
+        // offs <= Long.MaxValue selects everything; o+1 would wrap to
+        // Long.MinValue and silently prune EVERY row at the scan (rows
+        // dropped here are unrecoverable — the residual re-evaluation
+        // only filters, never restores). The GreaterThan(+1) mirror is
+        // safe because math.max clamps the wrapped value.
+        val o1 = o.asInstanceOf[Number].longValue()
+        if (o1 != Long.MaxValue) {
+          untilOffs = math.min(untilOffs, o1 + 1); used :+= f
+        }
       case f @ GreaterThanOrEqual("tms", t) if t.isInstanceOf[Number] =>
         minTms = math.max(minTms, t.asInstanceOf[Number].longValue()); used :+= f
       case f @ GreaterThan("tms", t) if t.isInstanceOf[Number] =>
