@@ -854,30 +854,77 @@ object Analytics {
   }
 
   /** Sketch-accuracy evaluation for distinct counting: per event type,
-    * the exact distinct-user count next to Spark's HLL++
-    * approx_count_distinct at rsd = 2% and the relative error in
-    * integer ppm — the audit run before swapping the exact (shuffling)
-    * distinct for the mergeable sketch at 100 TB, where the sketch's
-    * fixed-size partials replace a user-keyed exchange. Rows-only by
-    * design: HLL++ register hashing is engine-specific (DuckDB's
-    * approx sketch would not match bit-for-bit); OperatorSpec pins the
-    * exact side against a direct recount and the error inside the
-    * configured bound instead.
+    * the exact distinct-user count next to a fully DETERMINISTIC
+    * textbook HLL built from the engine-wide md5 hash — m = 4096
+    * registers (idx = low 12 bits, rho = leading-zero rank of the
+    * remaining 44 bits), the exact register table summarized
+    * (zero-register count — linear counting's sufficient statistic —
+    * max/sum of rho), and the raw harmonic estimate
+    * alpha·m²/Σ2^(−M_j) evaluated in exact integer arithmetic (the
+    * 2^−M_j terms share denominator 2^62, so the sum is an exact
+    * DECIMAL(38) numerator; alpha is the quantized 721110 ppm constant
+    * for m = 4096). Every column is integer-exact and engine-portable,
+    * so the WHOLE evaluation is DuckDB-oracle hash-exact — unlike
+    * Spark's approx_count_distinct, whose HLL++ register hashing is
+    * engine-specific (that sketch's error bound stays spec-pinned in
+    * OperatorSpec next to this frame's register invariants). No
+    * small-range correction: the raw formula is reported as defined, and
+    * err_ppm is its honest (large, at n << m) quantified bias; the
+    * linear-counting estimate a production read path would use below
+    * 2.5m derives from n_zero_registers (spec-pinned within 5%).
+    *
+    * Scale: the register table is the whole point — 4096 fixed-size
+    * partials per group replace a user-keyed exchange; the max-per-
+    * register aggregation is map-side combinable, and the full-universe
+    * left join runs on the |types|·4096 metadata frame.
     */
-  def hllDistinctEval(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+  def hllDistinctEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val ev = t(spark, dir, "events")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    val regs = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        md5Long(concat(lit("hll#"), col("user_id"))).as("h"))
+      .withColumn("idx", pmod(col("h"), lit(4096L)))
+      .withColumn("rest", expr("h div 4096"))
+      .withColumn("rho", when(col("rest") === 0L, 45L)
+        .otherwise(lit(45L) - length(bin(col("rest")))))
+      .groupBy("event_type", "idx")
+      .agg(max("rho").cast("long").as("m_j"))
+    val universe = exact.select("event_type")
+      .crossJoin(broadcast(spark.range(0, 4096)
+        .select(col("id").as("idx"))))
+    val sums = universe.join(regs, Seq("event_type", "idx"), "left")
+      .withColumn("m_j", coalesce(col("m_j"), lit(0L)))
       .groupBy("event_type")
       .agg(
-        countDistinct("user_id").as("exact_users"),
-        approx_count_distinct("user_id", 0.02).cast("long")
-          .as("approx_users"))
+        sum(when(col("m_j") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_zero_registers"),
+        max("m_j").as("max_rho"),
+        sum("m_j").cast("long").as("sum_rho"),
+        sum(expr(
+          "CAST(shiftleft(1L, CAST(62 - m_j AS INT)) AS DECIMAL(38,0))"))
+          .as("sum_q"))
+    exact.join(sums, "event_type")
+      .withColumn("m_registers", lit(4096L))
+      // alpha_ppm(4096)·4096²·2^62 precomputed — 32 digits, inside
+      // DECIMAL(38)/HUGEINT; div by (1e6·sum_q) is exact both engines.
+      .withColumn("hll_raw_users", expr(
+        """CAST(CAST('55793183858067535627031716823040' AS DECIMAL(38,0))
+          |  div (CAST(1000000 AS DECIMAL(38,0)) * sum_q) AS BIGINT)"""
+          .stripMargin))
       .withColumn("err_ppm",
         // An all-NULL user_id group yields exact_users = 0: degrade to
         // 0 ppm rather than an ANSI DIVIDE_BY_ZERO stage abort.
         expr("""CASE WHEN exact_users > 0
-               |  THEN (1000000 * abs(approx_users - exact_users))
+               |  THEN (1000000 * abs(hll_raw_users - exact_users))
                |    div exact_users
                |  ELSE 0 END""".stripMargin))
+      .select(col("event_type"), col("exact_users"), col("m_registers"),
+        col("n_zero_registers"), col("max_rho"), col("sum_rho"),
+        col("hll_raw_users"), col("err_ppm"))
+  }
 
   /** Session-level conversion audit: the 30-minute sessionization chain
     * ([[sessionize]]'s exact session ids) rolled up by session LENGTH —
@@ -2827,6 +2874,51 @@ object Analytics {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "hll_distinct_eval" -> {
+      import graft.functions.Parity.md5LongSql
+      s"""WITH ex AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY 1),
+        |hh AS (
+        |  SELECT event_type, ${md5LongSql("'hll#' || user_id")} AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rr AS (
+        |  SELECT event_type, h % 4096 AS idx,
+        |    CASE WHEN h // 4096 = 0 THEN 45
+        |      ELSE 45 - length(bin(h // 4096)) END AS rho
+        |  FROM hh),
+        |rg AS (SELECT event_type, idx, MAX(rho) AS mj
+        |  FROM rr GROUP BY 1, 2),
+        |un AS (
+        |  SELECT event_type, g.range AS idx
+        |  FROM (SELECT DISTINCT event_type FROM ex)
+        |  CROSS JOIN range(4096) g),
+        |fr AS (
+        |  SELECT un.event_type, un.idx, COALESCE(rg.mj, 0) AS mj
+        |  FROM un LEFT JOIN rg USING (event_type, idx)),
+        |sm AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_registers,
+        |    CAST(MAX(mj) AS BIGINT) AS max_rho,
+        |    CAST(SUM(mj) AS BIGINT) AS sum_rho,
+        |    SUM((1::BIGINT << CAST(62 - mj AS INTEGER))::HUGEINT)
+        |      AS sum_q
+        |  FROM fr GROUP BY 1)
+        |SELECT ex.event_type, exact_users,
+        |  CAST(4096 AS BIGINT) AS m_registers,
+        |  n_zero_registers, max_rho, sum_rho,
+        |  CAST('55793183858067535627031716823040'::HUGEINT
+        |    // (1000000::HUGEINT * sum_q) AS BIGINT) AS hll_raw_users,
+        |  CAST(CASE WHEN exact_users > 0
+        |    THEN (1000000::HUGEINT * abs(
+        |      '55793183858067535627031716823040'::HUGEINT
+        |        // (1000000::HUGEINT * sum_q) - exact_users))
+        |      // exact_users
+        |    ELSE 0 END AS BIGINT) AS err_ppm
+        |FROM ex JOIN sm USING (event_type)""".stripMargin
+    },
     "asof_join_signup" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,
