@@ -38,6 +38,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Apply AQE partition coalescing to CACHED plans too: persisted
+      // frames built under a wide fan-out (withWideState) would otherwise
+      // materialize with every initial shuffle partition (512 tiny cached
+      // blocks at local scale) and force that width onto every consumer
+      // stage — measured 4x on basket_lift's steady-state pass.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config(InitParts,
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.ui.enabled", "false")
