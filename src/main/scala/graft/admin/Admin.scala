@@ -177,6 +177,50 @@ object Admin {
         col("migration_status"), col("n_outstanding_proxy"))
   }
 
+  /** Single-threaded KopEventManager queue accounting
+    * (/root/reference/kafka-impl/.../KopEventManager.java:108-156 — one
+    * KopEventThread drains a LinkedBlockingQueue; :123
+    * registerEventQueuedLatency measures exactly the time an event waits
+    * behind its predecessors; DeleteTopicsEvent :285 scans every group's
+    * offsets per deleted topic, BrokersChangeEvent :362 refreshes the
+    * broker list). Events are data-derived: one delete_topics event per
+    * topic (arriving a minute after its last record; cost grows with the
+    * group-offset rows to clean, 1 + 4·partitions ms) and one
+    * brokers_change event per active hour (5 ms). The sequential queue
+    * is the classic recurrence finish_i = max(arrival_i, finish_{i-1}) +
+    * cost_i, computed in CLOSED FORM as two windows — finish_i = C_i +
+    * max_{j<=i}(arrival_j − C_{j-1}) over the cumulative cost C — so the
+    * "inherently sequential" simulation is one pass over the
+    * metadata-sized event frame, exact in both engines (the global-order
+    * window is fine because the frame is |topics| + |hours| rows, never
+    * data-sized).
+    */
+  def kopEventQueue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dels = LogOps.log(spark, dir).groupBy("topic")
+      .agg(max("tms").as("last_ms"), countDistinct("part").as("np"))
+      .select(lit("delete_topics").as("event_class"),
+        col("topic").as("event_key"),
+        (col("last_ms") + 60000L).as("arrival_ms"),
+        (lit(1L) + lit(4L) * col("np")).as("cost_ms"))
+    val brokers = LogOps.log(spark, dir)
+      .select(expr("tms div 3600000").as("h")).distinct()
+      .select(lit("brokers_change").as("event_class"),
+        concat(lit("h"), col("h").cast("string")).as("event_key"),
+        (col("h") * 3600000L).as("arrival_ms"),
+        lit(5L).as("cost_ms"))
+    val w = Window.orderBy("arrival_ms", "event_class", "event_key")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dels.unionByName(brokers)
+      .withColumn("c", sum("cost_ms").over(w).cast("long"))
+      .withColumn("finish_ms",
+        col("c") + max(col("arrival_ms") - col("c") + col("cost_ms")).over(w))
+      .withColumn("start_ms", col("finish_ms") - col("cost_ms"))
+      .withColumn("queued_ms", col("start_ms") - col("arrival_ms"))
+      .select(col("event_class"), col("event_key"), col("arrival_ms"),
+        col("cost_ms"), col("start_ms"), col("finish_ms"), col("queued_ms"))
+  }
+
   /** Per-tenant rollup of the topic/partition/byte surface — the
     * reference keys group and transaction coordinators PER TENANT
     * (/root/reference/kafka-impl/.../TenantContextManager.java:30,38 —
@@ -720,6 +764,7 @@ object Admin {
     "repartition_map" -> repartitionMap,
     "migration_requests" -> migrationRequests,
     "tenant_summary" -> tenantSummary,
+    "kop_event_queue" -> kopEventQueue,
     "token_validation" -> tokenValidation,
     "topic_name_map" -> topicNameMap)
 
@@ -1048,6 +1093,31 @@ object Admin {
         |  SELECT topic, 'GET', '/migration/status',
         |    CAST(n_status_polls AS BIGINT), CAST(0 AS BIGINT), 'OK',
         |    migration_status, n_outstanding_proxy FROM base)""".stripMargin),
+    "kop_event_queue" -> (L +
+      """ev AS (
+        |  SELECT 'delete_topics' AS event_class, topic AS event_key,
+        |    MAX(tms) + 60000 AS arrival_ms,
+        |    1 + 4 * COUNT(DISTINCT part) AS cost_ms
+        |  FROM log GROUP BY topic
+        |  UNION ALL
+        |  SELECT 'brokers_change', 'h' || CAST(h AS VARCHAR),
+        |    h * 3600000, 5
+        |  FROM (SELECT DISTINCT tms // 3600000 AS h FROM log)),
+        |qc AS (
+        |  SELECT *, CAST(SUM(cost_ms) OVER w AS BIGINT) AS c
+        |  FROM ev
+        |  WINDOW w AS (ORDER BY arrival_ms, event_class, event_key
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |qd AS (
+        |  SELECT *, MAX(arrival_ms - c + cost_ms) OVER w2 AS d
+        |  FROM qc
+        |  WINDOW w2 AS (ORDER BY arrival_ms, event_class, event_key
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_class, event_key, arrival_ms, cost_ms,
+        |  CAST(c + d - cost_ms AS BIGINT) AS start_ms,
+        |  CAST(c + d AS BIGINT) AS finish_ms,
+        |  CAST(c + d - cost_ms - arrival_ms AS BIGINT) AS queued_ms
+        |FROM qd""".stripMargin),
     "tenant_summary" -> (L +
       s"""pp AS (
         |  SELECT topic, part, COUNT(*) AS n,

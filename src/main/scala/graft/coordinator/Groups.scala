@@ -64,6 +64,37 @@ object Groups {
   def groupOffsets(spark: SparkSession, dir: String): DataFrame =
     commits(spark, dir).select("group_id", "topic", "part", "committed")
 
+  /** OffsetCommit metadata validation: each commit carries a client
+    * metadata string, stored only when it fits the coordinator's
+    * offsetMetadataMaxSize (4096 — OffsetConfig.DefaultMaxMetadataSize,
+    * /root/reference/kafka-impl/.../coordinator/group/OffsetConfig.java:32);
+    * an oversized commit is rejected whole with
+    * OFFSET_METADATA_TOO_LARGE and the previously stored offset stands
+    * (GroupMetadataManager.java:439,463,560-563,675
+    * validateOffsetMetadataLength). Metadata lengths are md5 coins over
+    * (group, topic, part) straddling the cap; the stored offset for a
+    * rejected commit falls back to the previous commit's position
+    * (modeled as the 4/5-scaled prior point of the same commit ladder).
+    *
+    * Scale: in-row arithmetic on the |groups|·|topics|·|parts| commit
+    * frame — no new exchange.
+    */
+  def offsetCommitValidation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    commits(spark, dir)
+      .withColumn("metadata_len", pmod(md5Long(concat_ws("#",
+        lit("commitmeta"), col("group_id"), col("topic"), col("part"))),
+        lit(6000L)))
+      .withColumn("outcome",
+        when(col("metadata_len") <= 4096L, "NONE")
+          .otherwise("OFFSET_METADATA_TOO_LARGE"))
+      .withColumn("stored_committed",
+        when(col("outcome") === "NONE", col("committed"))
+          .otherwise(expr("(log_end * g) div 5")))
+      .select(col("group_id"), col("topic"), col("part"), col("committed"),
+        col("metadata_len"), col("outcome"), col("stored_committed"))
+  }
+
   /** Log-end minus committed: the lag every Kafka monitoring stack computes. */
   def consumerLag(spark: SparkSession, dir: String): DataFrame =
     commits(spark, dir).select(
@@ -496,6 +527,7 @@ object Groups {
     "assign_sticky" -> assignSticky,
     "rebalance_diff" -> rebalanceDiff,
     "group_offsets" -> groupOffsets,
+    "offset_commit_validation" -> offsetCommitValidation,
     "consumer_lag" -> consumerLag,
     "assign_range" -> assignRange,
     "assign_roundrobin" -> assignRoundRobin,
@@ -539,6 +571,17 @@ object Groups {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "offset_commit_validation" -> (L + commitsSql +
+      s"""SELECT group_id, topic, part, committed, metadata_len,
+        |  CASE WHEN metadata_len <= 4096 THEN 'NONE'
+        |    ELSE 'OFFSET_METADATA_TOO_LARGE' END AS outcome,
+        |  CASE WHEN metadata_len <= 4096 THEN committed
+        |    ELSE (log_end * g) // 5 END AS stored_committed
+        |FROM (
+        |  SELECT *, ${md5LongSql(
+             "concat_ws('#', 'commitmeta', group_id, topic, part)")} % 6000
+        |    AS metadata_len
+        |  FROM commits)""".stripMargin),
     "rebalance_join" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
       """jd AS (
         |  SELECT g, m, now_ms - last_hb_ms AS join_delay_ms

@@ -499,7 +499,38 @@ object BrokerOps {
           .as("needs_leader_election"))
   }
 
+  /** First-access topic-lookup collapse accounting: the first produce to
+    * a (topic, partition) triggers the PersistentTopic lookup; every
+    * request arriving while that future is PENDING queues on it and runs
+    * sequentially off its completion instead of issuing its own lookup,
+    * and everything after completion is a topic-manager cache hit —
+    * /root/reference/kafka-impl/.../PendingTopicFutures.java:63-77 (the
+    * first pending future comes / the next reuses the completed result)
+    * and KafkaTopicManager's per-broker topic cache. Lookup latency is a
+    * fixed 50 ms model constant, so the split (1 lookup, N pending, rest
+    * cached) is integer-exact per partition.
+    *
+    * Scale: one conditional aggregation over the (topic, part)
+    * partitioning every log op reuses; the min-timestamp and the window
+    * count are map-side combinable.
+    */
+  def pendingTopicFutures(spark: SparkSession, dir: String): DataFrame =
+    LogOps.log(spark, dir)
+      .withColumn("first_ms",
+        min("tms").over(Window.partitionBy("topic", "part")))
+      .groupBy("topic", "part")
+      .agg(
+        min("tms").as("lookup_ms"),
+        count(lit(1)).as("n_requests"),
+        sum(when(col("tms") > col("first_ms") &&
+          col("tms") < col("first_ms") + 50L, 1L).otherwise(0L))
+          .cast("long").as("n_pending_on_future"),
+        sum(when(col("tms") >= col("first_ms") + 50L, 1L).otherwise(0L))
+          .cast("long").as("n_cache_hits"))
+      .withColumn("lookup_done_ms", col("lookup_ms") + 50L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pending_topic_futures" -> pendingTopicFutures,
     "isr_status" -> isrStatus,
     "replica_reassignment" -> replicaReassignment,
     "timing_wheel" -> timingWheel,
@@ -582,6 +613,17 @@ object BrokerOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pending_topic_futures" -> (L +
+      """fm AS (
+        |  SELECT *, MIN(tms) OVER (PARTITION BY topic, part) AS first_ms
+        |  FROM log)
+        |SELECT topic, part, MIN(tms) AS lookup_ms, COUNT(*) AS n_requests,
+        |  CAST(SUM(CASE WHEN tms > first_ms AND tms < first_ms + 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_on_future,
+        |  CAST(SUM(CASE WHEN tms >= first_ms + 50 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cache_hits,
+        |  MIN(tms) + 50 AS lookup_done_ms
+        |FROM fm GROUP BY topic, part""".stripMargin),
     "isr_status" -> (L +
       s"""pp AS (
         |  SELECT topic, part, COUNT(*) AS n_records,
