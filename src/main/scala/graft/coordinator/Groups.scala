@@ -325,6 +325,51 @@ object Groups {
         when(col("now_ms") - col("last_hb_ms") > 28800000L, 1L).otherwise(0L)
           .as("evicted"))
 
+  /** JoinGroup request validation — the admission checks of
+    * GroupCoordinator.handleJoinGroup
+    * (/root/reference/kafka-impl/.../coordinator/group/GroupCoordinator
+    * .java:215-246): the client's sessionTimeoutMs must sit inside the
+    * broker's [groupMinSessionTimeoutMs, groupMaxSessionTimeoutMs] band
+    * (6000..300000, KafkaServiceConfiguration.java:50-51) or the join is
+    * rejected INVALID_SESSION_TIMEOUT before any group mutation; then a
+    * join that names a member id the group does not know is rejected
+    * UNKNOWN_MEMBER_ID, and a protocol-type mismatch against the group's
+    * established type rejects INCONSISTENT_GROUP_PROTOCOL (doJoinGroup /
+    * GroupMetadata supportsProtocols). Timeouts/protocols/member-id
+    * staleness are md5 coins over the (group, member) heartbeat
+    * universe, checked in the reference's order.
+    *
+    * Scale: in-row decisions on the |groups|·|members| metadata frame.
+    */
+  def joinGroupValidation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    memberHeartbeats(spark, dir)
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        concat(lit("m"), col("m").cast("string")).as("member"))
+      .withColumn("session_timeout_ms",
+        element_at(array(lit(3000L), lit(6000L), lit(30000L), lit(100000L),
+          lit(300000L), lit(400000L)),
+          (pmod(md5Long(concat_ws("#", lit("sesst"), col("group_id"),
+            col("member"))), lit(6L)) + 1L).cast("int")))
+      .withColumn("protocol_type",
+        when(pmod(md5Long(concat_ws("#", lit("proto"), col("group_id"),
+          col("member"))), lit(8L)) === 0L, "connect")
+          .otherwise("consumer"))
+      .withColumn("member_id_known",
+        pmod(md5Long(concat_ws("#", lit("knownid"), col("group_id"),
+          col("member"))), lit(5L)) =!= 0L)
+      .withColumn("outcome",
+        when(col("session_timeout_ms") < 6000L ||
+          col("session_timeout_ms") > 300000L, "INVALID_SESSION_TIMEOUT")
+          .when(!col("member_id_known"), "UNKNOWN_MEMBER_ID")
+          .when(col("protocol_type") =!= "consumer",
+            "INCONSISTENT_GROUP_PROTOCOL")
+          .otherwise("NONE"))
+      .select(col("group_id"), col("member"), col("session_timeout_ms"),
+        col("protocol_type"), col("member_id_known"), col("outcome"))
+  }
+
   /** GroupState-machine rollup (GroupState.java:21 — Empty /
     * PreparingRebalance / CompletingRebalance / Stable / Dead, transitions
     * documented at :36-47): the point-in-time state of each group after the
@@ -528,6 +573,7 @@ object Groups {
     "rebalance_diff" -> rebalanceDiff,
     "group_offsets" -> groupOffsets,
     "offset_commit_validation" -> offsetCommitValidation,
+    "join_group_validation" -> joinGroupValidation,
     "consumer_lag" -> consumerLag,
     "assign_range" -> assignRange,
     "assign_roundrobin" -> assignRoundRobin,
@@ -582,6 +628,35 @@ object Groups {
              "concat_ws('#', 'commitmeta', group_id, topic, part)")} % 6000
         |    AS metadata_len
         |  FROM commits)""".stripMargin),
+    "join_group_validation" -> (L + leoSql.stripSuffix("\n") + "\n" +
+      memberHbSql +
+      s"""base AS (
+        |  SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
+        |    'm' || CAST(m AS VARCHAR) AS member
+        |  FROM mh),
+        |d AS (
+        |  SELECT *,
+        |    CASE ${md5LongSql(
+             "concat_ws('#', 'sesst', group_id, member)")} % 6
+        |      WHEN 0 THEN 3000 WHEN 1 THEN 6000 WHEN 2 THEN 30000
+        |      WHEN 3 THEN 100000 WHEN 4 THEN 300000
+        |      ELSE 400000 END AS session_timeout_ms,
+        |    CASE WHEN ${md5LongSql(
+             "concat_ws('#', 'proto', group_id, member)")} % 8 = 0
+        |      THEN 'connect' ELSE 'consumer' END AS protocol_type,
+        |    ${md5LongSql(
+             "concat_ws('#', 'knownid', group_id, member)")} % 5 <> 0
+        |      AS member_id_known
+        |  FROM base)
+        |SELECT group_id, member, session_timeout_ms, protocol_type,
+        |  member_id_known,
+        |  CASE WHEN session_timeout_ms < 6000 OR session_timeout_ms > 300000
+        |      THEN 'INVALID_SESSION_TIMEOUT'
+        |    WHEN NOT member_id_known THEN 'UNKNOWN_MEMBER_ID'
+        |    WHEN protocol_type <> 'consumer'
+        |      THEN 'INCONSISTENT_GROUP_PROTOCOL'
+        |    ELSE 'NONE' END AS outcome
+        |FROM d""".stripMargin),
     "rebalance_join" -> (L + leoSql.stripSuffix("\n") + "\n" + memberHbSql +
       """jd AS (
         |  SELECT g, m, now_ms - last_hb_ms AS join_delay_ms

@@ -514,7 +514,77 @@ object Transactions {
           .otherwise("FULL_REPLAY"))
   }
 
+  /** EndTxn request validation — the decision table of
+    * TransactionCoordinator.endTxnByStatus
+    * (/root/reference/kafka-impl/.../coordinator/transaction/
+    * TransactionCoordinator.java:812-844, with getPreEndTxnErrors :870
+    * and the epoch pre-check :799-801): evaluated as a WHAT-IF per
+    * (transaction, requested result) pair — both COMMIT and ABORT
+    * requests against each txn's current coordinator state:
+    * Ongoing accepts either (transitioning to the matching Prepare
+    * state); CompleteCommit/CompleteAbort accept only the MATCHING
+    * retry (idempotent NONE, no transition) and reject the other as
+    * INVALID_TXN_STATE; PrepareCommit/PrepareAbort answer the matching
+    * result CONCURRENT_TRANSACTIONS (still in flight) and the mismatch
+    * INVALID_TXN_STATE; Empty rejects both. A stale producer epoch
+    * (md5 coin) short-circuits everything as PRODUCER_FENCED. States
+    * refine [[txnFate]] with a second hex digit so every branch of the
+    * reference's switch is exercised.
+    *
+    * Scale: the 64-txn state frame crossed with the 2-row result table
+    * in-row — metadata-sized end to end.
+    */
+  def endTxnValidation(spark: SparkSession, dir: String): DataFrame = {
+    val states = txnLog(spark, dir)
+      .groupBy("txn_id")
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("fate", txnFate(col("txn_id")))
+      .withColumn("sub",
+        substring(md5(concat(lit("endstate#"), col("txn_id").cast("string"))),
+          1, 1))
+      .withColumn("state",
+        when(col("fate") === "COMMITTED",
+          when(col("sub").isin("0", "1", "2", "3"), "PrepareCommit")
+            .otherwise("CompleteCommit"))
+          .when(col("fate") === "ABORTED",
+            when(col("sub").isin("0", "1", "2", "3"), "PrepareAbort")
+              .otherwise("CompleteAbort"))
+          .otherwise(when(col("sub").isin("0", "1", "2", "3"), "Empty")
+            .otherwise("Ongoing")))
+      .withColumn("epoch_ok",
+        substring(md5(concat(lit("endepoch#"), col("txn_id").cast("string"))),
+          1, 1) =!= "0")
+    states.crossJoin(
+      spark.range(0, 2).select(when(col("id") === 0L, "COMMIT")
+        .otherwise("ABORT").as("requested_result")))
+      .withColumn("outcome",
+        when(!col("epoch_ok"), "PRODUCER_FENCED")
+          .when(col("state") === "Ongoing", "NONE")
+          .when(col("state") === "CompleteCommit",
+            when(col("requested_result") === "COMMIT", "NONE")
+              .otherwise("INVALID_TXN_STATE"))
+          .when(col("state") === "CompleteAbort",
+            when(col("requested_result") === "ABORT", "NONE")
+              .otherwise("INVALID_TXN_STATE"))
+          .when(col("state") === "PrepareCommit",
+            when(col("requested_result") === "COMMIT",
+              "CONCURRENT_TRANSACTIONS").otherwise("INVALID_TXN_STATE"))
+          .when(col("state") === "PrepareAbort",
+            when(col("requested_result") === "ABORT",
+              "CONCURRENT_TRANSACTIONS").otherwise("INVALID_TXN_STATE"))
+          .otherwise("INVALID_TXN_STATE"))
+      .withColumn("next_state",
+        when(col("outcome") =!= "NONE", lit(null).cast("string"))
+          .when(col("state") === "Ongoing",
+            when(col("requested_result") === "COMMIT", "PrepareCommit")
+              .otherwise("PrepareAbort"))
+          .otherwise(col("state")))
+      .select(col("txn_id"), col("state"), col("requested_result"),
+        col("epoch_ok"), col("outcome"), col("next_state"), col("n_records"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "end_txn_validation" -> endTxnValidation,
     "producer_state_snapshot" -> producerStateSnapshot,
     "add_offsets_to_txn" -> addOffsetsToTxn,
     "describe_transactions" -> describeTransactions,
@@ -535,6 +605,55 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "end_txn_validation" -> (L + txnSql +
+      s""", st AS (
+        |  SELECT txn_id, COUNT(*) AS n_records,
+        |    (${fateSql("txn_id")}) AS fate,
+        |    substring(md5('endstate#' || CAST(txn_id AS VARCHAR)), 1, 1)
+        |      AS sub,
+        |    substring(md5('endepoch#' || CAST(txn_id AS VARCHAR)), 1, 1)
+        |      <> '0' AS epoch_ok
+        |  FROM txn GROUP BY txn_id),
+        |sd AS (
+        |  SELECT *,
+        |    CASE WHEN fate = 'COMMITTED' THEN
+        |        CASE WHEN sub IN ('0','1','2','3') THEN 'PrepareCommit'
+        |          ELSE 'CompleteCommit' END
+        |      WHEN fate = 'ABORTED' THEN
+        |        CASE WHEN sub IN ('0','1','2','3') THEN 'PrepareAbort'
+        |          ELSE 'CompleteAbort' END
+        |      ELSE CASE WHEN sub IN ('0','1','2','3') THEN 'Empty'
+        |        ELSE 'Ongoing' END END AS state
+        |  FROM st),
+        |oc AS (
+        |  SELECT txn_id, state, requested_result, epoch_ok, n_records,
+        |    CASE WHEN NOT epoch_ok THEN 'PRODUCER_FENCED'
+        |      WHEN state = 'Ongoing' THEN 'NONE'
+        |      WHEN state = 'CompleteCommit' THEN
+        |        CASE WHEN requested_result = 'COMMIT' THEN 'NONE'
+        |          ELSE 'INVALID_TXN_STATE' END
+        |      WHEN state = 'CompleteAbort' THEN
+        |        CASE WHEN requested_result = 'ABORT' THEN 'NONE'
+        |          ELSE 'INVALID_TXN_STATE' END
+        |      WHEN state = 'PrepareCommit' THEN
+        |        CASE WHEN requested_result = 'COMMIT'
+        |          THEN 'CONCURRENT_TRANSACTIONS'
+        |          ELSE 'INVALID_TXN_STATE' END
+        |      WHEN state = 'PrepareAbort' THEN
+        |        CASE WHEN requested_result = 'ABORT'
+        |          THEN 'CONCURRENT_TRANSACTIONS'
+        |          ELSE 'INVALID_TXN_STATE' END
+        |      ELSE 'INVALID_TXN_STATE' END AS outcome
+        |  FROM sd CROSS JOIN (SELECT 'COMMIT' AS requested_result
+        |    UNION ALL SELECT 'ABORT') rr)
+        |SELECT txn_id, state, requested_result, epoch_ok, outcome,
+        |  CASE WHEN outcome <> 'NONE' THEN NULL
+        |    WHEN state = 'Ongoing' THEN
+        |      CASE WHEN requested_result = 'COMMIT' THEN 'PrepareCommit'
+        |        ELSE 'PrepareAbort' END
+        |    ELSE state END AS next_state,
+        |  n_records
+        |FROM oc""".stripMargin),
     "add_offsets_to_txn" -> (L + graft.coordinator.Groups.commitsSql +
       s""", toc AS (
          |  SELECT group_id,
