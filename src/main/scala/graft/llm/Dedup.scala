@@ -213,6 +213,51 @@ object Dedup {
     * integer sums (intersection / union sizes), so the doubles are
     * engine-identical; no floating-point accumulation anywhere.
     */
+  /** Signature-length ablation for MinHash: per prefix length r in
+    * {4, 8, 12, 16, 20, 24}, the estimate error |m/r − i/u| over the
+    * SAME candidate pairs, quantized exactly as
+    * (1e6·|m·u − i·r|) div (r·u) — pure integer arithmetic off exact
+    * match counts (m), intersections (i) and unions (u), so the whole
+    * curve is oracle hash-exact. This is the "how many permutations do
+    * we actually need" sizing table: at 100 TB every extra permutation
+    * is another 8 bytes per document and another hash pass, and the
+    * curve shows where the error stops paying for them
+    * ([[minhashCalibration]] calibrates the 24-sig estimator against
+    * Jaccard; this ablates the 24 itself).
+    *
+    * Scale: rides the cached signature + candidate frames (the
+    * lshCandidates discipline); the 6-way prefix fan-out is in-row on
+    * the candidate pairs, rolled up to 6 rows.
+    */
+  def minhashPermCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sigs, cand) = lshCandidates(spark, dir)
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("hs").as("s1"),
+        col("sig").as("g1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("hs").as("s2"),
+        col("sig").as("g2")), "d2")
+      .withColumn("inter", expr("intersect_sorted(s1, s2)"))
+      .withColumn("uni",
+        size(col("s1")).cast("long") + size(col("s2")).cast("long")
+          - col("inter"))
+      .select(col("inter"), col("uni"), explode(expr(
+        """transform(array(4, 8, 12, 16, 20, 24), r -> struct(
+          |  CAST(r AS BIGINT) AS n_perms,
+          |  CAST(size(filter(zip_with(slice(g1, 1, r), slice(g2, 1, r),
+          |    (x, y) -> x = y), b -> b)) AS BIGINT) AS m))"""
+          .stripMargin)).as("e"))
+      .select(col("e.n_perms").as("n_perms"), col("e.m").as("m"),
+        col("inter"), col("uni"))
+      .withColumn("err_q", expr(
+        "(1000000 * abs(m * uni - inter * n_perms)) div (n_perms * uni)"))
+      .groupBy("n_perms")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("err_q").cast("long").as("sum_abs_err_ppm"),
+        max("err_q").as("max_abs_err_ppm"))
+      .withColumn("mean_abs_err_ppm", expr("sum_abs_err_ppm div n_pairs"))
+  }
+
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val (_, sigs, cand) = lshCandidates(spark, dir)
     cand
@@ -900,11 +945,47 @@ object Dedup {
     "dedup_delta" -> dedupDelta,
     "containment" -> containment,
     "minhash_estimate" -> minhashEstimate,
+    "minhash_perm_curve" -> minhashPermCurve,
     "minhash_calibration" -> minhashCalibration,
     "dedup_simhash" -> dedupSimhash,
     "simhash_hamming_profile" -> simhashHammingProfile,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> dedupEmbedding)
+
+  /** The MinHash shingle/signature/band/candidate pipeline as a
+    * reusable CTE chain (ends with `cand(d1, d2)`, with `hss(doc_id,
+    * hs)` and `sig(doc_id, g)` still in scope) — the oracle mirror of
+    * [[lshCandidates]], shared by minhash_estimate and
+    * minhash_perm_curve so the estimator and its ablation read the same
+    * pair set.
+    */
+  private val minhashCandChainSql: String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
+      |  FROM documents WHERE length(text) >= 5),
+      |hss AS (
+      |  SELECT doc_id, list_distinct(list_transform(s,
+      |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 23),
+      |    j -> list_min(list_transform(hs,
+      |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
+      |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
+      |  FROM hss),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
+      |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
+      |  FROM sig, generate_series(0, 5) t(b)),
+      |sized AS (
+      |  SELECT * FROM bands
+      |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sized a, sized b
+      |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
 
   /** The simhash candidate-pair pipeline as a reusable CTE chain
     * (`cp(d1, d2, hamming)`, unfiltered) — the oracle mirror of
@@ -1428,33 +1509,36 @@ object Dedup {
         |  CAST(SUM(inter) AS BIGINT) / CAST(SUM(uni) AS BIGINT) AS micro_jac,
         |  agree / CAST(24 AS DOUBLE) AS est
         |FROM pairstats GROUP BY agree""".stripMargin,
-    "minhash_estimate" ->
-      s"""WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS s
-        |  FROM documents WHERE length(text) >= 5),
-        |hss AS (
-        |  SELECT doc_id, list_distinct(list_transform(s,
-        |    x -> ${md5LongSql("x")} % 2147483647)) AS hs
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, list_transform(generate_series(0, 23),
-        |    j -> list_min(list_transform(hs,
-        |      h -> ((((j + 1) * 2654435761) % 2147483647) * h
-        |            + ((j + 7) * 40503) % 2147483647) % 2147483647))) AS g
-        |  FROM hss),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    g[b*4+1]::VARCHAR || '_' || g[b*4+2]::VARCHAR || '_' ||
-        |      g[b*4+3]::VARCHAR || '_' || g[b*4+4]::VARCHAR AS bsig
-        |  FROM sig, generate_series(0, 5) t(b)),
-        |sized AS (
-        |  SELECT * FROM bands
-        |  QUALIFY COUNT(*) OVER (PARTITION BY b, bsig) <= 50),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sized a, sized b
-        |  WHERE a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+    "minhash_perm_curve" -> (minhashCandChainSql +
+      s""",
+        |pairs AS (
+        |  SELECT d1, d2, g1.g AS ga, g2.g AS gb,
+        |    len(list_intersect(s1.hs, s2.hs)) AS inter,
+        |    len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))
+        |      AS uni
+        |  FROM cand
+        |  JOIN hss s1 ON s1.doc_id = d1
+        |  JOIN hss s2 ON s2.doc_id = d2
+        |  JOIN sig g1 ON g1.doc_id = d1
+        |  JOIN sig g2 ON g2.doc_id = d2),
+        |ex AS (
+        |  SELECT CAST(n_perms AS BIGINT) AS n_perms, inter, uni,
+        |    CAST(len(list_filter(list_transform(
+        |      generate_series(1, n_perms), i -> ga[i] = gb[i]), b -> b))
+        |      AS BIGINT) AS m
+        |  FROM pairs, (SELECT unnest([4, 8, 12, 16, 20, 24]) AS n_perms) r),
+        |eq AS (
+        |  SELECT n_perms,
+        |    (1000000 * abs(m * uni - inter * n_perms)) // (n_perms * uni)
+        |      AS err_q
+        |  FROM ex)
+        |SELECT n_perms, COUNT(*) AS n_pairs,
+        |  CAST(SUM(err_q) AS BIGINT) AS sum_abs_err_ppm,
+        |  CAST(MAX(err_q) AS BIGINT) AS max_abs_err_ppm,
+        |  CAST(SUM(err_q) AS BIGINT) // COUNT(*) AS mean_abs_err_ppm
+        |FROM eq GROUP BY n_perms""".stripMargin),
+    "minhash_estimate" -> (minhashCandChainSql +
+      s"""
         |SELECT d1, d2,
         |  CAST(len(list_filter(list_transform(generate_series(1, 24),
         |    i -> g1.g[i] = g2.g[i]), b -> b)) AS DOUBLE) / CAST(24 AS DOUBLE) AS est,
@@ -1464,7 +1548,7 @@ object Dedup {
         |JOIN hss s1 ON s1.doc_id = d1
         |JOIN hss s2 ON s2.doc_id = d2
         |JOIN sig g1 ON g1.doc_id = d1
-        |JOIN sig g2 ON g2.doc_id = d2""".stripMargin,
+        |JOIN sig g2 ON g2.doc_id = d2""".stripMargin),
     "dedup_simhash" -> (simhashCandSql +
       "SELECT d1, d2, hamming FROM cp WHERE hamming <= 2"),
     "simhash_hamming_profile" -> (simhashCandSql +

@@ -66,6 +66,70 @@ object TextAnalysis {
         when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
       .select("lang", "pred_lang", "n", "bp", "hit")
 
+  /** Language-ID confidence calibration: per LABELED language, the
+    * nearest-rank quartiles of the classifier's winning MARGIN (top
+    * marker-hit count minus runner-up, as 2·top + min − sum — pure
+    * integer arithmetic) — the companion to [[langidEval]]'s confusion
+    * matrix: the matrix says how often the heuristic is wrong, this says
+    * how CONFIDENT it was, which is what a margin-gated routing policy
+    * ("trust langid only above margin m") is calibrated from.
+    *
+    * Scale: one scored scan partial-aggregated to the (lang, margin)
+    * count frame; quartiles are count-compressed nearest-rank picks
+    * (the likelihoodQuartiles discipline — no join back to rows).
+    */
+  def langidMargin(spark: SparkSession, dir: String): DataFrame = {
+    val scored = withLangPred(t(spark, dir, "documents"))
+      .withColumn("top1", greatest(col("h_en"), col("h_es"), col("h_fr")))
+      .withColumn("margin",
+        lit(2L) * col("top1") +
+          least(col("h_en"), col("h_es"), col("h_fr")) -
+          (col("h_en") + col("h_es") + col("h_fr")))
+    val byL = Window.partitionBy("lang")
+    val cum = scored.groupBy("lang", "margin").agg(count(lit(1)).as("k"))
+      .withColumn("cum", sum("k").over(byL.orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .withColumn("n", sum("k").over(byL).cast("long"))
+    def pick(p: Double) =
+      max(when(col("cum") >= expr(s"CAST(ceil(n * $p) AS BIGINT)") &&
+        col("cum") - col("k") < expr(s"CAST(ceil(n * $p) AS BIGINT)"),
+        col("margin")))
+    cum.groupBy("lang").agg(max("n").as("n_docs"),
+      pick(0.25).as("q1_margin"), pick(0.5).as("median_margin"),
+      pick(0.75).as("q3_margin"))
+  }
+
+  /** Shared-prefix boilerplate detector: documents bucketed by their
+    * first 32 characters — per source, how many docs share a prefix
+    * with at least one other doc (in basis points), how many distinct
+    * duplicated prefixes exist, and the largest prefix bucket. A
+    * crawler emitting templated pages (cookie banners, SEO headers)
+    * shows up here before any expensive near-dup pass runs; the classic
+    * cheap pre-filter next to [[graft.llm.Curation]]'s line-level
+    * boilerplate_chunks.
+    *
+    * Scale: ONE prefix-keyed exchange (32-char key, map-side combined)
+    * for the bucket sizes, joined back on the same key — no pair
+    * generation anywhere; the per-source rollup is partial-aggregated.
+    */
+  def prefixDupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 32).as("pfx"))
+    val buckets = d.groupBy("pfx").agg(count(lit(1)).as("k"))
+    d.join(buckets, "pfx")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("k") >= 2L, 1L).otherwise(0L)).cast("long")
+          .as("n_shared_prefix"),
+        countDistinct(when(col("k") >= 2L, col("pfx")))
+          .as("n_dup_prefixes"),
+        max("k").as("max_bucket"))
+      .withColumn("shared_bp", expr("(10000 * n_shared_prefix) div n_docs"))
+  }
+
   /** Heuristic quality score from length / punctuation / stopword ratios.
     * The arithmetic is written in the same order on both engines so the
     * double is bit-identical.
@@ -1334,6 +1398,8 @@ object TextAnalysis {
     "corpus_filter" -> corpusFilter,
     "langid" -> langid,
     "langid_eval" -> langidEval,
+    "langid_margin" -> langidMargin,
+    "prefix_dup_profile" -> prefixDupProfile,
     "quality_score" -> qualityScore,
     "char_class_profile" -> charClassProfile,
     "token_len_profile" -> tokenLenProfile,
@@ -2008,6 +2074,49 @@ object TextAnalysis {
           |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
           |  reason
           |FROM r""".stripMargin),
+    "langid_margin" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    CAST(${hitSql(markers("en"))} AS BIGINT) AS h_en,
+         |    CAST(${hitSql(markers("es"))} AS BIGINT) AS h_es,
+         |    CAST(${hitSql(markers("fr"))} AS BIGINT) AS h_fr
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang,
+         |    2 * greatest(h_en, h_es, h_fr) + least(h_en, h_es, h_fr)
+         |      - (h_en + h_es + h_fr) AS margin
+         |  FROM h),
+         |c AS (SELECT lang, margin, COUNT(*) AS k FROM m GROUP BY 1, 2),
+         |cc AS (
+         |  SELECT *, CAST(SUM(k) OVER (PARTITION BY lang
+         |    ORDER BY margin) AS BIGINT) AS cum,
+         |    CAST(SUM(k) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM c)
+         |SELECT lang, MAX(n) AS n_docs,
+         |  MAX(CASE WHEN cum >= CAST(ceil(n * 0.25) AS BIGINT)
+         |    AND cum - k < CAST(ceil(n * 0.25) AS BIGINT)
+         |    THEN margin END) AS q1_margin,
+         |  MAX(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+         |    AND cum - k < CAST(ceil(n * 0.5) AS BIGINT)
+         |    THEN margin END) AS median_margin,
+         |  MAX(CASE WHEN cum >= CAST(ceil(n * 0.75) AS BIGINT)
+         |    AND cum - k < CAST(ceil(n * 0.75) AS BIGINT)
+         |    THEN margin END) AS q3_margin
+         |FROM cc GROUP BY lang""".stripMargin,
+    "prefix_dup_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, substring(text, 1, 32) AS pfx
+        |  FROM documents WHERE length(text) >= 32),
+        |b AS (SELECT pfx, COUNT(*) AS k FROM d GROUP BY pfx)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_prefix,
+        |  CAST(COUNT(DISTINCT CASE WHEN k >= 2 THEN pfx END) AS BIGINT)
+        |    AS n_dup_prefixes,
+        |  MAX(k) AS max_bucket,
+        |  (10000 * CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // COUNT(*) AS shared_bp
+        |FROM d JOIN b USING (pfx) GROUP BY source""".stripMargin,
     "langid_eval" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang,
