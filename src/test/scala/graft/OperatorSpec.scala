@@ -2721,4 +2721,76 @@ class OperatorSpec extends AnyFunSuite {
     assert(cp.filter(s > 10000L || s < 9996L).count() == 0)
     cp.unpersist()
   }
+
+  test("kop_event_queue: sequential-queue invariants hold in closed form") {
+    val q = admin.Admin.kopEventQueue(spark, dir).cache()
+    // queue discipline: nothing starts before it arrives, every event
+    // runs for exactly its cost, queued latency is never negative
+    assert(q.filter(col("start_ms") < col("arrival_ms") ||
+      col("finish_ms") - col("start_ms") =!= col("cost_ms") ||
+      col("queued_ms") < 0L).count() == 0)
+    // single-threaded: no two executions overlap — the k-th finish (in
+    // arrival order) never exceeds the (k+1)-th start
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("arrival_ms", "event_class", "event_key")
+    val seq = q.withColumn("prev_finish", lag("finish_ms", 1).over(w))
+    assert(seq.filter(col("prev_finish").isNotNull &&
+      col("start_ms") < col("prev_finish")).count() == 0)
+    // work conservation: total busy time == total cost
+    assert(q.agg(sum(col("finish_ms") - col("start_ms"))).head.getLong(0)
+      == q.agg(sum("cost_ms")).head.getLong(0))
+    q.unpersist()
+  }
+
+  test("end_txn_validation: decision table complete and idempotent-safe") {
+    val v = txn.Transactions.endTxnValidation(spark, dir).cache()
+    // every txn answers BOTH verbs
+    assert(v.groupBy("txn_id").count().filter(col("count") =!= 2L)
+      .count() == 0)
+    // a NONE outcome always carries a next_state; errors never do
+    assert(v.filter(col("outcome") === "NONE" && col("next_state").isNull)
+      .count() == 0)
+    assert(v.filter(col("outcome") =!= "NONE" &&
+      col("next_state").isNotNull).count() == 0)
+    // Complete* retries are idempotent (NONE, state unchanged) only on
+    // the matching verb
+    assert(v.filter(col("state") === "CompleteCommit" &&
+      col("requested_result") === "COMMIT" && col("epoch_ok") &&
+      col("outcome") =!= "NONE").count() == 0)
+    assert(v.filter(col("state") === "CompleteCommit" &&
+      col("requested_result") === "ABORT" &&
+      col("outcome") === "NONE").count() == 0)
+    // fenced epochs short-circuit everything
+    assert(v.filter(!col("epoch_ok") && col("outcome") =!= "PRODUCER_FENCED")
+      .count() == 0)
+    v.unpersist()
+  }
+
+  test("minhash_perm_curve: full prefix ladder over one shared pair set") {
+    val c = llm.Dedup.minhashPermCurve(spark, dir).cache()
+    import spark.implicits._
+    assert(c.select("n_perms").as[Long].collect().toSet
+      == Set(4L, 8L, 12L, 16L, 20L, 24L))
+    // every prefix length scores the SAME candidate pairs
+    assert(c.select("n_pairs").distinct().count() == 1)
+    assert(c.filter(col("mean_abs_err_ppm") < 0L ||
+      col("mean_abs_err_ppm") > col("max_abs_err_ppm")).count() == 0)
+    // the full 24-perm row agrees with minhash_estimate's pair count
+    val est = llm.Dedup.minhashEstimate(spark, dir).count()
+    assert(c.filter(col("n_perms") === 24L).head.getAs[Long]("n_pairs")
+      == est)
+    c.unpersist()
+  }
+
+  test("prefix_dup_profile: shares bounded, buckets consistent") {
+    val p = llm.TextAnalysis.prefixDupProfile(spark, dir).cache()
+    assert(p.filter(col("shared_bp") < 0L || col("shared_bp") > 10000L ||
+      col("n_shared_prefix") > col("n_docs") ||
+      col("max_bucket") < 1L).count() == 0)
+    // doc accounting closes over the >=32-char corpus
+    val n = Tables.t(spark, dir, "documents")
+      .filter(length(col("text")) >= 32).count()
+    assert(p.agg(sum("n_docs")).head.getLong(0) == n)
+    p.unpersist()
+  }
 }
