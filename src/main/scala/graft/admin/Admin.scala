@@ -234,6 +234,17 @@ object Admin {
     * Scale: one partial-aggregated (topic, part) rollup (the
     * [[topicMetadata]] shape), then a |topics|-row re-aggregation.
     */
+  /** The tenant draw over a topic name — ONE spelling shared by
+    * [[tenantSummary]] and the streaming per-tenant throughput monitor
+    * (the KopTopic persistent://tenant/... discipline).
+    */
+  private[graft] def tenantCol(topic: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import graft.functions.Parity.md5Long
+    concat(lit("t"),
+      pmod(md5Long(concat(lit("tenant#"), topic)), lit(3L)).cast("string"))
+  }
+
   def tenantSummary(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
     LogOps.log(spark, dir)
@@ -242,9 +253,7 @@ object Admin {
         count(lit(1)).as("n"),
         sum(length(col("v")) + length(col("k"))).cast("long").as("bytes"),
         min("tms").as("mn"), max("tms").as("mx"))
-      .withColumn("tenant", concat(lit("t"),
-        pmod(md5Long(concat(lit("tenant#"), col("topic"))), lit(3L))
-          .cast("string")))
+      .withColumn("tenant", tenantCol(col("topic")))
       .withColumn("ns", concat(col("tenant"), lit("/ns"),
         pmod(md5Long(concat(lit("ns#"), col("topic"))), lit(2L))
           .cast("string")))

@@ -878,12 +878,15 @@ object Analytics {
     * register aggregation is map-side combinable, and the full-universe
     * left join runs on the |types|·4096 metadata frame.
     */
-  def hllDistinctEval(spark: SparkSession, dir: String): DataFrame = {
+  /** The exact HLL register table (event_type, idx, m_j) — the ONE
+    * spelling shared by [[hllDistinctEval]] and the streaming register
+    * monitor (max-per-register is merge- and delivery-order invariant,
+    * which is the whole reason HLL replaces a user-keyed exchange at
+    * 100 TB).
+    */
+  private[graft] def hllRegisterRollup(df: DataFrame): DataFrame = {
     import graft.functions.Parity.md5Long
-    val ev = t(spark, dir, "events")
-    val exact = ev.groupBy("event_type")
-      .agg(countDistinct("user_id").as("exact_users"))
-    val regs = ev.filter(col("user_id").isNotNull)
+    df.filter(col("user_id").isNotNull)
       .select(col("event_type"),
         md5Long(concat(lit("hll#"), col("user_id"))).as("h"))
       .withColumn("idx", pmod(col("h"), lit(4096L)))
@@ -892,6 +895,13 @@ object Analytics {
         .otherwise(lit(45L) - length(bin(col("rest")))))
       .groupBy("event_type", "idx")
       .agg(max("rho").cast("long").as("m_j"))
+  }
+
+  def hllDistinctEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    val regs = hllRegisterRollup(ev)
     val universe = exact.select("event_type")
       .crossJoin(broadcast(spark.range(0, 4096)
         .select(col("id").as("idx"))))

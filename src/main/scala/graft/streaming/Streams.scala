@@ -529,6 +529,39 @@ object Streams {
     graft.llm.TextAnalysis.tokenLenRollup(stream)
   }
 
+  /** Continuous HLL register maintenance — the streaming half of
+    * [[graft.analytics.Analytics.hllDistinctEval]], via the SAME shared
+    * register rollup (hllRegisterRollup), so the sketch spelling cannot
+    * diverge from batch: arriving events hash in-row and ONE
+    * complete-mode max-per-register aggregation keeps the (event_type,
+    * idx) → max rho table current. This is the mergeability HLL exists
+    * for at 100 TB — max is commutative/idempotent, so the registers
+    * are delivery-order invariant (StreamingSpec pins == batch under
+    * in-order AND shuffled delivery) and the raw estimate derived from
+    * the final table is bit-identical to the batch evaluation's. State
+    * is bounded at |types| × 4096 counter rows at ANY data volume.
+    */
+  def hllRegisterStream(stream: DataFrame): DataFrame =
+    graft.analytics.Analytics.hllRegisterRollup(stream)
+
+  /** Live per-tenant throughput — the streaming twin of
+    * [[graft.admin.Admin.tenantSummary]]'s record/byte core, via the
+    * shared tenant draw (Admin.tenantCol): arriving records roll up to
+    * one counter row per tenant (complete mode, |tenants| state rows) —
+    * the per-tenant ingest dashboard the TenantContextManager's
+    * tenant-keyed coordinators imply. Counters are delivery-order
+    * invariant; StreamingSpec pins the final rows == the batch
+    * tenant_summary projection.
+    */
+  def tenantThroughputStream(stream: DataFrame): DataFrame =
+    stream
+      .select(graft.admin.Admin.tenantCol(col("event_type")).as("tenant"),
+        (length(col("props")) +
+          length(col("user_id").cast("string"))).cast("long").as("bytes"))
+      .groupBy("tenant")
+      .agg(count(lit(1)).as("n_records"),
+        sum("bytes").cast("long").as("approx_bytes"))
+
   /** Sliding-window throughput as a continuous query — the streaming
     * half of [[graft.analytics.Analytics.rollingThroughput]]: a
     * 5-minute window sliding by 1 minute over event time, so each

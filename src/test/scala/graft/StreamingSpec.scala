@@ -768,4 +768,53 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("topic"), col("k"), col("event_id"))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("continuous HLL registers == batch registers, any delivery order") {
+    val events = Tables.t(spark, dir, "events")
+    val want = analytics.Analytics.hllRegisterRollup(events)
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = Streams.hllRegisterStream(src).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val got = run(Streams.tableStream(spark, dir, "events"), "graft_hllr1")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // adversarial shuffled multi-batch delivery: max-per-register is
+    // merge-order invariant, so the final table must be IDENTICAL
+    val staged = stageChunks(events, 4,
+      md5(concat_ws("#", lit("hllr"), col("event_id"))))
+    val got2 = run(chunkStream(staged), "graft_hllr2")
+    assert(got2.exceptAll(want).count() == 0 &&
+      want.exceptAll(got2).count() == 0)
+    // and the batch evaluation's register summaries derive from it:
+    // zero registers + occupied == 4096 per type
+    val occ = got.groupBy("event_type").count()
+    val ev = analytics.Analytics.hllDistinctEval(spark, dir)
+      .select(col("event_type"), col("n_zero_registers"))
+    assert(occ.join(ev, "event_type")
+      .filter(col("count") + col("n_zero_registers") =!= 4096L)
+      .count() == 0)
+  }
+
+  test("live per-tenant throughput == batch tenant_summary core") {
+    val events = Tables.t(spark, dir, "events")
+    val want = admin.Admin.tenantSummary(spark, dir)
+      .select("tenant", "n_records", "approx_bytes")
+    def run(src: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = Streams.tenantThroughputStream(src).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val got = run(Streams.tableStream(spark, dir, "events"), "graft_tt1")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    val staged = stageChunks(events, 4,
+      md5(concat_ws("#", lit("tt"), col("event_id"))))
+    val got2 = run(chunkStream(staged), "graft_tt2")
+    assert(got2.exceptAll(want).count() == 0 &&
+      want.exceptAll(got2).count() == 0)
+  }
 }
