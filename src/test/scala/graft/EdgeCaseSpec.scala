@@ -56,7 +56,8 @@ class EdgeCaseSpec extends AnyFunSuite {
       "char_class_profile", "minhash_band_stats", "length_gini",
       "token_len_profile", "source_lang_matrix", "likelihood_quartiles",
       "vocab_growth_curve", "dup_accumulation_curve",
-      "simhash_hamming_profile")
+      "simhash_hamming_profile",
+      "langid_margin", "prefix_dup_profile", "minhash_perm_curve")
     for (name <- docOnly) {
       val n = SparkEntry.queries(name)(spark, dir).count()
       assert(n >= 0, s"$name failed on the adversarial corpus")

@@ -119,4 +119,27 @@ class EdgeEventsSpec extends AnyFunSuite {
     assert(sc.filter(col("n_events") === 1L).head
       .getAs[Long]("n_converted") == 0L)
   }
+
+  test("round-13 event operators survive the adversarial stream") {
+    // tied instants, descending ids, negative values, a 4-user toy log:
+    // every broker/coordinator view must degrade, never abort, and the
+    // structural invariants must hold on the degenerate shape too
+    for (name <- Seq("codec_recompress", "kop_event_queue",
+      "pending_topic_futures", "migration_requests", "tenant_summary",
+      "token_validation", "offset_commit_validation",
+      "join_group_validation", "end_txn_validation", "hll_distinct_eval"))
+      assert(SparkEntry.queries(name)(spark, dir).count() >= 0,
+        s"$name failed on the adversarial stream")
+    // the queue stays work-conserving even when every event arrives
+    // inside one instant cluster
+    val q = admin.Admin.kopEventQueue(spark, dir)
+    assert(q.filter(col("queued_ms") < 0L ||
+      col("start_ms") < col("arrival_ms")).count() == 0)
+    // single-batch logs: every (topic, part) has exactly one batch and
+    // wire/stored bytes stay positive
+    val c = graft.log.LogOps.codecRecompress(spark, dir)
+    assert(c.filter(col("wire_bytes") <= 0L || col("stored_bytes") <= 0L ||
+      col("n_in_place") + col("n_recompressed") =!= col("n_batches"))
+      .count() == 0)
+  }
 }
