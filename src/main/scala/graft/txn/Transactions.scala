@@ -583,8 +583,91 @@ object Transactions {
         col("epoch_ok"), col("outcome"), col("next_state"), col("n_records"))
   }
 
+  /** InitProducerId request handling — the three admission branches of
+    * TransactionCoordinator.handleInitProducerId
+    * (/root/reference/kafka-impl/.../coordinator/transaction/
+    * TransactionCoordinator.java:318-385): a NULL transactional id is
+    * blindly accepted with a fresh PID at epoch 0 (the idempotent-only
+    * producer path); an EMPTY transactional id is INVALID_REQUEST; a
+    * named id first validates the client's transactionTimeoutMs against
+    * (0, transactionMaxTimeoutMs] (TransactionStateManager.java:636-637,
+    * max = 15 min — TransactionConfig.java:31) rejecting
+    * INVALID_TRANSACTION_TIMEOUT, then bumps the producer epoch on the
+    * existing metadata. Idempotent requests are one per connection
+    * ([[graft.admin.Admin]]'s 32-conn universe), named requests one per
+    * transactional id; timeouts are md5 coins straddling the max.
+    *
+    * Scale: in-row decisions on the |txns| + |conns| metadata frame.
+    */
+  def initProducerId(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val named = txnLog(spark, dir).groupBy("txn_id")
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("transactional_id",
+        concat(lit("txn-"), col("txn_id").cast("string")))
+      .withColumn("timeout_ms",
+        element_at(array(lit(0L), lit(60000L), lit(900000L),
+          lit(1800000L)),
+          (pmod(md5Long(concat(lit("txnto#"), col("transactional_id"))),
+            lit(4L)) + 1L).cast("int")))
+      .withColumn("prev_epoch",
+        pmod(md5Long(concat(lit("epoch#"), col("transactional_id"))),
+          lit(8L)))
+      .select(
+        col("transactional_id"),
+        lit("transactional").as("request_kind"),
+        col("timeout_ms"),
+        when(col("timeout_ms") <= 0L || col("timeout_ms") > 900000L,
+          "INVALID_TRANSACTION_TIMEOUT").otherwise("NONE").as("outcome"),
+        when(col("timeout_ms") > 0L && col("timeout_ms") <= 900000L,
+          lit(9000L) + col("txn_id")).as("producer_id"),
+        when(col("timeout_ms") > 0L && col("timeout_ms") <= 900000L,
+          col("prev_epoch") + 1L).as("producer_epoch"))
+    val anon = spark.range(0, 32)
+      .select(concat(lit("conn"), col("id")).as("conn"), col("id"))
+      .select(
+        lit(null).cast("string").as("transactional_id"),
+        lit("idempotent").as("request_kind"),
+        lit(null).cast("long").as("timeout_ms"),
+        lit("NONE").as("outcome"),
+        (lit(5000L) + col("id")).as("producer_id"),
+        lit(0L).as("producer_epoch"))
+    val empty = spark.range(0, 1).select(
+      lit("").as("transactional_id"),
+      lit("transactional").as("request_kind"),
+      lit(60000L).as("timeout_ms"),
+      lit("INVALID_REQUEST").as("outcome"),
+      lit(null).cast("long").as("producer_id"),
+      lit(null).cast("long").as("producer_epoch"))
+    named.unionByName(anon).unionByName(empty)
+  }
+
+  /** The aborted-transaction index a READ_COMMITTED fetch response
+    * carries (format AbortedIndexEntry — /root/reference/kafka-impl/
+    * .../coordinator/transaction/AbortedIndexEntry.java; the reference
+    * materializes it per partition so MessageFetchContext can ship the
+    * aborted (pid, firstOffset) list alongside the records): per
+    * (topic, partition), each aborted transaction's first/last offset
+    * and record count — the metadata a client-side consumer uses to
+    * drop aborted batches without a second round trip.
+    *
+    * Scale: one partial-aggregated rollup on the (topic, part)
+    * partitioning every log op reuses; the abort filter is the shared
+    * engine-wide fate draw.
+    */
+  def abortedTxnIndex(spark: SparkSession, dir: String): DataFrame =
+    txnLog(spark, dir)
+      .filter(col("aborted") === 1L)
+      .groupBy("topic", "part", "txn_id")
+      .agg(
+        min("offs").as("first_offset"),
+        max("offs").as("last_offset"),
+        count(lit(1)).as("n_records"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "end_txn_validation" -> endTxnValidation,
+    "init_producer_id" -> initProducerId,
+    "aborted_txn_index" -> abortedTxnIndex,
     "producer_state_snapshot" -> producerStateSnapshot,
     "add_offsets_to_txn" -> addOffsetsToTxn,
     "describe_transactions" -> describeTransactions,
@@ -605,6 +688,42 @@ object Transactions {
   private val L = LogOps.logSqlCte
 
   val oracles: Map[String, String] = Map(
+    "init_producer_id" -> (L + txnSql +
+      s""", named AS (
+        |  SELECT 'txn-' || CAST(txn_id AS VARCHAR) AS transactional_id,
+        |    txn_id
+        |  FROM txn GROUP BY txn_id),
+        |nd AS (
+        |  SELECT transactional_id,
+        |    CASE ${md5LongSql("'txnto#' || transactional_id")} % 4
+        |      WHEN 0 THEN 0 WHEN 1 THEN 60000 WHEN 2 THEN 900000
+        |      ELSE 1800000 END AS timeout_ms,
+        |    ${md5LongSql("'epoch#' || transactional_id")} % 8
+        |      AS prev_epoch,
+        |    txn_id
+        |  FROM named)
+        |SELECT transactional_id, 'transactional' AS request_kind,
+        |  CAST(timeout_ms AS BIGINT) AS timeout_ms,
+        |  CASE WHEN timeout_ms <= 0 OR timeout_ms > 900000
+        |    THEN 'INVALID_TRANSACTION_TIMEOUT' ELSE 'NONE' END AS outcome,
+        |  CASE WHEN timeout_ms > 0 AND timeout_ms <= 900000
+        |    THEN 9000 + txn_id END AS producer_id,
+        |  CASE WHEN timeout_ms > 0 AND timeout_ms <= 900000
+        |    THEN prev_epoch + 1 END AS producer_epoch
+        |FROM nd
+        |UNION ALL
+        |SELECT NULL, 'idempotent', NULL, 'NONE', 5000 + g,
+        |  CAST(0 AS BIGINT)
+        |FROM (SELECT CAST(g AS BIGINT) AS g FROM generate_series(0, 31) t(g))
+        |UNION ALL
+        |SELECT '', 'transactional', CAST(60000 AS BIGINT),
+        |  'INVALID_REQUEST', NULL, NULL""".stripMargin),
+    "aborted_txn_index" -> (L + txnSql +
+      """SELECT topic, part, txn_id,
+        |  MIN(offs) AS first_offset, MAX(offs) AS last_offset,
+        |  COUNT(*) AS n_records
+        |FROM txn WHERE aborted = 1
+        |GROUP BY topic, part, txn_id""".stripMargin),
     "end_txn_validation" -> (L + txnSql +
       s""", st AS (
         |  SELECT txn_id, COUNT(*) AS n_records,
