@@ -177,6 +177,110 @@ object Admin {
         col("migration_status"), col("n_outstanding_proxy"))
   }
 
+  /** Advertised-listener parse + validation — the endpoint table every
+    * broker advertises and every client resolves against
+    * (/root/reference/kafka-impl/.../AdvertisedListener.java:28 — the
+    * `^(.*)://\[?([0-9a-zA-Z\-%._:]*)\]?:(-?[0-9]+)` pattern, :53 the
+    * 0..65535 port check, :57-60 the empty-hostname fallback to the
+    * local canonical hostname; EndPoint.java is the config-side twin).
+    * Listener strings are md5-drawn per (broker, slot) INCLUDING
+    * out-of-range ports and empty hostnames, then parsed back with the
+    * reference's own regex — the round trip pins the parse path, and
+    * the outcome column is the checkState the reference throws.
+    *
+    * Scale: a |brokers|·|slots| metadata frame, in-row regex work.
+    */
+  def advertisedListeners(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val rx = "^(.*)://\\[?([0-9a-zA-Z\\-%._:]*)\\]?:(-?[0-9]+)"
+    // brokers are the 4-broker universe every placement op uses; the
+    // events table is only touched to keep the frame data-anchored
+    // (a tenantless cluster with zero topics advertises nothing).
+    val live = LogOps.log(spark, dir).select("topic").distinct().limit(1)
+    spark.range(0, 4).select(col("id").as("broker"))
+      .crossJoin(live.select(lit(1).as("one"))).drop("one")
+      .crossJoin(spark.range(0, 3).select(col("id").as("slot")))
+      .withColumn("proto",
+        element_at(array(lit("PLAINTEXT"), lit("SSL"),
+          lit("SASL_PLAINTEXT"), lit("SASL_SSL")),
+          (pmod(md5Long(concat_ws("#", lit("proto"), col("broker"),
+            col("slot"))), lit(4L)) + 1L).cast("int")))
+      .withColumn("host_coin", pmod(md5Long(concat_ws("#", lit("lhost"),
+        col("broker"), col("slot"))), lit(4L)))
+      .withColumn("host",
+        when(col("host_coin") === 0L, "")
+          .when(col("host_coin") === 1L,
+            concat(lit("broker-"), col("broker"), lit(".cluster.local")))
+          .when(col("host_coin") === 2L,
+            concat(lit("10.0.0."), col("broker")))
+          .otherwise(concat(lit("broker-"), col("broker"))))
+      .withColumn("port",
+        when(pmod(md5Long(concat_ws("#", lit("lport"), col("broker"),
+          col("slot"))), lit(8L)) === 0L, lit(70000L))
+          .otherwise(lit(9092L) + col("slot")))
+      .withColumn("original_listener",
+        concat(col("proto"), lit("://"), col("host"), lit(":"),
+          col("port").cast("string")))
+      .withColumn("listener_name",
+        regexp_extract(col("original_listener"), rx, 1))
+      .withColumn("parsed_host",
+        regexp_extract(col("original_listener"), rx, 2))
+      .withColumn("parsed_port",
+        regexp_extract(col("original_listener"), rx, 3).cast("long"))
+      .withColumn("hostname",
+        when(col("parsed_host") === "", "localhost")
+          .otherwise(col("parsed_host")))
+      .withColumn("outcome",
+        when(col("parsed_port") < 0L || col("parsed_port") > 65535L,
+          "INVALID_PORT").otherwise("OK"))
+      .select(col("broker"), col("slot"), col("original_listener"),
+        col("listener_name"), col("hostname"), col("parsed_port"),
+        col("outcome"))
+  }
+
+  /** System metadata-topic provisioning audit — MetadataUtils
+    * .createKafkaMetadataIfMissing (/root/reference/kafka-impl/.../utils/
+    * MetadataUtils.java:84-107,122-125: per tenant the __consumer_offsets
+    * and __transaction_state partitioned topics plus the schema-registry
+    * topic are created if missing, and "if the offset topic exists but
+    * some partitions are missing, the missing partitions will be
+    * created"). Per (tenant, system topic): the full pulsar name, the
+    * configured partition count (50/50/1 —
+    * KafkaServiceConfiguration.java:56,59), an md5-drawn pre-existing
+    * partition count, and the resulting action (CREATED /
+    * PARTITIONS_ADDED / NONE) with how many partitions the call adds.
+    *
+    * Scale: |tenants|·3 metadata rows; the only data touch is the
+    * tenant universe draw.
+    */
+  def metadataTopics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val tenants = LogOps.log(spark, dir).select("topic").distinct()
+      .select(tenantCol(col("topic")).as("tenant")).distinct()
+    val sys = spark.range(0, 3).select(
+      element_at(array(lit("__consumer_offsets"),
+        lit("__transaction_state"), lit("__schema_registry")),
+        (col("id") + 1L).cast("int")).as("system_topic"),
+      element_at(array(lit(50L), lit(50L), lit(1L)),
+        (col("id") + 1L).cast("int")).as("n_partitions"))
+    tenants.crossJoin(broadcast(sys))
+      .withColumn("pulsar_name",
+        concat(lit("persistent://"), col("tenant"), lit("/__kafka/"),
+          col("system_topic")))
+      .withColumn("n_existing",
+        pmod(md5Long(concat_ws("#", lit("sysparts"), col("tenant"),
+          col("system_topic"))), col("n_partitions") + 1L))
+      .withColumn("n_created", col("n_partitions") - col("n_existing"))
+      .withColumn("action",
+        when(col("n_existing") === 0L, "CREATED")
+          .when(col("n_existing") < col("n_partitions"),
+            "PARTITIONS_ADDED")
+          .otherwise("NONE"))
+      .select(col("tenant"), col("system_topic"), col("pulsar_name"),
+        col("n_partitions"), col("n_existing"), col("n_created"),
+        col("action"))
+  }
+
   /** Single-threaded KopEventManager queue accounting
     * (/root/reference/kafka-impl/.../KopEventManager.java:108-156 — one
     * KopEventThread drains a LinkedBlockingQueue; :123
@@ -774,6 +878,8 @@ object Admin {
     "migration_requests" -> migrationRequests,
     "tenant_summary" -> tenantSummary,
     "kop_event_queue" -> kopEventQueue,
+    "advertised_listeners" -> advertisedListeners,
+    "metadata_topics" -> metadataTopics,
     "token_validation" -> tokenValidation,
     "topic_name_map" -> topicNameMap)
 
@@ -1102,6 +1208,81 @@ object Admin {
         |  SELECT topic, 'GET', '/migration/status',
         |    CAST(n_status_polls AS BIGINT), CAST(0 AS BIGINT), 'OK',
         |    migration_status, n_outstanding_proxy FROM base)""".stripMargin),
+    "advertised_listeners" ->
+      s"""WITH live AS (SELECT DISTINCT event_type FROM events LIMIT 1),
+        |bs AS (
+        |  SELECT bb.broker, ss.slot FROM
+        |    (SELECT CAST(g AS BIGINT) AS broker
+        |     FROM generate_series(0, 3) t(g)) bb,
+        |    (SELECT CAST(g AS BIGINT) AS slot
+        |     FROM generate_series(0, 2) u(g)) ss, live),
+        |d AS (
+        |  SELECT broker, slot,
+        |    CASE ${md5LongSql("concat_ws('#', 'proto', broker, slot)")} % 4
+        |      WHEN 0 THEN 'PLAINTEXT' WHEN 1 THEN 'SSL'
+        |      WHEN 2 THEN 'SASL_PLAINTEXT' ELSE 'SASL_SSL' END AS proto,
+        |    ${md5LongSql("concat_ws('#', 'lhost', broker, slot)")} % 4
+        |      AS host_coin,
+        |    CASE WHEN ${md5LongSql(
+             "concat_ws('#', 'lport', broker, slot)")} % 8 = 0
+        |      THEN 70000 ELSE 9092 + slot END AS port
+        |  FROM bs),
+        |h AS (
+        |  SELECT *,
+        |    CASE host_coin WHEN 0 THEN ''
+        |      WHEN 1 THEN 'broker-' || broker || '.cluster.local'
+        |      WHEN 2 THEN '10.0.0.' || broker
+        |      ELSE 'broker-' || broker END AS host
+        |  FROM d),
+        |ol AS (
+        |  SELECT broker, slot,
+        |    proto || '://' || host || ':' || CAST(port AS VARCHAR)
+        |      AS original_listener
+        |  FROM h),
+        |px AS (
+        |  SELECT *,
+        |    regexp_extract(original_listener,
+        |      '^(.*)://\\[?([0-9a-zA-Z\\-%._:]*)\\]?:(-?[0-9]+)', 1)
+        |      AS listener_name,
+        |    regexp_extract(original_listener,
+        |      '^(.*)://\\[?([0-9a-zA-Z\\-%._:]*)\\]?:(-?[0-9]+)', 2)
+        |      AS parsed_host,
+        |    CAST(regexp_extract(original_listener,
+        |      '^(.*)://\\[?([0-9a-zA-Z\\-%._:]*)\\]?:(-?[0-9]+)', 3)
+        |      AS BIGINT) AS parsed_port
+        |  FROM ol)
+        |SELECT broker, slot, original_listener, listener_name,
+        |  CASE WHEN parsed_host = '' THEN 'localhost'
+        |    ELSE parsed_host END AS hostname,
+        |  parsed_port,
+        |  CASE WHEN parsed_port < 0 OR parsed_port > 65535
+        |    THEN 'INVALID_PORT' ELSE 'OK' END AS outcome
+        |FROM px""".stripMargin,
+    "metadata_topics" -> (L +
+      s"""tn AS (
+        |  SELECT DISTINCT 't' || CAST(${md5LongSql(
+             "'tenant#' || topic")} % 3 AS VARCHAR) AS tenant
+        |  FROM (SELECT DISTINCT topic FROM log)),
+        |sys AS (
+        |  SELECT * FROM (VALUES
+        |    ('__consumer_offsets', CAST(50 AS BIGINT)),
+        |    ('__transaction_state', CAST(50 AS BIGINT)),
+        |    ('__schema_registry', CAST(1 AS BIGINT)))
+        |    s(system_topic, n_partitions)),
+        |d AS (
+        |  SELECT tenant, system_topic, n_partitions,
+        |    'persistent://' || tenant || '/__kafka/' || system_topic
+        |      AS pulsar_name,
+        |    ${md5LongSql(
+             "concat_ws('#', 'sysparts', tenant, system_topic)")}
+        |      % (n_partitions + 1) AS n_existing
+        |  FROM tn CROSS JOIN sys)
+        |SELECT tenant, system_topic, pulsar_name, n_partitions,
+        |  n_existing, n_partitions - n_existing AS n_created,
+        |  CASE WHEN n_existing = 0 THEN 'CREATED'
+        |    WHEN n_existing < n_partitions THEN 'PARTITIONS_ADDED'
+        |    ELSE 'NONE' END AS action
+        |FROM d""".stripMargin),
     "kop_event_queue" -> (L +
       """ev AS (
         |  SELECT 'delete_topics' AS event_class, topic AS event_key,
