@@ -325,6 +325,55 @@ object Groups {
         when(col("now_ms") - col("last_hb_ms") > 28800000L, 1L).otherwise(0L)
           .as("evicted"))
 
+  /** Tenant-scoped coordinator placement — the multi-tenant refinement
+    * of [[coordinatorPlacement]]: the reference bootstraps ONE
+    * GroupCoordinator and ONE TransactionCoordinator PER TENANT
+    * (/root/reference/kafka-impl/.../TenantContextManager.java:30,38),
+    * each owning a tenant-scoped metadata topic
+    * (persistent://tenant/__kafka/__consumer_offsets — the
+    * MetadataUtils provisioning surface), so the placement chain is
+    * entity → tenant → that tenant's coordinator instance → partition
+    * of the TENANT's metadata topic → owning broker. Tenants are md5
+    * draws per entity; coordinator instance names match
+    * [[graft.admin.Admin.tenantSummary]]'s gc-/tc- discipline so the
+    * two views cannot disagree about who coordinates whom.
+    *
+    * Scale: in-row hashing on the |groups| + |txns| metadata frame.
+    */
+  def tenantCoordinatorPlacement(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.Parity.md5Long
+    val groups = spark.range(0, 4).select(
+      lit("group").as("entity_type"),
+      concat(lit("g"), col("id").cast("string")).as("entity_id"),
+      lit("__consumer_offsets").as("meta_topic"))
+    val txns = LogOps.log(spark, dir)
+      .select(pmod(col("event_id"), lit(64L)).as("txn_id")).distinct()
+      .select(
+        lit("txn").as("entity_type"),
+        concat(lit("t"), col("txn_id").cast("string")).as("entity_id"),
+        lit("__transaction_state").as("meta_topic"))
+    groups.unionByName(txns)
+      .withColumn("tenant", concat(lit("t"),
+        pmod(md5Long(concat(lit("gtenant#"), col("entity_id"))), lit(3L))
+          .cast("string")))
+      .withColumn("coordinator",
+        when(col("entity_type") === "group",
+          concat(lit("gc-"), col("tenant")))
+          .otherwise(concat(lit("tc-"), col("tenant"))))
+      .withColumn("pulsar_meta_topic",
+        concat(lit("persistent://"), col("tenant"), lit("/__kafka/"),
+          col("meta_topic")))
+      .withColumn("meta_partition",
+        pmod(md5Long(col("entity_id")), lit(50L)))
+      .withColumn("broker",
+        pmod(md5Long(concat_ws("#", col("tenant"), col("meta_topic"),
+          col("meta_partition"))), lit(4L)))
+      .select(col("entity_type"), col("entity_id"), col("tenant"),
+        col("coordinator"), col("pulsar_meta_topic"),
+        col("meta_partition"), col("broker"))
+  }
+
   /** JoinGroup request validation — the admission checks of
     * GroupCoordinator.handleJoinGroup
     * (/root/reference/kafka-impl/.../coordinator/group/GroupCoordinator
@@ -564,6 +613,7 @@ object Groups {
     "rebalance_join" -> rebalanceJoin,
     "protocol_select" -> protocolSelect,
     "coordinator_placement" -> coordinatorPlacement,
+    "tenant_coordinator_placement" -> tenantCoordinatorPlacement,
     "member_eviction" -> memberEviction,
     "group_state" -> groupState,
     "static_membership" -> staticMembershipBounce,
@@ -709,6 +759,31 @@ object Groups {
         |  vote AS selected_protocol, n_votes, n_distinct_votes,
         |  CAST(CASE WHEN n_votes = 3 THEN 1 ELSE 0 END AS BIGINT) AS unanimous
         |FROM sel JOIN nd USING (g) WHERE rn = 1""".stripMargin,
+    "tenant_coordinator_placement" -> (L +
+      s"""ent AS (
+        |  SELECT 'group' AS entity_type, 'g' || CAST(g AS VARCHAR) AS entity_id,
+        |    '__consumer_offsets' AS meta_topic
+        |  FROM generate_series(0, 3) t(g)
+        |  UNION ALL
+        |  SELECT DISTINCT 'txn', 't' || CAST(event_id % 64 AS VARCHAR),
+        |    '__transaction_state'
+        |  FROM log),
+        |tn AS (
+        |  SELECT *,
+        |    't' || CAST(${md5LongSql("'gtenant#' || entity_id")} % 3
+        |      AS VARCHAR) AS tenant,
+        |    ${md5LongSql("entity_id")} % 50 AS meta_partition
+        |  FROM ent)
+        |SELECT entity_type, entity_id, tenant,
+        |  CASE WHEN entity_type = 'group' THEN 'gc-' || tenant
+        |    ELSE 'tc-' || tenant END AS coordinator,
+        |  'persistent://' || tenant || '/__kafka/' || meta_topic
+        |    AS pulsar_meta_topic,
+        |  meta_partition,
+        |  ${md5LongSql(
+           "concat_ws('#', tenant, meta_topic, meta_partition)")} % 4
+        |    AS broker
+        |FROM tn""".stripMargin),
     "coordinator_placement" -> (L +
       s"""ent AS (
         |  SELECT 'group' AS entity_type, 'g' || CAST(g AS VARCHAR) AS entity_id,
