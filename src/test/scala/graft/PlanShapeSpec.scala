@@ -655,4 +655,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "BroadcastHashJoin".r.findAllIn(plan).size,
       s"embedding_outliers has a non-broadcast join:\n$plan")
   }
+
+  test("round-13 additions keep their scale shapes") {
+    // codec_recompress: the per-batch rollup must RIDE the offset
+    // window's (topic, part) partitioning — hash(topic, part) satisfies
+    // clustering on (topic, part, batch_id), so the only fact-sized
+    // exchange is the one the log view already pays. The codec rollup
+    // exchange is metadata-sized.
+    val cr = planOf(LogOps.codecRecompress(spark, dir))
+    val factEx = "Exchange hashpartitioning\\(topic#\\d+, part#\\d+L?, \\d+\\)".r
+    assert(factEx.findAllIn(cr).size == 1,
+      s"codec_recompress re-shuffles the fact beyond the log window:\n$cr")
+    // pending_topic_futures: the min window and the conditional rollup
+    // share ONE (topic, part) exchange — exactly one exchange total.
+    val pf = planOf(BrokerOps.pendingTopicFutures(spark, dir))
+    assert("Exchange".r.findAllIn(pf).size == 1,
+      s"pending_topic_futures pays more than the one co-keyed exchange:\n$pf")
+    // hll_distinct_eval: the register-universe completion joins the
+    // 4096-row range BROADCAST; the register aggregation partial-aggs
+    // map-side (the fixed-size-partials property the sketch exists for).
+    val hll = planOf(analytics.Analytics.hllDistinctEval(spark, dir))
+    assert(hll.contains("BroadcastNestedLoopJoin") ||
+      hll.contains("BroadcastHashJoin"),
+      s"hll register universe not broadcast:\n$hll")
+    assert(hll.contains("partial_max"),
+      s"hll registers not map-side combined:\n$hll")
+    // minhash_perm_curve: the signature joins stay broadcast over the
+    // cached pair frame — no sort-merge anywhere in the curve.
+    val pc = planOf(llm.Dedup.minhashPermCurve(spark, dir))
+    assert(!pc.contains("CartesianProduct"),
+      s"minhash_perm_curve went cartesian:\n$pc")
+  }
 }
