@@ -167,8 +167,13 @@ object Sampling {
     val tot = src.agg(sum("wq").cast("long").as("wq_total"))
     src.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tok"),
-        expr("(1000000 * wq) div wq_total").as("alloc_tokens"),
-        expr("((10000 * ((1000000 * wq) div wq_total))) div n_tok")
+        // DECIMAL(38) headroom (the basketLift discipline): wq is already
+        // 1e6-scaled sqrt(tokens), so 1e6·wq wraps BIGINT once a source
+        // holds ~1e15 tokens — exactly the 100 TB regime.
+        expr("""CAST((1000000 * CAST(wq AS DECIMAL(38,0))) div wq_total
+               |  AS BIGINT)""".stripMargin).as("alloc_tokens"),
+        expr("""(10000 * CAST((1000000 * CAST(wq AS DECIMAL(38,0)))
+               |  div wq_total AS BIGINT)) div n_tok""".stripMargin)
           .as("epochs_bp"))
   }
 
@@ -447,8 +452,10 @@ object Sampling {
         |  FROM src),
         |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_total FROM w)
         |SELECT source, n_tok,
-        |  (1000000 * wq) // wq_total AS alloc_tokens,
-        |  (10000 * ((1000000 * wq) // wq_total)) // n_tok AS epochs_bp
+        |  CAST((1000000 * CAST(wq AS HUGEINT)) // wq_total AS BIGINT)
+        |    AS alloc_tokens,
+        |  (10000 * CAST((1000000 * CAST(wq AS HUGEINT)) // wq_total
+        |    AS BIGINT)) // n_tok AS epochs_bp
         |FROM w CROSS JOIN tot""".stripMargin,
     "train_test_split" ->
       s"""SELECT source,

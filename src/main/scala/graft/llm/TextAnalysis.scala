@@ -937,8 +937,12 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_unique"))
       .crossJoin(broadcast(univ))
       .select(col("source"), col("n_grams"), col("n_unique"),
-        expr("(1000000 * n_unique) div univ").as("unique_ppm"),
-        expr("(1000000 * n_grams) div univ").as("coverage_ppm"))
+        // DECIMAL(38) headroom: the distinct-gram universe at 100 TB is
+        // ~1e14 — 1e6·count wraps BIGINT well before that.
+        expr("CAST((1000000 * CAST(n_unique AS DECIMAL(38,0))) div univ" +
+          " AS BIGINT)").as("unique_ppm"),
+        expr("CAST((1000000 * CAST(n_grams AS DECIMAL(38,0))) div univ" +
+          " AS BIGINT)").as("coverage_ppm"))
   }
 
   /** Collocation mining over adjacent token pairs: the top-100 bigrams
@@ -1755,8 +1759,10 @@ object TextAnalysis {
         |       FROM per WHERE ns = 1 GROUP BY src)
         |SELECT cov.source, cov.n_grams,
         |  COALESCE(uq.n_unique, 0) AS n_unique,
-        |  (1000000 * COALESCE(uq.n_unique, 0)) // u.univ AS unique_ppm,
-        |  (1000000 * cov.n_grams) // u.univ AS coverage_ppm
+        |  CAST((1000000 * CAST(COALESCE(uq.n_unique, 0) AS HUGEINT))
+        |    // u.univ AS BIGINT) AS unique_ppm,
+        |  CAST((1000000 * CAST(cov.n_grams AS HUGEINT)) // u.univ
+        |    AS BIGINT) AS coverage_ppm
         |FROM cov LEFT JOIN uq USING (source) CROSS JOIN u""".stripMargin,
     "repetition_profile" ->
       """WITH tk AS (
