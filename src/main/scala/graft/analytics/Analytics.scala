@@ -1343,11 +1343,18 @@ object Analytics {
       .agg(sum(revq).cast("long").as("rev"))
     val byN = Window.partitionBy("n_name")
     perSupp
-      .withColumn("tot", sum("rev").over(byN))
-      .withColumn("share_bp", expr("(10000 * rev) div tot"))
+      // DECIMAL(38) headroom (the basketLift discipline): a nation's
+      // 1e4-quantized revenue total wraps BIGINT in the 100 TB regime
+      // (~1.4e21 quantized units corpus-wide); shares divide the exact
+      // decimal total and the display total follows the repo's money
+      // rule — exact DECIMAL cast to double at the end.
+      .withColumn("tot",
+        sum(col("rev").cast("decimal(38,0)")).over(byN))
+      .withColumn("share_bp", expr(
+        "CAST((10000 * CAST(rev AS DECIMAL(38,0))) div tot AS BIGINT)"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_suppliers"),
-        max("tot").as("rev_total_q"),
+        max(col("tot")).cast("double").as("rev_total_q"),
         sum(col("share_bp") * col("share_bp")).cast("long").as("hhi"),
         max("share_bp").as("top_share_bp"))
   }
@@ -2334,12 +2341,15 @@ object Analytics {
         |  GROUP BY n.n_name, s.s_suppkey),
         |w AS (
         |  SELECT n_name, rev,
-        |    CAST(SUM(rev) OVER (PARTITION BY n_name) AS BIGINT) AS tot
+        |    CAST(SUM(rev) OVER (PARTITION BY n_name) AS HUGEINT) AS tot
         |  FROM ps),
         |sh AS (
-        |  SELECT n_name, tot, (10000 * rev) // tot AS share_bp FROM w)
+        |  SELECT n_name, tot,
+        |    CAST((10000 * CAST(rev AS HUGEINT)) // tot AS BIGINT)
+        |      AS share_bp
+        |  FROM w)
         |SELECT n_name, COUNT(*) AS n_suppliers,
-        |  MAX(tot) AS rev_total_q,
+        |  CAST(MAX(tot) AS DOUBLE) AS rev_total_q,
         |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
         |  MAX(share_bp) AS top_share_bp
         |FROM sh GROUP BY n_name""".stripMargin,
