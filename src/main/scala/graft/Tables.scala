@@ -116,9 +116,23 @@ object Tables {
   // that CANNOT be recomputed once their blocks drop) must survive until
   // the query finishes.
   // ------------------------------------------------------------------
-  private final case class CacheEntry(
-      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), _],
-      key: (SparkSession, String))
+  /** LRU key. NOT a case class: a TrieMap field would bring CONTENT
+    * equality/hashing into the LinkedHashMap — two caches with equal
+    * contents would collide, and a map's hashCode would MUTATE while the
+    * entry sits in the LRU (making it unfindable: a leak, and an
+    * eviction that removes from the wrong owner). Identity on the cache
+    * reference is the correct semantics: the owner map IS the identity.
+    */
+  private final class CacheEntry(
+      val cache: scala.collection.concurrent.TrieMap[(SparkSession, String), _],
+      val key: (SparkSession, String)) {
+    override def equals(o: Any): Boolean = o match {
+      case e: CacheEntry => (e.cache eq cache) && e.key == key
+      case _ => false
+    }
+    override def hashCode: Int =
+      System.identityHashCode(cache) * 31 + key.hashCode
+  }
   private val lru =
     new java.util.LinkedHashMap[CacheEntry, Long](64, 0.75f, true)
   private var accessSeq = 0L
@@ -182,13 +196,13 @@ object Tables {
     cache.keys.foreach { case k @ (s, d) =>
       if (s == spark && d != key && d.startsWith(dir + "@")) {
         cache.remove(k).foreach(release)
-        lru.synchronized { lru.remove(CacheEntry(cache, k)) }
+        lru.synchronized { lru.remove(new CacheEntry(cache, k)) }
       }
     }
     val full = (spark, key)
     lru.synchronized {
       accessSeq += 1
-      lru.put(CacheEntry(cache, full), accessSeq)
+      lru.put(new CacheEntry(cache, full), accessSeq)
       // Drop LRU entries whose session died with a stopped context.
       val it = lru.keySet().iterator()
       while (it.hasNext) if (it.next().key._1.sparkContext.isStopped) it.remove()
