@@ -96,13 +96,21 @@ object Admin {
     */
   def migrationStatus(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
-    import org.apache.spark.sql.expressions.Window
-    val statused = LogOps.log(spark, dir)
-      .withColumn("phase_id", pmod(md5Long(concat(col("topic"), lit("#mig"))), lit(3L)))
-      .withColumn("mid_ts",
-        (min("tms").over(Window.partitionBy("topic")) +
-          expr("(MAX(tms) OVER (PARTITION BY topic) " +
-            "- MIN(tms) OVER (PARTITION BY topic)) div 2")))
+    // The per-topic midpoint fence comes from a partial-aggregated
+    // bounds frame BROADCAST back into the fact scan — NOT a window
+    // partitioned by the |topics|-cardinality key, which would collapse
+    // the whole fact onto a handful of tasks at 1000x. Offsets are
+    // dense per partition, so log_end = max(offs)+1 needs no window
+    // either (the raw events scan suffices; same values, same oracle).
+    val bounds = graft.Tables.t(spark, dir, "events")
+      .select(col("event_type").as("topic"), expr("ts div 1000000").as("tms"))
+      .groupBy("topic")
+      .agg(min("tms").as("mn"), max("tms").as("mx"))
+      .withColumn("mid_ts", expr("mn + (mx - mn) div 2"))
+      .withColumn("phase_id",
+        pmod(md5Long(concat(col("topic"), lit("#mig"))), lit(3L)))
+      .select("topic", "mid_ts", "phase_id")
+    val statused = LogOps.log(spark, dir).join(broadcast(bounds), "topic")
     statused
       .groupBy("topic", "part", "phase_id")
       .agg(
