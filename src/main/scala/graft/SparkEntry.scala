@@ -62,11 +62,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _).map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
-        val cores = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // Honor the same env override GraftSession.build documents — the
+        // wrapper would otherwise silently clobber it for every registry
+        // query, leaving the knob effective only on non-registry paths.
+        val base = sys.env.get("SPARK_GRAFT_INIT_PARTS").map(_.toInt)
+          .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
         s.conf.set(
           "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-          (if (wideStateQueries(name)) cores * 16 else cores).toString)
-        fn(s, d)
+          (if (wideStateQueries(name)) base * 16 else base).toString)
+        // Pin every frame-cache entry this build touches against budget
+        // eviction until the next query's build starts (Tables.pinScope).
+        Tables.pinScope { fn(s, d) }
       }
     }
 

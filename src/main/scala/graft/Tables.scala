@@ -136,19 +136,46 @@ object Tables {
   private val lru =
     new java.util.LinkedHashMap[CacheEntry, Long](64, 0.75f, true)
   private var accessSeq = 0L
-  /** Entries touched within this many accesses of NOW are never evicted
-    * (a single query touches a handful of frames; its working set must
-    * outlive budget pressure from frames of long-finished queries).
+  /** Entries touched within this many accesses of NOW are never evicted —
+    * the FALLBACK guard for cache accesses outside a [[pinScope]] (specs
+    * calling module queries directly). Registry queries get the airtight
+    * guard: every entry touched during their build scope is pinned until
+    * the next build starts, however deep the build chain nests.
     */
   private val protectWindow = 8L
 
-  /** Cached-frame byte budget: `SPARK_GRAFT_CACHE_BUDGET` (bytes) or 30%
-    * of the JVM heap. local[*] note: driver == executor here, so heap is
-    * the right denominator; on a cluster this would poll executor storage.
+  /** Entries touched inside the CURRENT [[pinScope]] — never evicted while
+    * that scope's query is being built (and, because eviction only runs on
+    * cache ACCESS, they stay safe through the query's execution too: the
+    * next access that could evict them happens inside the NEXT query's
+    * build, which resets the set). A fixed 8-access recency window is not
+    * a correctness guard once a build chain touches more than 8 cached
+    * families — several Similarity/Dedup builds nest 3-5 deep already.
     */
-  private lazy val budgetBytes: Long =
+  private val pinned = new java.util.HashSet[CacheEntry]()
+  private var pinDepth = 0
+
+  /** Scope one query's build: every frame-cache access inside `f` is
+    * pinned against budget eviction until the next outermost pinScope
+    * begins. Re-entrant (nested scopes extend the outer pin set).
+    */
+  def pinScope[T](f: => T): T = {
+    lru.synchronized { if (pinDepth == 0) pinned.clear(); pinDepth += 1 }
+    try f finally lru.synchronized { pinDepth -= 1 }
+  }
+
+  /** Cached-frame byte budget: the `graft.cache.budget` system property
+    * (re-read on every enforcement so tests can shrink it around a single
+    * scenario), else `SPARK_GRAFT_CACHE_BUDGET` (bytes), else 30% of the
+    * JVM heap. local[*] note: driver == executor here, so heap is the
+    * right denominator; on a cluster this would poll executor storage.
+    */
+  private lazy val defaultBudget: Long =
     sys.env.get("SPARK_GRAFT_CACHE_BUDGET").map(_.toLong)
       .getOrElse((Runtime.getRuntime.maxMemory * 0.30).toLong)
+  private def budgetBytes: Long =
+    sys.props.get("graft.cache.budget").map(_.toLong)
+      .getOrElse(defaultBudget)
 
   private def cachedBytes(spark: SparkSession): Long =
     spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
@@ -160,18 +187,27 @@ object Tables {
     */
   private def enforceBudget(spark: SparkSession): Unit = lru.synchronized {
     var total = cachedBytes(spark)
-    if (total <= budgetBytes) return
+    val budget = budgetBytes
+    if (total <= budget) return
     val minKeep = accessSeq - protectWindow
     val it = lru.entrySet().iterator()
-    while (total > budgetBytes && it.hasNext) {
+    while (total > budget && it.hasNext) {
       val e = it.next()
-      if (e.getValue < minKeep && (e.getKey.key._1 eq spark)) {
+      if (pinned.contains(e.getKey)) {
+        // In-flight query's own frame — never evictable, whatever its age.
+      } else if (e.getValue >= minKeep && pinDepth == 0) {
+        // Saved by the recency window alone OUTSIDE any pin scope — the
+        // fallback path; log it so an unscoped >8-deep build chain that
+        // would have lost a frame is visible instead of silent.
+        System.err.println(s"[graft-cache] window-protected " +
+          s"${e.getKey.key._2} under budget pressure (unscoped access)")
+      } else if (e.getValue < minKeep && (e.getKey.key._1 eq spark)) {
         it.remove()
         e.getKey.cache.remove(e.getKey.key).foreach(release)
         val now = cachedBytes(spark)
         System.err.println(s"[graft-cache] evicted ${e.getKey.key._2} " +
           s"(${(total - now) / 1048576} MiB); cached ${now / 1048576} MiB" +
-          s" / budget ${budgetBytes / 1048576} MiB")
+          s" / budget ${budget / 1048576} MiB")
         total = now
       }
     }
@@ -202,7 +238,18 @@ object Tables {
     val full = (spark, key)
     lru.synchronized {
       accessSeq += 1
-      lru.put(new CacheEntry(cache, full), accessSeq)
+      val entry = new CacheEntry(cache, full)
+      lru.put(entry, accessSeq)
+      if (pinDepth > 0) pinned.add(entry)
+      // Repair sweep: an entry registered here BEFORE its value insert can
+      // be evicted mid-build by nested accesses (remove finds nothing) and
+      // the later-inserted frame would then sit in storage untracked by
+      // the LRU. Re-register any key the owner cache holds that the LRU
+      // lost — O(|cache|) driver-side, caches hold a handful of entries.
+      cache.keys.foreach { k =>
+        val e = new CacheEntry(cache, k)
+        if (!lru.containsKey(e)) lru.put(e, accessSeq)
+      }
       // Drop LRU entries whose session died with a stopped context.
       val it = lru.keySet().iterator()
       while (it.hasNext) if (it.next().key._1.sparkContext.isStopped) it.remove()

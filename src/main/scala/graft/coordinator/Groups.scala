@@ -499,6 +499,209 @@ object Groups {
           .as("completed_via"))
   }
 
+  /** Per-member ConsumerProtocolAssignment frame size under the range
+    * assignor — what a SyncGroup response actually ships: version (2) +
+    * topic-array length (4) + per owned topic (name length prefix (2) +
+    * name + partition-array length (4) + 4 bytes per partition index) +
+    * user-data length prefix (4). Composes the assign_range map so the
+    * bytes Sync distributes are exactly the assignor's output.
+    */
+  private def memberAssignmentBytes(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Window.partitionBy("topic").orderBy("part")
+    topicParts(spark, dir)
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
+      .withColumn("m", expr(rangeMemberExpr(3)))
+      .groupBy("m", "topic")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("m")
+      .agg((lit(10L) + sum(lit(2L) + length(col("topic")).cast("long") +
+        lit(4L) + lit(4L) * col("cnt"))).cast("long").as("assignment_bytes"))
+  }
+
+  /** SyncGroup decision table — the rebalance's second barrier
+    * (GroupCoordinator.handleSyncGroup / doSyncGroup,
+    * /root/reference/kafka-impl/.../coordinator/group/GroupCoordinator
+    * .java:439-520; request entry KafkaRequestHandler.java:1945). Per
+    * (group, member), the checks in the reference's order: a coordinator
+    * still loading the group's metadata partition answers
+    * REBALANCE_IN_PROGRESS before any member validation — the reference
+    * deliberately maps COORDINATOR_LOAD_IN_PROGRESS to it because older
+    * clients do not know the loading error (:462-470, the `loading`
+    * group coin); an unknown member id — a coin, or a join-barrier
+    * straggler the expiration already removed (DelayedJoin.onExpiration)
+    * — fails UNKNOWN_MEMBER_ID (:497); a stale request generation fails
+    * ILLEGAL_GENERATION (:499); Empty/Dead groups answer
+    * UNKNOWN_MEMBER_ID (:503-506);
+    * CompletingRebalance parks followers and lets the LEADER
+    * (lowest member that made the barrier — the first joiner) persist
+    * the full per-member assignment map and transition the group to
+    * Stable (:512-545); a Stable sync just returns the member's stored
+    * assignment (:547-550). Assignment sizes come from
+    * [[memberAssignmentBytes]] (the assign_range output), so the bytes
+    * the leader ships up (`leader_payload_bytes`, summed over the
+    * members that made the barrier) and the slice each member gets back
+    * (`response_bytes`) are the assignor's real output.
+    *
+    * Scale: every frame here is |groups| x |members| metadata off the one
+    * leo aggregation; joins are broadcasts.
+    */
+  def syncGroup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val timeoutMs = 21600000L // rebalance.timeout.ms, as rebalance_join
+    val gstate = groupState(spark, dir)
+      .select(col("group_id"), col("generation"), col("state"))
+    val mh = memberHeartbeats(spark, dir)
+      .crossJoin(broadcast(nowMs(spark, dir)))
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        col("m"),
+        concat(lit("m"), col("m").cast("string")).as("member"),
+        col("n_parts"),
+        (col("now_ms") - col("last_hb_ms")).as("join_delay_ms"))
+      .withColumn("straggler",
+        when(col("join_delay_ms") > timeoutMs, 1L).otherwise(0L))
+    val leader = mh.filter(col("straggler") === 0L)
+      .groupBy("group_id").agg(min("m").as("leader_m"))
+    val bytes = memberAssignmentBytes(spark, dir)
+    val payload = mh.join(broadcast(bytes), "m")
+      .filter(col("straggler") === 0L)
+      .groupBy("group_id")
+      .agg(sum("assignment_bytes").cast("long").as("group_payload_bytes"))
+    mh.join(broadcast(bytes), "m")
+      .join(broadcast(gstate), "group_id")
+      .join(broadcast(leader), Seq("group_id"), "left")
+      .join(broadcast(payload), Seq("group_id"), "left")
+      .withColumn("loading",
+        pmod(md5Long(concat_ws("#", lit("syncload"), col("group_id"))),
+          lit(4L)) === 0L)
+      .withColumn("known",
+        pmod(md5Long(concat_ws("#", lit("syncknown11"), col("group_id"),
+          col("member"))), lit(6L)) =!= 0L)
+      .withColumn("gen_ok",
+        pmod(md5Long(concat_ws("#", lit("syncgen1"), col("group_id"),
+          col("member"))), lit(5L)) =!= 0L)
+      .withColumn("req_generation",
+        when(col("gen_ok"), col("generation"))
+          .otherwise(col("generation") - 1L))
+      // Post-barrier vantage (the sync round FOLLOWS the join round, and
+      // stragglers were removed at its expiration), so a rebalancing
+      // group sits in CompletingRebalance here, never PreparingRebalance.
+      .withColumn("state_at_sync",
+        when(col("state").isin("Empty", "Dead"), col("state"))
+          .when(col("state") === "Stable", lit("Stable"))
+          .otherwise(lit("CompletingRebalance")))
+      .withColumn("is_leader",
+        when(col("leader_m").isNotNull && col("m") === col("leader_m"), 1L)
+          .otherwise(0L))
+      .withColumn("outcome",
+        when(col("loading"), "REBALANCE_IN_PROGRESS")
+          .when(!col("known") || col("straggler") === 1L,
+            "UNKNOWN_MEMBER_ID")
+          .when(!col("gen_ok"), "ILLEGAL_GENERATION")
+          .when(col("state_at_sync").isin("Empty", "Dead"),
+            "UNKNOWN_MEMBER_ID")
+          .otherwise("NONE"))
+      .select(
+        col("group_id"), col("member"), col("state_at_sync"),
+        col("generation"), col("req_generation"), col("is_leader"),
+        col("outcome"),
+        col("n_parts").as("assigned_parts"),
+        col("assignment_bytes").as("member_assignment_bytes"),
+        when(col("outcome") === "NONE", col("assignment_bytes"))
+          .otherwise(0L).as("response_bytes"),
+        when(col("outcome") === "NONE" && col("is_leader") === 1L &&
+          col("state_at_sync") === "CompletingRebalance",
+          coalesce(col("group_payload_bytes"), lit(0L)))
+          .otherwise(0L).as("leader_payload_bytes"))
+  }
+
+  /** Graceful LeaveGroup impact — the counterpart of [[memberEviction]]'s
+    * session-timeout path (GroupCoordinator.handleLeaveGroup,
+    * /root/reference/kafka-impl/.../coordinator/group/GroupCoordinator
+    * .java:565-690; request entry KafkaRequestHandler.java:1998). Per
+    * (group, member): a Dead group answers COORDINATOR_NOT_AVAILABLE
+    * (:571); a member the group does not hold — an Empty group, a
+    * member the heartbeat sweep already evicted, or the unknown-id coin
+    * — answers UNKNOWN_MEMBER_ID (:573); otherwise the member is removed
+    * (removeHeartbeatForLeavingMember + removeMemberAndUpdateGroup,
+    * :576-583), which RELEASES its range-assigned partitions and
+    * triggers a rebalance when the group was Stable (maybePrepareRebalance
+    * — an in-flight PreparingRebalance just re-checks its join barrier).
+    * The moved-set columns contrast the assignors on the survivor
+    * re-assignment: the range assignor re-splits every topic across the
+    * 2 survivors and moves `moved_other_range` partitions that the
+    * leaver never owned, while the sticky assignor keeps every survivor
+    * partition in place (`moved_other_sticky` = 0 — the assign_sticky
+    * minimal-move property) and only redistributes the released set.
+    *
+    * Scale: |groups| x |members| metadata frames; the moved-set rollup is
+    * one pass over the broadcast-sized (topic, part) universe per member.
+    */
+  def leaveGroup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val gstate = groupState(spark, dir)
+      .select(col("group_id"), col("generation"), col("state"))
+    val mh = memberHeartbeats(spark, dir)
+      .crossJoin(broadcast(nowMs(spark, dir)))
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        col("m"),
+        concat(lit("m"), col("m").cast("string")).as("member"),
+        col("n_parts"),
+        (col("now_ms") - col("last_hb_ms")).as("age_ms"))
+      .withColumn("alive",
+        when(col("age_ms") <= 28800000L, 1L).otherwise(0L))
+    val w = Window.partitionBy("topic").orderBy("part")
+    val members = spark.range(0, 3).select(col("id").as("lm"))
+    val moved = topicParts(spark, dir)
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
+      .withColumn("o", expr(rangeMemberExpr(3)))
+      .withColumn("new2", expr(rangeMemberExpr(2)))
+      .crossJoin(broadcast(members))
+      // Survivor list after lm leaves, sorted: the 2-consumer range slot
+      // new2 maps onto the surviving original member ids.
+      .withColumn("new_owner",
+        when(col("lm") === 0L, col("new2") + 1L)
+          .when(col("lm") === 1L,
+            when(col("new2") === 0L, 0L).otherwise(2L))
+          .otherwise(col("new2")))
+      .filter(col("o") =!= col("lm"))
+      .groupBy("lm")
+      .agg(sum(when(col("new_owner") =!= col("o"), 1L).otherwise(0L))
+        .cast("long").as("moved_range"))
+    mh.join(broadcast(gstate), "group_id")
+      .join(broadcast(moved), col("m") === col("lm"))
+      .withColumn("member_known",
+        col("alive") === 1L &&
+          pmod(md5Long(concat_ws("#", lit("leaveknown"), col("group_id"),
+            col("member"))), lit(6L)) =!= 0L)
+      .withColumn("outcome",
+        when(col("state") === "Dead", "COORDINATOR_NOT_AVAILABLE")
+          .when(col("state") === "Empty" || !col("member_known"),
+            "UNKNOWN_MEMBER_ID")
+          .otherwise("NONE"))
+      .withColumn("rebalance_triggered",
+        when(col("outcome") === "NONE" && col("state") === "Stable", 1L)
+          .otherwise(0L))
+      .select(
+        col("group_id"), col("member"),
+        col("state").as("state_before"), col("member_known"),
+        col("outcome"),
+        when(col("outcome") === "NONE", col("n_parts")).otherwise(0L)
+          .as("released_parts"),
+        when(col("outcome") === "NONE", col("moved_range")).otherwise(0L)
+          .as("moved_other_range"),
+        lit(0L).as("moved_other_sticky"),
+        col("rebalance_triggered"),
+        (col("generation") + col("rebalance_triggered"))
+          .as("generation_after"),
+        when(col("outcome") === "NONE", lit("PreparingRebalance"))
+          .otherwise(col("state")).as("state_after"))
+  }
+
   /** Rebalance protocol election (GroupMetadata.java:361 `selectProtocol`:
     * candidates = protocols supported by every member; each member votes
     * for the candidate it prefers most; the protocol with the most votes
@@ -609,6 +812,8 @@ object Groups {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sync_group" -> syncGroup,
+    "leave_group" -> leaveGroup,
     "delete_groups" -> deleteGroups,
     "rebalance_join" -> rebalanceJoin,
     "protocol_select" -> protocolSelect,
@@ -667,6 +872,137 @@ object Groups {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Chains the one gstate definition plus the member/assignment frames —
+    // sync decisions derive from the identical state machine the
+    // group_state / delete_groups oracles use.
+    "sync_group" -> (L + commitsSql.stripSuffix("\n") + ",\n" + memberHbSql +
+      gstateSql +
+      s""", mh2 AS (
+        |  SELECT g, m, n_parts, now_ms - last_hb_ms AS join_delay_ms,
+        |    CASE WHEN now_ms - last_hb_ms > 21600000 THEN 1 ELSE 0 END
+        |      AS straggler
+        |  FROM mh CROSS JOIN nw),
+        |ldr AS (
+        |  SELECT g, MIN(m) AS leader_m FROM mh2 WHERE straggler = 0
+        |  GROUP BY g),
+        |ab AS (
+        |  SELECT m, CAST(10 + SUM(2 + length(topic) + 4 + 4 * cnt)
+        |    AS BIGINT) AS assignment_bytes
+        |  FROM (SELECT ${rangeMemberSql(3)} AS m, topic, COUNT(*) AS cnt
+        |        FROM pidx GROUP BY 1, 2)
+        |  GROUP BY m),
+        |pay AS (
+        |  SELECT g, CAST(SUM(assignment_bytes) AS BIGINT)
+        |    AS group_payload_bytes
+        |  FROM mh2 JOIN ab USING (m) WHERE straggler = 0 GROUP BY g),
+        |d AS (
+        |  SELECT mh2.g, mh2.m, 'g' || CAST(mh2.g AS VARCHAR) AS group_id,
+        |    'm' || CAST(mh2.m AS VARCHAR) AS member,
+        |    mh2.n_parts, mh2.straggler, ab.assignment_bytes,
+        |    gs.generation, gs.state, ldr.leader_m, pay.group_payload_bytes
+        |  FROM mh2 JOIN ab USING (m)
+        |  JOIN gs ON gs.group_id = 'g' || CAST(mh2.g AS VARCHAR)
+        |  LEFT JOIN ldr ON ldr.g = mh2.g
+        |  LEFT JOIN pay ON pay.g = mh2.g),
+        |e AS (
+        |  SELECT *,
+        |    ${md5LongSql("concat_ws('#', 'syncload', group_id)")} % 4 = 0
+        |      AS loading,
+        |    ${md5LongSql(
+             "concat_ws('#', 'syncknown11', group_id, member)")} % 6 <> 0
+        |      AS known,
+        |    ${md5LongSql(
+             "concat_ws('#', 'syncgen1', group_id, member)")} % 5 <> 0
+        |      AS gen_ok,
+        |    CASE WHEN leader_m IS NOT NULL AND m = leader_m THEN 1 ELSE 0
+        |      END AS is_leader
+        |  FROM d),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN state IN ('Empty', 'Dead') THEN state
+        |         WHEN state = 'Stable' THEN 'Stable'
+        |         ELSE 'CompletingRebalance' END AS state_at_sync
+        |  FROM e),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN loading THEN 'REBALANCE_IN_PROGRESS'
+        |         WHEN NOT known OR straggler = 1 THEN 'UNKNOWN_MEMBER_ID'
+        |         WHEN NOT gen_ok THEN 'ILLEGAL_GENERATION'
+        |         WHEN state_at_sync IN ('Empty', 'Dead')
+        |           THEN 'UNKNOWN_MEMBER_ID'
+        |         ELSE 'NONE' END AS outcome
+        |  FROM f)
+        |SELECT group_id, member, state_at_sync, generation,
+        |  CASE WHEN gen_ok THEN generation ELSE generation - 1 END
+        |    AS req_generation,
+        |  CAST(is_leader AS BIGINT) AS is_leader, outcome,
+        |  n_parts AS assigned_parts,
+        |  assignment_bytes AS member_assignment_bytes,
+        |  CASE WHEN outcome = 'NONE' THEN assignment_bytes ELSE 0 END
+        |    AS response_bytes,
+        |  CASE WHEN outcome = 'NONE' AND is_leader = 1
+        |      AND state_at_sync = 'CompletingRebalance'
+        |    THEN COALESCE(group_payload_bytes, 0) ELSE 0 END
+        |    AS leader_payload_bytes
+        |FROM h""".stripMargin),
+    // Same gs chain; the moved-set rollup mirrors the 3->2 survivor
+    // re-split of the Spark side.
+    "leave_group" -> (L + commitsSql.stripSuffix("\n") + ",\n" + memberHbSql +
+      gstateSql +
+      s""", mh2 AS (
+        |  SELECT g, m, n_parts, now_ms - last_hb_ms AS age_ms,
+        |    CASE WHEN now_ms - last_hb_ms <= 28800000 THEN 1 ELSE 0 END
+        |      AS alive
+        |  FROM mh CROSS JOIN nw),
+        |mv AS (
+        |  SELECT lm, CAST(SUM(CASE WHEN new_owner <> o THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS moved_range
+        |  FROM (
+        |    SELECT ${rangeMemberSql(3)} AS o, ${rangeMemberSql(2)} AS new2,
+        |      CAST(lm AS BIGINT) AS lm
+        |    FROM pidx CROSS JOIN generate_series(0, 2) t(lm)) s
+        |  CROSS JOIN LATERAL (SELECT CASE WHEN lm = 0 THEN new2 + 1
+        |    WHEN lm = 1 THEN (CASE WHEN new2 = 0 THEN 0 ELSE 2 END)
+        |    ELSE new2 END AS new_owner) x
+        |  WHERE o <> lm
+        |  GROUP BY lm),
+        |d AS (
+        |  SELECT mh2.g, mh2.m, 'g' || CAST(mh2.g AS VARCHAR) AS group_id,
+        |    'm' || CAST(mh2.m AS VARCHAR) AS member,
+        |    mh2.n_parts, mh2.alive, mv.moved_range,
+        |    gs.generation, gs.state
+        |  FROM mh2 JOIN mv ON mv.lm = mh2.m
+        |  JOIN gs ON gs.group_id = 'g' || CAST(mh2.g AS VARCHAR)),
+        |e AS (
+        |  SELECT *,
+        |    alive = 1 AND ${md5LongSql(
+             "concat_ws('#', 'leaveknown', group_id, member)")} % 6 <> 0
+        |      AS member_known
+        |  FROM d),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN state = 'Dead' THEN 'COORDINATOR_NOT_AVAILABLE'
+        |         WHEN state = 'Empty' OR NOT member_known
+        |           THEN 'UNKNOWN_MEMBER_ID'
+        |         ELSE 'NONE' END AS outcome
+        |  FROM e),
+        |h AS (
+        |  SELECT *,
+        |    CAST(CASE WHEN outcome = 'NONE' AND state = 'Stable' THEN 1
+        |      ELSE 0 END AS BIGINT) AS rebalance_triggered
+        |  FROM f)
+        |SELECT group_id, member, state AS state_before, member_known,
+        |  outcome,
+        |  CASE WHEN outcome = 'NONE' THEN n_parts ELSE 0 END
+        |    AS released_parts,
+        |  CASE WHEN outcome = 'NONE' THEN moved_range ELSE 0 END
+        |    AS moved_other_range,
+        |  CAST(0 AS BIGINT) AS moved_other_sticky,
+        |  rebalance_triggered,
+        |  generation + rebalance_triggered AS generation_after,
+        |  CASE WHEN outcome = 'NONE' THEN 'PreparingRebalance' ELSE state
+        |    END AS state_after
+        |FROM h""".stripMargin),
     "offset_commit_validation" -> (L + commitsSql +
       s"""SELECT group_id, topic, part, committed, metadata_len,
         |  CASE WHEN metadata_len <= 4096 THEN 'NONE'

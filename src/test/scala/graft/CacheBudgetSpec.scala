@@ -17,18 +17,25 @@ class CacheBudgetSpec extends AnyFunSuite {
 
   test("evicted frames rebuild with identical results") {
     // Prime several cached families, then slam the budget to 1 byte via
-    // the system property the env knob maps to — every subsequent access
-    // evicts the eldest entries; results must be unchanged.
+    // the graft.cache.budget system property (re-read on every
+    // enforcement) — every subsequent access runs under eviction
+    // pressure; results must be unchanged. Suites run sequentially in
+    // the forked test JVM, so the temporary budget cannot race another
+    // suite's in-flight build; restore in finally regardless.
     val before = analytics.Analytics.queries("basket_pairs")(spark, dir)
       .collect().toSet
     val knn = llm.Similarity.queries("knn_degree")(spark, dir).count()
     val bpe = llm.TextAnalysis.queries("bpe_encode")(spark, dir).count()
-    // Touch many other cached families to roll the LRU window well past
-    // the basket entries (the protect window is 8 accesses).
-    Seq("dedup_minhash_lsh", "anomaly_mad", "kmeans_clusters",
-      "decontaminate", "semdedup", "pq_recall", "snn_clusters",
-      "dedup_clusters", "minhash_estimate", "knn_clusters")
-      .foreach(n => SparkEntry.queries(n)(spark, dir).count())
+    try {
+      System.setProperty("graft.cache.budget", "1")
+      // Touch many other cached families to roll the LRU window well past
+      // the basket entries (the protect window is 8 accesses). Under the
+      // 1-byte budget every unpinned, out-of-window entry is evicted.
+      Seq("dedup_minhash_lsh", "anomaly_mad", "kmeans_clusters",
+        "decontaminate", "semdedup", "pq_recall", "snn_clusters",
+        "dedup_clusters", "minhash_estimate", "knn_clusters")
+        .foreach(n => SparkEntry.queries(n)(spark, dir).count())
+    } finally System.clearProperty("graft.cache.budget")
     val after = analytics.Analytics.queries("basket_pairs")(spark, dir)
       .collect().toSet
     assert(after == before, "rebuilt basket frame diverged")
