@@ -12,6 +12,8 @@ object SparkEntry {
       (sources.GlogOps.queries, sources.GlogOps.oracles),
       (log.BatchCodec.queries, log.BatchCodec.oracles),
       (coordinator.Groups.queries, coordinator.Groups.oracles),
+      (coordinator.GroupMetadataCodec.queries,
+        coordinator.GroupMetadataCodec.oracles),
       (txn.Transactions.queries, txn.Transactions.oracles),
       (registry.SchemaRegistry.queries, registry.SchemaRegistry.oracles),
       (admin.Admin.queries, admin.Admin.oracles),

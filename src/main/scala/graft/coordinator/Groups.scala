@@ -273,7 +273,7 @@ object Groups {
     * by g*(m+1)*4h — a deterministic function of the data, so group g0 is
     * fully live, g1 has a partial failure, and g2/g3 have fully timed out.
     */
-  private def memberHeartbeats(spark: SparkSession, dir: String): DataFrame = {
+  private[coordinator] def memberHeartbeats(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("topic").orderBy("part")
     val groups = spark.range(0, 4).withColumnRenamed("id", "g")
     leo(spark, dir)
@@ -287,10 +287,10 @@ object Groups {
         col("hb_base") - col("g") * (col("m") + 1L) * lit(14400000L))
   }
 
-  private def nowMs(spark: SparkSession, dir: String): DataFrame =
+  private[coordinator] def nowMs(spark: SparkSession, dir: String): DataFrame =
     leo(spark, dir).agg(max("latest_ms").as("now_ms"))
 
-  private val memberHbSql: String =
+  private[coordinator] val memberHbSql: String =
     s"""pidx AS (
        |  SELECT topic, part, latest_ms,
        |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY part) - 1 AS idx,
@@ -506,7 +506,7 @@ object Groups {
     * user-data length prefix (4). Composes the assign_range map so the
     * bytes Sync distributes are exactly the assignor's output.
     */
-  private def memberAssignmentBytes(spark: SparkSession, dir: String)
+  private[coordinator] def memberAssignmentBytes(spark: SparkSession, dir: String)
       : DataFrame = {
     val w = Window.partitionBy("topic").orderBy("part")
     topicParts(spark, dir)
@@ -837,7 +837,7 @@ object Groups {
 
   private val L = LogOps.logSqlCte
 
-  private def rangeMemberSql(nc: Int): String =
+  private[coordinator] def rangeMemberSql(nc: Int): String =
     s"""CASE WHEN idx < ((np // $nc) + 1) * (np % $nc)
        |    THEN idx // ((np // $nc) + 1)
        |    ELSE (np % $nc) + (idx - ((np // $nc) + 1) * (np % $nc)) // (np // $nc)
@@ -848,7 +848,7 @@ object Groups {
     * n_evicted, n_live_offsets, state)`) — one definition shared by the
     * group_state and delete_groups oracles so the two cannot drift.
     */
-  private val gstateSql: String =
+  private[coordinator] val gstateSql: String =
     """members AS (
       |  SELECT g, COUNT(*) AS n_members,
       |    CAST(SUM(CASE WHEN now_ms - last_hb_ms <= 28800000 THEN 1 ELSE 0
@@ -870,6 +870,49 @@ object Groups {
       |         ELSE 'Dead' END AS state
       |  FROM members JOIN offs USING (g))
       |""".stripMargin
+
+  /** The [[protocolSelect]] election as a reusable CTE chain (no WITH
+    * prefix, no trailing comma; ends with `psel(g, vote, n_votes)` — the
+    * winner per group — and `pnd(g, n_distinct_votes)`). CTE names are
+    * p-prefixed so the chain composes next to gstateSql/memberHbSql
+    * without collisions. One definition shared by the protocol_select and
+    * group_metadata_codec oracles so the election cannot drift.
+    */
+  private[coordinator] val protoVoteSql: String =
+    """pmembers AS (
+      |  SELECT CAST(g AS BIGINT) AS g, CAST(m AS BIGINT) AS m
+      |  FROM generate_series(0, 3) tg(g)
+      |  CROSS JOIN generate_series(0, 2) tm(m)),
+      |protos AS (
+      |  SELECT * FROM (VALUES ('range', 0), ('roundrobin', 1), ('sticky', 2))
+      |    pr(p, pidx)),
+      |support AS (
+      |  SELECT g, m, p, pidx,
+      |    CASE WHEN p = 'range' THEN 1
+      |         WHEN substring(md5(CAST(g AS VARCHAR) || '#' ||
+      |           CAST(m AS VARCHAR) || '#' || p), 1, 1)
+      |           IN ('0','1','2','3') THEN 0 ELSE 1 END AS supported
+      |  FROM pmembers CROSS JOIN protos),
+      |pcand AS (
+      |  SELECT *, MIN(supported) OVER (PARTITION BY g, p) AS candidate
+      |  FROM support),
+      |pvotes AS (
+      |  SELECT g, m, p AS vote FROM (
+      |    SELECT g, m, p, ROW_NUMBER() OVER (PARTITION BY g, m
+      |      ORDER BY ((pidx - m) % 3 + 3) % 3) AS rn
+      |    FROM pcand WHERE candidate = 1)
+      |  WHERE rn = 1),
+      |pcounted AS (
+      |  SELECT g, vote, COUNT(*) AS n_votes FROM pvotes GROUP BY g, vote),
+      |psel AS (
+      |  SELECT g, vote, n_votes FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+      |      ORDER BY n_votes DESC, vote) AS rn
+      |    FROM pcounted)
+      |  WHERE rn = 1),
+      |pnd AS (
+      |  SELECT g, CAST(COUNT(DISTINCT vote) AS BIGINT) AS n_distinct_votes
+      |  FROM pvotes GROUP BY g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Chains the one gstate definition plus the member/assignment frames —
@@ -1059,42 +1102,12 @@ object Groups {
         |    THEN 'OnComplete' ELSE 'OnExpiration' END AS completed_via
         |FROM jd GROUP BY g""".stripMargin),
     "protocol_select" ->
-      """WITH members AS (
-        |  SELECT CAST(g AS BIGINT) AS g, CAST(m AS BIGINT) AS m
-        |  FROM generate_series(0, 3) tg(g)
-        |  CROSS JOIN generate_series(0, 2) tm(m)),
-        |protos AS (
-        |  SELECT * FROM (VALUES ('range', 0), ('roundrobin', 1), ('sticky', 2))
-        |    pr(p, pidx)),
-        |support AS (
-        |  SELECT g, m, p, pidx,
-        |    CASE WHEN p = 'range' THEN 1
-        |         WHEN substring(md5(CAST(g AS VARCHAR) || '#' ||
-        |           CAST(m AS VARCHAR) || '#' || p), 1, 1)
-        |           IN ('0','1','2','3') THEN 0 ELSE 1 END AS supported
-        |  FROM members CROSS JOIN protos),
-        |cand AS (
-        |  SELECT *, MIN(supported) OVER (PARTITION BY g, p) AS candidate
-        |  FROM support),
-        |votes AS (
-        |  SELECT g, m, p AS vote FROM (
-        |    SELECT g, m, p, ROW_NUMBER() OVER (PARTITION BY g, m
-        |      ORDER BY ((pidx - m) % 3 + 3) % 3) AS rn
-        |    FROM cand WHERE candidate = 1)
-        |  WHERE rn = 1),
-        |counted AS (
-        |  SELECT g, vote, COUNT(*) AS n_votes FROM votes GROUP BY g, vote),
-        |sel AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
-        |    ORDER BY n_votes DESC, vote) AS rn
-        |  FROM counted),
-        |nd AS (
-        |  SELECT g, CAST(COUNT(DISTINCT vote) AS BIGINT) AS n_distinct_votes
-        |  FROM votes GROUP BY g)
+      ("WITH " + protoVoteSql +
+      """
         |SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
         |  vote AS selected_protocol, n_votes, n_distinct_votes,
         |  CAST(CASE WHEN n_votes = 3 THEN 1 ELSE 0 END AS BIGINT) AS unanimous
-        |FROM sel JOIN nd USING (g) WHERE rn = 1""".stripMargin,
+        |FROM psel JOIN pnd USING (g)""".stripMargin),
     "tenant_coordinator_placement" -> (L +
       s"""ent AS (
         |  SELECT 'group' AS entity_type, 'g' || CAST(g AS VARCHAR) AS entity_id,

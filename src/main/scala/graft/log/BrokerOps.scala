@@ -529,7 +529,60 @@ object BrokerOps {
           .cast("long").as("n_cache_hits"))
       .withColumn("lookup_done_ms", col("lookup_ms") + 50L)
 
+  /** Proxy split-and-route accounting — the proxy module's per-broker
+    * request fan-out (/root/reference/proxy/.../KafkaProxyRequestHandler
+    * .java:625 "split the request per broker": a multi-partition Produce
+    * is re-framed as one sub-request per OWNER broker, each carrying only
+    * that broker's partitions, and the partition responses are merged
+    * back into one client response once `topicPartitionNum` drains to 0;
+    * :2659 the WriteTxnMarkers variant — one marker may span partitions
+    * owned by different brokers, so the marker list is filtered per
+    * broker the same way and the responses concatenated). Per request —
+    * a topic-wide Produce flush per topic, and one WriteTxnMarkers per
+    * DECIDED transaction over its registered partition set (the
+    * add_partitions_to_txn universe; ONGOING txns have no markers) — the
+    * sub-requests created, the partition spread across them, and the
+    * merge fan-in the proxy must await. Ownership is broker_routing's
+    * md5 map, so the two views cannot disagree about who owns what.
+    *
+    * Scale: one distinct-aggregation per request kind on natural keys;
+    * the ownership join rides the broadcast-sized (topic, part) universe.
+    */
+  def proxyRouting(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val owned = LogOps.log(spark, dir).select("topic", "part").distinct()
+      .withColumn("broker",
+        pmod(md5Long(concat_ws("#", col("topic"), col("part"))), lit(4L)))
+    val produce = owned.select(
+      lit("produce").as("request_kind"),
+      col("topic").as("request_id"),
+      col("topic"), col("part"), col("broker"))
+    val txnParts = LogOps.log(spark, dir)
+      .withColumn("txn_id", pmod(col("event_id"), lit(64L)))
+      .select("txn_id", "topic", "part").distinct()
+      .filter(graft.txn.Transactions.txnFate(col("txn_id")) =!= "ONGOING")
+    val markers = txnParts
+      .join(broadcast(owned), Seq("topic", "part"))
+      .select(
+        lit("markers").as("request_kind"),
+        concat(lit("t"), col("txn_id").cast("string")).as("request_id"),
+        col("topic"), col("part"), col("broker"))
+    produce.unionByName(markers)
+      .groupBy("request_kind", "request_id", "broker")
+      .agg(count(lit(1)).as("parts"))
+      .groupBy("request_kind", "request_id")
+      .agg(
+        sum("parts").cast("long").as("n_partitions"),
+        count(lit(1)).as("n_sub_requests"),
+        max("parts").as("max_parts_per_sub"),
+        min("parts").as("min_parts_per_sub"))
+      .withColumn("fan_in", col("n_sub_requests"))
+      .withColumn("split_needed",
+        when(col("n_sub_requests") > 1L, 1L).otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "proxy_routing" -> proxyRouting,
     "pending_topic_futures" -> pendingTopicFutures,
     "isr_status" -> isrStatus,
     "replica_reassignment" -> replicaReassignment,
@@ -784,6 +837,39 @@ object BrokerOps {
         |FROM commits c JOIN plan p ON p.topic = c.topic AND p.part = c.part
         |  AND c.committed >= p.base_offset AND c.committed < p.end_offset"""
         .stripMargin),
+    // Ownership spelled exactly as broker_routing's map; the marker
+    // universe samples Transactions.fateSql — the one fate draw.
+    "proxy_routing" -> (L +
+      s"""own AS (
+        |  SELECT topic, part,
+        |    ${md5LongSql("topic || '#' || CAST(part AS VARCHAR)")} % 4
+        |      AS broker
+        |  FROM (SELECT DISTINCT topic, part FROM log)),
+        |tpx AS (
+        |  SELECT DISTINCT event_id % 64 AS txn_id, topic, part FROM log),
+        |tpd AS (
+        |  SELECT * FROM tpx
+        |  WHERE (${graft.txn.Transactions.fateSql("txn_id")}) <> 'ONGOING'),
+        |req AS (
+        |  SELECT 'produce' AS request_kind, topic AS request_id,
+        |    topic, part, broker
+        |  FROM own
+        |  UNION ALL
+        |  SELECT 'markers', 't' || CAST(t.txn_id AS VARCHAR),
+        |    t.topic, t.part, o.broker
+        |  FROM tpd t JOIN own o USING (topic, part)),
+        |sub AS (
+        |  SELECT request_kind, request_id, broker, COUNT(*) AS parts
+        |  FROM req GROUP BY 1, 2, 3)
+        |SELECT request_kind, request_id,
+        |  CAST(SUM(parts) AS BIGINT) AS n_partitions,
+        |  COUNT(*) AS n_sub_requests,
+        |  MAX(parts) AS max_parts_per_sub,
+        |  MIN(parts) AS min_parts_per_sub,
+        |  COUNT(*) AS fan_in,
+        |  CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS split_needed
+        |FROM sub GROUP BY 1, 2""".stripMargin),
     "broker_routing" -> (L +
       s"""pp AS (
         |  SELECT topic, part, COUNT(*) AS n_records,

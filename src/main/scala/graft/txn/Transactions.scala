@@ -48,8 +48,10 @@ object Transactions {
       .otherwise("COMMITTED")
   }
 
-  /** [[txnFate]] as a DuckDB SQL expression over `e`. */
-  private def fateSql(e: String): String =
+  /** [[txnFate]] as a DuckDB SQL expression over `e` (package-visible so
+    * proxy_routing's marker fan-out samples the SAME fate draw).
+    */
+  private[graft] def fateSql(e: String): String =
     s"""CASE WHEN substring(md5(CAST($e AS VARCHAR)), 1, 1) IN ('0','1','2')
        |      THEN 'ABORTED'
        |    WHEN substring(md5(CAST($e AS VARCHAR)), 1, 1) IN ('3','4')
