@@ -74,13 +74,21 @@ object Similarity {
       """transform(sequence(0, 63), d ->
         |  CAST(CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) AS DOUBLE)
         |    / 72057594037927936.0D - 0.5D)""".stripMargin).as("pw"))
+    // Fold the whole 6-plane matrix to ONE broadcast row and compute the
+    // bucket in-row — a single pass over vecs with no groupBy shuffle and
+    // no join back for v/nrm (the previous shape shuffled 6n (vec, plane)
+    // rows and re-scanned vecs). Same arithmetic per (vector, plane), so
+    // the oracle is unchanged.
+    val planeMat = planes.agg(expr(
+      "transform(array_sort(collect_list(struct(p, pw))), s -> s.pw)")
+      .as("pm"))
     val buckets = vecs
-      .crossJoin(broadcast(planes))
-      .withColumn("dot", expr("vec_dot(v, pw)"))
-      .groupBy("vec_id")
-      .agg(sum(expr("CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-        .cast("long").as("bucket"))
-      .join(vecs, "vec_id")
+      .crossJoin(broadcast(planeMat))
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, p) ->
+          |  acc + CASE WHEN vec_dot(v, pm[p]) > 0
+          |    THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .drop("pm")
     val q = buckets.filter(col("vec_id") < 8)
     val pairs = broadcast(q.as("q"))
       .join(buckets.as("c"),
@@ -108,13 +116,24 @@ object Similarity {
       """transform(sequence(0, 63), d ->
         |  CAST(CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) AS DOUBLE)
         |    / 72057594037927936.0D - 0.5D)""".stripMargin).as("pw"))
+    // One broadcast 24-plane matrix, all 4 table buckets computed in-row
+    // (table t owns planes 6t..6t+5), then a 4-row posexplode — the
+    // previous shape shuffled 24n (vec, plane) rows through a groupBy.
+    // Same per-(vector, plane) arithmetic, so the oracle is unchanged.
+    val planeMat = planes.agg(expr(
+      "transform(array_sort(collect_list(struct(p, pw))), s -> s.pw)")
+      .as("pm"))
     val buckets = vecs
-      .crossJoin(broadcast(planes))
-      .withColumn("t", expr("p div 6"))
-      .withColumn("dot", expr("vec_dot(v, pw)"))
-      .groupBy("vec_id", "t")
-      .agg(sum(expr("CASE WHEN dot > 0 THEN CAST(pow(2, p % 6) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-        .cast("long").as("bucket"))
+      .crossJoin(broadcast(planeMat))
+      .select(col("vec_id"),
+        posexplode(expr(
+          """transform(sequence(0, 3), t ->
+            |  aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, p) ->
+            |    acc + CASE WHEN vec_dot(v, pm[t * 6 + p]) > 0
+            |      THEN CAST(pow(2, p) AS BIGINT)
+            |      ELSE CAST(0 AS BIGINT) END))""".stripMargin))
+          .as(Seq("t", "bucket")))
+      .select(col("vec_id"), col("t").cast("long").as("t"), col("bucket"))
     val q = buckets.filter(col("vec_id") < 8)
     val cand = broadcast(q.select(col("vec_id").as("q_id"),
         col("t").as("qt"), col("bucket").as("qb")))

@@ -686,4 +686,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pc.contains("CartesianProduct"),
       s"minhash_perm_curve went cartesian:\n$pc")
   }
+
+  test("LSH buckets are computed in-row: one scan, no aggregate exchange") {
+    // ann_lsh / ann_lsh_multi fold the broadcast plane matrix per row —
+    // the bucket build must not shuffle (vec, plane) rows through a
+    // groupBy nor re-join vecs for v/nrm. The only exchanges allowed are
+    // the broadcasts and the final top-k window's.
+    for (name <- Seq("ann_lsh", "ann_lsh_multi")) {
+      val p = planOf(graft.llm.Similarity.queries(name)(spark, dir))
+      assert(!p.contains("SortMergeJoin"), s"$name shuffles a join side:\n$p")
+      assert(!p.contains("partial_sum"),
+        s"$name still builds buckets through an aggregate:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name not broadcast:\n$p")
+    }
+  }
 }
