@@ -433,6 +433,77 @@ object Admin {
         "n_segments", "n_groups_affected", "n_offsets_purged")
   }
 
+  /** CreatePartitions decision table — the partition-count increase path
+    * (/root/reference/kafka-impl/.../KafkaRequestHandler.java:2910
+    * `handleCreatePartitions` -> AdminManager.createPartitionsAsync:312 ->
+    * handleUpdatePartitionsAsync). Per requested topic, the reference's
+    * check order: an ALTER-unauthorized topic answers
+    * TOPIC_AUTHORIZATION_FAILED before any admin work
+    * (KafkaRequestHandler.java:2970-2984); then inside the admin path a
+    * negative requested count answers INVALID_PARTITIONS
+    * (AdminManager.java:343-346 "is negative"), a request carrying manual
+    * replica assignments answers INVALID_REQUEST (:349-359 — the broker
+    * doesn't support assignment sets), a topic with no partitioned
+    * metadata answers UNKNOWN_TOPIC_OR_PARTITION (NotFoundException
+    * mapping), and a count BELOW the current one answers
+    * INVALID_PARTITIONS ("higher than the requested") — growth and
+    * equal-count requests pass through to the metadata update (NONE,
+    * `applied_partitions` = requested). `n_entries` = 2 marks topics the
+    * request listed twice: the parse loop marks the duplicate
+    * INVALID_REQUEST transiently, but the first entry stays in
+    * validTopics and `result.putAll(validResult)` OVERWRITES the parse
+    * error with the processed outcome (KafkaRequestHandler.java:
+    * 2919-2928 vs :2944-2947) — so the final outcome is the processed
+    * one, a faithful reference quirk. Requested counts, duplicate /
+    * assignment / authorization draws are deterministic md5 coins on the
+    * topic (the topicConfigs modeling discipline); two ghost topics
+    * exercise the not-found branch. (Pulsar-side name-legality failures
+    * are out of scope — the KoPTopicException branch needs Pulsar's
+    * validator.)
+    *
+    * Scale: one (topic, part)-then-topic rollup of the log (the
+    * topic_metadata shape), then a |topics|-row decision frame.
+    */
+  def createPartitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def digit(tag: String) =
+      substring(md5(concat_ws("#", lit(tag), col("topic"))), 1, 1)
+    def dig(tag: String) = conv(digit(tag), 16, 10).cast("long")
+    val existing = topicMetadata(spark, dir)
+      .select(col("topic"), col("n_partitions"), lit(1L).as("existed"))
+    val ghosts = Seq(("ghost0", 0L, 0L), ("ghost1", 0L, 0L))
+      .toDF("topic", "n_partitions", "existed")
+    existing.unionByName(ghosts)
+      .withColumn("delta", expr(
+        "element_at(array(-2L, -1L, 0L, 1L, 2L, 4L), " +
+          "CAST(conv(substring(md5(concat_ws('#', 'cpdelta', topic)), 1, 1)," +
+          " 16, 10) % 6 + 1 AS INT))"))
+      .withColumn("req_partitions",
+        when(digit("cpneg").isin("0", "1"), lit(-1L))
+          .when(col("existed") === 0L, lit(1L) + pmod(dig("cpdelta"), lit(4L)))
+          .otherwise(col("n_partitions") + col("delta")))
+      .withColumn("n_entries",
+        when(digit("cpdup").isin("0", "1", "2"), 2L).otherwise(1L))
+      .withColumn("manual_assignment",
+        when(digit("cpasg") === "0", 1L).otherwise(0L))
+      .withColumn("authorized",
+        when(digit("cpauth").isin("0", "1"), 0L).otherwise(1L))
+      .withColumn("outcome",
+        when(col("authorized") === 0L, "TOPIC_AUTHORIZATION_FAILED")
+          .when(col("req_partitions") < 0L, "INVALID_PARTITIONS")
+          .when(col("manual_assignment") === 1L, "INVALID_REQUEST")
+          .when(col("existed") === 0L, "UNKNOWN_TOPIC_OR_PARTITION")
+          .when(col("n_partitions") > col("req_partitions"),
+            "INVALID_PARTITIONS")
+          .otherwise("NONE"))
+      .select(
+        col("topic"), col("n_partitions").as("old_partitions"),
+        col("req_partitions"), col("n_entries"), col("manual_assignment"),
+        col("authorized"), col("outcome"),
+        when(col("outcome") === "NONE", col("req_partitions"))
+          .otherwise(col("n_partitions")).as("applied_partitions"))
+  }
+
   /** The broker's default log-config surface
     * (/root/reference/kafka-impl/.../KafkaLogConfig.java:34-59 — the
     * LogConfig port DescribeConfigs answers from; cleanup.policy defaults
@@ -877,6 +948,7 @@ object Admin {
     "alter_configs" -> alterConfigs,
     "retention_by_config" -> retentionByConfig,
     "delete_topics" -> deleteTopics,
+    "create_partitions" -> createPartitions,
     "migration_status" -> migrationStatus,
     "delayed_create" -> delayedCreate,
     "topic_metadata" -> topicMetadata,
@@ -1401,6 +1473,51 @@ object Admin {
         |  CASE WHEN MAX(part_create_ms) - MIN(part_create_ms) <= 3600000
         |    THEN 'Completed' ELSE 'TimedOut' END AS outcome
         |FROM pc GROUP BY topic""".stripMargin),
+    "create_partitions" -> (L +
+      """pp AS (
+        |  SELECT topic, part FROM log GROUP BY topic, part),
+        |tm AS (
+        |  SELECT topic, COUNT(*) AS n_partitions, 1 AS existed
+        |  FROM pp GROUP BY topic
+        |  UNION ALL SELECT * FROM (VALUES ('ghost0', 0, 0), ('ghost1', 0, 0))
+        |    g(topic, n_partitions, existed)),
+        |d AS (
+        |  SELECT topic, CAST(n_partitions AS BIGINT) AS n_partitions,
+        |    CAST(existed AS BIGINT) AS existed,
+        |    ('0x' || substring(md5('cpdelta#' || topic), 1, 1))::BIGINT
+        |      AS ddelta,
+        |    substring(md5('cpneg#' || topic), 1, 1) AS cneg,
+        |    substring(md5('cpdup#' || topic), 1, 1) AS cdup,
+        |    substring(md5('cpasg#' || topic), 1, 1) AS casg,
+        |    substring(md5('cpauth#' || topic), 1, 1) AS cauth
+        |  FROM tm),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN cneg IN ('0', '1') THEN CAST(-1 AS BIGINT)
+        |         WHEN existed = 0 THEN 1 + ddelta % 4
+        |         ELSE n_partitions +
+        |           list_extract([-2, -1, 0, 1, 2, 4],
+        |             CAST(ddelta % 6 + 1 AS INT)) END AS req_partitions,
+        |    CASE WHEN cdup IN ('0', '1', '2') THEN 2 ELSE 1 END AS n_entries,
+        |    CASE WHEN casg = '0' THEN 1 ELSE 0 END AS manual_assignment,
+        |    CASE WHEN cauth IN ('0', '1') THEN 0 ELSE 1 END AS authorized
+        |  FROM d),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN authorized = 0 THEN 'TOPIC_AUTHORIZATION_FAILED'
+        |         WHEN req_partitions < 0 THEN 'INVALID_PARTITIONS'
+        |         WHEN manual_assignment = 1 THEN 'INVALID_REQUEST'
+        |         WHEN existed = 0 THEN 'UNKNOWN_TOPIC_OR_PARTITION'
+        |         WHEN n_partitions > req_partitions THEN 'INVALID_PARTITIONS'
+        |         ELSE 'NONE' END AS outcome
+        |  FROM e)
+        |SELECT topic, n_partitions AS old_partitions, req_partitions,
+        |  CAST(n_entries AS BIGINT) AS n_entries,
+        |  CAST(manual_assignment AS BIGINT) AS manual_assignment,
+        |  CAST(authorized AS BIGINT) AS authorized, outcome,
+        |  CASE WHEN outcome = 'NONE' THEN req_partitions
+        |    ELSE n_partitions END AS applied_partitions
+        |FROM h""".stripMargin),
     "topic_metadata" -> (L +
       """pp AS (
         |  SELECT topic, part, COUNT(*) AS n, MAX(offs) + 1 AS log_end,

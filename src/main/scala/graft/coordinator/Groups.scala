@@ -617,6 +617,83 @@ object Groups {
           .otherwise(0L).as("leader_payload_bytes"))
   }
 
+  /** Heartbeat decision table — the liveness beat every consumer sends
+    * between poll()s (GroupCoordinator.handleHeartbeat,
+    * /root/reference/kafka-impl/.../coordinator/group/GroupCoordinator
+    * .java:658-718; request entry KafkaRequestHandler.java:1975). Per
+    * (group, member) in the reference's check order: a loading
+    * coordinator answers NONE BLINDLY — the one validateGroupStatus
+    * error handleHeartbeat deliberately swallows (:662-664, "respond
+    * just blindly"), so `blind_accept` marks beats that were acked
+    * without any member validation; Dead/Empty groups answer
+    * UNKNOWN_MEMBER_ID (:675-679); a member the group does not hold —
+    * session-timeout evicted (the [[memberEviction]] sweep) or the
+    * unknown-id draw — answers UNKNOWN_MEMBER_ID in every live state;
+    * CompletingRebalance answers REBALANCE_IN_PROGRESS without a
+    * generation check (:681-686, the sync barrier is still open);
+    * PreparingRebalance checks the generation (ILLEGAL_GENERATION on
+    * mismatch) and answers REBALANCE_IN_PROGRESS with the heartbeat
+    * deadline EXTENDED (:688-697 completeAndScheduleNextHeartbeat-
+    * Expiration — `hb_scheduled`); Stable likewise but answers NONE
+    * (:699-709). A rebalancing group splits Preparing-vs-Completing by
+    * a deterministic phase draw (the barrier vantage sync_group fixes
+    * post-barrier is genuinely bimodal mid-beat).
+    *
+    * Scale: |groups| x |members| metadata frames over the shared
+    * [[groupState]] machine; only the leo aggregate touches the log.
+    */
+  def heartbeat(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val gstate = groupState(spark, dir)
+      .select(col("group_id"), col("generation"), col("state"))
+    val mh = memberHeartbeats(spark, dir)
+      .crossJoin(broadcast(nowMs(spark, dir)))
+      .select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        concat(lit("m"), col("m").cast("string")).as("member"),
+        (col("now_ms") - col("last_hb_ms")).as("hb_age_ms"))
+      .withColumn("alive",
+        when(col("hb_age_ms") <= 28800000L, 1L).otherwise(0L))
+    mh.join(broadcast(gstate), "group_id")
+      .withColumn("loading",
+        pmod(md5Long(concat_ws("#", lit("hbload1"), col("group_id"))),
+          lit(5L)) === 0L)
+      .withColumn("known",
+        col("alive") === 1L &&
+          pmod(md5Long(concat_ws("#", lit("hbknown"), col("group_id"),
+            col("member"))), lit(6L)) =!= 0L)
+      .withColumn("gen_ok",
+        pmod(md5Long(concat_ws("#", lit("hbgen3"), col("group_id"),
+          col("member"))), lit(5L)) =!= 0L)
+      .withColumn("state_at_hb",
+        when(col("state") === "PreparingRebalance" &&
+          pmod(md5Long(concat_ws("#", lit("hbphase"), col("group_id"))),
+            lit(2L)) === 0L, lit("CompletingRebalance"))
+          .otherwise(col("state")))
+      .withColumn("outcome",
+        when(col("loading"), "NONE")
+          .when(col("state_at_hb").isin("Dead", "Empty"),
+            "UNKNOWN_MEMBER_ID")
+          .when(!col("known"), "UNKNOWN_MEMBER_ID")
+          .when(col("state_at_hb") === "CompletingRebalance",
+            "REBALANCE_IN_PROGRESS")
+          .when(!col("gen_ok"), "ILLEGAL_GENERATION")
+          .when(col("state_at_hb") === "PreparingRebalance",
+            "REBALANCE_IN_PROGRESS")
+          .otherwise("NONE"))
+      .select(
+        col("group_id"), col("member"), col("state_at_hb"),
+        col("generation"),
+        when(col("gen_ok"), col("generation"))
+          .otherwise(col("generation") - 1L).as("req_generation"),
+        col("hb_age_ms"),
+        when(col("loading"), 1L).otherwise(0L).as("blind_accept"),
+        col("outcome"),
+        when(!col("loading") && col("known") && col("gen_ok") &&
+          col("state_at_hb").isin("PreparingRebalance", "Stable"), 1L)
+          .otherwise(0L).as("hb_scheduled"))
+  }
+
   /** Graceful LeaveGroup impact — the counterpart of [[memberEviction]]'s
     * session-timeout path (GroupCoordinator.handleLeaveGroup,
     * /root/reference/kafka-impl/.../coordinator/group/GroupCoordinator
@@ -813,6 +890,7 @@ object Groups {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sync_group" -> syncGroup,
+    "heartbeat" -> heartbeat,
     "leave_group" -> leaveGroup,
     "delete_groups" -> deleteGroups,
     "rebalance_join" -> rebalanceJoin,
@@ -987,6 +1065,58 @@ object Groups {
         |      AND state_at_sync = 'CompletingRebalance'
         |    THEN COALESCE(group_payload_bytes, 0) ELSE 0 END
         |    AS leader_payload_bytes
+        |FROM h""".stripMargin),
+    // Same gs chain; the beat decisions derive from the identical state
+    // machine, with the loading/known/generation/phase draws mirrored.
+    "heartbeat" -> (L + commitsSql.stripSuffix("\n") + ",\n" + memberHbSql +
+      gstateSql +
+      s""", mh2 AS (
+        |  SELECT g, m, now_ms - last_hb_ms AS hb_age_ms,
+        |    CASE WHEN now_ms - last_hb_ms <= 28800000 THEN 1 ELSE 0 END
+        |      AS alive
+        |  FROM mh CROSS JOIN nw),
+        |d AS (
+        |  SELECT 'g' || CAST(mh2.g AS VARCHAR) AS group_id,
+        |    'm' || CAST(mh2.m AS VARCHAR) AS member,
+        |    mh2.hb_age_ms, mh2.alive, gs.generation, gs.state
+        |  FROM mh2
+        |  JOIN gs ON gs.group_id = 'g' || CAST(mh2.g AS VARCHAR)),
+        |e AS (
+        |  SELECT *,
+        |    ${md5LongSql("concat_ws('#', 'hbload1', group_id)")} % 5 = 0
+        |      AS loading,
+        |    alive = 1 AND ${md5LongSql(
+             "concat_ws('#', 'hbknown', group_id, member)")} % 6 <> 0
+        |      AS known,
+        |    ${md5LongSql("concat_ws('#', 'hbgen3', group_id, member)")} % 5
+        |      <> 0 AS gen_ok,
+        |    CASE WHEN state = 'PreparingRebalance' AND ${md5LongSql(
+             "concat_ws('#', 'hbphase', group_id)")} % 2 = 0
+        |      THEN 'CompletingRebalance' ELSE state END AS state_at_hb
+        |  FROM d),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN loading THEN 'NONE'
+        |         WHEN state_at_hb IN ('Dead', 'Empty')
+        |           THEN 'UNKNOWN_MEMBER_ID'
+        |         WHEN NOT known THEN 'UNKNOWN_MEMBER_ID'
+        |         WHEN state_at_hb = 'CompletingRebalance'
+        |           THEN 'REBALANCE_IN_PROGRESS'
+        |         WHEN NOT gen_ok THEN 'ILLEGAL_GENERATION'
+        |         WHEN state_at_hb = 'PreparingRebalance'
+        |           THEN 'REBALANCE_IN_PROGRESS'
+        |         ELSE 'NONE' END AS outcome
+        |  FROM e)
+        |SELECT group_id, member, state_at_hb, generation,
+        |  CASE WHEN gen_ok THEN generation ELSE generation - 1 END
+        |    AS req_generation,
+        |  hb_age_ms,
+        |  CAST(CASE WHEN loading THEN 1 ELSE 0 END AS BIGINT)
+        |    AS blind_accept,
+        |  outcome,
+        |  CAST(CASE WHEN NOT loading AND known AND gen_ok
+        |      AND state_at_hb IN ('PreparingRebalance', 'Stable')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS hb_scheduled
         |FROM h""".stripMargin),
     // Same gs chain; the moved-set rollup mirrors the 3->2 survivor
     // re-split of the Spark side.

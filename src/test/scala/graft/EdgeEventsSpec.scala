@@ -142,4 +142,67 @@ class EdgeEventsSpec extends AnyFunSuite {
       col("n_in_place") + col("n_recompressed") =!= col("n_batches"))
       .count() == 0)
   }
+
+  /** Wide topic universe so every create_partitions md5-coin branch has
+    * population (the 5-topic standard corpus leaves auth/manual/negative
+    * data-dependent).
+    */
+  lazy val wideDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_edge_wide")
+    d.toFile.deleteOnExit()
+    import spark.implicits._
+    val rows = (0L until 80L).map { i =>
+      (i, T0 + i * 1000000L, i % 16, s"topic${i % 40}", 1.0)
+    }
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d.toString
+  }
+
+  test("create_partitions: every decision branch fires on a wide universe") {
+    val cp = admin.Admin.createPartitions(spark, wideDir).cache()
+    val outcomes = cp.select("outcome").distinct().collect()
+      .map(_.getString(0)).toSet
+    for (o <- Seq("NONE", "INVALID_PARTITIONS", "INVALID_REQUEST",
+      "UNKNOWN_TOPIC_OR_PARTITION", "TOPIC_AUTHORIZATION_FAILED"))
+      assert(outcomes.contains(o), s"branch $o never fires: $outcomes")
+    // the reference's apply contract: NONE applies the requested count
+    // (>= current), every error leaves the old count in place
+    assert(cp.filter(col("outcome") === "NONE" &&
+      (col("applied_partitions") =!= col("req_partitions") ||
+        col("req_partitions") < col("old_partitions"))).count() == 0)
+    assert(cp.filter(col("outcome") =!= "NONE" &&
+      col("applied_partitions") =!= col("old_partitions")).count() == 0)
+    // unauthorized topics short-circuit before any admin-path error
+    assert(cp.filter(col("authorized") === 0L &&
+      col("outcome") =!= "TOPIC_AUTHORIZATION_FAILED").count() == 0)
+    // duplicate request entries keep the processed outcome (the
+    // result.putAll overwrite quirk): dup rows show every outcome class,
+    // never a sticky INVALID_REQUEST
+    assert(cp.filter(col("n_entries") === 2L &&
+      col("outcome") === "NONE").count() > 0)
+    cp.unpersist()
+  }
+
+  test("heartbeat: all five decision classes are live on the standard corpus") {
+    val hb = coordinator.Groups.heartbeat(spark, "/root/testdata/sf0.001")
+      .cache()
+    val outcomes = hb.select("outcome").distinct().collect()
+      .map(_.getString(0)).toSet
+    for (o <- Seq("NONE", "REBALANCE_IN_PROGRESS", "ILLEGAL_GENERATION",
+      "UNKNOWN_MEMBER_ID"))
+      assert(outcomes.contains(o), s"class $o never fires: $outcomes")
+    // the loading blind-accept is a real population, and it never
+    // schedules a heartbeat (the validate path bypasses the member)
+    assert(hb.filter(col("blind_accept") === 1L).count() > 0)
+    assert(hb.filter(col("blind_accept") === 1L &&
+      (col("outcome") =!= "NONE" || col("hb_scheduled") === 1L))
+      .count() == 0)
+    // scheduled beats are exactly the validated live-state successes
+    assert(hb.filter(col("hb_scheduled") === 1L &&
+      !col("outcome").isin("NONE", "REBALANCE_IN_PROGRESS")).count() == 0)
+    hb.unpersist()
+  }
 }
