@@ -504,6 +504,64 @@ object Admin {
           .otherwise(col("n_partitions")).as("applied_partitions"))
   }
 
+  /** CreateTopics decision table — the creation path next to
+    * [[delayedCreate]]'s purgatory timing
+    * (/root/reference/kafka-impl/.../KafkaRequestHandler.java:2188
+    * `handleCreateTopics` -> AdminManager.createTopicsAsync:105-180). Per
+    * requested topic in the reference's order: CREATE-unauthorized
+    * topics answer TOPIC_AUTHORIZATION_FAILED before the admin path
+    * (KafkaRequestHandler.java:2250-2266); a NO_NUM_PARTITIONS sentinel
+    * (-1) falls back to the broker default (AdminManager.java:128-130,
+    * Pulsar ServiceConfiguration#defaultNumPartitions = 1); a negative
+    * explicit count answers INVALID_REQUEST — note the asymmetry with
+    * [[createPartitions]], which maps the same check to
+    * INVALID_PARTITIONS (InvalidRequestException at AdminManager.java:
+    * 132-135 vs InvalidPartitionsException at :343-346); an existing
+    * partitioned topic answers TOPIC_ALREADY_EXISTS (the
+    * ConflictException mapping, :168-170); else NONE and the topic is
+    * created at the effective count. `n_entries` = 2 marks the same
+    * duplicate-entry parse quirk as create_partitions (the transient
+    * INVALID_REQUEST is overwritten by the processed outcome,
+    * KafkaRequestHandler.java:2196-2204 vs :2219-2222).
+    *
+    * Scale: the request universe is existing topics + a fixed fresh-name
+    * frame; one topic-distinct rollup of the log, then |topics|-row
+    * decisions.
+    */
+  def createTopics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def digit(tag: String) =
+      substring(md5(concat_ws("#", lit(tag), col("topic"))), 1, 1)
+    def dig(tag: String) = conv(digit(tag), 16, 10).cast("long")
+    val existing = LogOps.log(spark, dir).select("topic").distinct()
+      .withColumn("existed", lit(1L))
+    val fresh = (0 until 8).map(i => (s"newtopic$i", 0L))
+      .toDF("topic", "existed")
+    existing.unionByName(fresh)
+      .withColumn("req_partitions",
+        when(digit("ctdefault").isin("0", "1", "2", "3"), lit(-1L))
+          .when(digit("ctneg3") === "0", lit(-3L))
+          .otherwise(lit(1L) + pmod(dig("ctnum"), lit(6L))))
+      .withColumn("effective_partitions",
+        when(col("req_partitions") === -1L, lit(1L))
+          .otherwise(col("req_partitions")))
+      .withColumn("n_entries",
+        when(digit("ctdup").isin("0", "1", "2"), 2L).otherwise(1L))
+      .withColumn("authorized",
+        when(digit("ctauth").isin("0", "1"), 0L).otherwise(1L))
+      .withColumn("outcome",
+        when(col("authorized") === 0L, "TOPIC_AUTHORIZATION_FAILED")
+          .when(col("effective_partitions") < 0L, "INVALID_REQUEST")
+          .when(col("existed") === 1L, "TOPIC_ALREADY_EXISTS")
+          .otherwise("NONE"))
+      .select(
+        col("topic"), col("existed"), col("req_partitions"),
+        col("effective_partitions"), col("n_entries"), col("authorized"),
+        col("outcome"),
+        when(col("outcome") === "NONE", col("effective_partitions"))
+          .otherwise(0L).as("created_partitions"))
+  }
+
   /** The broker's default log-config surface
     * (/root/reference/kafka-impl/.../KafkaLogConfig.java:34-59 — the
     * LogConfig port DescribeConfigs answers from; cleanup.policy defaults
@@ -949,6 +1007,7 @@ object Admin {
     "retention_by_config" -> retentionByConfig,
     "delete_topics" -> deleteTopics,
     "create_partitions" -> createPartitions,
+    "create_topics" -> createTopics,
     "migration_status" -> migrationStatus,
     "delayed_create" -> delayedCreate,
     "topic_metadata" -> topicMetadata,
@@ -1473,6 +1532,46 @@ object Admin {
         |  CASE WHEN MAX(part_create_ms) - MIN(part_create_ms) <= 3600000
         |    THEN 'Completed' ELSE 'TimedOut' END AS outcome
         |FROM pc GROUP BY topic""".stripMargin),
+    "create_topics" -> (L +
+      """tm AS (
+        |  SELECT topic, 1 AS existed FROM log GROUP BY topic
+        |  UNION ALL
+        |  SELECT 'newtopic' || CAST(i AS VARCHAR), 0
+        |  FROM generate_series(0, 7) t(i)),
+        |d AS (
+        |  SELECT topic, CAST(existed AS BIGINT) AS existed,
+        |    substring(md5('ctdefault#' || topic), 1, 1) AS cdef,
+        |    substring(md5('ctneg3#' || topic), 1, 1) AS cneg,
+        |    ('0x' || substring(md5('ctnum#' || topic), 1, 1))::BIGINT AS dnum,
+        |    substring(md5('ctdup#' || topic), 1, 1) AS cdup,
+        |    substring(md5('ctauth#' || topic), 1, 1) AS cauth
+        |  FROM tm),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN cdef IN ('0', '1', '2', '3') THEN CAST(-1 AS BIGINT)
+        |         WHEN cneg = '0' THEN -3
+        |         ELSE 1 + dnum % 6 END AS req_partitions,
+        |    CASE WHEN cdup IN ('0', '1', '2') THEN 2 ELSE 1 END AS n_entries,
+        |    CASE WHEN cauth IN ('0', '1') THEN 0 ELSE 1 END AS authorized
+        |  FROM d),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN req_partitions = -1 THEN CAST(1 AS BIGINT)
+        |      ELSE req_partitions END AS effective_partitions
+        |  FROM e),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN authorized = 0 THEN 'TOPIC_AUTHORIZATION_FAILED'
+        |         WHEN effective_partitions < 0 THEN 'INVALID_REQUEST'
+        |         WHEN existed = 1 THEN 'TOPIC_ALREADY_EXISTS'
+        |         ELSE 'NONE' END AS outcome
+        |  FROM f)
+        |SELECT topic, existed, req_partitions, effective_partitions,
+        |  CAST(n_entries AS BIGINT) AS n_entries,
+        |  CAST(authorized AS BIGINT) AS authorized, outcome,
+        |  CASE WHEN outcome = 'NONE' THEN effective_partitions
+        |    ELSE CAST(0 AS BIGINT) END AS created_partitions
+        |FROM h""".stripMargin),
     "create_partitions" -> (L +
       """pp AS (
         |  SELECT topic, part FROM log GROUP BY topic, part),

@@ -186,6 +186,26 @@ class EdgeEventsSpec extends AnyFunSuite {
     cp.unpersist()
   }
 
+  test("create_topics: branches live, sentinel default applied, nothing created on error") {
+    val ct = admin.Admin.createTopics(spark, wideDir).cache()
+    val outcomes = ct.select("outcome").distinct().collect()
+      .map(_.getString(0)).toSet
+    for (o <- Seq("NONE", "INVALID_REQUEST", "TOPIC_ALREADY_EXISTS",
+      "TOPIC_AUTHORIZATION_FAILED"))
+      assert(outcomes.contains(o), s"branch $o never fires: $outcomes")
+    // the NO_NUM_PARTITIONS sentinel resolves to the broker default (1)
+    assert(ct.filter(col("req_partitions") === -1L &&
+      col("effective_partitions") =!= 1L).count() == 0)
+    assert(ct.filter(col("req_partitions") === -1L).count() > 0)
+    // only NONE creates; created count = effective count
+    assert(ct.filter(col("outcome") =!= "NONE" &&
+      col("created_partitions") =!= 0L).count() == 0)
+    assert(ct.filter(col("outcome") === "NONE" &&
+      (col("created_partitions") =!= col("effective_partitions") ||
+        col("existed") === 1L)).count() == 0)
+    ct.unpersist()
+  }
+
   test("heartbeat: all five decision classes are live on the standard corpus") {
     val hb = coordinator.Groups.heartbeat(spark, "/root/testdata/sf0.001")
       .cache()
