@@ -328,6 +328,45 @@ object TextAnalysis {
     * pipeline actually ships — exact-dup drop composed with quality gates,
     * with the first failing rule as the audit reason.
     */
+  /** C4-style LINE-level quality gate (Raffel et al. 2020 §2.2's cleanup
+    * rules, the public pipeline behind the C4 corpus) — the line-grained
+    * complement of [[qualityGopher]]'s word-level battery: per document,
+    * how many '\n'-separated lines survive "retain only lines that end
+    * in terminal punctuation AND carry at least 5 words", whether the
+    * page-level drops fire ("lorem ipsum" placeholder text, a curly
+    * brace marking inline code/JS, fewer than 3 sentences), and the
+    * char-level retention the line filter achieves. `keep` composes the
+    * page rules the way C4 does: some line survives, >= 3 sentences, no
+    * lorem, no brace. (C4's bad-words list and its 3-sentence-span
+    * dedup are out of scope here — the latter is `dedup_spans`.)
+    *
+    * All in-row (split/filter/aggregate over the line array) — no
+    * explode, no shuffle; streams at scan speed at any corpus size.
+    */
+  def qualityC4(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("kept", expr(
+        """filter(lines, l ->
+          |  right(l, 1) IN ('.', '!', '?', '"') AND
+          |  size(filter(split(l, ' '), x -> x != '')) >= 5)""".stripMargin))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept_lines"),
+        length(col("text")).cast("long").as("total_chars"),
+        expr("aggregate(kept, 0L, (acc, l) -> acc + length(l))")
+          .as("kept_chars"),
+        size(expr("regexp_extract_all(text, '[.!?]', 0)")).cast("long")
+          .as("n_sentences"),
+        when(expr("contains(lower(text), 'lorem ipsum')"), 1L).otherwise(0L)
+          .as("has_lorem"),
+        when(expr("contains(text, '{')"), 1L).otherwise(0L).as("has_brace"))
+      .withColumn("keep",
+        when(col("n_kept_lines") > 0L && col("n_sentences") >= 3L &&
+          col("has_lorem") === 0L && col("has_brace") === 0L, 1L)
+          .otherwise(0L))
+
   def corpusFilter(spark: SparkSession, dir: String): DataFrame =
     filterVerdicts(spark, dir)
       .select(col("doc_id"),
@@ -1400,6 +1439,7 @@ object TextAnalysis {
     "length_gini" -> lengthGini,
     "sentence_stats" -> sentenceStats,
     "corpus_filter" -> corpusFilter,
+    "quality_c4" -> qualityC4,
     "langid" -> langid,
     "langid_eval" -> langidEval,
     "langid_margin" -> langidMargin,
@@ -2073,6 +2113,34 @@ object TextAnalysis {
         |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN n_chars END) AS q3,
         |  MAX(n_chars) AS max_c
         |FROM ranked GROUP BY source""".stripMargin,
+    "quality_c4" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      right(l, 1) IN ('.', '!', '?', '"') AND
+        |      len(list_filter(string_split(l, ' '), x -> x != '')) >= 5)
+        |      AS kept
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |    CAST(length(text) AS BIGINT) AS total_chars,
+        |    CAST(list_sum(list_prepend(0, list_transform(kept,
+        |      l -> length(l)))) AS BIGINT) AS kept_chars,
+        |    CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1
+        |      ELSE 0 END AS BIGINT) AS has_lorem,
+        |    CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END
+        |      AS BIGINT) AS has_brace
+        |  FROM d)
+        |SELECT *,
+        |  CAST(CASE WHEN n_kept_lines > 0 AND n_sentences >= 3
+        |      AND has_lorem = 0 AND has_brace = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM e""".stripMargin,
     "corpus_filter" ->
       (s"WITH $corpusFilterChainSql" +
         """

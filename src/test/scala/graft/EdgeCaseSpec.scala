@@ -171,4 +171,45 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(qg.getAs[Long]("n_words") == 1L)
     assert(qg.getAs[Long]("keep") == 0L)
   }
+
+  test("quality_c4: every line and page rule fires on a C4-shaped corpus") {
+    // the standard synthetic corpus has no newlines and no punctuation,
+    // so C4's literal rules drop everything there (faithful behavior);
+    // this staged corpus makes each branch observable
+    val d = java.nio.file.Files.createTempDirectory("graft_c4")
+    d.toFile.deleteOnExit()
+    import spark.implicits._
+    val good = "This is a proper first sentence here.\n" +
+      "Another complete line with enough words follows.\n" +
+      "And one more to clear the three sentence floor."
+    val rows = Seq(
+      (0L, good, "en", "web"),                                // keep
+      (1L, good + "\nvar x = { a: 1 };", "en", "web"),        // brace drop
+      (2L, good.replace("here.", "lorem ipsum here."), "en", "web"), // lorem
+      (3L, "Too short. Two only.", "en", "web"),              // <3 sentences
+      (4L, "no terminal punctuation on this line at all\n" +
+        "nor on this second one either", "en", "web"),        // 0 kept lines
+      (5L, "Tiny line.\nSmall too.\nThird sentence present.", "en", "web"))
+    // doc 5: every line ends terminally but has < 5 words -> 0 kept lines
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val c4 = llm.TextAnalysis.qualityC4(spark, d.toString).cache()
+    def row(id: Long) = c4.filter(col("doc_id") === id).head
+    assert(row(0L).getAs[Long]("keep") == 1L)
+    assert(row(0L).getAs[Long]("n_kept_lines") == 3L)
+    assert(row(1L).getAs[Long]("keep") == 0L &&
+      row(1L).getAs[Long]("has_brace") == 1L)
+    assert(row(2L).getAs[Long]("keep") == 0L &&
+      row(2L).getAs[Long]("has_lorem") == 1L)
+    assert(row(3L).getAs[Long]("keep") == 0L &&
+      row(3L).getAs[Long]("n_sentences") < 3L)
+    assert(row(4L).getAs[Long]("n_kept_lines") == 0L)
+    assert(row(5L).getAs[Long]("n_kept_lines") == 0L &&
+      row(5L).getAs[Long]("n_sentences") == 3L)
+    // char retention accounting: kept_chars sums exactly the kept lines
+    assert(row(0L).getAs[Long]("kept_chars") ==
+      good.split("\n").map(_.length.toLong).sum)
+    c4.unpersist()
+  }
 }
