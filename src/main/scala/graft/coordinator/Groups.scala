@@ -24,10 +24,28 @@ object Groups {
   /** Per-partition log-end offsets + head timestamp (the input the group
     * coordinator reads from the log).
     */
+  private val leoCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def clearCache(): Unit = leoCache.clear()
+
+  /** Log-end offsets per partition, the frame every coordinator view
+    * composes (often 3-6 times per query: group state, member
+    * heartbeats, commits, the now watermark). Offsets are a dense
+    * row_number, so log_end = COUNT(*) — no offset window, no sort: one
+    * partial-aggregated scan, and the |topics|x|parts|-row result is
+    * checkpointed and cached per (session, dir) so the decision tables
+    * above it are pure metadata joins. The unchanged MAX(offs)+1 oracle
+    * spelling is value-identical (the migration_status dense-offset
+    * equivalence).
+    */
   private def leo(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir).groupBy("topic", "part").agg(
-      (max("offs") + 1L).as("log_end"),
-      max("tms").as("latest_ms"))
+    leoCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(leoCache, spark, dir, "events"),
+      LogOps.logBase(spark, dir).groupBy("topic", "part").agg(
+        count(lit(1)).as("log_end"),
+        max("tms").as("latest_ms"))
+        .localCheckpoint())
 
   private val leoSql: String =
     """leo AS (

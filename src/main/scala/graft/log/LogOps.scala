@@ -29,6 +29,15 @@ object LogOps {
     */
   def log(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("topic", "part").orderBy("event_id")
+    logBase(spark, dir)
+      .withColumn("offs", row_number().over(w).cast("long") - 1L)
+  }
+
+  /** [[log]] WITHOUT the offset window — the one shared projection, for
+    * consumers that only need per-partition aggregates (offsets are a
+    * dense row_number, so log_end = COUNT(*) and no sort is needed).
+    */
+  private[graft] def logBase(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(
         col("event_id"),
@@ -38,8 +47,6 @@ object LogOps {
         col("user_id").cast("string").as("k"),
         col("props").as("v"),
         col("value").as("val"))
-      .withColumn("offs", row_number().over(w).cast("long") - 1L)
-  }
 
   /** DuckDB mirror of [[log]] for every oracle below. */
   val logSql: String =
