@@ -16,11 +16,13 @@ object Admin {
 
   /** DescribeTopics: partition count, record counts, offset/size totals. */
   def topicMetadata(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    // dense offsets: log_end = COUNT(*) per partition, so the offset
+    // window is pure waste (oracle spelling MAX(offs)+1 is value-equal)
+    LogOps.logBase(spark, dir)
       .groupBy("topic", "part")
       .agg(
         count(lit(1)).as("n"),
-        (max("offs") + 1L).as("log_end"),
+        count(lit(1)).as("log_end"),
         sum(length(col("v")) + length(col("k"))).cast("long").as("bytes"))
       .groupBy("topic")
       .agg(
@@ -41,7 +43,7 @@ object Admin {
 
   /** DescribeCluster-style single-row totals. */
   def clusterSummary(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir).agg(
+    LogOps.logBase(spark, dir).agg(
       countDistinct("topic").as("n_topics"),
       countDistinct(concat(col("topic"), lit("#"), col("part").cast("string")))
         .as("n_partitions"),
@@ -56,7 +58,7 @@ object Admin {
     * consistent-hashing layout would shrink.
     */
   def repartitionMap(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .withColumn("part_12", pmod(col("k").cast("long"), lit(12L)))
       .groupBy("topic")
       .agg(
@@ -71,7 +73,7 @@ object Admin {
     * persistent://tenant/namespace/topic-partition-N on the Pulsar side).
     */
   def topicNameMap(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .select("topic", "part").distinct()
       .select(
         col("topic"), col("part"),
@@ -155,7 +157,7 @@ object Admin {
       .groupBy("topic", "migration_status")
       .agg(sum(when(col("migration_status") === "STARTED", col("n_pending"))
         .otherwise(0L)).cast("long").as("n_outstanding_proxy"))
-    val polls = LogOps.log(spark, dir).groupBy("topic")
+    val polls = LogOps.logBase(spark, dir).groupBy("topic")
       .agg(countDistinct(expr("tms div 3600000")).as("n_status_polls"))
     fence.join(polls, "topic")
       .withColumn("dup", pmod(
@@ -204,7 +206,7 @@ object Admin {
     // brokers are the 4-broker universe every placement op uses; the
     // events table is only touched to keep the frame data-anchored
     // (a tenantless cluster with zero topics advertises nothing).
-    val live = LogOps.log(spark, dir).select("topic").distinct().limit(1)
+    val live = LogOps.logBase(spark, dir).select("topic").distinct().limit(1)
     spark.range(0, 4).select(col("id").as("broker"))
       .crossJoin(live.select(lit(1).as("one"))).drop("one")
       .crossJoin(spark.range(0, 3).select(col("id").as("slot")))
@@ -263,7 +265,7 @@ object Admin {
     */
   def metadataTopics(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
-    val tenants = LogOps.log(spark, dir).select("topic").distinct()
+    val tenants = LogOps.logBase(spark, dir).select("topic").distinct()
       .select(tenantCol(col("topic")).as("tenant")).distinct()
     val sys = spark.range(0, 3).select(
       element_at(array(lit("__consumer_offsets"),
@@ -309,13 +311,13 @@ object Admin {
     */
   def kopEventQueue(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dels = LogOps.log(spark, dir).groupBy("topic")
+    val dels = LogOps.logBase(spark, dir).groupBy("topic")
       .agg(max("tms").as("last_ms"), countDistinct("part").as("np"))
       .select(lit("delete_topics").as("event_class"),
         col("topic").as("event_key"),
         (col("last_ms") + 60000L).as("arrival_ms"),
         (lit(1L) + lit(4L) * col("np")).as("cost_ms"))
-    val brokers = LogOps.log(spark, dir)
+    val brokers = LogOps.logBase(spark, dir)
       .select(expr("tms div 3600000").as("h")).distinct()
       .select(lit("brokers_change").as("event_class"),
         concat(lit("h"), col("h").cast("string")).as("event_key"),
@@ -359,7 +361,7 @@ object Admin {
 
   def tenantSummary(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .groupBy("topic", "part")
       .agg(
         count(lit(1)).as("n"),
@@ -400,7 +402,7 @@ object Admin {
     * populated at every SF.
     */
   def delayedCreate(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .groupBy("topic", "part")
       .agg(min("tms").as("part_create_ms"))
       .groupBy("topic")
@@ -533,7 +535,7 @@ object Admin {
     def digit(tag: String) =
       substring(md5(concat_ws("#", lit(tag), col("topic"))), 1, 1)
     def dig(tag: String) = conv(digit(tag), 16, 10).cast("long")
-    val existing = LogOps.log(spark, dir).select("topic").distinct()
+    val existing = LogOps.logBase(spark, dir).select("topic").distinct()
       .withColumn("existed", lit(1L))
     val fresh = (0 until 8).map(i => (s"newtopic$i", 0L))
       .toDF("topic", "existed")
@@ -597,7 +599,7 @@ object Admin {
     import spark.implicits._
     val defaults = broadcast(configDefaults.toDF("config_key", "default_value"))
     val h = md5(concat_ws("#", lit("cfg"), col("topic"), col("config_key")))
-    LogOps.log(spark, dir).select("topic").distinct()
+    LogOps.logBase(spark, dir).select("topic").distinct()
       .crossJoin(defaults)
       .withColumn("coin", substring(h, 1, 1))
       .withColumn("d", conv(substring(h, 2, 1), 16, 10).cast("long"))
@@ -724,7 +726,7 @@ object Admin {
       .filter(col("config_key") === "retention.ms")
       .select(col("topic"),
         col("effective_value").cast("long").as("retention_ms"))
-    val nowF = LogOps.log(spark, dir).agg(max("tms").as("now_ms"))
+    val nowF = LogOps.logBase(spark, dir).agg(max("tms").as("now_ms"))
     LogOps.log(spark, dir)
       .join(broadcast(policy), Seq("topic"))
       .crossJoin(broadcast(nowF))

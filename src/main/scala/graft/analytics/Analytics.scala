@@ -383,7 +383,7 @@ object Analytics {
     * and grand total in one pass.
     */
   def throughputRollup(spark: SparkSession, dir: String): DataFrame =
-    graft.log.LogOps.log(spark, dir)
+    graft.log.LogOps.logBase(spark, dir)
       .rollup("topic", "part")
       .agg(count(lit(1)).as("n"),
         sum(length(col("v"))).cast("long").as("bytes"))
@@ -754,7 +754,7 @@ object Analytics {
     * (RequestStats.java) generalized to multi-dimensional rollups.
     */
   def cubeTopicDow(spark: SparkSession, dir: String): DataFrame =
-    graft.log.LogOps.log(spark, dir)
+    graft.log.LogOps.logBase(spark, dir)
       .withColumn("dow", expr("(tms div 86400000) % 7"))
       .cube("topic", "dow")
       .agg(

@@ -120,7 +120,7 @@ object Groups {
       col("log_end"), (col("log_end") - col("committed")).as("lag"))
 
   private def topicParts(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir).select("topic", "part").distinct()
+    LogOps.logBase(spark, dir).select("topic", "part").distinct()
 
   /** Kafka RangeAssignor: partitions of each topic split into contiguous
     * blocks across 3 members (first np%3 members get one extra).
@@ -365,7 +365,7 @@ object Groups {
       lit("group").as("entity_type"),
       concat(lit("g"), col("id").cast("string")).as("entity_id"),
       lit("__consumer_offsets").as("meta_topic"))
-    val txns = LogOps.log(spark, dir)
+    val txns = LogOps.logBase(spark, dir)
       .select(pmod(col("event_id"), lit(64L)).as("txn_id")).distinct()
       .select(
         lit("txn").as("entity_type"),
@@ -865,7 +865,7 @@ object Groups {
       lit("group").as("entity_type"),
       concat(lit("g"), col("id").cast("string")).as("entity_id"),
       lit("__consumer_offsets").as("meta_topic"))
-    val txns = LogOps.log(spark, dir)
+    val txns = LogOps.logBase(spark, dir)
       .select(pmod(col("event_id"), lit(64L)).as("txn_id")).distinct()
       .select(
         lit("txn").as("entity_type"),

@@ -94,7 +94,7 @@ object BrokerOps {
     * (throttle_ms = excess / rate, rate = quota per day in ms).
     */
   def clientQuota(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .select(
         pmod(col("k").cast("long"), lit(16L)).as("producer_id"),
         expr("(tms div 86400000) * 86400000").as("day_ms"),
@@ -122,7 +122,7 @@ object BrokerOps {
     */
   def brokerRouting(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
-    val perPart = LogOps.log(spark, dir)
+    val perPart = LogOps.logBase(spark, dir)
       .groupBy("topic", "part")
       .agg(count(lit(1)).as("n_records"))
       .withColumn("broker",
@@ -158,7 +158,7 @@ object BrokerOps {
     * v2 encoding.
     */
   def downConvert(spark: SparkSession, dir: String): DataFrame = {
-    val perTopic = LogOps.log(spark, dir)
+    val perTopic = LogOps.logBase(spark, dir)
       .withColumn("payload", length(col("v")) + length(col("k")))
       .groupBy("topic", "part")
       .agg(
@@ -246,7 +246,7 @@ object BrokerOps {
     * [[requestLatency]] and [[latencyHdrSketch]].
     */
   private def latencySamples(spark: SparkSession, dir: String): DataFrame =
-    withLatency(LogOps.log(spark, dir))
+    withLatency(LogOps.logBase(spark, dir))
 
   /** The api/lat_us modeling applied to any frame carrying (event_id, v)
     * — shared with the streaming twin (Streams.runStreamLatencySketch),
@@ -366,7 +366,7 @@ object BrokerOps {
     val tickExpr = ticks.foldLeft(lit(1L)) { case (acc, (l, t)) =>
       when(col("level") === l, t).otherwise(acc)
     }
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .select(col("topic"),
         pmod(col("event_id") * 7919L, lit(3600000L)).as("delay_ms"))
       .withColumn("level",
@@ -440,7 +440,7 @@ object BrokerOps {
     */
   def isrStatus(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
-    val parts = LogOps.log(spark, dir)
+    val parts = LogOps.logBase(spark, dir)
       .groupBy("topic", "part")
       .agg(count(lit(1)).as("n_records"))
       .withColumn("tp", concat(col("topic"), lit("#"), col("part").cast("string")))
@@ -474,7 +474,7 @@ object BrokerOps {
     */
   def replicaReassignment(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
-    val parts = LogOps.log(spark, dir)
+    val parts = LogOps.logBase(spark, dir)
       .groupBy("topic", "part")
       .agg(
         count(lit(1)).as("n_records"),
@@ -515,7 +515,7 @@ object BrokerOps {
     * count are map-side combinable.
     */
   def pendingTopicFutures(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .withColumn("first_ms",
         min("tms").over(Window.partitionBy("topic", "part")))
       .groupBy("topic", "part")
@@ -550,14 +550,14 @@ object BrokerOps {
     */
   def proxyRouting(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
-    val owned = LogOps.log(spark, dir).select("topic", "part").distinct()
+    val owned = LogOps.logBase(spark, dir).select("topic", "part").distinct()
       .withColumn("broker",
         pmod(md5Long(concat_ws("#", col("topic"), col("part"))), lit(4L)))
     val produce = owned.select(
       lit("produce").as("request_kind"),
       col("topic").as("request_id"),
       col("topic"), col("part"), col("broker"))
-    val txnParts = LogOps.log(spark, dir)
+    val txnParts = LogOps.logBase(spark, dir)
       .withColumn("txn_id", pmod(col("event_id"), lit(64L)))
       .select("txn_id", "topic", "part").distinct()
       .filter(graft.txn.Transactions.txnFate(col("txn_id")) =!= "ONGOING")

@@ -35,7 +35,9 @@ import org.apache.spark.sql.types.{MapType, StringType}
 object SchemaRegistry {
 
   private def fields(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    // no offset consumer anywhere in the registry family — use the
+    // window-free projection (the row_number sort is pure waste here)
+    LogOps.logBase(spark, dir)
       .select(col("topic"), col("event_id"),
         explode(from_json(col("v"), MapType(StringType, StringType)))
           .as(Seq("field", "fval")))

@@ -62,7 +62,7 @@ object Transactions {
     * dropped; rollup of kept vs duplicate counts per producer.
     */
   def producerDedup(spark: SparkSession, dir: String): DataFrame =
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .select(
         pmod(col("k").cast("long"), lit(16L)).as("producer_id"),
         expr("event_id div 20").as("seq"))
@@ -101,7 +101,7 @@ object Transactions {
     */
   def producerFencing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val recs = LogOps.log(spark, dir)
+    val recs = LogOps.logBase(spark, dir)
       .select(
         pmod(col("k").cast("long"), lit(16L)).as("producer_id"),
         col("event_id"),
@@ -148,7 +148,7 @@ object Transactions {
     */
   def producerGaps(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seqd = LogOps.log(spark, dir)
+    val seqd = LogOps.logBase(spark, dir)
       .select(
         pmod(col("k").cast("long"), lit(16L)).as("producer_id"),
         col("event_id"))
@@ -206,7 +206,7 @@ object Transactions {
   def producerIdBlocks(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
     import org.apache.spark.sql.expressions.Window
-    LogOps.log(spark, dir)
+    LogOps.logBase(spark, dir)
       .groupBy("topic", "part")
       .agg(countDistinct("k").as("n_producers"))
       .withColumn("broker",
