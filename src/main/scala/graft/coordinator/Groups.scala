@@ -906,10 +906,89 @@ object Groups {
           .otherwise(col("state_before")).as("state_after"))
   }
 
+  /** Offsets-topic replay accounting — what the coordinator rebuilds at
+    * startup/failover when it loads a __consumer_offsets partition
+    * (GroupMetadataManager.doLoadGroupsAndOffsets,
+    * /root/reference/kafka-impl/.../coordinator/group/GroupMetadataManager
+    * .java:718-920). Per (offsets-topic partition, group), the replay in
+    * the reference's record order: the plain offset-commit records load
+    * into loadedOffsets (:884-897); an expiration tombstone (value-less
+    * record, the [[offsetExpiration]] cutoff) REMOVES the entry (:876-881
+    * `loadedOffsets.remove`); transactional offset-commits park in
+    * pendingOffsets keyed by producerId (:869-874, :890-895) until the
+    * control batch lands — COMMIT folds them into loadedOffsets
+    * (newest-batch-wins, :838-848), ABORT just drops the pending map
+    * (:850 `pendingOffsets.remove`), and a transaction still open at the
+    * partition end stays pending and restores NOTHING (`n_txn_pending_end`
+    * — the read-committed property of the load path); a group-metadata
+    * tombstone (the [[deleteGroups]] DELETED verdict) moves the group to
+    * removedGroups and its offset tombstones drop every entry (:900-907).
+    * `n_live_offsets` is the cache the coordinator serves after load;
+    * `meta_partition` is the [[coordinatorPlacement]] md5 mapping, so the
+    * replay accounting sits on the same partition the placement view says
+    * owns the group. The has-txn / txn-id draws are deterministic md5
+    * coins; the fate is the SHARED [[graft.txn.Transactions.txnFate]]
+    * draw every transaction view samples.
+    *
+    * Scale: rides the cached [[leo]] aggregate — |groups| metadata rows;
+    * nothing data-sized beyond the shared one-pass scan.
+    */
+  def offsetsLoadReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val cutoff = 1705708800000L // the offsetExpiration retention fence
+    val perGroup = commits(spark, dir)
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("commit_ms") < cutoff, 1L).otherwise(0L)).cast("long")
+          .as("n_expired"))
+    val del = deleteGroups(spark, dir)
+      .select(col("group_id"),
+        when(col("result") === "DELETED", 1L).otherwise(0L)
+          .as("group_tombstone"))
+    perGroup.join(broadcast(del), "group_id")
+      .withColumn("has_txn",
+        pmod(md5Long(concat(lit("rh1#"), col("group_id"))), lit(4L)) < 3L)
+      .withColumn("txn_id",
+        when(col("has_txn"),
+          pmod(md5Long(concat(lit("rt22#"), col("group_id"))), lit(64L)))
+          .otherwise(lit(-1L)))
+      .withColumn("txn_fate",
+        when(!col("has_txn"), "NONE")
+          .otherwise(graft.txn.Transactions.txnFate(col("txn_id"))))
+      .withColumn("n_txn_offset_records",
+        when(col("has_txn"), col("n_parts")).otherwise(0L))
+      .withColumn("n_txn_applied",
+        when(col("txn_fate") === "COMMITTED", col("n_parts")).otherwise(0L))
+      .withColumn("n_txn_discarded",
+        when(col("txn_fate") === "ABORTED", col("n_parts")).otherwise(0L))
+      .withColumn("n_txn_pending_end",
+        when(col("txn_fate") === "ONGOING", col("n_parts")).otherwise(0L))
+      .withColumn("n_control_records",
+        when(col("txn_fate").isin("COMMITTED", "ABORTED"), 1L).otherwise(0L))
+      .withColumn("n_live_offsets",
+        when(col("group_tombstone") === 1L, 0L)
+          .when(col("txn_fate") === "COMMITTED", col("n_parts"))
+          .otherwise(col("n_parts") - col("n_expired")))
+      .withColumn("n_records_replayed",
+        col("n_parts") + col("n_expired") + col("n_txn_offset_records") +
+          col("n_control_records") + lit(1L) +
+          col("group_tombstone") * (lit(1L) + col("n_parts")))
+      .select(
+        pmod(md5Long(col("group_id")), lit(50L)).as("meta_partition"),
+        col("group_id"), col("n_parts").as("n_offset_records"),
+        col("n_expired").as("n_expired_tombstones"),
+        col("txn_fate"), col("n_txn_offset_records"), col("n_txn_applied"),
+        col("n_txn_discarded"), col("n_txn_pending_end"),
+        col("group_tombstone"),
+        (lit(1L) - col("group_tombstone")).as("group_loaded"),
+        col("n_live_offsets"), col("n_records_replayed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sync_group" -> syncGroup,
     "heartbeat" -> heartbeat,
     "leave_group" -> leaveGroup,
+    "offsets_load_replay" -> offsetsLoadReplay,
     "delete_groups" -> deleteGroups,
     "rebalance_join" -> rebalanceJoin,
     "protocol_select" -> protocolSelect,
@@ -1316,6 +1395,68 @@ object Groups {
     // Same gs CTE as group_state — the deletion outcome derives from the
     // identical state machine, then joins the commit ledger for the purge
     // count.
+    // The replay accounting chains the SAME gstate/delete verdict, the
+    // offsetExpiration cutoff, and the shared txn-fate draw.
+    "offsets_load_replay" -> (L + commitsSql.stripSuffix("\n") + ",\n" +
+      memberHbSql + gstateSql +
+      s""", pg AS (
+        |  SELECT group_id, COUNT(*) AS n_parts,
+        |    CAST(SUM(CASE WHEN commit_ms < 1705708800000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_expired
+        |  FROM commits GROUP BY group_id),
+        |oc AS (
+        |  SELECT group_id, COUNT(*) AS n_offsets FROM commits GROUP BY group_id),
+        |del AS (
+        |  SELECT gs.group_id,
+        |    CAST(CASE WHEN gs.state = 'Empty' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS group_tombstone
+        |  FROM gs JOIN oc ON oc.group_id = gs.group_id),
+        |d AS (
+        |  SELECT pg.group_id, pg.n_parts, pg.n_expired, del.group_tombstone,
+        |    ${md5LongSql("'rh1#' || pg.group_id")} % 4 < 3 AS has_txn
+        |  FROM pg JOIN del ON del.group_id = pg.group_id),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN has_txn
+        |      THEN ${md5LongSql("'rt22#' || group_id")} % 64
+        |      ELSE -1 END AS txn_id
+        |  FROM d),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN NOT has_txn THEN 'NONE'
+        |      ELSE (${graft.txn.Transactions.fateSql("txn_id")}) END
+        |      AS txn_fate,
+        |    CASE WHEN has_txn THEN n_parts ELSE 0 END
+        |      AS n_txn_offset_records
+        |  FROM e),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN txn_fate = 'COMMITTED' THEN n_parts ELSE 0 END
+        |      AS n_txn_applied,
+        |    CASE WHEN txn_fate = 'ABORTED' THEN n_parts ELSE 0 END
+        |      AS n_txn_discarded,
+        |    CASE WHEN txn_fate = 'ONGOING' THEN n_parts ELSE 0 END
+        |      AS n_txn_pending_end,
+        |    CASE WHEN txn_fate IN ('COMMITTED', 'ABORTED') THEN 1 ELSE 0 END
+        |      AS n_control_records,
+        |    CASE WHEN group_tombstone = 1 THEN 0
+        |         WHEN txn_fate = 'COMMITTED' THEN n_parts
+        |         ELSE n_parts - n_expired END AS n_live_offsets
+        |  FROM f)
+        |SELECT ${md5LongSql("group_id")} % 50 AS meta_partition,
+        |  group_id, n_parts AS n_offset_records,
+        |  n_expired AS n_expired_tombstones, txn_fate,
+        |  CAST(n_txn_offset_records AS BIGINT) AS n_txn_offset_records,
+        |  CAST(n_txn_applied AS BIGINT) AS n_txn_applied,
+        |  CAST(n_txn_discarded AS BIGINT) AS n_txn_discarded,
+        |  CAST(n_txn_pending_end AS BIGINT) AS n_txn_pending_end,
+        |  group_tombstone,
+        |  CAST(1 - group_tombstone AS BIGINT) AS group_loaded,
+        |  CAST(n_live_offsets AS BIGINT) AS n_live_offsets,
+        |  CAST(n_parts + n_expired + n_txn_offset_records +
+        |    n_control_records + 1 + group_tombstone * (1 + n_parts)
+        |    AS BIGINT) AS n_records_replayed
+        |FROM h""".stripMargin),
     "delete_groups" -> (L + commitsSql.stripSuffix("\n") + ",\n" + memberHbSql +
       gstateSql +
       """, oc AS (
