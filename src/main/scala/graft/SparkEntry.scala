@@ -72,6 +72,11 @@ object SparkEntry {
         s.conf.set(
           "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
           (if (wideStateQueries(name)) base * 16 else base).toString)
+        // Evict over-budget leftovers from the PREVIOUS query before this
+        // one plans: queries that touch no frame cache never trigger the
+        // per-access enforcement, and at the 1000x decade a predecessor's
+        // resident frame can starve this query's execution pool.
+        Tables.enforceBudgetNow(s)
         // Pin every frame-cache entry this build touches against budget
         // eviction until the next query's build starts (Tables.pinScope).
         Tables.pinScope { fn(s, d) }

@@ -185,7 +185,23 @@ object Tables {
     * other sessions' frames are skipped). Runs on every cache access; the
     * poll is one driver-side block-manager summary, no data touched.
     */
-  private def enforceBudget(spark: SparkSession): Unit = lru.synchronized {
+  /** Budget enforcement at a QUERY BOUNDARY: the per-access enforcement
+    * below only runs inside freshCacheKey, so a query that touches no
+    * frame cache (most of the analytics family) would otherwise start
+    * its hash aggregates with a predecessor's over-budget frame still
+    * resident — at the 1000x decade that starves the execution pool and
+    * aborts the stage (UNABLE_TO_ACQUIRE_MEMORY). The SparkEntry wrapper
+    * calls this before every registry build; nothing is pinned between
+    * queries, so over-budget leftovers are evictable here.
+    */
+  def enforceBudgetNow(spark: SparkSession): Unit =
+    // At a boundary the recency window is meaningless (it protects the
+    // frames the PREVIOUS query just touched — exactly the leftovers
+    // that must go), so enforcement ignores it; pins are already clear.
+    lru.synchronized { enforceBudget(spark, ignoreWindow = true) }
+
+  private def enforceBudget(spark: SparkSession,
+      ignoreWindow: Boolean = false): Unit = lru.synchronized {
     var total = cachedBytes(spark)
     val budget = budgetBytes
     if (total <= budget) return
@@ -193,15 +209,19 @@ object Tables {
     val it = lru.entrySet().iterator()
     while (total > budget && it.hasNext) {
       val e = it.next()
-      if (pinned.contains(e.getKey)) {
+      if (pinned.contains(e.getKey) && !(ignoreWindow && pinDepth == 0)) {
+        // In-flight pins stay sacred even for boundary enforcement — the
+        // window-ignoring path may only treat pins as stale when no build
+        // scope is active (the wrapper calls it BEFORE pinScope).
         // In-flight query's own frame — never evictable, whatever its age.
-      } else if (e.getValue >= minKeep && pinDepth == 0) {
+      } else if (!ignoreWindow && e.getValue >= minKeep && pinDepth == 0) {
         // Saved by the recency window alone OUTSIDE any pin scope — the
         // fallback path; log it so an unscoped >8-deep build chain that
         // would have lost a frame is visible instead of silent.
         System.err.println(s"[graft-cache] window-protected " +
           s"${e.getKey.key._2} under budget pressure (unscoped access)")
-      } else if (e.getValue < minKeep && (e.getKey.key._1 eq spark)) {
+      } else if ((ignoreWindow || e.getValue < minKeep) &&
+          (e.getKey.key._1 eq spark)) {
         it.remove()
         e.getKey.cache.remove(e.getKey.key).foreach(release)
         val now = cachedBytes(spark)

@@ -43,6 +43,29 @@ class CacheBudgetSpec extends AnyFunSuite {
     assert(llm.TextAnalysis.queries("bpe_encode")(spark, dir).count() == bpe)
   }
 
+  test("boundary enforcement evicts even window-protected leftovers") {
+    // The per-access enforcement spares the ~8 most recent entries (the
+    // unscoped-access fallback guard); at a QUERY BOUNDARY those are the
+    // previous query's leftovers and must be evictable — the 1000x-decade
+    // failure this pins: a cached embeddings frame surviving into the
+    // next query's build starved its execution pool.
+    SparkEntry.queries("knn_degree")(spark, dir).count() // prime caches
+    def footprint: Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    assert(footprint > 0L, "nothing cached to evict")
+    try {
+      System.setProperty("graft.cache.budget", "1")
+      Tables.enforceBudgetNow(spark)
+    } finally System.clearProperty("graft.cache.budget")
+    // a few hundred stray bytes can belong to blocks outside the graft
+    // frame caches (not ours to evict) — "drained" means the registry's
+    // multi-MB frames are gone, not a bit-zero storage pool
+    assert(footprint < (64L << 10),
+      s"boundary enforcement left ${footprint} bytes resident")
+    // and the evicted frames still rebuild correctly
+    assert(SparkEntry.queries("knn_degree")(spark, dir).count() > 0)
+  }
+
   test("storage footprint stays bounded across repeated family cycling") {
     // Cycle cache-heavy families twice; the persisted byte total must not
     // grow monotonically with every access (the r12 failure mode). We
