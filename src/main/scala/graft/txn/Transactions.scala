@@ -82,6 +82,75 @@ object Transactions {
       sum(col("aborted")).as("n_aborted_filtered"))
 
   /** Transaction metadata rollup: state, span, partitions touched per txn. */
+  /** Transaction-log replay accounting — the txn sibling of
+    * Groups.offsetsLoadReplay: what the transaction coordinator rebuilds
+    * when it loads a __transaction_state partition at startup/failover
+    * (TransactionStateManager.loadTransactionsForTxnTopicPartition,
+    * /root/reference/kafka-impl/.../coordinator/transaction/
+    * TransactionStateManager.java:689-795, completeLoadedTransactions
+    * :797-850). Per transactional id: the replay is last-record-wins
+    * (the load loop `transactionMetadataMap.put` overwrites, :783-787),
+    * a tombstone REMOVES the id (:781-783, `tombstoned` — the retired-id
+    * case, loaded = 0), and at load completion the recovery pass scans
+    * the cache: a transaction that crashed between prepare and complete
+    * — state PrepareCommit / PrepareAbort — gets its markers RE-SENT
+    * (prepareComplete + sendTxnMarkersCallback, :815-842;
+    * `recovery_marker` COMMIT/ABORT with `n_marker_partitions` fanned to
+    * its partition set); every other state is a no-op. The loaded state
+    * maps the engine-wide fate draw to Kafka's vocabulary: ONGOING ->
+    * Ongoing, COMMITTED/ABORTED -> Prepare* or Complete* by a
+    * deterministic crash-phase draw (the crash-at-prepare slice IS the
+    * recovery population). n_log_records models the value rewrites a
+    * transaction's lifecycle appends: begin + one per added partition +
+    * prepare + complete as reached, + the tombstone. meta_partition is
+    * the coordinator_placement md5 mapping for txn ids.
+    *
+    * Scale: one data-sized pass (the shared txn rollup), then a 64-row
+    * decision frame.
+    */
+  def txnLogReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val base = txnLog(spark, dir)
+      .groupBy("txn_id")
+      .agg(countDistinct(concat(col("topic"), lit("#"),
+        col("part").cast("string"))).as("n_partitions"))
+    base
+      .withColumn("fate", txnFate(col("txn_id")))
+      .withColumn("crashed_at_prepare",
+        pmod(md5Long(concat(lit("txph#"), col("txn_id").cast("string"))),
+          lit(3L)) === 0L)
+      .withColumn("loaded_state",
+        when(col("fate") === "ONGOING", "Ongoing")
+          .when(col("fate") === "COMMITTED",
+            when(col("crashed_at_prepare"), "PrepareCommit")
+              .otherwise("CompleteCommit"))
+          .otherwise(
+            when(col("crashed_at_prepare"), "PrepareAbort")
+              .otherwise("CompleteAbort")))
+      .withColumn("tombstoned",
+        when(pmod(md5Long(concat(lit("txdel#"),
+          col("txn_id").cast("string"))), lit(8L)) === 0L, 1L)
+          .otherwise(0L))
+      .withColumn("recovery_marker",
+        when(col("tombstoned") === 1L, "NONE")
+          .when(col("loaded_state") === "PrepareCommit", "COMMIT")
+          .when(col("loaded_state") === "PrepareAbort", "ABORT")
+          .otherwise("NONE"))
+      .select(
+        pmod(md5Long(concat(lit("t"), col("txn_id").cast("string"))),
+          lit(50L)).as("meta_partition"),
+        col("txn_id"), col("n_partitions"), col("loaded_state"),
+        col("tombstoned"),
+        (lit(1L) - col("tombstoned")).as("loaded"),
+        col("recovery_marker"),
+        when(col("recovery_marker") =!= "NONE", col("n_partitions"))
+          .otherwise(0L).as("n_marker_partitions"),
+        (lit(1L) + col("n_partitions") +
+          when(col("loaded_state").startsWith("Prepare"), 1L)
+            .when(col("loaded_state").startsWith("Complete"), 2L)
+            .otherwise(0L) + col("tombstoned")).as("n_log_records"))
+  }
+
   def txnState(spark: SparkSession, dir: String): DataFrame =
     txnLog(spark, dir)
       .groupBy("txn_id")
@@ -684,6 +753,7 @@ object Transactions {
     "producer_dedup" -> producerDedup,
     "read_committed" -> readCommitted,
     "txn_state" -> txnState,
+    "txn_log_replay" -> txnLogReplay,
     "txn_expire" -> txnExpire,
     "producer_gaps" -> producerGaps)
 
@@ -1031,6 +1101,49 @@ object Transactions {
         |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
         |  CAST(SUM(gap) AS BIGINT) AS n_missing, MAX(gap) AS max_gap
         |FROM gaps GROUP BY producer_id""".stripMargin),
+    "txn_log_replay" -> (L + txnSql +
+      s""", pt AS (
+        |  SELECT txn_id,
+        |    CAST(COUNT(DISTINCT topic || '#' || CAST(part AS VARCHAR))
+        |      AS BIGINT) AS n_partitions
+        |  FROM txn GROUP BY txn_id),
+        |d AS (
+        |  SELECT txn_id, n_partitions,
+        |    (${fateSql("txn_id")}) AS fate,
+        |    ${graft.functions.Parity.md5LongSql(
+             "'txph#' || CAST(txn_id AS VARCHAR)")} % 3 = 0
+        |      AS crashed_at_prepare,
+        |    CAST(CASE WHEN ${graft.functions.Parity.md5LongSql(
+             "'txdel#' || CAST(txn_id AS VARCHAR)")} % 8 = 0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS tombstoned
+        |  FROM pt),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN fate = 'ONGOING' THEN 'Ongoing'
+        |         WHEN fate = 'COMMITTED' THEN
+        |           CASE WHEN crashed_at_prepare THEN 'PrepareCommit'
+        |             ELSE 'CompleteCommit' END
+        |         ELSE CASE WHEN crashed_at_prepare THEN 'PrepareAbort'
+        |             ELSE 'CompleteAbort' END END AS loaded_state
+        |  FROM d),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN tombstoned = 1 THEN 'NONE'
+        |         WHEN loaded_state = 'PrepareCommit' THEN 'COMMIT'
+        |         WHEN loaded_state = 'PrepareAbort' THEN 'ABORT'
+        |         ELSE 'NONE' END AS recovery_marker
+        |  FROM e)
+        |SELECT ${graft.functions.Parity.md5LongSql(
+             "'t' || CAST(txn_id AS VARCHAR)")} % 50 AS meta_partition,
+        |  txn_id, n_partitions, loaded_state, tombstoned,
+        |  CAST(1 - tombstoned AS BIGINT) AS loaded, recovery_marker,
+        |  CAST(CASE WHEN recovery_marker <> 'NONE' THEN n_partitions
+        |    ELSE 0 END AS BIGINT) AS n_marker_partitions,
+        |  CAST(1 + n_partitions +
+        |    CASE WHEN loaded_state LIKE 'Prepare%' THEN 1
+        |         WHEN loaded_state LIKE 'Complete%' THEN 2
+        |         ELSE 0 END + tombstoned AS BIGINT) AS n_log_records
+        |FROM f""".stripMargin),
     "txn_state" -> (L + txnSql +
       """SELECT txn_id,
         |  MAX(CASE WHEN aborted = 1 THEN 'ABORTED' ELSE 'COMMITTED' END) AS state,
