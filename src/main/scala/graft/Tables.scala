@@ -206,6 +206,7 @@ object Tables {
     val budget = budgetBytes
     if (total <= budget) return
     val minKeep = accessSeq - protectWindow
+    var warned = false
     val it = lru.entrySet().iterator()
     while (total > budget && it.hasNext) {
       val e = it.next()
@@ -216,10 +217,14 @@ object Tables {
         // In-flight query's own frame — never evictable, whatever its age.
       } else if (!ignoreWindow && e.getValue >= minKeep && pinDepth == 0) {
         // Saved by the recency window alone OUTSIDE any pin scope — the
-        // fallback path; log it so an unscoped >8-deep build chain that
-        // would have lost a frame is visible instead of silent.
-        System.err.println(s"[graft-cache] window-protected " +
-          s"${e.getKey.key._2} under budget pressure (unscoped access)")
+        // fallback path; log it (once per enforcement pass, this
+        // session's entries only) so an unscoped >8-deep build chain
+        // that would have lost a frame is visible instead of silent.
+        if (!warned && (e.getKey.key._1 eq spark)) {
+          warned = true
+          System.err.println(s"[graft-cache] window-protected " +
+            s"${e.getKey.key._2} under budget pressure (unscoped access)")
+        }
       } else if ((ignoreWindow || e.getValue < minKeep) &&
           (e.getKey.key._1 eq spark)) {
         it.remove()
@@ -268,7 +273,10 @@ object Tables {
       // lost — O(|cache|) driver-side, caches hold a handful of entries.
       cache.keys.foreach { k =>
         val e = new CacheEntry(cache, k)
-        if (!lru.containsKey(e)) lru.put(e, accessSeq)
+        // Out-of-window stamp: a repaired entry was NOT just accessed —
+        // stamping it "now" would window-protect a cold frame for the
+        // next 8 accesses while genuinely warm frames get evicted.
+        if (!lru.containsKey(e)) lru.put(e, accessSeq - protectWindow - 1)
       }
       // Drop LRU entries whose session died with a stopped context.
       val it = lru.keySet().iterator()

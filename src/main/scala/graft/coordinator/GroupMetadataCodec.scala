@@ -353,13 +353,7 @@ object GroupMetadataCodec {
     val proto = Groups.protoVoteSql
     hb + gs + ", " + proto +
       s""",
-        |ab AS (
-        |  SELECT m, CAST(10 + SUM(2 + length(topic) + 4 + 4 * cnt)
-        |    AS BIGINT) AS assignment_bytes
-        |  FROM (SELECT ${Groups.rangeMemberSql(3)} AS m, topic,
-        |          COUNT(*) AS cnt
-        |        FROM pidx GROUP BY 1, 2)
-        |  GROUP BY m),
+        |${Groups.abSql},
         |alv AS (
         |  SELECT g, m FROM mh CROSS JOIN nw
         |  WHERE now_ms - last_hb_ms <= 28800000),

@@ -27,8 +27,6 @@ object Groups {
   private val leoCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  def clearCache(): Unit = leoCache.clear()
-
   /** Log-end offsets per partition, the frame every coordinator view
     * composes (often 3-6 times per query: group state, member
     * heartbeats, commits, the now watermark). Offsets are a dense
@@ -1023,6 +1021,20 @@ object Groups {
     * n_evicted, n_live_offsets, state)`) — one definition shared by the
     * group_state and delete_groups oracles so the two cannot drift.
     */
+  /** The range-assignor member-assignment-bytes frame as a reusable CTE
+    * (no leading comma; ends with `ab(m, assignment_bytes)`), continuing
+    * memberHbSql's `pidx` — ONE SQL spelling of
+    * [[memberAssignmentBytes]], shared by the sync_group and
+    * group_metadata_codec oracles so the byte model cannot drift.
+    */
+  private[coordinator] lazy val abSql: String =
+    s"""ab AS (
+       |  SELECT m, CAST(10 + SUM(2 + length(topic) + 4 + 4 * cnt)
+       |    AS BIGINT) AS assignment_bytes
+       |  FROM (SELECT ${rangeMemberSql(3)} AS m, topic, COUNT(*) AS cnt
+       |        FROM pidx GROUP BY 1, 2)
+       |  GROUP BY m)""".stripMargin
+
   private[coordinator] val gstateSql: String =
     """members AS (
       |  SELECT g, COUNT(*) AS n_members,
@@ -1103,12 +1115,7 @@ object Groups {
         |ldr AS (
         |  SELECT g, MIN(m) AS leader_m FROM mh2 WHERE straggler = 0
         |  GROUP BY g),
-        |ab AS (
-        |  SELECT m, CAST(10 + SUM(2 + length(topic) + 4 + 4 * cnt)
-        |    AS BIGINT) AS assignment_bytes
-        |  FROM (SELECT ${rangeMemberSql(3)} AS m, topic, COUNT(*) AS cnt
-        |        FROM pidx GROUP BY 1, 2)
-        |  GROUP BY m),
+        |$abSql,
         |pay AS (
         |  SELECT g, CAST(SUM(assignment_bytes) AS BIGINT)
         |    AS group_payload_bytes

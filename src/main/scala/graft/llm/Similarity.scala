@@ -45,6 +45,15 @@ object Similarity {
   private[llm] def capSql: String =
     s"(COUNT(*) + ${PairSubCap - 1}) // $PairSubCap"
 
+  /** Fold a (p, pw) plane frame into ONE broadcastable matrix row
+    * (array of plane vectors ordered by p) — the shared shape of both
+    * LSH bucket builds; one spelling so the variants cannot diverge.
+    */
+  private def planeMatrix(planes: DataFrame): DataFrame =
+    planes.agg(expr(
+      "transform(array_sort(collect_list(struct(p, pw))), s -> s.pw)")
+      .as("pm"))
+
   private val cosExpr = "vec_dot(q.v, c.v) / (q.nrm * c.nrm)"
 
   /** Exact top-5 cosine neighbors for the 8 query vectors (vec_id < 8). */
@@ -79,9 +88,7 @@ object Similarity {
     // no join back for v/nrm (the previous shape shuffled 6n (vec, plane)
     // rows and re-scanned vecs). Same arithmetic per (vector, plane), so
     // the oracle is unchanged.
-    val planeMat = planes.agg(expr(
-      "transform(array_sort(collect_list(struct(p, pw))), s -> s.pw)")
-      .as("pm"))
+    val planeMat = planeMatrix(planes)
     val buckets = vecs
       .crossJoin(broadcast(planeMat))
       .withColumn("bucket", expr(
@@ -120,9 +127,7 @@ object Similarity {
     // (table t owns planes 6t..6t+5), then a 4-row posexplode — the
     // previous shape shuffled 24n (vec, plane) rows through a groupBy.
     // Same per-(vector, plane) arithmetic, so the oracle is unchanged.
-    val planeMat = planes.agg(expr(
-      "transform(array_sort(collect_list(struct(p, pw))), s -> s.pw)")
-      .as("pm"))
+    val planeMat = planeMatrix(planes)
     val buckets = vecs
       .crossJoin(broadcast(planeMat))
       .select(col("vec_id"),
