@@ -27,7 +27,11 @@ object Embeddings {
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-        .cache())
+        // SERIALIZED storage (the basket-cache precedent): at the 1000x
+        // decade this frame is tens of GB — serialized blocks are ~3x
+        // smaller and evict cleanly under the budget instead of pinning
+        // the deserialized object graph against execution memory
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
   }
 
   /** [[withNorm]] restricted to vectors that HAVE a direction
