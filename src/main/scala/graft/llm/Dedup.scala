@@ -54,8 +54,10 @@ object Dedup {
         .filter(length(col("text")) >= 5)
         .select(col("doc_id"), expr("gram_hashes(text, 5, 2147483647)").as("hs"))
         .withColumn("sig", expr("minhash_sig(hs)"))
-        .cache()
-      (s, bandPairs(s).cache())
+        // data-sized frames persist SERIALIZED (the embeddings/basket
+        // precedent): evictable under the budget, no object-graph pin
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      (s, bandPairs(s).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     })
     (sigs.select("doc_id", "hs"), sigs, cand)
   }
@@ -668,7 +670,7 @@ object Dedup {
     decontamCache.getOrElseUpdate(
       graft.Tables.freshCacheKey(decontamCache, spark, dir, "documents"), {
         val (bgk, hitPairs) = decontamBuild(spark, dir)
-        (bgk.cache(), hitPairs.cache())
+        (bgk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), hitPairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
       })
 
   /** The distinct benchmark gram set (every 50th doc of the at-rest
