@@ -197,7 +197,11 @@ object Tables {
   def enforceBudgetNow(spark: SparkSession): Unit =
     // At a boundary the recency window is meaningless (it protects the
     // frames the PREVIOUS query just touched — exactly the leftovers
-    // that must go), so enforcement ignores it; pins are already clear.
+    // that must go), so enforcement ignores it. Pins from the previous
+    // query's scope may still SIT in `pinned` (pinScope clears the set
+    // at the START of the next outer scope, not at scope exit) — with
+    // pinDepth == 0 the eviction branch treats them as stale and also
+    // drops them from the pin set.
     lru.synchronized { enforceBudget(spark, ignoreWindow = true) }
 
   private def enforceBudget(spark: SparkSession,
@@ -228,6 +232,12 @@ object Tables {
       } else if ((ignoreWindow || e.getValue < minKeep) &&
           (e.getKey.key._1 eq spark)) {
         it.remove()
+        // A boundary eviction (ignoreWindow, pinDepth == 0) can remove an
+        // entry the previous scope left in `pinned`; drop the stale pin
+        // too, else a later unscoped re-registration of the same
+        // (cache,key) would be mistaken for an in-flight pin and never
+        // evicted until the next pinScope clears the set.
+        pinned.remove(e.getKey)
         e.getKey.cache.remove(e.getKey.key).foreach(release)
         val now = cachedBytes(spark)
         System.err.println(s"[graft-cache] evicted ${e.getKey.key._2} " +

@@ -88,7 +88,19 @@ object Pca {
       require(x.length == d, s"embedding width ${x.length}, expected $d")
       val qa = new Array[Long](d)
       var k = 0
-      while (k < d) { qa(k) = math.floor(x(k) * 16384.0 + 0.5).toLong; k += 1 }
+      while (k < d) {
+        val q = math.floor(x(k) * 16384.0 + 0.5).toLong
+        // Loud guard on the magnitude budget (header comment): the whole
+        // fixed-point ledger — gram Long-safety to n = 2^35, bucketSql's
+        // |proj| < 2^44 floor-division shift — assumes |x| ≤ ~1 so
+        // |q| ≤ 2^14. A margin of 4x (|x| ≤ 4) keeps every bound intact
+        // (proj ≤ 64·2^16·2^18 = 2^40 < 2^44); beyond that the arithmetic
+        // would silently mis-bucket, so fail loudly instead.
+        require(math.abs(q) <= (S << 2),
+          s"embedding component $q exceeds fixed-point budget |q| <= 2^16 " +
+            s"(|x| <= 4); rescale the corpus or widen S")
+        qa(k) = q; k += 1
+      }
       var r = 0
       while (r < d) {
         val qr = qa(r); val off = r * d; var c = 0
@@ -344,6 +356,10 @@ object Pca {
     * bounded |p| < 2^44, so TDIV(p + 2^44, width) − 2^44/width is exact
     * floor division (the shift moves p into non-negative territory
     * where truncation IS floor) — the same arithmetic in both engines.
+    * The bound is enforced at the one quantization site (IntMomentAgg /
+    * quantized share the floor(x·S + 0.5) contract; the reduce guard
+    * caps |q| ≤ 2^16, so |proj| ≤ 64·2^16·VF = 2^40 < 2^44) — an
+    * out-of-range corpus fails loudly there, never mis-buckets here.
     */
   private def bucketSql(p: String, width: Long): String =
     s"(${tdiv(s"$p + ${1L << 44}", width.toString)} - ${(1L << 44) / width})"
