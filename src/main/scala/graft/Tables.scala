@@ -248,6 +248,23 @@ object Tables {
     }
   }
 
+  /** Test hook: the LRU-tracked frame-cache keys belonging to `spark` —
+    * the graft-owned resident frames, enumerated deterministically.
+    * Specs assert on THIS (and on the footprint delta) instead of an
+    * absolute global-storage threshold, so residue other suites leave in
+    * the shared pool can never flake a budget assertion.
+    */
+  private[graft] def residentKeys(spark: SparkSession): Seq[String] =
+    lru.synchronized {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = lru.keySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.key._1 eq spark) out += e.key._2
+      }
+      out.toSeq
+    }
+
   /** Fingerprinted cache key for session-lifetime frame caches, plus the
     * stale-entry purge: removes (and unpersists) entries of the same
     * (session, dir) whose fingerprint no longer matches, so in-place data

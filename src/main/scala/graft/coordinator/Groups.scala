@@ -234,6 +234,50 @@ object Groups {
       .withColumn("hit_ratio",
         col("n_hits").cast("double") / col("n_fetches").cast("double"))
 
+  /** Cursor-expiry window: a fetch cursor idle past this is deleted
+    * (KafkaTopicConsumerManager.deleteExpiredCursor's expirePeriodMillis).
+    */
+  private val CursorExpiryMs = 604800000L
+
+  /** Cursor expiration sweep — the destructive sibling of [[cursorCache]]
+    * (KafkaTopicConsumerManager.java:86-115 `deleteExpiredCursor` /
+    * `deleteOneExpiredCursor`: the manager tracks lastAccessTimes per
+    * cursor and the periodic sweep deletes any cursor with
+    * `current - lastAccess - expirePeriod > 0`, dropping it from the
+    * cache and async-deleting the managed cursor so the backlog it
+    * pinned can be cleared). Per (group, topic, partition) fetch cursor:
+    * the last access time (the commit time plus a deterministic md5
+    * jitter, clamped to now — an access cannot be in the future), its
+    * idle age at the log head, the DELETED/RETAINED verdict under the
+    * one-week expiry window, and the backlog the deletion releases
+    * (log_end - committed, the retention the open cursor was pinning).
+    *
+    * Scale: rides the cached [[leo]] aggregate — the commit frame is
+    * |groups|·|partitions| metadata rows; all decisions in-row.
+    */
+  def cursorExpiration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    commits(spark, dir)
+      .crossJoin(broadcast(nowMs(spark, dir)))
+      .withColumn("last_access_ms",
+        least(col("commit_ms") +
+          pmod(md5Long(concat_ws("#", lit("curexp"), col("group_id"),
+            col("topic"), col("part").cast("string"))),
+            lit(2L * CursorExpiryMs)),
+          col("now_ms")))
+      .withColumn("idle_ms", col("now_ms") - col("last_access_ms"))
+      .withColumn("expired",
+        when(col("idle_ms") > CursorExpiryMs, 1L).otherwise(0L))
+      .select(
+        col("group_id"), col("topic"), col("part"),
+        col("committed"), col("log_end"),
+        col("last_access_ms"), col("idle_ms"), col("expired"),
+        when(col("expired") === 1L, "DELETED").otherwise("RETAINED")
+          .as("action"),
+        when(col("expired") === 1L, col("log_end") - col("committed"))
+          .otherwise(0L).as("backlog_released"))
+  }
+
   /** auto.offset.reset impact: after retention truncates each partition
     * (the `retention` op's surviving range), a group whose committed
     * offset fell off the log must reset — resume at the new earliest,
@@ -997,6 +1041,7 @@ object Groups {
     "static_membership" -> staticMembershipBounce,
     "offset_reset" -> offsetReset,
     "cursor_cache" -> cursorCache,
+    "cursor_expiration" -> cursorExpiration,
     "assign_sticky" -> assignSticky,
     "rebalance_diff" -> rebalanceDiff,
     "group_offsets" -> groupOffsets,
@@ -1065,6 +1110,24 @@ object Groups {
     * without collisions. One definition shared by the protocol_select and
     * group_metadata_codec oracles so the election cannot drift.
     */
+  /** The DeleteGroups verdict as a reusable CTE chain (no leading comma;
+    * continues `gs`; ends with `delres(group_id, state_before, n_offsets,
+    * result)`) — ONE SQL spelling of the [[deleteGroups]] outcome rule,
+    * shared by the delete_groups and offsets_load_replay oracles so the
+    * group-tombstone derivation cannot drift from the verdict (the Spark
+    * side of offsets_load_replay derives its tombstone FROM deleteGroups'
+    * DELETED result, so the oracle must too).
+    */
+  private[coordinator] val delVerdictSql: String =
+    """oc AS (
+      |  SELECT group_id, COUNT(*) AS n_offsets FROM commits GROUP BY group_id),
+      |delres AS (
+      |  SELECT gs.group_id, gs.state AS state_before, oc.n_offsets,
+      |    CASE WHEN gs.state = 'Empty' THEN 'DELETED'
+      |         WHEN gs.state = 'Dead' THEN 'GROUP_ID_NOT_FOUND'
+      |         ELSE 'NON_EMPTY_GROUP' END AS result
+      |  FROM gs JOIN oc ON oc.group_id = gs.group_id)""".stripMargin
+
   private[coordinator] val protoVoteSql: String =
     """pmembers AS (
       |  SELECT CAST(g AS BIGINT) AS g, CAST(m AS BIGINT) AS m
@@ -1411,13 +1474,12 @@ object Groups {
         |    CAST(SUM(CASE WHEN commit_ms < 1705708800000 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_expired
         |  FROM commits GROUP BY group_id),
-        |oc AS (
-        |  SELECT group_id, COUNT(*) AS n_offsets FROM commits GROUP BY group_id),
+        |$delVerdictSql,
         |del AS (
-        |  SELECT gs.group_id,
-        |    CAST(CASE WHEN gs.state = 'Empty' THEN 1 ELSE 0 END AS BIGINT)
+        |  SELECT group_id,
+        |    CAST(CASE WHEN result = 'DELETED' THEN 1 ELSE 0 END AS BIGINT)
         |      AS group_tombstone
-        |  FROM gs JOIN oc ON oc.group_id = gs.group_id),
+        |  FROM delres),
         |d AS (
         |  SELECT pg.group_id, pg.n_parts, pg.n_expired, del.group_tombstone,
         |    ${md5LongSql("'rh1#' || pg.group_id")} % 4 < 3 AS has_txn
@@ -1466,20 +1528,13 @@ object Groups {
         |FROM h""".stripMargin),
     "delete_groups" -> (L + commitsSql.stripSuffix("\n") + ",\n" + memberHbSql +
       gstateSql +
-      """, oc AS (
-        |  SELECT group_id, COUNT(*) AS n_offsets FROM commits GROUP BY group_id),
-        |res AS (
-        |  SELECT gs.group_id, gs.state AS state_before, oc.n_offsets,
-        |    CASE WHEN gs.state = 'Empty' THEN 'DELETED'
-        |         WHEN gs.state = 'Dead' THEN 'GROUP_ID_NOT_FOUND'
-        |         ELSE 'NON_EMPTY_GROUP' END AS result
-        |  FROM gs JOIN oc ON oc.group_id = gs.group_id)
+      s""", $delVerdictSql
         |SELECT group_id, state_before, n_offsets, result,
         |  CAST(CASE WHEN result = 'DELETED' THEN n_offsets ELSE 0 END AS BIGINT)
         |    AS n_offsets_purged,
         |  CASE WHEN result = 'DELETED' THEN 'Dead' ELSE state_before END
         |    AS state_after
-        |FROM res""".stripMargin),
+        |FROM delres""".stripMargin),
     "static_membership" -> (L +
       s"""tp AS (SELECT DISTINCT topic, part FROM log),
          |ix AS (
@@ -1505,6 +1560,27 @@ object Groups {
         |  CAST(CASE WHEN committed < new_earliest THEN 1 ELSE 0 END AS BIGINT)
         |    AS reset_needed
         |FROM commits JOIN surv USING (topic, part)""".stripMargin),
+    // Composes commitsSql (the one commit-simulation definition) and the
+    // same now_ms frame the heartbeat family reads.
+    "cursor_expiration" -> (L + commitsSql +
+      s""", nw AS (SELECT MAX(latest_ms) AS now_ms FROM leo),
+        |la AS (
+        |  SELECT group_id, topic, part, committed, log_end,
+        |    LEAST(commit_ms + ${md5LongSql(
+             "'curexp#' || group_id || '#' || topic || '#' || CAST(part AS VARCHAR)")} % 1209600000,
+        |      now_ms) AS last_access_ms,
+        |    now_ms
+        |  FROM commits CROSS JOIN nw)
+        |SELECT group_id, topic, part, committed, log_end, last_access_ms,
+        |  now_ms - last_access_ms AS idle_ms,
+        |  CAST(CASE WHEN now_ms - last_access_ms > 604800000 THEN 1 ELSE 0
+        |    END AS BIGINT) AS expired,
+        |  CASE WHEN now_ms - last_access_ms > 604800000 THEN 'DELETED'
+        |    ELSE 'RETAINED' END AS action,
+        |  CAST(CASE WHEN now_ms - last_access_ms > 604800000
+        |    THEN log_end - committed ELSE 0 END AS BIGINT)
+        |    AS backlog_released
+        |FROM la""".stripMargin),
     "cursor_cache" -> (L + commitsSql +
       """, fetches AS (
         |  SELECT group_id, topic, part,

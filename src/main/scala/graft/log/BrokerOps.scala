@@ -390,6 +390,64 @@ object BrokerOps {
         max("delay_ms").as("max_delay_ms"))
   }
 
+  /** Purgatory watcher-list occupancy — the bookkeeping NEXT to
+    * [[timingWheel]]'s timer placement (utils/delayed/
+    * DelayedOperationPurgatory.java:110 `watchersForKey` — each delayed
+    * operation is appended to the watcher list of every key it watches;
+    * :115 `estimatedTotalOperations` counts registrations; :398-413
+    * `advanceClock` purges completed-but-still-watched operations from
+    * every list once `estimatedTotalOperations - delayed() >
+    * purgeInterval` (builder default 1000 — :52); completed ops are
+    * removed LAZILY, so the lists carry them as dead weight between
+    * purge passes). Modeled per (api, key): the Produce purgatory parks
+    * every acks=all batch (one watcher per [[LogOps.delayedProduce]]
+    * batch; completed iff both follower acks beat the 200 ms timeout —
+    * the SAME ack draw, via LogOps.ackDraw), and the Fetch purgatory
+    * parks every under-min-bytes poll of [[LogOps.fetchWait]] (completed
+    * when a later batch's arrival wakes it; the partition's final parked
+    * poll has no later data and expires). Per (api, topic, part):
+    * watchers registered, completed vs expired (the reaper's share), and
+    * the api-wide purge accounting — total watched operations, full
+    * purge passes at the 1000-op purgeInterval, and the residue the last
+    * pass leaves watched.
+    *
+    * Scale: one (topic, part, sec) partial aggregate (the same compressed
+    * shape fetch_wait/delayed_produce pay), a window over that
+    * seconds-grain frame (not the data), and two metadata rollups.
+    */
+  def purgatoryWatchers(spark: SparkSession, dir: String): DataFrame = {
+    val secs = LogOps.log(spark, dir)
+      .withColumn("sec", expr("tms div 1000"))
+      .groupBy("topic", "part", "sec")
+      .agg(sum(length(col("v")) + length(col("k")) + lit(16)).cast("long")
+        .as("bytes"))
+    val produce = secs
+      .withColumn("wait_ms",
+        greatest(LogOps.ackDraw("1"), LogOps.ackDraw("2")))
+      .select(lit("Produce").as("api"), col("topic"), col("part"),
+        lit(1L).as("registered"),
+        when(col("wait_ms") <= 200L, 1L).otherwise(0L).as("completed"))
+    val fetch = secs
+      .withColumn("max_sec",
+        max("sec").over(Window.partitionBy("topic", "part")))
+      .filter(col("bytes") < 1024L)
+      .select(lit("Fetch").as("api"), col("topic"), col("part"),
+        lit(1L).as("registered"),
+        when(col("sec") < col("max_sec"), 1L).otherwise(0L).as("completed"))
+    val perKey = produce.unionByName(fetch)
+      .groupBy("api", "topic", "part")
+      .agg(
+        sum("registered").cast("long").as("n_registered"),
+        sum("completed").cast("long").as("n_completed"),
+        (sum("registered") - sum("completed")).cast("long").as("n_expired"))
+    val perApi = perKey.groupBy("api")
+      .agg(sum("n_registered").cast("long").as("api_total_watchers"))
+      .withColumn("n_purge_passes", expr("api_total_watchers div 1000"))
+      .withColumn("purge_residue", pmod(col("api_total_watchers"),
+        lit(1000L)))
+    perKey.join(broadcast(perApi), "api")
+  }
+
   /** Tiered-storage READ path — the flip side of [[tieredOffloadPlan]]:
     * where each consumer group's next fetch actually reads from. Joins
     * every group's committed offset (the resume position) to the segment
@@ -587,6 +645,7 @@ object BrokerOps {
     "isr_status" -> isrStatus,
     "replica_reassignment" -> replicaReassignment,
     "timing_wheel" -> timingWheel,
+    "purgatory_watchers" -> purgatoryWatchers,
     "request_latency" -> requestLatency,
     "latency_hdr_sketch" -> latencyHdrSketch,
     "compaction_ratio" -> compactionRatio,
@@ -750,6 +809,45 @@ object BrokerOps {
         |  CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
         |  MIN(delay_ms) AS min_delay_ms, MAX(delay_ms) AS max_delay_ms
         |FROM bucketed GROUP BY topic, level""".stripMargin),
+    // The Produce branch samples the SAME ack draw as delayed_produce
+    // (LogOps.ackDraw); the secs frame is fetch_wait's poll grain.
+    "purgatory_watchers" -> (L +
+      s"""secs AS (
+        |  SELECT topic, part, tms // 1000 AS sec,
+        |    CAST(SUM(length(v) + length(k) + 16) AS BIGINT) AS bytes
+        |  FROM log GROUP BY topic, part, tms // 1000),
+        |produce AS (
+        |  SELECT 'Produce' AS api, topic, part, 1 AS registered,
+        |    CASE WHEN GREATEST(
+        |        ${md5LongSql(
+             "topic || '#' || CAST(part AS VARCHAR) || '#' || CAST(sec AS VARCHAR) || '#1'")} % 250,
+        |        ${md5LongSql(
+             "topic || '#' || CAST(part AS VARCHAR) || '#' || CAST(sec AS VARCHAR) || '#2'")} % 250)
+        |      <= 200 THEN 1 ELSE 0 END AS completed
+        |  FROM secs),
+        |fpolls AS (
+        |  SELECT 'Fetch' AS api, topic, part, 1 AS registered,
+        |    CASE WHEN sec < max_sec THEN 1 ELSE 0 END AS completed
+        |  FROM (SELECT *, MAX(sec) OVER (PARTITION BY topic, part)
+        |          AS max_sec
+        |        FROM secs)
+        |  WHERE bytes < 1024),
+        |uni AS (SELECT * FROM produce UNION ALL SELECT * FROM fpolls),
+        |pk AS (
+        |  SELECT api, topic, part,
+        |    CAST(SUM(registered) AS BIGINT) AS n_registered,
+        |    CAST(SUM(completed) AS BIGINT) AS n_completed,
+        |    CAST(SUM(registered) - SUM(completed) AS BIGINT) AS n_expired
+        |  FROM uni GROUP BY api, topic, part),
+        |pa AS (
+        |  SELECT api, CAST(SUM(n_registered) AS BIGINT)
+        |    AS api_total_watchers
+        |  FROM pk GROUP BY api)
+        |SELECT pk.api, topic, part, n_registered, n_completed, n_expired,
+        |  api_total_watchers,
+        |  api_total_watchers // 1000 AS n_purge_passes,
+        |  api_total_watchers % 1000 AS purge_residue
+        |FROM pk JOIN pa USING (api)""".stripMargin),
     "latency_hdr_sketch" -> (L + latencySamplesSql +
       s"""hist AS (
          |  SELECT api,

@@ -237,10 +237,17 @@ object LogOps {
     * Scale: same shape as fetch_wait — one (topic, part, sec) partial
     * aggregate, then closed-form per-batch arithmetic.
     */
-  def delayedProduce(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Parity.md5Long
-    def ack(f: String) = pmod(md5Long(concat_ws("#",
+  /** Follower-ack latency draw of one produce batch (keyed by the batch's
+    * (topic, part, sec) columns; `f` names the follower) — ONE spelling
+    * shared by [[delayedProduce]] and BrokerOps.purgatoryWatchers so the
+    * two purgatory views sample identical ack latencies.
+    */
+  private[log] def ackDraw(f: String): org.apache.spark.sql.Column =
+    pmod(md5Long(concat_ws("#",
       col("topic"), col("part"), col("sec"), lit(f))), lit(250L))
+
+  def delayedProduce(spark: SparkSession, dir: String): DataFrame = {
+    def ack(f: String) = ackDraw(f)
     log(spark, dir)
       .withColumn("sec", expr("tms div 1000"))
       .groupBy("topic", "part", "sec")

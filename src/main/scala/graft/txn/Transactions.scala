@@ -585,6 +585,114 @@ object Transactions {
           .otherwise("FULL_REPLAY"))
   }
 
+  /** Snapshot-buffer replay — the compacted `__kop_producer_state` read a
+    * recovering broker performs before the log replay
+    * (storage/PulsarTopicProducerStateManagerSnapshotBuffer.java:375
+    * `readLatestSnapshot` — the reader walks the buffer topic and keeps
+    * the LAST message per topic-partition key (:369 `latestSnapshots.put`
+    * overwrites — read-latest-per-key, the compaction contract);
+    * storage/ProducerStateManager.java:80-105 `applySnapshotAndRecover` —
+    * a snapshot whose topicUUID differs from the live topic's is IGNORED
+    * (the topic was deleted and re-created; its old state must not leak
+    * into the new incarnation) and recovery falls back to a full replay
+    * from offset 0). Completes the recovery triad with
+    * Groups.offsetsLoadReplay / txnLogReplay: per partition, the snapshot
+    * generations written over the [[SnapInterval]] cadence, the stale
+    * generations the latest-per-key read supersedes, the UUID-mismatch
+    * draw (an md5 coin, ~1/8 re-created), what the applied snapshot
+    * restores (the [[producerStateSnapshot]] boundary capture: producers,
+    * open txns, aborted index), and the replay tail from the applied
+    * boundary to the log end.
+    *
+    * Scale: composes [[producerStateSnapshot]]'s |partitions|-row frame —
+    * the data-sized work is its two partial-aggregated passes; everything
+    * here is in-row arithmetic on metadata.
+    */
+  def snapshotBufferReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    producerStateSnapshot(spark, dir)
+      .withColumn("n_snapshots_written", expr(s"log_end div $SnapInterval"))
+      .withColumn("n_stale_skipped",
+        greatest(col("n_snapshots_written") - 1L, lit(0L)))
+      .withColumn("topic_recreated",
+        when(col("n_snapshots_written") > 0L &&
+          pmod(md5Long(concat_ws("#", lit("snapuuid"), col("topic"),
+            col("part").cast("string"))), lit(8L)) === 0L, 1L)
+          .otherwise(0L))
+      .withColumn("applied_snap_off",
+        when(col("n_snapshots_written") === 0L ||
+          col("topic_recreated") === 1L, 0L)
+          .otherwise(col("snap_off")))
+      .select(
+        col("topic"), col("part"), col("log_end"),
+        col("n_snapshots_written"), col("n_stale_skipped"),
+        col("topic_recreated"),
+        col("snap_off").as("latest_snap_off"),
+        col("applied_snap_off"),
+        when(col("applied_snap_off") > 0L, col("n_producers_snap"))
+          .otherwise(0L).as("restored_producers"),
+        when(col("applied_snap_off") > 0L, col("n_ongoing_at_snap"))
+          .otherwise(0L).as("restored_ongoing"),
+        when(col("applied_snap_off") > 0L, col("n_aborted_index"))
+          .otherwise(0L).as("restored_aborted"),
+        (col("log_end") - col("applied_snap_off")).as("replay_tail"),
+        when(col("n_snapshots_written") === 0L, "NO_SNAPSHOT")
+          .when(col("topic_recreated") === 1L, "UUID_MISMATCH")
+          .otherwise("SNAPSHOT_REPLAY").as("recovery"))
+  }
+
+  /** Marker-channel retry accounting — the failure path of the per-broker
+    * marker queues (coordinator/transaction/TransactionMarkerChannelManager
+    * .java:549-566: a failed channel to a destination broker re-enqueues
+    * the WHOLE drained batch via addTxnMarkersToBrokerQueue, and the
+    * fixed-delay drain (:584, every 100 ms) retries it next tick; :471-530
+    * `tryAppendToLog`/`retryLogAppends` is the same requeue-and-redrain
+    * discipline on the txn-log side). Extends [[txnMarkers]]' fan-out: per
+    * destination broker, the marker entries enqueued (one per completed
+    * txn per broker — an ONGOING txn has no completion to mark), the
+    * entries whose first send fails (a deterministic md5 draw per
+    * (txn, broker): 8 outcomes — 5 clean, 2 one-retry, 1 two-retry), the
+    * requeue rounds, total send attempts, and the drain latency under the
+    * 100 ms fixed-delay schedule (an entry sent on round r drains at
+    * (r+1)·100 ms after enqueue).
+    *
+    * Scale: one partial-aggregated shuffle on (txn_id, broker) — at most
+    * 64·4 groups; the broker rollup is metadata-sized.
+    */
+  def txnMarkerRetries(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    txnLog(spark, dir)
+      .withColumn("tp",
+        concat(col("topic"), lit("#"), col("part").cast("string")))
+      .withColumn("broker", pmod(md5Long(col("tp")), lit(4L)))
+      .groupBy("txn_id", "broker")
+      .agg(countDistinct("tp").as("n_partitions"))
+      .withColumn("fate", txnFate(col("txn_id")))
+      .filter(col("fate") =!= "ONGOING")
+      .withColumn("draw",
+        pmod(md5Long(concat_ws("#", lit("mkretry"),
+          col("txn_id").cast("string"), col("broker").cast("string"))),
+          lit(8L)))
+      .withColumn("fail_rounds",
+        when(col("draw") === 7L, 2L).when(col("draw") >= 5L, 1L)
+          .otherwise(0L))
+      .groupBy("broker")
+      .agg(
+        count(lit(1)).as("n_marker_entries"),
+        sum("n_partitions").cast("long").as("n_partitions"),
+        sum(when(col("fate") === "ABORTED", 1L).otherwise(0L)).cast("long")
+          .as("n_abort_markers"),
+        sum(when(col("fail_rounds") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_failed_first_send"),
+        sum("fail_rounds").cast("long").as("n_requeues"),
+        (sum("fail_rounds") + count(lit(1))).cast("long")
+          .as("n_send_attempts"),
+        (max("fail_rounds") + 1L).as("max_rounds"),
+        ((max("fail_rounds") + 1L) * 100L).as("max_drain_ms"),
+        sum((col("fail_rounds") + 1L) * 100L).cast("long")
+          .as("sum_drain_ms"))
+  }
+
   /** EndTxn request validation — the decision table of
     * TransactionCoordinator.endTxnByStatus
     * (/root/reference/kafka-impl/.../coordinator/transaction/
@@ -736,6 +844,8 @@ object Transactions {
         count(lit(1)).as("n_records"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_buffer_replay" -> snapshotBufferReplay,
+    "txn_marker_retries" -> txnMarkerRetries,
     "end_txn_validation" -> endTxnValidation,
     "init_producer_id" -> initProducerId,
     "aborted_txn_index" -> abortedTxnIndex,
@@ -758,6 +868,45 @@ object Transactions {
     "producer_gaps" -> producerGaps)
 
   private val L = LogOps.logSqlCte
+
+  /** The [[producerStateSnapshot]] boundary frame as a reusable CTE chain
+    * (no leading comma; continues `txn`; ends with `snapb(topic, part,
+    * log_end, snap_off, n_ongoing_at_snap, n_aborted_index,
+    * n_producers_snap)`) — ONE SQL spelling of the snapshot capture,
+    * shared by the producer_state_snapshot and snapshot_buffer_replay
+    * oracles so the boundary arithmetic cannot drift.
+    */
+  private lazy val snapBoundarySql: String =
+    s"""bounds AS (
+      |  SELECT topic, part, MAX(offs) + 1 AS log_end,
+      |    ((MAX(offs) + 1) // 256) * 256 AS snap_off
+      |  FROM txn GROUP BY topic, part),
+      |tl AS (
+      |  SELECT topic, part, txn_id, MIN(offs) AS mn, MAX(offs) AS mx
+      |  FROM txn GROUP BY topic, part, txn_id),
+      |ts AS (
+      |  SELECT tl.topic, tl.part,
+      |    CAST(SUM(CASE WHEN mn < snap_off AND
+      |        ((${fateSql("txn_id")}) = 'ONGOING' OR mx >= snap_off)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ongoing_at_snap,
+      |    CAST(SUM(CASE WHEN (${fateSql("txn_id")}) = 'ABORTED'
+      |        AND mx < snap_off
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_aborted_index
+      |  FROM tl JOIN bounds USING (topic, part)
+      |  GROUP BY tl.topic, tl.part),
+      |pr AS (
+      |  SELECT txn.topic, txn.part,
+      |    CAST(COUNT(DISTINCT k) AS BIGINT) AS n_producers_snap
+      |  FROM txn JOIN bounds USING (topic, part)
+      |  WHERE offs < snap_off
+      |  GROUP BY txn.topic, txn.part),
+      |snapb AS (
+      |  SELECT b.topic, b.part, log_end, snap_off,
+      |    n_ongoing_at_snap, n_aborted_index,
+      |    COALESCE(n_producers_snap, 0) AS n_producers_snap
+      |  FROM bounds b
+      |  JOIN ts USING (topic, part)
+      |  LEFT JOIN pr USING (topic, part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "init_producer_id" -> (L + txnSql +
@@ -997,38 +1146,77 @@ object Transactions {
          |    AS headroom_blocks
          |FROM seq""".stripMargin),
     "producer_state_snapshot" -> (L + txnSql +
-      s""", bounds AS (
-        |  SELECT topic, part, MAX(offs) + 1 AS log_end,
-        |    ((MAX(offs) + 1) // 256) * 256 AS snap_off
-        |  FROM txn GROUP BY topic, part),
-        |tl AS (
-        |  SELECT topic, part, txn_id, MIN(offs) AS mn, MAX(offs) AS mx
-        |  FROM txn GROUP BY topic, part, txn_id),
-        |ts AS (
-        |  SELECT tl.topic, tl.part,
-        |    CAST(SUM(CASE WHEN mn < snap_off AND
-        |        ((${fateSql("txn_id")}) = 'ONGOING' OR mx >= snap_off)
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ongoing_at_snap,
-        |    CAST(SUM(CASE WHEN (${fateSql("txn_id")}) = 'ABORTED'
-        |        AND mx < snap_off
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_aborted_index
-        |  FROM tl JOIN bounds USING (topic, part)
-        |  GROUP BY tl.topic, tl.part),
-        |pr AS (
-        |  SELECT txn.topic, txn.part,
-        |    CAST(COUNT(DISTINCT k) AS BIGINT) AS n_producers_snap
-        |  FROM txn JOIN bounds USING (topic, part)
-        |  WHERE offs < snap_off
-        |  GROUP BY txn.topic, txn.part)
-        |SELECT b.topic, b.part, log_end, snap_off,
-        |  n_ongoing_at_snap, n_aborted_index,
-        |  COALESCE(n_producers_snap, 0) AS n_producers_snap,
+      s""", $snapBoundarySql
+        |SELECT topic, part, log_end, snap_off,
+        |  n_ongoing_at_snap, n_aborted_index, n_producers_snap,
         |  log_end - snap_off AS replay_tail,
         |  CASE WHEN snap_off > 0 THEN 'SNAPSHOT_REPLAY'
         |    ELSE 'FULL_REPLAY' END AS recovery
-        |FROM bounds b
-        |JOIN ts USING (topic, part)
-        |LEFT JOIN pr USING (topic, part)""".stripMargin),
+        |FROM snapb""".stripMargin),
+    // Chains the SAME snapshot-boundary frame as producer_state_snapshot
+    // (snapBoundarySql — one spelling), then the buffer-read model on top.
+    "snapshot_buffer_replay" -> (L + txnSql +
+      s""", $snapBoundarySql,
+        |flags AS (
+        |  SELECT *, log_end // 256 AS n_snapshots_written,
+        |    CASE WHEN log_end // 256 > 0 AND ${md5LongSql(
+             "'snapuuid#' || topic || '#' || CAST(part AS VARCHAR)")} % 8 = 0
+        |      THEN 1 ELSE 0 END AS topic_recreated
+        |  FROM snapb),
+        |app AS (
+        |  SELECT *,
+        |    CASE WHEN n_snapshots_written = 0 OR topic_recreated = 1
+        |      THEN 0 ELSE snap_off END AS applied_snap_off
+        |  FROM flags)
+        |SELECT topic, part, log_end,
+        |  CAST(n_snapshots_written AS BIGINT) AS n_snapshots_written,
+        |  CAST(GREATEST(n_snapshots_written - 1, 0) AS BIGINT)
+        |    AS n_stale_skipped,
+        |  CAST(topic_recreated AS BIGINT) AS topic_recreated,
+        |  snap_off AS latest_snap_off,
+        |  CAST(applied_snap_off AS BIGINT) AS applied_snap_off,
+        |  CAST(CASE WHEN applied_snap_off > 0 THEN n_producers_snap
+        |    ELSE 0 END AS BIGINT) AS restored_producers,
+        |  CAST(CASE WHEN applied_snap_off > 0 THEN n_ongoing_at_snap
+        |    ELSE 0 END AS BIGINT) AS restored_ongoing,
+        |  CAST(CASE WHEN applied_snap_off > 0 THEN n_aborted_index
+        |    ELSE 0 END AS BIGINT) AS restored_aborted,
+        |  CAST(log_end - applied_snap_off AS BIGINT) AS replay_tail,
+        |  CASE WHEN n_snapshots_written = 0 THEN 'NO_SNAPSHOT'
+        |       WHEN topic_recreated = 1 THEN 'UUID_MISMATCH'
+        |       ELSE 'SNAPSHOT_REPLAY' END AS recovery
+        |FROM app""".stripMargin),
+    "txn_marker_retries" -> (L + txnSql +
+      s""", pairs AS (
+        |  SELECT txn_id, broker, COUNT(DISTINCT tp) AS n_partitions
+        |  FROM (SELECT txn_id, topic || '#' || CAST(part AS VARCHAR) AS tp,
+        |          ${md5LongSql(
+             "topic || '#' || CAST(part AS VARCHAR)")} % 4 AS broker
+        |        FROM txn)
+        |  GROUP BY txn_id, broker),
+        |fp AS (
+        |  SELECT *, (${fateSql("txn_id")}) AS fate FROM pairs
+        |  WHERE (${fateSql("txn_id")}) <> 'ONGOING'),
+        |dr AS (
+        |  SELECT *,
+        |    CASE WHEN d = 7 THEN 2 WHEN d >= 5 THEN 1 ELSE 0 END
+        |      AS fail_rounds
+        |  FROM (SELECT *, ${md5LongSql(
+             "'mkretry#' || CAST(txn_id AS VARCHAR) || '#' || CAST(broker AS VARCHAR)")} % 8
+        |          AS d
+        |        FROM fp))
+        |SELECT broker, COUNT(*) AS n_marker_entries,
+        |  CAST(SUM(n_partitions) AS BIGINT) AS n_partitions,
+        |  CAST(SUM(CASE WHEN fate = 'ABORTED' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_abort_markers,
+        |  CAST(SUM(CASE WHEN fail_rounds > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_failed_first_send,
+        |  CAST(SUM(fail_rounds) AS BIGINT) AS n_requeues,
+        |  CAST(SUM(fail_rounds) + COUNT(*) AS BIGINT) AS n_send_attempts,
+        |  CAST(MAX(fail_rounds) + 1 AS BIGINT) AS max_rounds,
+        |  CAST((MAX(fail_rounds) + 1) * 100 AS BIGINT) AS max_drain_ms,
+        |  CAST(SUM((fail_rounds + 1) * 100) AS BIGINT) AS sum_drain_ms
+        |FROM dr GROUP BY broker""".stripMargin),
     "lso_lag" -> (L + txnSql +
       s"""SELECT topic, part, log_end,
         |  first_undecided, n_open_txns,

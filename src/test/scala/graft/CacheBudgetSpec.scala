@@ -52,20 +52,27 @@ class CacheBudgetSpec extends AnyFunSuite {
     SparkEntry.queries("knn_degree")(spark, dir).count() // prime caches
     def footprint: Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    val primed = Tables.residentKeys(spark)
+    assert(primed.nonEmpty, "nothing cached to evict")
     val before = footprint
-    assert(before > 0L, "nothing cached to evict")
+    assert(before > 0L, "primed frames hold no storage")
     try {
       System.setProperty("graft.cache.budget", "1")
       Tables.enforceBudgetNow(spark)
     } finally System.clearProperty("graft.cache.budget")
-    // Stray kilobytes can belong to blocks outside the graft frame caches
-    // (earlier suites' spec-level .cache() calls when run in the full
-    // suite) — "drained" means the registry's multi-MB frames are gone,
-    // not a bit-zero storage pool; the bound is relative to what was
-    // resident so the pin holds both solo and after 17 other suites.
-    val after = footprint
-    assert(after < math.max(before / 8, 256L << 10),
-      s"boundary enforcement left $after of $before bytes resident")
+    // Deterministic verdict: enumerate the GRAFT-OWNED entries (the
+    // global LRU tracks every session-lifetime frame) and assert those
+    // are gone — a global byte threshold would hinge on whatever blocks
+    // other suites happen to leave in the shared storage pool.
+    val leftover = Tables.residentKeys(spark)
+    assert(leftover.isEmpty,
+      s"boundary enforcement left graft frames resident: $leftover")
+    // and their blocks were actually released (blocking unpersist), so
+    // the pool shrank by the frames' share — residue is untouched, so
+    // a strict decrease is deterministic too.
+    assert(footprint < before,
+      s"graft frames evicted but their blocks were not released " +
+        s"($before -> $footprint bytes)")
     // and the evicted frames still rebuild correctly
     assert(SparkEntry.queries("knn_degree")(spark, dir).count() > 0)
   }

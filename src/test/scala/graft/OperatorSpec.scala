@@ -2798,6 +2798,93 @@ class OperatorSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("snapshot_buffer_replay: applied boundary consistent with capture") {
+    val r = txn.Transactions.snapshotBufferReplay(spark, dir).cache()
+    val snap = txn.Transactions.producerStateSnapshot(spark, dir)
+      .select(col("topic"), col("part"), col("snap_off"),
+        col("n_producers_snap"))
+    // the buffer view's latest boundary IS producer_state_snapshot's
+    assert(r.join(snap, Seq("topic", "part"))
+      .filter(col("latest_snap_off") =!= col("snap_off")).count() == 0)
+    r.collect().foreach { row =>
+      val (logEnd, nSnaps, applied, tail) = (
+        row.getAs[Long]("log_end"), row.getAs[Long]("n_snapshots_written"),
+        row.getAs[Long]("applied_snap_off"), row.getAs[Long]("replay_tail"))
+      assert(tail == logEnd - applied)
+      assert(row.getAs[Long]("n_stale_skipped") == math.max(nSnaps - 1, 0L))
+      row.getAs[String]("recovery") match {
+        case "SNAPSHOT_REPLAY" =>
+          assert(applied == row.getAs[Long]("latest_snap_off") && applied > 0)
+        case "UUID_MISMATCH" =>
+          // re-created topic: snapshot ignored, nothing restored
+          assert(applied == 0 && nSnaps > 0 &&
+            row.getAs[Long]("restored_producers") == 0L)
+        case "NO_SNAPSHOT" => assert(applied == 0 && nSnaps == 0)
+        case other => fail(s"unknown recovery $other")
+      }
+    }
+    r.unpersist()
+  }
+
+  test("txn_marker_retries: attempt and drain accounting closes") {
+    val m = txn.Transactions.txnMarkerRetries(spark, dir).collect()
+    assert(m.nonEmpty && m.forall(r => r.getAs[Long]("broker") >= 0 &&
+      r.getAs[Long]("broker") < 4))
+    m.foreach { r =>
+      assert(r.getAs[Long]("n_send_attempts") ==
+        r.getAs[Long]("n_marker_entries") + r.getAs[Long]("n_requeues"))
+      assert(r.getAs[Long]("max_drain_ms") ==
+        r.getAs[Long]("max_rounds") * 100L)
+      // the fixed-delay ledger: every entry pays >= one 100ms drain tick
+      assert(r.getAs[Long]("sum_drain_ms") ==
+        r.getAs[Long]("n_send_attempts") * 100L)
+      assert(r.getAs[Long]("n_failed_first_send") <=
+        r.getAs[Long]("n_requeues"))
+    }
+  }
+
+  test("cursor_expiration: verdict follows the idle window exactly") {
+    val c = coordinator.Groups.cursorExpiration(spark, dir).cache()
+    assert(c.count() ==
+      coordinator.Groups.cursorCache(spark, dir)
+        .agg(sum("n_parts")).head.getLong(0))
+    c.collect().foreach { r =>
+      val idle = r.getAs[Long]("idle_ms")
+      assert(idle >= 0, "an access cannot be in the future")
+      val expired = r.getAs[Long]("expired")
+      assert(expired == (if (idle > 604800000L) 1L else 0L))
+      assert(r.getAs[String]("action") ==
+        (if (expired == 1L) "DELETED" else "RETAINED"))
+      assert(r.getAs[Long]("backlog_released") ==
+        (if (expired == 1L)
+          r.getAs[Long]("log_end") - r.getAs[Long]("committed")
+        else 0L))
+    }
+    c.unpersist()
+  }
+
+  test("purgatory_watchers: occupancy closes and purge ticks are api-wide") {
+    val p = graft.log.BrokerOps.purgatoryWatchers(spark, dir).cache()
+    assert(p.filter(col("n_registered") =!=
+      col("n_completed") + col("n_expired")).count() == 0)
+    // Fetch keys expire at most their FINAL parked poll
+    assert(p.filter(col("api") === "Fetch" && col("n_expired") > 1L)
+      .count() == 0)
+    // api-level accounting: one row-set per api, consistent with the sum
+    val apis = p.groupBy("api").agg(
+      sum("n_registered").as("s"),
+      max("api_total_watchers").as("t"),
+      countDistinct("api_total_watchers").as("d")).collect()
+    assert(apis.map(_.getAs[String]("api")).toSet == Set("Fetch", "Produce"))
+    apis.foreach { r =>
+      assert(r.getAs[Long]("d") == 1L)
+      assert(r.getAs[Long]("s") == r.getAs[Long]("t"))
+    }
+    assert(p.filter(col("n_purge_passes") =!=
+      expr("api_total_watchers div 1000")).count() == 0)
+    p.unpersist()
+  }
+
   test("prefix_dup_profile: shares bounded, buckets consistent") {
     val p = llm.TextAnalysis.prefixDupProfile(spark, dir).cache()
     assert(p.filter(col("shared_bp") < 0L || col("shared_bp") > 10000L ||
