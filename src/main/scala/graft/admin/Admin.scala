@@ -1350,7 +1350,13 @@ object Admin {
         |    CAST(n_status_polls AS BIGINT), CAST(0 AS BIGINT), 'OK',
         |    migration_status, n_outstanding_proxy FROM base)""".stripMargin),
     "advertised_listeners" ->
-      s"""WITH live AS (SELECT DISTINCT event_type FROM events LIMIT 1),
+      // NOT `SELECT DISTINCT ... LIMIT 1` comma-joined: DuckDB 1.0.0
+      // plans that CTE nondeterministically in a comma cross join (it
+      // returned 0 rows on ~2/5 executions, measured), silently zeroing
+      // the whole result. The aggregate+HAVING anchor keeps the same
+      // "a tenantless cluster advertises nothing" semantics — exactly
+      // one row iff events is non-empty — through a stable plan.
+      s"""WITH live AS (SELECT 1 AS one FROM events HAVING COUNT(*) > 0),
         |bs AS (
         |  SELECT bb.broker, ss.slot FROM
         |    (SELECT CAST(g AS BIGINT) AS broker

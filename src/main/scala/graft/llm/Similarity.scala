@@ -112,10 +112,14 @@ object Similarity {
     * tables becomes a candidate, so miss probability decays as
     * (1 - p^k)^L): 4 independent tables of 6 planes each, drawn from the
     * same md5 plane namespace (table t owns planes 6t..6t+5), so the
-    * whole 24-plane matrix is one broadcast. Candidates are the distinct
-    * union across tables; top-3 by exact cosine. At 100 TB: L multiplies
-    * only the bucket index (4 signatures per vector), never the vectors,
-    * and each table's join stays a (t, bucket)-keyed equi-join.
+    * whole 24-plane matrix is one broadcast. Candidates are the union
+    * across tables (any-table collision = a code-array overlap, each
+    * pair produced once); top-3 by exact cosine. At 100 TB: L multiplies
+    * only the code array (4 signatures per vector, in-row), never the
+    * vectors; with a FIXED 8-query set the candidate probe is a
+    * broadcast compare against the one-scan coded corpus — a large query
+    * set would flip to posexplode + (t, bucket) equi-join, trading one
+    * fan-out exchange for the per-row compares.
     */
   def annLshMulti(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
@@ -123,37 +127,37 @@ object Similarity {
       """transform(sequence(0, 63), d ->
         |  CAST(CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) AS DOUBLE)
         |    / 72057594037927936.0D - 0.5D)""".stripMargin).as("pw"))
-    // One broadcast 24-plane matrix, all 4 table buckets computed in-row
-    // (table t owns planes 6t..6t+5), then a 4-row posexplode — the
-    // previous shape shuffled 24n (vec, plane) rows through a groupBy.
+    // One broadcast 24-plane matrix, all 4 table signatures computed
+    // in-row as ONE code array (code = t*64 + bucket — t and bucket are
+    // both recoverable, so "collides in ANY table" IS arrays_overlap),
+    // and v/nrm carried through the join like single-table annLsh. The
+    // previous shape paid a 4-row posexplode, a distinct exchange over
+    // the candidate union, and two data-sized joins back for v/nrm; this
+    // shape touches the vectors ONCE — an 8-row broadcast nested-loop
+    // compare (8 cheap 4x4 overlap tests per vector, no shuffle at all
+    // before the bounded candidate window), with each (q, c) candidate
+    // produced exactly once (the overlap test subsumes the distinct).
     // Same per-(vector, plane) arithmetic, so the oracle is unchanged.
     val planeMat = planeMatrix(planes)
-    val buckets = vecs
+    val coded = vecs
       .crossJoin(broadcast(planeMat))
-      .select(col("vec_id"),
-        posexplode(expr(
-          """transform(sequence(0, 3), t ->
-            |  aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, p) ->
-            |    acc + CASE WHEN vec_dot(v, pm[t * 6 + p]) > 0
-            |      THEN CAST(pow(2, p) AS BIGINT)
-            |      ELSE CAST(0 AS BIGINT) END))""".stripMargin))
-          .as(Seq("t", "bucket")))
-      .select(col("vec_id"), col("t").cast("long").as("t"), col("bucket"))
-    val q = buckets.filter(col("vec_id") < 8)
-    val cand = broadcast(q.select(col("vec_id").as("q_id"),
-        col("t").as("qt"), col("bucket").as("qb")))
-      .join(buckets.as("c"),
-        col("qt") === col("c.t") && col("qb") === col("c.bucket") &&
+      .withColumn("codes", expr(
+        """transform(sequence(0, 3), t ->
+          |  t * 64 + aggregate(sequence(0, 5), CAST(0 AS BIGINT),
+          |    (acc, p) ->
+          |      acc + CASE WHEN vec_dot(v, pm[t * 6 + p]) > 0
+          |        THEN CAST(pow(2, p) AS BIGINT)
+          |        ELSE CAST(0 AS BIGINT) END))""".stripMargin))
+      .drop("pm")
+    val q = coded.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("codes").as("qcodes"))
+    val pairs = broadcast(q)
+      .join(coded.as("c"),
+        arrays_overlap(col("qcodes"), col("c.codes")) &&
           col("q_id") =!= col("c.vec_id"))
-      .select(col("q_id"), col("c.vec_id").as("n_id"))
-      .distinct()
-    val pairs = cand
-      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm")), "q_id")
-      .join(vecs.select(col("vec_id").as("n_id"), col("v").as("cv"),
-        col("nrm").as("cnrm")), "n_id")
-      .select(col("q_id"), col("n_id"),
-        (expr("vec_dot(qv, cv)") / (col("qnrm") * col("cnrm"))).as("cos"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        (expr("vec_dot(qv, c.v)") / (col("qnrm") * col("c.nrm"))).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)

@@ -697,7 +697,22 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), s"$name shuffles a join side:\n$p")
       assert(!p.contains("partial_sum"),
         s"$name still builds buckets through an aggregate:\n$p")
-      assert(p.contains("BroadcastHashJoin"), s"$name not broadcast:\n$p")
     }
+    // single-table: a (bucket)-keyed broadcast equi-join
+    assert(planOf(graft.llm.Similarity.queries("ann_lsh")(spark, dir))
+      .contains("BroadcastHashJoin"), "ann_lsh not broadcast")
+    // multi-table: the any-table collision is an in-row code-array
+    // overlap against the 8 broadcast queries — no posexplode fan-out,
+    // no distinct exchange, no join back for v/nrm (the r14 4.2x-at-100x
+    // scaler was exactly those three extra exchanges).
+    val pm = planOf(graft.llm.Similarity.queries("ann_lsh_multi")(spark, dir))
+    assert(pm.contains("BroadcastNestedLoopJoin"),
+      s"ann_lsh_multi lost the broadcast compare:\n$pm")
+    // exactly ONE hash exchange: the final top-k window's (the 24-row
+    // plane-matrix fold is a SinglePartition metadata aggregate, allowed)
+    assert("Exchange hashpartitioning".r.findAllIn(pm).size == 1,
+      s"ann_lsh_multi re-grew a distinct/join exchange:\n$pm")
+    assert(!pm.toLowerCase.contains("generate"),
+      s"ann_lsh_multi re-grew the posexplode fan-out:\n$pm")
   }
 }
