@@ -20,6 +20,81 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Bloom-filter dedup frame (the bounded-memory streaming alternative to
+    * the full groupBy(md5) shuffle — at 100 TB an exact dedup shuffles the
+    * corpus, a Bloom filter scans it once with O(m) state): k=4
+    * deterministic md5-derived bit positions per doc in an m-bit filter,
+    * docs inserted in doc_id order. A doc is `flagged` when ALL four of its
+    * bits were first set by strictly earlier docs (identical texts share
+    * all bits, so true dups are always flagged — the filter has no false
+    * negatives); `is_dup` is the exact-identity truth (earlier doc with the
+    * same md5(text)). One frame per m in `ms`, columns
+    * (m_bits, doc_id, source, flagged, is_dup).
+    *
+    * Scale: no pairwise join anywhere — bits fan out to 4·|ms|·n rows and
+    * every stage shuffles on a uniform hash key (the bit, then doc_id), so
+    * the plan is linear in n where the real filter would be a single pass.
+    * Ref: the reference dedupes only by offset/key compaction
+    * (PartitionLog compact); this is the training-data sibling per brief.
+    */
+  private def bloomVerdicts(spark: SparkSession, dir: String,
+      ms: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val ex = docs
+      .withColumn("is_dup",
+        min("doc_id").over(Window.partitionBy(md5(col("text")))) <
+          col("doc_id"))
+      .select("doc_id", "source", "is_dup")
+    val bits = docs
+      .select(col("doc_id"), explode(expr(
+        s"""transform(array(${ms.mkString(",")}), m -> struct(m AS m_bits,
+           |  transform(sequence(0, 3), j ->
+           |    cast(conv(substring(md5(concat('bloom#', j, '#', text)),
+           |      1, 14), 16, 10) AS bigint) % m) AS bs))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.m_bits"), explode(col("x.bs")).as("bit"))
+    val fs = bits.groupBy("m_bits", "bit")
+      .agg(min("doc_id").as("first_setter"))
+    bits.join(fs, Seq("m_bits", "bit"))
+      .groupBy("m_bits", "doc_id")
+      .agg((max(col("first_setter")) < col("doc_id")).as("flagged"))
+      .join(ex, "doc_id")
+  }
+
+  /** Bloom dedup verdicts per source at a deliberately tight m=4096 (the
+    * under-provisioned filter a pipeline actually debugs): TRUE_DUP (exact
+    * dup, always flagged), FALSE_POS (flagged but unique — the filter's
+    * collision cost, concentrated in whichever sources hash unluckily),
+    * UNIQUE.
+    */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame =
+    bloomVerdicts(spark, dir, Seq(4096))
+      .withColumn("verdict", expr(
+        """CASE WHEN is_dup THEN 'TRUE_DUP'
+          |     WHEN flagged THEN 'FALSE_POS' ELSE 'UNIQUE' END"""
+          .stripMargin))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** False-positive rate vs filter size: the m-sizing curve a pipeline
+    * reads before committing filter memory (fp_ppm among true-unique docs,
+    * integer ppm so the oracle hash is exact). Small m saturates — at 4·n
+    * insertions into 1024 bits nearly every unique doc collides — and the
+    * curve shows where fp_ppm falls off.
+    */
+  def bloomFpCurve(spark: SparkSession, dir: String): DataFrame =
+    bloomVerdicts(spark, dir, Seq(1024, 4096, 16384, 65536, 262144))
+      .groupBy("m_bits")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged") && !col("is_dup"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .withColumn("fp_ppm",
+        expr("(1000000 * n_false_pos) div (n_docs - n_exact_dup)"))
+
   /** Shared LSH candidate pipeline: hashed shingle sets (one md5 per
     * shingle + 24 universal hashes h_j(x) = (a_j*x + b_j) mod p), 6x4
     * banding, a 50-doc bucket cap (a band signature shared by hundreds of
@@ -941,6 +1016,8 @@ object Dedup {
     "cluster_canonical" -> clusterCanonical,
     "dedup_survivors" -> dedupSurvivors,
     "dedup_exact" -> dedupExact,
+    "dedup_bloom" -> dedupBloom,
+    "bloom_fp_curve" -> bloomFpCurve,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_stats" -> minhashBandStats,
     "dup_accumulation_curve" -> dupAccumulationCurve,
@@ -953,6 +1030,33 @@ object Dedup {
     "simhash_hamming_profile" -> simhashHammingProfile,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> dedupEmbedding)
+
+  /** The Bloom bit/first-setter/verdict pipeline as a CTE chain ending in
+    * `v(m_bits, doc_id, flagged, source, is_dup)` — the oracle mirror of
+    * [[bloomVerdicts]] with the SAME bit spelling
+    * (md5Long('bloom#'||j||'#'||text) % m), shared by dedup_bloom and
+    * bloom_fp_curve so the filter geometry cannot drift between the
+    * verdict view and its sizing curve.
+    */
+  private def bloomChainSql(ms: String): String =
+    s"""WITH docs AS (SELECT doc_id, source, text FROM documents),
+       |ex AS (
+       |  SELECT doc_id, source,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) < doc_id AS is_dup
+       |  FROM docs),
+       |bits AS (
+       |  SELECT doc_id, m,
+       |    ${md5LongSql("('bloom#' || j || '#' || text)")} % m AS bit
+       |  FROM docs, unnest([$ms]) t(m), generate_series(0, 3) g(j)),
+       |fs AS (SELECT m, bit, MIN(doc_id) AS first_setter
+       |       FROM bits GROUP BY m, bit),
+       |fl AS (
+       |  SELECT b.m AS m_bits, b.doc_id,
+       |    MAX(f.first_setter) < b.doc_id AS flagged
+       |  FROM bits b JOIN fs f ON f.m = b.m AND f.bit = b.bit
+       |  GROUP BY b.m, b.doc_id),
+       |v AS (SELECT fl.m_bits, fl.doc_id, fl.flagged, ex.source, ex.is_dup
+       |      FROM fl JOIN ex ON ex.doc_id = fl.doc_id)""".stripMargin
 
   /** The MinHash shingle/signature/band/candidate pipeline as a
     * reusable CTE chain (ends with `cand(d1, d2)`, with `hss(doc_id,
@@ -1325,6 +1429,27 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_bloom" -> (bloomChainSql("4096") +
+      """
+        |SELECT source,
+        |  CASE WHEN is_dup THEN 'TRUE_DUP'
+        |       WHEN flagged THEN 'FALSE_POS' ELSE 'UNIQUE' END AS verdict,
+        |  COUNT(*) AS n_docs
+        |FROM v GROUP BY 1, 2""".stripMargin),
+    "bloom_fp_curve" -> (bloomChainSql("1024,4096,16384,65536,262144") +
+      """
+        |SELECT m_bits, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dup,
+        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(CASE WHEN flagged AND NOT is_dup THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos,
+        |  (1000000 * CAST(SUM(CASE WHEN flagged AND NOT is_dup THEN 1
+        |      ELSE 0 END) AS BIGINT))
+        |    // (COUNT(*) - CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+        |      AS BIGINT)) AS fp_ppm
+        |FROM v GROUP BY m_bits""".stripMargin),
     "dedup_minhash_lsh" -> (lshPairsSql +
       "SELECT d1, d2, jac FROM pairs"),
     "dup_accumulation_curve" ->

@@ -2885,6 +2885,28 @@ class OperatorSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("bloom dedup: verdicts partition the corpus, no false negatives") {
+    val nDocs = Tables.t(spark, dir, "documents").count()
+    val b = llm.Dedup.queries("dedup_bloom")(spark, dir).cache()
+    assert(b.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    assert(b.select("verdict").distinct().collect().map(_.getString(0))
+      .toSet.subsetOf(Set("TRUE_DUP", "FALSE_POS", "UNIQUE")))
+    b.unpersist()
+    val c = llm.Dedup.queries("bloom_fp_curve")(spark, dir).cache()
+    assert(c.count() == 5)
+    c.collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      // identical texts share all k bits, so every exact dup is flagged —
+      // the filter has no false negatives and the FP count closes exactly
+      assert(r.getAs[Long]("n_false_pos") ==
+        r.getAs[Long]("n_flagged") - r.getAs[Long]("n_exact_dup"))
+      assert(r.getAs[Long]("fp_ppm") ==
+        1000000L * r.getAs[Long]("n_false_pos") /
+          (r.getAs[Long]("n_docs") - r.getAs[Long]("n_exact_dup")))
+    }
+    c.unpersist()
+  }
+
   test("prefix_dup_profile: shares bounded, buckets consistent") {
     val p = llm.TextAnalysis.prefixDupProfile(spark, dir).cache()
     assert(p.filter(col("shared_bp") < 0L || col("shared_bp") > 10000L ||
