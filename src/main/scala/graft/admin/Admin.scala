@@ -999,8 +999,176 @@ object Admin {
         col("exp_ms"), col("validated_at_ms"), col("outcome"))
   }
 
+  /** Idle-connection reaping audit (KafkaChannelInitializer.java:116-121
+    * installs an IdleStateHandler at connectionMaxIdleMs on every channel;
+    * KafkaCommandDecoder.java:93-105 closes the channel on the idle event;
+    * KafkaServiceConfiguration.java:262 defaults the window to 10 min).
+    * Clients are the sasl_flow universe (user_id % 32); requests are the
+    * client's events at ms grain. Every gap between consecutive request
+    * instants exceeding the 1-hour window closes the channel, and the
+    * next request opens a NEW connection (Kafka clients reconnect
+    * transparently) — so a client's request history splits into idle-close
+    * sessions, and the view reports the churn: idle closes paid, the
+    * longest session, the widest gap.
+    *
+    * Scale: one partial-aggregated scan to (client, instant) grain, one
+    * lag + running-sum window pair per client, 32-row rollup.
+    */
+  def idleConnections(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byConn = Window.partitionBy("conn_id").orderBy("tms")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    graft.Tables.t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(32L)).as("conn_id"),
+        graft.functions.Parity.nsToMs("ts").as("tms"))
+      .groupBy("conn_id", "tms")
+      .agg(count(lit(1)).as("n_at_tick"))
+      .withColumn("gap_ms",
+        col("tms") - lag("tms", 1).over(
+          Window.partitionBy("conn_id").orderBy("tms")))
+      // the closing gap is carried by the FIRST instant of the new
+      // session, so per-session MAX(gap_ms) includes it
+      .withColumn("sess",
+        sum(when(col("gap_ms") > 3600000L, 1L).otherwise(0L)).over(byConn))
+      .groupBy("conn_id", "sess")
+      .agg(sum("n_at_tick").cast("long").as("sess_requests"),
+        count(lit(1)).as("sess_instants"),
+        (max("tms") - min("tms")).as("sess_span_ms"),
+        coalesce(max("gap_ms"), lit(0L)).as("sess_max_gap"))
+      .groupBy("conn_id")
+      .agg(
+        sum("sess_requests").cast("long").as("n_requests"),
+        sum("sess_instants").cast("long").as("n_instants"),
+        (count(lit(1)) - 1L).as("n_idle_closes"),
+        max("sess_max_gap").as("max_gap_ms"),
+        max("sess_requests").as("max_session_requests"),
+        max("sess_span_ms").as("max_session_span_ms"))
+      .select(concat(lit("conn"), col("conn_id")).as("conn"),
+        col("n_requests"), col("n_instants"), col("n_idle_closes"),
+        when(col("n_idle_closes") === 0L, "STABLE").otherwise("IDLE_CYCLED")
+          .as("verdict"),
+        col("max_gap_ms"), col("max_session_requests"),
+        col("max_session_span_ms"))
+  }
+
+  /** Publish-buffer throttle ledger (KafkaRequestHandler.java:835-845
+    * startSendOperationForThrottling adds the record size to pendingBytes
+    * and pauses the channel — setAutoRead(false) — once it reaches
+    * maxPendingBytes; :853-864 completeSendOperationForThrottling
+    * subtracts and resumes below the half threshold; :381-382 sets
+    * resumeThreshold = maxPendingBytes / 2). Declarative re-expression:
+    * per connection the broker drains a 32 KiB budget per send slot in
+    * arrival order, so the pending ledger is the classic
+    * backlog = (S_k - B*k) - min over prefixes (Lindley's recursion
+    * solved as a prefix-sum minus running-min — two windows, no
+    * sequential fold). Record sizes are an md5 draw over
+    * {256, 4 KiB, 32 KiB, 256 KiB} (the codec-draw universe); pause at
+    * pending >= 256 KiB, resume below 128 KiB, with the hysteresis
+    * carried by a last-non-null window over the H/L classifications.
+    *
+    * Scale: one scan, all state from windows over (conn, arrival order) —
+    * the same one sort per connection serves the sum, rank, min, and
+    * both state windows; 32-row rollup.
+    */
+  def publishBufferThrottle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val byConn = Window.partitionBy("conn_id").orderBy("tms", "event_id")
+    val run = byConn.rowsBetween(Window.unboundedPreceding, 0)
+    val prior = byConn.rowsBetween(Window.unboundedPreceding, -1)
+    graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(32L)).as("conn_id"),
+        graft.functions.Parity.nsToMs("ts").as("tms"))
+      .withColumn("sz_coin",
+        pmod(md5Long(concat(lit("psize#"), col("event_id"))), lit(16L)))
+      .withColumn("rec_bytes",
+        when(col("sz_coin") <= 9L, 256L)
+          .when(col("sz_coin") <= 12L, 4096L)
+          .when(col("sz_coin") <= 14L, 32768L)
+          .otherwise(262144L))
+      .withColumn("rn", row_number().over(byConn).cast("long"))
+      .withColumn("x", sum("rec_bytes").over(run) - lit(32768L) * col("rn"))
+      .withColumn("pending", col("x") - least(lit(0L), min("x").over(run)))
+      .withColumn("cls",
+        when(col("pending") >= 262144L, 1L)
+          .when(col("pending") < 131072L, 0L))
+      .withColumn("state_after",
+        coalesce(last("cls", ignoreNulls = true).over(run), lit(0L)))
+      .withColumn("state_before",
+        coalesce(last("cls", ignoreNulls = true).over(prior), lit(0L)))
+      .groupBy("conn_id")
+      .agg(
+        count(lit(1)).as("n_sends"),
+        sum("rec_bytes").cast("long").as("total_bytes"),
+        max("pending").as("peak_pending"),
+        sum(when(col("state_after") === 1L && col("state_before") === 0L,
+          1L).otherwise(0L)).cast("long").as("n_pause_episodes"),
+        sum(when(col("state_before") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_sends_while_paused"),
+        expr("max_by(state_after, rn)").as("final_cls"))
+      .select(concat(lit("conn"), col("conn_id")).as("conn"),
+        col("n_sends"), col("total_bytes"), col("peak_pending"),
+        col("n_pause_episodes"), col("n_sends_while_paused"),
+        when(col("final_cls") === 1L, "PAUSED").otherwise("OPEN")
+          .as("final_state"))
+  }
+
+  /** Inner-topic protection (storage/ReplicaManager.java:169 rejects a
+    * client append when KopTopic.isInternalTopic — utils/KopTopic.java:125:
+    * the topic lives in the metadata namespace AND its local name is
+    * __consumer_offsets or __transaction_state; coordinator writes pass
+    * because internalTopicsAllowed=true on that path; producing to the
+    * Pulsar system topic __change_events fails as an invalid topic too,
+    * while SAME-NAMED topics in a user namespace are ordinary topics —
+    * tests/InnerTopicProtectionTest.java:116-136 pins all six shapes).
+    * Each event is a produce attempt: an md5 coin redirects a slice onto
+    * the six test shapes, a second coin marks the coordinator's own
+    * writes to the metadata-namespace internals.
+    *
+    * Scale: one scan with in-row coins, partial-aggregated to the
+    * ~15-row (namespace, topic, origin) decision table.
+    */
+  def innerTopicProtection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("coin",
+        pmod(md5Long(concat(lit("inner#"), col("event_id"))), lit(64L)))
+      .withColumn("ns",
+        when(col("coin").isin(56L, 57L, 58L, 59L), "__kafka")
+          .otherwise("default"))
+      .withColumn("topic",
+        when(col("coin").isin(56L, 57L, 61L), "__consumer_offsets")
+          .when(col("coin").isin(58L, 59L, 62L), "__transaction_state")
+          .when(col("coin") === 60L, "__change_events")
+          .otherwise(col("event_type")))
+      .withColumn("origin",
+        when(col("ns") === "__kafka" &&
+          pmod(md5Long(concat(lit("origin#"), col("event_id"))), lit(4L))
+            === 0L, "COORDINATOR")
+          .otherwise("CLIENT"))
+      .withColumn("internal",
+        (col("ns") === "__kafka" &&
+          col("topic").isin("__consumer_offsets", "__transaction_state"))
+          .cast("long"))
+      .withColumn("verdict",
+        when(col("internal") === 1L && col("origin") === "CLIENT",
+          "INVALID_TOPIC")
+          .when(col("topic") === "__change_events", "INVALID_TOPIC")
+          .otherwise("ALLOWED"))
+      .groupBy("ns", "topic", "origin", "internal", "verdict")
+      .agg(count(lit(1)).as("n_attempts"))
+      .withColumn("n_rejected",
+        when(col("verdict") === "INVALID_TOPIC", col("n_attempts"))
+          .otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "acl_check" -> aclCheck,
+    "idle_connections" -> idleConnections,
+    "publish_buffer_throttle" -> publishBufferThrottle,
+    "inner_topic_protection" -> innerTopicProtection,
     "api_versions" -> apiVersions,
     "sasl_flow" -> saslFlow,
     "fetch_authorized" -> fetchAuthorized,
@@ -1137,6 +1305,126 @@ object Admin {
     .mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "idle_connections" ->
+      """WITH ticks AS (
+        |  SELECT user_id % 32 AS conn_id, epoch_ms(ts) AS tms,
+        |    COUNT(*) AS n_at_tick
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT *,
+        |    tms - lag(tms) OVER (PARTITION BY conn_id ORDER BY tms)
+        |      AS gap_ms
+        |  FROM ticks),
+        |s AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN gap_ms > 3600000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conn_id ORDER BY tms
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |per_sess AS (
+        |  SELECT conn_id, sess,
+        |    CAST(SUM(n_at_tick) AS BIGINT) AS sess_requests,
+        |    COUNT(*) AS sess_instants,
+        |    MAX(tms) - MIN(tms) AS sess_span_ms,
+        |    coalesce(CAST(MAX(gap_ms) AS BIGINT), 0) AS sess_max_gap
+        |  FROM s GROUP BY conn_id, sess)
+        |SELECT 'conn' || conn_id AS conn,
+        |  CAST(SUM(sess_requests) AS BIGINT) AS n_requests,
+        |  CAST(SUM(sess_instants) AS BIGINT) AS n_instants,
+        |  COUNT(*) - 1 AS n_idle_closes,
+        |  CASE WHEN COUNT(*) = 1 THEN 'STABLE'
+        |    ELSE 'IDLE_CYCLED' END AS verdict,
+        |  CAST(MAX(sess_max_gap) AS BIGINT) AS max_gap_ms,
+        |  CAST(MAX(sess_requests) AS BIGINT) AS max_session_requests,
+        |  CAST(MAX(sess_span_ms) AS BIGINT) AS max_session_span_ms
+        |FROM per_sess GROUP BY conn_id""".stripMargin,
+    "publish_buffer_throttle" ->
+      (s"""WITH sends AS (
+        |  SELECT event_id, user_id % 32 AS conn_id, epoch_ms(ts) AS tms,
+        |    ${md5LongSql("('psize#' || event_id)")} % 16 AS sz_coin
+        |  FROM events),
+        |""".stripMargin +
+      """sz AS (
+        |  SELECT *, CASE WHEN sz_coin <= 9 THEN 256
+        |    WHEN sz_coin <= 12 THEN 4096
+        |    WHEN sz_coin <= 14 THEN 32768
+        |    ELSE 262144 END AS rec_bytes
+        |  FROM sends),
+        |led AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER o AS rn,
+        |    SUM(rec_bytes) OVER w
+        |      - 32768 * ROW_NUMBER() OVER o AS x
+        |  FROM sz
+        |  WINDOW o AS (PARTITION BY conn_id ORDER BY tms, event_id),
+        |    w AS (PARTITION BY conn_id ORDER BY tms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT *, x - least(0, MIN(x) OVER w) AS pending
+        |  FROM led
+        |  WINDOW w AS (PARTITION BY conn_id ORDER BY tms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT *, CASE WHEN pending >= 262144 THEN 1
+        |    WHEN pending < 131072 THEN 0 END AS cls
+        |  FROM p),
+        |st AS (
+        |  SELECT *,
+        |    coalesce(last_value(cls IGNORE NULLS) OVER w, 0)
+        |      AS state_after,
+        |    coalesce(last_value(cls IGNORE NULLS) OVER pr, 0)
+        |      AS state_before
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY conn_id ORDER BY tms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    pr AS (PARTITION BY conn_id ORDER BY tms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT 'conn' || conn_id AS conn, COUNT(*) AS n_sends,
+        |  CAST(SUM(rec_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(pending) AS BIGINT) AS peak_pending,
+        |  CAST(SUM(CASE WHEN state_after = 1 AND state_before = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pause_episodes,
+        |  CAST(SUM(CASE WHEN state_before = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sends_while_paused,
+        |  CASE WHEN max_by(state_after, rn) = 1 THEN 'PAUSED'
+        |    ELSE 'OPEN' END AS final_state
+        |FROM st GROUP BY conn_id""".stripMargin),
+    "inner_topic_protection" ->
+      (s"""WITH att AS (
+        |  SELECT event_id, event_type,
+        |    ${md5LongSql("('inner#' || event_id)")} % 64 AS coin,
+        |    ${md5LongSql("('origin#' || event_id)")} % 4 AS ocoin
+        |  FROM events),
+        |""".stripMargin +
+      """shaped AS (
+        |  SELECT *,
+        |    CASE WHEN coin IN (56, 57, 58, 59) THEN '__kafka'
+        |      ELSE 'default' END AS ns,
+        |    CASE WHEN coin IN (56, 57, 61) THEN '__consumer_offsets'
+        |      WHEN coin IN (58, 59, 62) THEN '__transaction_state'
+        |      WHEN coin = 60 THEN '__change_events'
+        |      ELSE event_type END AS topic
+        |  FROM att),
+        |o AS (
+        |  SELECT *,
+        |    CASE WHEN ns = '__kafka' AND ocoin = 0 THEN 'COORDINATOR'
+        |      ELSE 'CLIENT' END AS origin,
+        |    CASE WHEN ns = '__kafka' AND topic IN
+        |      ('__consumer_offsets', '__transaction_state')
+        |      THEN 1 ELSE 0 END AS internal
+        |  FROM shaped),
+        |v AS (
+        |  SELECT *,
+        |    CASE WHEN internal = 1 AND origin = 'CLIENT'
+        |        THEN 'INVALID_TOPIC'
+        |      WHEN topic = '__change_events' THEN 'INVALID_TOPIC'
+        |      ELSE 'ALLOWED' END AS verdict
+        |  FROM o)
+        |SELECT ns, topic, origin, CAST(internal AS BIGINT) AS internal,
+        |  verdict, COUNT(*) AS n_attempts,
+        |  CAST(CASE WHEN verdict = 'INVALID_TOPIC' THEN COUNT(*)
+        |    ELSE 0 END AS BIGINT) AS n_rejected
+        |FROM v GROUP BY ns, topic, origin, internal, verdict""".stripMargin),
     "api_versions" ->
       (s"""WITH api(api_idx, api_key, api_name, broker_min, broker_max) AS (
         |  VALUES $apiValuesSql),

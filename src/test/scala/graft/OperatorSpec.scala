@@ -2885,6 +2885,70 @@ class OperatorSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("idle_connections: session accounting closes per client") {
+    val nConns = Tables.t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(32L))).distinct().count()
+    val c = admin.Admin.idleConnections(spark, dir).cache()
+    assert(c.count() == nConns)
+    c.collect().foreach { r =>
+      val closes = r.getAs[Long]("n_idle_closes")
+      assert(closes >= 0 && closes < r.getAs[Long]("n_instants"))
+      assert(r.getAs[String]("verdict") ==
+        (if (closes == 0) "STABLE" else "IDLE_CYCLED"))
+      // a close only happens on an over-window gap
+      if (closes > 0) assert(r.getAs[Long]("max_gap_ms") > 3600000L)
+      assert(r.getAs[Long]("max_session_requests") <=
+        r.getAs[Long]("n_requests"))
+      assert(r.getAs[Long]("n_requests") >= r.getAs[Long]("n_instants"))
+    }
+    c.unpersist()
+  }
+
+  test("publish_buffer_throttle: ledger bounds and hysteresis invariants") {
+    val nConns = Tables.t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(32L))).distinct().count()
+    val p = admin.Admin.publishBufferThrottle(spark, dir).cache()
+    assert(p.count() == nConns)
+    val totalSends = Tables.t(spark, dir, "events").count()
+    assert(p.agg(sum("n_sends")).head.getLong(0) == totalSends)
+    p.collect().foreach { r =>
+      assert(r.getAs[Long]("peak_pending") >= 0)
+      // pausing requires the peak to have reached the pause threshold
+      if (r.getAs[Long]("n_pause_episodes") == 0) {
+        assert(r.getAs[Long]("peak_pending") < 262144L)
+        assert(r.getAs[Long]("n_sends_while_paused") == 0L)
+        assert(r.getAs[String]("final_state") == "OPEN")
+      } else assert(r.getAs[Long]("peak_pending") >= 262144L)
+    }
+    p.unpersist()
+  }
+
+  test("inner_topic_protection: only metadata-ns internals are fenced") {
+    val v = admin.Admin.innerTopicProtection(spark, dir).cache()
+    val rows = v.collect()
+    assert(rows.map(_.getAs[Long]("n_attempts")).sum ==
+      Tables.t(spark, dir, "events").count())
+    rows.foreach { r =>
+      val internal = r.getAs[Long]("internal") == 1L
+      val ns = r.getAs[String]("ns")
+      val topic = r.getAs[String]("topic")
+      assert(internal == (ns == "__kafka" &&
+        Set("__consumer_offsets", "__transaction_state")(topic)))
+      val expect =
+        if (internal && r.getAs[String]("origin") == "CLIENT")
+          "INVALID_TOPIC"
+        else if (topic == "__change_events") "INVALID_TOPIC"
+        else "ALLOWED"
+      assert(r.getAs[String]("verdict") == expect)
+      // coordinator writes exist only on the metadata-namespace internals
+      if (r.getAs[String]("origin") == "COORDINATOR") assert(internal)
+      assert(r.getAs[Long]("n_rejected") ==
+        (if (expect == "INVALID_TOPIC") r.getAs[Long]("n_attempts")
+        else 0L))
+    }
+    v.unpersist()
+  }
+
   test("bloom dedup: verdicts partition the corpus, no false negatives") {
     val nDocs = Tables.t(spark, dir, "documents").count()
     val b = llm.Dedup.queries("dedup_bloom")(spark, dir).cache()
