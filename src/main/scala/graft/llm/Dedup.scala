@@ -48,11 +48,15 @@ object Dedup {
           col("doc_id"))
       .select("doc_id", "source", "is_dup")
     val bits = docs
+      // hoist the 4 text hashes out of the per-m map: md5 over the full
+      // text is the expensive part and is identical for every filter size
+      .withColumn("raw", expr(
+        """transform(sequence(0, 3), j ->
+          |  cast(conv(substring(md5(concat('bloom#', j, '#', text)),
+          |    1, 14), 16, 10) AS bigint))""".stripMargin))
       .select(col("doc_id"), explode(expr(
-        s"""transform(array(${ms.mkString(",")}), m -> struct(m AS m_bits,
-           |  transform(sequence(0, 3), j ->
-           |    cast(conv(substring(md5(concat('bloom#', j, '#', text)),
-           |      1, 14), 16, 10) AS bigint) % m) AS bs))"""
+        s"""transform(array(${ms.mkString(",")}), m ->
+           |  struct(m AS m_bits, transform(raw, r -> r % m) AS bs))"""
           .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.m_bits"), explode(col("x.bs")).as("bit"))
     val fs = bits.groupBy("m_bits", "bit")
