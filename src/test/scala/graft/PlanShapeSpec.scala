@@ -302,6 +302,50 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nation_revenue_rollup re-scans facts past the checkpoint:\n$plan")
   }
 
+  test("r15 connection ledgers: one sort serves every window") {
+    // publish_buffer_throttle: five window computations (rank, prefix
+    // sum, running min, two hysteresis states) must share the ONE
+    // (conn, arrival) sort — one exchange, one Sort, one scan. A second
+    // sort would mean a window spec drifted off the shared ordering.
+    val pt = planOf(graft.admin.Admin.publishBufferThrottle(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(pt).size == 1,
+      s"publish_buffer_throttle has extra exchanges:\n$pt")
+    assert("\\+- Sort ".r.findAllIn(pt).size == 1,
+      s"publish_buffer_throttle sorts more than once:\n$pt")
+    assert("Scan parquet".r.findAllIn(pt).size == 1,
+      s"publish_buffer_throttle scans events more than once:\n$pt")
+    // idle_connections: the instants frame must be count-compressed by a
+    // (conn, tms) partial-agg exchange BEFORE the per-connection windows
+    // (never a raw-event sort), and both session rollups reuse the
+    // window's conn partitioning — exactly two exchanges.
+    val ic = planOf(graft.admin.Admin.idleConnections(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(ic).size == 2,
+      s"idle_connections has extra exchanges:\n$ic")
+    assert(ic.contains("partial_count"),
+      s"idle_connections instants not map-side combined:\n$ic")
+    assert("Scan parquet".r.findAllIn(ic).size == 1,
+      s"idle_connections scans events more than once:\n$ic")
+    // inner_topic_protection: coins and verdicts are in-row over one
+    // scan; the ONLY exchange is the decision-table rollup.
+    val it = planOf(graft.admin.Admin.innerTopicProtection(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(it).size == 1,
+      s"inner_topic_protection has more than the rollup exchange:\n$it")
+    assert("Scan parquet".r.findAllIn(it).size == 1,
+      s"inner_topic_protection scans events more than once:\n$it")
+  }
+
+  test("dedup_bloom broadcasts the bounded first-setter table") {
+    // The per-bit first-setter frame is bounded by the filter size m
+    // (constant), so its join back onto the 4n bit rows must broadcast —
+    // shuffling the bit rows a second time for that join would double
+    // the op's data-sized exchange volume at 100 TB.
+    val plan = planOf(graft.llm.Dedup.queries("dedup_bloom")(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"dedup_bloom first-setter table not broadcast:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"dedup_bloom first-setter not map-side combined:\n$plan")
+  }
+
   test("r11 additions keep their scale shapes") {
     // doc_chunk: the window generator is in-row off one scan — the plan
     // must contain NO exchange of any kind (a map-only stage at 100 TB).
