@@ -37,7 +37,7 @@ object Dedup {
     * Ref: the reference dedupes only by offset/key compaction
     * (PartitionLog compact); this is the training-data sibling per brief.
     */
-  private def bloomVerdicts(spark: SparkSession, dir: String,
+  private[graft] def bloomVerdicts(spark: SparkSession, dir: String,
       ms: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")

@@ -147,6 +147,54 @@ object Streams {
       }
   }
 
+  final case class BloomState(words: Array[Long])
+  final case class BloomVerdict(doc_id: Long, bucket: Int, n_bits: Int,
+      n_old: Int)
+
+  /** Streaming Bloom dedup — the constant-memory continuous form of
+    * [[graft.llm.Dedup]]'s dedup_bloom. The m=4096-bit filter shards into
+    * 16 buckets of 256 bits; each bucket is a flatMapGroupsWithState group
+    * whose ENTIRE state is four longs, so unlike dropDuplicates* (state
+    * grows with distinct keys) the filter's memory is constant for any
+    * stream length — the property that makes Bloom dedup viable on an
+    * unbounded ingest. Docs explode in-row to their k=4 bit positions
+    * (the batch op's exact md5 spelling); each bucket applies its batch's
+    * bits in doc_id order (so replays match the batch first-setter rule)
+    * with a doc's DUPLICATE bits counted once, and emits per (doc, bucket)
+    * how many distinct bits were already set by EARLIER docs. A doc is
+    * flagged when all its bits were old: sum(n_old) == sum(n_bits) over
+    * its buckets. StreamingSpec pins stream == batch flagged set.
+    */
+  def bloomDedupStream(spark: SparkSession, docs: DataFrame)
+      : Dataset[BloomVerdict] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3), j -> cast(
+          |  cast(conv(substring(md5(concat('bloom#', j, '#', text)),
+          |    1, 14), 16, 10) AS bigint) % 4096 AS int))""".stripMargin))
+        .as("bit"))
+      .as[(Long, Int)]
+      .groupByKey(_._2 / 256)
+      .flatMapGroupsWithState[BloomState, BloomVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state) =>
+          val words = state.getOption.map(_.words)
+            .getOrElse(Array.fill(4)(0L))
+          val out = rows.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (docId, bits) =>
+              val distinctLocal = bits.map(_._2 - bucket * 256).distinct
+              val nOld = distinctLocal.count { b =>
+                (words(b / 64) & (1L << (b % 64))) != 0L
+              }
+              distinctLocal.foreach(b => words(b / 64) |= 1L << (b % 64))
+              BloomVerdict(docId, bucket, distinctLocal.size, nOld)
+            }
+          state.update(BloomState(words))
+          out.iterator
+      }
+  }
+
   final case class CdcState(lastV: Option[String], n: Long)
   final case class Cdc(topic: String, k: String, event_id: Long, v: String,
       prev_v: Option[String], op: String)

@@ -116,6 +116,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming Bloom dedup == batch dedup_bloom flagged set") {
+    val stream = Streams.tableStream(spark, dir, "documents")
+    val q = Streams.bloomDedupStream(spark, stream).writeStream
+      .outputMode("append").format("memory")
+      .queryName("graft_bloom_stream").start()
+    q.processAllAvailable(); q.stop()
+    // a doc is flagged when every one of its distinct bits was set by an
+    // earlier doc — sum over its bucket verdicts
+    val got = spark.table("graft_bloom_stream")
+      .groupBy("doc_id")
+      .agg((sum("n_old") === sum("n_bits")).as("flagged"))
+    val want = llm.Dedup.bloomVerdicts(spark, dir, Seq(4096))
+      .select("doc_id", "flagged")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    assert(got.count() == Tables.t(spark, dir, "documents").count())
+    // the state contract: 16 buckets x 4 words regardless of stream size
+    assert(spark.table("graft_bloom_stream")
+      .select("bucket").distinct().count() <= 16)
+  }
+
   test("streaming PII audit == batch pii_scrub") {
     val stream = Streams.tableStream(spark, dir, "documents")
     val q = Streams.piiScrubStream(stream).writeStream
