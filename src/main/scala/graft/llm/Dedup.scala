@@ -82,6 +82,70 @@ object Dedup {
       .groupBy("source", "verdict")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Incremental-ingest membership screen: the base corpus (dedup_delta's
+    * 90% split — SAME md5 coin, so the two delta views agree on who is an
+    * arrival) builds a UNION Bloom filter (every base doc's bits OR-ed,
+    * order-free — the form per-executor filters merge into), and each
+    * arrival tests all four of its bits against it. Per filter size m:
+    * the fill fraction, arrivals flagged as already-seen, exact
+    * truth (arrival text present in the base), and the false-positive
+    * cost — the sizing table an ingest pipeline reads before screening
+    * today's crawl against yesterday's corpus without re-shuffling it.
+    *
+    * Scale: the filter content is DISTINCT (m, bit) — bounded by Σm
+    * regardless of corpus size, so the membership join broadcasts; the
+    * exact-truth check is one hash equi-join on md5(text). No pairwise
+    * work anywhere.
+    */
+  def bloomDeltaFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val ms = Seq(4096, 16384, 65536, 262144)
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (md5Long(col("doc_id").cast("string")) % 10L === 0L).as("arrival"))
+    val bits = docs
+      .withColumn("raw", expr(
+        """transform(sequence(0, 3), j ->
+          |  cast(conv(substring(md5(concat('bloom#', j, '#', text)),
+          |    1, 14), 16, 10) AS bigint))""".stripMargin))
+      .select(col("doc_id"), col("arrival"), explode(expr(
+        s"""transform(array(${ms.mkString(",")}), m ->
+           |  struct(m AS m_bits, transform(raw, r -> r % m) AS bs))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("arrival"), col("x.m_bits"),
+        explode(col("x.bs")).as("bit"))
+    val filterBits = bits.filter(!col("arrival"))
+      .select("m_bits", "bit").distinct()
+    val fill = filterBits.groupBy("m_bits")
+      .agg(count(lit(1)).as("n_set_bits"))
+    val seen = docs.filter(col("arrival"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(docs.filter(!col("arrival")).select(md5(col("text")).as("h"))
+        .distinct(), Seq("h"), "left_semi")
+      .select("doc_id")
+    val verdicts = bits.filter(col("arrival"))
+      .join(filterBits.withColumn("hit", lit(1L)), Seq("m_bits", "bit"),
+        "left")
+      .groupBy("m_bits", "doc_id")
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L))))
+        .as("flagged"))
+      .join(seen.withColumn("is_seen", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("is_seen", coalesce(col("is_seen"), lit(0L)))
+    verdicts.groupBy("m_bits")
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum("is_seen").cast("long").as("n_true_seen"),
+        sum(when(col("flagged") && col("is_seen") === 0L, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .join(fill, "m_bits")
+      .withColumn("fill_bp", expr("(10000 * n_set_bits) div m_bits"))
+      .withColumn("fp_ppm",
+        expr("(1000000 * n_false_pos) div (n_arrivals - n_true_seen)"))
+      .select(col("m_bits"), col("n_set_bits"), col("fill_bp"),
+        col("n_arrivals"), col("n_flagged"), col("n_true_seen"),
+        col("n_false_pos"), col("fp_ppm"))
+  }
+
   /** False-positive rate vs filter size: the m-sizing curve a pipeline
     * reads before committing filter memory (fp_ppm among true-unique docs,
     * integer ppm so the oracle hash is exact). Small m saturates — at 4·n
@@ -1022,6 +1086,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_bloom" -> dedupBloom,
     "bloom_fp_curve" -> bloomFpCurve,
+    "bloom_delta_filter" -> bloomDeltaFilter,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_stats" -> minhashBandStats,
     "dup_accumulation_curve" -> dupAccumulationCurve,
@@ -1440,6 +1505,49 @@ object Dedup {
         |       WHEN flagged THEN 'FALSE_POS' ELSE 'UNIQUE' END AS verdict,
         |  COUNT(*) AS n_docs
         |FROM v GROUP BY 1, 2""".stripMargin),
+    "bloom_delta_filter" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, text,
+        |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS arrival
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, arrival, m AS m_bits,
+        |    ${md5LongSql("('bloom#' || j || '#' || text)")} % m AS bit
+        |  FROM docs, unnest([4096, 16384, 65536, 262144]) t(m),
+        |    generate_series(0, 3) g(j)),
+        |fb AS (
+        |  SELECT DISTINCT m_bits, bit FROM bits WHERE NOT arrival),
+        |fill AS (
+        |  SELECT m_bits, COUNT(*) AS n_set_bits FROM fb GROUP BY m_bits),
+        |seen AS (
+        |  SELECT doc_id FROM docs
+        |  WHERE arrival AND md5(text) IN
+        |    (SELECT md5(text) FROM docs WHERE NOT arrival)),
+        |v AS (
+        |  SELECT b.m_bits, b.doc_id,
+        |    COUNT(*) = CAST(SUM(CASE WHEN fb.bit IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+        |    CASE WHEN MIN(s.doc_id) IS NOT NULL THEN 1 ELSE 0 END
+        |      AS is_seen
+        |  FROM bits b
+        |  LEFT JOIN fb ON fb.m_bits = b.m_bits AND fb.bit = b.bit
+        |  LEFT JOIN seen s ON s.doc_id = b.doc_id
+        |  WHERE b.arrival
+        |  GROUP BY b.m_bits, b.doc_id)
+        |SELECT v.m_bits, CAST(fill.n_set_bits AS BIGINT) AS n_set_bits,
+        |  (10000 * CAST(fill.n_set_bits AS BIGINT)) // v.m_bits
+        |    AS fill_bp,
+        |  COUNT(*) AS n_arrivals,
+        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(is_seen) AS BIGINT) AS n_true_seen,
+        |  CAST(SUM(CASE WHEN flagged AND is_seen = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos,
+        |  (1000000 * CAST(SUM(CASE WHEN flagged AND is_seen = 0 THEN 1
+        |      ELSE 0 END) AS BIGINT))
+        |    // (COUNT(*) - CAST(SUM(is_seen) AS BIGINT)) AS fp_ppm
+        |FROM v JOIN fill ON fill.m_bits = v.m_bits
+        |GROUP BY v.m_bits, fill.n_set_bits""".stripMargin,
     "bloom_fp_curve" -> (bloomChainSql("1024,4096,16384,65536,262144") +
       """
         |SELECT m_bits, COUNT(*) AS n_docs,

@@ -2971,6 +2971,31 @@ class OperatorSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("bloom_delta_filter: union-filter screen closes over arrivals") {
+    import graft.functions.Parity.md5Long
+    val docs = Tables.t(spark, dir, "documents")
+    val nArr = docs
+      .filter(md5Long(col("doc_id").cast("string")) % 10L === 0L).count()
+    val f = llm.Dedup.queries("bloom_delta_filter")(spark, dir).cache()
+    assert(f.count() == 4)
+    f.collect().foreach { r =>
+      assert(r.getAs[Long]("n_arrivals") == nArr)
+      // the union filter has no false negatives: every truly-seen
+      // arrival is flagged, so the FP count closes exactly
+      assert(r.getAs[Long]("n_false_pos") ==
+        r.getAs[Long]("n_flagged") - r.getAs[Long]("n_true_seen"))
+      // the filter content is bounded by m
+      assert(r.getAs[Long]("n_set_bits") <= r.getAs[Int]("m_bits").toLong)
+      assert(r.getAs[Long]("fill_bp") ==
+        10000L * r.getAs[Long]("n_set_bits") / r.getAs[Int]("m_bits"))
+    }
+    // monotone content: a larger filter never holds fewer distinct bits
+    val byM = f.collect().sortBy(_.getAs[Int]("m_bits"))
+      .map(_.getAs[Long]("n_set_bits"))
+    assert(byM.zip(byM.tail).forall { case (a, b) => a <= b })
+    f.unpersist()
+  }
+
   test("prefix_dup_profile: shares bounded, buckets consistent") {
     val p = llm.TextAnalysis.prefixDupProfile(spark, dir).cache()
     assert(p.filter(col("shared_bp") < 0L || col("shared_bp") > 10000L ||
