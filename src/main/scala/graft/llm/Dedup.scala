@@ -146,6 +146,26 @@ object Dedup {
         col("n_false_pos"), col("fp_ppm"))
   }
 
+  /** Bloom calibration: measured union-filter false-positive rate vs the
+    * analytic expectation, per filter size — the check a pipeline runs
+    * before TRUSTING a filter's advertised FP budget. For a filter with
+    * fill fraction p, an unseen doc false-positives when all k=4 of its
+    * bits are set: expected FP = p^4, computed here in pure integers off
+    * the measured fill (fill_bp^4 div 1e10 as ppm — exact on both
+    * engines, no float exp). Composes [[bloomDeltaFilter]]'s frame
+    * verbatim, so measurement and theory read the SAME filter.
+    */
+  def bloomCalibration(spark: SparkSession, dir: String): DataFrame =
+    bloomDeltaFilter(spark, dir)
+      .withColumn("expected_fp_ppm",
+        expr("""(fill_bp * fill_bp * fill_bp * fill_bp)
+               |  div 10000000000""".stripMargin))
+      .withColumn("abs_err_ppm",
+        expr("abs(fp_ppm - expected_fp_ppm)"))
+      .select(col("m_bits"), col("fill_bp"), col("n_arrivals"),
+        col("n_false_pos"), col("fp_ppm").as("measured_fp_ppm"),
+        col("expected_fp_ppm"), col("abs_err_ppm"))
+
   /** False-positive rate vs filter size: the m-sizing curve a pipeline
     * reads before committing filter memory (fp_ppm among true-unique docs,
     * integer ppm so the oracle hash is exact). Small m saturates — at 4·n
@@ -1087,6 +1107,7 @@ object Dedup {
     "dedup_bloom" -> dedupBloom,
     "bloom_fp_curve" -> bloomFpCurve,
     "bloom_delta_filter" -> bloomDeltaFilter,
+    "bloom_calibration" -> bloomCalibration,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_stats" -> minhashBandStats,
     "dup_accumulation_curve" -> dupAccumulationCurve,
@@ -1293,6 +1314,54 @@ object Dedup {
       |  SELECT d1, d1 FROM (SELECT DISTINCT d1 FROM edges)
       |  UNION
       |  SELECT r.src, e.d2 FROM reach r JOIN edges e ON e.d1 = r.dst)""".stripMargin
+
+  /** DuckDB mirror of [[bloomDeltaFilter]] — the ONE spelling shared by
+    * the bloom_delta_filter oracle and bloom_calibration (which wraps it
+    * as a subquery), so measurement and theory read the same filter.
+    */
+  private val bloomDeltaSql: String =
+    s"""WITH docs AS (
+        |  SELECT doc_id, text,
+        |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS arrival
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, arrival, m AS m_bits,
+        |    ${md5LongSql("('bloom#' || j || '#' || text)")} % m AS bit
+        |  FROM docs, unnest([4096, 16384, 65536, 262144]) t(m),
+        |    generate_series(0, 3) g(j)),
+        |fb AS (
+        |  SELECT DISTINCT m_bits, bit FROM bits WHERE NOT arrival),
+        |fill AS (
+        |  SELECT m_bits, COUNT(*) AS n_set_bits FROM fb GROUP BY m_bits),
+        |seen AS (
+        |  SELECT doc_id FROM docs
+        |  WHERE arrival AND md5(text) IN
+        |    (SELECT md5(text) FROM docs WHERE NOT arrival)),
+        |v AS (
+        |  SELECT b.m_bits, b.doc_id,
+        |    COUNT(*) = CAST(SUM(CASE WHEN fb.bit IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+        |    CASE WHEN MIN(s.doc_id) IS NOT NULL THEN 1 ELSE 0 END
+        |      AS is_seen
+        |  FROM bits b
+        |  LEFT JOIN fb ON fb.m_bits = b.m_bits AND fb.bit = b.bit
+        |  LEFT JOIN seen s ON s.doc_id = b.doc_id
+        |  WHERE b.arrival
+        |  GROUP BY b.m_bits, b.doc_id)
+        |SELECT v.m_bits, CAST(fill.n_set_bits AS BIGINT) AS n_set_bits,
+        |  (10000 * CAST(fill.n_set_bits AS BIGINT)) // v.m_bits
+        |    AS fill_bp,
+        |  COUNT(*) AS n_arrivals,
+        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(is_seen) AS BIGINT) AS n_true_seen,
+        |  CAST(SUM(CASE WHEN flagged AND is_seen = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos,
+        |  (1000000 * CAST(SUM(CASE WHEN flagged AND is_seen = 0 THEN 1
+        |      ELSE 0 END) AS BIGINT))
+        |    // (COUNT(*) - CAST(SUM(is_seen) AS BIGINT)) AS fp_ppm
+        |FROM v JOIN fill ON fill.m_bits = v.m_bits
+        |GROUP BY v.m_bits, fill.n_set_bits""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_report" ->
@@ -1505,49 +1574,16 @@ object Dedup {
         |       WHEN flagged THEN 'FALSE_POS' ELSE 'UNIQUE' END AS verdict,
         |  COUNT(*) AS n_docs
         |FROM v GROUP BY 1, 2""".stripMargin),
-    "bloom_delta_filter" ->
-      s"""WITH docs AS (
-        |  SELECT doc_id, text,
-        |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS arrival
-        |  FROM documents),
-        |bits AS (
-        |  SELECT doc_id, arrival, m AS m_bits,
-        |    ${md5LongSql("('bloom#' || j || '#' || text)")} % m AS bit
-        |  FROM docs, unnest([4096, 16384, 65536, 262144]) t(m),
-        |    generate_series(0, 3) g(j)),
-        |fb AS (
-        |  SELECT DISTINCT m_bits, bit FROM bits WHERE NOT arrival),
-        |fill AS (
-        |  SELECT m_bits, COUNT(*) AS n_set_bits FROM fb GROUP BY m_bits),
-        |seen AS (
-        |  SELECT doc_id FROM docs
-        |  WHERE arrival AND md5(text) IN
-        |    (SELECT md5(text) FROM docs WHERE NOT arrival)),
-        |v AS (
-        |  SELECT b.m_bits, b.doc_id,
-        |    COUNT(*) = CAST(SUM(CASE WHEN fb.bit IS NOT NULL
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
-        |    CASE WHEN MIN(s.doc_id) IS NOT NULL THEN 1 ELSE 0 END
-        |      AS is_seen
-        |  FROM bits b
-        |  LEFT JOIN fb ON fb.m_bits = b.m_bits AND fb.bit = b.bit
-        |  LEFT JOIN seen s ON s.doc_id = b.doc_id
-        |  WHERE b.arrival
-        |  GROUP BY b.m_bits, b.doc_id)
-        |SELECT v.m_bits, CAST(fill.n_set_bits AS BIGINT) AS n_set_bits,
-        |  (10000 * CAST(fill.n_set_bits AS BIGINT)) // v.m_bits
-        |    AS fill_bp,
-        |  COUNT(*) AS n_arrivals,
-        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_flagged,
-        |  CAST(SUM(is_seen) AS BIGINT) AS n_true_seen,
-        |  CAST(SUM(CASE WHEN flagged AND is_seen = 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_false_pos,
-        |  (1000000 * CAST(SUM(CASE WHEN flagged AND is_seen = 0 THEN 1
-        |      ELSE 0 END) AS BIGINT))
-        |    // (COUNT(*) - CAST(SUM(is_seen) AS BIGINT)) AS fp_ppm
-        |FROM v JOIN fill ON fill.m_bits = v.m_bits
-        |GROUP BY v.m_bits, fill.n_set_bits""".stripMargin,
+    "bloom_delta_filter" -> bloomDeltaSql,
+    "bloom_calibration" ->
+      (s"""SELECT m_bits, fill_bp, n_arrivals, n_false_pos,
+        |  fp_ppm AS measured_fp_ppm,
+        |  (fill_bp * fill_bp * fill_bp * fill_bp) // 10000000000
+        |    AS expected_fp_ppm,
+        |  abs(fp_ppm - (fill_bp * fill_bp * fill_bp * fill_bp)
+        |    // 10000000000) AS abs_err_ppm
+        |FROM (
+        |""".stripMargin + bloomDeltaSql + "\n) d"),
     "bloom_fp_curve" -> (bloomChainSql("1024,4096,16384,65536,262144") +
       """
         |SELECT m_bits, COUNT(*) AS n_docs,

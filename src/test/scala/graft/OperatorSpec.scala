@@ -2996,6 +2996,24 @@ class OperatorSpec extends AnyFunSuite {
     f.unpersist()
   }
 
+  test("bloom_calibration: theory column closes over the delta frame") {
+    val c = llm.Dedup.queries("bloom_calibration")(spark, dir).cache()
+    val d = llm.Dedup.queries("bloom_delta_filter")(spark, dir)
+      .select("m_bits", "fill_bp", "fp_ppm").collect()
+      .map(r => r.getAs[Int]("m_bits") ->
+        (r.getAs[Long]("fill_bp"), r.getAs[Long]("fp_ppm"))).toMap
+    assert(c.count() == 4)
+    c.collect().foreach { r =>
+      val (fill, measured) = d(r.getAs[Int]("m_bits"))
+      assert(r.getAs[Long]("fill_bp") == fill)
+      assert(r.getAs[Long]("measured_fp_ppm") == measured)
+      val expect = fill * fill * fill * fill / 10000000000L
+      assert(r.getAs[Long]("expected_fp_ppm") == expect)
+      assert(r.getAs[Long]("abs_err_ppm") == math.abs(measured - expect))
+    }
+    c.unpersist()
+  }
+
   test("prefix_dup_profile: shares bounded, buckets consistent") {
     val p = llm.TextAnalysis.prefixDupProfile(spark, dir).cache()
     assert(p.filter(col("shared_bp") < 0L || col("shared_bp") > 10000L ||
