@@ -82,6 +82,60 @@ object Admin {
       .withColumn("kafka_name",
         regexp_extract(col("pulsar_name"), "^persistent://[^/]+/[^/]+/(.+)-partition-[0-9]+$", 1))
 
+  /** [[topicNameMap]]'s round trip with the isPartitioned split
+    * (utils/KopTopic.java:120 — TopicName.isPartitioned is a
+    * `-partition-N` suffix test, and getPartitionName appends the suffix
+    * ONLY for partitioned topics; tests/KafkaNonPartitionedTopicTest
+    * .java pins produce/consume against a topic that keeps its bare
+    * name). An md5 coin marks a quarter of the topic universe
+    * non-partitioned: those map to the suffix-FREE Pulsar name, report
+    * partition count 1, collapse their 8 hash slices into one row, and
+    * the repartition_map consumer SKIPS them (a non-partitioned topic
+    * has no partition map to grow, so n_repartition_moved = 0); the
+    * partitioned rest keep topic_name_map's exact per-partition mapping
+    * and carry their repartition-move counts. kafka_name round-trips
+    * from pulsar_name by the same suffix test KopTopic applies.
+    *
+    * Scale: one scan partial-aggregated to (topic, part) grain, an
+    * in-row md5 coin, and a second metadata-sized aggregate that merges
+    * the non-partitioned slices; the partition count is a window over
+    * the |topics|·|parts| frame.
+    */
+  def nonpartitionedTopics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    import org.apache.spark.sql.expressions.Window
+    LogOps.logBase(spark, dir)
+      .withColumn("part12", pmod(col("k").cast("long"), lit(12L)))
+      .groupBy("topic", "part")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("part") =!= col("part12"), 1L).otherwise(0L)).as("mv"))
+      .withColumn("is_partitioned",
+        pmod(md5Long(concat(lit("np#"), col("topic"))), lit(4L)) =!= 0L)
+      .groupBy(col("topic"), col("is_partitioned"),
+        when(col("is_partitioned"), col("part")).otherwise(lit(0L))
+          .as("part"))
+      .agg(sum("n").cast("long").as("n_records"),
+        sum("mv").cast("long").as("mv"))
+      .withColumn("n_partitions",
+        count(lit(1)).over(Window.partitionBy("topic")))
+      .select(
+        col("topic"), col("part"), col("is_partitioned"),
+        when(col("is_partitioned"),
+          concat(lit("persistent://public/default/"), col("topic"),
+            lit("-partition-"), col("part").cast("string")))
+          .otherwise(concat(lit("persistent://public/default/"),
+            col("topic"))).as("pulsar_name"),
+        col("n_partitions"), col("n_records"),
+        when(col("is_partitioned"), col("mv")).otherwise(0L)
+          .as("n_repartition_moved"))
+      .withColumn("kafka_name",
+        when(col("is_partitioned"),
+          regexp_extract(col("pulsar_name"),
+            "^persistent://[^/]+/[^/]+/(.+)-partition-[0-9]+$", 1))
+          .otherwise(regexp_extract(col("pulsar_name"),
+            "^persistent://[^/]+/[^/]+/(.+)$", 1)))
+  }
+
   /** Per-topic Kafka->KoP migration status with the offset fence
     * (/root/reference/kafka-impl/.../migration/metadata/MigrationMetadata.java:29,
     * migrationStatus at :42; phases from MigrationStatus.java —
@@ -1009,11 +1063,23 @@ object Admin {
     * next request opens a NEW connection (Kafka clients reconnect
     * transparently) — so a client's request history splits into idle-close
     * sessions, and the view reports the churn: idle closes paid, the
-    * longest session, the widest gap.
+    * longest session, the widest gap. The modeled window is
+    * [[IdleWindowMs]] (1 h), deliberately wider than the reference's
+    * 10-min default: the synthetic events are SPARSE per client (median
+    * inter-request gap ~574 s at sf0.1), so a 10-min window would close
+    * nearly every gap and the session split degenerates to
+    * one-session-per-instant — 1 h keeps both STABLE and IDLE_CYCLED
+    * populated, which is the behavior the view exists to audit.
     *
     * Scale: one partial-aggregated scan to (client, instant) grain, one
     * lag + running-sum window pair per client, 32-row rollup.
     */
+
+  /** The ONE spelling of the modeled connectionMaxIdleMs window, shared
+    * by [[idleConnections]], its oracle SQL, and the pinning spec.
+    */
+  private[graft] val IdleWindowMs = 3600000L
+
   def idleConnections(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byConn = Window.partitionBy("conn_id").orderBy("tms")
@@ -1029,7 +1095,8 @@ object Admin {
       // the closing gap is carried by the FIRST instant of the new
       // session, so per-session MAX(gap_ms) includes it
       .withColumn("sess",
-        sum(when(col("gap_ms") > 3600000L, 1L).otherwise(0L)).over(byConn))
+        sum(when(col("gap_ms") > IdleWindowMs, 1L).otherwise(0L))
+          .over(byConn))
       .groupBy("conn_id", "sess")
       .agg(sum("n_at_tick").cast("long").as("sess_requests"),
         count(lit(1)).as("sess_instants"),
@@ -1114,6 +1181,82 @@ object Admin {
           .as("final_state"))
   }
 
+  /** Precise per-(topic, second) publish-rate throttle ledger
+    * (storage/PartitionLog.java:948-963 checkAndRecordPublishQuota:
+    * preciseTopicPublishRateLimiterEnable asks the topic's
+    * PublishRateLimiter whether THIS batch's msgs/bytes exceed the
+    * per-second rate and disables channel auto-read when it does;
+    * tests/MessagePublishThrottlingTest.java sets
+    * publishThrottlingRateInByte per topic/namespace and
+    * PreciselyMessagePublishThrottlingTest.java pins the exact-pause
+    * variant). Record sizes are publish_buffer_throttle's EXACT psize#
+    * md5 draw — the two throttle views read the same bytes, so their
+    * ledgers cannot disagree. Per topic an md5 coin draws the configured
+    * byte rate (2-8 KiB/s) and msg rate (2-8 msg/s); per (topic, second)
+    * the ledger reports msgs/bytes vs the rates, and the precise-limiter
+    * pause is integer token replenishment: a second that publishes
+    * n_bytes pre-pays (n_bytes - 1) div byte_rate FULL extra seconds of
+    * budget (0 when within rate), likewise for msgs, and the producer
+    * sits paused for the max of the two. The throttle-vs-buffer
+    * interaction: bytes over the second's rate wait in the connection's
+    * publish buffer while auto-read is off, so any second whose overflow
+    * alone reaches publish_buffer_throttle's 128 KiB RESUME threshold
+    * holds the channel paused through the buffer's hysteresis window —
+    * the buffer cannot resume below half-threshold while the rate
+    * limiter is still draining this second's overflow (n_buffer_holds).
+    *
+    * Scale: one scan partial-aggregated to (topic, second) grain —
+    * map-side combinable counts/sums with the in-row size draw — then a
+    * |topics|-row rollup; the per-topic config is an in-row md5 coin, no
+    * join anywhere.
+    */
+  def publishRateThrottle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type").as("topic"),
+        graft.functions.Parity.nsToMs("ts").as("tms"))
+      .withColumn("sz_coin",
+        pmod(md5Long(concat(lit("psize#"), col("event_id"))), lit(16L)))
+      .withColumn("rec_bytes",
+        when(col("sz_coin") <= 9L, 256L)
+          .when(col("sz_coin") <= 12L, 4096L)
+          .when(col("sz_coin") <= 14L, 32768L)
+          .otherwise(262144L))
+      .withColumn("sec", expr("tms div 1000"))
+      .groupBy("topic", "sec")
+      .agg(count(lit(1)).as("n_msgs"),
+        sum("rec_bytes").cast("long").as("n_bytes"))
+      .withColumn("byte_rate",
+        (pmod(md5Long(concat(lit("brate#"), col("topic"))), lit(4L)) + 1L)
+          * 2048L)
+      .withColumn("msg_rate",
+        (pmod(md5Long(concat(lit("mrate#"), col("topic"))), lit(4L)) + 1L)
+          * 2L)
+      .withColumn("exceeded",
+        when(col("n_bytes") > col("byte_rate") ||
+          col("n_msgs") > col("msg_rate"), 1L).otherwise(0L))
+      .withColumn("pause_secs",
+        greatest(expr("(n_bytes - 1) div byte_rate"),
+          expr("(n_msgs - 1) div msg_rate")))
+      .withColumn("overflow_bytes",
+        greatest(col("n_bytes") - col("byte_rate"), lit(0L)))
+      .groupBy("topic", "byte_rate", "msg_rate")
+      .agg(
+        count(lit(1)).as("n_seconds"),
+        sum("n_msgs").cast("long").as("n_msgs"),
+        sum("n_bytes").cast("long").as("total_bytes"),
+        max("n_bytes").as("peak_sec_bytes"),
+        max("n_msgs").as("peak_sec_msgs"),
+        sum("exceeded").cast("long").as("n_exceeded_secs"),
+        sum("pause_secs").cast("long").as("pause_secs"),
+        sum("overflow_bytes").cast("long").as("buffered_bytes"),
+        sum(when(col("overflow_bytes") >= 131072L, 1L).otherwise(0L))
+          .cast("long").as("n_buffer_holds"))
+      .withColumn("verdict",
+        when(col("n_exceeded_secs") > 0L, "THROTTLED")
+          .otherwise("WITHIN_RATE"))
+  }
+
   /** Inner-topic protection (storage/ReplicaManager.java:169 rejects a
     * client append when KopTopic.isInternalTopic — utils/KopTopic.java:125:
     * the topic lives in the metadata namespace AND its local name is
@@ -1168,6 +1311,8 @@ object Admin {
     "acl_check" -> aclCheck,
     "idle_connections" -> idleConnections,
     "publish_buffer_throttle" -> publishBufferThrottle,
+    "publish_rate_throttle" -> publishRateThrottle,
+    "nonpartitioned_topics" -> nonpartitionedTopics,
     "inner_topic_protection" -> innerTopicProtection,
     "api_versions" -> apiVersions,
     "sasl_flow" -> saslFlow,
@@ -1306,7 +1451,7 @@ object Admin {
 
   val oracles: Map[String, String] = Map(
     "idle_connections" ->
-      """WITH ticks AS (
+      s"""WITH ticks AS (
         |  SELECT user_id % 32 AS conn_id, epoch_ms(ts) AS tms,
         |    COUNT(*) AS n_at_tick
         |  FROM events GROUP BY 1, 2),
@@ -1317,7 +1462,7 @@ object Admin {
         |  FROM ticks),
         |s AS (
         |  SELECT *,
-        |    SUM(CASE WHEN gap_ms > 3600000 THEN 1 ELSE 0 END)
+        |    SUM(CASE WHEN gap_ms > $IdleWindowMs THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY conn_id ORDER BY tms
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |  FROM g),
@@ -1389,6 +1534,85 @@ object Admin {
         |  CASE WHEN max_by(state_after, rn) = 1 THEN 'PAUSED'
         |    ELSE 'OPEN' END AS final_state
         |FROM st GROUP BY conn_id""".stripMargin),
+    "publish_rate_throttle" ->
+      (s"""WITH sends AS (
+        |  SELECT event_id, event_type AS topic, epoch_ms(ts) AS tms,
+        |    ${md5LongSql("('psize#' || event_id)")} % 16 AS sz_coin
+        |  FROM events),
+        |""".stripMargin +
+      s"""sz AS (
+        |  SELECT *, CASE WHEN sz_coin <= 9 THEN 256
+        |    WHEN sz_coin <= 12 THEN 4096
+        |    WHEN sz_coin <= 14 THEN 32768
+        |    ELSE 262144 END AS rec_bytes
+        |  FROM sends),
+        |per_sec AS (
+        |  SELECT topic, tms // 1000 AS sec, COUNT(*) AS n_msgs,
+        |    CAST(SUM(rec_bytes) AS BIGINT) AS n_bytes
+        |  FROM sz GROUP BY 1, 2),
+        |cfg AS (
+        |  SELECT *,
+        |    (${md5LongSql("('brate#' || topic)")} % 4 + 1) * 2048
+        |      AS byte_rate,
+        |    (${md5LongSql("('mrate#' || topic)")} % 4 + 1) * 2
+        |      AS msg_rate
+        |  FROM per_sec),
+        |led AS (
+        |  SELECT *,
+        |    CASE WHEN n_bytes > byte_rate OR n_msgs > msg_rate
+        |      THEN 1 ELSE 0 END AS exceeded,
+        |    greatest((n_bytes - 1) // byte_rate,
+        |      (n_msgs - 1) // msg_rate) AS pause_secs,
+        |    greatest(n_bytes - byte_rate, 0) AS overflow_bytes
+        |  FROM cfg)
+        |SELECT topic, byte_rate, msg_rate, COUNT(*) AS n_seconds,
+        |  CAST(SUM(n_msgs) AS BIGINT) AS n_msgs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(n_bytes) AS BIGINT) AS peak_sec_bytes,
+        |  CAST(MAX(n_msgs) AS BIGINT) AS peak_sec_msgs,
+        |  CAST(SUM(exceeded) AS BIGINT) AS n_exceeded_secs,
+        |  CAST(SUM(pause_secs) AS BIGINT) AS pause_secs,
+        |  CAST(SUM(overflow_bytes) AS BIGINT) AS buffered_bytes,
+        |  CAST(SUM(CASE WHEN overflow_bytes >= 131072 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_buffer_holds,
+        |  CASE WHEN SUM(exceeded) > 0 THEN 'THROTTLED'
+        |    ELSE 'WITHIN_RATE' END AS verdict
+        |FROM led GROUP BY topic, byte_rate, msg_rate""".stripMargin),
+    "nonpartitioned_topics" ->
+      (s"""WITH pp AS (
+        |  SELECT event_type AS topic, user_id % 8 AS part, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN user_id % 8 <> user_id % 12
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *, ${md5LongSql("('np#' || topic)")} % 4 <> 0
+        |    AS is_partitioned
+        |  FROM pp),
+        |""".stripMargin +
+      """g AS (
+        |  SELECT topic, is_partitioned,
+        |    CASE WHEN is_partitioned THEN part ELSE 0 END AS part,
+        |    CAST(SUM(n) AS BIGINT) AS n_records,
+        |    CAST(SUM(mv) AS BIGINT) AS mv
+        |  FROM f GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY topic) AS n_partitions,
+        |    CASE WHEN is_partitioned
+        |      THEN 'persistent://public/default/' || topic ||
+        |        '-partition-' || CAST(part AS VARCHAR)
+        |      ELSE 'persistent://public/default/' || topic
+        |    END AS pulsar_name
+        |  FROM g)
+        |SELECT topic, part, is_partitioned, pulsar_name, n_partitions,
+        |  n_records,
+        |  CASE WHEN is_partitioned THEN mv ELSE 0 END
+        |    AS n_repartition_moved,
+        |  CASE WHEN is_partitioned THEN regexp_extract(pulsar_name,
+        |      '^persistent://[^/]+/[^/]+/(.+)-partition-[0-9]+$', 1)
+        |    ELSE regexp_extract(pulsar_name,
+        |      '^persistent://[^/]+/[^/]+/(.+)$', 1) END AS kafka_name
+        |FROM w""".stripMargin),
     "inner_topic_protection" ->
       (s"""WITH att AS (
         |  SELECT event_id, event_type,

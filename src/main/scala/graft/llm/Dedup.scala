@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.Tables.t
 import graft.functions.Parity._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data deduplication at 100 TB scale.
@@ -31,12 +31,34 @@ object Dedup {
     * same md5(text)). One frame per m in `ms`, columns
     * (m_bits, doc_id, source, flagged, is_dup).
     *
-    * Scale: no pairwise join anywhere — bits fan out to 4·|ms|·n rows and
-    * every stage shuffles on a uniform hash key (the bit, then doc_id), so
-    * the plan is linear in n where the real filter would be a single pass.
-    * Ref: the reference dedupes only by offset/key compaction
-    * (PartitionLog compact); this is the training-data sibling per brief.
+    * Scale: no pairwise join anywhere — the corpus-sized bit fan is 4n
+    * rows ONCE at the [[BloomM]] grain regardless of |ms| (all filter
+    * sizes divide M, so every m derives by metadata re-aggregation), and
+    * every data-sized stage shuffles on a uniform hash key (the bit,
+    * then doc_id); the plan is linear in n where the real filter would
+    * be a single pass. Ref: the reference dedupes only by offset/key
+    * compaction (PartitionLog compact); this is the training-data
+    * sibling per brief.
     */
+  /** The master Bloom grain: every filter size the family uses (1024 ..
+    * 262144, all powers of two) divides it, so bit_m(x) = bit_M(x) mod m
+    * and every m-grain filter derives from ONE M-grain aggregation by a
+    * metadata-sized re-aggregation — the bit fan over the corpus is 4n
+    * rows ONCE, not 4·|ms|·n.
+    */
+  private[graft] val BloomM = 262144
+
+  /** The one 4n-row bit fan at the [[BloomM]] grain (k = 4 hashes per
+    * doc, the family's exact md5 spelling), shared by [[bloomVerdicts]]
+    * and [[bloomDeltaFilter]] so the filter geometry cannot drift.
+    */
+  private def bitsAtM(docs: DataFrame, extraCols: Column*): DataFrame =
+    docs.select(col("doc_id") +: extraCols :+ explode(expr(
+      s"""transform(sequence(0, 3), j ->
+         |  cast(conv(substring(md5(concat('bloom#', j, '#', text)),
+         |    1, 14), 16, 10) AS bigint) % $BloomM)""".stripMargin))
+      .as("bit_M"): _*)
+
   private[graft] def bloomVerdicts(spark: SparkSession, dir: String,
       ms: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -47,23 +69,27 @@ object Dedup {
         min("doc_id").over(Window.partitionBy(md5(col("text")))) <
           col("doc_id"))
       .select("doc_id", "source", "is_dup")
-    val bits = docs
-      // hoist the 4 text hashes out of the per-m map: md5 over the full
-      // text is the expensive part and is identical for every filter size
-      .withColumn("raw", expr(
-        """transform(sequence(0, 3), j ->
-          |  cast(conv(substring(md5(concat('bloom#', j, '#', text)),
-          |    1, 14), 16, 10) AS bigint))""".stripMargin))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(array(${ms.mkString(",")}), m ->
-           |  struct(m AS m_bits, transform(raw, r -> r % m) AS bs))"""
-          .stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.m_bits"), explode(col("x.bs")).as("bit"))
-    val fs = bits.groupBy("m_bits", "bit")
-      .agg(min("doc_id").as("first_setter"))
-    bits.join(fs, Seq("m_bits", "bit"))
-      .groupBy("m_bits", "doc_id")
-      .agg((max(col("first_setter")) < col("doc_id")).as("flagged"))
+    // ONE data-sized fan (4n bit rows) at the M grain; the per-m
+    // first-setter tables are fs_m[b] = min over {B ≡ b (mod m)} fs_M[B]
+    // — a window over the ≤ M-row first-setter frame per m, then ONE
+    // broadcast join back onto the 4n rows carries every m's answer.
+    val bitsM = bitsAtM(docs)
+    val fsM = bitsM.groupBy("bit_M").agg(min("doc_id").as("fs_M"))
+    val lut = ms.foldLeft(fsM) { (f, m) =>
+      f.withColumn(s"fs_$m", min("fs_M").over(
+        Window.partitionBy(pmod(col("bit_M"), lit(m.toLong)))))
+    }
+    val flaggedAggs = ms.map(m =>
+      (max(col(s"fs_$m")) < col("doc_id")).as(s"flagged_$m"))
+    bitsM.join(broadcast(lut), "bit_M")
+      .groupBy("doc_id")
+      .agg(flaggedAggs.head, flaggedAggs.tail: _*)
+      // the |ms|-way fan happens HERE, on the n-row verdict grain the
+      // output contract requires — never on the bit rows
+      .select(col("doc_id"), explode(expr(s"array(${ms.map(m =>
+        s"struct(cast($m AS int) AS m_bits, flagged_$m AS flagged)")
+        .mkString(", ")})")).as("x"))
+      .select(col("doc_id"), col("x.m_bits"), col("x.flagged"))
       .join(ex, "doc_id")
   }
 
@@ -92,43 +118,60 @@ object Dedup {
     * cost — the sizing table an ingest pipeline reads before screening
     * today's crawl against yesterday's corpus without re-shuffling it.
     *
-    * Scale: the filter content is DISTINCT (m, bit) — bounded by Σm
-    * regardless of corpus size, so the membership join broadcasts; the
+    * Scale: the corpus-sized bit fan is 4n rows ONCE at the [[BloomM]]
+    * grain (every m divides M, so each m's filter is a metadata-sized
+    * projection of the M-grain set); the filter content is bounded by M
+    * regardless of corpus size, so the membership lookup broadcasts; the
     * exact-truth check is one hash equi-join on md5(text). No pairwise
     * work anywhere.
     */
   def bloomDeltaFilter(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
+    import org.apache.spark.sql.expressions.Window
     val ms = Seq(4096, 16384, 65536, 262144)
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         (md5Long(col("doc_id").cast("string")) % 10L === 0L).as("arrival"))
-    val bits = docs
-      .withColumn("raw", expr(
-        """transform(sequence(0, 3), j ->
-          |  cast(conv(substring(md5(concat('bloom#', j, '#', text)),
-          |    1, 14), 16, 10) AS bigint))""".stripMargin))
-      .select(col("doc_id"), col("arrival"), explode(expr(
-        s"""transform(array(${ms.mkString(",")}), m ->
-           |  struct(m AS m_bits, transform(raw, r -> r % m) AS bs))"""
-          .stripMargin)).as("x"))
-      .select(col("doc_id"), col("arrival"), col("x.m_bits"),
-        explode(col("x.bs")).as("bit"))
-    val filterBits = bits.filter(!col("arrival"))
-      .select("m_bits", "bit").distinct()
-    val fill = filterBits.groupBy("m_bits")
-      .agg(count(lit(1)).as("n_set_bits"))
+    // the ONE data-sized fan: 4n bit rows at the M grain (bit_m = bit_M
+    // mod m since every m divides BloomM); the base filter content is
+    // the ≤ M-row distinct M-grain bit set
+    val bitsM = bitsAtM(docs, col("arrival"))
+    val filterM = bitsM.filter(!col("arrival"))
+      .select("bit_M").distinct()
+    // per-m fill from the metadata-sized filter frame: distinct
+    // (m, bit_M mod m) — ≤ 4·|filterM| rows, never corpus-sized
+    val fill = filterM
+      .select(explode(expr(s"array(${ms.map(m =>
+        s"struct(cast($m AS int) AS m_bits, bit_M % $m AS bit)")
+        .mkString(", ")})")).as("x"))
+      .select("x.m_bits", "x.bit").distinct()
+      .groupBy("m_bits").agg(count(lit(1)).as("n_set_bits"))
+    // full-domain M-grain lookup (262144 rows — metadata): hit_m[B] =
+    // whether ANY base bit B' ≡ B (mod m) is set; covers arrival bits
+    // the base never set, which have no row in filterM
+    val lut = ms.foldLeft(
+      spark.range(0L, BloomM.toLong).select(col("id").as("bit_M"))
+        .join(broadcast(filterM.withColumn("hit_M", lit(1L))),
+          Seq("bit_M"), "left")) { (f, m) =>
+      f.withColumn(s"hit_$m", coalesce(max("hit_M").over(
+        Window.partitionBy(pmod(col("bit_M"), lit(m.toLong)))), lit(0L)))
+    }
     val seen = docs.filter(col("arrival"))
       .select(col("doc_id"), md5(col("text")).as("h"))
       .join(docs.filter(!col("arrival")).select(md5(col("text")).as("h"))
         .distinct(), Seq("h"), "left_semi")
       .select("doc_id")
-    val verdicts = bits.filter(col("arrival"))
-      .join(filterBits.withColumn("hit", lit(1L)), Seq("m_bits", "bit"),
-        "left")
-      .groupBy("m_bits", "doc_id")
-      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L))))
-        .as("flagged"))
+    val flaggedAggs = ms.map(m =>
+      (min(col(s"hit_$m")) === 1L).as(s"flagged_$m"))
+    val verdicts = bitsM.filter(col("arrival"))
+      .join(broadcast(lut), "bit_M")
+      .groupBy("doc_id")
+      .agg(flaggedAggs.head, flaggedAggs.tail: _*)
+      // |ms|-way fan on the arrival-doc grain only
+      .select(col("doc_id"), explode(expr(s"array(${ms.map(m =>
+        s"struct(cast($m AS int) AS m_bits, flagged_$m AS flagged)")
+        .mkString(", ")})")).as("x"))
+      .select(col("doc_id"), col("x.m_bits"), col("x.flagged"))
       .join(seen.withColumn("is_seen", lit(1L)), Seq("doc_id"), "left")
       .withColumn("is_seen", coalesce(col("is_seen"), lit(0L)))
     verdicts.groupBy("m_bits")
@@ -139,8 +182,13 @@ object Dedup {
           .as("n_false_pos"))
       .join(fill, "m_bits")
       .withColumn("fill_bp", expr("(10000 * n_set_bits) div m_bits"))
+      // n_arrivals = n_true_seen (every arrival already in the base) has
+      // no unseen population to false-positive on — rate is 0, not NULL,
+      // so bloom_calibration's downstream columns stay non-null
       .withColumn("fp_ppm",
-        expr("(1000000 * n_false_pos) div (n_arrivals - n_true_seen)"))
+        expr("""CASE WHEN n_arrivals = n_true_seen THEN 0
+               |ELSE (1000000 * n_false_pos) div (n_arrivals - n_true_seen)
+               |END""".stripMargin))
       .select(col("m_bits"), col("n_set_bits"), col("fill_bp"),
         col("n_arrivals"), col("n_flagged"), col("n_true_seen"),
         col("n_false_pos"), col("fp_ppm"))
@@ -1357,9 +1405,10 @@ object Dedup {
         |  CAST(SUM(is_seen) AS BIGINT) AS n_true_seen,
         |  CAST(SUM(CASE WHEN flagged AND is_seen = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_false_pos,
-        |  (1000000 * CAST(SUM(CASE WHEN flagged AND is_seen = 0 THEN 1
-        |      ELSE 0 END) AS BIGINT))
-        |    // (COUNT(*) - CAST(SUM(is_seen) AS BIGINT)) AS fp_ppm
+        |  CASE WHEN COUNT(*) = CAST(SUM(is_seen) AS BIGINT) THEN 0
+        |    ELSE (1000000 * CAST(SUM(CASE WHEN flagged AND is_seen = 0
+        |        THEN 1 ELSE 0 END) AS BIGINT))
+        |      // (COUNT(*) - CAST(SUM(is_seen) AS BIGINT)) END AS fp_ppm
         |FROM v JOIN fill ON fill.m_bits = v.m_bits
         |GROUP BY v.m_bits, fill.n_set_bits""".stripMargin
 

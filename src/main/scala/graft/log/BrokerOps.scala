@@ -1,7 +1,7 @@
 package graft.log
 
 import graft.functions.Parity.md5LongSql
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -639,7 +639,76 @@ object BrokerOps {
         when(col("n_sub_requests") > 1L, 1L).otherwise(0L))
   }
 
+  /** Ownership-cache invalidation per namespace-bundle unload
+    * (KafkaProtocolHandler.java:256-296 — the TopicOwnershipListener's
+    * whenUnload deReferences every affected topic from the
+    * KafkaTopicManagerSharedState lookup cache AND removes its
+    * PartitionLog from the ReplicaManager, both for the same topic set;
+    * tests/CacheInvalidatorTest.java unloads every bundle and asserts
+    * the lookup cache AND the PartitionLog map drain to empty;
+    * KafkaTopicManager.java:163 is the cache the next produce refills).
+    * COMPOSES broker_routing: a (topic, part)'s bundle is broker_routing's
+    * exact md5 ownership hash, so the two views cannot disagree about who
+    * owns what. Unload events are brokers_change's universe (one per
+    * active hour, kop_event_queue's arrival instant), each targeting one
+    * md5-drawn bundle. Per event: the cached lookup entries + PartitionLog
+    * state invalidated (pairs first produced BEFORE the unload — the
+    * reference drops both for the same set, so one count covers both
+    * maps), the re-lookup storm the next produce pays (pairs with traffic
+    * AFTER the unload, at pending_topic_futures' 50 ms lookup constant),
+    * and the coordinator moves the transfer forces — consumer groups
+    * whose __consumer_offsets partition and __transaction_state
+    * partitions ride the unloaded bundle (the same ownership hash again).
+    *
+    * Scale: one scan partial-aggregated to (topic, part) min/max bounds;
+    * the event frame is |active hours| rows and the join key is the
+    * 4-ary bundle hash — everything after the first aggregate is
+    * metadata-sized.
+    */
+  def bundleUnloadInvalidation(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.Parity.md5Long
+    def owner(t: Column, p: Column): Column =
+      pmod(md5Long(concat_ws("#", t, p)), lit(4L))
+    val pairs = LogOps.logBase(spark, dir)
+      .groupBy("topic", "part")
+      .agg(min("tms").as("first_ms"), max("tms").as("last_ms"))
+      .withColumn("bundle", owner(col("topic"), col("part")))
+    val events = LogOps.logBase(spark, dir)
+      .select(expr("tms div 3600000").as("h")).distinct()
+      .select(col("h"), (col("h") * 3600000L).as("unload_ms"),
+        pmod(md5Long(concat(lit("unload#h"), col("h").cast("string"))),
+          lit(4L)).as("bundle"))
+    val gMoves = spark.range(0L, 4L)
+      .select(owner(lit("__consumer_offsets"),
+        pmod(md5Long(concat(lit("gcoord#g"), col("id").cast("string"))),
+          lit(8L))).as("bundle"))
+      .groupBy("bundle").agg(count(lit(1)).as("n_group_moves"))
+    val tMoves = spark.range(0L, 8L)
+      .select(owner(lit("__transaction_state"), col("id")).as("bundle"))
+      .groupBy("bundle").agg(count(lit(1)).as("n_txn_moves"))
+    events.join(pairs, "bundle")
+      .groupBy("h", "unload_ms", "bundle")
+      .agg(
+        countDistinct("topic").as("n_topics"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("first_ms") < col("unload_ms"), 1L).otherwise(0L))
+          .cast("long").as("n_invalidated"),
+        sum(when(col("last_ms") >= col("unload_ms"), 1L).otherwise(0L))
+          .cast("long").as("n_relookups"))
+      .withColumn("relookup_cost_ms", col("n_relookups") * 50L)
+      .join(gMoves, Seq("bundle"), "left")
+      .join(tMoves, Seq("bundle"), "left")
+      .select(
+        concat(lit("h"), col("h").cast("string")).as("unload_event"),
+        col("unload_ms"), col("bundle"), col("n_topics"), col("n_pairs"),
+        col("n_invalidated"), col("n_relookups"), col("relookup_cost_ms"),
+        coalesce(col("n_group_moves"), lit(0L)).as("n_group_moves"),
+        coalesce(col("n_txn_moves"), lit(0L)).as("n_txn_moves"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bundle_unload_invalidation" -> bundleUnloadInvalidation,
     "proxy_routing" -> proxyRouting,
     "pending_topic_futures" -> pendingTopicFutures,
     "isr_status" -> isrStatus,
@@ -725,6 +794,52 @@ object BrokerOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "bundle_unload_invalidation" ->
+      (s"""WITH pairs AS (
+        |  SELECT event_type AS topic, user_id % 8 AS part,
+        |    MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY 1, 2),
+        |pb AS (
+        |  SELECT *,
+        |    ${md5LongSql("(topic || '#' || CAST(part AS VARCHAR))")} % 4
+        |      AS bundle
+        |  FROM pairs),
+        |ev AS (
+        |  SELECT h, h * 3600000 AS unload_ms,
+        |    ${md5LongSql("('unload#h' || h)")} % 4 AS bundle
+        |  FROM (SELECT DISTINCT epoch_ms(ts) // 3600000 AS h
+        |        FROM events)),
+        |gm AS (
+        |  SELECT bundle, COUNT(*) AS n_group_moves FROM (
+        |    SELECT ${md5LongSql(
+             s"""('__consumer_offsets#' || CAST(
+                |      ${md5LongSql("('gcoord#g' || g)")} % 8 AS VARCHAR))"""
+               .stripMargin)} % 4 AS bundle
+        |    FROM generate_series(0, 3) t(g)) GROUP BY 1),
+        |tm AS (
+        |  SELECT bundle, COUNT(*) AS n_txn_moves FROM (
+        |    SELECT ${md5LongSql(
+             "('__transaction_state#' || CAST(p AS VARCHAR))")} % 4
+        |      AS bundle
+        |    FROM generate_series(0, 7) t(p)) GROUP BY 1),
+        |""".stripMargin +
+      """agg AS (
+        |  SELECT ev.h, ev.unload_ms, ev.bundle,
+        |    CAST(COUNT(DISTINCT pb.topic) AS BIGINT) AS n_topics,
+        |    COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN pb.first_ms < ev.unload_ms
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_invalidated,
+        |    CAST(SUM(CASE WHEN pb.last_ms >= ev.unload_ms
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_relookups
+        |  FROM ev JOIN pb ON pb.bundle = ev.bundle
+        |  GROUP BY 1, 2, 3)
+        |SELECT 'h' || CAST(h AS VARCHAR) AS unload_event, unload_ms,
+        |  bundle, n_topics, n_pairs, n_invalidated, n_relookups,
+        |  n_relookups * 50 AS relookup_cost_ms,
+        |  COALESCE(gm.n_group_moves, 0) AS n_group_moves,
+        |  COALESCE(tm.n_txn_moves, 0) AS n_txn_moves
+        |FROM agg LEFT JOIN gm USING (bundle)
+        |LEFT JOIN tm USING (bundle)""".stripMargin),
     "pending_topic_futures" -> (L +
       """fm AS (
         |  SELECT *, MIN(tms) OVER (PARTITION BY topic, part) AS first_ms

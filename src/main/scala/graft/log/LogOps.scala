@@ -97,9 +97,55 @@ object LogOps {
     */
   def offsetsForTimes(spark: SparkSession, dir: String): DataFrame =
     log(spark, dir)
-      .filter(col("tms") >= lit(1705276800000L)) // 2024-01-15 00:00 UTC
+      .filter(col("tms") >= lit(TimesTargetMs)) // 2024-01-15 00:00 UTC
       .groupBy("topic", "part")
       .agg(min("offs").as("offs"), min("tms").as("tms"))
+
+  /** The ListOffsets time target shared by [[offsetsForTimes]] and
+    * [[offsetsForPublishTime]] — 2024-01-15 00:00 UTC.
+    */
+  private[graft] val TimesTargetMs = 1705276800000L
+
+  /** ListOffsets against the PUBLISH time — the broker-arrival timestamp
+    * sibling of [[offsetsForTimes]]. The reference resolves a
+    * time->offset lookup against the entry's Pulsar publish_time, NOT
+    * the producer's event timestamp (utils/MessageMetadataUtils.java:
+    * 57-93 getPublishTime reads the broker-stamped field;
+    * utils/OffsetFinder.java seeks by it; tests/EntryPublishTimeTest
+    * .java pins the lookup). Here each record's publish time is a
+    * deterministic md5 jitter ON TOP of its event time (0..1 h late —
+    * the broker stamps on arrival, never before the event happened; the
+    * window is sized to the synthetic stream's per-partition density,
+    * ~3 h median inter-arrival at sf0.01, so the straddle set is
+    * populated), and
+    * per partition the view reports BOTH answers — first offset with
+    * event ts >= target vs first offset with publish ts >= target — plus
+    * how many records straddle the target (publish crossed it, event
+    * time did not: exactly the out-of-orderness watermark_lateness
+    * measures) and whether the two lookups disagree.
+    *
+    * Scale: conditional min/sum aggregates over the (topic, part)
+    * partitioning every log op reuses — all map-side combinable.
+    */
+  def offsetsForPublishTime(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir)
+      .withColumn("pub_ms", col("tms") +
+        pmod(md5Long(concat(lit("pub#"), col("event_id").cast("string"))),
+          lit(3600000L)))
+      .groupBy("topic", "part")
+      .agg(
+        min(when(col("tms") >= TimesTargetMs, col("offs")))
+          .as("offs_event_time"),
+        min(when(col("pub_ms") >= TimesTargetMs, col("offs")))
+          .as("offs_publish_time"),
+        min(when(col("pub_ms") >= TimesTargetMs, col("pub_ms")))
+          .as("first_pub_ms"),
+        sum(when(col("pub_ms") >= TimesTargetMs &&
+          col("tms") < TimesTargetMs, 1L).otherwise(0L)).cast("long")
+          .as("n_pub_only"))
+      .withColumn("differs",
+        when(coalesce(col("offs_event_time"), lit(-1L)) =!=
+          coalesce(col("offs_publish_time"), lit(-1L)), 1L).otherwise(0L))
 
   /** ListOffsets MAX_TIMESTAMP (-3): the offset holding each partition's
     * maximum event time — distinct from the log-end offset because the log
@@ -558,6 +604,7 @@ object LogOps {
     "fetch" -> fetch,
     "list_offsets" -> listOffsets,
     "offsets_for_times" -> offsetsForTimes,
+    "offsets_for_publish_time" -> offsetsForPublishTime,
     "offsets_for_max_ts" -> offsetsForMaxTs,
     "compact" -> compact,
     "retention" -> retention,
@@ -709,6 +756,27 @@ object LogOps {
     "offsets_for_times" -> (logSql +
       """SELECT topic, part, MIN(offs) AS offs, MIN(tms) AS tms
         |FROM log WHERE tms >= 1705276800000 GROUP BY topic, part""".stripMargin),
+    "offsets_for_publish_time" -> (logSqlCte +
+      s"""pub AS (
+        |  SELECT topic, part, offs, tms,
+        |    tms + ${md5LongSql("('pub#' || event_id)")} % 3600000
+        |      AS pub_ms
+        |  FROM log)
+        |SELECT topic, part,
+        |  MIN(CASE WHEN tms >= $TimesTargetMs THEN offs END)
+        |    AS offs_event_time,
+        |  MIN(CASE WHEN pub_ms >= $TimesTargetMs THEN offs END)
+        |    AS offs_publish_time,
+        |  MIN(CASE WHEN pub_ms >= $TimesTargetMs THEN pub_ms END)
+        |    AS first_pub_ms,
+        |  CAST(SUM(CASE WHEN pub_ms >= $TimesTargetMs
+        |    AND tms < $TimesTargetMs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pub_only,
+        |  CAST(CASE WHEN COALESCE(MIN(CASE WHEN tms >= $TimesTargetMs
+        |      THEN offs END), -1) <>
+        |    COALESCE(MIN(CASE WHEN pub_ms >= $TimesTargetMs
+        |      THEN offs END), -1) THEN 1 ELSE 0 END AS BIGINT) AS differs
+        |FROM pub GROUP BY topic, part""".stripMargin),
     "offsets_for_max_ts" -> (logSql +
       """SELECT topic, part, offs, tms AS max_tms FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, part

@@ -164,6 +164,18 @@ object Streams {
     * how many distinct bits were already set by EARLIER docs. A doc is
     * flagged when all its bits were old: sum(n_old) == sum(n_bits) over
     * its buckets. StreamingSpec pins stream == batch flagged set.
+    *
+    * Parity precondition: doc_id order holds only WITHIN a micro-batch —
+    * equality with the batch first-setter rule additionally requires
+    * micro-batches to arrive in globally nondecreasing doc_id order (a
+    * replayed log, or StreamingSpec's single-file source). Under
+    * arbitrary arrival order the verdicts are still a valid Bloom dedup,
+    * but first-setter is ARRIVAL order, not doc_id order, and may differ
+    * from the batch view. Memory: the persistent state is four longs per
+    * bucket; the per-trigger sort buffers one bucket's micro-batch slice
+    * (transient, O(trigger size), released at trigger end) — the
+    * constant-memory claim is about STATE across an unbounded stream,
+    * not the per-trigger working set.
     */
   def bloomDedupStream(spark: SparkSession, docs: DataFrame)
       : Dataset[BloomVerdict] = {
@@ -181,15 +193,32 @@ object Streams {
         case (bucket, rows, state) =>
           val words = state.getOption.map(_.words)
             .getOrElse(Array.fill(4)(0L))
-          val out = rows.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
-            .map { case (docId, bits) =>
-              val distinctLocal = bits.map(_._2 - bucket * 256).distinct
-              val nOld = distinctLocal.count { b =>
-                (words(b / 64) & (1L << (b % 64))) != 0L
+          // one sort, then a single fold over doc_id runs — no groupBy
+          // Map materialized; a doc's duplicate bits dedupe via the tiny
+          // per-doc set (k = 4 bits)
+          val sorted = rows.toArray
+          scala.util.Sorting.quickSort(sorted)
+          val out = Iterator.unfold(0) { i =>
+            if (i >= sorted.length) None
+            else {
+              val docId = sorted(i)._1
+              var j = i
+              var nBits = 0
+              var nOld = 0
+              var prev = -1
+              while (j < sorted.length && sorted(j)._1 == docId) {
+                val b = sorted(j)._2 - bucket * 256
+                if (b != prev) { // sorted, so dup bits are adjacent
+                  nBits += 1
+                  if ((words(b / 64) & (1L << (b % 64))) != 0L) nOld += 1
+                  words(b / 64) |= 1L << (b % 64)
+                  prev = b
+                }
+                j += 1
               }
-              distinctLocal.foreach(b => words(b / 64) |= 1L << (b % 64))
-              BloomVerdict(docId, bucket, distinctLocal.size, nOld)
+              Some((BloomVerdict(docId, bucket, nBits, nOld), j))
             }
+          }.toVector
           state.update(BloomState(words))
           out.iterator
       }

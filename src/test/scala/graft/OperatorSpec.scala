@@ -2896,7 +2896,8 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getAs[String]("verdict") ==
         (if (closes == 0) "STABLE" else "IDLE_CYCLED"))
       // a close only happens on an over-window gap
-      if (closes > 0) assert(r.getAs[Long]("max_gap_ms") > 3600000L)
+      if (closes > 0)
+        assert(r.getAs[Long]("max_gap_ms") > admin.Admin.IdleWindowMs)
       assert(r.getAs[Long]("max_session_requests") <=
         r.getAs[Long]("n_requests"))
       assert(r.getAs[Long]("n_requests") >= r.getAs[Long]("n_instants"))
@@ -2921,6 +2922,110 @@ class OperatorSpec extends AnyFunSuite {
       } else assert(r.getAs[Long]("peak_pending") >= 262144L)
     }
     p.unpersist()
+  }
+
+  test("publish_rate_throttle: per-second ledger closes over the stream") {
+    val t = admin.Admin.publishRateThrottle(spark, dir).cache()
+    val nTopics = Tables.t(spark, dir, "events")
+      .select("event_type").distinct().count()
+    assert(t.count() == nTopics)
+    // same psize# byte draw as publish_buffer_throttle: the two throttle
+    // views must account the identical byte stream
+    val bufBytes = admin.Admin.publishBufferThrottle(spark, dir)
+      .agg(sum("total_bytes")).head.getLong(0)
+    assert(t.agg(sum("total_bytes")).head.getLong(0) == bufBytes)
+    assert(t.agg(sum("n_msgs")).head.getLong(0) ==
+      Tables.t(spark, dir, "events").count())
+    t.collect().foreach { r =>
+      assert(Set(2048L, 4096L, 6144L, 8192L)(r.getAs[Long]("byte_rate")))
+      assert(Set(2L, 4L, 6L, 8L)(r.getAs[Long]("msg_rate")))
+      assert(r.getAs[Long]("n_exceeded_secs") <= r.getAs[Long]("n_seconds"))
+      assert(r.getAs[Long]("n_buffer_holds") <=
+        r.getAs[Long]("n_exceeded_secs"))
+      assert(r.getAs[Long]("peak_sec_bytes") <= r.getAs[Long]("total_bytes"))
+      assert(r.getAs[String]("verdict") ==
+        (if (r.getAs[Long]("n_exceeded_secs") > 0) "THROTTLED"
+         else "WITHIN_RATE"))
+      // a paused second implies an exceeded second and vice versa is NOT
+      // required (msgs can exceed without a full extra second of debt)
+      if (r.getAs[Long]("pause_secs") > 0)
+        assert(r.getAs[Long]("n_exceeded_secs") > 0)
+    }
+    t.unpersist()
+  }
+
+  test("offsets_for_publish_time: publish lookup bounds the event lookup") {
+    val p = LogOps.offsetsForPublishTime(spark, dir).cache()
+    val et = LogOps.offsetsForTimes(spark, dir)
+      .select(col("topic"), col("part"), col("offs").as("oft_offs"))
+    // the event-time column IS offsets_for_times' answer
+    assert(p.join(et, Seq("topic", "part"))
+      .filter(col("offs_event_time") =!= col("oft_offs")).count() == 0)
+    p.collect().foreach { r =>
+      val evo = Option(r.getAs[java.lang.Long]("offs_event_time"))
+      val pbo = Option(r.getAs[java.lang.Long]("offs_publish_time"))
+      // publish crossers are a SUPERSET of event crossers (pub >= event
+      // ts), so the publish answer exists whenever the event one does
+      // and can only be an earlier-or-equal offset
+      evo.foreach { e =>
+        assert(pbo.isDefined && pbo.get <= e)
+      }
+      Option(r.getAs[java.lang.Long]("first_pub_ms"))
+        .foreach(m => assert(m >= LogOps.TimesTargetMs))
+      assert(r.getAs[Long]("differs") ==
+        (if (evo.map(Long2long) != pbo.map(Long2long)) 1L else 0L))
+    }
+    p.unpersist()
+  }
+
+  test("nonpartitioned_topics: round trip and the repartition skip") {
+    val n = admin.Admin.nonpartitionedTopics(spark, dir).cache()
+    val rows = n.collect()
+    // the md5 coin splits the topic universe both ways at this data
+    assert(rows.exists(_.getAs[Boolean]("is_partitioned")))
+    assert(rows.exists(!_.getAs[Boolean]("is_partitioned")))
+    assert(rows.map(_.getAs[Long]("n_records")).sum ==
+      Tables.t(spark, dir, "events").count())
+    rows.foreach { r =>
+      // KopTopic round trip: the Kafka name always comes back
+      assert(r.getAs[String]("kafka_name") == r.getAs[String]("topic"))
+      if (r.getAs[Boolean]("is_partitioned")) {
+        assert(r.getAs[String]("pulsar_name").endsWith(
+          s"-partition-${r.getAs[Long]("part")}"))
+      } else {
+        assert(r.getAs[Long]("part") == 0L)
+        assert(r.getAs[Long]("n_partitions") == 1L)
+        assert(!r.getAs[String]("pulsar_name").contains("-partition-"))
+        // the repartition_map consumer skips non-partitioned topics
+        assert(r.getAs[Long]("n_repartition_moved") == 0L)
+      }
+    }
+    n.unpersist()
+  }
+
+  test("bundle_unload_invalidation: composes broker_routing's ownership") {
+    val b = graft.log.BrokerOps.bundleUnloadInvalidation(spark, dir).cache()
+    // broker_routing's md5 hash IS the bundle key: per event, the pair
+    // population equals the routing view's per-broker partition count
+    val routing = graft.log.BrokerOps.brokerRouting(spark, dir)
+      .groupBy("broker").agg(count(lit(1)).as("broker_pairs"))
+      .collect().map(r => r.getAs[Long]("broker") ->
+        r.getAs[Long]("broker_pairs")).toMap
+    b.collect().foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == routing(r.getAs[Long]("bundle")))
+      assert(r.getAs[Long]("n_invalidated") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("n_relookups") <= r.getAs[Long]("n_pairs"))
+      // every pair is either already cached or produces later (or both)
+      assert(r.getAs[Long]("n_invalidated") +
+        r.getAs[Long]("n_relookups") >= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("relookup_cost_ms") ==
+        50L * r.getAs[Long]("n_relookups"))
+      assert(r.getAs[Long]("n_group_moves") <= 4L)
+      assert(r.getAs[Long]("n_txn_moves") <= 8L)
+    }
+    // one row per active hour whose bundle owns at least one pair
+    assert(b.select("unload_event").distinct().count() == b.count())
+    b.unpersist()
   }
 
   test("inner_topic_protection: only metadata-ns internals are fenced") {
@@ -2989,7 +3094,13 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("fill_bp") ==
         10000L * r.getAs[Long]("n_set_bits") / r.getAs[Int]("m_bits"))
     }
-    // monotone content: a larger filter never holds fewer distinct bits
+    // monotone content: a TRUE invariant here (not a probabilistic one)
+    // because the filter sizes are nested moduli (m | 4m, all powers of
+    // two): bit_m(x) = bit_4m(x) mod m, so the mod-m bit set is the image
+    // of the mod-4m bit set under a function — an image can never be
+    // larger than its preimage. The same nesting is what lets
+    // bloomVerdicts/bloomDeltaFilter derive every m's filter from one
+    // M=262144-grain aggregation (Dedup.BloomM).
     val byM = f.collect().sortBy(_.getAs[Int]("m_bits"))
       .map(_.getAs[Long]("n_set_bits"))
     assert(byM.zip(byM.tail).forall { case (a, b) => a <= b })

@@ -759,4 +759,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pm.toLowerCase.contains("generate"),
       s"ann_lsh_multi re-grew the posexplode fan-out:\n$pm")
   }
+
+  test("Bloom family fans bits ONCE at the M grain, per-m only at doc grain") {
+    // bloom_fp_curve (5 filter sizes): the corpus-sized explode is the
+    // 4-hash M=262144-grain fan — it appears once per scan of the bit
+    // frame (first-setter build + verdict join = 2), NEVER multiplied by
+    // |ms|; the per-m fan is the struct explode at the n-row verdict
+    // grain (1). The per-m first-setter tables ride a BroadcastExchange
+    // (the ≤ M-row lut), not a shuffle join on 4·|ms|·n bit rows.
+    val fp = planOf(graft.llm.Dedup.queries("bloom_fp_curve")(spark, dir))
+    assert("Generate".r.findAllIn(fp).size == 3,
+      s"bloom_fp_curve re-grew a data-sized per-m fan:\n$fp")
+    assert("% 262144".r.findAllIn(fp).size == 2,
+      s"bloom_fp_curve lost the M-grain fan:\n$fp")
+    assert(fp.contains("BroadcastExchange"),
+      s"bloom_fp_curve first-setter lut no longer broadcasts:\n$fp")
+    // bloom_delta_filter: 2 M-grain fans (base filter + arrival test) +
+    // the fill explode over the ≤ M-row filter frame + the verdict-grain
+    // struct fan + nothing else.
+    val df = planOf(graft.llm.Dedup.queries("bloom_delta_filter")(spark, dir))
+    assert("Generate".r.findAllIn(df).size == 5,
+      s"bloom_delta_filter re-grew a data-sized per-m fan:\n$df")
+    assert("% 262144".r.findAllIn(df).size == 4,
+      s"bloom_delta_filter lost the M-grain fan:\n$df")
+    assert(df.contains("BroadcastExchange"),
+      s"bloom_delta_filter membership lut no longer broadcasts:\n$df")
+  }
 }
