@@ -75,10 +75,14 @@ object Dedup {
     // broadcast join back onto the 4n rows carries every m's answer.
     val bitsM = bitsAtM(docs)
     val fsM = bitsM.groupBy("bit_M").agg(min("doc_id").as("fs_M"))
+    // m == M needs no window (bit_M % M = bit_M, a one-row partition);
+    // the M-grain column is dropped so the broadcast carries only the
+    // |ms| first-setter columns
     val lut = ms.foldLeft(fsM) { (f, m) =>
-      f.withColumn(s"fs_$m", min("fs_M").over(
+      if (m == BloomM) f.withColumn(s"fs_$m", col("fs_M"))
+      else f.withColumn(s"fs_$m", min("fs_M").over(
         Window.partitionBy(pmod(col("bit_M"), lit(m.toLong)))))
-    }
+    }.drop("fs_M")
     val flaggedAggs = ms.map(m =>
       (max(col(s"fs_$m")) < col("doc_id")).as(s"flagged_$m"))
     bitsM.join(broadcast(lut), "bit_M")
@@ -153,9 +157,13 @@ object Dedup {
       spark.range(0L, BloomM.toLong).select(col("id").as("bit_M"))
         .join(broadcast(filterM.withColumn("hit_M", lit(1L))),
           Seq("bit_M"), "left")) { (f, m) =>
-      f.withColumn(s"hit_$m", coalesce(max("hit_M").over(
+      // m == M needs no window (one-row partitions); the M-grain column
+      // drops below so the broadcast carries only the |ms| hit columns
+      if (m == BloomM) f.withColumn(s"hit_$m",
+        coalesce(col("hit_M"), lit(0L)))
+      else f.withColumn(s"hit_$m", coalesce(max("hit_M").over(
         Window.partitionBy(pmod(col("bit_M"), lit(m.toLong)))), lit(0L)))
-    }
+    }.drop("hit_M")
     val seen = docs.filter(col("arrival"))
       .select(col("doc_id"), md5(col("text")).as("h"))
       .join(docs.filter(!col("arrival")).select(md5(col("text")).as("h"))
