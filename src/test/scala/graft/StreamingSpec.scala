@@ -137,6 +137,53 @@ class StreamingSpec extends AnyFunSuite {
       .select("bucket").distinct().count() <= 16)
   }
 
+  test("streaming Bloom dedup out-of-order batches: arrival-order first-setter") {
+    // Adversarial delivery for the documented precondition: two
+    // micro-batches arriving in globally DECREASING doc_id order (the
+    // high-id half first). Batch-parity is NOT asserted here — the
+    // operator's actual contract under arbitrary arrival is
+    // first-setter-by-ARRIVAL, pinned against an exact driver-side
+    // replay of the same md5 bit spelling.
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    val staged = stageChunks(docs, 2, col("doc_id").desc)
+    val q = Streams.bloomDedupStream(spark, chunkStream(staged)).writeStream
+      .outputMode("append").format("memory")
+      .queryName("graft_bloom_ooo").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_bloom_ooo")
+      .groupBy("doc_id")
+      .agg(sum("n_bits").as("n_bits"), sum("n_old").as("n_old"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bits"), r.getAs[Long]("n_old"))).toMap
+    // exact replay: per-doc bit positions via the operator's md5
+    // spelling, folded over the arrival order (chunk order, doc_id
+    // ascending within each chunk — the operator's in-batch sort)
+    val bits = docs.select(col("doc_id"), expr(
+      """transform(sequence(0, 3), j -> cast(
+        |  cast(conv(substring(md5(concat('bloom#', j, '#', text)),
+        |    1, 14), 16, 10) AS bigint) % 4096 AS int))""".stripMargin)
+      .as("bits")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Int](1).distinct.sorted).toMap
+    val ids = bits.keys.toSeq.sorted
+    // chunk 0 = the first ceil(n/2) docs of the DESC ranking = the top
+    // `per` ids; mirror stageChunks' per computation exactly
+    val per = ((ids.size + 1) / 2)
+    val mid = ids(ids.size - per)
+    val arrival = ids.filter(_ >= mid) ++ ids.filter(_ < mid)
+    val filter = new java.util.BitSet(4096)
+    arrival.foreach { id =>
+      val bs = bits(id)
+      val nOld = bs.count(filter.get)
+      bs.foreach(filter.set)
+      val (gb, go) = got(id)
+      assert(gb == bs.size.toLong, s"doc $id n_bits $gb != ${bs.size}")
+      assert(go == nOld.toLong, s"doc $id n_old $go != $nOld (arrival-order)")
+    }
+    assert(got.size == ids.size)
+  }
+
   test("streaming PII audit == batch pii_scrub") {
     val stream = Streams.tableStream(spark, dir, "documents")
     val q = Streams.piiScrubStream(stream).writeStream
