@@ -760,6 +760,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ann_lsh_multi re-grew the posexplode fan-out:\n$pm")
   }
 
+  test("round-16 operators keep their metadata-sized shapes") {
+    // publish_rate_throttle: scan -> (topic, sec) partial agg -> topic
+    // rollup. Exactly two hash exchanges (both map-side combined), no
+    // join, no sort anywhere — the config rates are in-row md5 coins.
+    val rt = planOf(graft.admin.Admin.publishRateThrottle(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(rt).size == 2,
+      s"publish_rate_throttle grew extra exchanges:\n$rt")
+    assert(!rt.contains("Join"), s"publish_rate_throttle joins:\n$rt")
+    assert(!rt.contains("Sort "), s"publish_rate_throttle sorts:\n$rt")
+    // offsets_for_publish_time: the ONLY exchange + sort is the log
+    // model's offset-assignment window; both lookups are conditional
+    // aggregates on that partitioning.
+    val op = planOf(LogOps.offsetsForPublishTime(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(op).size == 1,
+      s"offsets_for_publish_time grew extra exchanges:\n$op")
+    assert(!op.contains("Join"), s"offsets_for_publish_time joins:\n$op")
+    // bundle_unload_invalidation: after the (topic, part) bounds
+    // aggregate everything is metadata-sized and the three joins
+    // (events x pairs, group moves, txn moves) all broadcast.
+    val bu = planOf(graft.log.BrokerOps.bundleUnloadInvalidation(spark, dir))
+    assert(!bu.contains("SortMergeJoin"),
+      s"bundle_unload_invalidation shuffles a join side:\n$bu")
+    assert(bu.contains("BroadcastHashJoin"),
+      s"bundle_unload_invalidation lost its broadcast joins:\n$bu")
+  }
+
   test("Bloom family fans bits ONCE at the M grain, per-m only at doc grain") {
     // bloom_fp_curve (5 filter sizes): the corpus-sized explode is the
     // 4-hash M=262144-grain fan — it appears once per scan of the bit
