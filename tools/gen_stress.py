@@ -32,6 +32,11 @@ import sys
 SRC = "/root/testdata/sf0.1"
 args = [a for a in sys.argv[1:] if a != "--hot"]
 HOT = "--hot" in sys.argv[1:]
+for a in args:
+    # A stray flag must never become an output directory (a '--help' dir of
+    # parquet once got committed); only --hot is a real flag.
+    if a.startswith("-"):
+        sys.exit(__doc__ if a in ("-h", "--help") else f"unknown flag {a!r}\n\n{__doc__}")
 OUT = args[0] if len(args) > 0 else "/tmp/sfx1"
 R = int(args[1]) if len(args) > 1 else 10
 os.makedirs(OUT, exist_ok=True)
