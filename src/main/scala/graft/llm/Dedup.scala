@@ -61,6 +61,10 @@ object Dedup {
 
   private[graft] def bloomVerdicts(spark: SparkSession, dir: String,
       ms: Seq[Int]): DataFrame = {
+    // the per-m derivation bit_m = bit_M mod m is only a valid Bloom
+    // filter of size m when m divides the fan grain
+    require(ms.forall(m => m > 0 && BloomM % m == 0),
+      s"filter sizes must divide BloomM=$BloomM, got ${ms.mkString(",")}")
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
@@ -133,6 +137,8 @@ object Dedup {
     import graft.functions.Parity.md5Long
     import org.apache.spark.sql.expressions.Window
     val ms = Seq(4096, 16384, 65536, 262144)
+    assert(ms.forall(m => m > 0 && BloomM % m == 0),
+      s"filter sizes must divide BloomM=$BloomM")
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         (md5Long(col("doc_id").cast("string")) % 10L === 0L).as("arrival"))

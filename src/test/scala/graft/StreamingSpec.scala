@@ -167,11 +167,15 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") ->
         r.getSeq[Int](1).distinct.sorted).toMap
     val ids = bits.keys.toSeq.sorted
-    // chunk 0 = the first ceil(n/2) docs of the DESC ranking = the top
-    // `per` ids; mirror stageChunks' per computation exactly
-    val per = ((ids.size + 1) / 2)
-    val mid = ids(ids.size - per)
-    val arrival = ids.filter(_ >= mid) ++ ids.filter(_ < mid)
+    // arrival order from the staged chunk files themselves (filename
+    // order = delivery order; doc_id ascending within each chunk = the
+    // operator's in-batch sort) — not a re-derivation of stageChunks'
+    // split arithmetic, so a split-rule change can't desync the oracle
+    val arrival = new java.io.File(staged).listFiles()
+      .filter(_.getName.matches("chunk-\\d+\\.parquet")).sortBy(_.getName)
+      .flatMap(f => spark.read.parquet(f.getPath).select("doc_id")
+        .collect().map(_.getLong(0)).sorted).toSeq
+    assert(arrival.sorted == ids)
     val filter = new java.util.BitSet(4096)
     arrival.foreach { id =>
       val bs = bits(id)
