@@ -20,6 +20,7 @@ object SparkEntry {
       (llm.Dedup.queries, llm.Dedup.oracles),
       (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
       (llm.Similarity.queries, llm.Similarity.oracles),
+      (llm.AnnIndex.queries, llm.AnnIndex.oracles),
       (llm.Sampling.queries, llm.Sampling.oracles),
       (llm.Curation.queries, llm.Curation.oracles),
       (llm.Chunking.queries, llm.Chunking.oracles),

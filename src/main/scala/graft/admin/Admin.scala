@@ -489,6 +489,131 @@ object Admin {
         "n_segments", "n_groups_affected", "n_offsets_purged")
   }
 
+  /** Cache/PartitionLog invalidation per topic deletion — the `whenDelete`
+    * sibling of [[graft.log.BrokerOps.bundleUnloadInvalidation]]
+    * (/root/reference/kafka-impl/.../KafkaProtocolHandler.java:267-299 —
+    * the TopicOwnershipListener handles DELETE with the same
+    * invalidateBundleCache + invalidatePartitionLog pair as UNLOAD, and
+    * BOTH helpers double-deReference a NON-partitioned topic name: the
+    * bare name AND its `-partition-0` alias, because produce may have
+    * cached either spelling; tests/CacheInvalidatorTest.java deletes the
+    * topics and asserts both maps drain). A what-if view over
+    * [[deleteTopics]]' universe (every topic), COMPOSING
+    * [[nonpartitionedTopics]]' md5 coin so the three views agree on which
+    * topics are partitioned: a partitioned topic's deletion fires one
+    * whenDelete per `-partition-N` name (each already partitioned — one
+    * deref each), a non-partitioned topic fires ONE bare-name event that
+    * derefs TWO entries (bare + `-partition-0`) in the lookup cache and
+    * removes TWO PartitionLog keys. Orphaned committed offsets ride
+    * along from delete_topics' group-side accounting.
+    *
+    * Scale: one scan partial-aggregated to (topic, part), then
+    * metadata-sized topic rollups; the commits side is the offsets-topic
+    * scan delete_topics already prices.
+    */
+  def topicDeleteInvalidation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Parity.md5Long
+    val base = LogOps.logBase(spark, dir)
+      .groupBy("topic", "part")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_partitioned",
+        pmod(md5Long(concat(lit("np#"), col("topic"))), lit(4L)) =!= 0L)
+      .groupBy("topic", "is_partitioned")
+      .agg(countDistinct("part").as("raw_parts"),
+        sum("n").cast("long").as("n_records"))
+      .withColumn("n_partitions",
+        when(col("is_partitioned"), col("raw_parts")).otherwise(1L))
+    val offs = Groups.commits(spark, dir).groupBy("topic")
+      .agg(
+        countDistinct("group_id").as("n_groups_affected"),
+        count(lit(1)).as("n_offsets_purged"))
+    base.join(offs, Seq("topic"), "left")
+      .select(
+        col("topic"), col("is_partitioned"), col("n_partitions"),
+        col("n_records"),
+        when(col("is_partitioned"), col("n_partitions")).otherwise(1L)
+          .as("n_whendelete_events"),
+        when(col("is_partitioned"), col("n_partitions")).otherwise(2L)
+          .as("n_cache_derefs"),
+        when(col("is_partitioned"), col("n_partitions")).otherwise(2L)
+          .as("n_plog_removals"),
+        coalesce(col("n_groups_affected"), lit(0L)).as("n_groups_affected"),
+        coalesce(col("n_offsets_purged"), lit(0L)).as("n_offsets_purged"))
+  }
+
+  /** The parked-close window [[authFailureDelay]] models occupancy and
+    * absorption on. The reference constant is 300 ms
+    * (KafkaServiceConfiguration.java:270) and the COST columns price
+    * exactly that; but the synthetic events stream's per-connection
+    * arrival gaps have a 5th percentile above 400 s even at sf0.01, so a
+    * 300 ms occupancy/absorption window would be all-ones/all-zeros at
+    * every test SF (the delayed_create 1h-purgatory precedent: model
+    * windows at data-visible scale, price at reference scale).
+    */
+  private[graft] val AuthParkWindowMs = 3600000L
+
+  /** failedAuthenticationDelayMs accounting — the delayed close on
+    * authentication failure (KafkaRequestHandler.java:478
+    * `maybeDelayCloseOnAuthenticationFailure` parks the channel on the
+    * event-loop timer for failedAuthenticationDelayMs (default 300,
+    * KafkaServiceConfiguration.java:270) before
+    * completeCloseOnAuthenticationFailure sends the failure response and
+    * closes; tests/DelayAuthorizationFailedCloseTest.java asserts the
+    * close lands delayed, not immediate). Universe: [[saslFlow]]'s
+    * FAILED connections (same md5 mechanism/auth coins, so the views
+    * cannot disagree about who fails); every record of a failing
+    * connection is one failed authenticate attempt. Per connection:
+    *  - attempts ADMITTED to the authenticator vs ABSORBED — an attempt
+    *    arriving while its connection is still parked never reaches
+    *    authenticate() (the channel is closing); admission is the
+    *    [[AuthParkWindowMs]]-bucket first-arrival, the deterministic
+    *    form of the greedy park process;
+    *  - the parked-close ledger at the reference's 300 ms per admitted
+    *    failure;
+    *  - peak concurrent parked connections (occupancy at each park's
+    *    start instant, counted across ALL failing connections — the
+    *    event-loop timer load the delay concentrates);
+    *  - the retry-storm damping vs an undelayed close, where every
+    *    attempt would hit the authenticator: damped_pct = share of
+    *    attempts the park absorbs.
+    *
+    * Scale: one scan partial-aggregated to (conn, bucket) — the park
+    * frame is |failing conns| x |active windows|, metadata-sized; the
+    * occupancy self-join rides adjacent buckets only (bounded fan), and
+    * the 32-row connection universe broadcasts into the scan.
+    */
+  def authFailureDelay(spark: SparkSession, dir: String): DataFrame = {
+    val fails = saslFlow(spark, dir)
+      .filter(col("auth_outcome") === "SASL_AUTHENTICATION_FAILED")
+      .select("conn", "mechanism")
+    val attempts = LogOps.logBase(spark, dir)
+      .select(concat(lit("conn"),
+        pmod(col("k").cast("long"), lit(32L))).as("conn"), col("tms"))
+      .join(broadcast(fails), "conn")
+      .withColumn("bkt", expr(s"tms div $AuthParkWindowMs"))
+    val parks = attempts
+      .groupBy("conn", "mechanism", "bkt")
+      .agg(min("tms").as("park_start"), count(lit(1)).as("n_in_bkt"))
+      .localCheckpoint()
+    val occ = parks.as("a")
+      .join(parks.as("b"),
+        col("b.bkt") >= col("a.bkt") - 1L && col("b.bkt") <= col("a.bkt") &&
+          col("b.park_start") <= col("a.park_start") &&
+          col("b.park_start") + AuthParkWindowMs > col("a.park_start"))
+      .groupBy(col("a.conn").as("conn"), col("a.bkt").as("bkt"))
+      .agg(count(lit(1)).as("occ"))
+    parks.join(occ, Seq("conn", "bkt"))
+      .groupBy("conn", "mechanism")
+      .agg(
+        sum("n_in_bkt").cast("long").as("n_attempts"),
+        count(lit(1)).as("n_admitted"),
+        max("occ").as("max_concurrent_parked"))
+      .withColumn("n_absorbed", col("n_attempts") - col("n_admitted"))
+      .withColumn("parked_close_ms", col("n_admitted") * 300L)
+      .withColumn("damped_pct",
+        expr("(100 * n_absorbed) div n_attempts"))
+  }
+
   /** CreatePartitions decision table — the partition-count increase path
     * (/root/reference/kafka-impl/.../KafkaRequestHandler.java:2910
     * `handleCreatePartitions` -> AdminManager.createPartitionsAsync:312 ->
@@ -1321,6 +1446,8 @@ object Admin {
     "alter_configs" -> alterConfigs,
     "retention_by_config" -> retentionByConfig,
     "delete_topics" -> deleteTopics,
+    "topic_delete_invalidation" -> topicDeleteInvalidation,
+    "auth_failure_delay" -> authFailureDelay,
     "create_partitions" -> createPartitions,
     "create_topics" -> createTopics,
     "migration_status" -> migrationStatus,
@@ -1341,6 +1468,38 @@ object Admin {
 
   // One source of truth for the commit-log model: Groups owns the SQL.
   private val commitsSql: String = Groups.commitsSql
+
+  /** The sasl_flow failing-connection universe as a CTE chain (no WITH;
+    * ends with `fails(conn, mechanism)`) — the same md5 mechanism/auth
+    * coins as the sasl_flow oracle, shared so auth_failure_delay cannot
+    * disagree with it about who fails.
+    */
+  private val saslFailsSql: String =
+    """flc AS (
+      |  SELECT DISTINCT user_id % 32 AS conn_id FROM events),
+      |flm AS (
+      |  SELECT conn_id, 'conn' || conn_id AS conn,
+      |    substring(md5(concat_ws('#', 'mech', 'conn' || conn_id)), 1, 1)
+      |      AS mech_coin
+      |  FROM flc),
+      |flmm AS (
+      |  SELECT *,
+      |    CASE WHEN mech_coin IN ('0','1','2','3','4','5','6')
+      |      THEN 'PLAIN'
+      |    WHEN mech_coin IN ('7','8','9','a','b') THEN 'OAUTHBEARER'
+      |    WHEN mech_coin IN ('c','d') THEN 'SCRAM-SHA-256'
+      |    ELSE 'GSSAPI' END AS mechanism
+      |  FROM flm),
+      |fla AS (
+      |  SELECT *,
+      |    substring(md5(concat_ws('#', 'auth', conn, mechanism)), 1, 1)
+      |      AS auth_coin
+      |  FROM flmm),
+      |fails AS (
+      |  SELECT conn, mechanism FROM fla
+      |  WHERE (mechanism = 'PLAIN' AND auth_coin = '0')
+      |     OR (mechanism = 'OAUTHBEARER' AND auth_coin IN ('0', '1')))
+      |""".stripMargin
 
   /** DuckDB mirror of [[topicConfigs]] (continues the log CTE; ends with
     * `cfg(topic, config_key, default_value, override_value,
@@ -1817,6 +1976,70 @@ object Admin {
         |SELECT topic, n_partitions, n_records, approx_bytes, n_segments,
         |  n_groups_affected, n_offsets_purged
         |FROM tm JOIN segn USING (topic) JOIN og USING (topic)""".stripMargin),
+    "topic_delete_invalidation" -> (L + commitsSql +
+      s""", pp AS (
+        |  SELECT topic, part, COUNT(*) AS n FROM log GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *, ${md5LongSql("('np#' || topic)")} % 4 <> 0
+        |    AS is_partitioned
+        |  FROM pp),
+        |tt AS (
+        |  SELECT topic, is_partitioned,
+        |    CAST(COUNT(DISTINCT part) AS BIGINT) AS raw_parts,
+        |    CAST(SUM(n) AS BIGINT) AS n_records
+        |  FROM f GROUP BY 1, 2),
+        |tp AS (
+        |  SELECT topic, is_partitioned,
+        |    CASE WHEN is_partitioned THEN raw_parts
+        |      ELSE CAST(1 AS BIGINT) END AS n_partitions,
+        |    n_records
+        |  FROM tt),
+        |og AS (
+        |  SELECT topic,
+        |    CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups_affected,
+        |    COUNT(*) AS n_offsets_purged
+        |  FROM commits GROUP BY topic)
+        |SELECT topic, is_partitioned, n_partitions, n_records,
+        |  CASE WHEN is_partitioned THEN n_partitions
+        |    ELSE CAST(1 AS BIGINT) END AS n_whendelete_events,
+        |  CASE WHEN is_partitioned THEN n_partitions
+        |    ELSE CAST(2 AS BIGINT) END AS n_cache_derefs,
+        |  CASE WHEN is_partitioned THEN n_partitions
+        |    ELSE CAST(2 AS BIGINT) END AS n_plog_removals,
+        |  COALESCE(n_groups_affected, 0) AS n_groups_affected,
+        |  COALESCE(n_offsets_purged, 0) AS n_offsets_purged
+        |FROM tp LEFT JOIN og USING (topic)""".stripMargin),
+    "auth_failure_delay" -> ("WITH " + saslFailsSql.stripSuffix("\n") + ",\n" +
+      s"""att AS (
+        |  SELECT 'conn' || (user_id % 32) AS conn, epoch_ms(ts) AS tms
+        |  FROM events),
+        |fa AS (
+        |  SELECT att.conn, mechanism, tms, tms // $AuthParkWindowMs AS bkt
+        |  FROM att JOIN fails USING (conn)),
+        |parks AS (
+        |  SELECT conn, mechanism, bkt, MIN(tms) AS park_start,
+        |    COUNT(*) AS n_in_bkt
+        |  FROM fa GROUP BY 1, 2, 3),
+        |occ AS (
+        |  SELECT a.conn, a.bkt, COUNT(*) AS occ
+        |  FROM parks a JOIN parks b
+        |    ON b.bkt >= a.bkt - 1 AND b.bkt <= a.bkt
+        |   AND b.park_start <= a.park_start
+        |   AND b.park_start + $AuthParkWindowMs > a.park_start
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT p.conn, p.mechanism,
+        |    CAST(SUM(p.n_in_bkt) AS BIGINT) AS n_attempts,
+        |    COUNT(*) AS n_admitted,
+        |    CAST(MAX(o.occ) AS BIGINT) AS max_concurrent_parked
+        |  FROM parks p JOIN occ o ON o.conn = p.conn AND o.bkt = p.bkt
+        |  GROUP BY 1, 2)
+        |SELECT conn, mechanism, n_attempts, n_admitted,
+        |  max_concurrent_parked,
+        |  n_attempts - n_admitted AS n_absorbed,
+        |  n_admitted * 300 AS parked_close_ms,
+        |  (100 * (n_attempts - n_admitted)) // n_attempts AS damped_pct
+        |FROM per""".stripMargin),
     "migration_requests" -> (L +
       s"""st AS (
         |  SELECT *, ${md5LongSql("topic || '#mig'")} % 3 AS phase_id,

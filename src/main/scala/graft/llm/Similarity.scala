@@ -205,7 +205,7 @@ object Similarity {
     * negligible next to the vectors at any corpus size; consumers that
     * need the raw vectors re-join them lazily ([[ivfCells]]).
     */
-  private def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+  private[llm] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
     ivfAssignCache.getOrElseUpdate(
       graft.Tables.freshCacheKey(ivfAssignCache, spark, dir, "embeddings"), {
         val vecs = vectors(spark, dir)
@@ -513,7 +513,7 @@ object Similarity {
   /** Normalized 8-dim subspace slices (vec_id, s, sv) — the shared input
     * of the PQ codebook fit and the PQ encode/search path.
     */
-  private def subSlices(spark: SparkSession, dir: String): DataFrame =
+  private[llm] def subSlices(spark: SparkSession, dir: String): DataFrame =
     vectors(spark, dir)
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("vn"))
       .select(col("vec_id"), posexplode(expr(
@@ -524,7 +524,7 @@ object Similarity {
     * by an ordered fold — exact integer arithmetic downstream, so both the
     * codebook fit and the ADC ranking are engine-identical.
     */
-  private val pqD2q =
+  private[llm] val pqD2q =
     """CAST(floor(aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),
       |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1000000000.0D) AS BIGINT)""".stripMargin
 
@@ -1804,7 +1804,7 @@ object Similarity {
     * `cand(q_id, n_id, distq)` restricted to the query's cell) — shared
     * by ann_ivfpq and ivfpq_recall.
     */
-  private def ivfpqChainSql: String = pqCodeSql.stripSuffix("\n") +
+  private[llm] def ivfpqChainSql: String = pqCodeSql.stripSuffix("\n") +
     Clustering.fitSql.stripSuffix("\n") + ",\n" +
     """cents AS (
       |  SELECT cid, cv, cnrm FROM fcent),

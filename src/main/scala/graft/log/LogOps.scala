@@ -215,6 +215,109 @@ object LogOps {
         expr("(offs div 100) % 10").as("entry_id"),
         (col("offs") % 100L).as("batch_idx"))
 
+  /** Multi-ledger fetch accounting — fetch x offset_translate
+    * (tests/MultiLedgerTest.java:66 configures
+    * managedLedgerMaxEntriesPerLedger=5 so a 50-message produce spans
+    * many ledgers, then :84 consumes across them;
+    * utils/MessageMetadataUtils.java is the offset->ledger/entry
+    * resolution each boundary crossing re-pays via a new ledger handle).
+    * The ledger geometry here is the TEST's: 5 entries per ledger, each
+    * entry one 10-record batch — 50 records per ledger (offset_translate
+    * keeps the production 1000-record model; at the synthetic stream's
+    * ~250 records per partition that model never crosses a boundary, so
+    * this view adopts the reference test's small-ledger conf, the same
+    * reason the test sets it). Fetches are successive 30-record windows
+    * (30 does not divide 50, so the crossing pattern cycles). Per fetch:
+    * records, offset bounds, entries and ledgers touched, and the
+    * boundary-crossing count — each crossing is one extra ledger open
+    * the reader pays; per partition: the crossing rate across its
+    * fetches (basis points, integer arithmetic for oracle parity).
+    *
+    * Scale: one scan partial-aggregated to (topic, part, fetch_id) —
+    * the same keys the log view already partitions by, no extra
+    * exchange; the per-partition rollup is metadata-sized.
+    */
+  def multiLedgerFetch(spark: SparkSession, dir: String): DataFrame = {
+    val perFetch = log(spark, dir)
+      .withColumn("fetch_id", expr("offs div 30"))
+      .groupBy("topic", "part", "fetch_id")
+      .agg(
+        count(lit(1)).as("n_records"),
+        min("offs").as("first_offs"),
+        max("offs").as("last_offs"),
+        countDistinct(expr("offs div 10")).as("n_entries"),
+        countDistinct(expr("offs div 50")).as("n_ledgers"))
+      .withColumn("n_crossings", col("n_ledgers") - 1L)
+    val perPart = perFetch.groupBy("topic", "part")
+      .agg(
+        count(lit(1)).as("n_fetches_part"),
+        sum("n_crossings").cast("long").as("total_crossings_part"),
+        sum(when(col("n_crossings") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_crossing_fetches"))
+      .withColumn("crossing_rate_bp",
+        expr("(10000 * n_crossing_fetches) div n_fetches_part"))
+      .drop("n_crossing_fetches")
+    perFetch.join(broadcast(perPart), Seq("topic", "part"))
+  }
+
+  /** Oracle-checkable guarantees of [[heavyHittersSketch]] — the sketch
+    * SUMMARY is merge-order dependent (rows-only by design), but its
+    * Misra-Gries GUARANTEES are deterministic for ANY merge order
+    * (Misra & Gries 1982; merged-summary bound per Agarwal et al.,
+    * "Mergeable Summaries"): with capacity k=64 over n records,
+    * (a) every key with true count > n/64 is present, (b) no estimate
+    * overcounts, (c) undercount is at most n/64. Per topic: the exact
+    * record count, the n/64 error budget, the exact true-heavy-hitter
+    * count, and the three violation counters — each provably zero, so
+    * the DuckDB oracle CAN check this view even though it cannot
+    * reproduce the sketch itself (integer-multiply comparisons, no
+    * division rounding to disagree on).
+    *
+    * The raw key (user_id) is UNIFORM, which makes the presence
+    * guarantee vacuous (no key ever exceeds n/64); this view therefore
+    * runs the SAME aggregator over a deterministically skewed key —
+    * records with user_id % 3 == 0 collapse onto 8 hot keys (each
+    * ~n/24 > n/64, guaranteed present), the rest keep their long-tail
+    * key — so all three guarantees are exercised with live heavy
+    * hitters, not just empty violation sets.
+    *
+    * Scale: the truth side is the same exact (topic, key) rollup
+    * top_keys_per_topic already pays; the sketch side is <= 63 rows per
+    * topic joined in broadcast-sized.
+    */
+  def heavyHittersGuarantees(spark: SparkSession, dir: String): DataFrame = {
+    val mg = graft.functions.HeavyHitters.mgSketch(64)
+    val keyed = log(spark, dir)
+      .withColumn("hk",
+        when(pmod(col("k").cast("long"), lit(3L)) === 0L,
+          concat(lit("hot"), pmod(col("k").cast("long"), lit(8L))))
+          .otherwise(col("k")))
+    val sketch = keyed
+      .groupBy("topic").agg(mg(col("hk")).as("sketch"))
+      .select(col("topic"), explode(col("sketch")).as(Seq("hk", "est")))
+    val truth = keyed
+      .groupBy("topic", "hk").agg(count(lit(1)).as("n_true"))
+    val tot = truth.groupBy("topic")
+      .agg(sum("n_true").cast("long").as("n_records"))
+    truth
+      .join(broadcast(tot), "topic")
+      .join(broadcast(sketch), Seq("topic", "hk"), "left")
+      .groupBy("topic")
+      .agg(
+        max("n_records").as("n_records"),
+        sum(when(col("n_true") * 64L > col("n_records"), 1L).otherwise(0L))
+          .cast("long").as("n_true_heavy"),
+        sum(when(col("n_true") * 64L > col("n_records") &&
+          col("est").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_true_heavy_missing"),
+        sum(when(col("est") > col("n_true"), 1L).otherwise(0L))
+          .cast("long").as("n_overcount"),
+        sum(when((col("n_true") - coalesce(col("est"), lit(0L))) * 64L >
+          col("n_records"), 1L).otherwise(0L))
+          .cast("long").as("n_bound_violations"))
+      .withColumn("error_budget", expr("n_records div 64"))
+  }
+
   /** DeleteRecords (/root/reference/kafka-impl/.../AdminManager.java):
     * truncate each partition before a requested offset; report the new
     * earliest offset and surviving count.
@@ -611,6 +714,8 @@ object LogOps {
     "validate_records" -> validateRecords,
     "topic_throughput" -> topicThroughput,
     "offset_translate" -> offsetTranslate,
+    "multi_ledger_fetch" -> multiLedgerFetch,
+    "heavy_hitters_guarantees" -> heavyHittersGuarantees,
     "delete_records" -> deleteRecords,
     "fetch_max_bytes" -> fetchMaxBytes,
     "fetch_wait" -> fetchWait,
@@ -805,6 +910,45 @@ object LogOps {
       """SELECT topic, part, offs, offs // 1000 AS ledger_id,
         |  (offs // 100) % 10 AS entry_id, offs % 100 AS batch_idx
         |FROM log WHERE topic = 'purchase'""".stripMargin),
+    "multi_ledger_fetch" -> (logSqlCte +
+      """pf AS (
+        |  SELECT topic, part, offs // 30 AS fetch_id, COUNT(*) AS n_records,
+        |    MIN(offs) AS first_offs, MAX(offs) AS last_offs,
+        |    CAST(COUNT(DISTINCT offs // 10) AS BIGINT) AS n_entries,
+        |    CAST(COUNT(DISTINCT offs // 50) AS BIGINT) AS n_ledgers
+        |  FROM log GROUP BY 1, 2, 3),
+        |pp AS (
+        |  SELECT topic, part, COUNT(*) AS n_fetches_part,
+        |    CAST(SUM(n_ledgers - 1) AS BIGINT) AS total_crossings_part,
+        |    CAST(SUM(CASE WHEN n_ledgers > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_crossing_fetches
+        |  FROM pf GROUP BY 1, 2)
+        |SELECT pf.topic, pf.part, fetch_id, n_records, first_offs,
+        |  last_offs, n_entries, n_ledgers, n_ledgers - 1 AS n_crossings,
+        |  n_fetches_part, total_crossings_part,
+        |  (10000 * n_crossing_fetches) // n_fetches_part AS crossing_rate_bp
+        |FROM pf JOIN pp USING (topic, part)""".stripMargin),
+    "heavy_hitters_guarantees" -> (logSqlCte +
+      """hkl AS (
+        |  SELECT topic,
+        |    CASE WHEN CAST(k AS BIGINT) % 3 = 0
+        |      THEN 'hot' || (CAST(k AS BIGINT) % 8)
+        |      ELSE k END AS hk
+        |  FROM log),
+        |tk AS (
+        |  SELECT topic, hk, COUNT(*) AS n_true FROM hkl GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT topic, CAST(SUM(n_true) AS BIGINT) AS n_records
+        |  FROM tk GROUP BY 1)
+        |SELECT topic, n_records,
+        |  CAST(SUM(CASE WHEN n_true * 64 > n_records THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true_heavy,
+        |  CAST(0 AS BIGINT) AS n_true_heavy_missing,
+        |  CAST(0 AS BIGINT) AS n_overcount,
+        |  CAST(0 AS BIGINT) AS n_bound_violations,
+        |  n_records // 64 AS error_budget
+        |FROM tk JOIN tt USING (topic)
+        |GROUP BY topic, n_records""".stripMargin),
     "delete_records" -> (logSql +
       """SELECT topic, part, MIN(offs) AS new_earliest, COUNT(*) AS n_remaining,
         |  MAX(offs) + 1 AS log_end
