@@ -583,9 +583,17 @@ object Admin {
     * the 32-row connection universe broadcasts into the scan.
     */
   def authFailureDelay(spark: SparkSession, dir: String): DataFrame = {
+    // <= 32 rows, but the frame's plan embeds the full events-scan
+    // aggregate: left lazy, every consumer job re-pays the scan (37s at
+    // 100x), and a localCheckpoint RDD on the build side de-optimizes
+    // the probe-side join (21.7s for the parks stage vs 2.2s). It IS
+    // the broadcast, so land it as a local relation once.
+    import spark.implicits._
     val fails = saslFlow(spark, dir)
       .filter(col("auth_outcome") === "SASL_AUTHENTICATION_FAILED")
       .select("conn", "mechanism")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      .toDF("conn", "mechanism")
     val attempts = LogOps.logBase(spark, dir)
       .select(concat(lit("conn"),
         pmod(col("k").cast("long"), lit(32L))).as("conn"), col("tms"))
@@ -595,12 +603,19 @@ object Admin {
       .groupBy("conn", "mechanism", "bkt")
       .agg(min("tms").as("park_start"), count(lit(1)).as("n_in_bkt"))
       .localCheckpoint()
+    // The "b parked when a starts" candidate set is b.bkt in {a.bkt-1,
+    // a.bkt}; spelled as a range condition Spark can only nested-loop it
+    // (quadratic in parks), so EXPAND b to its two reachable buckets and
+    // hash-equi-join on the bucket — 2 rows per park, bounded fan.
+    val reach = parks
+      .select(explode(array(col("bkt"), col("bkt") + 1L)).as("bkt"),
+        col("park_start").as("b_start"))
     val occ = parks.as("a")
-      .join(parks.as("b"),
-        col("b.bkt") >= col("a.bkt") - 1L && col("b.bkt") <= col("a.bkt") &&
-          col("b.park_start") <= col("a.park_start") &&
-          col("b.park_start") + AuthParkWindowMs > col("a.park_start"))
-      .groupBy(col("a.conn").as("conn"), col("a.bkt").as("bkt"))
+      .join(reach,
+        Seq("bkt"))
+      .filter(col("b_start") <= col("park_start") &&
+        col("b_start") + AuthParkWindowMs > col("park_start"))
+      .groupBy(col("conn"), col("bkt"))
       .agg(count(lit(1)).as("occ"))
     parks.join(occ, Seq("conn", "bkt"))
       .groupBy("conn", "mechanism")

@@ -786,6 +786,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bundle_unload_invalidation lost its broadcast joins:\n$bu")
   }
 
+  test("round-17 operators keep their metadata-sized shapes") {
+    // auth_failure_delay: the park-occupancy self-join must be the
+    // explode-to-equi-join (hash, bounded fan), never a nested loop
+    // over the parks frame (quadratic — measured 50s at 100x before
+    // the fix), and the failing-conn universe lands as a local
+    // relation, so no SortMergeJoin anywhere.
+    val af = planOf(graft.admin.Admin.authFailureDelay(spark, dir))
+    assert(!af.contains("NestedLoop"),
+      s"auth_failure_delay occupancy join degraded to a nested loop:\n$af")
+    assert(!af.contains("SortMergeJoin"),
+      s"auth_failure_delay shuffles a join side:\n$af")
+    // (the fails local relation sits upstream of the parks checkpoint,
+    // so it cannot appear in this final plan — its absence of a
+    // SortMergeJoin/NestedLoop here is the observable contract)
+    // multi_ledger_fetch: one (topic, part, fetch_id) partial-aggregated
+    // exchange + the metadata-sized per-partition rollup broadcast back;
+    // no sort-merge join, no window.
+    val ml = planOf(LogOps.multiLedgerFetch(spark, dir))
+    assert(!ml.contains("SortMergeJoin"),
+      s"multi_ledger_fetch shuffles the rollup join:\n$ml")
+    assert(ml.contains("BroadcastHashJoin"),
+      s"multi_ledger_fetch lost its broadcast rollup join:\n$ml")
+    // topic_delete_invalidation: the commits side joins broadcast onto
+    // the metadata-sized topic frame — no shuffle joins.
+    val td = planOf(graft.admin.Admin.topicDeleteInvalidation(spark, dir))
+    assert(!td.contains("SortMergeJoin"),
+      s"topic_delete_invalidation shuffles a join side:\n$td")
+    // heavy_hitters_guarantees: the sketch and totals sides both ride
+    // BroadcastExchange onto the exact (topic, key) rollup.
+    val hg = planOf(LogOps.heavyHittersGuarantees(spark, dir))
+    assert(!hg.contains("SortMergeJoin"),
+      s"heavy_hitters_guarantees shuffles a join side:\n$hg")
+    assert(hg.contains("BroadcastHashJoin"),
+      s"heavy_hitters_guarantees lost its broadcast joins:\n$hg")
+  }
+
   test("Bloom family fans bits ONCE at the M grain, per-m only at doc grain") {
     // bloom_fp_curve (5 filter sizes): the corpus-sized explode is the
     // 4-hash M=262144-grain fan — it appears once per scan of the bit
