@@ -132,12 +132,23 @@ object AnnIndex {
     val root = ensure(spark, dir)
     val cents = spark.read.parquet(new java.io.File(root, "centroids").toString)
     val codebook = spark.read.parquet(new java.io.File(root, "codebook").toString)
-    val codes = spark.read.parquet(new java.io.File(root, "codes").toString)
-      .withColumn("cell", col("cell").cast("long"))
     val qvecs = Embeddings.directional(spark, dir)
       .filter(col("vec_id") >= 100 && col("vec_id") < 108)
     val qcells = Clustering.nearestCentroid(qvecs, cents)
       .select(col("vec_id").as("q_id"), col("cid").as("qcell"))
+    // The probed cell set is <= |queries| values; landing it as a STATIC
+    // partition filter makes the pruning unconditional (PartitionFilters
+    // on the scan node) instead of betting on runtime DPP — at 100 TB
+    // the scan lists and reads ONLY these cell directories. The collect
+    // is a K-row centroid assignment of 8 query vectors — metadata.
+    val probedCells = qcells.select("qcell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // Filter the RAW partition column (before any cast — a cast on the
+    // attribute would defeat partition pruning), then normalize to long
+    // for the join/oracle schema.
+    val codes = spark.read.parquet(new java.io.File(root, "codes").toString)
+      .filter(col("cell").isin(probedCells.map(_.toInt): _*))
+      .withColumn("cell", col("cell").cast("long"))
     val dtable = Similarity.subSlices(spark, dir)
       .filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .join(broadcast(codebook), "s")

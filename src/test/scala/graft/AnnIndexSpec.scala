@@ -47,6 +47,10 @@ class AnnIndexSpec extends AnyFunSuite {
     // one broadcast ADC table into the pruned code scan; the cell
     // equi-join rides the partition column
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    // the probed-cell set is a STATIC partition filter on the code scan
+    // (unconditional pruning — the scan lists only those cell dirs)
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe code scan lost its static cell partition filter:\n$plan")
   }
 
   test("stale fingerprint sweeps; fresh data rebuilds") {
