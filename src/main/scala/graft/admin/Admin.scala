@@ -583,23 +583,25 @@ object Admin {
     * the 32-row connection universe broadcasts into the scan.
     */
   def authFailureDelay(spark: SparkSession, dir: String): DataFrame = {
-    // <= 32 rows, but the frame's plan embeds the full events-scan
-    // aggregate: left lazy, every consumer job re-pays the scan (37s at
-    // 100x), and a localCheckpoint RDD on the build side de-optimizes
-    // the probe-side join (21.7s for the parks stage vs 2.2s). It IS
-    // the broadcast, so land it as a local relation once.
+    // Two scans, filter-early: the 32-row failing-conn frame (via
+    // [[saslDecide]]'s one coin spelling) lands as a LOCAL RELATION and
+    // broadcast-filters the attempts scan BEFORE the aggregate — lazy
+    // it re-pays the scan per consumer job, localCheckpoint'ed it
+    // de-optimizes the probe-side join (21.7s parks stage vs 2.2s),
+    // and the tempting aggregate-everything-single-scan shape is
+    // SLOWER (91s vs 37s at 1000x: the partial aggregate then hashes
+    // all 32 conns' rows instead of the ~5 failing conns').
     import spark.implicits._
     val fails = saslFlow(spark, dir)
       .filter(col("auth_outcome") === "SASL_AUTHENTICATION_FAILED")
       .select("conn", "mechanism")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       .toDF("conn", "mechanism")
-    val attempts = LogOps.logBase(spark, dir)
+    val parks = LogOps.logBase(spark, dir)
       .select(concat(lit("conn"),
         pmod(col("k").cast("long"), lit(32L))).as("conn"), col("tms"))
       .join(broadcast(fails), "conn")
       .withColumn("bkt", expr(s"tms div $AuthParkWindowMs"))
-    val parks = attempts
       .groupBy("conn", "mechanism", "bkt")
       .agg(min("tms").as("park_start"), count(lit(1)).as("n_in_bkt"))
       .localCheckpoint()
@@ -1101,14 +1103,15 @@ object Admin {
     * every decision an in-row hash draw — nothing data-sized after the
     * rollup.
     */
-  def saslFlow(spark: SparkSession, dir: String): DataFrame = {
+  /** The SASL mechanism/auth decision columns appended to any frame
+    * carrying a `conn` column — the ONE spelling of the md5 coins,
+    * shared by [[saslFlow]] and [[authFailureDelay]] so the two views
+    * cannot disagree about which connections fail.
+    */
+  private def saslDecide(df: DataFrame): DataFrame = {
     def coin(parts: org.apache.spark.sql.Column*) =
       substring(md5(concat_ws("#", parts: _*)), 1, 1)
-    graft.Tables.t(spark, dir, "events")
-      .select(pmod(col("user_id"), lit(32L)).as("conn_id"))
-      .groupBy("conn_id")
-      .agg(count(lit(1)).as("n_requests"))
-      .withColumn("conn", concat(lit("conn"), col("conn_id")))
+    df
       .withColumn("mech_coin", coin(lit("mech"), col("conn")))
       .withColumn("mechanism",
         when(col("mech_coin").isin("0", "1", "2", "3", "4", "5", "6"),
@@ -1129,6 +1132,14 @@ object Admin {
           .when(col("mechanism") === "OAUTHBEARER" &&
             col("auth_coin").isin("0", "1"), "SASL_AUTHENTICATION_FAILED")
           .otherwise("NONE"))
+  }
+
+  def saslFlow(spark: SparkSession, dir: String): DataFrame = {
+    saslDecide(graft.Tables.t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(32L)).as("conn_id"))
+      .groupBy("conn_id")
+      .agg(count(lit(1)).as("n_requests"))
+      .withColumn("conn", concat(lit("conn"), col("conn_id"))))
       .withColumn("final_state",
         when(col("auth_outcome") === "NONE", "COMPLETE").otherwise("FAILED"))
       .withColumn("principal",
