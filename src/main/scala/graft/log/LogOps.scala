@@ -273,13 +273,14 @@ object LogOps {
     * reproduce the sketch itself (integer-multiply comparisons, no
     * division rounding to disagree on).
     *
-    * The raw key (user_id) is UNIFORM, which makes the presence
-    * guarantee vacuous (no key ever exceeds n/64); this view therefore
-    * runs the SAME aggregator over a deterministically skewed key —
-    * records with user_id % 3 == 0 collapse onto 8 hot keys (each
-    * ~n/24 > n/64, guaranteed present), the rest keep their long-tail
-    * key — so all three guarantees are exercised with live heavy
-    * hitters, not just empty violation sets.
+    * Two universes, tagged in a `universe` column: 'raw' audits the
+    * sketch over [[heavyHittersSketch]]'s OWN key (user_id — uniform,
+    * so presence is vacuous there, but the no-overcount and bound
+    * checks run against the shipped sketch's actual universe), and
+    * 'skewed' runs the same aggregator over a deterministically skewed
+    * key — records with user_id % 3 == 0 collapse onto 8 hot keys
+    * (each ~n/24 > n/64, guaranteed present) — so the presence
+    * guarantee is also exercised with LIVE heavy hitters.
     *
     * Scale: the truth side is the same exact (topic, key) rollup
     * top_keys_per_topic already pays; the sketch side is <= 63 rows per
@@ -287,35 +288,42 @@ object LogOps {
     */
   def heavyHittersGuarantees(spark: SparkSession, dir: String): DataFrame = {
     val mg = graft.functions.HeavyHitters.mgSketch(64)
-    val keyed = log(spark, dir)
-      .withColumn("hk",
+    def branch(keyed: DataFrame, tag: String): DataFrame = {
+      val sketch = keyed
+        .groupBy("topic").agg(mg(col("hk")).as("sketch"))
+        .select(col("topic"), explode(col("sketch")).as(Seq("hk", "est")))
+      val truth = keyed
+        .groupBy("topic", "hk").agg(count(lit(1)).as("n_true"))
+      val tot = truth.groupBy("topic")
+        .agg(sum("n_true").cast("long").as("n_records"))
+      truth
+        .join(broadcast(tot), "topic")
+        .join(broadcast(sketch), Seq("topic", "hk"), "left")
+        .groupBy("topic")
+        .agg(
+          max("n_records").as("n_records"),
+          sum(when(col("n_true") * 64L > col("n_records"), 1L).otherwise(0L))
+            .cast("long").as("n_true_heavy"),
+          sum(when(col("n_true") * 64L > col("n_records") &&
+            col("est").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_true_heavy_missing"),
+          sum(when(col("est") > col("n_true"), 1L).otherwise(0L))
+            .cast("long").as("n_overcount"),
+          sum(when((col("n_true") - coalesce(col("est"), lit(0L))) * 64L >
+            col("n_records"), 1L).otherwise(0L))
+            .cast("long").as("n_bound_violations"))
+        .withColumn("error_budget", expr("n_records div 64"))
+        .withColumn("universe", lit(tag))
+    }
+    val base = log(spark, dir)
+    // 'raw' audits the SHIPPED sketch's universe (heavy_hitters_sketch's
+    // own key — presence is vacuous there but no-overcount/bound are
+    // live); 'skewed' exercises presence with live heavy hitters.
+    branch(base.withColumn("hk", col("k")), "raw")
+      .unionByName(branch(base.withColumn("hk",
         when(pmod(col("k").cast("long"), lit(3L)) === 0L,
           concat(lit("hot"), pmod(col("k").cast("long"), lit(8L))))
-          .otherwise(col("k")))
-    val sketch = keyed
-      .groupBy("topic").agg(mg(col("hk")).as("sketch"))
-      .select(col("topic"), explode(col("sketch")).as(Seq("hk", "est")))
-    val truth = keyed
-      .groupBy("topic", "hk").agg(count(lit(1)).as("n_true"))
-    val tot = truth.groupBy("topic")
-      .agg(sum("n_true").cast("long").as("n_records"))
-    truth
-      .join(broadcast(tot), "topic")
-      .join(broadcast(sketch), Seq("topic", "hk"), "left")
-      .groupBy("topic")
-      .agg(
-        max("n_records").as("n_records"),
-        sum(when(col("n_true") * 64L > col("n_records"), 1L).otherwise(0L))
-          .cast("long").as("n_true_heavy"),
-        sum(when(col("n_true") * 64L > col("n_records") &&
-          col("est").isNull, 1L).otherwise(0L))
-          .cast("long").as("n_true_heavy_missing"),
-        sum(when(col("est") > col("n_true"), 1L).otherwise(0L))
-          .cast("long").as("n_overcount"),
-        sum(when((col("n_true") - coalesce(col("est"), lit(0L))) * 64L >
-          col("n_records"), 1L).otherwise(0L))
-          .cast("long").as("n_bound_violations"))
-      .withColumn("error_budget", expr("n_records div 64"))
+          .otherwise(col("k"))), "skewed"))
   }
 
   /** DeleteRecords (/root/reference/kafka-impl/.../AdminManager.java):
@@ -929,25 +937,44 @@ object LogOps {
         |  (10000 * n_crossing_fetches) // n_fetches_part AS crossing_rate_bp
         |FROM pf JOIN pp USING (topic, part)""".stripMargin),
     "heavy_hitters_guarantees" -> (logSqlCte +
-      """hkl AS (
+      """hklr AS (
+        |  SELECT topic, k AS hk FROM log),
+        |tkr AS (
+        |  SELECT topic, hk, COUNT(*) AS n_true FROM hklr GROUP BY 1, 2),
+        |ttr AS (
+        |  SELECT topic, CAST(SUM(n_true) AS BIGINT) AS n_records
+        |  FROM tkr GROUP BY 1),
+        |hkls AS (
         |  SELECT topic,
         |    CASE WHEN CAST(k AS BIGINT) % 3 = 0
         |      THEN 'hot' || (CAST(k AS BIGINT) % 8)
         |      ELSE k END AS hk
         |  FROM log),
-        |tk AS (
-        |  SELECT topic, hk, COUNT(*) AS n_true FROM hkl GROUP BY 1, 2),
-        |tt AS (
+        |tks AS (
+        |  SELECT topic, hk, COUNT(*) AS n_true FROM hkls GROUP BY 1, 2),
+        |tts AS (
         |  SELECT topic, CAST(SUM(n_true) AS BIGINT) AS n_records
-        |  FROM tk GROUP BY 1)
+        |  FROM tks GROUP BY 1)
         |SELECT topic, n_records,
         |  CAST(SUM(CASE WHEN n_true * 64 > n_records THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_true_heavy,
         |  CAST(0 AS BIGINT) AS n_true_heavy_missing,
         |  CAST(0 AS BIGINT) AS n_overcount,
         |  CAST(0 AS BIGINT) AS n_bound_violations,
-        |  n_records // 64 AS error_budget
-        |FROM tk JOIN tt USING (topic)
+        |  n_records // 64 AS error_budget,
+        |  'raw' AS universe
+        |FROM tkr JOIN ttr USING (topic)
+        |GROUP BY topic, n_records
+        |UNION ALL
+        |SELECT topic, n_records,
+        |  CAST(SUM(CASE WHEN n_true * 64 > n_records THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true_heavy,
+        |  CAST(0 AS BIGINT) AS n_true_heavy_missing,
+        |  CAST(0 AS BIGINT) AS n_overcount,
+        |  CAST(0 AS BIGINT) AS n_bound_violations,
+        |  n_records // 64 AS error_budget,
+        |  'skewed' AS universe
+        |FROM tks JOIN tts USING (topic)
         |GROUP BY topic, n_records""".stripMargin),
     "delete_records" -> (logSql +
       """SELECT topic, part, MIN(offs) AS new_earliest, COUNT(*) AS n_remaining,

@@ -112,13 +112,17 @@ class EdgeRound17Spec extends AnyFunSuite {
     }
     val out = graft.log.LogOps
       .heavyHittersGuarantees(spark, mkDir(hot ++ tail)).collect()
-    assert(out.length == 1)
-    val r = out.head
-    assert(r.getAs[Long]("n_records") == 130L)
-    assert(r.getAs[Long]("error_budget") == 2L)
-    assert(r.getAs[Long]("n_true_heavy") == 1L)
-    assert(r.getAs[Long]("n_true_heavy_missing") == 0L)
-    assert(r.getAs[Long]("n_overcount") == 0L)
-    assert(r.getAs[Long]("n_bound_violations") == 0L)
+      .map(r => r.getAs[String]("universe") -> r).toMap
+    // user 3's 100 records dominate in BOTH universes (k "3" raw,
+    // 'hot3' skewed), so the two rows agree on every guarantee column
+    assert(out.keySet == Set("raw", "skewed"))
+    for (r <- out.values) {
+      assert(r.getAs[Long]("n_records") == 130L)
+      assert(r.getAs[Long]("error_budget") == 2L)
+      assert(r.getAs[Long]("n_true_heavy") == 1L)
+      assert(r.getAs[Long]("n_true_heavy_missing") == 0L)
+      assert(r.getAs[Long]("n_overcount") == 0L)
+      assert(r.getAs[Long]("n_bound_violations") == 0L)
+    }
   }
 }
