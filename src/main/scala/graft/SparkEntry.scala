@@ -21,6 +21,7 @@ object SparkEntry {
       (llm.TextAnalysis.queries, llm.TextAnalysis.oracles),
       (llm.Similarity.queries, llm.Similarity.oracles),
       (llm.AnnIndex.queries, llm.AnnIndex.oracles),
+      (llm.BpeStore.queries, llm.BpeStore.oracles),
       (llm.Sampling.queries, llm.Sampling.oracles),
       (llm.Curation.queries, llm.Curation.oracles),
       (llm.Chunking.queries, llm.Chunking.oracles),

@@ -571,18 +571,27 @@ object TextAnalysis {
     */
   def clearBpeCache(): Unit = { mergeCache.clear(); encodeCache.clear() }
 
-  private def buildBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, word) corpus fan — the one word-splitting spelling
+    * shared by the encode paths.
+    */
+  private[llm] def docWords(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+
+  /** The encoded vocabulary `(word, n_tok)` — each distinct word's token
+    * count under the trained merges. Bounded (distinct words, not corpus
+    * rows); the tokenizer artifact [[graft.llm.BpeStore]] persists.
+    */
+  private[llm] def encodedVocab(spark: SparkSession, dir: String): DataFrame = {
     val mw = bpeMerges(spark, dir).groupBy().agg(
       max(when(col("round") === 1L, col("pair"))).as("p1"),
       max(when(col("round") === 2L, col("pair"))).as("p2"),
       max(when(col("round") === 3L, col("pair"))).as("p3"))
     def applyMerge(p: String) = expr(
       s"replace(seq, concat(' ', $p, ' '), concat(' ', replace($p, ' ', ''), ' '))")
-    val docWords = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(trim(regexp_replace(regexp_replace(
-        lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " ")).as("word"))
-      .filter(length(col("word")) >= 1)
-    val vocab = docWords.select("word").distinct()
+    docWords(spark, dir).select("word").distinct()
       .withColumn("seq", concat(lit(" "),
         concat_ws(" ", expr("regexp_extract_all(word, '.', 0)")), lit(" ")))
       .crossJoin(broadcast(mw))
@@ -591,16 +600,26 @@ object TextAnalysis {
       .withColumn("seq", applyMerge("p3"))
       .select(col("word"),
         size(split(trim(col("seq")), " ")).cast("long").as("n_tok"))
+  }
+
+  /** The per-doc accounting over any `(word, n_tok)` vocabulary frame —
+    * shared by the in-session encode and [[graft.llm.BpeStore]]'s
+    * apply-only path so the two cannot drift.
+    */
+  private[llm] def encodeAccounting(spark: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame =
     // The encoded vocabulary is bounded (distinct words, not corpus rows)
     // — broadcast it so the corpus side never shuffles on `word`.
-    docWords.join(broadcast(vocab), "word")
+    docWords(spark, dir).join(broadcast(vocab), "word")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_words"),
         sum(length(col("word"))).cast("long").as("n_chars"),
         sum("n_tok").cast("long").as("n_tokens"))
       .withColumn("saved", col("n_chars") - col("n_tokens"))
-  }
+
+  private def buildBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    encodeAccounting(spark, dir, encodedVocab(spark, dir))
 
   /** Tokenizer fertility per source — the tokenizer-quality metric a
     * multilingual data team tracks: tokens emitted per word and chars
@@ -1485,7 +1504,7 @@ object TextAnalysis {
     * vocabulary AFTER all three merges. Shared by the bpe_merges and
     * bpe_encode oracles.
     */
-  private def bpeChainSql: String = {
+  private[llm] def bpeChainSql: String = {
     val rounds = (1 to 3).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
       s"""p$r AS (
