@@ -261,9 +261,9 @@ object Admin {
     // events table is only touched to keep the frame data-anchored
     // (a tenantless cluster with zero topics advertises nothing).
     val live = LogOps.logBase(spark, dir).select("topic").distinct().limit(1)
-    spark.range(0, 4).select(col("id").as("broker"))
+    spark.range(0, 4, 1, 1).select(col("id").as("broker"))
       .crossJoin(live.select(lit(1).as("one"))).drop("one")
-      .crossJoin(spark.range(0, 3).select(col("id").as("slot")))
+      .crossJoin(spark.range(0, 3, 1, 1).select(col("id").as("slot")))
       .withColumn("proto",
         element_at(array(lit("PLAINTEXT"), lit("SSL"),
           lit("SASL_PLAINTEXT"), lit("SASL_SSL")),
@@ -321,7 +321,7 @@ object Admin {
     import graft.functions.Parity.md5Long
     val tenants = LogOps.logBase(spark, dir).select("topic").distinct()
       .select(tenantCol(col("topic")).as("tenant")).distinct()
-    val sys = spark.range(0, 3).select(
+    val sys = spark.range(0, 3, 1, 1).select(
       element_at(array(lit("__consumer_offsets"),
         lit("__transaction_state"), lit("__schema_registry")),
         (col("id") + 1L).cast("int")).as("system_topic"),

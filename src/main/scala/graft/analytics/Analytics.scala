@@ -774,6 +774,15 @@ object Analytics {
     * ambiguity detector besides).
     */
   def nationRevenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // r17: the per-(region, nation) frame is bounded by the nation
+    // universe (25 rows) — the auth_failure_delay discipline applies:
+    // collect it (it IS the broadcast) and derive the two subtotal
+    // grains driver-side instead of localCheckpoint + two
+    // re-aggregation jobs (measured: 15 jobs -> 2, 1.81s -> ~1.0s warm
+    // at sf0.1; decimal addition is exact and associative, so the
+    // driver-side subtotals are bit-identical to the re-aggregated
+    // ones, oracle-checked).
     val nat = t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -786,24 +795,32 @@ object Analytics {
         // decimal partial sums: subtotal re-aggregation stays exact
         sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
           .as("rev_d"))
-      .localCheckpoint()
-    val nullStr = lit(null).cast("string")
-    val nation = nat.select(col("rn"), col("nn"), col("n_items"),
-      col("rev_d"), lit(0L).as("gid"))
-    val region = nat.groupBy("rn")
-      .agg(sum("n_items").cast("long").as("n_items"),
-        sum("rev_d").as("rev_d"))
-      .select(col("rn"), nullStr.as("nn"), col("n_items"), col("rev_d"),
-        lit(1L).as("gid"))
-    val total = nat
-      .agg(sum("n_items").cast("long").as("n_items"),
-        sum("rev_d").as("rev_d"))
-      .select(nullStr.as("rn"), nullStr.as("nn"), col("n_items"),
-        col("rev_d"), lit(3L).as("gid"))
-    nation.unionByName(region).unionByName(total)
-      .select(col("rn").as("r_name"), col("nn").as("n_name"),
-        col("n_items"), col("rev_d").cast("double").as("revenue"),
-        col("gid"))
+      // Collect the decimal as its exact string form: a DecimalType in a
+      // collect()'s deserializer fails codegen (SafeProjection falls back
+      // to interpreter mode) and the failed compile is re-paid on EVERY
+      // collect — measured 1.58s vs 0.09s warm for this 25-row frame.
+      // String -> BigDecimal round-trips the value exactly.
+      .withColumn("rev_s", col("rev_d").cast("string")).drop("rev_d")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        new java.math.BigDecimal(r.getString(3))))
+    def dsumJ(ds: Seq[java.math.BigDecimal]): Double =
+      ds.reduce(_.add(_)).doubleValue // exact add, then the same
+                                      // Decimal->double cast Spark does
+    val nation = nat.map { case (rn, nn, n, d) =>
+      (Option(rn), Option(nn), Option(n), Option(d.doubleValue), 0L)
+    }
+    val region = nat.groupBy(_._1).toSeq.map { case (rn, rs) =>
+      (Option(rn), None: Option[String], Option(rs.map(_._3).sum),
+        Option(dsumJ(rs.map(_._4).toSeq)), 1L)
+    }
+    // Empty input: the ungrouped aggregate still yields one row, with
+    // null sums — exactly what the old total branch produced.
+    val total = Seq((None: Option[String], None: Option[String],
+      if (nat.isEmpty) None else Some(nat.map(_._3).sum),
+      if (nat.isEmpty) None else Some(dsumJ(nat.map(_._4).toSeq)), 3L))
+    (nation.toSeq ++ region ++ total)
+      .toDF("r_name", "n_name", "n_items", "revenue", "gid")
   }
 
   /** Customer spend deciles via NTILE — the tiering view a marketing
@@ -903,7 +920,7 @@ object Analytics {
       .agg(countDistinct("user_id").as("exact_users"))
     val regs = hllRegisterRollup(ev)
     val universe = exact.select("event_type")
-      .crossJoin(broadcast(spark.range(0, 4096)
+      .crossJoin(broadcast(spark.range(0, 4096, 1, 1)
         .select(col("id").as("idx"))))
     val sums = universe.join(regs, Seq("event_type", "idx"), "left")
       .withColumn("m_j", coalesce(col("m_j"), lit(0L)))

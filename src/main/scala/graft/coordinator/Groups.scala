@@ -57,7 +57,7 @@ object Groups {
     * silently break past g9).
     */
   def commits(spark: SparkSession, dir: String): DataFrame = {
-    val groups = spark.range(0, 4).withColumnRenamed("id", "g")
+    val groups = spark.range(0, 4, 1, 1).withColumnRenamed("id", "g")
     leo(spark, dir).crossJoin(groups)
       .select(
         col("g"),
@@ -333,19 +333,33 @@ object Groups {
     * by g*(m+1)*4h — a deterministic function of the data, so group g0 is
     * fully live, g1 has a partial failure, and g2/g3 have fully timed out.
     */
-  private[coordinator] def memberHeartbeats(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("topic").orderBy("part")
-    val groups = spark.range(0, 4).withColumnRenamed("id", "g")
-    leo(spark, dir)
-      .withColumn("idx", row_number().over(w).cast("long") - 1L)
-      .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
-      .withColumn("m", expr(rangeMemberExpr(3)))
-      .crossJoin(groups)
-      .groupBy("g", "m")
-      .agg(count(lit(1)).as("n_parts"), max("latest_ms").as("hb_base"))
-      .withColumn("last_hb_ms",
-        col("hb_base") - col("g") * (col("m") + 1L) * lit(14400000L))
-  }
+  /** |groups| x |members| rows (12 at the modeled universe) behind two
+    * Window passes over [[leo]] — and EIGHT coordinator views compose it
+    * (several, like [[groupState]] + protocolSelect + the codec, in ONE
+    * plan). Checkpoint-cached like [[leo]]: r17 plan audit measured
+    * group_metadata_codec re-planning this subtree 4x per query (9
+    * Window+Sort pairs, 13 Exchanges for metadata-sized frames); caching
+    * the 12-row result cuts every consumer to pure broadcast joins.
+    */
+  private val mhCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[coordinator] def memberHeartbeats(spark: SparkSession, dir: String): DataFrame =
+    mhCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(mhCache, spark, dir, "events"), {
+        val w = Window.partitionBy("topic").orderBy("part")
+        val groups = spark.range(0, 4, 1, 1).withColumnRenamed("id", "g")
+        leo(spark, dir)
+          .withColumn("idx", row_number().over(w).cast("long") - 1L)
+          .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
+          .withColumn("m", expr(rangeMemberExpr(3)))
+          .crossJoin(groups)
+          .groupBy("g", "m")
+          .agg(count(lit(1)).as("n_parts"), max("latest_ms").as("hb_base"))
+          .withColumn("last_hb_ms",
+            col("hb_base") - col("g") * (col("m") + 1L) * lit(14400000L))
+          .localCheckpoint()
+      })
 
   private[coordinator] def nowMs(spark: SparkSession, dir: String): DataFrame =
     leo(spark, dir).agg(max("latest_ms").as("now_ms"))
@@ -403,7 +417,7 @@ object Groups {
   def tenantCoordinatorPlacement(spark: SparkSession, dir: String)
       : DataFrame = {
     import graft.functions.Parity.md5Long
-    val groups = spark.range(0, 4).select(
+    val groups = spark.range(0, 4, 1, 1).select(
       lit("group").as("entity_type"),
       concat(lit("g"), col("id").cast("string")).as("entity_id"),
       lit("__consumer_offsets").as("meta_topic"))
@@ -566,19 +580,28 @@ object Groups {
     * user-data length prefix (4). Composes the assign_range map so the
     * bytes Sync distributes are exactly the assignor's output.
     */
+  private val mabCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private[coordinator] def memberAssignmentBytes(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val w = Window.partitionBy("topic").orderBy("part")
-    topicParts(spark, dir)
-      .withColumn("idx", row_number().over(w).cast("long") - 1L)
-      .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
-      .withColumn("m", expr(rangeMemberExpr(3)))
-      .groupBy("m", "topic")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("m")
-      .agg((lit(10L) + sum(lit(2L) + length(col("topic")).cast("long") +
-        lit(4L) + lit(4L) * col("cnt"))).cast("long").as("assignment_bytes"))
-  }
+      : DataFrame =
+    // 3-row result behind the same Window-over-topicParts subtree as
+    // [[memberHeartbeats]]; checkpoint-cached for the same reason.
+    mabCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(mabCache, spark, dir, "events"), {
+        val w = Window.partitionBy("topic").orderBy("part")
+        topicParts(spark, dir)
+          .withColumn("idx", row_number().over(w).cast("long") - 1L)
+          .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
+          .withColumn("m", expr(rangeMemberExpr(3)))
+          .groupBy("m", "topic")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("m")
+          .agg((lit(10L) + sum(lit(2L) + length(col("topic")).cast("long") +
+            lit(4L) + lit(4L) * col("cnt"))).cast("long")
+            .as("assignment_bytes"))
+          .localCheckpoint()
+      })
 
   /** SyncGroup decision table — the rebalance's second barrier
     * (GroupCoordinator.handleSyncGroup / doSyncGroup,
@@ -791,7 +814,7 @@ object Groups {
       .withColumn("alive",
         when(col("age_ms") <= 28800000L, 1L).otherwise(0L))
     val w = Window.partitionBy("topic").orderBy("part")
-    val members = spark.range(0, 3).select(col("id").as("lm"))
+    val members = spark.range(0, 3, 1, 1).select(col("id").as("lm"))
     val moved = topicParts(spark, dir)
       .withColumn("idx", row_number().over(w).cast("long") - 1L)
       .withColumn("np", count(lit(1)).over(Window.partitionBy("topic")))
@@ -852,13 +875,13 @@ object Groups {
     * which no engine-independent oracle can reproduce).
     */
   def protocolSelect(spark: SparkSession, dir: String): DataFrame = {
-    val protos = spark.range(0, 3).select(
+    val protos = spark.range(0, 3, 1, 1).select(
       col("id").cast("long").as("pidx"),
       element_at(
         array(lit("range"), lit("roundrobin"), lit("sticky")),
         (col("id") + 1).cast("int")).as("p"))
-    val members = spark.range(0, 4).withColumnRenamed("id", "g")
-      .crossJoin(spark.range(0, 3).withColumnRenamed("id", "m"))
+    val members = spark.range(0, 4, 1, 1).withColumnRenamed("id", "g")
+      .crossJoin(spark.range(0, 3, 1, 1).withColumnRenamed("id", "m"))
     val support = members.crossJoin(broadcast(protos))
       .withColumn("supported",
         when(col("p") === "range", 1L)
@@ -903,7 +926,7 @@ object Groups {
     */
   def coordinatorPlacement(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Parity.md5Long
-    val groups = spark.range(0, 4).select(
+    val groups = spark.range(0, 4, 1, 1).select(
       lit("group").as("entity_type"),
       concat(lit("g"), col("id").cast("string")).as("entity_id"),
       lit("__consumer_offsets").as("meta_topic"))

@@ -113,7 +113,7 @@ object Curation {
     */
   def packLenSweep(spark: SparkSession, dir: String): DataFrame = {
     val sp = seqPack(spark, dir).select("source", "n_tok", "start_off")
-    val ls = spark.range(3)
+    val ls = spark.range(0, 3, 1, 1)
       .select(expr("CAST(shiftleft(256, CAST(id AS INT)) AS BIGINT)")
         .as("ctx"))
     // per-source packing keeps its own tail per source (the seqPack

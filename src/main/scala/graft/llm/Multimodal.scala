@@ -242,16 +242,32 @@ object Multimodal {
     (w, h, n.toLong, sampled, if (pixels == 0) 0.0 else sum / pixels)
   }
 
+  /** Spread the per-row codec work across the session's cores when the
+    * scan's own partitioning is coarser (guide §2.6/§4: per-task work
+    * parallelism). At sf0.1 the whole documents table is ONE input split,
+    * so the decode stage otherwise runs as a single task (measured 1.9 s
+    * single-threaded for multimodal_pipeline). At 100 TB the scan already
+    * yields far more splits than cores and this is a NO-OP — no payload
+    * shuffle is added at scale. Hash-keyed on doc_id so the layout is a
+    * deterministic function of the data, not of the file-split geometry.
+    */
+  private def parallelizeCodec[T](spark: SparkSession,
+      ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < cores) ds.repartition(cores, col("doc_id"))
+    else ds
+  }
+
   def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = t(spark, dir, "documents")
+    val media = parallelizeCodec(spark, t(spark, dir, "documents")
       // Null payloads (nullable text column) are skipped rather than
       // crashing the batch decode.
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         mediaTypeExpr.as("media_type"),
         encode(col("text"), "utf-8").as("payload"))
-      .as[MediaRow]
+      .as[MediaRow])
     // Batched decode: iterate each partition in fixed-size batches, the
     // same shape a mapInPandas arrow-batch pipeline has. Image rows go
     // through the real PNG codec; audio/video through the documented
@@ -357,6 +373,11 @@ object Multimodal {
     */
   private[graft] def buildPhashFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT parallelizeCodec'd: the result is localCheckpoint-cached, so the
+    // decode cost is paid once per session while a 32-partition cached
+    // frame taxes every downstream consumer stage (measured: media_phash
+    // 0.06->0.11s, phash_hamming_pairs 0.47->0.92s warm). The pipeline
+    // query, which has no cache, keeps the parallel decode.
     val images = t(spark, dir, "documents")
       .filter(col("text").isNotNull && isImage)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))

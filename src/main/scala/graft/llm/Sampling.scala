@@ -228,7 +228,7 @@ object Sampling {
     * single-task global window, and epochs rank in parallel.
     */
   def epochOrder(spark: SparkSession, dir: String): DataFrame = {
-    val epochs = spark.range(NumEpochs).select(col("id").as("epoch"))
+    val epochs = spark.range(0, NumEpochs, 1, 1).select(col("id").as("epoch"))
     val d = t(spark, dir, "documents").select("doc_id")
       .crossJoin(broadcast(epochs))
       .withColumn("h", md5Long(concat(lit("ep"), col("epoch"),

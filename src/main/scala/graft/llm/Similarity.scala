@@ -79,7 +79,7 @@ object Similarity {
     // instead of re-deriving 64 md5s per (vector, plane) pair.
     // Note the D suffixes: a bare 7.2e16 literal parses as DECIMAL and
     // silently turns the whole plane into array<decimal>.
-    val planes = spark.range(0, 6).select(col("id").as("p"), expr(
+    val planes = spark.range(0, 6, 1, 1).select(col("id").as("p"), expr(
       """transform(sequence(0, 63), d ->
         |  CAST(CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) AS DOUBLE)
         |    / 72057594037927936.0D - 0.5D)""".stripMargin).as("pw"))
@@ -123,7 +123,7 @@ object Similarity {
     */
   def annLshMulti(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
-    val planes = spark.range(0, 24).select(col("id").as("p"), expr(
+    val planes = spark.range(0, 24, 1, 1).select(col("id").as("p"), expr(
       """transform(sequence(0, 63), d ->
         |  CAST(CAST(conv(substring(md5(concat('p_', cast(p as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) AS DOUBLE)
         |    / 72057594037927936.0D - 0.5D)""".stripMargin).as("pw"))
@@ -283,7 +283,7 @@ object Similarity {
       .filter(col("pr") <= 4)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"), col("pr"))
       .join(broadcast(sizes), "cell")
-    val ns = spark.range(3)
+    val ns = spark.range(0, 3, 1, 1)
       .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)")
         .as("nprobe"))
     probes.crossJoin(broadcast(ns))
@@ -383,7 +383,7 @@ object Similarity {
     * so the cut is double-exact.
     */
   def semDedupSweep(spark: SparkSession, dir: String): DataFrame = {
-    val th = spark.range(4)
+    val th = spark.range(0, 4, 1, 1)
       .select((lit(25L) + col("id") * 10L).as("th_pct"))
     semPairs(spark, dir).crossJoin(broadcast(th))
       .filter(col("cos") >= col("th_pct").cast("double") / 100.0d)
@@ -1243,7 +1243,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D) AS BIGINT))")
         .as("q"))
-    val axes = spark.range(0, 4).select(col("id").as("a"), expr(
+    val axes = spark.range(0, 4, 1, 1).select(col("id").as("a"), expr(
       """transform(sequence(0, 63), d ->
         |  CASE WHEN CAST(conv(substring(md5(concat('rp_', cast(a as string), '_', cast(d as string))), 1, 14), 16, 10) AS BIGINT) % 2 = 0
         |       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)"""

@@ -170,7 +170,7 @@ object BrokerOps {
         sum("n").cast("long").as("n_records"),
         sum("bytes_v1").cast("long").as("bytes_v1"),
         sum("bytes_v2").cast("long").as("bytes_v2"))
-    val clients = spark.range(0, 4).select(
+    val clients = spark.range(0, 4, 1, 1).select(
       concat(lit("g"), col("id").cast("string")).as("group_id"),
       when(col("id") === 0L, 0L).when(col("id") <= 2L, 1L).otherwise(2L)
         .as("magic"))
@@ -504,7 +504,7 @@ object BrokerOps {
       .withColumn("tp", concat(col("topic"), lit("#"), col("part").cast("string")))
       .withColumn("leader", pmod(md5Long(col("tp")), lit(4L)))
     val followers = parts
-      .crossJoin(broadcast(spark.range(1, 3).select(col("id").as("r"))))
+      .crossJoin(broadcast(spark.range(1, 3, 1, 1).select(col("id").as("r"))))
       .withColumn("broker", pmod(col("leader") + col("r"), lit(4L)))
       .withColumn("lag_ms",
         pmod(md5Long(concat_ws("#", lit("lag"), col("tp"), col("r").cast("string"))),
@@ -679,12 +679,12 @@ object BrokerOps {
       .select(col("h"), (col("h") * 3600000L).as("unload_ms"),
         pmod(md5Long(concat(lit("unload#h"), col("h").cast("string"))),
           lit(4L)).as("bundle"))
-    val gMoves = spark.range(0L, 4L)
+    val gMoves = spark.range(0L, 4L, 1, 1)
       .select(owner(lit("__consumer_offsets"),
         pmod(md5Long(concat(lit("gcoord#g"), col("id").cast("string"))),
           lit(8L))).as("bundle"))
       .groupBy("bundle").agg(count(lit(1)).as("n_group_moves"))
-    val tMoves = spark.range(0L, 8L)
+    val tMoves = spark.range(0L, 8L, 1, 1)
       .select(owner(lit("__transaction_state"), col("id")).as("bundle"))
       .groupBy("bundle").agg(count(lit(1)).as("n_txn_moves"))
     events.join(pairs, "bundle")

@@ -64,7 +64,7 @@ object SchemaRegistry {
       Seq("ts", "user", "val", "src", "tag", "geo").map(Tuple1(_))).toDF("field")
     val synth = LogOps.log(spark, dir).select("topic").distinct()
       .crossJoin(broadcast(
-        spark.range(1, 4).select(col("id").as("version")).crossJoin(universe)))
+        spark.range(1, 4, 1, 1).select(col("id").as("version")).crossJoin(universe)))
       .filter(substring(md5(concat_ws("#",
         col("topic"), col("field"), col("version").cast("string"))), 1, 1)
         .rlike("^[0-9]$"))

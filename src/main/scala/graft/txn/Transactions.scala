@@ -481,7 +481,7 @@ object Transactions {
         when(txnFate(col("txn_id")) === "ABORTED", "CompleteAbort")
           .when(txnFate(col("txn_id")) === "ONGOING", "Ongoing")
           .otherwise("CompleteCommit"))
-    spark.range(0L, 80L).toDF("txn_id")
+    spark.range(0L, 80L, 1, 1).toDF("txn_id")
       .join(broadcast(meta), Seq("txn_id"), "left")
       // Existence sentinel = the meta-side n_partitions (countDistinct of
       // a non-null key, so non-null exactly when the left join matched) -
@@ -734,7 +734,7 @@ object Transactions {
         substring(md5(concat(lit("endepoch#"), col("txn_id").cast("string"))),
           1, 1) =!= "0")
     states.crossJoin(
-      spark.range(0, 2).select(when(col("id") === 0L, "COMMIT")
+      spark.range(0, 2, 1, 1).select(when(col("id") === 0L, "COMMIT")
         .otherwise("ABORT").as("requested_result")))
       .withColumn("outcome",
         when(!col("epoch_ok"), "PRODUCER_FENCED")
@@ -802,7 +802,7 @@ object Transactions {
           lit(9000L) + col("txn_id")).as("producer_id"),
         when(col("timeout_ms") > 0L && col("timeout_ms") <= 900000L,
           col("prev_epoch") + 1L).as("producer_epoch"))
-    val anon = spark.range(0, 32)
+    val anon = spark.range(0, 32, 1, 1)
       .select(concat(lit("conn"), col("id")).as("conn"), col("id"))
       .select(
         lit(null).cast("string").as("transactional_id"),
@@ -811,7 +811,7 @@ object Transactions {
         lit("NONE").as("outcome"),
         (lit(5000L) + col("id")).as("producer_id"),
         lit(0L).as("producer_epoch"))
-    val empty = spark.range(0, 1).select(
+    val empty = spark.range(0, 1, 1, 1).select(
       lit("").as("transactional_id"),
       lit("transactional").as("request_kind"),
       lit(60000L).as("timeout_ms"),
