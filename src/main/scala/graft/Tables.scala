@@ -11,8 +11,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    canonTs(spark.read.parquet(s"$dir/$name.parquet"))
+  /** Reader-PLAN cache: `spark.read.parquet` re-lists the directory and
+    * re-reads the parquet footer on every call (measured ~85 ms/call at
+    * sf0.1 — pure driver-side metadata work, guide §7.3), and the registry
+    * pays it 1-3x per query per bench pass. Cache the analyzed reader
+    * DataFrame per (session, data fingerprint): a logical PLAN, zero rows —
+    * every action still scans the parquet files, so bench/oracle runs keep
+    * computing from the inputs. This is exactly what a catalog table's
+    * relation cache would do at 100 TB (the swap this loader localizes).
+    * Fingerprint keying (one driver-side listing, ~5 ms) invalidates
+    * naturally when data is regenerated in place; superseded entries for
+    * the same (dir, table) are dropped eagerly so a long stress session
+    * cannot accumulate stale plans.
+    */
+  private val readerPlans = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = s"$dir@${fingerprint(spark, dir, name)}#$name"
+    readerPlans.getOrElseUpdate((spark, key), {
+      readerPlans.keys.foreach { case k @ (s, d) =>
+        // Purge plans of stopped sessions and superseded fingerprints of
+        // this same table (plans are small; this just bounds growth).
+        if (s.sparkContext.isStopped ||
+            (s == spark && d != key && d.endsWith(s"#$name") &&
+              d.startsWith(dir + "@"))) readerPlans.remove(k)
+      }
+      canonTs(spark.read.parquet(s"$dir/$name.parquet"))
+    })
+  }
 
   private val scanWidth = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Boolean]
@@ -87,18 +114,46 @@ object Tables {
     * One driver-side directory listing per cache miss — no data read.
     */
   def fingerprint(spark: SparkSession, dir: String, name: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries =
-      if (!fs.exists(p)) Seq(s"absent:$p")
-      else {
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val f = it.next()
-          buf += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+    val raw = s"$dir/$name.parquet"
+    // Local-path fast path: Hadoop's LocalFileSystem stats each file
+    // through a shim (measured ~7 ms per fingerprint at sf0.1); a plain
+    // NIO walk of the same directory is ~0.1 ms. Every frame-cache access
+    // and every reader-plan lookup pays this, so it is hot. Non-local
+    // schemes (hdfs://, s3a://) keep the Hadoop path.
+    val scheme = new java.net.URI(raw).getScheme
+    val entries: Seq[String] =
+      if (scheme == null || scheme == "file") {
+        val p = java.nio.file.Paths.get(
+          if (scheme == null) raw else new java.net.URI(raw).getPath)
+        if (!java.nio.file.Files.exists(p)) Seq(s"absent:file:$p")
+        else {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          val stream = java.nio.file.Files.walk(p)
+          try stream.forEach { f =>
+            if (java.nio.file.Files.isRegularFile(f)) {
+              val attrs = java.nio.file.Files.readAttributes(
+                f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              // Match the Hadoop spelling exactly (path URI, length,
+              // mtime millis) so the two branches produce the SAME key
+              // for the same data — callers cache on it.
+              buf += s"file:$f:${attrs.size}:${attrs.lastModifiedTime.toMillis}"
+            }
+          } finally stream.close()
+          buf.sorted.toSeq
         }
-        buf.sorted.toSeq
+      } else {
+        val p = new org.apache.hadoop.fs.Path(raw)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Seq(s"absent:$p")
+        else {
+          val it = fs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val f = it.next()
+            buf += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+          }
+          buf.sorted.toSeq
+        }
       }
     java.util.UUID.nameUUIDFromBytes(
       entries.mkString("\n").getBytes("UTF-8")).toString
