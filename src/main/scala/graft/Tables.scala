@@ -41,6 +41,24 @@ object Tables {
     })
   }
 
+  /** [[t]]'s reader-plan cache for ARTIFACT paths (persisted index /
+    * tokenizer stores under tmp): same ~85 ms/call `spark.read.parquet`
+    * metadata cost, same plan-only caching, keyed by a content fingerprint
+    * of the path so a store rebuilt in place (the persist queries
+    * overwrite their root every run) never serves a stale file listing.
+    */
+  def artifactPlan(spark: SparkSession, path: String): DataFrame = {
+    val key = s"$path@${fingerprintPath(spark, path)}"
+    readerPlans.getOrElseUpdate((spark, key), {
+      readerPlans.keys.foreach { case k @ (s, d) =>
+        if (s.sparkContext.isStopped ||
+            (s == spark && d != key && d.startsWith(path + "@")))
+          readerPlans.remove(k)
+      }
+      spark.read.parquet(path)
+    })
+  }
+
   private val scanWidth = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Boolean]
 
@@ -113,8 +131,11 @@ object Tables {
     * one /tmp path) invalidates naturally instead of serving stale frames.
     * One driver-side directory listing per cache miss — no data read.
     */
-  def fingerprint(spark: SparkSession, dir: String, name: String): String = {
-    val raw = s"$dir/$name.parquet"
+  def fingerprint(spark: SparkSession, dir: String, name: String): String =
+    fingerprintPath(spark, s"$dir/$name.parquet")
+
+  private[graft] def fingerprintPath(spark: SparkSession, raw: String)
+      : String = {
     // Local-path fast path: Hadoop's LocalFileSystem stats each file
     // through a shim (measured ~7 ms per fingerprint at sf0.1); a plain
     // NIO walk of the same directory is ~0.1 ms. Every frame-cache access

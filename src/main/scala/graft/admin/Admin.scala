@@ -583,28 +583,43 @@ object Admin {
     * the 32-row connection universe broadcasts into the scan.
     */
   def authFailureDelay(spark: SparkSession, dir: String): DataFrame = {
-    // Two scans, filter-early: the 32-row failing-conn frame (via
-    // [[saslDecide]]'s one coin spelling) lands as a LOCAL RELATION and
-    // broadcast-filters the attempts scan BEFORE the aggregate — lazy
-    // it re-pays the scan per consumer job, localCheckpoint'ed it
-    // de-optimizes the probe-side join (21.7s parks stage vs 2.2s),
-    // and the tempting aggregate-everything-single-scan shape is
-    // SLOWER (91s vs 37s at 1000x: the partial aggregate then hashes
-    // all 32 conns' rows instead of the ~5 failing conns').
+    // ONE scan, filter-early. The failing-conn set is a pure function of
+    // the md5 coins on the 32-conn universe ([[saslDecide]]'s one coin
+    // spelling — no data needed), and saslFlow's events-presence condition
+    // is enforced by the attempts join itself: parks' conn key is
+    // pmod(k, 32) over the SAME events table saslFlow derives its universe
+    // from, so a coin-failing conn with no events rows joins to nothing.
+    // The static 32-row frame lands as a LOCAL RELATION and
+    // broadcast-filters the attempts scan BEFORE the aggregate (lazy it
+    // re-pays the scan per consumer job; the tempting
+    // aggregate-everything-single-scan shape is SLOWER — 91s vs 37s at
+    // 1000x: the partial aggregate then hashes all 32 conns' rows instead
+    // of the ~5 failing conns').
     import spark.implicits._
-    val fails = saslFlow(spark, dir)
+    val fails = saslDecide(
+        (0L until 32L).toDF("conn_id")
+          .withColumn("conn", concat(lit("conn"), col("conn_id"))))
       .filter(col("auth_outcome") === "SASL_AUTHENTICATION_FAILED")
       .select("conn", "mechanism")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      .toDF("conn", "mechanism")
-    val parks = LogOps.logBase(spark, dir)
+    // The park ledger is |failing conns (≤32)| x |active 1h windows| —
+    // metadata-sized at every scale (a year of data is ~9k windows). A
+    // localCheckpoint here materialized it distributed and the downstream
+    // occupancy self-join + two aggregations then ran as 6+ scheduled
+    // jobs of 32-task stages over a handful of rows; collecting the
+    // bounded frame (exact longs/strings, the nation_revenue_rollup
+    // discipline) makes everything after the one data-sized scan a local
+    // plan. Results are bit-identical: same rows, same types.
+    val parkRows = LogOps.logBase(spark, dir)
       .select(concat(lit("conn"),
         pmod(col("k").cast("long"), lit(32L))).as("conn"), col("tms"))
       .join(broadcast(fails), "conn")
       .withColumn("bkt", expr(s"tms div $AuthParkWindowMs"))
       .groupBy("conn", "mechanism", "bkt")
       .agg(min("tms").as("park_start"), count(lit(1)).as("n_in_bkt"))
-      .localCheckpoint()
+      .collect()
+    val parks = parkRows.toSeq.map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toDF("conn", "mechanism", "bkt", "park_start", "n_in_bkt")
     // The "b parked when a starts" candidate set is b.bkt in {a.bkt-1,
     // a.bkt}; spelled as a range condition Spark can only nested-loop it
     // (quadratic in parks), so EXPAND b to its two reachable buckets and

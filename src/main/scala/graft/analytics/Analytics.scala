@@ -842,8 +842,12 @@ object Analytics {
     // NTILE's first-tiles-get-the-remainder split in pure integers —
     // the oracle runs DuckDB's literal NTILE(10), so the two
     // implementations cross-check.
+    // |customers|-row frame consumed three times below (offsets, count,
+    // rank join) — checkpoint so the orders scan + decimal aggregation
+    // run ONCE instead of per consumer.
     val b = totals
       .withColumn("bucket", floor(col("total") / lit(1000.0)).cast("long"))
+      .localCheckpoint()
     val offs = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .withColumn("off",
         coalesce(sum("bn").over(Window.orderBy("bucket")

@@ -130,8 +130,13 @@ object AnnIndex {
   def annIvfPqProbe(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecDot.register(spark)
     val root = ensure(spark, dir)
-    val cents = spark.read.parquet(new java.io.File(root, "centroids").toString)
-    val codebook = spark.read.parquet(new java.io.File(root, "codebook").toString)
+    // Plan-cached artifact reads (Tables.artifactPlan): three parquet
+    // listings + footer reads per probe otherwise (~85 ms each); the
+    // index root is content-addressed so the cache can never go stale.
+    val cents = graft.Tables.artifactPlan(spark,
+      new java.io.File(root, "centroids").toString)
+    val codebook = graft.Tables.artifactPlan(spark,
+      new java.io.File(root, "codebook").toString)
     val qvecs = Embeddings.directional(spark, dir)
       .filter(col("vec_id") >= 100 && col("vec_id") < 108)
     val qcells = Clustering.nearestCentroid(qvecs, cents)
@@ -146,7 +151,8 @@ object AnnIndex {
     // Filter the RAW partition column (before any cast — a cast on the
     // attribute would defeat partition pruning), then normalize to long
     // for the join/oracle schema.
-    val codes = spark.read.parquet(new java.io.File(root, "codes").toString)
+    val codes = graft.Tables.artifactPlan(spark,
+        new java.io.File(root, "codes").toString)
       .filter(col("cell").isin(probedCells.map(_.toInt): _*))
       .withColumn("cell", col("cell").cast("long"))
     val dtable = Similarity.subSlices(spark, dir)

@@ -92,7 +92,10 @@ object BpeStore {
     */
   def encodeApply(spark: SparkSession, dir: String): DataFrame = {
     val root = ensure(spark, dir)
-    val vocab = spark.read.parquet(new java.io.File(root, "vocab").toString)
+    // Plan-cached artifact read (Tables.artifactPlan): the vocab listing +
+    // footer cost ~85 ms per call and the store is content-addressed.
+    val vocab = graft.Tables.artifactPlan(spark,
+      new java.io.File(root, "vocab").toString)
     TextAnalysis.encodeAccounting(spark, dir, vocab)
   }
 
