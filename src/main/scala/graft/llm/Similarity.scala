@@ -1146,17 +1146,24 @@ object Similarity {
     * rank picks, and clip rollup all run there, and every join key is
     * the 64-row dim frame (broadcast).
     */
+  /** The uncached (dim, bucket) count build — one partial-aggregated
+    * scan; split out so PlanShapeSpec pins the BUILD shape (the thing
+    * that runs at scale) while [[embeddingDimStats]] checkpoints it.
+    */
+  private[graft] def buildDimBucketCounts(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.t(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("q",
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT)"))
+      .groupBy("d", "q").agg(count(lit(1)).as("k"))
+
   def embeddingDimStats(spark: SparkSession, dir: String): DataFrame = {
     // The (dim, bucket) count frame is <= 64 x |grid| rows at ANY corpus
     // size; checkpoint it so the five consumers below (cum x2, tot, clip,
     // final) share ONE corpus scan — lazily the posexplode subtree was
     // re-planned per consumer (20 parquet scans in one plan).
-    val cnt = graft.Tables.t(spark, dir, "embeddings")
-      .select(posexplode(col("embedding")).as(Seq("d", "x")))
-      .withColumn("q",
-        expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT)"))
-      .groupBy("d", "q").agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+    val cnt = buildDimBucketCounts(spark, dir).localCheckpoint()
     val cum = cnt.withColumn("cum",
       sum("k").over(Window.partitionBy("d").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))

@@ -416,11 +416,16 @@ object BrokerOps {
     * seconds-grain frame (not the data), and two metadata rollups.
     */
   def purgatoryWatchers(spark: SparkSession, dir: String): DataFrame = {
-    val secs = LogOps.log(spark, dir)
+    // (topic, part, sec) is time-bounded metadata; checkpointed so the
+    // Produce and Fetch branches below share ONE scan instead of each
+    // re-planning it. logBase, not log: no column here needs the offset
+    // window.
+    val secs = LogOps.logBase(spark, dir)
       .withColumn("sec", expr("tms div 1000"))
       .groupBy("topic", "part", "sec")
       .agg(sum(length(col("v")) + length(col("k")) + lit(16)).cast("long")
         .as("bytes"))
+      .localCheckpoint()
     val produce = secs
       .withColumn("wait_ms",
         greatest(LogOps.ackDraw("1"), LogOps.ackDraw("2")))
@@ -434,12 +439,15 @@ object BrokerOps {
       .select(lit("Fetch").as("api"), col("topic"), col("part"),
         lit(1L).as("registered"),
         when(col("sec") < col("max_sec"), 1L).otherwise(0L).as("completed"))
+    // (api, topic, part) rows; checkpointed so the api-wide purge rollup
+    // and the final join read one derivation.
     val perKey = produce.unionByName(fetch)
       .groupBy("api", "topic", "part")
       .agg(
         sum("registered").cast("long").as("n_registered"),
         sum("completed").cast("long").as("n_completed"),
         (sum("registered") - sum("completed")).cast("long").as("n_expired"))
+      .localCheckpoint()
     val perApi = perKey.groupBy("api")
       .agg(sum("n_registered").cast("long").as("api_total_watchers"))
       .withColumn("n_purge_passes", expr("api_total_watchers div 1000"))

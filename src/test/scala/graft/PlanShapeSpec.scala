@@ -634,12 +634,20 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("round-12 additions keep their scale shapes") {
     // embedding_dim_stats: every join key is the 64-row dim frame —
-    // broadcast only, and the base is ONE partial-aggregated scan.
+    // broadcast only. The base is ONE partial-aggregated scan, now
+    // checkpointed (the r17 multi-consumer fix: the lazy form re-planned
+    // the posexplode scan per consumer — 20 scans in one plan), so the
+    // scan shape is pinned on the BUILDER and the final plan must read
+    // the checkpointed RDD, not parquet.
     val ds = planOf(graft.llm.Similarity.embeddingDimStats(spark, dir))
     assert(ds.contains("BroadcastHashJoin") && !ds.contains("SortMergeJoin"),
       s"embedding_dim_stats dim joins not broadcast:\n$ds")
-    assert(ds.contains("partial_count"),
-      s"embedding_dim_stats scan not partial-aggregated:\n$ds")
+    assert(!ds.contains("Scan parquet"),
+      s"embedding_dim_stats re-scans parquet past the checkpoint:\n$ds")
+    val dsBuild = planOf(
+      graft.llm.Similarity.buildDimBucketCounts(spark, dir))
+    assert(dsBuild.contains("partial_count"),
+      s"embedding_dim_stats build not partial-aggregated:\n$dsBuild")
     // event_paths: the scalar total rides a broadcast, and the top-3
     // cut happens per user partition (window), never a global sort.
     val ep = planOf(graft.analytics.Analytics.eventPaths(spark, dir))
