@@ -848,18 +848,33 @@ object Analytics {
     val b = totals
       .withColumn("bucket", floor(col("total") / lit(1000.0)).cast("long"))
       .localCheckpoint()
-    val offs = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
-      .withColumn("off",
-        coalesce(sum("bn").over(Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "off")
-    val nAll = b.agg(count(lit(1)).as("n"))
+    // The bucket-count frame is <= |distinct $1000 buckets| rows —
+    // metadata at any scale. Collect it ONCE and derive the offset table
+    // (exact long prefix sums) and the global count driver-side (guide §5
+    // bounded driver work, the nation_revenue_rollup discipline): this
+    // replaces the offset window's exchange+sort job AND the separate
+    // global-count job with one tiny collect.
+    val bucketCounts = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = bucketCounts.map(_._2).sum
+    val offRows = {
+      var acc = 0L
+      bucketCounts.map { case (bucket, bn) =>
+        val r = org.apache.spark.sql.Row(bucket, acc); acc += bn; r }
+    }
+    val offs = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     b.join(broadcast(offs), "bucket")
       .withColumn("rank",
         col("off") + row_number().over(
           Window.partitionBy("bucket").orderBy("total", "o_custkey"))
           .cast("long"))
-      .crossJoin(broadcast(nAll))
+      .withColumn("n", lit(n))
       .withColumn("decile",
         expr("""CASE WHEN rank <= (n % 10) * (n div 10 + 1)
                |  THEN (rank - 1) div (n div 10 + 1) + 1
@@ -1529,14 +1544,32 @@ object Analytics {
   private val mcCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Explicit teardown hook for the minute-count frame cache. */
-  def clearAnomalyCache(): Unit = mcCache.clear()
+  /** Explicit teardown hook for the minute-count and dev frame caches. */
+  def clearAnomalyCache(): Unit = { mcCache.clear(); devCache.clear() }
 
   /** The per-(type, minute) deviation frame shared by [[anomalyMad]],
     * [[anomalyMinutes]] and the streaming alert feed: columns
-    * (event_type, minute, n, med, dev, mad).
+    * (event_type, minute, n, med, dev, mad). Fingerprint-cached +
+    * localCheckpoint'ed (guide §2.4 — the doc_length_outliers shape):
+    * each of the THREE consumers re-planned the two median windows and
+    * both broadcast joins over the minute frame per call (4 reads of the
+    * checkpoint + 3 window sorts + 2 broadcasts, per consumer); the dev
+    * frame is the same |types|*|minutes| time-bounded metadata grain as
+    * the count frame it derives from, so caching it is scale-safe.
     */
-  private[graft] def anomalyDev(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def anomalyDev(spark: SparkSession, dir: String): DataFrame =
+    devCache.getOrElseUpdate(
+      graft.Tables.freshCacheKey(devCache, spark, dir, "events"),
+      buildAnomalyDev(spark, dir).localCheckpoint())
+
+  private val devCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The uncached dev-frame build — split out so PlanShapeSpec pins the
+    * shape that runs at scale (medians broadcast, no sort-merge join)
+    * while consumers ride the checkpointed frame.
+    */
+  private[graft] def buildAnomalyDev(spark: SparkSession, dir: String): DataFrame = {
     // The count frame feeds four branches (two median picks, the dev
     // join, the rollup) and THREE registered consumers (mad, minutes,
     // rolling_throughput) — fingerprint-cached + checkpointed, so the

@@ -99,7 +99,13 @@ object AnnIndex {
     */
   private[graft] def ensure(spark: SparkSession, dir: String): java.io.File = {
     val root = indexRoot(spark, dir)
-    if (!marker(root).exists()) materialize(spark, dir, root)
+    if (!marker(root).exists()) {
+      // Loud: a probe that pays materialize() is a BUILD+probe run, and a
+      // timing that includes it must be distinguishable from a pure probe.
+      System.err.println(s"[ann-index] probe missed the persisted index; " +
+        s"building at $root")
+      materialize(spark, dir, root)
+    }
     root
   }
 
@@ -141,13 +147,28 @@ object AnnIndex {
       .filter(col("vec_id") >= 100 && col("vec_id") < 108)
     val qcells = Clustering.nearestCentroid(qvecs, cents)
       .select(col("vec_id").as("q_id"), col("cid").as("qcell"))
+    val dtable = Similarity.subSlices(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .join(broadcast(codebook), "s")
+      .withColumn("d2q", expr(Similarity.pqD2q))
+      .select(col("vec_id").as("q_id"), col("s").as("qs"),
+        col("cid"), col("d2q"))
+    // The whole query side — ADC table x cell assignment — is <=
+    // |queries| x 8 subspaces x 16 codes rows (metadata at any scale).
+    // ONE collect materializes it: the probed-cell set falls out of the
+    // same rows (previously a second job re-deriving qcells), and the
+    // probe join's build side becomes a LocalRelation instead of a
+    // broadcast subtree that re-planned the query-vector scan (guide §5
+    // bounded driver work; 14 -> ~7 query-side jobs).
+    val probeSide = dtable.join(qcells, "q_id")
+    val probeRows = probeSide.collect()
+    val probeLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSide.schema)
     // The probed cell set is <= |queries| values; landing it as a STATIC
     // partition filter makes the pruning unconditional (PartitionFilters
     // on the scan node) instead of betting on runtime DPP — at 100 TB
-    // the scan lists and reads ONLY these cell directories. The collect
-    // is a K-row centroid assignment of 8 query vectors — metadata.
-    val probedCells = qcells.select("qcell").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // the scan lists and reads ONLY these cell directories.
+    val probedCells = probeRows.map(_.getAs[Long]("qcell")).distinct.toSeq
     // Filter the RAW partition column (before any cast — a cast on the
     // attribute would defeat partition pruning), then normalize to long
     // for the join/oracle schema.
@@ -155,14 +176,8 @@ object AnnIndex {
         new java.io.File(root, "codes").toString)
       .filter(col("cell").isin(probedCells.map(_.toInt): _*))
       .withColumn("cell", col("cell").cast("long"))
-    val dtable = Similarity.subSlices(spark, dir)
-      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
-      .join(broadcast(codebook), "s")
-      .withColumn("d2q", expr(Similarity.pqD2q))
-      .select(col("vec_id").as("q_id"), col("s").as("qs"),
-        col("cid"), col("d2q"))
     val cand = codes
-      .join(broadcast(dtable.join(qcells, "q_id")),
+      .join(broadcast(probeLocal),
         col("s") === col("qs") && col("code") === col("cid") &&
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))

@@ -424,6 +424,9 @@ object TextAnalysis {
     // In-row TF (array_counts combiner): one (doc, term, tf) row per
     // DISTINCT term per doc, no per-occurrence explode and no (doc, term)
     // aggregation shuffle; DF then counts rows per term on the same frame.
+    // (r18 note: tPar on this scan was measured 1.25x WORSE — the
+    // repartition exchange ships the full text column and the tokenize
+    // is too cheap to amortize it; left on the direct scan.)
     val tf = docs.select(col("doc_id"),
       explode(expr("array_counts(split(text, ' '))")).as(Seq("term", "tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GlogOps {
 
   private def storePath(dir: String): String =
-    s"/tmp/graft_glog/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    // java.io.tmpdir (the AnnIndex/BpeStore spelling, identical to the old
+    // hardcoded /tmp on a stock JVM) so parallel test JVMs with private
+    // tmpdirs never share a half-built store.
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_glog"), dir.replaceAll("[^a-zA-Z0-9.]", "_")).toString
 
   def glogRead(spark: SparkSession, dir: String): DataFrame = {
     val p = storePath(dir)

@@ -252,14 +252,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // Every window/join runs on the |types|*|minutes| count frame; the
     // two median frames broadcast back — never a sort-merge join — and
     // the scan partial-aggregates before any exchange.
+    // BUILD shape (what runs at scale, once per session/data): medians
+    // broadcast back onto the minute frame, never a sort-merge join.
+    val devPlan = planOf(graft.analytics.Analytics.buildAnomalyDev(spark, dir))
+    assert(!devPlan.contains("SortMergeJoin"),
+      s"anomaly dev build shuffles a join side:\n$devPlan")
+    assert("BroadcastExchange".r.findAllIn(devPlan).size >= 2,
+      s"anomaly dev build median frames not broadcast:\n$devPlan")
+    // Consumers ride the checkpointed dev frame: one rollup, no parquet
+    // re-scan and no re-derived median subtrees.
     val plan = planOf(graft.analytics.Analytics.anomalyMad(spark, dir))
     assert(!plan.contains("SortMergeJoin"),
       s"anomaly_mad shuffles a join side:\n$plan")
-    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
-      s"anomaly_mad median frames not broadcast:\n$plan")
-    // the checkpointed count frame means the raw scan runs exactly once
     assert("Scan parquet".r.findAllIn(plan).size == 0,
       s"anomaly_mad re-scans events past the checkpoint:\n$plan")
+    assert(!plan.contains("Window"),
+      s"anomaly_mad re-derives the median windows past the dev cache:\n$plan")
     val mcPlan = planOf(graft.analytics.Analytics
       .buildAnomalyMinuteCounts(spark, dir))
     assert(mcPlan.contains("partial_count") &&
