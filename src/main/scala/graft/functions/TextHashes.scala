@@ -267,14 +267,16 @@ case class ArrayCounts(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val m = new java.util.LinkedHashMap[String, Long]()
+    // Key the counter map on UTF8String directly (content-hashed): the
+    // old String round trip paid a UTF-16 decode per token plus a UTF-8
+    // re-encode per distinct key — pure per-row overhead on the hottest
+    // tokenize path (guide §4). Keys are cloned for the output map so no
+    // returned bytes alias the input row's buffer.
+    val m = new java.util.LinkedHashMap[UTF8String, Long]()
     var i = 0
     while (i < n) {
       val e = arr.getUTF8String(i)
-      if (e != null) {
-        val k = e.toString
-        m.put(k, m.getOrDefault(k, 0L) + 1L)
-      }
+      if (e != null) m.put(e, m.getOrDefault(e, 0L) + 1L)
       i += 1
     }
     val keys = new Array[Any](m.size)
@@ -283,7 +285,7 @@ case class ArrayCounts(child: Expression)
     var j = 0
     while (it.hasNext) {
       val e = it.next()
-      keys(j) = UTF8String.fromString(e.getKey)
+      keys(j) = e.getKey.clone()
       vals(j) = e.getValue
       j += 1
     }
@@ -309,12 +311,13 @@ case class SimHash48(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val seen = new java.util.HashSet[String](n * 2)
+    // UTF8String content-hashes directly — no per-token UTF-16 decode.
+    val seen = new java.util.HashSet[UTF8String](n * 2)
     val sums = new Array[Int](48)
     var i = 0
     while (i < n) {
       val tok = arr.getUTF8String(i)
-      if (tok != null && seen.add(tok.toString)) {
+      if (tok != null && seen.add(tok)) {
         val h = Md5Prefix.hash(tok.getBytes)
         var b = 0
         while (b < 48) {

@@ -702,36 +702,50 @@ object TextAnalysis {
     * no second scan, no corpus window.
     */
   def docLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val bySrc = Window.partitionBy("source")
-    def medOf(counts: DataFrame, valueCol: String): DataFrame =
-      counts
-        .withColumn("cum", sum("cnt").over(bySrc.orderBy(valueCol)))
-        .withColumn("n", sum("cnt").over(bySrc))
-        .filter(col("cum") >= expr("CAST(ceil(n * 0.5) AS BIGINT)"))
-        .groupBy("source").agg(min(valueCol).as("med"),
-          max("n").cast("long").as("n_docs"))
-    // (source, n_chars) counts are schema-bounded; checkpoint so the
-    // median / deviation / outlier consumers share ONE corpus scan (the
-    // lazy form re-planned the scan per consumer — 10 in one plan).
+    import spark.implicits._
+    // (source, n_chars) counts are schema-bounded metadata (distinct
+    // lengths per source) — the auth_failure_delay / nation_revenue
+    // discipline applies (guide §5 bounded driver work): ONE
+    // partial-aggregated corpus scan collects the count frame, and the
+    // med/MAD/outlier chain (exact integer rank-picks) runs driver-side.
+    // The r17 shape checkpointed the same frame and re-read it through 2
+    // median windows + 2 broadcast joins + 3 rollups = 12 single-task
+    // jobs per pass; the arithmetic below is the same exact long math
+    // (ceil(n * 0.5) == (n+1) div 2 for nonnegative counts), so rows are
+    // bit-identical, oracle-checked.
     val counts = t(spark, dir, "documents")
       .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val med = medOf(counts, "n_chars")
-      .select(col("source"), col("med").as("med_chars"), col("n_docs"))
-    val devCounts = counts.join(broadcast(med), "source")
-      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
-      .groupBy("source", "dev").agg(sum("cnt").as("cnt"))
-    val mad = medOf(devCounts, "dev")
-      .select(col("source"), col("med").as("mad_chars"))
-    devCounts.join(broadcast(mad), "source")
-      .groupBy("source")
-      .agg(sum(when(col("dev") > col("mad_chars") * 5L, col("cnt"))
-        .otherwise(0L)).cast("long").as("n_outliers"),
-        max("mad_chars").as("mad_chars"))
-      .join(broadcast(med), "source")
-      .select(col("source"), col("n_docs"), col("med_chars"),
-        col("mad_chars"), col("n_outliers"))
-      .withColumn("outlier_bp", expr("(10000 * n_outliers) div n_docs"))
+      .collect().map(r => (r.getString(0),
+        Option(r.getAs[java.lang.Long]("n_chars")).map(_.longValue),
+        r.getAs[Long]("cnt")))
+    // Exact rank-pick median, null-faithful to the windowed SQL form:
+    // nulls order FIRST (they advance the cumulative count), the pick is
+    // the smallest non-null value at-or-after the half threshold
+    // (ceil(n * 0.5) == (n+1) div 2 for nonnegative counts).
+    def medOf(rows: Seq[(Option[Long], Long)]): Option[Long] = {
+      val half = (rows.map(_._2).sum + 1L) / 2L
+      val sorted = rows.sortBy { case (v, _) =>
+        (v.isDefined, v.getOrElse(0L)) }
+      var cum = 0L
+      val idx = sorted.indexWhere { case (_, c) => cum += c; cum >= half }
+      if (idx < 0) None
+      else sorted.drop(idx).collectFirst { case (Some(v), _) => v }
+    }
+    val out = counts.groupBy(_._1).toSeq.map { case (source, rs) =>
+      val lenCounts: Seq[(Option[Long], Long)] =
+        rs.toSeq.map(r => (r._2, r._3))
+      val nDocs = lenCounts.map(_._2).sum
+      val med = medOf(lenCounts)
+      val devCounts = lenCounts.groupBy { case (len, _) =>
+        for { l <- len; m <- med } yield math.abs(l - m)
+      }.map { case (d, cs) => (d, cs.map(_._2).sum) }.toSeq
+      val mad = medOf(devCounts)
+      val nOutliers = devCounts.collect {
+        case (Some(d), c) if mad.exists(m => d > m * 5L) => c }.sum
+      (source, nDocs, med, mad, nOutliers, 10000L * nOutliers / nDocs)
+    }
+    out.toDF("source", "n_docs", "med_chars", "mad_chars", "n_outliers",
+      "outlier_bp")
   }
 
   /** Char-mass inequality per source: the exact Gini coefficient of doc

@@ -695,11 +695,17 @@ object LogOps {
 
   /** Peak-rate minute per topic (ties kept via scalar-max equality). */
   def peakMinute(spark: SparkSession, dir: String): DataFrame = {
-    val perMin = log(spark, dir)
+    // One scan: the per-topic max is a whole-partition window over the
+    // (topic, minute) count frame (time-bounded metadata), replacing the
+    // join shape that re-derived the count frame for the max side — the
+    // plan had TWO scans + three exchanges; this has one scan and the
+    // window's own metadata-frame exchange (guide §2.4).
+    val perMin = logBase(spark, dir)
       .withColumn("minute_ms", expr("(tms div 60000) * 60000"))
       .groupBy("topic", "minute_ms").agg(count(lit(1)).as("n"))
-    val best = perMin.groupBy("topic").agg(max("n").as("best"))
-    perMin.join(best, "topic")
+    perMin
+      .withColumn("best", max("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("topic")))
       .filter(col("n") === col("best"))
       .select("topic", "minute_ms", "n")
   }

@@ -604,11 +604,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val cs = planOf(graft.llm.Dedup.contaminationSpans(spark, dir))
     assert(cs.contains("InMemoryTableScan") && !cs.contains("SortMergeJoin"),
       s"contamination_spans re-scans instead of riding the cache:\n$cs")
-    // doc_length_outliers: med/MAD frames broadcast back into the
-    // metadata-sized count frame; no shuffled join anywhere.
+    // doc_length_outliers: ONE partial-aggregated scan collects the
+    // bounded (source, n_chars) count frame; the med/MAD chain is
+    // driver-side, so the returned plan is a LocalRelation — no join,
+    // no window, no second scan anywhere.
     val ol = planOf(graft.llm.TextAnalysis.docLengthOutliers(spark, dir))
-    assert(ol.contains("BroadcastHashJoin") && !ol.contains("SortMergeJoin"),
-      s"doc_length_outliers med/MAD not broadcast:\n$ol")
+    assert(!ol.contains("Join") && !ol.contains("Scan parquet"),
+      s"doc_length_outliers plans data work past the driver rollup:\n$ol")
   }
 
   test("final close-out additions keep their scale shapes") {
