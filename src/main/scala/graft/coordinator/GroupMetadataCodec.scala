@@ -261,51 +261,52 @@ object GroupMetadataCodec {
     */
   def groupMetadataCodec(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Every input here is metadata-bounded (|groups| <= 4, |members| <=
+    // 12): the r17 shape composed three multi-exchange subplans + two
+    // joins + a typed-Dataset encode map into ONE 40-node plan — 19 tiny
+    // AQE jobs of pure scheduling overhead per pass. Collect the three
+    // bounded frames (their cached subplans execute once each) and run
+    // the same encoder functions driver-side (guide §5); composition
+    // semantics preserved exactly: proto inner join, members left join,
+    // members sorted by m, leader = lowest alive member.
     val now = broadcast(Groups.nowMs(spark, dir))
     val alive = Groups.memberHeartbeats(spark, dir)
       .crossJoin(now)
       .filter(col("now_ms") - col("last_hb_ms") <= 28800000L)
-      .select(
-        concat(lit("g"), col("g").cast("string")).as("group_id"),
-        col("m"),
-        concat(lit("m"), col("m").cast("string")).as("member"))
+      .select(col("g"), col("m"))
       .join(broadcast(Groups.memberAssignmentBytes(spark, dir)), "m")
-    val membersPerGroup = alive
-      .groupBy("group_id")
-      .agg(sort_array(collect_list(struct(col("m"), col("member"),
-        col("assignment_bytes")))).as("members"))
-    val gstate = Groups.groupState(spark, dir)
-      .select(col("group_id"), col("generation"), col("n_alive"))
+      .select(col("g"), col("m"), col("assignment_bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val proto = Groups.protocolSelect(spark, dir)
       .select(col("group_id"), col("selected_protocol"))
-    gstate
-      .join(broadcast(proto), "group_id")
-      .join(broadcast(membersPerGroup), Seq("group_id"), "left")
-      .select(col("group_id"), col("generation"), col("selected_protocol"),
-        col("n_alive"),
-        coalesce(col("members"), array()).as("members"))
-      .as[GroupRow]
-      .map { g =>
-        val hasMembers = g.members.nonEmpty
-        val protocol = if (hasMembers) Some(g.selected_protocol) else None
-        val leader = if (hasMembers) Some(g.members.minBy(_.m).member)
-          else None
-        val members = g.members.sortBy(_.m).map { m =>
-          MemberMeta(m.member, "c-" + m.member,
-            "/10.0.0." + (m.m + 1),
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gstate = Groups.groupState(spark, dir)
+      .select(col("group_id"), col("generation"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byGroup = alive.groupBy { case (g, _, _) => "g" + g }
+    val out = gstate.toSeq.flatMap { case (groupId, generation) =>
+      proto.get(groupId).map { selectedProtocol =>
+        val ms = byGroup.getOrElse(groupId, Array.empty).sortBy(_._2)
+        val hasMembers = ms.nonEmpty
+        val protocol = if (hasMembers) Some(selectedProtocol) else None
+        val leader = if (hasMembers) Some("m" + ms.head._2) else None
+        val members = ms.toSeq.map { case (_, m, assignmentBytes) =>
+          MemberMeta("m" + m, "c-m" + m,
+            "/10.0.0." + (m + 1),
             21600000, 28800000,
-            ("sub#" + m.member).getBytes(StandardCharsets.UTF_8),
-            Array.fill(m.assignment_bytes.toInt)('x'.toByte))
+            ("sub#m" + m).getBytes(StandardCharsets.UTF_8),
+            Array.fill(assignmentBytes.toInt)('x'.toByte))
         }
-        val key = groupMetadataKey(g.group_id)
-        val value = groupMetadataValue("consumer", g.generation.toInt,
+        val key = groupMetadataKey(groupId)
+        val value = groupMetadataValue("consumer", generation.toInt,
           protocol, leader, members)
-        GroupSized(g.group_id, g.generation,
+        GroupSized(groupId, generation,
           protocol.orNull, leader.orNull, members.size.toLong,
           key.length.toLong, value.length.toLong,
           key.length.toLong + value.length.toLong)
       }
-      .toDF()
+    }
+    out.toDF()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
